@@ -1,0 +1,115 @@
+"""Brute-force k-NN + the reference's full retrieval pipeline, Spark-first.
+
+Reference flow (``/root/reference/vector_db_query.py:136-267``):
+  embed query (V1) -> FLAT index k-NN (V2) -> distance->similarity per stored
+  metric (V3) -> threshold filter (F1) -> id->row lookup (J1) -> keyword
+  filter (F2) -> document-type filter (F3) -> project (F6).
+
+Spark plan shape:
+  * V2 is a scan + per-row fold (whole-stage codegen) followed by
+    ``ORDER BY distance LIMIT k`` — Catalyst plans TakeOrderedAndProject,
+    i.e. a per-partition heap + single tiny driver merge: no global sort,
+    no shuffle of the full table. This is exactly the distributed analogue
+    of a FLAT index scan and survives a 100x scale-up.
+  * V3's min/max are over the k returned rows only (k is tiny), computed
+    with an unpartitioned window over the k-row result — not over the
+    corpus.
+  * J1 fetches text/metadata for the k surviving ids — a broadcast hash
+    join with the k-row side broadcast (the reference does point lookups
+    via ``tiledb.multi_index``; broadcasting k rows against a partitioned
+    documents table is the scale-correct equivalent: no shuffle of the big
+    side).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..functions import vector as V
+
+
+def knn(
+    embeddings: DataFrame,
+    query_vector: list[float],
+    k: int = 6,
+    metric: str = "cosine",
+    id_col: str = "vec_id",
+    vector_col: str = "embedding",
+) -> DataFrame:
+    """Top-k nearest rows with reference-parity similarity scores.
+
+    Returns ``(id_col, distance, similarity)`` — the raw top-k set, ordered
+    most-similar first, ties broken by id (deterministic; TileDB ties are
+    index-order, SURVEY.md §7 hard-part #5).
+    """
+    q = V.vector_lit(query_vector)
+    d = V.distance_expr(metric, vector_col, q)
+    scored = embeddings.select(F.col(id_col), d.alias("distance"))
+
+    # inner_product: larger is nearer; all other metrics: smaller is nearer.
+    if metric == "inner_product":
+        order = [F.col("distance").desc(), F.col(id_col).asc()]
+    else:
+        order = [F.col("distance").asc(), F.col(id_col).asc()]
+    topk = scored.orderBy(*order).limit(k)
+
+    # V3: result-set-relative conversion over the k rows (tiny: window
+    # without partition is safe and never sees more than k rows).
+    w = Window.partitionBy(F.lit(1))
+    sim = V.similarity_expr(
+        metric,
+        F.col("distance"),
+        F.min("distance").over(w),
+        F.max("distance").over(w),
+    )
+    return (
+        topk.withColumn("similarity", sim)
+        .orderBy(F.col("similarity").desc(), F.col(id_col).asc())
+    )
+
+
+def lookup_join(
+    topk: DataFrame,
+    rows: DataFrame,
+    topk_key: str = "vec_id",
+    rows_key: str = "doc_id",
+) -> DataFrame:
+    """J1: fetch text/metadata for the surviving ids.
+
+    Broadcast the tiny top-k side so the big table is never shuffled
+    (reference: point lookups at vector_db_query.py:215-233).
+    """
+    return rows.join(F.broadcast(topk), rows[rows_key] == topk[topk_key], "inner")
+
+
+def search(
+    embeddings: DataFrame,
+    documents: DataFrame,
+    query_vector: list[float],
+    k: int = 6,
+    score_threshold: float = 0.4,
+    search_term: str = "",
+    metric: str = "cosine",
+    id_col: str = "vec_id",
+    vector_col: str = "embedding",
+    doc_id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Full reference retrieval pipeline (vector_db_query.py:136-267).
+
+    Filter order matters for parity: similarity conversion happens over the
+    raw top-k set, THEN the threshold prunes, THEN text is fetched for the
+    survivors, THEN keyword filtering applies (F2 is case-insensitive
+    substring; empty term is a no-op, vector_db_query.py:247-254).
+    """
+    topk = knn(embeddings, query_vector, k=k, metric=metric,
+               id_col=id_col, vector_col=vector_col)
+    hits = topk.filter(F.col("similarity") >= F.lit(float(score_threshold)))
+    joined = lookup_join(hits, documents, topk_key=id_col, rows_key=doc_id_col)
+    if search_term:
+        joined = joined.filter(
+            F.contains(F.lower(F.col(text_col)), F.lit(search_term.lower()))
+        )
+    return joined.orderBy(F.col("similarity").desc(), F.col(id_col).asc())
