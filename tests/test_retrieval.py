@@ -5,27 +5,13 @@ from __future__ import annotations
 import pytest
 
 from conftest import SF_ORACLE, SF_SMOKE, assert_oracle_match
-
-RETRIEVAL_QUERIES = [
-    "knn_cosine_topk",
-    "knn_l2_topk",
-    "knn_sum_of_squares_topk",
-    "knn_inner_product_topk",
-    "knn_unknown_topk",
-    "search_pipeline",
-    "filter_threshold",
-    "filter_keyword",
-    "filter_doctype",
-    "clean_text",
-    "citations_agg",
-    "page_ranges",
-    "hash_sha256",
-    "json_props_extract",
-]
+from vector_db_light_spark.registry import ORACLES
 
 
-@pytest.mark.parametrize("name", RETRIEVAL_QUERIES)
+@pytest.mark.parametrize("name", sorted(ORACLES))
 def test_oracle_parity(spark, duck, name):
+    """Every hash-checkable query matches its DuckDB oracle at sf0.01 —
+    the same gate the driver runs."""
     assert_oracle_match(spark, duck, name)
 
 
@@ -69,4 +55,4 @@ def test_entry_contract(spark):
     assert df.count() >= 0
     qs, os_ = e.queries(), e.oracle_sql()
     assert set(os_) <= set(qs)
-    assert len(qs) >= len(RETRIEVAL_QUERIES)
+    assert len(qs) >= 14
