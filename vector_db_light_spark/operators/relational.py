@@ -1,0 +1,147 @@
+"""Relational operators the reference implies but never generalizes
+(SURVEY.md §2.3 gap row, §2.7): as-of join, range self-join, sessionization.
+
+All three are written for the 100 TB case:
+  * ``asof_join`` uses the union+window merge technique — one shuffle on the
+    key, no |L|x|R| theta join, no per-key fan-out. This is how you as-of
+    join a 10^11-row event table to a 10^9-row dim without melting the
+    cluster.
+  * ``range_self_join`` bins timestamps so Spark gets an equi-join on
+    (key, bucket) instead of a nested-loop theta join; the exact predicate
+    is re-applied post-join. Result set is identical to the naive theta
+    join; cost is linear in matches instead of quadratic in partition size.
+  * ``sessionize`` is a single window pass (lag -> gap flag -> running sum).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_key: str,
+    right_key: str,
+    left_ts: str,
+    right_ts: str,
+    payload: list[str],
+    inclusive: bool = True,
+) -> DataFrame:
+    """For each left row, attach the payload of the right row with the
+    greatest ``right_ts`` <= ``left_ts`` (inclusive) for the same key.
+
+    Implementation: tag both sides, union, sort each key partition once by
+    (ts, side) and carry the last-seen right payload forward with
+    ``last(..., ignorenulls=True)``. Left rows with no prior right row are
+    dropped (inner as-of semantics, matching DuckDB's ASOF JOIN).
+
+    Right rows that tie on (key, right_ts) are deduplicated to the one with
+    the greatest first payload column, making results deterministic (DuckDB
+    leaves this unspecified).
+    """
+    lpre = "_l_"
+    first_payload = payload[0]
+    right_dedup = (
+        right.groupBy(right_key, right_ts)
+        .agg(F.max_by(F.struct(*payload), first_payload).alias("_payload"))
+    )
+    r = right_dedup.select(
+        F.col(right_key).alias("_key"),
+        F.col(right_ts).alias("_ts"),
+        F.lit(1).alias("_is_right"),
+        F.col("_payload"),
+        *[
+            F.lit(None).cast(left.schema[c].dataType).alias(f"{lpre}{c}")
+            for c in left.columns
+        ],
+    )
+    l = left.select(
+        F.col(left_key).alias("_key"),
+        F.col(left_ts).alias("_ts"),
+        F.lit(0).alias("_is_right"),
+        F.lit(None).cast(r.schema["_payload"].dataType).alias("_payload"),
+        *[F.col(c).alias(f"{lpre}{c}") for c in left.columns],
+    )
+    # At equal timestamps the right row must sort first iff the bound is
+    # inclusive (ts >= right_ts), else after the left row.
+    side_order = F.col("_is_right").desc() if inclusive else F.col("_is_right").asc()
+    w = (
+        Window.partitionBy("_key")
+        .orderBy(F.col("_ts").asc(), side_order)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    merged = r.unionByName(l).withColumn(
+        "_matched", F.last("_payload", ignorenulls=True).over(w)
+    )
+    out = merged.filter((F.col("_is_right") == 0) & F.col("_matched").isNotNull())
+    return out.select(
+        *[F.col(f"{lpre}{c}").alias(c) for c in left.columns],
+        *[F.col("_matched")[c].alias(c) for c in payload],
+    )
+
+
+def range_self_join(
+    df: DataFrame,
+    key: str,
+    ts_col: str,
+    max_gap_seconds: float,
+    id_col: str,
+) -> DataFrame:
+    """All ordered pairs (a, b) with the same key and
+    ``a.ts < b.ts <= a.ts + max_gap``.
+
+    Scale path: equi-join on (key, time bucket) with each left row probing
+    its own bucket and the next one, then the exact range predicate — the
+    result is exactly the theta join's, but Catalyst executes a hash join.
+    """
+    gap_us = int(max_gap_seconds * 1_000_000)
+    us = F.unix_micros(F.col(ts_col).cast("timestamp"))
+    a = df.select(
+        F.col(key).alias("_k"),
+        us.alias("_us_a"),
+        F.col(id_col).alias("id_a"),
+        F.floor(us / gap_us).alias("_bucket"),
+        F.explode(F.array(F.lit(0), F.lit(1))).alias("_probe"),
+    ).withColumn("_bucket", F.col("_bucket") + F.col("_probe"))
+    b = df.select(
+        F.col(key).alias("_k2"),
+        us.alias("_us_b"),
+        F.col(id_col).alias("id_b"),
+        F.floor(us / gap_us).alias("_bucket2"),
+    )
+    joined = a.join(
+        b,
+        (F.col("_k") == F.col("_k2")) & (F.col("_bucket") == F.col("_bucket2")),
+    )
+    return (
+        joined.filter(
+            (F.col("_us_a") < F.col("_us_b"))
+            & (F.col("_us_b") <= F.col("_us_a") + F.lit(gap_us))
+        )
+        .select(F.col("_k").alias(key), "id_a", "id_b")
+    )
+
+
+def sessionize(
+    df: DataFrame,
+    key: str,
+    ts_col: str,
+    gap_seconds: int,
+) -> DataFrame:
+    """Assign 1-based session ids per key: a new session starts when the gap
+    to the previous event exceeds ``gap_seconds``. One window pass."""
+    w = Window.partitionBy(key).orderBy(ts_col)
+    us = F.unix_micros(F.col(ts_col).cast("timestamp"))
+    prev_us = F.lag(us).over(w)
+    new_session = F.when(
+        prev_us.isNull() | (us - prev_us > gap_seconds * 1_000_000), 1
+    ).otherwise(0)
+    return df.withColumn(
+        "session_id",
+        F.sum(new_session).over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )

@@ -1,1 +1,509 @@
-"""Placeholder — populated in a later milestone."""
+"""General relational surface over the TPC-H-ish tables: joins (broadcast /
+semi / anti / as-of / range), hash aggregation, rollup/cube, window
+functions, set ops, sessionization, time-bucketed aggregation
+(SURVEY.md §2.3 gap row, §2.4 gap row, §2.7, §2.8).
+
+Float-parity note: SUM/AVG over doubles are summation-order-dependent, so
+every such aggregate is rounded identically on both sides (round-2 for sums,
+round-4 for averages); counts and min/max are exact.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..operators import relational as R
+from ..registry import load, register
+
+
+# ---------------------------------------------------------------------------
+# Hash aggregation with computed measures (TPC-H Q1 shape). Partial
+# aggregation (map-side combine) is automatic; the only shuffle carries
+# 4 groups.
+# ---------------------------------------------------------------------------
+
+@register(
+    "pricing_summary",
+    """
+SELECT l_returnflag, l_linestatus,
+       round(sum(l_quantity), 2) AS sum_qty,
+       round(sum(l_extendedprice), 2) AS sum_base_price,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+       round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+       round(avg(l_quantity), 4) AS avg_qty,
+       round(avg(l_extendedprice), 4) AS avg_price,
+       round(avg(l_discount), 4) AS avg_disc,
+       count(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+GROUP BY l_returnflag, l_linestatus
+ORDER BY l_returnflag, l_linestatus
+""",
+)
+def pricing_summary(spark, sf_dir):
+    li = load(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    charge = disc_price * (1 + F.col("l_tax"))
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp_ntz"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(disc_price), 2).alias("sum_disc_price"),
+            F.round(F.sum(charge), 2).alias("sum_charge"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
+            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Multi-way join + top-k by aggregate (TPC-H Q3 shape): two big-table
+# shuffle joins + one broadcast, then TakeOrderedAndProject.
+# ---------------------------------------------------------------------------
+
+@register(
+    "shipping_priority",
+    """
+SELECT l.l_orderkey AS orderkey,
+       round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+       o.o_orderdate AS orderdate, o.o_orderpriority AS orderpriority
+FROM customer c
+JOIN orders o ON c.c_custkey = o.o_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+WHERE c.c_mktsegment = 'BUILDING'
+  AND o.o_orderdate < TIMESTAMP '1997-06-01'
+  AND l.l_shipdate > TIMESTAMP '1997-06-01'
+GROUP BY l.l_orderkey, o.o_orderdate, o.o_orderpriority
+ORDER BY revenue DESC, orderkey ASC
+LIMIT 10
+""",
+)
+def shipping_priority(spark, sf_dir):
+    cust = load(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    orders = load(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1997-06-01").cast("timestamp_ntz")
+    )
+    li = load(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1997-06-01").cast("timestamp_ntz")
+    )
+    return (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .join(F.broadcast(cust), orders["o_custkey"] == cust["c_custkey"])
+        .groupBy(
+            F.col("l_orderkey").alias("orderkey"),
+            F.col("o_orderdate").alias("orderdate"),
+            F.col("o_orderpriority").alias("orderpriority"),
+        )
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+        .orderBy(F.col("revenue").desc(), F.col("orderkey").asc())
+        .limit(10)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Broadcast dim-chain join + ROLLUP (region -> nation -> customer).
+# ---------------------------------------------------------------------------
+
+@register(
+    "acctbal_rollup",
+    """
+SELECT r.r_name AS region, n.n_name AS nation,
+       grouping(r.r_name) + 2 * grouping(n.n_name) AS gid,
+       count(*) AS n_customers,
+       round(sum(c.c_acctbal), 2) AS total_acctbal
+FROM customer c
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+JOIN region r ON n.n_regionkey = r.r_regionkey
+GROUP BY ROLLUP (r.r_name, n.n_name)
+ORDER BY region NULLS FIRST, nation NULLS FIRST
+""",
+)
+def acctbal_rollup(spark, sf_dir):
+    cust = load(spark, sf_dir, "customer")
+    nation = load(spark, sf_dir, "nation")
+    region = load(spark, sf_dir, "region")
+    joined = (
+        cust.join(F.broadcast(nation), cust["c_nationkey"] == nation["n_nationkey"])
+        .join(F.broadcast(region), nation["n_regionkey"] == region["r_regionkey"])
+        .select(
+            F.col("r_name").alias("region"),
+            F.col("n_name").alias("nation"),
+            "c_acctbal",
+        )
+    )
+    return (
+        joined.rollup("region", "nation")
+        .agg(
+            (F.grouping("region") + 2 * F.grouping("nation")).alias("gid"),
+            F.count(F.lit(1)).alias("n_customers"),
+            F.round(F.sum("c_acctbal"), 2).alias("total_acctbal"),
+        )
+        .orderBy(F.col("region").asc_nulls_first(), F.col("nation").asc_nulls_first())
+    )
+
+
+@register(
+    "segment_status_cube",
+    """
+SELECT c.c_mktsegment AS segment, o.o_orderstatus AS status,
+       grouping(c.c_mktsegment) + 2 * grouping(o.o_orderstatus) AS gid,
+       count(*) AS n_orders,
+       round(sum(o.o_totalprice), 2) AS total_price
+FROM orders o
+JOIN customer c ON c.c_custkey = o.o_custkey
+GROUP BY CUBE (c.c_mktsegment, o.o_orderstatus)
+ORDER BY segment NULLS FIRST, status NULLS FIRST
+""",
+)
+def segment_status_cube(spark, sf_dir):
+    orders = load(spark, sf_dir, "orders")
+    cust = load(spark, sf_dir, "customer")
+    joined = orders.join(
+        F.broadcast(cust), cust["c_custkey"] == orders["o_custkey"]
+    ).select(
+        F.col("c_mktsegment").alias("segment"),
+        F.col("o_orderstatus").alias("status"),
+        "o_totalprice",
+    )
+    return (
+        joined.cube("segment", "status")
+        .agg(
+            (F.grouping("segment") + 2 * F.grouping("status")).alias("gid"),
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+        )
+        .orderBy(F.col("segment").asc_nulls_first(), F.col("status").asc_nulls_first())
+    )
+
+
+# ---------------------------------------------------------------------------
+# Window functions: per-group top-k and running totals (§2.7 — the reference
+# has none; row_number/lag/running sum are the §7 extension surface).
+# ---------------------------------------------------------------------------
+
+@register(
+    "top_customers_per_segment",
+    """
+SELECT c_mktsegment, c_custkey, c_name, c_acctbal, rk
+FROM (
+  SELECT c_mktsegment, c_custkey, c_name, c_acctbal,
+         row_number() OVER (PARTITION BY c_mktsegment
+                            ORDER BY c_acctbal DESC, c_custkey ASC) AS rk
+  FROM customer
+)
+WHERE rk <= 3
+ORDER BY c_mktsegment, rk
+""",
+)
+def top_customers_per_segment(spark, sf_dir):
+    cust = load(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_mktsegment").orderBy(
+        F.col("c_acctbal").desc(), F.col("c_custkey").asc()
+    )
+    return (
+        cust.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 3)
+        .select("c_mktsegment", "c_custkey", "c_name", "c_acctbal", "rk")
+        .orderBy("c_mktsegment", "rk")
+    )
+
+
+@register(
+    "running_order_total",
+    """
+SELECT o_custkey, o_orderkey,
+       round(sum(o_totalprice) OVER (
+         PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running_total
+FROM orders
+ORDER BY o_custkey, o_orderkey
+""",
+)
+def running_order_total(spark, sf_dir):
+    orders = load(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        orders.select(
+            "o_custkey",
+            "o_orderkey",
+            F.round(F.sum("o_totalprice").over(w), 2).alias("running_total"),
+        ).orderBy("o_custkey", "o_orderkey")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Semi / anti joins (reference J-gap): customers with vs without orders.
+# ---------------------------------------------------------------------------
+
+@register(
+    "customers_without_big_orders",
+    """
+SELECT c_custkey, c_name
+FROM customer c
+WHERE NOT EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 300000)
+ORDER BY c_custkey
+""",
+)
+def customers_without_big_orders(spark, sf_dir):
+    cust = load(spark, sf_dir, "customer")
+    big = load(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 300000)
+    return (
+        cust.join(big, cust["c_custkey"] == big["o_custkey"], "left_anti")
+        .select("c_custkey", "c_name")
+        .orderBy("c_custkey")
+    )
+
+
+@register(
+    "customers_with_open_orders",
+    """
+SELECT c_custkey, c_acctbal
+FROM customer c
+WHERE EXISTS (SELECT 1 FROM orders o
+              WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'O')
+ORDER BY c_custkey
+""",
+)
+def customers_with_open_orders(spark, sf_dir):
+    cust = load(spark, sf_dir, "customer")
+    open_orders = load(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "O")
+    return (
+        cust.join(open_orders, cust["c_custkey"] == open_orders["o_custkey"], "left_semi")
+        .select("c_custkey", "c_acctbal")
+        .orderBy("c_custkey")
+    )
+
+
+@register(
+    "nations_with_both",
+    """
+SELECT c_nationkey AS nationkey FROM customer
+INTERSECT
+SELECT s_nationkey FROM supplier
+ORDER BY nationkey
+""",
+)
+def nations_with_both(spark, sf_dir):
+    cust = load(spark, sf_dir, "customer").select(
+        F.col("c_nationkey").alias("nationkey")
+    )
+    supp = load(spark, sf_dir, "supplier").select(
+        F.col("s_nationkey").alias("nationkey")
+    )
+    return cust.intersect(supp).orderBy("nationkey")
+
+
+@register(
+    "customers_never_f_status",
+    """
+SELECT DISTINCT o_custkey AS custkey FROM orders
+EXCEPT
+SELECT DISTINCT o_custkey FROM orders WHERE o_orderstatus = 'F'
+ORDER BY custkey
+""",
+)
+def customers_never_f_status(spark, sf_dir):
+    orders = load(spark, sf_dir, "orders")
+    all_cust = orders.select(F.col("o_custkey").alias("custkey")).distinct()
+    f_cust = (
+        orders.filter(F.col("o_orderstatus") == "F")
+        .select(F.col("o_custkey").alias("custkey"))
+        .distinct()
+    )
+    # subtract == SQL EXCEPT (distinct semantics); exceptAll would keep
+    # unmatched duplicate copies, which EXCEPT does not.
+    return all_cust.subtract(f_cust).orderBy("custkey")
+
+
+# ---------------------------------------------------------------------------
+# As-of join: each event -> the latest order of the same customer at-or-
+# before the event (union+window merge; oracle uses DuckDB's native ASOF).
+# Right side deduped on (key, ts) by max orderkey for determinism.
+# ---------------------------------------------------------------------------
+
+@register(
+    "asof_event_order",
+    """
+WITH orders_d AS (
+  SELECT o_custkey, o_orderdate,
+         max_by(o_orderkey, o_orderkey) AS o_orderkey,
+         max_by(o_totalprice, o_orderkey) AS o_totalprice
+  FROM orders GROUP BY o_custkey, o_orderdate
+)
+SELECT e.event_id, e.user_id, o.o_orderkey, o.o_totalprice
+FROM events e
+ASOF JOIN orders_d o
+  ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate
+ORDER BY e.event_id
+""",
+)
+def asof_event_order(spark, sf_dir):
+    events = load(spark, sf_dir, "events").select("event_id", "user_id", "ts")
+    orders = load(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderdate", "o_orderkey", "o_totalprice"
+    )
+    out = R.asof_join(
+        events,
+        orders,
+        left_key="user_id",
+        right_key="o_custkey",
+        left_ts="ts",
+        right_ts="o_orderdate",
+        payload=["o_orderkey", "o_totalprice"],
+    )
+    return out.select("event_id", "user_id", "o_orderkey", "o_totalprice").orderBy(
+        "event_id"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Range self-join: ordered event pairs of the same user within 5 minutes
+# (binned equi-join on Spark; plain theta join as the oracle).
+# ---------------------------------------------------------------------------
+
+@register(
+    "event_pairs_5min",
+    """
+SELECT a.user_id, a.event_id AS id_a, b.event_id AS id_b
+FROM events a
+JOIN events b
+  ON a.user_id = b.user_id
+ AND b.ts > a.ts
+ AND b.ts <= a.ts + INTERVAL 5 MINUTE
+ORDER BY a.user_id, id_a, id_b
+""",
+)
+def event_pairs_5min(spark, sf_dir):
+    events = load(spark, sf_dir, "events")
+    pairs = R.range_self_join(
+        events, key="user_id", ts_col="ts", max_gap_seconds=300, id_col="event_id"
+    )
+    return pairs.orderBy("user_id", "id_a", "id_b")
+
+
+# ---------------------------------------------------------------------------
+# Sessionization: 30-minute-gap sessions per user (batch equivalent of a
+# session window; §2.8).
+# ---------------------------------------------------------------------------
+
+@register(
+    "sessionize_events",
+    """
+WITH flagged AS (
+  SELECT user_id, ts, event_id,
+         CASE WHEN lag(ts) OVER w IS NULL
+                OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+              THEN 1 ELSE 0 END AS new_session
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+sessions AS (
+  SELECT user_id, event_id, ts,
+         sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS session_id
+  FROM flagged
+)
+SELECT user_id, session_id, count(*) AS n_events,
+       min(ts) AS session_start, max(ts) AS session_end
+FROM sessions
+GROUP BY user_id, session_id
+ORDER BY user_id, session_id
+""",
+)
+def sessionize_events(spark, sf_dir):
+    events = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    prev = F.lag("ts").over(w)
+    gap = F.unix_micros(F.col("ts").cast("timestamp")) - F.unix_micros(
+        prev.cast("timestamp")
+    )
+    new_session = F.when(prev.isNull() | (gap > 30 * 60 * 1_000_000), 1).otherwise(0)
+    sessions = events.withColumn(
+        "session_id",
+        F.sum(new_session).over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    return (
+        sessions.groupBy("user_id", "session_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.min("ts").alias("session_start"),
+            F.max("ts").alias("session_end"),
+        )
+        .orderBy("user_id", "session_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Tumbling-window aggregation (batch twin of the streaming windowed agg,
+# §2.8): 1-hour windows x event_type.
+# ---------------------------------------------------------------------------
+
+@register(
+    "tumbling_hourly_events",
+    """
+SELECT date_trunc('hour', ts) AS window_start, event_type,
+       count(*) AS n, round(sum(value), 2) AS total_value
+FROM events
+GROUP BY 1, 2
+ORDER BY window_start, event_type
+""",
+)
+def tumbling_hourly_events(spark, sf_dir):
+    events = load(spark, sf_dir, "events")
+    return (
+        events.groupBy(
+            F.window("ts", "1 hour").alias("w"), F.col("event_type")
+        )
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 2).alias("total_value"))
+        .select(
+            F.col("w.start").alias("window_start"), "event_type", "n", "total_value"
+        )
+        .orderBy("window_start", "event_type")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Date bucketing + distinct counts (X4 timestamps; exact distinct).
+# ---------------------------------------------------------------------------
+
+@register(
+    "orders_by_month",
+    """
+SELECT date_trunc('month', o_orderdate) AS order_month,
+       count(*) AS n_orders,
+       count(DISTINCT o_custkey) AS n_customers,
+       round(sum(o_totalprice), 2) AS total_price
+FROM orders
+GROUP BY 1
+ORDER BY order_month
+""",
+)
+def orders_by_month(spark, sf_dir):
+    orders = load(spark, sf_dir, "orders")
+    return (
+        orders.groupBy(F.date_trunc("month", "o_orderdate").alias("order_month"))
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.countDistinct("o_custkey").alias("n_customers"),
+            F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+        )
+        .orderBy("order_month")
+    )
