@@ -1,0 +1,210 @@
+"""Deduplication operators for training-data pipelines (build-plan §7
+Phase 4; beyond the reference's surface — its only dedup is the implicit
+file-hash identity at document_processor.py:42-50).
+
+Five tiers, all expressed as declarative DataFrame plans:
+  * exact        — sha256 groupBy (one shuffle on the hash).
+  * minhash LSH  — shingle -> K minhashes -> B bands -> candidate pairs via
+                   band-key equi-join -> exact-Jaccard verify. The band join
+                   is the 100 TB path: candidates scale with true
+                   duplicates, not with |corpus|^2.
+  * simhash      — 16-bit signed-sum sketch; equal signatures = candidates.
+  * n-gram Jaccard — exact pairwise via shingle-inverted-index join (the
+                   verify step of LSH; quadratic only within shingle
+                   buckets, so use after blocking).
+  * embedding cosine — see operators/similarity.py (blocked pairwise).
+
+Portability note: every hash is derived from md5 hex strings (Spark md5 ==
+DuckDB md5), never from engine-native hash functions (xxhash64 and DuckDB's
+hash() disagree). MinHash uses the lexicographic min of md5(shingle + '#' +
+seed) — a valid random-permutation surrogate that both engines compute
+identically.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+NUM_HASHES = 12
+NUM_BANDS = 4  # 3 rows per band
+
+
+def exact_dedup(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Exact duplicate groups: one row per distinct text with the canonical
+    (min) id and the copy count."""
+    return (
+        docs.groupBy(F.sha2(text_col, 256).alias("text_hash"))
+        .agg(
+            F.min(id_col).alias("canonical_id"),
+            F.count(F.lit(1)).alias("n_copies"),
+        )
+    )
+
+
+def tokens_expr(text_col: str) -> Column:
+    """Lower-cased whitespace tokens, empties dropped."""
+    return F.filter(
+        F.split(F.trim(F.lower(F.col(text_col))), r"\s+"),
+        lambda t: t != "",
+    )
+
+
+def shingles_expr(text_col: str, n: int) -> Column:
+    """Distinct word n-gram shingles (space-joined)."""
+    toks = tokens_expr(text_col)
+    make = F.transform(
+        F.sequence(F.lit(1), F.size(toks) - n + 1),
+        lambda i: F.array_join(F.slice(toks, i, n), " "),
+    )
+    # sequence(1, m) DESCENDS when m < 1, so guard short docs explicitly.
+    return F.array_distinct(
+        F.when(F.size(toks) >= n, make).otherwise(
+            F.array().cast("array<string>")
+        )
+    )
+
+
+def shingle_rows(
+    docs: DataFrame, n: int = 3, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """(id, shingle) exploded — the inverted-index layout."""
+    return docs.select(
+        F.col(id_col), F.explode(shingles_expr(text_col, n)).alias("shingle")
+    )
+
+
+def minhash_signatures(
+    docs: DataFrame,
+    n: int = 3,
+    num_hashes: int = NUM_HASHES,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """One row per doc: ``sig_0..sig_{K-1}`` minhash columns.
+
+    A doc's minhash_j = min over shingles of md5(shingle + '#' + j):
+    K aggregates in ONE shuffle over the exploded shingles.
+    Docs with zero shingles are absent (correct: no signature exists).
+    """
+    rows = shingle_rows(docs, n=n, id_col=id_col, text_col=text_col)
+    aggs = [
+        F.min(F.md5(F.concat(F.col("shingle"), F.lit(f"#{j}")))).alias(f"sig_{j}")
+        for j in range(num_hashes)
+    ]
+    return rows.groupBy(id_col).agg(*aggs)
+
+
+def minhash_band_keys(
+    sigs: DataFrame,
+    num_hashes: int = NUM_HASHES,
+    num_bands: int = NUM_BANDS,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(id, band_idx, band_key): band_key = md5 of the band's joined rows."""
+    rows_per_band = num_hashes // num_bands
+    bands = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band_idx"),
+                F.md5(
+                    F.concat_ws(
+                        "|",
+                        *[
+                            F.col(f"sig_{b * rows_per_band + r}")
+                            for r in range(rows_per_band)
+                        ],
+                    )
+                ).alias("band_key"),
+            )
+            for b in range(num_bands)
+        ]
+    )
+    return sigs.select(F.col(id_col), F.explode(bands).alias("b")).select(
+        id_col, "b.band_idx", "b.band_key"
+    )
+
+
+def lsh_candidate_pairs(band_keys: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Distinct (id_a < id_b) pairs sharing at least one band — an equi-join
+    on (band_idx, band_key), never a cross join."""
+    a = band_keys.select(
+        F.col(id_col).alias("id_a"), "band_idx", "band_key"
+    )
+    b = band_keys.select(
+        F.col(id_col).alias("id_b"), "band_idx", "band_key"
+    )
+    return (
+        a.join(b, ["band_idx", "band_key"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+
+
+def jaccard_pairs(
+    docs: DataFrame,
+    n: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    candidates: DataFrame | None = None,
+) -> DataFrame:
+    """Exact n-gram Jaccard for all pairs sharing >= 1 shingle (or only the
+    given candidate pairs): inverted-index self-join -> intersection counts
+    -> |A|+|B|-inter union."""
+    rows = shingle_rows(docs, n=n, id_col=id_col, text_col=text_col)
+    sizes = rows.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_shingles"))
+    a = rows.select(F.col(id_col).alias("id_a"), "shingle")
+    b = rows.select(F.col(id_col).alias("id_b"), "shingle")
+    inter = (
+        a.join(b, "shingle")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    if candidates is not None:
+        inter = inter.join(candidates, ["id_a", "id_b"], "left_semi")
+    sa = sizes.select(F.col(id_col).alias("id_a"), F.col("n_shingles").alias("n_a"))
+    sb = sizes.select(F.col(id_col).alias("id_b"), F.col("n_shingles").alias("n_b"))
+    return (
+        inter.join(sa, "id_a")
+        .join(sb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            (
+                F.col("n_inter")
+                / (F.col("n_a") + F.col("n_b") - F.col("n_inter"))
+            ).alias("jaccard"),
+        )
+    )
+
+
+def simhash_expr_cols(num_bits: int = 16) -> list[Column]:
+    """Per-bit signed-sum aggregates over a ``tok_md5`` column: bit i is set
+    iff sum over tokens of (+1 if md5 hex digit i >= '8' else -1) > 0."""
+    return [
+        F.sum(
+            F.when(F.substring("tok_md5", i + 1, 1) >= "8", 1).otherwise(-1)
+        ).alias(f"bitsum_{i}")
+        for i in range(num_bits)
+    ]
+
+
+def simhash(
+    docs: DataFrame,
+    num_bits: int = 16,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(id, simhash): 16-bit simhash over distinct lower-cased tokens."""
+    toks = docs.select(
+        F.col(id_col),
+        F.explode(F.array_distinct(tokens_expr(text_col))).alias("token"),
+    ).withColumn("tok_md5", F.md5("token"))
+    sums = toks.groupBy(id_col).agg(*simhash_expr_cols(num_bits))
+    sig = None
+    for i in range(num_bits):
+        bit = F.when(F.col(f"bitsum_{i}") > 0, F.lit(1 << i)).otherwise(F.lit(0))
+        sig = bit if sig is None else sig + bit
+    return sums.select(F.col(id_col), sig.cast("bigint").alias("simhash"))

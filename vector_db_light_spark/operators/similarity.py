@@ -1,0 +1,163 @@
+"""Similarity-search operators beyond single-query brute force (knn.py).
+
+Three tiers for the 100 TB design space:
+  * ``batch_knn``   — N queries at once: broadcast the query set (tiny) and
+    scan the corpus ONCE computing all N dot products, then per-query top-k.
+    A multi-query batch is a broadcast theta-join (SURVEY.md §2.3 J3).
+  * ``lsh_topk``    — random-hyperplane LSH: a sign-bit bucket key prunes
+    the scan to one bucket (expected corpus/2^bits rows). Recall < 1 by
+    construction; this is the approximate path.
+  * ``ivf_search``  — IVF-style partition pruning: nearest ``nprobe``
+    cluster centroids select which partitions to scan. Here clusters come
+    from a label column (pyspark.ml KMeans can supply one offline); with
+    the table PARTITIONED BY cluster_id the pruned clusters are never read
+    (partition pruning at the parquet scan — SURVEY.md §2.1 S6).
+
+Hyperplanes are deterministic literals so results are reproducible and
+oracle-checkable; centroids are element-rounded to make the float mean
+engine-independent.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..functions import vector as V
+
+
+def batch_knn(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 3,
+    id_col: str = "vec_id",
+    vector_col: str = "embedding",
+    query_id_col: str = "query_id",
+    query_vec_col: str = "query_vec",
+) -> DataFrame:
+    """Cosine top-k per query: one corpus scan x broadcast queries.
+
+    Returns (query_id, vec_id, distance, rk). The per-query top-k uses a
+    row_number window over query_id — fine while each query's candidate set
+    fits a partition group; for huge corpora pre-reduce with a per-partition
+    LIMIT (TakeOrdered shape) before the window.
+    """
+    q = queries.select(
+        F.col(query_id_col), F.col(query_vec_col).cast("array<double>").alias("_qv")
+    )
+    d = (F.lit(1.0) - V.dot(F.col(vector_col), F.col("_qv"))).alias("distance")
+    scored = corpus.join(F.broadcast(q)).select(
+        F.col(query_id_col), F.col(id_col), d
+    )
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col("distance").asc(), F.col(id_col).asc()
+    )
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+    )
+
+
+def random_hyperplanes(num: int, dim: int, seed: int = 11) -> list[list[float]]:
+    """Deterministic pseudo-random hyperplanes (literals on both engines)."""
+    planes = []
+    for p in range(num):
+        planes.append(
+            [round(math.sin(seed + p * 97 + i * 0.61), 6) for i in range(dim)]
+        )
+    return planes
+
+
+def lsh_bucket_expr(vec_col: str, planes: list[list[float]]) -> Column:
+    """Sign-bit bucket key: one char per hyperplane ('1' if dot > 0)."""
+    bits = [
+        F.when(V.dot(F.col(vec_col), V.vector_lit(pl)) > 0, "1").otherwise("0")
+        for pl in planes
+    ]
+    return F.concat(*bits)
+
+
+def lsh_topk(
+    corpus: DataFrame,
+    query_vector: list[float],
+    planes: list[list[float]],
+    k: int = 5,
+    id_col: str = "vec_id",
+    vector_col: str = "embedding",
+) -> DataFrame:
+    """Approximate top-k: scan only the query's sign bucket.
+
+    At scale the bucket key is a materialized partition column, making this
+    a partition-pruned scan instead of a full scan + filter.
+    """
+    qbits = "".join(
+        "1" if sum(a * b for a, b in zip(query_vector, pl)) > 0 else "0"
+        for pl in planes
+    )
+    bucketed = corpus.filter(lsh_bucket_expr(vector_col, planes) == qbits)
+    d = (F.lit(1.0) - V.dot(F.col(vector_col), V.vector_lit(query_vector))).alias(
+        "distance"
+    )
+    return (
+        bucketed.select(F.col(id_col), d)
+        .orderBy(F.col("distance").asc(), F.col(id_col).asc())
+        .limit(k)
+    )
+
+
+def ivf_centroids(
+    corpus: DataFrame,
+    dim: int,
+    cluster_col: str = "label",
+    vector_col: str = "embedding",
+) -> DataFrame:
+    """Per-cluster element-wise mean vector, rounded to 4 decimals per
+    element (cross-engine float-mean determinism)."""
+    aggs = [
+        F.round(F.avg(F.col(vector_col)[i].cast("double")), 4).alias(f"_c{i}")
+        for i in range(dim)
+    ]
+    per_el = corpus.groupBy(cluster_col).agg(*aggs)
+    return per_el.select(
+        F.col(cluster_col),
+        F.array(*[F.col(f"_c{i}") for i in range(dim)]).alias("centroid"),
+    )
+
+
+def ivf_search(
+    corpus: DataFrame,
+    query_vector: list[float],
+    dim: int,
+    nprobe: int = 2,
+    k: int = 10,
+    cluster_col: str = "label",
+    id_col: str = "vec_id",
+    vector_col: str = "embedding",
+) -> DataFrame:
+    """IVF: pick the ``nprobe`` clusters whose centroids are nearest the
+    query, then brute-force only those clusters.
+
+    With the corpus written PARTITIONED BY cluster_col, the left-semi join
+    below becomes a partition-pruning filter: unprobed data is never read.
+    """
+    q = V.vector_lit(query_vector)
+    cents = ivf_centroids(corpus, dim, cluster_col=cluster_col, vector_col=vector_col)
+    probed = (
+        cents.select(
+            F.col(cluster_col),
+            (F.lit(1.0) - V.dot(F.col("centroid"), q)).alias("_cd"),
+        )
+        .orderBy(F.col("_cd").asc(), F.col(cluster_col).asc())
+        .limit(nprobe)
+        .select(cluster_col)
+    )
+    pruned = corpus.join(F.broadcast(probed), cluster_col, "left_semi")
+    d = (F.lit(1.0) - V.dot(F.col(vector_col), q)).alias("distance")
+    return (
+        pruned.select(F.col(id_col), F.col(cluster_col), d)
+        .orderBy(F.col("distance").asc(), F.col(id_col).asc())
+        .limit(k)
+    )

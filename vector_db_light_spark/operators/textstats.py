@@ -1,0 +1,97 @@
+"""Text-analysis operators for training-data pipelines (build-plan §7
+Phase 4): language-ID, quality scoring, token counting, fingerprinting.
+
+All pure Catalyst expressions (regex + array ops), so they run JVM-side in
+whole-stage codegen and scale linearly — no Python in the hot path. Regex
+patterns are restricted to syntax Java regex and RE2 (DuckDB) agree on.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from .dedup import tokens_expr
+
+# Minimal stopword lists for the n-gram/stopword-hit language heuristic.
+STOPWORDS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "a", "of", "and", "to", "in", "is"),
+    "de": ("der", "die", "das", "und", "ist", "ein"),
+    "fr": ("le", "la", "les", "et", "est", "un"),
+    "es": ("el", "los", "las", "y", "es", "un"),
+}
+LANG_ORDER = tuple(sorted(STOPWORDS))  # tie-break: alphabetical
+
+
+def lang_hit_counts(text_col: str) -> dict[str, Column]:
+    """Stopword hits per language over lower-cased tokens."""
+    toks = tokens_expr(text_col)
+    out = {}
+    for lang, words in STOPWORDS.items():
+        hits = F.filter(toks, lambda t: t.isin(*words))
+        out[lang] = F.size(hits)
+    return out
+
+
+def lang_id(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """(id, per-lang scores, predicted_lang); 'unknown' when no stopword of
+    any language occurs. Ties resolve to the alphabetically first language."""
+    scores = lang_hit_counts(text_col)
+    cols = [scores[lang].alias(f"score_{lang}") for lang in LANG_ORDER]
+    scored = docs.select(F.col(id_col), *cols)
+    best = F.greatest(*[F.col(f"score_{lang}") for lang in LANG_ORDER])
+    pred = F.when(best == 0, "unknown")
+    for lang in LANG_ORDER:
+        pred = pred.when(F.col(f"score_{lang}") == best, lang)
+    return scored.withColumn("predicted_lang", pred)
+
+
+def quality_metrics(text_col: str) -> dict[str, Column]:
+    """Heuristic quality signals: char-class ratios + mean token length.
+    Integer counts divided as doubles — engine-exact."""
+    n = F.length(text_col).cast("double")
+    toks = tokens_expr(text_col)
+
+    def class_count(pattern: str) -> Column:
+        return F.length(text_col) - F.length(
+            F.regexp_replace(text_col, pattern, "")
+        )
+
+    alpha = class_count("[a-zA-Z]").cast("double")
+    digit = class_count("[0-9]").cast("double")
+    space = class_count("[ \\t\\n]").cast("double")
+    tok_chars = F.aggregate(
+        toks, F.lit(0), lambda acc, t: acc + F.length(t)
+    ).cast("double")
+    n_toks = F.size(toks).cast("double")
+    return {
+        "n_chars": F.length(text_col).cast("bigint"),
+        "n_tokens": F.size(toks).cast("bigint"),
+        "alpha_ratio": F.when(n > 0, alpha / n).otherwise(F.lit(0.0)),
+        "digit_ratio": F.when(n > 0, digit / n).otherwise(F.lit(0.0)),
+        "space_ratio": F.when(n > 0, space / n).otherwise(F.lit(0.0)),
+        "mean_token_len": F.when(n_toks > 0, tok_chars / n_toks).otherwise(F.lit(0.0)),
+    }
+
+
+def token_count_bpe_ish(text_col: str) -> Column:
+    """BPE-ish token count: runs of letters, runs of digits, or single
+    non-alnum-non-space chars (a cheap proxy for subword tokenizers)."""
+    return F.regexp_count(F.lower(F.col(text_col)), F.lit(r"[a-z]+|[0-9]+|[^a-z0-9\s]"))
+
+
+def fingerprint(
+    docs: DataFrame, n: int = 5, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Document fingerprint: the minimum md5 over word n-gram shingles (a
+    1-hash minhash — winnowing's keep-the-min rule at document granularity).
+    Deterministic, portable, and stable under small edits elsewhere in the
+    doc only when the minimal shingle survives."""
+    from .dedup import shingles_expr
+
+    sh = shingles_expr(text_col, n)
+    return docs.select(
+        F.col(id_col),
+        F.size(sh).alias("n_shingles"),
+        F.array_min(F.transform(sh, lambda s: F.md5(s))).alias("fingerprint"),
+    )

@@ -1,1 +1,288 @@
-"""Placeholder — populated in a later milestone."""
+"""Dedup queries (build-plan §7 Phase 4): exact, MinHash-LSH + Jaccard
+verify, SimHash, and embedding-cosine near-dup.
+
+The fixture corpus has no duplicates (500/500 distinct texts), so each query
+first builds a mutated corpus — deterministically and identically on both
+sides: exact copies (id+200000 for id%7==0) and near copies with the first
+20 chars removed (id+100000 for id%10==0).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ..operators import dedup as D
+from ..registry import load, register
+from ._sqlutil import dot_sql
+
+# --- shared corpus builders (Spark + SQL twins) ----------------------------
+
+_CORPUS_SQL = """
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 200000 AS doc_id, text FROM documents WHERE doc_id % 7 = 0
+  UNION ALL
+  SELECT doc_id + 100000 AS doc_id, substr(text, 21) AS text
+  FROM documents WHERE doc_id % 10 = 0
+"""
+
+
+def _corpus(spark, sf_dir):
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    exact = docs.filter(F.col("doc_id") % 7 == 0).select(
+        (F.col("doc_id") + 200000).alias("doc_id"), "text"
+    )
+    near = docs.filter(F.col("doc_id") % 10 == 0).select(
+        (F.col("doc_id") + 100000).alias("doc_id"),
+        F.substring("text", 21, 2_000_000_000).alias("text"),
+    )
+    return docs.unionByName(exact).unionByName(near)
+
+
+_SHINGLES_SQL = r"""
+tokens AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
+                     t -> t != '') AS toks
+  FROM corpus
+),
+shingles AS (
+  SELECT doc_id, unnest(list_distinct(
+           CASE WHEN len(toks) >= 3
+                THEN list_transform(range(1, len(toks) - 1),
+                                    i -> array_to_string(toks[i:i+2], ' '))
+                ELSE []::VARCHAR[] END)) AS shingle
+  FROM tokens
+)
+"""
+
+_SIG_COLS_SQL = ",\n         ".join(
+    f"min(md5(shingle || '#{j}')) AS sig_{j}" for j in range(D.NUM_HASHES)
+)
+_BANDS_SQL = "\n  UNION ALL\n".join(
+    f"  SELECT doc_id, {b} AS band_idx, "
+    f"md5(sig_{3 * b} || '|' || sig_{3 * b + 1} || '|' || sig_{3 * b + 2}) AS band_key "
+    "FROM sigs"
+    for b in range(D.NUM_BANDS)
+)
+
+
+# ---------------------------------------------------------------------------
+# Exact dedup: sha256 groupBy (single shuffle; the 100 TB workhorse).
+# ---------------------------------------------------------------------------
+
+@register(
+    "dedup_exact",
+    f"""
+WITH corpus AS ({_CORPUS_SQL})
+SELECT sha256(text) AS text_hash,
+       min(doc_id) AS canonical_id,
+       count(*) AS n_copies
+FROM corpus
+GROUP BY 1
+ORDER BY canonical_id
+""",
+)
+def dedup_exact(spark, sf_dir):
+    return D.exact_dedup(_corpus(spark, sf_dir)).orderBy("canonical_id")
+
+
+# ---------------------------------------------------------------------------
+# MinHash LSH: shingle -> 12 minhashes -> 4 bands -> candidate pairs ->
+# exact-Jaccard verify (>= 0.5). Candidates come from a band-key equi-join,
+# so work scales with true near-dups, not |corpus|^2.
+# ---------------------------------------------------------------------------
+
+@register(
+    "dedup_minhash_lsh",
+    f"""
+WITH corpus AS ({_CORPUS_SQL}),
+{_SHINGLES_SQL},
+sigs AS (
+  SELECT doc_id,
+         {_SIG_COLS_SQL}
+  FROM shingles GROUP BY doc_id
+),
+bands AS (
+{_BANDS_SQL}
+),
+cands AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM bands a
+  JOIN bands b ON a.band_idx = b.band_idx AND a.band_key = b.band_key
+  WHERE a.doc_id < b.doc_id
+),
+sizes AS (
+  SELECT doc_id, count(*) AS n_shingles FROM shingles GROUP BY doc_id
+),
+inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_inter
+  FROM shingles a JOIN shingles b ON a.shingle = b.shingle
+  WHERE a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT i.id_a, i.id_b,
+       i.n_inter / (sa.n_shingles + sb.n_shingles - i.n_inter) AS jaccard
+FROM inter i
+JOIN cands c ON c.id_a = i.id_a AND c.id_b = i.id_b
+JOIN sizes sa ON sa.doc_id = i.id_a
+JOIN sizes sb ON sb.doc_id = i.id_b
+WHERE i.n_inter / (sa.n_shingles + sb.n_shingles - i.n_inter) >= 0.5
+ORDER BY i.id_a, i.id_b
+""",
+)
+def dedup_minhash_lsh(spark, sf_dir):
+    corpus = _corpus(spark, sf_dir)
+    sigs = D.minhash_signatures(corpus)
+    cands = D.lsh_candidate_pairs(D.minhash_band_keys(sigs))
+    verified = D.jaccard_pairs(corpus, candidates=cands)
+    return verified.filter(F.col("jaccard") >= 0.5).orderBy("id_a", "id_b")
+
+
+# ---------------------------------------------------------------------------
+# Exact n-gram Jaccard pairs (no LSH): inverted-index join, threshold 0.5.
+# ---------------------------------------------------------------------------
+
+@register(
+    "dedup_ngram_jaccard",
+    f"""
+WITH corpus AS ({_CORPUS_SQL}),
+{_SHINGLES_SQL},
+sizes AS (
+  SELECT doc_id, count(*) AS n_shingles FROM shingles GROUP BY doc_id
+),
+inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_inter
+  FROM shingles a JOIN shingles b ON a.shingle = b.shingle
+  WHERE a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT i.id_a, i.id_b,
+       i.n_inter / (sa.n_shingles + sb.n_shingles - i.n_inter) AS jaccard
+FROM inter i
+JOIN sizes sa ON sa.doc_id = i.id_a
+JOIN sizes sb ON sb.doc_id = i.id_b
+WHERE i.n_inter / (sa.n_shingles + sb.n_shingles - i.n_inter) >= 0.5
+ORDER BY id_a, id_b
+""",
+)
+def dedup_ngram_jaccard(spark, sf_dir):
+    pairs = D.jaccard_pairs(_corpus(spark, sf_dir))
+    return pairs.filter(F.col("jaccard") >= 0.5).orderBy("id_a", "id_b")
+
+
+# ---------------------------------------------------------------------------
+# SimHash: doc-level 16-bit signature + equal-signature candidate pairs.
+# ---------------------------------------------------------------------------
+
+_SIMSUM_SQL = ",\n         ".join(
+    f"sum(CASE WHEN substr(h, {i + 1}, 1) >= '8' THEN 1 ELSE -1 END) AS s{i}"
+    for i in range(16)
+)
+_SIMBIT_SQL = " + ".join(
+    f"(CASE WHEN s{i} > 0 THEN {1 << i} ELSE 0 END)" for i in range(16)
+)
+
+_SIMHASH_SQL = rf"""
+tokens AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
+                     t -> t != '') AS toks
+  FROM corpus
+),
+tok AS (
+  SELECT doc_id, unnest(list_distinct(toks)) AS token FROM tokens
+),
+md AS (SELECT doc_id, md5(token) AS h FROM tok),
+sums AS (
+  SELECT doc_id,
+         {_SIMSUM_SQL}
+  FROM md GROUP BY doc_id
+),
+sig AS (
+  SELECT doc_id, CAST({_SIMBIT_SQL} AS BIGINT) AS simhash FROM sums
+)
+"""
+
+
+@register(
+    "text_simhash",
+    f"""
+WITH corpus AS ({_CORPUS_SQL}),
+{_SIMHASH_SQL}
+SELECT doc_id, simhash FROM sig ORDER BY doc_id
+""",
+)
+def text_simhash(spark, sf_dir):
+    return D.simhash(_corpus(spark, sf_dir)).orderBy("doc_id")
+
+
+@register(
+    "dedup_simhash_pairs",
+    f"""
+WITH corpus AS ({_CORPUS_SQL}),
+{_SIMHASH_SQL}
+SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.simhash
+FROM sig a JOIN sig b ON a.simhash = b.simhash AND a.doc_id < b.doc_id
+ORDER BY id_a, id_b
+""",
+)
+def dedup_simhash_pairs(spark, sf_dir):
+    sig = D.simhash(_corpus(spark, sf_dir))
+    a = sig.select(F.col("doc_id").alias("id_a"), "simhash")
+    b = sig.select(F.col("doc_id").alias("id_b"), F.col("simhash").alias("_sh"))
+    return (
+        a.join(b, (F.col("simhash") == F.col("_sh")) & (F.col("id_a") < F.col("id_b")))
+        .select("id_a", "id_b", "simhash")
+        .orderBy("id_a", "id_b")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Embedding-cosine near-dup: label-blocked pairwise dot product >= 0.95
+# (production path replaces the label block with LSH buckets — see
+# operators/similarity.py).
+# ---------------------------------------------------------------------------
+
+@register(
+    "dedup_embedding_cosine",
+    f"""
+WITH corpus AS (
+  SELECT vec_id, embedding, label FROM embeddings
+  UNION ALL
+  SELECT vec_id + 100000 AS vec_id, embedding, label
+  FROM embeddings WHERE vec_id % 10 = 0
+)
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       {dot_sql('a.embedding', 'b.embedding::DOUBLE[]')} AS cosine
+FROM corpus a
+JOIN corpus b ON a.label = b.label AND a.vec_id < b.vec_id
+WHERE {dot_sql('a.embedding', 'b.embedding::DOUBLE[]')} >= 0.95
+ORDER BY id_a, id_b
+""",
+)
+def dedup_embedding_cosine(spark, sf_dir):
+    from ..functions import vector as V
+
+    emb = load(spark, sf_dir, "embeddings")
+    copies = emb.filter(F.col("vec_id") % 10 == 0).select(
+        (F.col("vec_id") + 100000).alias("vec_id"), "embedding", "label"
+    )
+    corpus = emb.select("vec_id", "embedding", "label").unionByName(copies)
+    a = corpus.select(
+        F.col("vec_id").alias("id_a"),
+        F.col("embedding").alias("emb_a"),
+        F.col("label").alias("lbl_a"),
+    )
+    b = corpus.select(
+        F.col("vec_id").alias("id_b"),
+        F.col("embedding").alias("emb_b"),
+        F.col("label").alias("lbl_b"),
+    )
+    cos = V.dot(F.col("emb_a"), F.col("emb_b").cast("array<double>"))
+    return (
+        a.join(b, (F.col("lbl_a") == F.col("lbl_b")) & (F.col("id_a") < F.col("id_b")))
+        .select("id_a", "id_b", cos.alias("cosine"))
+        .filter(F.col("cosine") >= 0.95)
+        .orderBy("id_a", "id_b")
+    )

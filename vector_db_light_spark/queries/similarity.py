@@ -1,1 +1,115 @@
-"""Placeholder — populated in a later milestone."""
+"""Similarity-search queries: batch brute-force top-k, hyperplane-LSH
+bucketed ANN, IVF partition-pruned ANN (build-plan §7 Phase 4; SURVEY.md
+§2.5 V2/V4 generalized to multi-query + approximate paths)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ..operators import similarity as S
+from ..registry import load, register
+from ._sqlutil import QUERY_VEC, QUERY_VEC_SQL, dot_sql, vec_sql
+
+DIM = 64
+N_PLANES = 6
+PLANES = S.random_hyperplanes(N_PLANES, DIM)
+
+
+# ---------------------------------------------------------------------------
+# Batch kNN: 5 query vectors (vec_id < 5 rows reused as queries) x corpus,
+# one scan, per-query top-3.
+# ---------------------------------------------------------------------------
+
+@register(
+    "knn_batch_topk",
+    f"""
+WITH q AS (
+  SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 5
+),
+scored AS (
+  SELECT q.query_id, e.vec_id,
+         1.0 - {dot_sql('e.embedding', 'q.qv::DOUBLE[]')} AS distance
+  FROM embeddings e, q
+),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY distance ASC, vec_id ASC) AS rk
+  FROM scored
+)
+SELECT query_id, vec_id, distance, rk
+FROM ranked WHERE rk <= 3
+ORDER BY query_id, rk
+""",
+)
+def knn_batch_topk(spark, sf_dir):
+    emb = load(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    return S.batch_knn(emb, queries, k=3).orderBy("query_id", "rk")
+
+
+# ---------------------------------------------------------------------------
+# LSH-bucketed ANN: 6 sign bits -> scan only the query's bucket.
+# ---------------------------------------------------------------------------
+
+def _bucket_sql(vec_expr: str) -> str:
+    bits = [
+        f"(CASE WHEN {dot_sql(vec_expr, vec_sql(pl))} > 0 THEN '1' ELSE '0' END)"
+        for pl in PLANES
+    ]
+    return " || ".join(bits)
+
+
+_QBITS = "".join(
+    "1" if sum(a * b for a, b in zip(QUERY_VEC, pl)) > 0 else "0" for pl in PLANES
+)
+
+
+@register(
+    "ann_lsh_bucketed",
+    f"""
+SELECT vec_id, 1.0 - {dot_sql('embedding')} AS distance
+FROM embeddings
+WHERE {_bucket_sql('embedding')} = '{_QBITS}'
+ORDER BY distance ASC, vec_id ASC
+LIMIT 5
+""",
+)
+def ann_lsh_bucketed(spark, sf_dir):
+    emb = load(spark, sf_dir, "embeddings")
+    return S.lsh_topk(emb, QUERY_VEC, PLANES, k=5)
+
+
+# ---------------------------------------------------------------------------
+# IVF-style ANN: label-cluster centroids (element-rounded means), probe the
+# 2 nearest clusters, brute-force only those.
+# ---------------------------------------------------------------------------
+
+_CENT_COLS_SQL = ", ".join(
+    f"round(avg(embedding[{i + 1}]::DOUBLE), 4)" for i in range(DIM)
+)
+
+
+@register(
+    "ann_ivf_pruned",
+    f"""
+WITH cents AS (
+  SELECT label, [{_CENT_COLS_SQL}] AS centroid
+  FROM embeddings GROUP BY label
+),
+probe AS (
+  SELECT label FROM cents
+  ORDER BY 1.0 - {dot_sql('centroid')} ASC, label ASC
+  LIMIT 2
+)
+SELECT e.vec_id, e.label, 1.0 - {dot_sql('e.embedding')} AS distance
+FROM embeddings e
+WHERE e.label IN (SELECT label FROM probe)
+ORDER BY distance ASC, vec_id ASC
+LIMIT 10
+""",
+)
+def ann_ivf_pruned(spark, sf_dir):
+    emb = load(spark, sf_dir, "embeddings")
+    return S.ivf_search(emb, QUERY_VEC, DIM, nprobe=2, k=10)

@@ -1,1 +1,139 @@
-"""Placeholder — populated in a later milestone."""
+"""Text-analysis queries: lang-ID, quality scoring, token counts,
+fingerprinting (build-plan §7 Phase 4)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ..operators import textstats as T
+from ..registry import load, register
+
+_TOKS_SQL = r"list_filter(regexp_split_to_array(trim(lower(text)), '\s+'), t -> t != '')"
+
+
+def _lang_score_sql(lang: str) -> str:
+    words = ", ".join(f"'{w}'" for w in T.STOPWORDS[lang])
+    return f"len(list_filter({_TOKS_SQL}, t -> list_contains([{words}], t)))"
+
+
+_LANG_SCORES_SQL = ",\n       ".join(
+    f"{_lang_score_sql(lang)} AS score_{lang}" for lang in T.LANG_ORDER
+)
+_BEST_SQL = "greatest(" + ", ".join(f"score_{l}" for l in T.LANG_ORDER) + ")"
+_PRED_SQL = (
+    "CASE WHEN " + _BEST_SQL + " = 0 THEN 'unknown' "
+    + " ".join(
+        f"WHEN score_{l} = {_BEST_SQL} THEN '{l}'" for l in T.LANG_ORDER
+    )
+    + " END"
+)
+
+
+@register(
+    "text_lang_id",
+    f"""
+WITH scored AS (
+  SELECT doc_id,
+       {_LANG_SCORES_SQL}
+  FROM documents
+)
+SELECT doc_id, score_de, score_en, score_es, score_fr,
+       {_PRED_SQL} AS predicted_lang
+FROM scored
+ORDER BY doc_id
+""",
+)
+def text_lang_id(spark, sf_dir):
+    docs = load(spark, sf_dir, "documents")
+    return T.lang_id(docs).orderBy("doc_id")
+
+
+@register(
+    "text_quality_score",
+    r"""
+WITH m AS (
+  SELECT doc_id,
+         length(text) AS n,
+         length(text) - length(regexp_replace(text, '[a-zA-Z]', '', 'g')) AS alpha,
+         length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS digit,
+         length(text) - length(regexp_replace(text, '[ \t\n]', '', 'g')) AS space,
+         list_reduce(list_prepend(0, list_transform(
+           list_filter(regexp_split_to_array(trim(lower(text)), '\s+'), t -> t != ''),
+           t -> length(t))), (a, b) -> a + b) AS tok_chars,
+         len(list_filter(regexp_split_to_array(trim(lower(text)), '\s+'), t -> t != ''))
+           AS n_toks
+  FROM documents
+)
+SELECT doc_id,
+       CAST(n AS BIGINT) AS n_chars,
+       CAST(n_toks AS BIGINT) AS n_tokens,
+       CASE WHEN n > 0 THEN CAST(alpha AS DOUBLE) / n ELSE 0.0 END AS alpha_ratio,
+       CASE WHEN n > 0 THEN CAST(digit AS DOUBLE) / n ELSE 0.0 END AS digit_ratio,
+       CASE WHEN n > 0 THEN CAST(space AS DOUBLE) / n ELSE 0.0 END AS space_ratio,
+       CASE WHEN n_toks > 0 THEN CAST(tok_chars AS DOUBLE) / n_toks ELSE 0.0 END
+         AS mean_token_len
+FROM m
+ORDER BY doc_id
+""",
+)
+def text_quality_score(spark, sf_dir):
+    docs = load(spark, sf_dir, "documents")
+    m = T.quality_metrics("text")
+    return docs.select(
+        "doc_id",
+        m["n_chars"].alias("n_chars"),
+        m["n_tokens"].alias("n_tokens"),
+        m["alpha_ratio"].alias("alpha_ratio"),
+        m["digit_ratio"].alias("digit_ratio"),
+        m["space_ratio"].alias("space_ratio"),
+        m["mean_token_len"].alias("mean_token_len"),
+    ).orderBy("doc_id")
+
+
+@register(
+    "text_token_counts",
+    rf"""
+SELECT doc_id,
+       len({_TOKS_SQL}) AS ws_tokens,
+       len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\s]'))
+         AS bpe_ish_tokens
+FROM documents
+ORDER BY doc_id
+""",
+)
+def text_token_counts(spark, sf_dir):
+    docs = load(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.size(T.tokens_expr("text")).alias("ws_tokens"),
+        T.token_count_bpe_ish("text").cast("int").alias("bpe_ish_tokens"),
+    ).orderBy("doc_id")
+
+
+@register(
+    "text_fingerprint",
+    r"""
+WITH tokens AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
+                     t -> t != '') AS toks
+  FROM documents
+),
+sh AS (
+  SELECT doc_id,
+         list_distinct(CASE WHEN len(toks) >= 5
+           THEN list_transform(range(1, len(toks) - 3),
+                               i -> array_to_string(toks[i:i+4], ' '))
+           ELSE []::VARCHAR[] END) AS shingles
+  FROM tokens
+)
+SELECT doc_id,
+       len(shingles) AS n_shingles,
+       list_min(list_transform(shingles, s -> md5(s))) AS fingerprint
+FROM sh
+ORDER BY doc_id
+""",
+)
+def text_fingerprint(spark, sf_dir):
+    docs = load(spark, sf_dir, "documents")
+    return T.fingerprint(docs, n=5).orderBy("doc_id")
