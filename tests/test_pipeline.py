@@ -1,0 +1,126 @@
+"""Tests for the ingest -> embed pipeline, multimodal plumbing, and
+Structured Streaming ingest."""
+
+from __future__ import annotations
+
+import math
+import os
+
+import pytest
+
+from conftest import SF_SMOKE
+
+
+def test_embedder_normalized_and_deterministic(spark):
+    from vector_db_light_spark.functions.embedding import embed_documents
+
+    docs = spark.createDataFrame(
+        [(0, "join merge sort"), (1, "join merge sort"), (2, ""), (3, None)],
+        "doc_id bigint, text string",
+    )
+    out = {r["doc_id"]: r for r in embed_documents(docs, dim=16).collect()}
+    assert all(r["embed_error"] is None for r in out.values())
+    v0, v1 = out[0]["embedding"], out[1]["embedding"]
+    assert v0 == v1  # deterministic
+    assert abs(math.sqrt(sum(x * x for x in v0)) - 1.0) < 1e-12
+    assert out[2]["embedding"] == [0.0] * 16  # empty text -> zero vector
+    assert out[3]["embedding"] == [0.0] * 16  # None text repaired (F7)
+
+
+def test_ingest_parses_and_surfaces_errors(spark, tmp_path):
+    from vector_db_light_spark.sources.ingest import ingest
+
+    (tmp_path / "a.txt").write_text("hello world")
+    (tmp_path / "b.html").write_text("<p>hi <b>there</b></p>")
+    (tmp_path / "c.pdf").write_text("%PDF-fake")
+    (tmp_path / "d.exe").write_text("not allowed")  # extension-filtered (F4)
+    rows = {r["file_name"]: r for r in ingest(spark, str(tmp_path)).collect()}
+    assert set(rows) == {"a.txt", "b.html", "c.pdf"}
+    assert rows["a.txt"]["text"] == "hello world"
+    assert rows["a.txt"]["parse_error"] is None
+    assert "hi" in rows["b.html"]["text"] and "<b>" not in rows["b.html"]["text"]
+    assert rows["c.pdf"]["text"] is None
+    assert "NotImplementedError" in rows["c.pdf"]["parse_error"]
+    assert rows["a.txt"]["hash"] and rows["a.txt"]["file_type"] == ".txt"
+
+
+def test_multimodal_meta_stub(spark):
+    from vector_db_light_spark.operators.multimodal import (
+        attach_payload,
+        extract_media_meta,
+    )
+
+    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet").limit(12)
+    meta = {r["doc_id"]: r for r in extract_media_meta(attach_payload(docs)).collect()}
+    for doc_id, r in meta.items():
+        assert r["n_bytes"] > 0 and len(r["sha256"]) == 64
+        if r["media_type"] == "image/png":
+            assert 16 <= r["width"] <= 31 and 16 <= r["height"] <= 31
+        else:
+            assert r["width"] is None
+
+
+def test_stream_ingest_incremental(spark, tmp_path):
+    from vector_db_light_spark.streaming.ingest import stream_ingest
+
+    src = tmp_path / "src"
+    out = tmp_path / "out"
+    ckpt = tmp_path / "ckpt"
+    src.mkdir()
+    (src / "one.txt").write_text("alpha beta gamma " * 30)
+
+    q = stream_ingest(spark, str(src), str(out), str(ckpt), chunk_size=100)
+    q.awaitTermination(120)
+    first = spark.read.parquet(str(out))
+    n1 = first.count()
+    assert n1 > 0
+    assert {"chunk_id", "chunk_text", "embedding", "file_path"} <= set(first.columns)
+
+    # second run picks up ONLY the new file (checkpointed exactly-once)
+    (src / "two.txt").write_text("delta epsilon " * 40)
+    q2 = stream_ingest(spark, str(src), str(out), str(ckpt), chunk_size=100)
+    q2.awaitTermination(120)
+    both = spark.read.parquet(str(out))
+    n2 = both.count()
+    assert n2 > n1
+    paths = [r["file_path"] for r in both.select("file_path").distinct().collect()]
+    assert len(paths) == 2
+
+
+def test_streaming_windowed_counts_matches_batch(spark, tmp_path):
+    import pyspark.sql.functions as F
+
+    from vector_db_light_spark.registry import load_events
+    from vector_db_light_spark.streaming.ingest import windowed_event_counts
+
+    events = load_events(spark, SF_SMOKE).limit(500)
+    src = str(tmp_path / "events_src")
+    events.write.parquet(src)
+
+    stream = spark.readStream.schema(
+        spark.read.parquet(src).schema
+    ).parquet(src)
+    agg = windowed_event_counts(stream, window="1 hour", watermark="2 hours")
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("win_counts")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r["window_start"], r["event_type"]): (r["n"], r["total_value"])
+        for r in spark.sql("SELECT * FROM win_counts").collect()
+    }
+    batch = (
+        spark.read.parquet(src)
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 2).alias("tv"))
+        .select(F.col("w.start").alias("ws"), "event_type", "n", "tv")
+    )
+    want = {
+        (r["ws"], r["event_type"]): (r["n"], r["tv"]) for r in batch.collect()
+    }
+    assert got == want and len(got) > 0

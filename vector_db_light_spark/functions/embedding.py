@@ -1,0 +1,138 @@
+"""Batch embedding stage (V5) — the reference's Spark north star.
+
+Reference flow (``/root/reference/embedding_models.py:116-157``): encode in
+batches on one GPU with per-model batch sizes (``utilities_core.py:162-180``),
+L2-normalize, per-row fallback when a batch fails. Spark re-expression:
+``mapInPandas`` over Arrow record batches; the model is a PER-EXECUTOR
+SINGLETON (loaded once per Python worker, reused across batches — the
+distributed analogue of the reference's thread-local model cache at
+``vector_db_query.py:293-305``); encode failures yield a row-level
+``embed_error`` column instead of silently dropping rows.
+
+Because real sentence-transformer weights aren't available here, the default
+model is ``HashedFeatureEmbedder`` — a deterministic surrogate whose math is
+integer-exact (token-count buckets normalized by an integer sum of squares),
+so the SAME numbers are computable in pure SQL and the whole mapInPandas
+path is hash-checkable against a DuckDB oracle. A real model drops in by
+registering another loader: the Spark plumbing (schema, batching, executor
+cache, fallback) is identical.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import math
+from collections.abc import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    ArrayType,
+    DoubleType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+DEFAULT_DIM = 16
+DEFAULT_BATCH_SIZE = 256  # reference: per-model table, cpu default 2-12
+
+
+class HashedFeatureEmbedder:
+    """Deterministic hashed bag-of-words embedder.
+
+    bucket(token) = first hex digit of md5(token)  (dim must be 16), or the
+    first ``ceil(log16(dim))`` digits generally; vector = bucket counts
+    L2-normalized with an *integer* sum of squares so the result is
+    bit-reproducible across numpy / plain Python / SQL.
+    """
+
+    def __init__(self, dim: int = DEFAULT_DIM):
+        if dim != 16:
+            raise ValueError("oracle-portable surrogate supports dim=16 only")
+        self.dim = dim
+
+    def encode_one(self, text: str) -> list[float]:
+        counts = [0] * self.dim
+        for tok in (text or "").lower().split():
+            counts[int(hashlib.md5(tok.encode("utf-8")).hexdigest()[0], 16)] += 1
+        sumsq = sum(c * c for c in counts)
+        if sumsq == 0:
+            return [0.0] * self.dim
+        norm = math.sqrt(sumsq)
+        return [c / norm for c in counts]
+
+    def encode_batch(self, texts: list[str]) -> list[list[float]]:
+        return [self.encode_one(t) for t in texts]
+
+
+# Per-executor singleton (one per Python worker process).
+_MODEL_CACHE: dict[int, HashedFeatureEmbedder] = {}
+
+
+def _get_model(dim: int) -> HashedFeatureEmbedder:
+    if dim not in _MODEL_CACHE:
+        _MODEL_CACHE[dim] = HashedFeatureEmbedder(dim)
+    return _MODEL_CACHE[dim]
+
+
+def embed_documents(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    dim: int = DEFAULT_DIM,
+    batch_size: int = DEFAULT_BATCH_SIZE,
+) -> DataFrame:
+    """Arrow-batched embedding: (id, embedding ARRAY<DOUBLE>, embed_error).
+
+    Batch-level encode with per-row fallback on failure, mirroring
+    ``embedding_models.py:134-157``: a poison row degrades only itself.
+    """
+    out_schema = StructType(
+        [
+            docs.schema[id_col],
+            StructField("embedding", ArrayType(DoubleType()), True),
+            StructField("embed_error", StringType(), True),
+        ]
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        model = _get_model(dim)
+        for pdf in batches:
+            ids = pdf[id_col]
+            texts = pdf[text_col].tolist()
+            for start in range(0, len(texts), batch_size):
+                chunk = texts[start : start + batch_size]
+                errors: list[str | None] = [None] * len(chunk)
+                try:
+                    vecs = model.encode_batch(chunk)
+                except Exception:
+                    # batch failed: retry row by row (reference fallback)
+                    vecs = []
+                    for j, t in enumerate(chunk):
+                        try:
+                            vecs.append(model.encode_one(t))
+                        except Exception as ex:  # degrade this row only
+                            vecs.append(None)
+                            errors[j] = f"{type(ex).__name__}: {ex}"
+                yield pd.DataFrame(
+                    {
+                        id_col: ids.iloc[start : start + len(chunk)].values,
+                        "embedding": vecs,
+                        "embed_error": errors,
+                    }
+                )
+
+    return docs.select(id_col, text_col).mapInPandas(run, schema=out_schema)
+
+
+def hashed_embedding_sql(text_expr: str = "text", dim: int = DEFAULT_DIM) -> str:
+    """DuckDB SQL computing exactly HashedFeatureEmbedder.encode_one, as a
+    (dim_idx, value) pair generator fragment (see queries/pipeline.py)."""
+    if dim != 16:
+        raise ValueError("dim=16 only")
+    toks = rf"list_filter(regexp_split_to_array(trim(lower({text_expr})), '\s+'), t -> t != '')"
+    bucket = "strpos('0123456789abcdef', substr(md5(t), 1, 1)) - 1"
+    return f"list_transform({toks}, t -> {bucket})"

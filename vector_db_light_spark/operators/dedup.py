@@ -80,14 +80,18 @@ def minhash_signatures(
     num_hashes: int = NUM_HASHES,
     id_col: str = "doc_id",
     text_col: str = "text",
+    rows: DataFrame | None = None,
 ) -> DataFrame:
     """One row per doc: ``sig_0..sig_{K-1}`` minhash columns.
 
     A doc's minhash_j = min over shingles of md5(shingle + '#' + j):
     K aggregates in ONE shuffle over the exploded shingles.
     Docs with zero shingles are absent (correct: no signature exists).
+    Pass precomputed (persisted) ``rows`` to share the shingle explode with
+    other consumers — shingling is the dominant cost of the LSH pipeline.
     """
-    rows = shingle_rows(docs, n=n, id_col=id_col, text_col=text_col)
+    if rows is None:
+        rows = shingle_rows(docs, n=n, id_col=id_col, text_col=text_col)
     aggs = [
         F.min(F.md5(F.concat(F.col("shingle"), F.lit(f"#{j}")))).alias(f"sig_{j}")
         for j in range(num_hashes)
@@ -148,11 +152,13 @@ def jaccard_pairs(
     id_col: str = "doc_id",
     text_col: str = "text",
     candidates: DataFrame | None = None,
+    rows: DataFrame | None = None,
 ) -> DataFrame:
     """Exact n-gram Jaccard for all pairs sharing >= 1 shingle (or only the
     given candidate pairs): inverted-index self-join -> intersection counts
     -> |A|+|B|-inter union."""
-    rows = shingle_rows(docs, n=n, id_col=id_col, text_col=text_col)
+    if rows is None:
+        rows = shingle_rows(docs, n=n, id_col=id_col, text_col=text_col)
     sizes = rows.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_shingles"))
     a = rows.select(F.col(id_col).alias("id_a"), "shingle")
     b = rows.select(F.col(id_col).alias("id_b"), "shingle")

@@ -133,9 +133,12 @@ ORDER BY i.id_a, i.id_b
 )
 def dedup_minhash_lsh(spark, sf_dir):
     corpus = _corpus(spark, sf_dir)
-    sigs = D.minhash_signatures(corpus)
+    # the shingle explode feeds both the signature and the verify stage:
+    # persist it once (at cluster scale: a checkpointed shingle table)
+    rows = D.shingle_rows(corpus).persist()
+    sigs = D.minhash_signatures(corpus, rows=rows)
     cands = D.lsh_candidate_pairs(D.minhash_band_keys(sigs))
-    verified = D.jaccard_pairs(corpus, candidates=cands)
+    verified = D.jaccard_pairs(corpus, candidates=cands, rows=rows)
     return verified.filter(F.col("jaccard") >= 0.5).orderBy("id_a", "id_b")
 
 

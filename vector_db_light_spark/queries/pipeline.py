@@ -1,1 +1,186 @@
-"""Placeholder — populated in a later milestone."""
+"""Build-pipeline queries: V5 embedding stage (mapInPandas, hash-checked!),
+X1-X4 ingest metadata, multimodal payload metadata, and a real file-ingest
+smoke query (rows-only; S1/S2 run against files materialized in a temp dir).
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+from pyspark.sql import functions as F
+
+from ..functions.embedding import embed_documents
+from ..operators.multimodal import attach_payload, extract_media_meta
+from ..registry import load, register
+
+_TOKS_SQL = r"list_filter(regexp_split_to_array(trim(lower(text)), '\s+'), t -> t != '')"
+
+
+# ---------------------------------------------------------------------------
+# V5: the Arrow-batched embedding stage. The surrogate model's math is
+# integer-exact, so even though the Spark side runs the REAL mapInPandas
+# path (executor-cached model, batched encode, per-row fallback), the values
+# hash-match a pure-SQL oracle.
+# ---------------------------------------------------------------------------
+
+@register(
+    "embed_hashed_features",
+    f"""
+WITH toks AS (
+  SELECT doc_id, unnest({_TOKS_SQL}) AS t FROM documents
+),
+counts AS (
+  SELECT doc_id, strpos('0123456789abcdef', substr(md5(t), 1, 1)) - 1 AS b,
+         count(*) AS c
+  FROM toks GROUP BY 1, 2
+),
+dims AS (
+  SELECT doc_id, unnest(range(0, 16)) AS dim_idx FROM documents
+),
+vecs AS (
+  SELECT d.doc_id, d.dim_idx, coalesce(c.c, 0) AS c
+  FROM dims d LEFT JOIN counts c ON c.doc_id = d.doc_id AND c.b = d.dim_idx
+),
+norms AS (SELECT doc_id, sum(c * c) AS sumsq FROM vecs GROUP BY 1)
+SELECT f.doc_id, f.dim_idx,
+       CASE WHEN n.sumsq > 0 THEN f.c / sqrt(n.sumsq) ELSE 0.0 END AS value
+FROM vecs f JOIN norms n ON n.doc_id = f.doc_id
+ORDER BY f.doc_id, f.dim_idx
+""",
+)
+def embed_hashed_features(spark, sf_dir):
+    docs = load(spark, sf_dir, "documents")
+    emb = embed_documents(docs, dim=16)
+    return emb.select(
+        "doc_id", F.posexplode("embedding").alias("dim_idx", "value")
+    ).select(
+        "doc_id", F.col("dim_idx").cast("bigint").alias("dim_idx"), "value"
+    ).orderBy("doc_id", "dim_idx")
+
+
+# ---------------------------------------------------------------------------
+# X1-X4 ingest metadata over simulated file rows (path synthesized from the
+# fixture, payload = utf-8 bytes of the text).
+# ---------------------------------------------------------------------------
+
+@register(
+    "ingest_metadata",
+    """
+WITH files AS (
+  SELECT doc_id,
+         '/data/' || source || '/doc_' || CAST(doc_id AS VARCHAR)
+           || CASE WHEN doc_id % 2 = 0 THEN '.txt' ELSE '.html' END AS path,
+         text
+  FROM documents
+)
+SELECT doc_id,
+       string_split(path, '/')[-1] AS file_name,
+       '.' || string_split(path, '.')[-1] AS file_type,
+       sha256(text) AS content_hash,
+       CAST(octet_length(encode(text)) AS BIGINT) AS file_size
+FROM files
+ORDER BY doc_id
+""",
+)
+def ingest_metadata(spark, sf_dir):
+    docs = load(spark, sf_dir, "documents")
+    path = F.concat(
+        F.lit("/data/"), F.col("source"), F.lit("/doc_"),
+        F.col("doc_id").cast("string"),
+        F.when(F.col("doc_id") % 2 == 0, ".txt").otherwise(".html"),
+    )
+    files = docs.select("doc_id", path.alias("path"), "text")
+    return files.select(
+        "doc_id",
+        F.element_at(F.split("path", "/"), -1).alias("file_name"),
+        F.concat(F.lit("."), F.substring_index("path", ".", -1)).alias("file_type"),
+        F.sha2(F.encode("text", "utf-8"), 256).alias("content_hash"),
+        F.length(F.encode("text", "utf-8")).cast("bigint").alias("file_size"),
+    ).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# Multimodal: binary payload column + Arrow-batched metadata extraction
+# (decode stubbed; width/height are md5-derived fakes the oracle mirrors).
+# ---------------------------------------------------------------------------
+
+@register(
+    "multimodal_meta",
+    """
+WITH media AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 3 = 0 THEN 'image/png'
+              WHEN doc_id % 3 = 1 THEN 'audio/wav'
+              ELSE 'video/mp4' END AS media_type,
+         text
+  FROM documents
+)
+SELECT doc_id, media_type,
+       CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+       sha256(text) AS sha256,
+       CASE WHEN media_type = 'image/png'
+            THEN 16 + strpos('0123456789abcdef', substr(md5(text), 1, 1)) - 1
+            END AS width,
+       CASE WHEN media_type = 'image/png'
+            THEN 16 + strpos('0123456789abcdef', substr(md5(text), 2, 1)) - 1
+            END AS height
+FROM media
+ORDER BY doc_id
+""",
+)
+def multimodal_meta(spark, sf_dir):
+    docs = load(spark, sf_dir, "documents")
+    media = attach_payload(docs)
+    meta = extract_media_meta(media)
+    return meta.select(
+        "doc_id",
+        "media_type",
+        "n_bytes",
+        "sha256",
+        F.col("width").cast("int").alias("width"),
+        F.col("height").cast("int").alias("height"),
+    ).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# S1+S2 end-to-end over real files (rows-only: filesystem-dependent). Files
+# are materialized once per process into a temp dir, then binaryFile-scanned
+# and parsed; a .pdf is included to show the parse_error path.
+# ---------------------------------------------------------------------------
+
+_INGEST_DIR: str | None = None
+
+
+def _materialize_ingest_dir(spark, sf_dir) -> str:
+    global _INGEST_DIR
+    if _INGEST_DIR is None or not os.path.isdir(_INGEST_DIR):
+        d = tempfile.mkdtemp(prefix="vdl_ingest_")
+        rows = (
+            load(spark, sf_dir, "documents")
+            .filter(F.col("doc_id") < 20)
+            .select("doc_id", "text")
+            .collect()
+        )
+        for r in rows:
+            ext = [".txt", ".html", ".pdf", ".md"][r["doc_id"] % 4]
+            body = (
+                f"<html><body>{r['text']}</body></html>"
+                if ext == ".html"
+                else r["text"]
+            )
+            with open(os.path.join(d, f"doc_{r['doc_id']}{ext}"), "w") as f:
+                f.write(body)
+        _INGEST_DIR = d
+    return _INGEST_DIR
+
+
+@register("ingest_parse_documents")  # rows-only: S1/S2 smoke over real files
+def ingest_parse_documents(spark, sf_dir):
+    from ..sources.ingest import ingest
+
+    d = _materialize_ingest_dir(spark, sf_dir)
+    out = ingest(spark, d)
+    return out.select(
+        "file_name", "file_type", "hash", "file_size", "text", "parse_error"
+    ).orderBy("file_name")

@@ -1,0 +1,113 @@
+"""Document ingest: directory scan -> multi-format parse -> documents table.
+
+Reference flow (``/root/reference/document_processor.py:219-246``): enumerate
+files whose extension is in the loader map (``constants.py:294-311``),
+parse each with a per-format loader (``document_processor.py:127-217``) on a
+thread pool, attach metadata (name/type/hash/timestamps,
+``document_processor.py:54-75``), silently dropping failures.
+
+Spark shape:
+  * S1 scan    = ``spark.read.format("binaryFile")`` with ``pathGlobFilter``
+    (task-parallel, no thread pool needed — S4 is free);
+  * S2 parse   = ``mapInPandas`` dispatching on extension. Heavy formats
+    (pdf/docx/epub/...) need libs not present in this container: their
+    parsers raise and the row carries a ``parse_error`` instead of being
+    silently dropped (an upgrade over the reference, which loses the file).
+    Plain text-ish formats (txt/md/csv/html/log/json) parse for real.
+  * metadata   = X1-X4 column expressions (sha256, basename, extension,
+    timestamps from the binaryFile columns).
+"""
+
+from __future__ import annotations
+
+import re
+from collections.abc import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import StringType, StructField, StructType
+
+# Extension -> parser family (reference loader map, constants.py:294-311).
+TEXT_EXTS = {".txt", ".md", ".log", ".csv", ".json"}
+HTML_EXTS = {".html", ".htm"}
+HEAVY_EXTS = {
+    ".pdf", ".docx", ".epub", ".eml", ".msg", ".enex",
+    ".xls", ".xlsx", ".xlsm", ".rtf", ".odt",
+}
+ALLOWED_EXTS = TEXT_EXTS | HTML_EXTS | HEAVY_EXTS
+
+_TAG_RE = re.compile(r"<[^>]+>")
+
+
+def scan_files(spark: SparkSession, source_dir: str, glob: str = "*") -> DataFrame:
+    """S1: binaryFile scan -> (path, modificationTime, length, content)."""
+    return (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", glob)
+        .load(source_dir)
+    )
+
+
+def _parse_bytes(ext: str, content: bytes) -> str:
+    if ext in TEXT_EXTS:
+        return content.decode("utf-8", errors="replace")
+    if ext in HTML_EXTS:
+        return _TAG_RE.sub(" ", content.decode("utf-8", errors="replace"))
+    if ext in HEAVY_EXTS:
+        # Real parsers (PyMuPDF, python-docx, ...) are optional extras not
+        # present in this container (SURVEY.md §7 hard-part #4).
+        raise NotImplementedError(f"no parser library available for {ext}")
+    raise ValueError(f"unsupported extension {ext}")
+
+
+def parse_documents(files: DataFrame) -> DataFrame:
+    """S2+S4: per-file parse with failures surfaced as ``parse_error``."""
+    schema = StructType(
+        [
+            StructField("file_path", StringType(), False),
+            StructField("text", StringType(), True),
+            StructField("parse_error", StringType(), True),
+        ]
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for path, content in zip(pdf["path"], pdf["content"]):
+                ext = "." + path.rsplit(".", 1)[-1].lower() if "." in path else ""
+                try:
+                    out.append((path, _parse_bytes(ext, bytes(content)), None))
+                except Exception as ex:
+                    out.append((path, None, f"{type(ex).__name__}: {ex}"))
+            yield pd.DataFrame(out, columns=["file_path", "text", "parse_error"])
+
+    return files.select("path", "content").mapInPandas(run, schema=schema)
+
+
+def documents_table(files: DataFrame, parsed: DataFrame) -> DataFrame:
+    """S7/S9 documents table with X1-X4 metadata columns
+    (document_processor.py:54-75): name, type, content hash, timestamps."""
+    meta = files.select(
+        F.col("path").alias("file_path"),
+        F.element_at(F.split(F.col("path"), "/"), -1).alias("file_name"),
+        F.lower(
+            F.concat(F.lit("."), F.substring_index(F.col("path"), ".", -1))
+        ).alias("file_type"),
+        F.sha2(F.col("content"), 256).alias("hash"),
+        F.col("modificationTime").alias("modification_date"),
+        F.col("length").alias("file_size"),
+    )
+    return meta.join(parsed, "file_path")
+
+
+def ingest(spark: SparkSession, source_dir: str, glob: str = "*") -> DataFrame:
+    """S1 -> S2 -> documents table, one lazy plan (SURVEY.md §3.1)."""
+    files = scan_files(spark, source_dir, glob)
+    allowed = files.filter(
+        F.lower(F.concat(F.lit("."), F.substring_index("path", ".", -1))).isin(
+            *sorted(ALLOWED_EXTS)
+        )
+    )
+    return documents_table(allowed, parse_documents(allowed))
