@@ -1,0 +1,95 @@
+"""End-to-end lifecycle tests: create -> search -> list -> backup ->
+delete -> restore, plus the RAG formatting layer."""
+
+from __future__ import annotations
+
+import pytest
+
+from vector_db_light_spark.api import VectorDatabaseManager
+from vector_db_light_spark.rag import (
+    assemble_rag_prompt,
+    format_chunks,
+    format_citations,
+)
+
+
+@pytest.fixture()
+def corpus_dir(tmp_path):
+    src = tmp_path / "docs"
+    src.mkdir()
+    (src / "spark.txt").write_text(
+        "spark is a distributed engine for large scale data processing. " * 40
+    )
+    (src / "duck.txt").write_text(
+        "duckdb is an in process analytical database. " * 40
+    )
+    (src / "web.html").write_text("<p>catalyst optimizes logical plans</p>")
+    return str(src)
+
+
+def test_full_lifecycle(spark, tmp_path, corpus_dir):
+    mgr = VectorDatabaseManager(spark, str(tmp_path / "dbs"))
+    mgr.create_database("kb", corpus_dir, chunk_size=200, chunk_overlap=100)
+
+    assert mgr.registry.get("kb").chunk_size == 200
+    with pytest.raises(ValueError):
+        mgr.create_database("kb", corpus_dir)
+
+    files = {r["file_name"] for r in mgr.list_files("kb").collect()}
+    assert files == {"spark.txt", "duck.txt", "web.html"}
+
+    hits = mgr.search("kb", "distributed spark engine", k=4, score_threshold=0.0)
+    rows = hits.collect()
+    assert 0 < len(rows) <= 4
+    assert rows[0]["file_name"] == "spark.txt"  # on-topic doc ranks first
+    sims = [r["similarity"] for r in rows]
+    assert sims == sorted(sims, reverse=True)
+
+    # keyword filter (F2) and doc-type filter (F3 analogue)
+    only_duck = mgr.search("kb", "analytical database", k=6,
+                           score_threshold=0.0, search_term="duckdb").collect()
+    assert all("duckdb" in r["chunk_text"].lower() for r in only_duck)
+
+    # backup -> delete -> restore -> still searchable
+    mgr.backup_database("kb", str(tmp_path / "bak"))
+    mgr.delete_database("kb")
+    assert mgr.registry.get("kb") is None
+    with pytest.raises(ValueError):
+        mgr.search("kb", "anything")
+    mgr.restore_database("kb", str(tmp_path / "bak"))
+    assert mgr.search("kb", "spark", k=2, score_threshold=0.0).count() > 0
+
+
+def test_rag_formatting():
+    rows = [
+        {"chunk_text": "alpha\n\n\n\nbeta", "file_name": "a.pdf",
+         "file_type": ".pdf", "similarity": 0.9, "page_number": 3},
+        {"chunk_text": "gamma", "file_name": "a.pdf",
+         "file_type": ".pdf", "similarity": 0.7, "page_number": 4},
+        {"chunk_text": "delta", "file_name": "b.txt",
+         "file_type": ".txt", "similarity": 0.8, "page_number": None},
+    ]
+    chunks = format_chunks(rows)
+    assert "CONTEXT 1 | a.pdf" in chunks and "CONTEXT 3 | b.txt" in chunks
+    assert "alpha\n\nbeta" in chunks  # F9 blank-run collapse
+
+    prompt = assemble_rag_prompt([r["chunk_text"] for r in rows], "what is alpha?")
+    assert "what is alpha?" in prompt and "---" in prompt
+    with pytest.raises(ValueError):
+        assemble_rag_prompt([], "q")
+
+    html = format_citations(rows)
+    assert "a.pdf" in html and "p.3-4" in html and "b.txt" in html
+    # a.pdf has the lower min score -> listed first (utilities.py:74)
+    assert html.index("a.pdf") < html.index("b.txt")
+
+
+def test_chat_client_payload_and_stub():
+    from vector_db_light_spark.rag import ChatClient
+
+    c = ChatClient()
+    payload = c.build_payload("hello")
+    assert payload["messages"][1]["content"] == "hello"
+    assert payload["messages"][0]["role"] == "system"
+    with pytest.raises(NotImplementedError):
+        c.ask("hello")

@@ -1,0 +1,222 @@
+"""Top-level database lifecycle API — the engine's equivalent of the
+reference's ``CreateVectorDB`` / ``QueryVectorDB`` / config-registry trio.
+
+Reference lifecycle (SURVEY.md §3.1, ``vector_db_creator.py:245-288``):
+  load documents -> split PDFs from non-PDFs (F5) -> chunk -> clean -> embed
+  -> TileDB array + FLAT index + sidecar json (S5/S6) -> SQLite metadata DB
+  (S7) -> config.yaml registry entry (S8) + backup (S11).
+
+Spark re-expression: ONE lazy DAG from binaryFile scan to two partitioned
+parquet tables (embeddings, documents) — Catalyst plans it, a single write
+action executes it — plus a tiny JSON manifest as the registry. Delete /
+backup / restore are table-directory operations.
+
+Storage layout for 100 TB: embeddings are written partitioned by an id
+bucket (``pmod(chunk_id, n_buckets)``) so brute-force scans parallelize
+evenly and point lookups (J1) prune to one bucket; a k-means or LSH
+``cluster_id`` column can be added as a second partition level for ANN
+partition pruning (operators/similarity.py).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import time
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .functions.embedding import DEFAULT_DIM, embed_documents
+from .functions.vector import clip01, cosine_distance, vector_lit
+from .operators.chunking import chunk_fixed, chunk_overlap_with_pages
+from .operators.knn import knn as knn_op
+from .sources.ingest import ingest
+
+DEFAULT_CHUNK_SIZE = 1200   # reference config.py:26
+DEFAULT_CHUNK_OVERLAP = 600  # reference config.py:27
+DEFAULT_CONTEXTS = 6         # reference config.py:28
+DEFAULT_SIMILARITY = 0.4     # reference config.py:29
+N_ID_BUCKETS = 64
+
+
+@dataclass
+class DatabaseInfo:
+    """Registry entry (reference config.py:55-58)."""
+
+    model: str
+    chunk_size: int
+    chunk_overlap: int
+    created_at: float = field(default_factory=time.time)
+
+
+class Registry:
+    """S8: the ``created_databases`` manifest (config.py:166-177), stored as
+    one JSON file next to the tables instead of mutable global config."""
+
+    def __init__(self, root: str):
+        self.root = root
+        self.path = os.path.join(root, "_registry.json")
+
+    def _read(self) -> dict:
+        if not os.path.exists(self.path):
+            return {}
+        with open(self.path) as f:
+            return json.load(f)
+
+    def add(self, name: str, info: DatabaseInfo) -> None:
+        data = self._read()
+        data[name] = info.__dict__
+        os.makedirs(self.root, exist_ok=True)
+        with open(self.path, "w") as f:
+            json.dump(data, f, indent=2, sort_keys=True)
+
+    def remove(self, name: str) -> None:
+        data = self._read()
+        data.pop(name, None)
+        with open(self.path, "w") as f:
+            json.dump(data, f, indent=2, sort_keys=True)
+
+    def get(self, name: str) -> DatabaseInfo | None:
+        data = self._read().get(name)
+        return DatabaseInfo(**data) if data else None
+
+    def list(self) -> dict[str, DatabaseInfo]:
+        return {k: DatabaseInfo(**v) for k, v in self._read().items()}
+
+
+class VectorDatabaseManager:
+    """Create / query / delete / backup vector databases on a filesystem
+    root (local path here; object-store URI on a cluster)."""
+
+    def __init__(self, spark: SparkSession, root: str):
+        self.spark = spark
+        self.root = root
+        self.registry = Registry(root)
+
+    # -- paths ------------------------------------------------------------
+    def _db_dir(self, name: str) -> str:
+        return os.path.join(self.root, name)
+
+    def _table(self, name: str, table: str) -> str:
+        return os.path.join(self._db_dir(name), table)
+
+    # -- S5/S6/S7/S8: create (the §3.1 lifecycle, one DAG) -----------------
+    def create_database(
+        self,
+        name: str,
+        source_dir: str,
+        chunk_size: int = DEFAULT_CHUNK_SIZE,
+        chunk_overlap: int = DEFAULT_CHUNK_OVERLAP,
+        dim: int = DEFAULT_DIM,
+    ) -> None:
+        if self.registry.get(name) is not None:
+            raise ValueError(f"database {name!r} already exists")
+
+        docs = ingest(self.spark, source_dir)
+        parsed = docs.filter(F.col("parse_error").isNull()).withColumn(
+            "doc_id", F.pmod(F.xxhash64("hash"), F.lit(2**31))
+        )
+
+        # F5: PDFs get the overlapping page-attributed chunker, everything
+        # else the fixed splitter (vector_db_creator.py:258-259).
+        pdf = parsed.filter(F.col("file_type") == ".pdf")
+        other = parsed.filter(F.col("file_type") != ".pdf")
+        chunks = chunk_fixed(other, chunk_size).withColumn(
+            "page_number", F.lit(None).cast("int")
+        ).unionByName(
+            chunk_overlap_with_pages(pdf, chunk_size, chunk_overlap).select(
+                "doc_id", "chunk_id", "chunk_offset", "chunk_text", "page_number"
+            )
+        )
+
+        # F8: strip non-printables before embedding (vector_db_creator.py:108-116)
+        clean = chunks.withColumn(
+            "chunk_text",
+            F.regexp_replace("chunk_text", r"[^\x20-\x7E\n\t]", ""),
+        )
+        embedded = embed_documents(
+            clean, id_col="chunk_id", text_col="chunk_text", dim=dim
+        )
+        emb_table = (
+            clean.join(embedded, "chunk_id")
+            .join(
+                parsed.select("doc_id", "hash", "file_path", "file_name", "file_type"),
+                "doc_id",
+            )
+            .withColumn("id_bucket", F.pmod(F.col("chunk_id"), F.lit(N_ID_BUCKETS)))
+        )
+        emb_table.write.partitionBy("id_bucket").mode("errorifexists").parquet(
+            self._table(name, "embeddings")
+        )
+        parsed.write.mode("errorifexists").parquet(self._table(name, "documents"))
+        self.registry.add(
+            name, DatabaseInfo("hashed-features-16", chunk_size, chunk_overlap)
+        )
+
+    # -- S9: metadata scan --------------------------------------------------
+    def list_files(self, name: str) -> DataFrame:
+        return (
+            self.spark.read.parquet(self._table(name, "documents"))
+            .select("file_name", "file_path")
+            .distinct()
+        )
+
+    # -- §3.2: query --------------------------------------------------------
+    def search(
+        self,
+        name: str,
+        query: str,
+        k: int = DEFAULT_CONTEXTS,
+        score_threshold: float = DEFAULT_SIMILARITY,
+        search_term: str = "",
+        document_types: str = "",
+    ) -> DataFrame:
+        """The reference search pipeline (vector_db_query.py:136-267) with a
+        V1 driver-side query embed (1-row encode is not a cluster job)."""
+        from .functions.embedding import HashedFeatureEmbedder
+
+        info = self.registry.get(name)
+        if info is None:
+            raise ValueError(f"unknown database {name!r}")
+        qvec = HashedFeatureEmbedder().encode_one(query)
+        emb = self.spark.read.parquet(self._table(name, "embeddings"))
+        topk = knn_op(emb, qvec, k=k, id_col="chunk_id", vector_col="embedding")
+        hits = topk.filter(F.col("similarity") >= F.lit(float(score_threshold)))
+        joined = emb.join(F.broadcast(hits.select("chunk_id", "similarity", "distance")), "chunk_id")
+        if search_term:
+            joined = joined.filter(
+                F.contains(F.lower("chunk_text"), F.lit(search_term.lower()))
+            )
+        if document_types:
+            joined = joined.filter(F.col("file_type") == document_types)
+        return joined.select(
+            "chunk_id", "doc_id", "chunk_text", "file_name", "file_type",
+            "page_number", "similarity", "distance",
+        ).orderBy(F.col("similarity").desc(), F.col("chunk_id").asc())
+
+    # -- S8 delete / S11 backup-restore --------------------------------------
+    def delete_database(self, name: str) -> None:
+        shutil.rmtree(self._db_dir(name), ignore_errors=True)
+        self.registry.remove(name)
+
+    def backup_database(self, name: str, backup_root: str) -> None:
+        """S11 (utilities.py:79-105): table-directory copy. On a cluster:
+        CREATE TABLE ... AS SELECT, or table-format time travel."""
+        dst = os.path.join(backup_root, name)
+        if os.path.exists(dst):
+            shutil.rmtree(dst)
+        shutil.copytree(self._db_dir(name), dst)
+
+    def restore_database(self, name: str, backup_root: str) -> None:
+        src = os.path.join(backup_root, name)
+        if not os.path.isdir(src):
+            raise FileNotFoundError(src)
+        shutil.rmtree(self._db_dir(name), ignore_errors=True)
+        shutil.copytree(src, self._db_dir(name))
+        if self.registry.get(name) is None:
+            self.registry.add(name, DatabaseInfo("hashed-features-16",
+                                                 DEFAULT_CHUNK_SIZE,
+                                                 DEFAULT_CHUNK_OVERLAP))

@@ -1,0 +1,78 @@
+"""V1 + V2-V4 + J1 end-to-end BY TEXT: the query string is embedded
+driver-side (1-row encode, ``vector_db_query.py:151-154``), the corpus via
+the mapInPandas stage, and the whole retrieval still hash-matches a pure-SQL
+oracle because the surrogate embedder is integer-exact.
+
+The document embedding fold and the oracle's list fold assemble the vector
+in the same dim order, so the dot products are bit-identical.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ..functions.embedding import HashedFeatureEmbedder, embed_documents
+from ..functions.vector import clip01, dot, vector_lit
+from ..registry import load, register
+
+QUERY_TEXT = "data batch stream query join"
+_QVEC = HashedFeatureEmbedder().encode_one(QUERY_TEXT)
+_QVEC_SQL = "[" + ", ".join(repr(v) for v in _QVEC) + "]::DOUBLE[]"
+
+_TOKS_SQL = r"list_filter(regexp_split_to_array(trim(lower(text)), '\s+'), t -> t != '')"
+
+
+@register(
+    "search_by_text",
+    f"""
+WITH toks AS (
+  SELECT doc_id, unnest({_TOKS_SQL}) AS t FROM documents
+),
+counts AS (
+  SELECT doc_id, strpos('0123456789abcdef', substr(md5(t), 1, 1)) - 1 AS b,
+         count(*) AS c
+  FROM toks GROUP BY 1, 2
+),
+dims AS (SELECT doc_id, unnest(range(0, 16)) AS dim_idx FROM documents),
+vecs AS (
+  SELECT d.doc_id, d.dim_idx, coalesce(c.c, 0) AS c
+  FROM dims d LEFT JOIN counts c ON c.doc_id = d.doc_id AND c.b = d.dim_idx
+),
+norms AS (SELECT doc_id, sum(c * c) AS sumsq FROM vecs GROUP BY 1),
+embs AS (
+  SELECT v.doc_id,
+         list(CASE WHEN n.sumsq > 0 THEN v.c / sqrt(n.sumsq) ELSE 0.0 END
+              ORDER BY v.dim_idx) AS embedding
+  FROM vecs v JOIN norms n ON n.doc_id = v.doc_id
+  GROUP BY v.doc_id
+),
+scored AS (
+  SELECT doc_id,
+         1.0 - list_reduce(list_transform(list_zip(embedding, {_QVEC_SQL}),
+                                          s -> s[1] * s[2]), (a, b) -> a + b)
+           AS distance
+  FROM embs
+),
+topk AS (
+  SELECT * FROM scored ORDER BY distance ASC, doc_id ASC LIMIT 10
+)
+SELECT d.doc_id, d.source,
+       greatest(0.0, least(1.0, 1.0 - t.distance)) AS similarity
+FROM topk t JOIN documents d ON d.doc_id = t.doc_id
+ORDER BY similarity DESC, d.doc_id ASC
+""",
+)
+def search_by_text(spark, sf_dir):
+    docs = load(spark, sf_dir, "documents")
+    embs = embed_documents(docs, dim=16)
+    q = vector_lit(_QVEC)
+    scored = embs.select(
+        "doc_id", (F.lit(1.0) - dot(F.col("embedding"), q)).alias("distance")
+    )
+    topk = scored.orderBy(F.col("distance").asc(), F.col("doc_id").asc()).limit(10)
+    sim = clip01(F.lit(1.0) - F.col("distance"))
+    return (
+        docs.join(F.broadcast(topk), "doc_id")
+        .select("doc_id", "source", sim.alias("similarity"))
+        .orderBy(F.col("similarity").desc(), F.col("doc_id").asc())
+    )

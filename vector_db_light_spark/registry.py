@@ -66,6 +66,7 @@ def _populate() -> None:
         similarity,
         textstats,
         pipeline,
+        search_text,
     )
 
 
