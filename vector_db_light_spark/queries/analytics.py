@@ -1,0 +1,265 @@
+"""Advanced analytics queries: grouping sets, sliding + native session
+windows, skew-salted two-phase aggregation, exact quantiles, multi-way
+dim joins, histograms (SURVEY.md §2.4/§2.7 gap rows at full width)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ..registry import load, register
+
+
+# ---------------------------------------------------------------------------
+# GROUPING SETS (beyond rollup/cube): priority-only, status-only, and grand
+# total in one pass.
+# ---------------------------------------------------------------------------
+
+@register(
+    "priority_grouping_sets",
+    """
+SELECT o_orderpriority, o_orderstatus,
+       grouping(o_orderpriority) + 2 * grouping(o_orderstatus) AS gid,
+       count(*) AS n, round(sum(o_totalprice), 2) AS total_price
+FROM orders
+GROUP BY GROUPING SETS ((o_orderpriority), (o_orderstatus), ())
+ORDER BY gid, o_orderpriority NULLS FIRST, o_orderstatus NULLS FIRST
+""",
+)
+def priority_grouping_sets(spark, sf_dir):
+    orders = load(spark, sf_dir, "orders")
+    orders.createOrReplaceTempView("_orders_gs")
+    return spark.sql(
+        """
+        SELECT o_orderpriority, o_orderstatus,
+               grouping(o_orderpriority) + 2 * grouping(o_orderstatus) AS gid,
+               count(*) AS n, round(sum(o_totalprice), 2) AS total_price
+        FROM _orders_gs
+        GROUP BY GROUPING SETS ((o_orderpriority), (o_orderstatus), ())
+        ORDER BY gid, o_orderpriority NULLS FIRST, o_orderstatus NULLS FIRST
+        """
+    )
+
+
+# ---------------------------------------------------------------------------
+# Sliding windows: 1-hour windows every 30 minutes (each event in 2 windows).
+# Oracle: the two candidate aligned starts, unioned.
+# ---------------------------------------------------------------------------
+
+_SLIDE_US = 30 * 60 * 1_000_000
+_WIN_US = 2 * _SLIDE_US
+
+
+@register(
+    "sliding_hourly_events",
+    f"""
+WITH starts AS (
+  SELECT event_id, event_type, value,
+         make_timestamp((epoch_us(ts) // {_SLIDE_US}) * {_SLIDE_US}) AS window_start
+  FROM events
+  UNION ALL
+  SELECT event_id, event_type, value,
+         make_timestamp((epoch_us(ts) // {_SLIDE_US}) * {_SLIDE_US} - {_SLIDE_US})
+  FROM events
+)
+SELECT window_start, event_type, count(*) AS n, round(sum(value), 2) AS total_value
+FROM starts
+GROUP BY 1, 2
+ORDER BY window_start, event_type
+""",
+)
+def sliding_hourly_events(spark, sf_dir):
+    events = load(spark, sf_dir, "events")
+    return (
+        events.groupBy(
+            F.window("ts", "1 hour", "30 minutes").alias("w"), "event_type"
+        )
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 2).alias("total_value"))
+        .select(F.col("w.start").alias("window_start"), "event_type", "n", "total_value")
+        .orderBy("window_start", "event_type")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Native session windows (F.session_window, 30-min gap) vs the gaps-and-
+# islands oracle. session_window.end = last event + gap.
+# ---------------------------------------------------------------------------
+
+@register(
+    "session_window_native",
+    """
+WITH flagged AS (
+  SELECT user_id, ts,
+         CASE WHEN lag(ts) OVER w IS NULL
+                OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+              THEN 1 ELSE 0 END AS new_session
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+sessions AS (
+  SELECT user_id, ts,
+         sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS session_id
+  FROM flagged
+)
+SELECT user_id,
+       min(ts) AS session_start,
+       max(ts) + INTERVAL 30 MINUTE AS session_end,
+       count(*) AS n_events
+FROM sessions
+GROUP BY user_id, session_id
+ORDER BY user_id, session_start
+""",
+)
+def session_window_native(spark, sf_dir):
+    events = load(spark, sf_dir, "events")
+    return (
+        events.groupBy(
+            F.session_window("ts", "30 minutes").alias("sw"), "user_id"
+        )
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.col("sw.start").alias("session_start"),
+            F.col("sw.end").alias("session_end"),
+            "n_events",
+        )
+        .orderBy("user_id", "session_start")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Skew-salted aggregation: two-phase (salted partial -> final) with results
+# identical to the direct groupBy — the standard hot-key defense when one
+# group key dominates. Oracle: the direct aggregation.
+# ---------------------------------------------------------------------------
+
+@register(
+    "salted_hot_key_agg",
+    """
+SELECT l_returnflag, count(*) AS n, round(sum(l_extendedprice), 2) AS total
+FROM lineitem
+GROUP BY l_returnflag
+ORDER BY l_returnflag
+""",
+)
+def salted_hot_key_agg(spark, sf_dir):
+    li = load(spark, sf_dir, "lineitem")
+    salted = li.withColumn("_salt", F.pmod(F.col("l_orderkey"), F.lit(16)))
+    partial = salted.groupBy("l_returnflag", "_salt").agg(
+        F.count(F.lit(1)).alias("pn"), F.sum("l_extendedprice").alias("ps")
+    )
+    return (
+        partial.groupBy("l_returnflag")
+        .agg(F.sum("pn").alias("n"), F.round(F.sum("ps"), 2).alias("total"))
+        .orderBy("l_returnflag")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Exact interpolated quantiles per group.
+# ---------------------------------------------------------------------------
+
+@register(
+    "price_quantiles_per_segment",
+    """
+SELECT c_mktsegment,
+       round(quantile_cont(o_totalprice, 0.5), 4) AS median_price,
+       round(quantile_cont(o_totalprice, 0.9), 4) AS p90_price,
+       count(*) AS n_orders
+FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+GROUP BY c_mktsegment
+ORDER BY c_mktsegment
+""",
+)
+def price_quantiles_per_segment(spark, sf_dir):
+    orders = load(spark, sf_dir, "orders")
+    cust = load(spark, sf_dir, "customer")
+    joined = orders.join(F.broadcast(cust), cust["c_custkey"] == orders["o_custkey"])
+    return (
+        joined.groupBy("c_mktsegment")
+        .agg(
+            F.round(F.percentile("o_totalprice", F.lit(0.5)), 4).alias("median_price"),
+            F.round(F.percentile("o_totalprice", F.lit(0.9)), 4).alias("p90_price"),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q5 shape: 5-way join with dim-chain broadcast + group-agg.
+# ---------------------------------------------------------------------------
+
+@register(
+    "revenue_by_nation",
+    """
+SELECT n.n_name AS nation,
+       round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+       count(*) AS n_lineitems
+FROM lineitem l
+JOIN orders o ON o.o_orderkey = l.l_orderkey
+JOIN customer c ON c.c_custkey = o.o_custkey
+JOIN nation n ON n.n_nationkey = c.c_nationkey
+JOIN region r ON r.r_regionkey = n.n_regionkey
+WHERE r.r_name IN ('ASIA', 'EUROPE')
+  AND o.o_orderdate >= TIMESTAMP '1995-01-01'
+GROUP BY n.n_name
+ORDER BY revenue DESC, nation
+""",
+)
+def revenue_by_nation(spark, sf_dir):
+    li = load(spark, sf_dir, "lineitem")
+    orders = load(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") >= F.lit("1995-01-01").cast("timestamp_ntz")
+    )
+    cust = load(spark, sf_dir, "customer")
+    nation = load(spark, sf_dir, "nation")
+    region = load(spark, sf_dir, "region").filter(
+        F.col("r_name").isin("ASIA", "EUROPE")
+    )
+    dims = cust.join(F.broadcast(nation), cust["c_nationkey"] == nation["n_nationkey"]).join(
+        F.broadcast(region), nation["n_regionkey"] == region["r_regionkey"]
+    )
+    return (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .join(F.broadcast(dims), orders["o_custkey"] == dims["c_custkey"])
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue"),
+            F.count(F.lit(1)).alias("n_lineitems"),
+        )
+        .orderBy(F.col("revenue").desc(), "nation")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Histogram binning (fixed-width buckets).
+# ---------------------------------------------------------------------------
+
+@register(
+    "price_histogram",
+    """
+SELECT CAST(floor(o_totalprice / 50000) AS BIGINT) AS bucket,
+       count(*) AS n,
+       round(min(o_totalprice), 2) AS bucket_min,
+       round(max(o_totalprice), 2) AS bucket_max
+FROM orders
+GROUP BY 1
+ORDER BY bucket
+""",
+)
+def price_histogram(spark, sf_dir):
+    orders = load(spark, sf_dir, "orders")
+    bucket = F.floor(F.col("o_totalprice") / 50000).cast("bigint")
+    return (
+        orders.groupBy(bucket.alias("bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.min("o_totalprice"), 2).alias("bucket_min"),
+            F.round(F.max("o_totalprice"), 2).alias("bucket_max"),
+        )
+        .orderBy("bucket")
+    )

@@ -67,6 +67,7 @@ def _populate() -> None:
         textstats,
         pipeline,
         search_text,
+        analytics,
     )
 
 

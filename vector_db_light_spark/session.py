@@ -8,6 +8,7 @@ is cluster-manager specific.
 from __future__ import annotations
 
 import os
+import tempfile
 
 from pyspark.sql import SparkSession
 
@@ -39,6 +40,13 @@ def get_spark(
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         .config("spark.ui.showConsoleProgress", "false")
         .config("spark.ui.enabled", os.environ.get("SPARK_GRAFT_UI", "false"))
+        # keep managed tables (bucketed joins, tests) out of the repo tree
+        .config(
+            "spark.sql.warehouse.dir",
+            os.environ.get(
+                "SPARK_GRAFT_WAREHOUSE", tempfile.gettempdir() + "/vdl_warehouse"
+            ),
+        )
     )
     return builder.getOrCreate()
 
