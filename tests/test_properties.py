@@ -1,0 +1,137 @@
+"""Property-based tests (hypothesis): the Spark chunkers must agree with a
+direct Python transcription of the reference's algorithms on ARBITRARY
+inputs, not just fixture shapes.
+
+Python models mirror ``/root/reference/document_processor.py:78-92`` (fixed)
+and ``:248-292`` (overlap + page attribution) exactly.
+"""
+
+from __future__ import annotations
+
+import re
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+
+# --- Python models of the reference algorithms -----------------------------
+
+def model_fixed_chunks(text: str, size: int) -> list[tuple[int, str]]:
+    out = []
+    for start in range(0, len(text), size):
+        piece = text[start : start + size].strip()
+        if piece:
+            out.append((start, piece))
+    return out
+
+
+def model_overlap_chunks(
+    text: str, size: int, overlap: int
+) -> list[tuple[int, str, int]]:
+    markers = []
+    offset = 0
+    for m in re.finditer(r"\[\[page(\d+)\]\]", text):
+        markers.append((m.start() - offset, int(m.group(1))))
+        offset += len(m.group(0))
+    clean = re.sub(r"\[\[page\d+\]\]", "", text)
+    out = []
+    start = 0
+    while start < len(clean):
+        chunk = clean[start : start + size].strip()
+        page = None
+        for pos, p in reversed(markers):
+            if pos <= start:
+                page = p
+                break
+        if chunk and page is not None:
+            out.append((start, chunk, page))
+        start += size - overlap
+    return out
+
+
+# --- strategies ------------------------------------------------------------
+
+plain_text = st.text(
+    alphabet=st.sampled_from(list("ab c\nx  ")), min_size=0, max_size=120
+)
+marked_text = st.lists(
+    st.one_of(
+        plain_text,
+        st.integers(min_value=1, max_value=30).map(lambda n: f"[[page{n}]]"),
+    ),
+    min_size=0,
+    max_size=8,
+).map("".join)
+
+
+@settings(max_examples=12, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(texts=st.lists(plain_text, min_size=1, max_size=12),
+       size=st.integers(min_value=1, max_value=40))
+def test_fixed_chunker_matches_reference_model(spark, texts, size):
+    from vector_db_light_spark.operators.chunking import chunk_fixed
+
+    docs = spark.createDataFrame(
+        list(enumerate(texts)), "doc_id bigint, text string"
+    )
+    got = {
+        (r["doc_id"], r["chunk_offset"]): r["chunk_text"]
+        for r in chunk_fixed(docs, size).collect()
+    }
+    want = {
+        (i, off): piece
+        for i, t in enumerate(texts)
+        for off, piece in model_fixed_chunks(t, size)
+    }
+    assert got == want
+
+
+@settings(max_examples=12, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(texts=st.lists(marked_text, min_size=1, max_size=8),
+       size=st.integers(min_value=2, max_value=30),
+       overlap_frac=st.floats(min_value=0.0, max_value=0.9))
+def test_overlap_chunker_matches_reference_model(spark, texts, size, overlap_frac):
+    from vector_db_light_spark.operators.chunking import chunk_overlap_with_pages
+
+    overlap = int(size * overlap_frac)
+    docs = spark.createDataFrame(
+        list(enumerate(texts)), "doc_id bigint, text string"
+    )
+    got = {
+        (r["doc_id"], r["chunk_offset"]): (r["chunk_text"], r["page_number"])
+        for r in chunk_overlap_with_pages(docs, size, overlap).collect()
+    }
+    want = {
+        (i, off): (piece, page)
+        for i, t in enumerate(texts)
+        for off, piece, page in model_overlap_chunks(t, size, overlap)
+    }
+    assert got == want
+
+
+@settings(max_examples=10, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(texts=st.lists(st.text(alphabet=st.sampled_from(list("abc d ")),
+                              min_size=0, max_size=60),
+                      min_size=2, max_size=10))
+def test_jaccard_pairs_bounds_and_symmetry(spark, texts):
+    from vector_db_light_spark.operators.dedup import jaccard_pairs
+
+    docs = spark.createDataFrame(
+        list(enumerate(texts)), "doc_id bigint, text string"
+    )
+    rows = jaccard_pairs(docs, n=2).collect()
+    for r in rows:
+        assert 0.0 < r["jaccard"] <= 1.0
+        assert r["id_a"] < r["id_b"]
+    # identical docs with >=1 shingle must appear with jaccard == 1
+    from vector_db_light_spark.operators.dedup import shingles_expr  # noqa: F401
+
+    for i, a in enumerate(texts):
+        for j in range(i + 1, len(texts)):
+            if a == texts[j] and len(a.split()) >= 2:
+                assert any(
+                    r["id_a"] == i and r["id_b"] == j and r["jaccard"] == 1.0
+                    for r in rows
+                )

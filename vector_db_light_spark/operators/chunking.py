@@ -31,6 +31,13 @@ ID_STRIDE = 1_000_000  # max supported clean-text length per document
 PAGE_MARKER_RE = r"\[\[page(\d+)\]\]"
 
 
+def strip_ws(col: Column) -> Column:
+    """Python ``str.strip()`` parity for ASCII whitespace. SQL ``trim`` only
+    removes spaces, but the reference strips \\n and \\t too
+    (document_processor.py:88 ``piece.strip()``) — found by hypothesis."""
+    return F.regexp_replace(F.regexp_replace(col, r"^\s+", ""), r"\s+$", "")
+
+
 def chunk_fixed(
     docs: DataFrame,
     chunk_size: int,
@@ -52,7 +59,7 @@ def chunk_fixed(
         F.col(text_col),
         F.explode(offsets).alias("chunk_offset"),
     )
-    piece = F.trim(F.substring(F.col(text_col), F.col("chunk_offset") + 1, int(chunk_size)))
+    piece = strip_ws(F.substring(F.col(text_col), F.col("chunk_offset") + 1, int(chunk_size)))
     return (
         exploded.select(
             F.col(id_col),
@@ -121,7 +128,7 @@ def chunk_overlap_with_pages(
     chunks = cleaned.select(
         F.col(id_col),
         F.explode(offsets).alias("chunk_offset"),
-        F.trim(F.substring(F.col("_clean"), F.col("chunk_offset") + 1, int(chunk_size))).alias("chunk_text"),
+        strip_ws(F.substring(F.col("_clean"), F.col("chunk_offset") + 1, int(chunk_size))).alias("chunk_text"),
     ).filter(F.col("chunk_text") != "")
 
     markers = page_markers(docs, id_col=id_col, text_col=text_col)

@@ -125,6 +125,34 @@ def range_self_join(
     )
 
 
+def salted_join(
+    big: DataFrame,
+    skewed_small: DataFrame,
+    big_key: str,
+    small_key: str,
+    n_salts: int = 16,
+) -> DataFrame:
+    """Skew-defeating equi-join: salt the big side's key, replicate the
+    small side across all salt values, join on (key, salt). Result set is
+    identical to the plain join; a single hot key's rows now spread over
+    ``n_salts`` tasks instead of one straggler.
+
+    (AQE's skew-join split handles sort-merge skew automatically; explicit
+    salting is for aggregations-after-join and for engines/stages AQE can't
+    rewrite.)
+    """
+    salted_big = big.withColumn("_salt", F.pmod(F.xxhash64(F.monotonically_increasing_id()), F.lit(n_salts)))
+    replicated = skewed_small.withColumn(
+        "_salt", F.explode(F.array(*[F.lit(i) for i in range(n_salts)]))
+    )
+    out = salted_big.join(
+        replicated,
+        (salted_big[big_key] == replicated[small_key])
+        & (salted_big["_salt"] == replicated["_salt"]),
+    )
+    return out.drop("_salt")
+
+
 def sessionize(
     df: DataFrame,
     key: str,

@@ -32,9 +32,9 @@ WITH offs AS (
 SELECT doc_id,
        doc_id * {C.ID_STRIDE} + chunk_offset AS chunk_id,
        chunk_offset,
-       trim(substr(text, chunk_offset + 1, {CHUNK_SIZE})) AS chunk_text
+       regexp_replace(regexp_replace(substr(text, chunk_offset + 1, {CHUNK_SIZE}), '^\s+', ''), '\s+$', '') AS chunk_text
 FROM offs
-WHERE trim(substr(text, chunk_offset + 1, {CHUNK_SIZE})) != ''
+WHERE regexp_replace(regexp_replace(substr(text, chunk_offset + 1, {CHUNK_SIZE}), '^\s+', ''), '\s+$', '') != ''
 ORDER BY chunk_id
 """,
 )
@@ -95,13 +95,13 @@ markers AS (
 ),
 chunks AS (
   SELECT doc_id, chunk_offset,
-         trim(substr(clean, chunk_offset + 1, {OV_SIZE})) AS chunk_text
+         regexp_replace(regexp_replace(substr(clean, chunk_offset + 1, {OV_SIZE}), '^\s+', ''), '\s+$', '') AS chunk_text
   FROM (
     SELECT doc_id, clean,
            unnest(range(0, length(clean), {OV_SIZE - OV_OVERLAP})) AS chunk_offset
     FROM parsed WHERE length(clean) > 0
   )
-  WHERE trim(substr(clean, chunk_offset + 1, {OV_SIZE})) != ''
+  WHERE regexp_replace(regexp_replace(substr(clean, chunk_offset + 1, {OV_SIZE}), '^\s+', ''), '\s+$', '') != ''
 )
 SELECT c.doc_id,
        c.doc_id * {C.ID_STRIDE} + c.chunk_offset AS chunk_id,
@@ -142,7 +142,7 @@ WITH chunks AS (
 )
 SELECT doc_hash, count(*) AS n_chunks
 FROM chunks
-WHERE trim(substr(text, chunk_offset + 1, {CHUNK_SIZE})) != ''
+WHERE regexp_replace(regexp_replace(substr(text, chunk_offset + 1, {CHUNK_SIZE}), '^\s+', ''), '\s+$', '') != ''
 GROUP BY doc_hash
 ORDER BY doc_hash
 """,
