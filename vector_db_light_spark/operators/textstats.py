@@ -23,9 +23,10 @@ STOPWORDS: dict[str, tuple[str, ...]] = {
 LANG_ORDER = tuple(sorted(STOPWORDS))  # tie-break: alphabetical
 
 
-def lang_hit_counts(text_col: str) -> dict[str, Column]:
-    """Stopword hits per language over lower-cased tokens."""
-    toks = tokens_expr(text_col)
+def lang_hit_counts(toks: Column) -> dict[str, Column]:
+    """Stopword hits per language over a materialized token-array column
+    (materialized to avoid per-reference re-tokenization — see
+    dedup.shingles_from_tokens)."""
     out = {}
     for lang, words in STOPWORDS.items():
         hits = F.filter(toks, lambda t: t.isin(*words))
@@ -36,9 +37,10 @@ def lang_hit_counts(text_col: str) -> dict[str, Column]:
 def lang_id(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """(id, per-lang scores, predicted_lang); 'unknown' when no stopword of
     any language occurs. Ties resolve to the alphabetically first language."""
-    scores = lang_hit_counts(text_col)
+    tokenized = docs.select(F.col(id_col), tokens_expr(text_col).alias("_toks"))
+    scores = lang_hit_counts(F.col("_toks"))
     cols = [scores[lang].alias(f"score_{lang}") for lang in LANG_ORDER]
-    scored = docs.select(F.col(id_col), *cols)
+    scored = tokenized.select(F.col(id_col), *cols)
     best = F.greatest(*[F.col(f"score_{lang}") for lang in LANG_ORDER])
     pred = F.when(best == 0, "unknown")
     for lang in LANG_ORDER:
@@ -46,11 +48,13 @@ def lang_id(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> 
     return scored.withColumn("predicted_lang", pred)
 
 
-def quality_metrics(text_col: str) -> dict[str, Column]:
+def quality_metrics(text_col: str, toks: Column | None = None) -> dict[str, Column]:
     """Heuristic quality signals: char-class ratios + mean token length.
-    Integer counts divided as doubles — engine-exact."""
+    Integer counts divided as doubles — engine-exact. Pass a materialized
+    token-array column for hot paths (else tokens re-derive per metric)."""
     n = F.length(text_col).cast("double")
-    toks = tokens_expr(text_col)
+    if toks is None:
+        toks = tokens_expr(text_col)
 
     def class_count(pattern: str) -> Column:
         return F.length(text_col) - F.length(
@@ -87,10 +91,16 @@ def fingerprint(
     1-hash minhash — winnowing's keep-the-min rule at document granularity).
     Deterministic, portable, and stable under small edits elsewhere in the
     doc only when the minimal shingle survives."""
-    from .dedup import shingles_expr
+    from .dedup import shingles_from_tokens, tokens_expr
 
-    sh = shingles_expr(text_col, n)
-    return docs.select(
+    with_sh = docs.select(
+        F.col(id_col), tokens_expr(text_col).alias("_toks")
+    ).select(
+        F.col(id_col),
+        shingles_from_tokens(F.col("_toks"), n).alias("_sh"),
+    )
+    sh = F.col("_sh")
+    return with_sh.select(
         F.col(id_col),
         F.size(sh).alias("n_shingles"),
         F.array_min(F.transform(sh, lambda s: F.md5(s))).alias("fingerprint"),

@@ -77,8 +77,10 @@ ORDER BY doc_id
 """,
 )
 def text_quality_score(spark, sf_dir):
-    docs = load(spark, sf_dir, "documents")
-    m = T.quality_metrics("text")
+    docs = load(spark, sf_dir, "documents").select(
+        "doc_id", "text", T.tokens_expr("text").alias("_toks")
+    )
+    m = T.quality_metrics("text", toks=F.col("_toks"))
     return docs.select(
         "doc_id",
         m["n_chars"].alias("n_chars"),
