@@ -68,6 +68,7 @@ def _populate() -> None:
         pipeline,
         search_text,
         analytics,
+        subqueries,
     )
 
 

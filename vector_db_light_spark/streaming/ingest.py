@@ -60,6 +60,26 @@ def stream_ingest(
     )
 
 
+def stream_dedup_exact(
+    stream: DataFrame,
+    hash_col: str = "doc_hash",
+    ts_col: str | None = None,
+    watermark_delay: str = "1 hour",
+) -> DataFrame:
+    """Streaming exact dedup: keep the first row per content hash ACROSS
+    micro-batches (stateful dropDuplicates). With an event-time column the
+    state is watermark-evicted (bounded memory — mandatory at scale); without
+    one, state grows unboundedly (dev/test only)."""
+    if ts_col is not None:
+        from pyspark.sql import functions as F
+
+        stream = stream.withColumn(ts_col, F.col(ts_col).cast("timestamp"))
+        return stream.withWatermark(ts_col, watermark_delay).dropDuplicatesWithinWatermark(
+            [hash_col]
+        )
+    return stream.dropDuplicates([hash_col])
+
+
 def windowed_event_counts(
     events_stream: DataFrame,
     window: str = "1 hour",
