@@ -31,6 +31,7 @@ HEADLINE = [
     # ingest / chunk / embed pipeline
     "chunk_fixed_stride",
     "embed_hashed_features",
+    "index_build_pipeline",
     # LLM-data-pipeline extensions
     "dedup_exact",
     "dedup_minhash_lsh",

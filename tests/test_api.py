@@ -93,3 +93,13 @@ def test_chat_client_payload_and_stub():
     assert payload["messages"][0]["role"] == "system"
     with pytest.raises(NotImplementedError):
         c.ask("hello")
+
+
+def test_create_database_preconditions(spark, tmp_path, corpus_dir):
+    mgr = VectorDatabaseManager(spark, str(tmp_path / "dbs2"))
+    with pytest.raises(ValueError, match="invalid database name"):
+        mgr.create_database("bad name!", corpus_dir)
+    with pytest.raises(ValueError, match="chunk geometry"):
+        mgr.create_database("ok", corpus_dir, chunk_size=100, chunk_overlap=100)
+    with pytest.raises(FileNotFoundError):
+        mgr.create_database("ok", str(tmp_path / "nope"))

@@ -112,6 +112,18 @@ class VectorDatabaseManager:
         chunk_overlap: int = DEFAULT_CHUNK_OVERLAP,
         dim: int = DEFAULT_DIM,
     ) -> None:
+        # Precondition checks (utilities.py:131-163 parity): valid name,
+        # sane chunk geometry, source dir present.
+        if not name or not name.replace("_", "").replace("-", "").isalnum():
+            raise ValueError(
+                f"invalid database name {name!r}: use letters/digits/_/- only"
+            )
+        if chunk_size <= 0 or not (0 <= chunk_overlap < chunk_size):
+            raise ValueError(
+                f"invalid chunk geometry: size={chunk_size} overlap={chunk_overlap}"
+            )
+        if not os.path.isdir(source_dir):
+            raise FileNotFoundError(f"source directory {source_dir!r} not found")
         if self.registry.get(name) is not None:
             raise ValueError(f"database {name!r} already exists")
 

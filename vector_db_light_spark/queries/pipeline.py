@@ -60,6 +60,68 @@ def embed_hashed_features(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# The FULL index-build pipeline (§3.1): chunk -> clean -> embed, end to end,
+# hash-checked. This is the reference's main workload (CreateVectorDB.run)
+# as one lazy plan; the oracle recomputes chunking + hashed-feature
+# embedding in pure SQL.
+# ---------------------------------------------------------------------------
+
+@register(
+    "index_build_pipeline",
+    rf"""
+WITH chunks AS (
+  SELECT doc_id,
+         doc_id * 1000000 + chunk_offset AS chunk_id,
+         regexp_replace(regexp_replace(substr(text, chunk_offset + 1, 120),
+                                       '^\s+', ''), '\s+$', '') AS chunk_text
+  FROM (
+    SELECT doc_id, text, unnest(range(0, length(text), 120)) AS chunk_offset
+    FROM documents WHERE length(text) > 0
+  )
+  WHERE regexp_replace(regexp_replace(substr(text, chunk_offset + 1, 120),
+                                      '^\s+', ''), '\s+$', '') != ''
+),
+toks AS (
+  SELECT chunk_id,
+         unnest(list_filter(regexp_split_to_array(trim(lower(chunk_text)), '\s+'),
+                            t -> t != '')) AS t
+  FROM chunks
+),
+counts AS (
+  SELECT chunk_id, strpos('0123456789abcdef', substr(md5(t), 1, 1)) - 1 AS b,
+         count(*) AS c
+  FROM toks GROUP BY 1, 2
+),
+dims AS (SELECT chunk_id, unnest(range(0, 16)) AS dim_idx FROM chunks),
+vecs AS (
+  SELECT d.chunk_id, d.dim_idx, coalesce(c.c, 0) AS c
+  FROM dims d LEFT JOIN counts c ON c.chunk_id = d.chunk_id AND c.b = d.dim_idx
+),
+norms AS (SELECT chunk_id, sum(c * c) AS sumsq FROM vecs GROUP BY 1)
+SELECT v.chunk_id, v.dim_idx,
+       CASE WHEN n.sumsq > 0 THEN v.c / sqrt(n.sumsq) ELSE 0.0 END AS value
+FROM vecs v JOIN norms n ON n.chunk_id = v.chunk_id
+ORDER BY v.chunk_id, v.dim_idx
+""",
+)
+def index_build_pipeline(spark, sf_dir):
+    from ..operators.chunking import chunk_fixed
+
+    docs = load(spark, sf_dir, "documents")
+    chunks = chunk_fixed(docs, 120)
+    embedded = embed_documents(chunks, id_col="chunk_id", text_col="chunk_text", dim=16)
+    return (
+        embedded.select("chunk_id", F.posexplode("embedding").alias("dim_idx", "value"))
+        .select(
+            "chunk_id",
+            F.col("dim_idx").cast("bigint").alias("dim_idx"),
+            "value",
+        )
+        .orderBy("chunk_id", "dim_idx")
+    )
+
+
+# ---------------------------------------------------------------------------
 # X1-X4 ingest metadata over simulated file rows (path synthesized from the
 # fixture, payload = utf-8 bytes of the text).
 # ---------------------------------------------------------------------------
