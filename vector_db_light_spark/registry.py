@@ -69,6 +69,7 @@ def _populate() -> None:
         search_text,
         analytics,
         subqueries,
+        reshape,
     )
 
 
