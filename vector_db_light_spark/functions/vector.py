@@ -45,9 +45,10 @@ def vector_lit(vec: list[float]) -> Column:
 def dot(vec_col: Column | str, query: Column) -> Column:
     """Left-to-right double fold of the elementwise product.
 
-    Stays inside Catalyst (HigherOrderFunction) — whole-stage codegen, no
-    Python. For 64-1024 dims this is the right shape; a matmul pandas UDF
-    only wins for very wide batches of queries (see operators/similarity).
+    Stays inside Catalyst (HigherOrderFunction): JVM-side, no Python
+    round-trip. Note HOF lambdas evaluate interpreted (outside whole-stage
+    codegen); for very wide vectors or query batches the Arrow/numpy path
+    (operators.knn.knn_pandas) wins.
     """
     v = F.col(vec_col) if isinstance(vec_col, str) else vec_col
     prods = F.zip_with(v.cast("array<double>"), query, lambda x, y: x * y)

@@ -108,6 +108,52 @@ def lsh_topk(
     )
 
 
+def sq8_quantize(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vector_col: str = "embedding",
+    scale: int = 127,
+) -> DataFrame:
+    """Scalar quantization to int8 range: q_i = round(x_i * 127).
+
+    Unit-norm components live in [-1, 1], so the fixed scale loses < 0.4%
+    per component and shrinks vector IO 4x — at 100 TB the scan is the
+    cost, so this is the first compression lever. Integer math downstream
+    is engine-exact (no float-parity concerns at all).
+    """
+    q = F.transform(
+        F.col(vector_col).cast("array<double>"),
+        lambda x: F.round(x * scale, 0).cast("int"),
+    )
+    return corpus.select(F.col(id_col), q.alias("q8"))
+
+
+def knn_sq8(
+    corpus: DataFrame,
+    query_vector: list[float],
+    k: int = 10,
+    id_col: str = "vec_id",
+    vector_col: str = "embedding",
+    scale: int = 127,
+) -> DataFrame:
+    """Top-k by quantized integer dot product (descending = most similar).
+
+    The int dot is a lower-precision surrogate for cosine; scores are exact
+    integers, so ranking is perfectly reproducible cross-engine.
+    """
+    qq = [round(v * scale) for v in query_vector]
+    quantized = sq8_quantize(corpus, id_col=id_col, vector_col=vector_col, scale=scale)
+    qcol = F.array(*[F.lit(int(v)) for v in qq])
+    prods = F.zip_with(F.col("q8").cast("array<long>"), qcol.cast("array<long>"),
+                       lambda x, y: x * y)
+    dot_i = F.aggregate(prods, F.lit(0).cast("long"), lambda acc, x: acc + x)
+    return (
+        quantized.select(F.col(id_col), dot_i.alias("qdot"))
+        .orderBy(F.col("qdot").desc(), F.col(id_col).asc())
+        .limit(k)
+    )
+
+
 def ivf_centroids(
     corpus: DataFrame,
     dim: int,

@@ -91,6 +91,32 @@ _CENT_COLS_SQL = ", ".join(
 )
 
 
+_QQ = [round(v * 127) for v in QUERY_VEC]
+_QQ_SQL = "[" + ", ".join(str(int(v)) for v in _QQ) + "]::BIGINT[]"
+
+
+@register(
+    "knn_sq8_topk",
+    f"""
+WITH qz AS (
+  SELECT vec_id,
+         list_transform(embedding::DOUBLE[],
+                        x -> CAST(round(x * 127, 0) AS BIGINT)) AS q8
+  FROM embeddings
+)
+SELECT vec_id,
+       list_reduce(list_transform(list_zip(q8, {_QQ_SQL}), s -> s[1] * s[2]),
+                   (a, b) -> a + b) AS qdot
+FROM qz
+ORDER BY qdot DESC, vec_id ASC
+LIMIT 10
+""",
+)
+def knn_sq8_topk(spark, sf_dir):
+    emb = load(spark, sf_dir, "embeddings")
+    return S.knn_sq8(emb, QUERY_VEC, k=10)
+
+
 @register(
     "ann_ivf_pruned",
     f"""
