@@ -135,3 +135,46 @@ def test_jaccard_pairs_bounds_and_symmetry(spark, texts):
                     r["id_a"] == i and r["id_b"] == j and r["jaccard"] == 1.0
                     for r in rows
                 )
+
+
+@settings(max_examples=10, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(
+    lefts=st.lists(st.tuples(st.integers(0, 3), st.integers(0, 50)),
+                   min_size=1, max_size=15),
+    rights=st.lists(st.tuples(st.integers(0, 3), st.integers(0, 50),
+                              st.integers(0, 100)),
+                    min_size=0, max_size=15),
+)
+def test_asof_join_matches_model(spark, lefts, rights):
+    """asof_join == per-left-row argmax(right_ts <= left_ts), with ties on
+    (key, ts) resolved to the max payload."""
+    import datetime as dt
+
+    from vector_db_light_spark.operators.relational import asof_join
+
+    t0 = dt.datetime(2024, 1, 1)
+
+    def ts(m):
+        return t0 + dt.timedelta(minutes=m)
+
+    left = spark.createDataFrame(
+        [(k, ts(m), i) for i, (k, m) in enumerate(lefts)],
+        "k bigint, lts timestamp_ntz, lid bigint",
+    )
+    right = spark.createDataFrame(
+        [(k, ts(m), v) for (k, m, v) in rights],
+        "k bigint, rts timestamp_ntz, val bigint",
+    ) if rights else spark.createDataFrame([], "k bigint, rts timestamp_ntz, val bigint")
+
+    got = {
+        r["lid"]: r["val"]
+        for r in asof_join(left, right, "k", "k", "lts", "rts", ["val"]).collect()
+    }
+    want = {}
+    for i, (k, m) in enumerate(lefts):
+        cands = [(rm, v) for (rk, rm, v) in rights if rk == k and rm <= m]
+        if cands:
+            best_ts = max(rm for rm, _ in cands)
+            want[i] = max(v for rm, v in cands if rm == best_ts)
+    assert got == want
