@@ -103,3 +103,14 @@ def test_create_database_preconditions(spark, tmp_path, corpus_dir):
         mgr.create_database("ok", corpus_dir, chunk_size=100, chunk_overlap=100)
     with pytest.raises(FileNotFoundError):
         mgr.create_database("ok", str(tmp_path / "nope"))
+
+
+def test_metric_sidecar_roundtrip(spark, tmp_path, corpus_dir):
+    mgr = VectorDatabaseManager(spark, str(tmp_path / "dbs3"))
+    mgr.create_database("l2db", corpus_dir, chunk_size=200, chunk_overlap=100,
+                        metric="l2")
+    assert mgr.registry.get("l2db").metric == "l2"
+    rows = mgr.search("l2db", "distributed spark engine", k=3,
+                      score_threshold=0.0).collect()
+    assert rows  # l2 similarity = 1 - d/max(d): top hit scores 1.0 is possible
+    assert all(0.0 <= r["similarity"] <= 1.0 for r in rows)

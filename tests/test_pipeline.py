@@ -124,3 +124,51 @@ def test_streaming_windowed_counts_matches_batch(spark, tmp_path):
         (r["ws"], r["event_type"]): (r["n"], r["tv"]) for r in batch.collect()
     }
     assert got == want and len(got) > 0
+
+
+def test_watermark_drops_late_events(spark, tmp_path):
+    """§2.8 late-data semantics: append-mode windowed agg emits a window once
+    the watermark passes it; a later row for that window is DROPPED, not
+    merged (watermark contract)."""
+    import datetime as dt
+
+    from vector_db_light_spark.streaming.ingest import windowed_event_counts
+
+    src = str(tmp_path / "src")
+
+    def write(rows):
+        spark.createDataFrame(
+            rows, "event_id bigint, ts timestamp, user_id bigint, "
+                  "event_type string, value double"
+        ).write.mode("append").parquet(src)
+
+    t = dt.datetime(2024, 1, 1, 10, 30)
+    write([(0, t, 1, "click", 1.0)])
+    stream = (
+        spark.readStream.schema(spark.read.parquet(src).schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    agg = windowed_event_counts(stream, window="1 hour", watermark="0 seconds")
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("late_t")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        # advance the watermark past 11:00, closing the [10:00, 11:00) window
+        write([(1, dt.datetime(2024, 1, 1, 12, 0), 1, "click", 1.0)])
+        q.processAllAvailable()
+        # late row for the ALREADY-CLOSED window -> dropped
+        write([(2, dt.datetime(2024, 1, 1, 10, 45), 1, "click", 1.0)])
+        q.processAllAvailable()
+        rows = {
+            r["window_start"].hour: r["n"]
+            for r in spark.sql("SELECT * FROM late_t").collect()
+        }
+        assert rows.get(10) == 1  # late event did NOT bump the count
+    finally:
+        q.stop()

@@ -44,11 +44,14 @@ N_ID_BUCKETS = 64
 
 @dataclass
 class DatabaseInfo:
-    """Registry entry (reference config.py:55-58)."""
+    """Registry entry (reference config.py:55-58) + the distance metric the
+    reference keeps in the index sidecar json (vector_db_creator.py:218-225);
+    the query path dispatches V3 conversion on it (vector_db_query.py:170)."""
 
     model: str
     chunk_size: int
     chunk_overlap: int
+    metric: str = "cosine"
     created_at: float = field(default_factory=time.time)
 
 
@@ -111,6 +114,7 @@ class VectorDatabaseManager:
         chunk_size: int = DEFAULT_CHUNK_SIZE,
         chunk_overlap: int = DEFAULT_CHUNK_OVERLAP,
         dim: int = DEFAULT_DIM,
+        metric: str = "cosine",
     ) -> None:
         # Precondition checks (utilities.py:131-163 parity): valid name,
         # sane chunk geometry, source dir present.
@@ -165,7 +169,8 @@ class VectorDatabaseManager:
         )
         parsed.write.mode("errorifexists").parquet(self._table(name, "documents"))
         self.registry.add(
-            name, DatabaseInfo("hashed-features-16", chunk_size, chunk_overlap)
+            name,
+            DatabaseInfo("hashed-features-16", chunk_size, chunk_overlap, metric),
         )
 
     # -- S9: metadata scan --------------------------------------------------
@@ -195,7 +200,10 @@ class VectorDatabaseManager:
             raise ValueError(f"unknown database {name!r}")
         qvec = HashedFeatureEmbedder().encode_one(query)
         emb = self.spark.read.parquet(self._table(name, "embeddings"))
-        topk = knn_op(emb, qvec, k=k, id_col="chunk_id", vector_col="embedding")
+        topk = knn_op(
+            emb, qvec, k=k, metric=info.metric, id_col="chunk_id",
+            vector_col="embedding",
+        )
         hits = topk.filter(F.col("similarity") >= F.lit(float(score_threshold)))
         joined = emb.join(F.broadcast(hits.select("chunk_id", "similarity", "distance")), "chunk_id")
         if search_term:
