@@ -2,7 +2,10 @@
 
 Reference flow (``/root/reference/embedding_models.py:116-157``): encode in
 batches on one GPU with per-model batch sizes (``utilities_core.py:162-180``),
-L2-normalize, per-row fallback when a batch fails. Spark re-expression:
+L2-normalize, per-row fallback when a batch fails. The dtype/batch-size
+selection tables are ported torch-free in :mod:`..functions.policy` — a real
+model's UDF consults them executor-locally (heterogeneous clusters pick per
+executor, not per driver). Spark re-expression:
 ``mapInPandas`` over Arrow record batches; the model is a PER-EXECUTOR
 SINGLETON (loaded once per Python worker, reused across batches — the
 distributed analogue of the reference's thread-local model cache at
