@@ -64,7 +64,7 @@ marked_text = st.lists(
 ).map("".join)
 
 
-@settings(max_examples=12, deadline=None,
+@settings(max_examples=12, deadline=None, derandomize=True,
           suppress_health_check=[HealthCheck.function_scoped_fixture])
 @given(texts=st.lists(plain_text, min_size=1, max_size=12),
        size=st.integers(min_value=1, max_value=40))
@@ -86,7 +86,7 @@ def test_fixed_chunker_matches_reference_model(spark, texts, size):
     assert got == want
 
 
-@settings(max_examples=12, deadline=None,
+@settings(max_examples=12, deadline=None, derandomize=True,
           suppress_health_check=[HealthCheck.function_scoped_fixture])
 @given(texts=st.lists(marked_text, min_size=1, max_size=8),
        size=st.integers(min_value=2, max_value=30),
@@ -110,7 +110,7 @@ def test_overlap_chunker_matches_reference_model(spark, texts, size, overlap_fra
     assert got == want
 
 
-@settings(max_examples=10, deadline=None,
+@settings(max_examples=10, deadline=None, derandomize=True,
           suppress_health_check=[HealthCheck.function_scoped_fixture])
 @given(texts=st.lists(st.text(alphabet=st.sampled_from(list("abc d ")),
                               min_size=0, max_size=60),
@@ -137,7 +137,7 @@ def test_jaccard_pairs_bounds_and_symmetry(spark, texts):
                 )
 
 
-@settings(max_examples=10, deadline=None,
+@settings(max_examples=10, deadline=None, derandomize=True,
           suppress_health_check=[HealthCheck.function_scoped_fixture])
 @given(
     lefts=st.lists(st.tuples(st.integers(0, 3), st.integers(0, 50)),
