@@ -114,3 +114,9 @@ def test_metric_sidecar_roundtrip(spark, tmp_path, corpus_dir):
                       score_threshold=0.0).collect()
     assert rows  # l2 similarity = 1 - d/max(d): top hit scores 1.0 is possible
     assert all(0.0 <= r["similarity"] <= 1.0 for r in rows)
+
+
+def test_delete_before_any_create_is_noop(spark, tmp_path):
+    mgr = VectorDatabaseManager(spark, str(tmp_path / "fresh_root"))
+    mgr.delete_database("never_existed")  # must not raise
+    assert mgr.registry.list() == {}

@@ -30,9 +30,8 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from .functions.embedding import DEFAULT_DIM, embed_documents
-from .functions.vector import clip01, cosine_distance, vector_lit
 from .operators.chunking import chunk_fixed, chunk_overlap_with_pages
-from .operators.knn import knn as knn_op
+from .operators.knn import search as knn_search
 from .sources.ingest import ingest
 
 DEFAULT_CHUNK_SIZE = 1200   # reference config.py:26
@@ -79,6 +78,7 @@ class Registry:
     def remove(self, name: str) -> None:
         data = self._read()
         data.pop(name, None)
+        os.makedirs(self.root, exist_ok=True)
         with open(self.path, "w") as f:
             json.dump(data, f, indent=2, sort_keys=True)
 
@@ -200,18 +200,23 @@ class VectorDatabaseManager:
             raise ValueError(f"unknown database {name!r}")
         qvec = HashedFeatureEmbedder().encode_one(query)
         emb = self.spark.read.parquet(self._table(name, "embeddings"))
-        topk = knn_op(
-            emb, qvec, k=k, metric=info.metric, id_col="chunk_id",
+        # the embeddings table carries text + metadata inline, so it is both
+        # the scan side and the lookup side of the shared pipeline
+        joined = knn_search(
+            emb,
+            emb,
+            qvec,
+            k=k,
+            score_threshold=score_threshold,
+            search_term=search_term,
+            metric=info.metric,
+            id_col="chunk_id",
             vector_col="embedding",
+            doc_id_col="chunk_id",
+            text_col="chunk_text",
+            document_types=document_types,
+            doc_type_col="file_type",
         )
-        hits = topk.filter(F.col("similarity") >= F.lit(float(score_threshold)))
-        joined = emb.join(F.broadcast(hits.select("chunk_id", "similarity", "distance")), "chunk_id")
-        if search_term:
-            joined = joined.filter(
-                F.contains(F.lower("chunk_text"), F.lit(search_term.lower()))
-            )
-        if document_types:
-            joined = joined.filter(F.col("file_type") == document_types)
         return joined.select(
             "chunk_id", "doc_id", "chunk_text", "file_name", "file_type",
             "page_number", "similarity", "distance",

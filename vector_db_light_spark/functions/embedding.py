@@ -131,11 +131,5 @@ def embed_documents(
     return docs.select(id_col, text_col).mapInPandas(run, schema=out_schema)
 
 
-def hashed_embedding_sql(text_expr: str = "text", dim: int = DEFAULT_DIM) -> str:
-    """DuckDB SQL computing exactly HashedFeatureEmbedder.encode_one, as a
-    (dim_idx, value) pair generator fragment (see queries/pipeline.py)."""
-    if dim != 16:
-        raise ValueError("dim=16 only")
-    toks = rf"list_filter(regexp_split_to_array(trim(lower({text_expr})), '\s+'), t -> t != '')"
-    bucket = "strpos('0123456789abcdef', substr(md5(t), 1, 1)) - 1"
-    return f"list_transform({toks}, t -> {bucket})"
+# (The matching DuckDB oracle SQL for this embedder lives inline with its
+# queries: see queries/pipeline.py embed_hashed_features / search_text.py.)

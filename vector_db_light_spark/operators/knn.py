@@ -119,6 +119,9 @@ def lookup_join(
     Broadcast the tiny top-k side so the big table is never shuffled
     (reference: point lookups at vector_db_query.py:215-233).
     """
+    if rows_key == topk_key:
+        # USING-style join dedups the shared key column
+        return rows.join(F.broadcast(topk), rows_key, "inner")
     return rows.join(F.broadcast(topk), rows[rows_key] == topk[topk_key], "inner")
 
 
@@ -134,13 +137,16 @@ def search(
     vector_col: str = "embedding",
     doc_id_col: str = "doc_id",
     text_col: str = "text",
+    document_types: str = "",
+    doc_type_col: str = "document_type",
 ) -> DataFrame:
     """Full reference retrieval pipeline (vector_db_query.py:136-267).
 
     Filter order matters for parity: similarity conversion happens over the
     raw top-k set, THEN the threshold prunes, THEN text is fetched for the
     survivors, THEN keyword filtering applies (F2 is case-insensitive
-    substring; empty term is a no-op, vector_db_query.py:247-254).
+    substring; empty term is a no-op, vector_db_query.py:247-254), THEN the
+    document-type equality filter (F3, :256-261; empty value is a no-op).
     """
     topk = knn(embeddings, query_vector, k=k, metric=metric,
                id_col=id_col, vector_col=vector_col)
@@ -150,4 +156,7 @@ def search(
         joined = joined.filter(
             F.contains(F.lower(F.col(text_col)), F.lit(search_term.lower()))
         )
-    return joined.orderBy(F.col("similarity").desc(), F.col(id_col).asc())
+    if document_types:
+        joined = joined.filter(F.col(doc_type_col) == document_types)
+    order_key = doc_id_col if id_col == doc_id_col else id_col
+    return joined.orderBy(F.col("similarity").desc(), F.col(order_key).asc())
