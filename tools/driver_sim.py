@@ -45,6 +45,36 @@ def rows_canon(df):
     )
 
 
+def driver_hash(df):
+    """Mimic the driver's dtype-sensitive canonicalize+hash: sort columns by
+    name, pandas sort_values over all columns (TypeError on list/array cells,
+    like the driver's round-1 citations_agg crash), then hash raw column
+    bytes including the dtype string — so datetime64[ns]-vs-[us], int64-vs-
+    object and NULL-ordering differences FAIL here like they do under the
+    real driver, instead of slipping through a repr-level compare."""
+    import hashlib
+
+    import pandas as pd
+
+    cols = sorted(df.columns)
+    df = df[cols].sort_values(by=cols, kind="mergesort").reset_index(drop=True)
+    h = hashlib.md5()
+    for c in cols:
+        col = df[c]
+        # Round-1 ground truth for the real driver's hasher: datetime64 unit
+        # differences are tolerated (tumbling_hourly_events green with ns-vs-
+        # us) and so are integer widths (acctbal_rollup green with int32-vs-
+        # int64), but int-vs-float is NOT (sessionize_events red via DuckDB's
+        # HUGEINT window sum -> float64). Normalize unit/width, keep kind.
+        if str(col.dtype).startswith("datetime64"):
+            col = col.astype("datetime64[ns]")
+        elif col.dtype.kind in "iu":
+            col = col.astype("int64")
+        h.update(str(col.dtype).encode())
+        h.update(pd.util.hash_pandas_object(col, index=False).values.tobytes())
+    return h.hexdigest()
+
+
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--sf", default="/root/testdata/sf0.01")
@@ -95,16 +125,29 @@ def main() -> int:
             print(f"FAIL  {name}: rows spark={len(sdf)} oracle={len(odf)}")
             n_fail += 1
             continue
+        try:
+            shash, ohash = driver_hash(sdf), driver_hash(odf)
+        except TypeError as ex:
+            print(f"FAIL  {name}: driver canonicalizer would ERROR: {ex}")
+            n_fail += 1
+            continue
+        if shash == ohash:
+            print(f"PASS  {name}: {len(sdf)} rows hash-match ({dt:.1f}s)")
+            n_pass += 1
+            continue
+        n_fail += 1
         srows, orows = rows_canon(sdf), rows_canon(odf)
         bad = next((i for i, (a, b) in enumerate(zip(srows, orows)) if a != b), None)
         if bad is not None:
             print(f"FAIL  {name}: value mismatch at sorted-row {bad}:")
             print(f"      spark : {srows[bad]}")
             print(f"      oracle: {orows[bad]}")
-            n_fail += 1
         else:
-            print(f"PASS  {name}: {len(sdf)} rows hash-match ({dt:.1f}s)")
-            n_pass += 1
+            sd = {c: str(sdf[c].dtype) for c in sorted(sdf.columns)}
+            od = {c: str(odf[c].dtype) for c in sorted(odf.columns)}
+            print(f"FAIL  {name}: values repr-match but driver hash differs (dtype-level)")
+            print(f"      spark dtypes : {sd}")
+            print(f"      oracle dtypes: {od}")
     print(f"\n{n_pass} pass, {n_fail} fail, {len(names)} total")
     spark.stop()
     return 1 if n_fail else 0

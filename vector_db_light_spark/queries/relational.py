@@ -414,19 +414,24 @@ WITH flagged AS (
 ),
 sessions AS (
   SELECT user_id, event_id, ts,
-         sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         CAST(sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+              AS BIGINT)
            AS session_id
   FROM flagged
 )
 SELECT user_id, session_id, count(*) AS n_events,
-       min(ts) AS session_start, max(ts) AS session_end
+       epoch_us(CAST(min(ts) AS TIMESTAMP)) AS session_start_us,
+       epoch_us(CAST(max(ts) AS TIMESTAMP)) AS session_end_us
 FROM sessions
 GROUP BY user_id, session_id
 ORDER BY user_id, session_id
 """,
 )
 def sessionize_events(spark, sf_dir):
+    # Parity note: session bounds are emitted as epoch-microsecond BIGINTs —
+    # raw timestamp outputs hash dtype-sensitively under the driver (DuckDB
+    # reads events.ts as TIMESTAMP_NS, Spark as TIMESTAMP_NTZ micros).
     events = load(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     prev = F.lag("ts").over(w)
@@ -444,8 +449,8 @@ def sessionize_events(spark, sf_dir):
         sessions.groupBy("user_id", "session_id")
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            F.min("ts").alias("session_start"),
-            F.max("ts").alias("session_end"),
+            F.unix_micros(F.min("ts").cast("timestamp")).alias("session_start_us"),
+            F.unix_micros(F.max("ts").cast("timestamp")).alias("session_end_us"),
         )
         .orderBy("user_id", "session_id")
     )

@@ -292,27 +292,33 @@ SELECT file_path,
        min(similarity) AS min_score,
        max(similarity) AS max_score,
        count(*) AS n_hits,
-       first(file_type) AS file_type,
-       CASE WHEN first(file_type) = '.pdf'
-            THEN list_sort(list_distinct(list(page_number))) ELSE [] END AS pages
+       arg_max(file_type, vec_id) AS file_type,
+       CASE WHEN arg_max(file_type, vec_id) = '.pdf'
+            THEN array_to_string(list_sort(list_distinct(list(page_number))), ',')
+            ELSE '' END AS pages
 FROM hits
 GROUP BY file_path
 ORDER BY file_path
 """,
 )
 def citations_agg(spark, sf_dir):
+    # Parity notes: pages is emitted as a ','-joined STRING (never an array —
+    # the driver's canonicalizer cannot sort list columns), and file_type is
+    # picked with max_by(file_type, vec_id) / arg_max (first() is
+    # shuffle-order-dependent on both engines).
     hits = _hits_df(spark, sf_dir)
+    file_type = F.max_by("file_type", "vec_id")
     pages = F.when(
-        F.first("file_type") == ".pdf",
-        F.array_sort(F.array_distinct(F.collect_list("page_number"))),
-    ).otherwise(F.array().cast("array<int>"))
+        file_type == ".pdf",
+        F.array_join(F.array_sort(F.array_distinct(F.collect_list("page_number"))), ","),
+    ).otherwise(F.lit(""))
     return (
         hits.groupBy("file_path")
         .agg(
             F.min("similarity").alias("min_score"),
             F.max("similarity").alias("max_score"),
             F.count(F.lit(1)).alias("n_hits"),
-            F.first("file_type").alias("file_type"),
+            file_type.alias("file_type"),
             pages.alias("pages"),
         )
         .orderBy("file_path")
@@ -405,19 +411,25 @@ def hash_sha256(spark, sf_dir):
 @register(
     "json_props_extract",
     """
-SELECT CAST(json_extract(props, '$.k') AS BIGINT) % 10 AS k_bucket,
+SELECT COALESCE(CAST(json_extract_string(props, '$.k') AS BIGINT) % 10, -1) AS k_bucket,
        count(*) AS n,
-       sum(CAST(json_extract(props, '$.k') AS BIGINT)) AS k_sum
+       CAST(COALESCE(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)), 0) AS BIGINT) AS k_sum
 FROM events
 GROUP BY 1
 ORDER BY k_bucket
 """,
 )
 def json_props_extract(spark, sf_dir):
+    # Parity note: rows whose props lack $.k form a NULL group — Spark sorts
+    # NULLS FIRST, DuckDB NULLS LAST, and nullable ints hash as object dtype,
+    # so both the bucket and the sum are coalesced to sentinels on BOTH sides.
     events = load(spark, sf_dir, "events")
     k = F.get_json_object("props", "$.k").cast("bigint")
     return (
-        events.groupBy((k % 10).alias("k_bucket"))
-        .agg(F.count(F.lit(1)).alias("n"), F.sum(k).alias("k_sum"))
+        events.groupBy(F.coalesce(k % 10, F.lit(-1)).alias("k_bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.coalesce(F.sum(k), F.lit(0)).alias("k_sum"),
+        )
         .orderBy("k_bucket")
     )
