@@ -208,6 +208,109 @@ def jaccard_pairs(
     )
 
 
+def simhash64_bands(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_bands: int = 4,
+    band_bits: int = 16,
+) -> DataFrame:
+    """64-bit simhash represented as ``num_bands`` x ``band_bits`` band
+    columns ``band_0..band_{B-1}`` (never a single 64-bit int: 1<<63
+    overflows signed BIGINT under ANSI mode, and the banded layout is what
+    the scale path needs anyway).
+
+    Bit i of the signature comes from sha256-hex digit i of each distinct
+    token (sha256 hex has 64 digits == 64 independent bits; md5 only has
+    32). All ``num_bands * band_bits`` signed sums run in ONE shuffle.
+
+    Scale rationale (SCALE.md): equal-FULL-signature bucketing at 16 bits
+    puts ~|corpus| / 2^16 docs per bucket — quadratic blowup at 10^9 docs.
+    Banding at 64 bits gives 2^16 buckets per band over a 64-bit space, and
+    candidates are pairs equal in >=1 band (standard simhash pigeonhole: a
+    pair within Hamming distance B-1 must agree on some band)."""
+    nbits = num_bands * band_bits
+    toks = (
+        docs.select(F.col(id_col), tokens_expr(text_col).alias("_toks"))
+        .select(
+            F.col(id_col),
+            F.explode(F.array_distinct(F.col("_toks"))).alias("token"),
+        )
+        .withColumn("tok_h", F.sha2("token", 256))
+    )
+    sums = toks.groupBy(id_col).agg(
+        *[
+            F.sum(
+                F.when(F.substring("tok_h", i + 1, 1) >= "8", 1).otherwise(-1)
+            ).alias(f"bitsum_{i}")
+            for i in range(nbits)
+        ]
+    )
+    band_cols = []
+    for b in range(num_bands):
+        val: Column | None = None
+        for j in range(band_bits):
+            bit = F.when(
+                F.col(f"bitsum_{b * band_bits + j}") > 0, F.lit(1 << j)
+            ).otherwise(F.lit(0))
+            val = bit if val is None else val + bit
+        band_cols.append(val.cast("bigint").alias(f"band_{b}"))
+    return sums.select(F.col(id_col), *band_cols)
+
+
+def simhash_hamming_pairs(
+    sigs: DataFrame,
+    threshold: int = 3,
+    id_col: str = "doc_id",
+    num_bands: int = 4,
+) -> DataFrame:
+    """(id_a, id_b, hamming) pairs within ``threshold`` Hamming distance over
+    the banded 64-bit simhash: candidates via a band-value EQUI-join (pairs
+    equal in at least one band — complete for threshold <= num_bands - 1),
+    then exact Hamming verify with bit_count(xor) per band. No cross join
+    anywhere; candidate volume scales with true near-duplicates."""
+    bands = sigs.select(
+        F.col(id_col),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band_idx"),
+                        F.col(f"band_{b}").alias("band_val"),
+                    )
+                    for b in range(num_bands)
+                ]
+            )
+        ).alias("x"),
+    ).select(id_col, "x.band_idx", "x.band_val")
+    a = bands.select(F.col(id_col).alias("id_a"), "band_idx", "band_val")
+    b = bands.select(F.col(id_col).alias("id_b"), "band_idx", "band_val")
+    cands = (
+        a.join(b, ["band_idx", "band_val"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    sa = sigs.select(
+        F.col(id_col).alias("id_a"),
+        *[F.col(f"band_{i}").alias(f"a_{i}") for i in range(num_bands)],
+    )
+    sb = sigs.select(
+        F.col(id_col).alias("id_b"),
+        *[F.col(f"band_{i}").alias(f"b_{i}") for i in range(num_bands)],
+    )
+    ham: Column | None = None
+    for i in range(num_bands):
+        h = F.bit_count(F.col(f"a_{i}").bitwiseXOR(F.col(f"b_{i}")))
+        ham = h if ham is None else ham + h
+    return (
+        cands.join(sa, "id_a")
+        .join(sb, "id_b")
+        .select("id_a", "id_b", ham.cast("bigint").alias("hamming"))
+        .filter(F.col("hamming") <= threshold)
+    )
+
+
 def simhash_expr_cols(num_bits: int = 16) -> list[Column]:
     """Per-bit signed-sum aggregates over a ``tok_md5`` column: bit i is set
     iff sum over tokens of (+1 if md5 hex digit i >= '8' else -1) > 0."""

@@ -242,6 +242,77 @@ def dedup_simhash_pairs(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# 64-bit SimHash with Hamming banding — the 100 TB-shaped variant: sha256-hex
+# bit sums -> 4x16-bit band columns -> candidates via band-value equi-join
+# (complete for Hamming <= 3 by pigeonhole) -> bit_count(xor) verify.
+# ---------------------------------------------------------------------------
+
+_SIM64_SUM_SQL = ",\n         ".join(
+    f"sum(CASE WHEN substr(h, {i + 1}, 1) >= '8' THEN 1 ELSE -1 END) AS s{i}"
+    for i in range(64)
+)
+
+
+def _band_val_sql(b: int) -> str:
+    return " + ".join(
+        f"(CASE WHEN s{16 * b + j} > 0 THEN {1 << j} ELSE 0 END)" for j in range(16)
+    )
+
+
+_SIG64_SQL = rf"""
+tokens AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
+                     t -> t != '') AS toks
+  FROM corpus
+),
+tok AS (
+  SELECT doc_id, unnest(list_distinct(toks)) AS token FROM tokens
+),
+hashed AS (SELECT doc_id, sha256(token) AS h FROM tok),
+sums64 AS (
+  SELECT doc_id,
+         {_SIM64_SUM_SQL}
+  FROM hashed GROUP BY doc_id
+),
+sig64 AS (
+  SELECT doc_id,
+         {", ".join(f"CAST({_band_val_sql(b)} AS BIGINT) AS band_{b}" for b in range(4))}
+  FROM sums64
+),
+bands64 AS (
+{chr(10).join(f"  SELECT doc_id, {b} AS band_idx, band_{b} AS band_val FROM sig64" + (" UNION ALL" if b < 3 else "") for b in range(4))}
+)
+"""
+
+_HAM_SQL = " + ".join(f"bit_count(xor(sa.band_{b}, sb.band_{b}))" for b in range(4))
+
+
+@register(
+    "dedup_simhash_hamming",
+    f"""
+WITH corpus AS ({_CORPUS_SQL}),
+{_SIG64_SQL},
+cands AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM bands64 a
+  JOIN bands64 b ON a.band_idx = b.band_idx AND a.band_val = b.band_val
+  WHERE a.doc_id < b.doc_id
+)
+SELECT c.id_a, c.id_b, CAST({_HAM_SQL} AS BIGINT) AS hamming
+FROM cands c
+JOIN sig64 sa ON sa.doc_id = c.id_a
+JOIN sig64 sb ON sb.doc_id = c.id_b
+WHERE {_HAM_SQL} <= 3
+ORDER BY id_a, id_b
+""",
+)
+def dedup_simhash_hamming(spark, sf_dir):
+    sigs = D.simhash64_bands(_corpus(spark, sf_dir))
+    return D.simhash_hamming_pairs(sigs, threshold=3).orderBy("id_a", "id_b")
+
+
+# ---------------------------------------------------------------------------
 # Embedding-cosine near-dup: label-blocked pairwise dot product >= 0.95
 # (production path replaces the label block with LSH buckets — see
 # operators/similarity.py).
