@@ -120,3 +120,38 @@ def test_delete_before_any_create_is_noop(spark, tmp_path):
     mgr = VectorDatabaseManager(spark, str(tmp_path / "fresh_root"))
     mgr.delete_database("never_existed")  # must not raise
     assert mgr.registry.list() == {}
+
+
+def test_ivf_index_build_and_ann_search(spark, tmp_path, corpus_dir):
+    """S6: build_ivf_index writes the partitioned embeddings_ivf table and
+    the ivf_centroids sidecar; search_ann probes the sidecar (never the
+    corpus) and returns ranked hits from the probed clusters only."""
+    import os
+
+    mgr = VectorDatabaseManager(spark, str(tmp_path / "dbs"))
+    mgr.create_database("kb2", corpus_dir, chunk_size=200, chunk_overlap=100)
+    mgr.build_ivf_index("kb2")
+
+    db_dir = str(tmp_path / "dbs" / "kb2")
+    assert os.path.isdir(os.path.join(db_dir, "embeddings_ivf"))
+    assert os.path.isdir(os.path.join(db_dir, "ivf_centroids"))
+    # the rewrite is physically partitioned by cluster_id
+    assert any(
+        d.startswith("cluster_id=")
+        for d in os.listdir(os.path.join(db_dir, "embeddings_ivf"))
+    )
+
+    hits = mgr.search_ann("kb2", "distributed spark engine", k=4, nprobe=2).collect()
+    assert 0 < len(hits) <= 4
+    dists = [r["distance"] for r in hits]
+    assert dists == sorted(dists)
+
+    # ANN hits must be a subset of the probed clusters' brute-force ranking:
+    # every returned distance appears in the full-corpus scoring
+    full = {
+        r["chunk_id"]
+        for r in spark.read.parquet(os.path.join(db_dir, "embeddings")).select(
+            "chunk_id"
+        ).collect()
+    }
+    assert {r["chunk_id"] for r in hits} <= full

@@ -54,3 +54,56 @@ def test_knn_scan_reads_only_needed_columns(spark):
     df = knn(emb, Q, k=6)
     plan = explain_string(df)
     assert "label" not in plan.split("ReadSchema:")[-1]
+
+
+def test_ivf_search_prebuilt_centroids_no_corpus_aggregate(spark):
+    """The IVF QUERY path must probe the build-time centroid artifact, not
+    re-aggregate the corpus: search plan = cached-centroid scan + broadcast
+    semi join + pruned top-k (VERDICT r1: centroid groupBy per query is a
+    full scan per query at 100 TB)."""
+    from vector_db_light_spark.operators.similarity import ivf_centroids, ivf_search
+
+    emb = spark.read.parquet(f"{SF_ORACLE}/embeddings.parquet")
+    cents = ivf_centroids(emb, 64).persist()
+    cents.count()  # materialize the build artifact
+    try:
+        df = ivf_search(emb, Q, nprobe=2, k=10, centroids=cents)
+        plan = explain_string(df)
+        assert "InMemoryTableScan" in plan  # centroids come from the artifact
+        assert "TakeOrderedAndProject" in plan
+        # The executed search stages must not re-aggregate the corpus for
+        # centroids: no aggregate outside the cached-relation description.
+        executed = plan.split("InMemoryRelation")[0]
+        assert "HashAggregate" not in executed
+    finally:
+        cents.unpersist()
+
+
+def test_batch_knn_exchange_is_on_prereduced_candidates(spark):
+    """batch_knn's shuffle must move a pre-reduced candidate set, never
+    |corpus| x |queries| rows (VERDICT r1): Spark's WindowGroupLimit rule
+    must fire in Partial mode BELOW the exchange (each input partition keeps
+    only its own top-k per query before shuffling) and again in Final mode
+    above it. If a refactor breaks the rank-filter shape the rule recognizes
+    (row_number + rk <= k), the partial node disappears — this test is the
+    tripwire."""
+    import pyspark.sql.functions as F
+
+    from vector_db_light_spark.operators.similarity import batch_knn
+
+    emb = spark.read.parquet(f"{SF_ORACLE}/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    df = batch_knn(emb, queries, k=3)
+    tree = explain_string(df).split("\n\n")[0]  # the tree section, top-down
+    wgl_lines = [i for i, l in enumerate(tree.splitlines()) if "WindowGroupLimit" in l]
+    exch_lines = [
+        i
+        for i, l in enumerate(tree.splitlines())
+        if "Exchange" in l and "BroadcastExchange" not in l
+    ]
+    assert len(wgl_lines) == 2, f"expected Partial+Final WindowGroupLimit:\n{tree}"
+    assert len(exch_lines) == 1, f"expected exactly one shuffle exchange:\n{tree}"
+    # top-down text: Final WGL above the exchange, Partial WGL below it
+    assert wgl_lines[0] < exch_lines[0] < wgl_lines[1], tree

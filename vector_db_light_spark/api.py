@@ -173,6 +173,70 @@ class VectorDatabaseManager:
             DatabaseInfo("hashed-features-16", chunk_size, chunk_overlap, metric),
         )
 
+    # -- S6: ANN index build (build-time artifact, queried by search_ann) ----
+    def build_ivf_index(
+        self,
+        name: str,
+        dim: int = DEFAULT_DIM,
+        n_planes: int = 4,
+    ) -> None:
+        """Build the IVF artifact pair (reference vector_db_creator.py:205-235
+        writes a FLAT index + index_metadata.json sidecar; here both sides are
+        parquet):
+
+          * ``embeddings_ivf`` — the embeddings table REWRITTEN partitioned by
+            a deterministic ``cluster_id`` (hyperplane-LSH sign bucket), so a
+            probed search is a partition-pruned scan;
+          * ``ivf_centroids``  — the tiny (cluster_id, centroid) sidecar the
+            query path probes INSTEAD of re-aggregating the corpus per query.
+        """
+        from .operators.similarity import (
+            ivf_centroids,
+            lsh_bucket_expr,
+            random_hyperplanes,
+        )
+
+        planes = random_hyperplanes(n_planes, dim)
+        emb = self.spark.read.parquet(self._table(name, "embeddings"))
+        clustered = emb.withColumn(
+            "cluster_id", lsh_bucket_expr("embedding", planes)
+        )
+        clustered.write.partitionBy("cluster_id").mode("overwrite").parquet(
+            self._table(name, "embeddings_ivf")
+        )
+        ivf = self.spark.read.parquet(self._table(name, "embeddings_ivf"))
+        ivf_centroids(ivf, dim, cluster_col="cluster_id").write.mode(
+            "overwrite"
+        ).parquet(self._table(name, "ivf_centroids"))
+
+    def search_ann(
+        self,
+        name: str,
+        query: str,
+        k: int = DEFAULT_CONTEXTS,
+        nprobe: int = 2,
+    ) -> DataFrame:
+        """IVF-pruned ANN search: probe the centroid SIDECAR (never the
+        corpus) for the nearest ``nprobe`` clusters, then scan only those
+        partitions of ``embeddings_ivf``."""
+        from .functions.embedding import HashedFeatureEmbedder
+        from .operators.similarity import ivf_search
+
+        if self.registry.get(name) is None:
+            raise ValueError(f"unknown database {name!r}")
+        qvec = HashedFeatureEmbedder().encode_one(query)
+        ivf = self.spark.read.parquet(self._table(name, "embeddings_ivf"))
+        cents = self.spark.read.parquet(self._table(name, "ivf_centroids"))
+        return ivf_search(
+            ivf,
+            qvec,
+            nprobe=nprobe,
+            k=k,
+            cluster_col="cluster_id",
+            id_col="chunk_id",
+            centroids=cents,
+        )
+
     # -- S9: metadata scan --------------------------------------------------
     def list_files(self, name: str) -> DataFrame:
         return (

@@ -40,10 +40,15 @@ def batch_knn(
 ) -> DataFrame:
     """Cosine top-k per query: one corpus scan x broadcast queries.
 
-    Returns (query_id, vec_id, distance, rk). The per-query top-k uses a
-    row_number window over query_id — fine while each query's candidate set
-    fits a partition group; for huge corpora pre-reduce with a per-partition
-    LIMIT (TakeOrdered shape) before the window.
+    Returns (query_id, vec_id, distance, rk). The row_number window +
+    ``rk <= k`` filter is deliberately the EXACT shape Spark's
+    WindowGroupLimit rule recognizes: the physical plan runs a Partial
+    WindowGroupLimit on every input partition BEFORE the exchange, so the
+    shuffle moves at most k x |input partitions| rows per query — never
+    |corpus| x |queries| — and no query-id partition can blow up however
+    few or skewed the queries are. tests/test_plans.py pins this shape
+    (a hand-rolled groupBy-partition pre-top-k was measured strictly worse:
+    it adds a second exchange for the same reduction).
     """
     q = queries.select(
         F.col(query_id_col), F.col(query_vec_col).cast("array<double>").alias("_qv")
@@ -176,21 +181,38 @@ def ivf_centroids(
 def ivf_search(
     corpus: DataFrame,
     query_vector: list[float],
-    dim: int,
+    dim: int | None = None,
     nprobe: int = 2,
     k: int = 10,
     cluster_col: str = "label",
     id_col: str = "vec_id",
     vector_col: str = "embedding",
+    centroids: DataFrame | None = None,
 ) -> DataFrame:
     """IVF: pick the ``nprobe`` clusters whose centroids are nearest the
     query, then brute-force only those clusters.
+
+    ``centroids`` is the BUILD-TIME artifact — a tiny (cluster, centroid)
+    table written once at index build (``api.VectorDatabaseManager.
+    build_ivf_index``, the analogue of the reference's index_metadata.json
+    sidecar, vector_db_creator.py:205-235). Pass it so the query path scans
+    only the centroid table + the probed clusters. The ``centroids=None``
+    fallback recomputes centroids with a FULL corpus groupBy per query —
+    acceptable in one-off exploration, a scale-killer in a serving path
+    (at 100 TB it is a full scan per query); ``dim`` is then required.
 
     With the corpus written PARTITIONED BY cluster_col, the left-semi join
     below becomes a partition-pruning filter: unprobed data is never read.
     """
     q = V.vector_lit(query_vector)
-    cents = ivf_centroids(corpus, dim, cluster_col=cluster_col, vector_col=vector_col)
+    if centroids is None:
+        if dim is None:
+            raise ValueError("dim is required when no centroid table is given")
+        cents = ivf_centroids(
+            corpus, dim, cluster_col=cluster_col, vector_col=vector_col
+        )
+    else:
+        cents = centroids
     probed = (
         cents.select(
             F.col(cluster_col),
