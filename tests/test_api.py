@@ -155,3 +155,17 @@ def test_ivf_index_build_and_ann_search(spark, tmp_path, corpus_dir):
         ).collect()
     }
     assert {r["chunk_id"] for r in hits} <= full
+
+
+def test_search_uses_model_instruction_prefix(spark, tmp_path, corpus_dir):
+    """V1 prefix hook end-to-end: a bge-registered database encodes
+    prompt+query; results stay valid and the registry carries the model."""
+    mgr = VectorDatabaseManager(spark, str(tmp_path / "dbs"))
+    mgr.create_database(
+        "kbp", corpus_dir, chunk_size=200, chunk_overlap=100,
+        model="bge-small-en-v1.5",
+    )
+    assert mgr.registry.get("kbp").model == "bge-small-en-v1.5"
+    hits = mgr.search("kbp", "distributed spark engine", k=3,
+                      score_threshold=0.0).collect()
+    assert 0 < len(hits) <= 3

@@ -115,6 +115,7 @@ class VectorDatabaseManager:
         chunk_overlap: int = DEFAULT_CHUNK_OVERLAP,
         dim: int = DEFAULT_DIM,
         metric: str = "cosine",
+        model: str = "hashed-features-16",
     ) -> None:
         # Precondition checks (utilities.py:131-163 parity): valid name,
         # sane chunk geometry, source dir present.
@@ -170,7 +171,7 @@ class VectorDatabaseManager:
         parsed.write.mode("errorifexists").parquet(self._table(name, "documents"))
         self.registry.add(
             name,
-            DatabaseInfo("hashed-features-16", chunk_size, chunk_overlap, metric),
+            DatabaseInfo(model, chunk_size, chunk_overlap, metric),
         )
 
     # -- S6: ANN index build (build-time artifact, queried by search_ann) ----
@@ -220,11 +221,13 @@ class VectorDatabaseManager:
         corpus) for the nearest ``nprobe`` clusters, then scan only those
         partitions of ``embeddings_ivf``."""
         from .functions.embedding import HashedFeatureEmbedder
+        from .functions.policy import prefixed_query
         from .operators.similarity import ivf_search
 
-        if self.registry.get(name) is None:
+        info = self.registry.get(name)
+        if info is None:
             raise ValueError(f"unknown database {name!r}")
-        qvec = HashedFeatureEmbedder().encode_one(query)
+        qvec = HashedFeatureEmbedder().encode_one(prefixed_query(info.model, query))
         ivf = self.spark.read.parquet(self._table(name, "embeddings_ivf"))
         cents = self.spark.read.parquet(self._table(name, "ivf_centroids"))
         return ivf_search(
@@ -256,13 +259,18 @@ class VectorDatabaseManager:
         document_types: str = "",
     ) -> DataFrame:
         """The reference search pipeline (vector_db_query.py:136-267) with a
-        V1 driver-side query embed (1-row encode is not a cluster job)."""
+        V1 driver-side query embed (1-row encode is not a cluster job).
+        The registered model's family-specific instruction prefix is
+        prepended to the QUERY before encoding (embedding_models.py:27-33,
+        159-162 parity — e.g. qwen's 'Instruct: ...' / bge's 'Represent
+        this sentence ...'); corpus passages are never prefixed here."""
         from .functions.embedding import HashedFeatureEmbedder
+        from .functions.policy import prefixed_query
 
         info = self.registry.get(name)
         if info is None:
             raise ValueError(f"unknown database {name!r}")
-        qvec = HashedFeatureEmbedder().encode_one(query)
+        qvec = HashedFeatureEmbedder().encode_one(prefixed_query(info.model, query))
         emb = self.spark.read.parquet(self._table(name, "embeddings"))
         # the embeddings table carries text + metadata inline, so it is both
         # the scan side and the lookup side of the shared pipeline

@@ -22,6 +22,45 @@ from __future__ import annotations
 
 from dataclasses import dataclass
 
+# Per-family instruction prefixes (embedding_models.py:13-33 parity): qwen
+# prefixes QUERIES only; bge prefixes both queries and passages; everything
+# else encodes raw text. Applied by api.search before the 1-row query encode.
+QUERY_PROMPT_BY_FAMILY = {
+    "qwen": (
+        "Instruct: Given a web search query, retrieve relevant passages "
+        "that answer the query\nQuery: "
+    ),
+    "bge": "Represent this sentence for searching relevant passages: ",
+    "generic": "",
+}
+
+
+def model_family(model_path: str) -> str:
+    """embedding_models.py:13-24 parity: family from a substring of the
+    model path/name."""
+    lowered = model_path.lower()
+    if "qwen" in lowered:
+        return "qwen"
+    if "bge" in lowered:
+        return "bge"
+    return "generic"
+
+
+def query_prompt(family: str, is_query: bool = False) -> str:
+    """embedding_models.py:27-33 parity: qwen's instruction applies to the
+    QUERY side only; bge's 'Represent this sentence' applies to every
+    encode; generic models get no prefix."""
+    if family == "qwen":
+        return QUERY_PROMPT_BY_FAMILY["qwen"] if is_query else ""
+    return QUERY_PROMPT_BY_FAMILY.get(family, "")
+
+
+def prefixed_query(model_path: str, query: str) -> str:
+    """The V1 hook: the exact text handed to the 1-row query encode
+    (embedding_models.py:159-162 ``embed_query``)."""
+    return query_prompt(model_family(model_path), is_query=True) + query
+
+
 BATCH_SIZE_BY_MODEL = {
     "qwen3-embedding-0.6b": 4,
     "bge-small-en-v1.5": 12,

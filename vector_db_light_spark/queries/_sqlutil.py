@@ -12,7 +12,12 @@ QUERY_VEC = default_query_vector(dim=64, seed=7)
 
 
 def vec_sql(vec: list[float]) -> str:
-    return "[" + ", ".join(repr(float(v)) for v in vec) + "]::DOUBLE[]"
+    """Float literals go through VARCHAR: DuckDB parses bare numeric
+    literals as DECIMAL first, and the DECIMAL->DOUBLE conversion double-
+    rounds some 17-digit values (found live: 0.20412414523193154 parses to
+    a neighboring double in a bare list literal but exactly via
+    '0.20412414523193154'::DOUBLE)."""
+    return "[" + ", ".join(f"'{float(v)!r}'" for v in vec) + "]::DOUBLE[]"
 
 
 QUERY_VEC_SQL = vec_sql(QUERY_VEC)

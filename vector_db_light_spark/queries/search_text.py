@@ -12,12 +12,19 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from ..functions.embedding import HashedFeatureEmbedder, embed_documents
+from ..functions.policy import prefixed_query
 from ..functions.vector import clip01, dot, vector_lit
 from ..registry import load, register
+from ._sqlutil import vec_sql
 
 QUERY_TEXT = "data batch stream query join"
-_QVEC = HashedFeatureEmbedder().encode_one(QUERY_TEXT)
-_QVEC_SQL = "[" + ", ".join(repr(v) for v in _QVEC) + "]::DOUBLE[]"
+# V1 instruction-prefix hook (embedding_models.py:27-33,159-162): the query
+# is encoded with its model family's instruction prefix ('bge' here). The
+# oracle mirrors it for free — the prefixed query vector is inlined as a SQL
+# literal below.
+QUERY_MODEL = "bge-small-en-v1.5"
+_QVEC = HashedFeatureEmbedder().encode_one(prefixed_query(QUERY_MODEL, QUERY_TEXT))
+_QVEC_SQL = vec_sql(_QVEC)
 
 _TOKS_SQL = r"list_filter(regexp_split_to_array(trim(lower(text)), '\s+'), t -> t != '')"
 
