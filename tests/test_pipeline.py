@@ -44,6 +44,42 @@ def test_ingest_parses_and_surfaces_errors(spark, tmp_path):
     assert rows["a.txt"]["hash"] and rows["a.txt"]["file_type"] == ".txt"
 
 
+def test_register_parser_plugs_into_pipeline(spark, tmp_path):
+    """S2 pluggability: installing a parser for an extension (here a fake
+    .pdf text-extractor standing in for PyMuPDF) flows through ingest with
+    no pipeline changes, and the parse_error contract stays intact for the
+    still-unregistered heavy formats. The dispatch snapshot is per-plan, so
+    restoring the default afterwards cannot leak into other tests."""
+    from vector_db_light_spark.sources.ingest import (
+        PARSERS,
+        ingest,
+        register_parser,
+    )
+
+    (tmp_path / "doc.pdf").write_text("%PDF-fake payload")
+    (tmp_path / "sheet.xlsx").write_text("binary-ish")
+    before = PARSERS[".pdf"]
+    register_parser(".pdf", lambda b: "PDF::" + b.decode("utf-8", "replace"))
+    try:
+        rows = {r["file_name"]: r for r in ingest(spark, str(tmp_path)).collect()}
+    finally:
+        register_parser(".pdf", before)
+    assert rows["doc.pdf"]["parse_error"] is None
+    assert rows["doc.pdf"]["text"] == "PDF::%PDF-fake payload"
+    assert "NotImplementedError" in rows["sheet.xlsx"]["parse_error"]
+
+    # a brand-new extension becomes allowed on registration
+    register_parser(".zzz", lambda b: "Z")
+    try:
+        (tmp_path / "x.zzz").write_text("anything")
+        got = {r["file_name"]: r for r in ingest(spark, str(tmp_path)).collect()}
+        assert got["x.zzz"]["text"] == "Z"
+    finally:
+        from vector_db_light_spark.sources.ingest import ALLOWED_EXTS
+        PARSERS.pop(".zzz", None)
+        ALLOWED_EXTS.discard(".zzz")
+
+
 def test_multimodal_meta_stub(spark):
     from vector_db_light_spark.operators.multimodal import (
         attach_payload,

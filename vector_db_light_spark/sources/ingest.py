@@ -41,6 +41,48 @@ ALLOWED_EXTS = TEXT_EXTS | HTML_EXTS | HEAVY_EXTS
 _TAG_RE = re.compile(r"<[^>]+>")
 
 
+def _parse_text(content: bytes) -> str:
+    return content.decode("utf-8", errors="replace")
+
+
+def _parse_html(content: bytes) -> str:
+    return _TAG_RE.sub(" ", content.decode("utf-8", errors="replace"))
+
+
+def _parse_heavy_missing(ext: str):
+    def parse(content: bytes) -> str:
+        # Real parsers (PyMuPDF, python-docx, ...) are optional extras not
+        # present in this container (SURVEY.md §7 hard-part #4). Register a
+        # real one with register_parser(ext, fn) when the lib is installed.
+        raise NotImplementedError(f"no parser library available for {ext}")
+
+    return parse
+
+
+# Pluggable dispatch table (the reference's loader map is a per-extension
+# class table, document_processor.py:127-217 / constants.py:294-311): a
+# parser lib drops in per extension without touching the pipeline.
+# parse_documents snapshots this dict into its closure at plan-build time,
+# so registrations made before building the plan ship to executors with it.
+PARSERS: dict[str, object] = {
+    **{ext: _parse_text for ext in TEXT_EXTS},
+    **{ext: _parse_html for ext in HTML_EXTS},
+    **{ext: _parse_heavy_missing(ext) for ext in HEAVY_EXTS},
+}
+
+
+def register_parser(ext: str, parser) -> None:
+    """Install/override the parser callable (``bytes -> str``) for an
+    extension, e.g. ``register_parser('.pdf', lambda b: fitz_extract(b))``
+    once PyMuPDF is available (reference document_processor.py:95-113).
+    Newly registered extensions are automatically allowed through ingest."""
+    ext = ext.lower()
+    if not ext.startswith("."):
+        ext = "." + ext
+    PARSERS[ext] = parser
+    ALLOWED_EXTS.add(ext)
+
+
 def scan_files(spark: SparkSession, source_dir: str, glob: str = "*") -> DataFrame:
     """S1: binaryFile scan -> (path, modificationTime, length, content)."""
     return (
@@ -50,20 +92,20 @@ def scan_files(spark: SparkSession, source_dir: str, glob: str = "*") -> DataFra
     )
 
 
-def _parse_bytes(ext: str, content: bytes) -> str:
-    if ext in TEXT_EXTS:
-        return content.decode("utf-8", errors="replace")
-    if ext in HTML_EXTS:
-        return _TAG_RE.sub(" ", content.decode("utf-8", errors="replace"))
-    if ext in HEAVY_EXTS:
-        # Real parsers (PyMuPDF, python-docx, ...) are optional extras not
-        # present in this container (SURVEY.md §7 hard-part #4).
-        raise NotImplementedError(f"no parser library available for {ext}")
-    raise ValueError(f"unsupported extension {ext}")
+def _parse_bytes(ext: str, content: bytes, parsers: dict | None = None) -> str:
+    parser = (PARSERS if parsers is None else parsers).get(ext)
+    if parser is None:
+        raise ValueError(f"unsupported extension {ext}")
+    return parser(content)
 
 
 def parse_documents(files: DataFrame) -> DataFrame:
-    """S2+S4: per-file parse with failures surfaced as ``parse_error``."""
+    """S2+S4: per-file parse with failures surfaced as ``parse_error``.
+
+    The dispatch table is SNAPSHOTTED by value into the mapInPandas closure
+    here: module-level lookup on the executor would re-import this module
+    and see only the defaults, silently dropping runtime
+    ``register_parser`` installs."""
     schema = StructType(
         [
             StructField("file_path", StringType(), False),
@@ -71,6 +113,7 @@ def parse_documents(files: DataFrame) -> DataFrame:
             StructField("parse_error", StringType(), True),
         ]
     )
+    parsers = dict(PARSERS)
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -78,7 +121,7 @@ def parse_documents(files: DataFrame) -> DataFrame:
             for path, content in zip(pdf["path"], pdf["content"]):
                 ext = "." + path.rsplit(".", 1)[-1].lower() if "." in path else ""
                 try:
-                    out.append((path, _parse_bytes(ext, bytes(content)), None))
+                    out.append((path, _parse_bytes(ext, bytes(content), parsers), None))
                 except Exception as ex:
                     out.append((path, None, f"{type(ex).__name__}: {ex}"))
             yield pd.DataFrame(out, columns=["file_path", "text", "parse_error"])
