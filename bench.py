@@ -5,6 +5,12 @@ JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
 
 Each query is materialized through the noop sink (full execution, no
 driver-side row transfer), after a warm-up that triggers JVM/codegen init.
+
+Regression guard: each query is compared against the recorded baseline
+(BENCH_r01.json, same sf). A query is a regression when it is BOTH >2x its
+baseline AND >0.5s over it (absolute slack + one retry filter out timing
+noise on sub-second queries). Regressions are listed on stderr and flip the
+exit code to 1 — the JSON line on stdout is printed either way.
 """
 
 from __future__ import annotations
@@ -52,13 +58,39 @@ def main() -> int:
         "noop"
     ).save()
 
-    timings: dict[str, float] = {}
-    for name in HEADLINE:
+    def run_once(name: str) -> float:
         t0 = time.time()
         QUERIES[name](spark, sf_dir).write.mode("overwrite").format("noop").save()
-        timings[name] = round(time.time() - t0, 3)
+        return round(time.time() - t0, 3)
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        timings[name] = run_once(name)
 
     sf = float(os.path.basename(sf_dir.rstrip("/")).removeprefix("sf") or "0.1")
+
+    # Per-query regression guard vs the recorded baseline at the same sf.
+    # Ratios are normalized by the median ratio so a uniformly loaded
+    # machine (every query inflated alike) does not read as a regression —
+    # only queries that got slower RELATIVE to the rest trip the guard.
+    baseline = _load_baseline(sf)
+    ratios = sorted(
+        timings[n] / baseline[n] for n in baseline if n in timings and baseline[n] > 0
+    )
+    med = ratios[len(ratios) // 2] if ratios else 1.0
+    norm = max(1.0, med)
+    regressions: list[str] = []
+    for name, base_t in baseline.items():
+        t = timings.get(name)
+        if t is None or not _is_regression(t, base_t, norm):
+            continue
+        timings[name] = t = min(t, run_once(name))  # one retry: drop noise
+        if _is_regression(t, base_t, norm):
+            regressions.append(
+                f"{name}: {t:.3f}s vs baseline {base_t:.3f}s "
+                f"(>{2 * norm:.2f}x with load-normalization {norm:.2f})"
+            )
+
     out = {
         "metric": f"total wall-clock of {len(HEADLINE)} headline queries (noop sink)",
         "value": round(sum(timings.values()), 3),
@@ -67,8 +99,27 @@ def main() -> int:
         "sf": sf,
     }
     print(json.dumps(out))
+    for line in regressions:
+        print(f"REGRESSION  {line}", file=sys.stderr)
     spark.stop()
-    return 0
+    return 1 if regressions else 0
+
+
+def _load_baseline(sf: float) -> dict[str, float]:
+    path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_r01.json")
+    try:
+        with open(path) as f:
+            data = json.load(f)
+    except (OSError, ValueError):
+        return {}
+    data = data.get("parsed", data)  # driver records wrap the JSON line
+    if float(data.get("sf", -1)) != sf:
+        return {}
+    return {k: float(v) for k, v in data.get("queries", {}).items()}
+
+
+def _is_regression(t: float, base_t: float, norm: float = 1.0) -> bool:
+    return t > 2.0 * norm * base_t and t - base_t > 0.5
 
 
 if __name__ == "__main__":

@@ -52,7 +52,12 @@ def get_spark(
 
 
 def load_tables(spark: SparkSession, sf_dir: str, names: tuple[str, ...] | None = None):
-    """Load the driver's parquet tables from ``sf_dir`` as a dict of DataFrames."""
+    """Load the driver's parquet tables from ``sf_dir`` as a dict of
+    DataFrames, delegating to ``registry.load`` so every caller gets the
+    events TIMESTAMP(NANOS) workaround automatically (reading events with a
+    plain ``spark.read.parquet`` throws PARQUET_TYPE_ILLEGAL)."""
+    from .registry import load
+
     if names is None:
         names = (
             "region",
@@ -66,4 +71,4 @@ def load_tables(spark: SparkSession, sf_dir: str, names: tuple[str, ...] | None 
             "documents",
             "embeddings",
         )
-    return {name: spark.read.parquet(f"{sf_dir}/{name}.parquet") for name in names}
+    return {name: load(spark, sf_dir, name) for name in names}
