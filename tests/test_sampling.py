@@ -1,0 +1,84 @@
+"""Deterministic sampling / split / packing operator properties."""
+
+from __future__ import annotations
+
+from conftest import SF_ORACLE
+
+import pyspark.sql.functions as F
+
+from vector_db_light_spark.operators.sampling import (
+    pack_sequences,
+    stratified_sample,
+    train_val_test_split,
+)
+
+
+def test_stratified_sample_partition_independent(spark):
+    """The #1 reason for hash sampling over df.sample: the kept set must not
+    depend on partitioning."""
+    docs = spark.read.parquet(f"{SF_ORACLE}/documents.parquet")
+    rates = {"en": 0.25, "de": 0.6}
+    a = {
+        r["doc_id"]
+        for r in stratified_sample(docs, "lang", rates, "doc_id", 0.5).collect()
+    }
+    b = {
+        r["doc_id"]
+        for r in stratified_sample(
+            docs.repartition(7), "lang", rates, "doc_id", 0.5
+        ).collect()
+    }
+    assert a == b and len(a) > 0
+
+
+def test_stratified_sample_rates_approximate(spark):
+    docs = spark.read.parquet(f"{SF_ORACLE}/documents.parquet")
+    kept = stratified_sample(
+        docs, "lang", {"en": 0.25}, "doc_id", default_rate=1.0
+    )
+    totals = {r["lang"]: r["n"] for r in
+              docs.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    kept_en = kept.filter(F.col("lang") == "en").count()
+    # 4-hex-digit uniform: en keep-rate within a loose band of 0.25
+    assert 0.1 <= kept_en / totals["en"] <= 0.45
+    # non-en strata kept in full (default_rate=1.0)
+    assert kept.filter(F.col("lang") != "en").count() == sum(
+        n for l, n in totals.items() if l != "en"
+    )
+
+
+def test_split_is_total_disjoint_and_stable(spark):
+    docs = spark.read.parquet(f"{SF_ORACLE}/documents.parquet")
+    out = train_val_test_split(docs, "doc_id")
+    counts = {r["split"]: r["n"] for r in
+              out.groupBy("split").agg(F.count("*").alias("n")).collect()}
+    assert sum(counts.values()) == docs.count()  # total
+    assert set(counts) == {"train", "val", "test"}
+    assert counts["train"] > counts["val"] and counts["train"] > counts["test"]
+    # same doc -> same split on a re-run with different partitioning
+    again = {r["doc_id"]: r["split"]
+             for r in train_val_test_split(docs.repartition(5), "doc_id").collect()}
+    for r in out.collect():
+        assert again[r["doc_id"]] == r["split"]
+
+
+def test_pack_sequences_respects_capacity(spark):
+    docs = spark.read.parquet(f"{SF_ORACLE}/documents.parquet").select(
+        "doc_id", (F.length("text") / 5).cast("bigint").alias("n_tokens")
+    )
+    packed = pack_sequences(docs, "n_tokens", capacity=256, key_col="doc_id",
+                            num_shards=8).collect()
+    bins: dict[tuple, list] = {}
+    for r in packed:
+        bins.setdefault((r["shard"], r["bin_id"]), []).append(r)
+    for (shard, bin_id), rows in bins.items():
+        total = sum(r["n_tokens"] for r in rows)
+        # a bin only exceeds capacity via the single doc that overflows it:
+        # the fill before its last doc is < capacity
+        last = max(rows, key=lambda r: r["doc_id"])
+        assert total - last["n_tokens"] < 256
+        # bins are contiguous in key order within a shard
+        ids = sorted(r["doc_id"] for r in rows)
+        all_ids = sorted(r["doc_id"] for r in packed if r["shard"] == shard)
+        lo, hi = all_ids.index(ids[0]), all_ids.index(ids[-1])
+        assert all_ids[lo : hi + 1] == ids

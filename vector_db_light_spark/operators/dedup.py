@@ -208,6 +208,50 @@ def jaccard_pairs(
     )
 
 
+def embedding_near_dup_lsh(
+    corpus: DataFrame,
+    planes: list[list[float]],
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vector_col: str = "embedding",
+) -> DataFrame:
+    """Embedding near-dup, the 100 TB-blocked path: hyperplane-LSH sign
+    bucket as the blocking key (exact copies always collide — identical
+    vectors share every sign bit), pairwise cosine only WITHIN buckets.
+    Candidate volume is sum over buckets of |bucket|^2 instead of
+    |corpus|^2; with b planes the expected bucket is |corpus| / 2^b, so
+    add planes as the corpus grows (and at cluster scale make the bucket a
+    partition column so each bucket's self-join is partition-local).
+    Boundary pairs split by a hyperplane are missed — that is the standard
+    LSH recall trade, mirrored identically in the oracle."""
+    from .similarity import lsh_bucket_expr
+
+    bucketed = corpus.select(
+        F.col(id_col),
+        F.col(vector_col),
+        lsh_bucket_expr(vector_col, planes).alias("_bucket"),
+    )
+    a = bucketed.select(
+        F.col(id_col).alias("id_a"),
+        F.col(vector_col).alias("emb_a"),
+        "_bucket",
+    )
+    b = bucketed.select(
+        F.col(id_col).alias("id_b"),
+        F.col(vector_col).alias("emb_b"),
+        "_bucket",
+    )
+    from ..functions.vector import dot
+
+    cos = dot(F.col("emb_a"), F.col("emb_b").cast("array<double>"))
+    return (
+        a.join(b, "_bucket")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", cos.alias("cosine"))
+        .filter(F.col("cosine") >= threshold)
+    )
+
+
 def simhash64_bands(
     docs: DataFrame,
     id_col: str = "doc_id",

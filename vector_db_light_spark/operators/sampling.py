@@ -1,0 +1,166 @@
+"""Deterministic sampling & dataset-splitting operators for training-data
+pipelines (beyond the reference's surface, like operators/dedup.py).
+
+Everything keys off an md5-derived hex prefix instead of an RNG:
+  * reproducible across runs, engines, partitionings and cluster sizes
+    (Spark's df.sample is seed- AND partitioning-dependent — repartition
+    and the sample changes; a content hash never does);
+  * embarrassingly parallel — a pure per-row predicate, no shuffle, fully
+    pushed into whole-stage codegen;
+  * portable to the DuckDB oracles bit-for-bit (md5 only, per the repo
+    parity rules — never xxhash64/hash()).
+
+Rates quantize to 1/65536 (4 hex digits). The comparison stays in the HEX
+STRING domain (fixed-width lowercase hex compares lexicographically ==
+numerically), so no int conversion is needed on either engine.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+HEX_BUCKETS = 16**4  # 4 hex digits
+
+
+def _rate_threshold(rate: float) -> str:
+    """String h such that P[4-hex prefix < h] ~= rate. Rate 1.0 maps to
+    'g', which sorts above every hex string ('10000' would NOT: it sorts
+    below 'ffff' lexicographically)."""
+    if not 0.0 <= rate <= 1.0:
+        raise ValueError(f"rate must be in [0, 1], got {rate}")
+    buckets = round(rate * HEX_BUCKETS)
+    if buckets >= HEX_BUCKETS:
+        return "g"
+    return format(buckets, "04x")
+
+
+def hash_prefix_expr(key_col: Column | str, salt: str = "") -> Column:
+    """First 4 hex digits of md5(key || salt) — a uniform label in
+    ['0000', 'ffff'], deterministic in the row's key alone."""
+    key = F.col(key_col) if isinstance(key_col, str) else key_col
+    return F.substring(F.md5(F.concat(key.cast("string"), F.lit(salt))), 1, 4)
+
+
+def hash_prefix_sql(key_expr: str, salt: str = "") -> str:
+    """The identical DuckDB expression (oracle twin of hash_prefix_expr)."""
+    return f"substr(md5(CAST({key_expr} AS VARCHAR) || '{salt}'), 1, 4)"
+
+
+def stratified_sample(
+    df: DataFrame,
+    strata_col: str,
+    rates: dict[str, float],
+    key_col: str,
+    default_rate: float = 0.0,
+    salt: str = "strat",
+) -> DataFrame:
+    """Per-stratum deterministic sampling: keep a row iff its hash prefix
+    falls under its stratum's threshold. Used to rebalance skewed corpora
+    (e.g. downsample the dominant language) — at 100 TB this is a pure
+    scan-side filter with no shuffle and no RNG state."""
+    prefix = hash_prefix_expr(key_col, salt)
+    threshold = F.lit(_rate_threshold(default_rate))
+    for stratum, rate in sorted(rates.items()):
+        threshold = F.when(
+            F.col(strata_col) == stratum, F.lit(_rate_threshold(rate))
+        ).otherwise(threshold)
+    return df.filter(prefix < threshold)
+
+
+def stratified_sample_sql(
+    strata_expr: str,
+    rates: dict[str, float],
+    key_expr: str,
+    default_rate: float = 0.0,
+    salt: str = "strat",
+) -> str:
+    """Oracle twin of stratified_sample's predicate (a WHERE fragment)."""
+    branches = " ".join(
+        f"WHEN '{stratum}' THEN '{_rate_threshold(rate)}'"
+        for stratum, rate in sorted(rates.items())
+    )
+    return (
+        f"{hash_prefix_sql(key_expr, salt)} < "
+        f"(CASE {strata_expr} {branches} ELSE '{_rate_threshold(default_rate)}' END)"
+    )
+
+
+def train_val_test_split(
+    df: DataFrame,
+    key_col: str,
+    weights: tuple[float, float, float] = (0.8, 0.1, 0.1),
+    salt: str = "split",
+    split_col: str = "split",
+) -> DataFrame:
+    """Assign every row a deterministic 'train' / 'val' / 'test' label by
+    hash range. Content-keyed, so the same document lands in the same split
+    on every run, engine and cluster — the property that prevents train/
+    test leakage when the corpus is re-ingested or re-partitioned."""
+    total = sum(weights)
+    t_train = _rate_threshold(weights[0] / total)
+    t_val = _rate_threshold((weights[0] + weights[1]) / total)
+    prefix = hash_prefix_expr(key_col, salt)
+    label = (
+        F.when(prefix < t_train, "train")
+        .when(prefix < t_val, "val")
+        .otherwise(F.lit("test"))
+    )
+    return df.withColumn(split_col, label)
+
+
+def split_case_sql(
+    key_expr: str,
+    weights: tuple[float, float, float] = (0.8, 0.1, 0.1),
+    salt: str = "split",
+) -> str:
+    """Oracle twin of train_val_test_split's label expression."""
+    total = sum(weights)
+    t_train = _rate_threshold(weights[0] / total)
+    t_val = _rate_threshold((weights[0] + weights[1]) / total)
+    p = hash_prefix_sql(key_expr, salt)
+    return (
+        f"CASE WHEN {p} < '{t_train}' THEN 'train' "
+        f"WHEN {p} < '{t_val}' THEN 'val' ELSE 'test' END"
+    )
+
+
+def pack_sequences(
+    df: DataFrame,
+    token_col: str,
+    capacity: int,
+    key_col: str,
+    num_shards: int = 32,
+    shard_col: str = "shard",
+    bin_col: str = "bin_id",
+) -> DataFrame:
+    """Sequence packing: assign documents to context-window bins of
+    ``capacity`` tokens by a running token sum in deterministic key order,
+    sharded so the window never sees more than 1/num_shards of the corpus
+    in one partition (shard-local packing is how packing parallelizes at
+    100 TB — bins never cross shards).
+
+    bin_id = floor(tokens_before_this_doc_in_shard / capacity): the
+    standard streaming fill — each bin holds consecutive docs and overflows
+    only when a single document exceeds the remaining capacity (documents
+    longer than ``capacity`` own their bins and spill, matching
+    concat-then-chunk training pipelines).
+    """
+    from pyspark.sql.window import Window
+
+    key = F.col(key_col)
+    shard = F.pmod(key, F.lit(num_shards)).cast("int")
+    w = (
+        Window.partitionBy(shard_col)
+        .orderBy(key_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    out = df.withColumn(shard_col, shard)
+    running_incl = F.sum(token_col).over(w)
+    before = (running_incl - F.col(token_col)).cast("bigint")
+    # integer division end to end — no float, engine-exact
+    return (
+        out.withColumn("_tokens_before", before)
+        .withColumn(bin_col, F.expr(f"_tokens_before div {int(capacity)}"))
+        .drop("_tokens_before")
+    )

@@ -318,6 +318,50 @@ def dedup_simhash_hamming(spark, sf_dir):
 # operators/similarity.py).
 # ---------------------------------------------------------------------------
 
+_EMB_CORPUS_SQL = """
+  SELECT vec_id, embedding, label FROM embeddings
+  UNION ALL
+  SELECT vec_id + 100000 AS vec_id, embedding, label
+  FROM embeddings WHERE vec_id % 10 = 0
+"""
+
+# sign-bucket expression shared with the ANN queries (import is safe:
+# queries/similarity only depends on registry/_sqlutil)
+from .similarity import _bucket_sql as _lsh_bucket_sql  # noqa: E402
+
+
+@register(
+    "dedup_embedding_lsh",
+    f"""
+WITH corpus AS ({_EMB_CORPUS_SQL}),
+bucketed AS (
+  SELECT vec_id, embedding, {_lsh_bucket_sql('embedding')} AS bucket FROM corpus
+)
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       {dot_sql('a.embedding', 'b.embedding::DOUBLE[]')} AS cosine
+FROM bucketed a
+JOIN bucketed b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+WHERE {dot_sql('a.embedding', 'b.embedding::DOUBLE[]')} >= 0.95
+ORDER BY id_a, id_b
+""",
+)
+def dedup_embedding_lsh(spark, sf_dir):
+    """Embedding near-dup via hyperplane-LSH blocking — the scale path the
+    label-blocked dedup_embedding_cosine docstring promises: bucket by sign
+    bits (operators/similarity.lsh_bucket_expr), pairwise cosine only
+    within buckets (operators/dedup.embedding_near_dup_lsh)."""
+    from .similarity import PLANES
+
+    emb = load(spark, sf_dir, "embeddings")
+    copies = emb.filter(F.col("vec_id") % 10 == 0).select(
+        (F.col("vec_id") + 100000).alias("vec_id"), "embedding", "label"
+    )
+    corpus = emb.select("vec_id", "embedding", "label").unionByName(copies)
+    return D.embedding_near_dup_lsh(corpus, PLANES, threshold=0.95).orderBy(
+        "id_a", "id_b"
+    )
+
+
 @register(
     "dedup_embedding_cosine",
     f"""

@@ -1,0 +1,85 @@
+"""Sampling / dataset-split / sequence-packing queries — training-data
+pipeline operators over the documents table (beyond-reference surface,
+operators/sampling.py). All deterministic via md5 hex prefixes, so every
+query hash-matches its oracle with zero RNG or float involvement.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ..operators import sampling as SM
+from ..operators.dedup import tokens_expr
+from ..registry import load, register
+
+# Downsample the dominant language, keep the tail — the canonical
+# rebalancing move before training-data mixing.
+_RATES = {"en": 0.25, "de": 0.6, "fr": 0.6, "es": 0.6}
+_DEFAULT_RATE = 0.5  # zh + anything unexpected
+
+_TOKS_SQL = r"list_filter(regexp_split_to_array(trim(lower(text)), '\s+'), t -> t != '')"
+
+
+@register(
+    "sample_stratified_lang",
+    f"""
+SELECT doc_id, lang
+FROM documents
+WHERE {SM.stratified_sample_sql('lang', _RATES, 'doc_id', _DEFAULT_RATE)}
+ORDER BY doc_id
+""",
+)
+def sample_stratified_lang(spark, sf_dir):
+    docs = load(spark, sf_dir, "documents")
+    kept = SM.stratified_sample(
+        docs, "lang", _RATES, key_col="doc_id", default_rate=_DEFAULT_RATE
+    )
+    return kept.select("doc_id", "lang").orderBy("doc_id")
+
+
+@register(
+    "split_train_val_test",
+    f"""
+SELECT doc_id, {SM.split_case_sql('doc_id')} AS split
+FROM documents
+ORDER BY doc_id
+""",
+)
+def split_train_val_test(spark, sf_dir):
+    docs = load(spark, sf_dir, "documents")
+    out = SM.train_val_test_split(docs, key_col="doc_id")
+    return out.select("doc_id", "split").orderBy("doc_id")
+
+
+@register(
+    "pack_sequences_bins",
+    f"""
+WITH toks AS (
+  SELECT doc_id, CAST(len({_TOKS_SQL}) AS BIGINT) AS n_tokens FROM documents
+),
+sharded AS (
+  SELECT doc_id, n_tokens, CAST(doc_id % 32 AS INT) AS shard FROM toks
+),
+packed AS (
+  SELECT doc_id, shard, n_tokens,
+         CAST(sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+                                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+              - n_tokens AS BIGINT) AS tokens_before
+  FROM sharded
+)
+SELECT doc_id, shard, n_tokens, tokens_before // 512 AS bin_id
+FROM packed
+ORDER BY doc_id
+""",
+)
+def pack_sequences_bins(spark, sf_dir):
+    """Sequence packing into 512-token context bins, shard-local (32
+    shards): running token sum in doc_id order per shard; integer division
+    only, so both engines agree exactly."""
+    docs = load(spark, sf_dir, "documents").select(
+        "doc_id", F.size(tokens_expr("text")).cast("bigint").alias("n_tokens")
+    )
+    packed = SM.pack_sequences(
+        docs, token_col="n_tokens", capacity=512, key_col="doc_id", num_shards=32
+    )
+    return packed.select("doc_id", "shard", "n_tokens", "bin_id").orderBy("doc_id")

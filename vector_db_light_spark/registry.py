@@ -70,6 +70,7 @@ def _populate() -> None:
         analytics,
         subqueries,
         reshape,
+        sampling,
         combos,
     )
 
@@ -99,7 +100,7 @@ PRIORITY: tuple[str, ...] = (
     "segment_status_cube",
     "priority_grouping_sets",
     "top_customers_per_segment",
-    "running_order_total",
+    "pack_sequences_bins",
     "customers_without_big_orders",
     "customers_with_open_orders",
     "set_ops_labeled",      # INTERSECT + EXCEPT (combo)
@@ -111,7 +112,7 @@ PRIORITY: tuple[str, ...] = (
     # dedup tiers
     "dedup_exact",
     "dedup_minhash_lsh",
-    "dedup_ngram_jaccard",
+    "dedup_embedding_lsh",
     "text_simhash",
     "dedup_simhash_pairs",
     "dedup_simhash_hamming",
@@ -130,14 +131,14 @@ PRIORITY: tuple[str, ...] = (
     # analytics
     "salted_hot_key_agg",
     "price_quantiles_per_segment",
-    "revenue_by_nation",
-    # subqueries + reshape
+    "sample_stratified_lang",
+    # subqueries + reshape + sampling
     "orders_with_late_lineitems",
     "null_semantics_agg",
     "decimal_exact_totals",
     "pivot_status_by_segment",
     "unpivot_lineitem_measures",
-    "order_value_deciles",
+    "split_train_val_test",
 )
 
 
