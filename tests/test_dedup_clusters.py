@@ -1,0 +1,48 @@
+"""Connected-components clustering properties (transitive closure of
+near-dup pairs -> canonical keep-list)."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+
+from vector_db_light_spark.operators.dedup import connected_components
+
+
+def _components(spark, pairs, npartitions=1):
+    df = spark.createDataFrame(pairs, "id_a bigint, id_b bigint")
+    if npartitions > 1:
+        df = df.repartition(npartitions)
+    return {
+        r["id"]: r["label"] for r in connected_components(df).collect()
+    }
+
+
+def test_chain_collapses_to_min(spark):
+    # 1-2, 2-3, 3-4 is one component labeled 1; 10-11 another labeled 10.
+    got = _components(spark, [(1, 2), (2, 3), (3, 4), (10, 11)])
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10}
+
+
+def test_partition_independent(spark):
+    pairs = [(1, 2), (2, 3), (3, 4), (10, 11), (5, 6), (6, 7), (4, 5)]
+    assert _components(spark, pairs) == _components(spark, pairs, npartitions=7)
+
+
+def test_star_and_reversed_edges(spark):
+    # hub listed as id_b sometimes; direction must not matter
+    got = _components(spark, [(5, 1), (1, 6), (7, 1), (1, 8)])
+    assert set(got.values()) == {1}
+    assert set(got) == {1, 5, 6, 7, 8}
+
+
+def test_empty_pairs(spark):
+    got = _components(spark, [])
+    assert got == {}
+
+
+def test_long_chain_converges(spark):
+    # diameter 12 — needs multiple propagation rounds, still closes
+    pairs = [(i, i + 1) for i in range(1, 13)]
+    got = _components(spark, pairs)
+    assert set(got.values()) == {1}
+    assert len(got) == 13

@@ -252,6 +252,71 @@ def embedding_near_dup_lsh(
     )
 
 
+def connected_components(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iter: int = 25,
+) -> DataFrame:
+    """(id, label) connected components over an undirected pair list — the
+    final stage of every dedup pipeline: near-dup PAIRS are not deletable
+    until transitively closed into CLUSTERS (A~B, B~C must keep exactly one
+    of {A,B,C}). label = min id in the component.
+
+    Algorithm: iterative min-label propagation. Each round every node takes
+    the min of its own label and its neighbors' labels (one equi-join + one
+    groupBy-min per round); converges in `diameter` rounds. Duplicate
+    clusters are near-cliques (diameter 1-2 in practice), so 2-3 rounds
+    close real corpora; `max_iter` bounds pathological chains. Each round
+    ends in `localCheckpoint` — mandatory, not an optimization: `labels`
+    appears twice in the next round's plan, so without lineage truncation
+    the logical plan doubles per round (2^rounds nodes; plan-string
+    rendering alone OOMs near round 12). On a real cluster prefer
+    reliable `checkpoint()` (localCheckpoint dies with an executor), and
+    switch to the large-star/small-star variant (Kiveris et al., "Connected
+    Components in MapReduce and Beyond") if components with large diameters
+    are expected — the per-round dataflow shape is identical.
+
+    The driver-side loop is control flow only (a `count()` per round for the
+    convergence test); all data movement stays distributed.
+    """
+    edges = (
+        pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+        .unionByName(
+            pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst"))
+        )
+        .distinct()
+        .persist()
+    )
+    labels = (
+        edges.select(F.col("src").alias("id"))
+        .distinct()
+        .select("id", F.col("id").alias("label"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_iter):
+        neighbor_min = edges.join(
+            labels, edges["src"] == labels["id"]
+        ).select(F.col("dst").alias("id"), "label")
+        new_labels = (
+            labels.unionByName(neighbor_min)
+            .groupBy("id")
+            .agg(F.min("label").alias("label"))
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "id")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    edges.unpersist()
+    return labels
+
+
 def simhash64_bands(
     docs: DataFrame,
     id_col: str = "doc_id",

@@ -143,6 +143,112 @@ def dedup_minhash_lsh(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# Connected-components clustering: LSH-verified pairs -> transitive closure
+# -> one canonical doc per duplicate cluster. Spark side iterates min-label
+# propagation (operators/dedup.connected_components); the oracle computes the
+# same closure with a recursive CTE.
+# ---------------------------------------------------------------------------
+
+_PAIRS_CTES_SQL = f"""
+{_SHINGLES_SQL},
+sigs AS (
+  SELECT doc_id,
+         {_SIG_COLS_SQL}
+  FROM shingles GROUP BY doc_id
+),
+bands AS (
+{_BANDS_SQL}
+),
+cands AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM bands a
+  JOIN bands b ON a.band_idx = b.band_idx AND a.band_key = b.band_key
+  WHERE a.doc_id < b.doc_id
+),
+sizes AS (
+  SELECT doc_id, count(*) AS n_shingles FROM shingles GROUP BY doc_id
+),
+inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_inter
+  FROM shingles a JOIN shingles b ON a.shingle = b.shingle
+  WHERE a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+pairs AS (
+  SELECT i.id_a, i.id_b
+  FROM inter i
+  JOIN cands c ON c.id_a = i.id_a AND c.id_b = i.id_b
+  JOIN sizes sa ON sa.doc_id = i.id_a
+  JOIN sizes sb ON sb.doc_id = i.id_b
+  WHERE i.n_inter / (sa.n_shingles + sb.n_shingles - i.n_inter) >= 0.5
+)
+"""
+
+
+@register(
+    "dedup_clusters",
+    f"""
+WITH RECURSIVE corpus AS ({_CORPUS_SQL}),
+{_PAIRS_CTES_SQL},
+edges AS (
+  SELECT id_a AS src, id_b AS dst FROM pairs
+  UNION
+  SELECT id_b AS src, id_a AS dst FROM pairs
+),
+walk(id, label) AS (
+  SELECT DISTINCT src AS id, src AS label FROM edges
+  UNION
+  SELECT e.dst AS id, w.label FROM walk w JOIN edges e ON e.src = w.id
+),
+comp AS (SELECT id, min(label) AS cluster_id FROM walk GROUP BY id),
+labeled AS (
+  SELECT c.doc_id, coalesce(p.cluster_id, c.doc_id) AS cluster_id
+  FROM corpus c LEFT JOIN comp p ON p.id = c.doc_id
+),
+csize AS (
+  SELECT cluster_id, count(*) AS cluster_size FROM labeled GROUP BY cluster_id
+)
+SELECT l.doc_id, l.cluster_id,
+       CAST(s.cluster_size AS BIGINT) AS cluster_size,
+       CAST(l.doc_id = l.cluster_id AS INT) AS is_canonical
+FROM labeled l JOIN csize s USING (cluster_id)
+ORDER BY l.doc_id
+""",
+)
+def dedup_clusters(spark, sf_dir):
+    """Full dedup pipeline ending in a keep-list: every corpus doc labeled
+    with its duplicate-cluster id (min doc_id of the transitive closure over
+    LSH-verified Jaccard>=0.5 pairs), the cluster size, and a canonical flag.
+    Dropping rows with is_canonical = 0 is the dedup action at 100 TB."""
+    corpus = _corpus(spark, sf_dir)
+    rows = D.shingle_rows(corpus).persist()
+    sigs = D.minhash_signatures(corpus, rows=rows)
+    cands = D.lsh_candidate_pairs(D.minhash_band_keys(sigs))
+    verified = D.jaccard_pairs(corpus, candidates=cands, rows=rows).filter(
+        F.col("jaccard") >= 0.5
+    )
+    labels = D.connected_components(verified)
+    labeled = corpus.join(
+        labels.withColumnRenamed("id", "doc_id"), "doc_id", "left"
+    ).select(
+        "doc_id", F.coalesce("label", F.col("doc_id")).alias("cluster_id")
+    )
+    sizes = labeled.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).alias("cluster_size")
+    )
+    return (
+        labeled.join(sizes, "cluster_id")
+        .select(
+            "doc_id",
+            "cluster_id",
+            F.col("cluster_size").cast("bigint").alias("cluster_size"),
+            (F.col("doc_id") == F.col("cluster_id")).cast("int").alias("is_canonical"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+# ---------------------------------------------------------------------------
 # Exact n-gram Jaccard pairs (no LSH): inverted-index join, threshold 0.5.
 # ---------------------------------------------------------------------------
 

@@ -114,7 +114,7 @@ PRIORITY: tuple[str, ...] = (
     "dedup_minhash_lsh",
     "dedup_embedding_lsh",
     "text_simhash",
-    "dedup_simhash_pairs",
+    "dedup_clusters",
     "dedup_simhash_hamming",
     "dedup_embedding_cosine",
     # similarity search
