@@ -78,6 +78,130 @@ def quality_metrics(text_col: str, toks: Column | None = None) -> dict[str, Colu
     }
 
 
+def ngrams_from_tokens(toks: Column, n: int) -> Column:
+    """NON-distinct word n-grams (space-joined) from a token-array column —
+    unlike dedup.shingles_from_tokens, keeps every occurrence: repetition
+    metrics need the counts that array_distinct would destroy."""
+    make = F.transform(
+        F.sequence(F.lit(1), F.size(toks) - n + 1),
+        lambda i: F.array_join(F.slice(toks, i, n), " "),
+    )
+    return F.when(F.size(toks) >= n, make).otherwise(
+        F.array().cast("array<string>")
+    )
+
+
+def repetition_metrics(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    top_n: int = 2,
+    dup_n: int = 5,
+) -> DataFrame:
+    """Gopher-style repetition quality signals (Rae et al. 2021, "Scaling
+    Language Models", table A1 — the word-level rules; the line-level rules
+    degenerate on single-line docs):
+
+      * unique_token_ratio — distinct / total tokens;
+      * top{top_n}_char_frac — fraction of token characters covered by the
+        best-covering top_n-gram (count x gram char length, spaces excluded);
+      * dup{dup_n}_char_frac — fraction of token characters lying inside at
+        least one dup_n-gram that occurs more than once. Overlapping
+        occurrences are NOT double-counted: duplicated grams are expanded to
+        the token positions they span, positions deduped, then their token
+        lengths summed — so the fraction is a true <= 1 coverage, unlike
+        the count x length shortcut.
+
+    Dataflow: one tokenize, two n-gram explodes, each reduced by a
+    (doc, gram) count; the dup path adds a position expansion (explode of a
+    <= dup_n-long sequence per duplicated occurrence) and a distinct —
+    every shuffle is keyed on (id, gram) or (id, position), linear in
+    corpus size. All counts stay BIGINT until a single final division, so
+    the doubles are engine-exact. Pass a persisted `docs` when calling at
+    scale: the token projection feeds three branches of the DAG.
+    """
+    toks_df = docs.select(F.col(id_col), tokens_expr(text_col).alias("_toks"))
+    n_toks = F.size("_toks")
+    totals = toks_df.select(
+        F.col(id_col),
+        n_toks.cast("bigint").alias("n_tokens"),
+        F.aggregate("_toks", F.lit(0), lambda a, t: a + F.length(t))
+        .cast("bigint")
+        .alias("tok_chars"),
+        F.when(
+            n_toks > 0,
+            F.size(F.array_distinct("_toks")).cast("double") / n_toks,
+        )
+        .otherwise(F.lit(0.0))
+        .alias("unique_token_ratio"),
+    )
+
+    charlen = F.length(F.translate("g", " ", ""))
+    top = (
+        toks_df.select(
+            F.col(id_col),
+            F.explode(ngrams_from_tokens(F.col("_toks"), top_n)).alias("g"),
+        )
+        .groupBy(id_col, "g")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .groupBy(id_col)
+        .agg(F.max(F.col("cnt") * charlen).cast("bigint").alias("top_chars"))
+    )
+    # dup path: gram + its 1-based start position, so duplicated grams can
+    # be expanded to covered token positions and deduped before summing.
+    g_pos = toks_df.select(
+        F.col(id_col),
+        F.posexplode(ngrams_from_tokens(F.col("_toks"), dup_n)).alias(
+            "pos0", "g"
+        ),
+    )
+    dup_grams = (
+        g_pos.groupBy(id_col, "g")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .filter(F.col("cnt") > 1)
+        .select(id_col, "g")
+    )
+    covered = (
+        g_pos.join(dup_grams, [id_col, "g"])
+        .select(
+            F.col(id_col),
+            F.explode(
+                F.sequence(F.col("pos0") + 1, F.col("pos0") + dup_n)
+            ).alias("tp"),
+        )
+        .distinct()
+    )
+    tok_pos = toks_df.select(
+        F.col(id_col), F.posexplode("_toks").alias("tp0", "token")
+    ).select(
+        F.col(id_col),
+        (F.col("tp0") + 1).alias("tp"),
+        F.length("token").alias("tlen"),
+    )
+    dup = (
+        covered.join(tok_pos, [id_col, "tp"])
+        .groupBy(id_col)
+        .agg(F.sum("tlen").cast("bigint").alias("dup_chars"))
+    )
+    frac = lambda c: (  # noqa: E731
+        F.when(
+            F.col("tok_chars") > 0,
+            F.coalesce(c, F.lit(0)).cast("double") / F.col("tok_chars"),
+        ).otherwise(F.lit(0.0))
+    )
+    return (
+        totals.join(top, id_col, "left")
+        .join(dup, id_col, "left")
+        .select(
+            F.col(id_col),
+            "n_tokens",
+            "unique_token_ratio",
+            frac(F.col("top_chars")).alias(f"top{top_n}_char_frac"),
+            frac(F.col("dup_chars")).alias(f"dup{dup_n}_char_frac"),
+        )
+    )
+
+
 def token_count_bpe_ish(text_col: str) -> Column:
     """BPE-ish token count: runs of letters, runs of digits, or single
     non-alnum-non-space chars (a cheap proxy for subword tokenizers)."""

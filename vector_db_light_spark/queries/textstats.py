@@ -113,6 +113,93 @@ def text_token_counts(spark, sf_dir):
 
 
 @register(
+    "text_repetition",
+    rf"""
+WITH corpus AS (
+  SELECT doc_id, text FROM documents WHERE doc_id % 5 != 0
+  UNION ALL
+  SELECT doc_id, text || ' ' || substr(text, 1, 120) AS text
+  FROM documents WHERE doc_id % 5 = 0
+),
+tokens AS (SELECT doc_id, {_TOKS_SQL} AS toks FROM corpus),
+totals AS (
+  SELECT doc_id,
+         CAST(len(toks) AS BIGINT) AS n_tokens,
+         CAST(list_reduce(list_prepend(0, list_transform(toks, t -> length(t))),
+                          (a, b) -> a + b) AS BIGINT) AS tok_chars,
+         CASE WHEN len(toks) > 0
+              THEN CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks)
+              ELSE 0.0 END AS unique_token_ratio
+  FROM tokens
+),
+g2 AS (
+  SELECT doc_id, unnest(CASE WHEN len(toks) >= 2
+           THEN list_transform(range(1, len(toks)),
+                               i -> array_to_string(toks[i:i+1], ' '))
+           ELSE []::VARCHAR[] END) AS g
+  FROM tokens
+),
+g2c AS (SELECT doc_id, g, count(*) AS cnt FROM g2 GROUP BY 1, 2),
+top2 AS (
+  SELECT doc_id,
+         CAST(max(cnt * length(replace(g, ' ', ''))) AS BIGINT) AS top_chars
+  FROM g2c GROUP BY 1
+),
+g5p AS (
+  SELECT doc_id,
+         unnest(CASE WHEN len(toks) >= 5
+           THEN list_transform(range(1, len(toks) - 3),
+                               i -> {{'pos': i, 'g': array_to_string(toks[i:i+4], ' ')}})
+           ELSE []::STRUCT(pos BIGINT, g VARCHAR)[] END) AS x
+  FROM tokens
+),
+g5 AS (SELECT doc_id, x.pos AS pos, x.g AS g FROM g5p),
+dupg AS (SELECT doc_id, g FROM g5 GROUP BY 1, 2 HAVING count(*) > 1),
+covered AS (
+  SELECT DISTINCT doc_id, tp FROM (
+    SELECT p.doc_id, unnest(range(p.pos, p.pos + 5)) AS tp
+    FROM g5 p JOIN dupg d USING (doc_id, g)
+  )
+),
+tokpos AS (
+  SELECT doc_id,
+         unnest(list_transform(range(1, len(toks) + 1),
+                               i -> {{'tp': i, 'tlen': length(toks[i])}})) AS x
+  FROM tokens
+),
+dup5 AS (
+  SELECT c.doc_id, CAST(sum(t.x.tlen) AS BIGINT) AS dup_chars
+  FROM covered c JOIN tokpos t ON t.doc_id = c.doc_id AND t.x.tp = c.tp
+  GROUP BY 1
+)
+SELECT t.doc_id, t.n_tokens, t.unique_token_ratio,
+       CASE WHEN t.tok_chars > 0
+            THEN CAST(coalesce(top_chars, 0) AS DOUBLE) / t.tok_chars
+            ELSE 0.0 END AS top2_char_frac,
+       CASE WHEN t.tok_chars > 0
+            THEN CAST(coalesce(dup_chars, 0) AS DOUBLE) / t.tok_chars
+            ELSE 0.0 END AS dup5_char_frac
+FROM totals t
+LEFT JOIN top2 USING (doc_id)
+LEFT JOIN dup5 USING (doc_id)
+ORDER BY t.doc_id
+""",
+)
+def text_repetition(spark, sf_dir):
+    """Gopher-style repetition filters over a corpus where every 5th doc has
+    its first 120 chars re-appended (so duplicated 5-grams actually occur —
+    the raw fixture is repetition-free at n=5)."""
+    docs = load(spark, sf_dir, "documents")
+    mutated = docs.filter(F.col("doc_id") % 5 != 0).select("doc_id", "text").unionByName(
+        docs.filter(F.col("doc_id") % 5 == 0).select(
+            "doc_id",
+            F.concat("text", F.lit(" "), F.substring("text", 1, 120)).alias("text"),
+        )
+    )
+    return T.repetition_metrics(mutated).orderBy("doc_id")
+
+
+@register(
     "text_fingerprint",
     r"""
 WITH tokens AS (
