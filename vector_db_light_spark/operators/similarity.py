@@ -76,13 +76,57 @@ def random_hyperplanes(num: int, dim: int, seed: int = 11) -> list[list[float]]:
     return planes
 
 
-def lsh_bucket_expr(vec_col: str, planes: list[list[float]]) -> Column:
+def lsh_bucket_expr(vec_col: str | Column, planes: list[list[float]]) -> Column:
     """Sign-bit bucket key: one char per hyperplane ('1' if dot > 0)."""
+    v = F.col(vec_col) if isinstance(vec_col, str) else vec_col
     bits = [
-        F.when(V.dot(F.col(vec_col), V.vector_lit(pl)) > 0, "1").otherwise("0")
+        F.when(V.dot(v, V.vector_lit(pl)) > 0, "1").otherwise("0")
         for pl in planes
     ]
     return F.concat(*bits)
+
+
+def batch_lsh_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    planes: list[list[float]],
+    k: int = 5,
+    id_col: str = "vec_id",
+    vector_col: str = "embedding",
+    query_id_col: str = "query_id",
+    query_vec_col: str = "query_vec",
+) -> DataFrame:
+    """Batch ANN: per-query top-k restricted to the query's sign bucket.
+
+    This is `batch_knn` with the broadcast theta-join replaced by a bucket
+    EQUI-join — the 100 TB batch-serving shape: each corpus row joins only
+    the queries sharing its bucket (expected |queries| / 2^planes of them),
+    so compute is corpus x colliding-queries instead of corpus x queries.
+    With the corpus written PARTITIONED BY bucket, the join is partition-
+    local. Same WindowGroupLimit top-k shape as batch_knn (partial top-k
+    per partition before the exchange). Recall < 1 by construction —
+    measured by queries/similarity.ann_lsh_recall.
+    """
+    c = corpus.select(
+        F.col(id_col),
+        F.col(vector_col),
+        lsh_bucket_expr(vector_col, planes).alias("_b"),
+    )
+    q = queries.select(
+        F.col(query_id_col),
+        F.col(query_vec_col).cast("array<double>").alias("_qv"),
+        lsh_bucket_expr(query_vec_col, planes).alias("_b"),
+    )
+    d = (F.lit(1.0) - V.dot(F.col(vector_col), F.col("_qv"))).alias("distance")
+    scored = c.join(F.broadcast(q), "_b").select(
+        F.col(query_id_col), F.col(id_col), d
+    )
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col("distance").asc(), F.col(id_col).asc()
+    )
+    return scored.withColumn("rk", F.row_number().over(w)).filter(
+        F.col("rk") <= k
+    )
 
 
 def lsh_topk(

@@ -82,6 +82,89 @@ def ann_lsh_bucketed(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# ANN quality evaluation: recall@5 of the bucket-pruned batch LSH path vs
+# the exact batch brute force, per query. Both paths are deterministic, so
+# the recall numbers themselves are oracle-checkable — the engine measures
+# its own approximation loss.
+# ---------------------------------------------------------------------------
+
+_N_RECALL_Q = 20
+_RECALL_K = 5
+
+
+@register(
+    "ann_lsh_recall",
+    f"""
+WITH q AS (
+  SELECT vec_id AS query_id, embedding AS qv
+  FROM embeddings WHERE vec_id < {_N_RECALL_Q}
+),
+truth AS (
+  SELECT query_id, vec_id FROM (
+    SELECT q.query_id, e.vec_id,
+           row_number() OVER (PARTITION BY q.query_id
+             ORDER BY 1.0 - {dot_sql('e.embedding', 'q.qv::DOUBLE[]')} ASC,
+                      e.vec_id ASC) AS rk
+    FROM embeddings e, q
+  ) WHERE rk <= {_RECALL_K}
+),
+cb AS (
+  SELECT vec_id, embedding, {_bucket_sql('embedding')} AS b FROM embeddings
+),
+qb AS (
+  SELECT query_id, qv, {_bucket_sql('qv::DOUBLE[]')} AS b FROM q
+),
+approx AS (
+  SELECT query_id, vec_id FROM (
+    SELECT qb.query_id, cb.vec_id,
+           row_number() OVER (PARTITION BY qb.query_id
+             ORDER BY 1.0 - {dot_sql('cb.embedding', 'qb.qv::DOUBLE[]')} ASC,
+                      cb.vec_id ASC) AS rk
+    FROM cb JOIN qb ON cb.b = qb.b
+  ) WHERE rk <= {_RECALL_K}
+),
+hits AS (
+  SELECT t.query_id, count(a.vec_id) AS n_hits
+  FROM truth t
+  LEFT JOIN approx a ON a.query_id = t.query_id AND a.vec_id = t.vec_id
+  GROUP BY 1
+)
+SELECT query_id, CAST(n_hits AS BIGINT) AS n_hits,
+       CAST(n_hits AS DOUBLE) / {_RECALL_K} AS recall_at_k
+FROM hits
+ORDER BY query_id
+""",
+)
+def ann_lsh_recall(spark, sf_dir):
+    """Recall@k of batch LSH vs exact batch kNN over the same query set —
+    the evaluation loop every approximate index needs before anyone trusts
+    it at 100 TB (tune planes/nprobe against measured recall, not hope)."""
+    emb = load(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < _N_RECALL_Q).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    truth = S.batch_knn(emb, queries, k=_RECALL_K).select("query_id", "vec_id")
+    approx = S.batch_lsh_topk(emb, queries, PLANES, k=_RECALL_K).select(
+        F.col("query_id").alias("a_qid"), F.col("vec_id").alias("a_vid")
+    )
+    hits = (
+        truth.join(
+            approx,
+            (F.col("query_id") == F.col("a_qid"))
+            & (F.col("vec_id") == F.col("a_vid")),
+            "left",
+        )
+        .groupBy("query_id")
+        .agg(F.count("a_vid").alias("n_hits"))
+    )
+    return hits.select(
+        "query_id",
+        F.col("n_hits").cast("bigint").alias("n_hits"),
+        (F.col("n_hits").cast("double") / _RECALL_K).alias("recall_at_k"),
+    ).orderBy("query_id")
+
+
+# ---------------------------------------------------------------------------
 # IVF-style ANN: label-cluster centroids (element-rounded means), probe the
 # 2 nearest clusters, brute-force only those.
 # ---------------------------------------------------------------------------
