@@ -129,6 +129,72 @@ def batch_lsh_topk(
     )
 
 
+def _flip_bit(bucket: Column, i: int) -> Column:
+    """Bucket key with sign bit i flipped ('0' <-> '1')."""
+    flipped = F.when(F.substring(bucket, i + 1, 1) == "1", "0").otherwise("1")
+    parts = []
+    if i > 0:
+        parts.append(F.substring(bucket, 1, i))
+    parts.append(flipped)
+    parts.append(F.substring(bucket, i + 2, 2_000_000_000))
+    return F.concat(*parts)
+
+
+def batch_lsh_multiprobe_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    planes: list[list[float]],
+    k: int = 5,
+    id_col: str = "vec_id",
+    vector_col: str = "embedding",
+    query_id_col: str = "query_id",
+    query_vec_col: str = "query_vec",
+) -> DataFrame:
+    """Multi-probe batch LSH: each query probes its own bucket PLUS every
+    bucket at Hamming distance 1 (one sign bit flipped) — the standard
+    recall lever (Lv et al., "Multi-Probe LSH", VLDB 2007): near neighbors
+    lost to a single hyperplane split sit in an adjacent bucket.
+
+    Cost model: the QUERY side fans out x(planes+1) — still tiny and still
+    broadcast — while the corpus is scanned once with one bucket key; work
+    is corpus x colliding-probes, a (planes+1)/2^planes fraction of brute
+    force in expectation. Recall jump is measured by ann_lsh_recall vs
+    ann_lsh_multiprobe_recall (0.4 -> see fixture) at identical scan shape.
+    A doc colliding with several probes of one query enters the window
+    once: probes are deduped per (query, doc) before ranking.
+    """
+    c = corpus.select(
+        F.col(id_col),
+        F.col(vector_col),
+        lsh_bucket_expr(vector_col, planes).alias("_b"),
+    )
+    q0 = queries.select(
+        F.col(query_id_col),
+        F.col(query_vec_col).cast("array<double>").alias("_qv"),
+        lsh_bucket_expr(query_vec_col, planes).alias("_qb"),
+    )
+    probes = F.array_distinct(
+        F.array(
+            F.col("_qb"), *[_flip_bit(F.col("_qb"), i) for i in range(len(planes))]
+        )
+    )
+    q = q0.select(
+        query_id_col, "_qv", F.explode(probes).alias("_b")
+    )
+    d = (F.lit(1.0) - V.dot(F.col(vector_col), F.col("_qv"))).alias("distance")
+    scored = (
+        c.join(F.broadcast(q), "_b")
+        .select(F.col(query_id_col), F.col(id_col), d)
+        .dropDuplicates([query_id_col, id_col])
+    )
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col("distance").asc(), F.col(id_col).asc()
+    )
+    return scored.withColumn("rk", F.row_number().over(w)).filter(
+        F.col("rk") <= k
+    )
+
+
 def lsh_topk(
     corpus: DataFrame,
     query_vector: list[float],

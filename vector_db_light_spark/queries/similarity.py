@@ -164,6 +164,98 @@ def ann_lsh_recall(spark, sf_dir):
     ).orderBy("query_id")
 
 
+def _flip_sql(i: int) -> str:
+    """Bucket key with sign bit i (0-based) flipped, DuckDB side."""
+    return (
+        f"substr(b, 1, {i}) || "
+        f"(CASE WHEN substr(b, {i + 1}, 1) = '1' THEN '0' ELSE '1' END) || "
+        f"substr(b, {i + 2})"
+    )
+
+
+_PROBES_SQL = "list_distinct([b, " + ", ".join(
+    _flip_sql(i) for i in range(N_PLANES)
+) + "])"
+
+
+@register(
+    "ann_lsh_multiprobe_recall",
+    f"""
+WITH q AS (
+  SELECT vec_id AS query_id, embedding AS qv
+  FROM embeddings WHERE vec_id < {_N_RECALL_Q}
+),
+truth AS (
+  SELECT query_id, vec_id FROM (
+    SELECT q.query_id, e.vec_id,
+           row_number() OVER (PARTITION BY q.query_id
+             ORDER BY 1.0 - {dot_sql('e.embedding', 'q.qv::DOUBLE[]')} ASC,
+                      e.vec_id ASC) AS rk
+    FROM embeddings e, q
+  ) WHERE rk <= {_RECALL_K}
+),
+cb AS (
+  SELECT vec_id, embedding, {_bucket_sql('embedding')} AS b FROM embeddings
+),
+qb0 AS (
+  SELECT query_id, qv, {_bucket_sql('qv::DOUBLE[]')} AS b FROM q
+),
+qp AS (
+  SELECT query_id, qv, unnest({_PROBES_SQL}) AS b FROM qb0
+),
+approx AS (
+  SELECT query_id, vec_id FROM (
+    SELECT query_id, vec_id,
+           row_number() OVER (PARTITION BY query_id
+             ORDER BY distance ASC, vec_id ASC) AS rk
+    FROM (
+      SELECT DISTINCT qp.query_id, cb.vec_id,
+             1.0 - {dot_sql('cb.embedding', 'qp.qv::DOUBLE[]')} AS distance
+      FROM cb JOIN qp ON cb.b = qp.b
+    )
+  ) WHERE rk <= {_RECALL_K}
+),
+hits AS (
+  SELECT t.query_id, count(a.vec_id) AS n_hits
+  FROM truth t
+  LEFT JOIN approx a ON a.query_id = t.query_id AND a.vec_id = t.vec_id
+  GROUP BY 1
+)
+SELECT query_id, CAST(n_hits AS BIGINT) AS n_hits,
+       CAST(n_hits AS DOUBLE) / {_RECALL_K} AS recall_at_k
+FROM hits
+ORDER BY query_id
+""",
+)
+def ann_lsh_multiprobe_recall(spark, sf_dir):
+    """Recall@k of MULTI-PROBE batch LSH (own bucket + all Hamming-1
+    buckets) vs exact batch kNN — quantifies the recall the extra probes
+    buy at a (planes+1)/2^planes scan fraction."""
+    emb = load(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < _N_RECALL_Q).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    truth = S.batch_knn(emb, queries, k=_RECALL_K).select("query_id", "vec_id")
+    approx = S.batch_lsh_multiprobe_topk(
+        emb, queries, PLANES, k=_RECALL_K
+    ).select(F.col("query_id").alias("a_qid"), F.col("vec_id").alias("a_vid"))
+    hits = (
+        truth.join(
+            approx,
+            (F.col("query_id") == F.col("a_qid"))
+            & (F.col("vec_id") == F.col("a_vid")),
+            "left",
+        )
+        .groupBy("query_id")
+        .agg(F.count("a_vid").alias("n_hits"))
+    )
+    return hits.select(
+        "query_id",
+        F.col("n_hits").cast("bigint").alias("n_hits"),
+        (F.col("n_hits").cast("double") / _RECALL_K).alias("recall_at_k"),
+    ).orderBy("query_id")
+
+
 # ---------------------------------------------------------------------------
 # IVF-style ANN: label-cluster centroids (element-rounded means), probe the
 # 2 nearest clusters, brute-force only those.
