@@ -1,0 +1,64 @@
+"""Stream-stream interval join: streaming result == batch twin."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+
+from conftest import SF_SMOKE
+
+from vector_db_light_spark.registry import load_events
+from vector_db_light_spark.streaming.joins import stream_interval_join
+
+
+def test_stream_interval_join_matches_batch(spark, tmp_path):
+    # two disjoint event-type slices of the same stream, as click->purchase
+    events = load_events(spark, SF_SMOKE).limit(800)
+    src = str(tmp_path / "events_src")
+    events.write.parquet(src)
+    schema = spark.read.parquet(src).schema
+
+    types = [r["event_type"] for r in events.select("event_type").distinct().collect()]
+    t_left, t_right = sorted(types)[:2]
+
+    def side(df, t):
+        return df.filter(F.col("event_type") == t)
+
+    stream = spark.readStream.schema(schema).parquet(src)
+    joined = stream_interval_join(
+        side(stream, t_left), side(stream, t_right), max_delay="5 minutes"
+    )
+    q = (
+        joined.writeStream.format("memory")
+        .queryName("sj_pairs")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r["l_event_id"], r["r_event_id"])
+        for r in spark.sql("SELECT * FROM sj_pairs").collect()
+    }
+
+    batch = spark.read.parquet(src).withColumn("ts", F.col("ts").cast("timestamp"))
+    bl = side(batch, t_left).select(
+        F.col("user_id").alias("l_key"),
+        F.col("ts").alias("l_ts"),
+        F.col("event_id").alias("l_event_id"),
+    )
+    br = side(batch, t_right).select(
+        F.col("user_id").alias("r_key"),
+        F.col("ts").alias("r_ts"),
+        F.col("event_id").alias("r_event_id"),
+    )
+    want = {
+        (r["l_event_id"], r["r_event_id"])
+        for r in bl.join(
+            br,
+            (F.col("l_key") == F.col("r_key"))
+            & (F.col("r_ts") > F.col("l_ts"))
+            & (F.col("r_ts") <= F.col("l_ts") + F.expr("INTERVAL 5 minutes")),
+        ).collect()
+    }
+    assert want, "fixture produced no pairs — widen the interval"
+    assert got == want
