@@ -236,6 +236,158 @@ def revenue_by_nation(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# TPC-H Q14 shape: conditional-aggregate ratio per ship month. The share
+# divides the two ROUNDED sums, so the one float division is engine-exact.
+# ---------------------------------------------------------------------------
+
+@register(
+    "promo_revenue_share",
+    """
+WITH m AS (
+  SELECT date_trunc('month', l.l_shipdate) AS ship_month,
+         round(sum(CASE WHEN p.p_type = 'PROMO'
+                        THEN l.l_extendedprice * (1 - l.l_discount)
+                        ELSE 0 END), 2) AS promo_revenue,
+         round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS total_revenue
+  FROM lineitem l
+  JOIN part p ON p.p_partkey = l.l_partkey
+  GROUP BY 1
+)
+SELECT ship_month, promo_revenue, total_revenue,
+       CASE WHEN total_revenue > 0 THEN promo_revenue / total_revenue
+            ELSE 0.0 END AS promo_share
+FROM m
+ORDER BY ship_month
+""",
+)
+def promo_revenue_share(spark, sf_dir):
+    li = load(spark, sf_dir, "lineitem")
+    part = load(spark, sf_dir, "part")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    m = (
+        li.join(F.broadcast(part), li["l_partkey"] == part["p_partkey"])
+        .groupBy(F.date_trunc("month", "l_shipdate").alias("ship_month"))
+        .agg(
+            F.round(
+                F.sum(F.when(F.col("p_type") == "PROMO", rev).otherwise(F.lit(0.0))), 2
+            ).alias("promo_revenue"),
+            F.round(F.sum(rev), 2).alias("total_revenue"),
+        )
+    )
+    return m.select(
+        "ship_month",
+        "promo_revenue",
+        "total_revenue",
+        F.when(
+            F.col("total_revenue") > 0,
+            F.col("promo_revenue") / F.col("total_revenue"),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("promo_share"),
+    ).orderBy("ship_month")
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q15 shape: top supplier(s) by quarterly revenue. The global max is
+# a 1-row aggregate BROADCAST back against the per-supplier revenues —
+# never a single-partition global window.
+# ---------------------------------------------------------------------------
+
+@register(
+    "top_supplier_revenue",
+    """
+WITH rev AS (
+  SELECT l_suppkey,
+         round(sum(l_extendedprice * (1 - l_discount)), 2) AS total_rev
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+    AND l_shipdate < TIMESTAMP '1996-04-01'
+  GROUP BY 1
+)
+SELECT s.s_suppkey, s.s_name, r.total_rev
+FROM rev r
+JOIN supplier s ON s.s_suppkey = r.l_suppkey
+WHERE r.total_rev = (SELECT max(total_rev) FROM rev)
+ORDER BY s.s_suppkey
+""",
+)
+def top_supplier_revenue(spark, sf_dir):
+    li = load(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp_ntz"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp_ntz"))
+    )
+    supp = load(spark, sf_dir, "supplier")
+    rev = li.groupBy("l_suppkey").agg(
+        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+            "total_rev"
+        )
+    )
+    mx = rev.agg(F.max("total_rev").alias("_mx"))
+    return (
+        rev.join(F.broadcast(mx), rev["total_rev"] == mx["_mx"])
+        .join(F.broadcast(supp), rev["l_suppkey"] == supp["s_suppkey"])
+        .select("s_suppkey", "s_name", "total_rev")
+        .orderBy("s_suppkey")
+    )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q8 shape: one nation's share of yearly order revenue (conditional
+# aggregate over a broadcast dim chain; share divides the rounded sums).
+# ---------------------------------------------------------------------------
+
+@register(
+    "nation_market_share",
+    """
+WITH y AS (
+  SELECT year(o.o_orderdate) AS order_year,
+         round(sum(CASE WHEN n.n_name = 'NATION_3' THEN o.o_totalprice
+                        ELSE 0 END), 2) AS nation_rev,
+         round(sum(o.o_totalprice), 2) AS total_rev
+  FROM orders o
+  JOIN customer c ON c.c_custkey = o.o_custkey
+  JOIN nation n ON n.n_nationkey = c.c_nationkey
+  GROUP BY 1
+)
+SELECT order_year, nation_rev, total_rev,
+       CASE WHEN total_rev > 0 THEN nation_rev / total_rev ELSE 0.0 END
+         AS market_share
+FROM y
+ORDER BY order_year
+""",
+)
+def nation_market_share(spark, sf_dir):
+    orders = load(spark, sf_dir, "orders")
+    cust = load(spark, sf_dir, "customer")
+    nation = load(spark, sf_dir, "nation")
+    dims = cust.join(
+        F.broadcast(nation), cust["c_nationkey"] == nation["n_nationkey"]
+    ).select("c_custkey", "n_name")
+    y = (
+        orders.join(F.broadcast(dims), orders["o_custkey"] == dims["c_custkey"])
+        .groupBy(F.year("o_orderdate").alias("order_year"))
+        .agg(
+            F.round(
+                F.sum(
+                    F.when(F.col("n_name") == "NATION_3", F.col("o_totalprice"))
+                    .otherwise(F.lit(0.0))
+                ),
+                2,
+            ).alias("nation_rev"),
+            F.round(F.sum("o_totalprice"), 2).alias("total_rev"),
+        )
+    )
+    return y.select(
+        "order_year",
+        "nation_rev",
+        "total_rev",
+        F.when(F.col("total_rev") > 0, F.col("nation_rev") / F.col("total_rev"))
+        .otherwise(F.lit(0.0))
+        .alias("market_share"),
+    ).orderBy("order_year")
+
+
+# ---------------------------------------------------------------------------
 # Histogram binning (fixed-width buckets).
 # ---------------------------------------------------------------------------
 
