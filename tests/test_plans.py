@@ -79,6 +79,56 @@ def test_ivf_search_prebuilt_centroids_no_corpus_aggregate(spark):
         cents.unpersist()
 
 
+def test_batch_lsh_join_is_broadcast_with_prereduced_window(spark):
+    """batch_lsh_topk must keep batch_knn's two load-bearing shapes: the
+    query side joins by BROADCAST (never shuffling the corpus for the
+    bucket equi-join) and the top-k window pre-reduces below its exchange
+    (Partial WindowGroupLimit)."""
+    import pyspark.sql.functions as F
+
+    import vector_db_light_spark.registry  # noqa: F401  (full populate first)
+    from vector_db_light_spark.operators.similarity import batch_lsh_topk
+    from vector_db_light_spark.queries.similarity import PLANES
+
+    emb = spark.read.parquet(f"{SF_ORACLE}/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    df = batch_lsh_topk(emb, queries, PLANES, k=3)
+    plan = explain_string(df)
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    tree = plan.split("\n\n")[0]
+    assert sum("WindowGroupLimit" in l for l in tree.splitlines()) == 2, tree
+
+
+def test_top_supplier_max_is_broadcast_not_global_window(spark):
+    """Q15 shape: the global max must come back as a broadcast 1-row
+    aggregate; a single-partition global window would serialize the corpus
+    through one task."""
+    from vector_db_light_spark.registry import QUERIES
+
+    df = QUERIES["top_supplier_revenue"](spark, SF_ORACLE)
+    plan = explain_string(df)
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+    assert "Window" not in plan
+
+
+def test_connected_components_rounds_are_checkpointed(spark):
+    """The label frame feeds two inputs of each round; without lineage
+    truncation the plan doubles per round. The returned frame's plan must
+    therefore bottom out in checkpointed scans, not the full iterative
+    lineage."""
+    from vector_db_light_spark.operators.dedup import connected_components
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11)], "id_a bigint, id_b bigint"
+    )
+    labels = connected_components(pairs)
+    plan = explain_string(labels)
+    assert "Scan ExistingRDD" in plan or "LocalTableScan" in plan, plan
+
+
 def test_batch_knn_exchange_is_on_prereduced_candidates(spark):
     """batch_knn's shuffle must move a pre-reduced candidate set, never
     |corpus| x |queries| rows (VERDICT r1): Spark's WindowGroupLimit rule
