@@ -298,6 +298,7 @@ def ivf_search(
     id_col: str = "vec_id",
     vector_col: str = "embedding",
     centroids: DataFrame | None = None,
+    prune: str = "static",
 ) -> DataFrame:
     """IVF: pick the ``nprobe`` clusters whose centroids are nearest the
     query, then brute-force only those clusters.
@@ -311,8 +312,20 @@ def ivf_search(
     acceptable in one-off exploration, a scale-killer in a serving path
     (at 100 TB it is a full scan per query); ``dim`` is then required.
 
-    With the corpus written PARTITIONED BY cluster_col, the left-semi join
-    below becomes a partition-pruning filter: unprobed data is never read.
+    ``prune`` decides how the probed clusters reach the corpus scan:
+
+      * ``"static"`` (default) — probe the sidecar EAGERLY (an nprobe-row
+        collect, the moral equivalent of reading index metadata; not a data
+        collect) and push ``cluster_col IN (...)`` into the scan. On a
+        corpus PARTITIONED BY cluster_col this is guaranteed static
+        partition pruning — the plan shows ``PartitionFilters: [... IN
+        (...)]`` and unprobed partitions are never listed, opened, or read
+        (pinned by test_plans).
+      * ``"join"`` — keep the probe lazy as a broadcast left-semi join.
+        Fully deferred, but row-level only in practice: Spark's dynamic
+        partition pruning does NOT fire for a limit-derived build side (no
+        selective filter predicate), so every partition is still READ and
+        filtered. Use only when the probe must stay inside one lazy plan.
     """
     q = V.vector_lit(query_vector)
     if centroids is None:
@@ -332,7 +345,11 @@ def ivf_search(
         .limit(nprobe)
         .select(cluster_col)
     )
-    pruned = corpus.join(F.broadcast(probed), cluster_col, "left_semi")
+    if prune == "static":
+        probed_ids = [r[cluster_col] for r in probed.collect()]
+        pruned = corpus.filter(F.col(cluster_col).isin(probed_ids))
+    else:
+        pruned = corpus.join(F.broadcast(probed), cluster_col, "left_semi")
     d = (F.lit(1.0) - V.dot(F.col(vector_col), q)).alias("distance")
     return (
         pruned.select(F.col(id_col), F.col(cluster_col), d)
