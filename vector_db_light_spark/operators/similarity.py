@@ -269,6 +269,57 @@ def knn_sq8(
     )
 
 
+def batch_ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    centroids: DataFrame,
+    nprobe: int = 2,
+    k: int = 5,
+    cluster_col: str = "label",
+    id_col: str = "vec_id",
+    vector_col: str = "embedding",
+    query_id_col: str = "query_id",
+    query_vec_col: str = "query_vec",
+) -> DataFrame:
+    """Batch IVF: each query probes its ``nprobe`` nearest centroids; the
+    corpus joins the (query, probed cluster) pairs on the CLUSTER key.
+
+    The serving shape for many queries at once: centroids are tiny, so the
+    per-query probe is a broadcast theta-join + WindowGroupLimit'd top-
+    nprobe; the corpus then sees ONE equi-join on cluster_col against a
+    broadcast probe list — each corpus row meets only the queries probing
+    its cluster (nprobe x |queries| / |clusters| in expectation), never
+    the full query set. With the corpus partitioned by cluster_col the
+    join is partition-local; for few queries collect the probe list and
+    push a static IN filter exactly like single-query ``ivf_search``.
+    """
+    q = queries.select(
+        F.col(query_id_col),
+        F.col(query_vec_col).cast("array<double>").alias("_qv"),
+    )
+    cd = (F.lit(1.0) - V.dot(F.col("centroid"), F.col("_qv"))).alias("_cd")
+    probe_w = Window.partitionBy(query_id_col).orderBy(
+        F.col("_cd").asc(), F.col(cluster_col).asc()
+    )
+    probes = (
+        centroids.join(F.broadcast(q))
+        .select(F.col(query_id_col), F.col(cluster_col), "_qv", cd)
+        .withColumn("_pr", F.row_number().over(probe_w))
+        .filter(F.col("_pr") <= nprobe)
+        .select(query_id_col, cluster_col, "_qv")
+    )
+    d = (F.lit(1.0) - V.dot(F.col(vector_col), F.col("_qv"))).alias("distance")
+    scored = corpus.join(F.broadcast(probes), cluster_col).select(
+        F.col(query_id_col), F.col(id_col), d
+    )
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col("distance").asc(), F.col(id_col).asc()
+    )
+    return scored.withColumn("rk", F.row_number().over(w)).filter(
+        F.col("rk") <= k
+    )
+
+
 def ivf_centroids(
     corpus: DataFrame,
     dim: int,

@@ -256,15 +256,102 @@ def ann_lsh_multiprobe_recall(spark, sf_dir):
     ).orderBy("query_id")
 
 
-# ---------------------------------------------------------------------------
-# IVF-style ANN: label-cluster centroids (element-rounded means), probe the
-# 2 nearest clusters, brute-force only those.
-# ---------------------------------------------------------------------------
-
+# Per-element rounded centroid means (defined here because the recall
+# oracle below needs it; also used by the ann_ivf_pruned oracle).
 _CENT_COLS_SQL = ", ".join(
     f"round(avg(embedding[{i + 1}]::DOUBLE), 4)" for i in range(DIM)
 )
 
+
+@register(
+    "ann_ivf_recall",
+    f"""
+WITH q AS (
+  SELECT vec_id AS query_id, embedding AS qv
+  FROM embeddings WHERE vec_id < {_N_RECALL_Q}
+),
+truth AS (
+  SELECT query_id, vec_id FROM (
+    SELECT q.query_id, e.vec_id,
+           row_number() OVER (PARTITION BY q.query_id
+             ORDER BY 1.0 - {dot_sql('e.embedding', 'q.qv::DOUBLE[]')} ASC,
+                      e.vec_id ASC) AS rk
+    FROM embeddings e, q
+  ) WHERE rk <= {_RECALL_K}
+),
+cents AS (
+  SELECT label, [{_CENT_COLS_SQL}] AS centroid
+  FROM embeddings GROUP BY label
+),
+probes AS (
+  SELECT query_id, label, qv FROM (
+    SELECT q.query_id, c.label, q.qv,
+           row_number() OVER (PARTITION BY q.query_id
+             ORDER BY 1.0 - {dot_sql('c.centroid', 'q.qv::DOUBLE[]')} ASC,
+                      c.label ASC) AS pr
+    FROM cents c, q
+  ) WHERE pr <= 2
+),
+approx AS (
+  SELECT query_id, vec_id FROM (
+    SELECT p.query_id, e.vec_id,
+           row_number() OVER (PARTITION BY p.query_id
+             ORDER BY 1.0 - {dot_sql('e.embedding', 'p.qv::DOUBLE[]')} ASC,
+                      e.vec_id ASC) AS rk
+    FROM embeddings e JOIN probes p ON e.label = p.label
+  ) WHERE rk <= {_RECALL_K}
+),
+hits AS (
+  SELECT t.query_id, count(a.vec_id) AS n_hits
+  FROM truth t
+  LEFT JOIN approx a ON a.query_id = t.query_id AND a.vec_id = t.vec_id
+  GROUP BY 1
+)
+SELECT query_id, CAST(n_hits AS BIGINT) AS n_hits,
+       CAST(n_hits AS DOUBLE) / {_RECALL_K} AS recall_at_k
+FROM hits
+ORDER BY query_id
+""",
+)
+def ann_ivf_recall(spark, sf_dir):
+    """Recall@k of batch IVF (nprobe=2 label clusters) vs exact batch kNN —
+    completes the eval triptych (LSH, multi-probe LSH, IVF) so every
+    approximate serving path ships with a measured, oracle-checked quality
+    number."""
+    emb = load(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < _N_RECALL_Q).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    cents = _CENTROID_ARTIFACTS.get(sf_dir)
+    if cents is None:
+        cents = S.ivf_centroids(emb, DIM).persist()
+        cents.count()
+        _CENTROID_ARTIFACTS[sf_dir] = cents
+    truth = S.batch_knn(emb, queries, k=_RECALL_K).select("query_id", "vec_id")
+    approx = S.batch_ivf_topk(
+        emb, queries, cents, nprobe=2, k=_RECALL_K
+    ).select(F.col("query_id").alias("a_qid"), F.col("vec_id").alias("a_vid"))
+    hits = (
+        truth.join(
+            approx,
+            (F.col("query_id") == F.col("a_qid"))
+            & (F.col("vec_id") == F.col("a_vid")),
+            "left",
+        )
+        .groupBy("query_id")
+        .agg(F.count("a_vid").alias("n_hits"))
+    )
+    return hits.select(
+        "query_id",
+        F.col("n_hits").cast("bigint").alias("n_hits"),
+        (F.col("n_hits").cast("double") / _RECALL_K).alias("recall_at_k"),
+    ).orderBy("query_id")
+
+
+# ---------------------------------------------------------------------------
+# IVF-style ANN: label-cluster centroids (element-rounded means), probe the
+# 2 nearest clusters, brute-force only those.
+# ---------------------------------------------------------------------------
 
 _QQ = [round(v * 127) for v in QUERY_VEC]
 _QQ_SQL = "[" + ", ".join(str(int(v)) for v in _QQ) + "]::BIGINT[]"
