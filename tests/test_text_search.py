@@ -1,0 +1,58 @@
+"""BM25 distributed result == scalar reference computation."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+
+from vector_db_light_spark.operators.text_search import bm25_score_py, bm25_topk
+
+
+def test_bm25_matches_scalar_reference(spark):
+    corpus = [
+        (1, "spark query engine runs a fast query"),
+        (2, "table scan and table join in spark"),
+        (3, "nothing relevant here at all"),
+        (4, "query"),
+        (5, "spark spark spark table query batch"),
+    ]
+    docs = spark.createDataFrame(corpus, "doc_id bigint, text string")
+    got = {r["doc_id"]: r["bm25"] for r in bm25_topk(docs, ["spark", "query"], k=5).collect()}
+
+    # scalar reference
+    toks = {d: t.lower().split() for d, t in corpus}
+    n = len(corpus)
+    dls = {d: len(t) for d, t in toks.items()}
+    avgdl = sum(dls.values()) / n
+    want = {}
+    for term in ("spark", "query"):
+        df = sum(1 for t in toks.values() if term in t)
+        for d, t in toks.items():
+            tf = t.count(term)
+            if tf:
+                want[d] = want.get(d, 0.0) + bm25_score_py(tf, df, n, dls[d], avgdl)
+    want = {d: round(s, 6) for d, s in want.items()}
+
+    assert set(got) == set(want)
+    for d in want:
+        assert got[d] == pytest.approx(want[d], abs=1e-6)
+    # doc 3 matches nothing and must be absent
+    assert 3 not in got
+    # heavier term repetition saturates, not explodes: doc5 tops doc1
+    assert got[5] > got[1]
+
+
+def test_bm25_idf_downweights_common_terms(spark):
+    # 'common' appears everywhere, 'rare' once: the rare-term doc must win
+    corpus = [(i, "common filler text") for i in range(1, 9)] + [
+        (9, "common rare text")
+    ]
+    docs = spark.createDataFrame(corpus, "doc_id bigint, text string")
+    top = bm25_topk(docs, ["common", "rare"], k=1).collect()[0]
+    assert top["doc_id"] == 9
+
+
+def test_bm25_score_py_is_finite_and_positive(spark):
+    s = bm25_score_py(tf=2, df=3, n=100, dl=50, avgdl=40.0)
+    assert s > 0 and math.isfinite(s)

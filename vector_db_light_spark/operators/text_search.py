@@ -1,0 +1,103 @@
+"""Lexical (BM25) retrieval — the keyword-ranking complement to the vector
+path (beyond the reference's surface; its retrieval is embedding-only,
+vector_db_query.py). Pure Catalyst: tokenize -> explode -> per-(doc, term)
+TF -> per-term DF -> idf join -> score aggregate. The exploded (term, doc)
+layout IS the inverted index at cluster scale: partition/bucket it by term
+and a query touches only its terms' partitions.
+
+Float-parity note: ln() is the one op here that is only ~1-ulp reproducible
+across engines (java.lang.Math.log vs libm), so BM25 scores are rounded to
+6 decimals on BOTH sides before ranking and output; ordering ties broken by
+doc id.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .dedup import tokens_expr
+
+K1 = 1.2
+B = 0.75
+
+
+def term_frequencies(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """(id, term, tf, dl): term counts per doc plus the doc's token length.
+    One explode + one (id, term) groupBy — the inverted-index build."""
+    toks = docs.select(F.col(id_col), tokens_expr(text_col).alias("_toks"))
+    exploded = toks.select(
+        F.col(id_col),
+        F.size("_toks").alias("dl"),
+        F.explode("_toks").alias("term"),
+    )
+    return exploded.groupBy(id_col, "term", "dl").agg(
+        F.count(F.lit(1)).alias("tf")
+    )
+
+
+def bm25_topk(
+    docs: DataFrame,
+    query_terms: list[str],
+    k: int = 10,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Top-k docs by BM25(k1=1.2, b=0.75) for a bag of query terms.
+
+    Dataflow: TF table filtered to the query's terms FIRST (at scale: a
+    partition-pruned read of the term-partitioned index — the filter is in
+    the scan, everything after it is proportional to the posting lists, not
+    the corpus), DF per term over the filtered postings, idf as the
+    Robertson-Sparck-Jones smoothed form ln(1 + (N - df + .5)/(df + .5)),
+    then one per-doc aggregate. N and avgdl are 1-row aggregates broadcast
+    into the score expression.
+    """
+    tfs = term_frequencies(docs, id_col=id_col, text_col=text_col)
+    stats = docs.select(
+        F.count(F.lit(1)).alias("_n"),
+    ).crossJoin(
+        tfs.select(id_col, "dl")
+        .distinct()
+        .agg(F.avg("dl").alias("_avgdl"))
+    )
+    postings = tfs.filter(F.col("term").isin([t.lower() for t in query_terms]))
+    df_per_term = postings.groupBy("term").agg(
+        F.count(F.lit(1)).alias("df")
+    )
+    scored = (
+        postings.join(F.broadcast(df_per_term), "term")
+        .crossJoin(F.broadcast(stats))
+        .select(
+            F.col(id_col),
+            (
+                F.log(
+                    F.lit(1.0)
+                    + (F.col("_n") - F.col("df") + F.lit(0.5))
+                    / (F.col("df") + F.lit(0.5))
+                )
+                * (F.col("tf") * (K1 + 1))
+                / (
+                    F.col("tf")
+                    + F.lit(K1)
+                    * (F.lit(1.0) - F.lit(B) + F.lit(B) * F.col("dl") / F.col("_avgdl"))
+                )
+            ).alias("_s"),
+        )
+    )
+    return (
+        scored.groupBy(id_col)
+        .agg(F.round(F.sum("_s"), 6).alias("bm25"))
+        .orderBy(F.col("bm25").desc(), F.col(id_col).asc())
+        .limit(k)
+    )
+
+
+def bm25_score_py(tf: int, df: int, n: int, dl: int, avgdl: float) -> float:
+    """Reference scalar BM25 (tests cross-check the distributed result)."""
+    idf = math.log(1.0 + (n - df + 0.5) / (df + 0.5))
+    return idf * (tf * (K1 + 1)) / (tf + K1 * (1 - B + B * dl / avgdl))

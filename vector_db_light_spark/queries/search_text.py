@@ -83,3 +83,50 @@ def search_by_text(spark, sf_dir):
         .select("doc_id", "source", sim.alias("similarity"))
         .orderBy(F.col("similarity").desc(), F.col("doc_id").asc())
     )
+
+
+# ---------------------------------------------------------------------------
+# Lexical BM25 ranking (beyond-reference: the keyword complement to vector
+# retrieval). Scores round to 6dp on both sides — ln() is the one ~1-ulp
+# op in the formula (operators/text_search.py docstring).
+# ---------------------------------------------------------------------------
+
+BM25_TERMS = ("spark", "table", "query")
+_TERMS_SQL = ", ".join(f"'{t}'" for t in BM25_TERMS)
+
+
+@register(
+    "bm25_topk",
+    rf"""
+WITH tokens AS (SELECT doc_id, {_TOKS_SQL} AS toks FROM documents),
+tf AS (
+  SELECT doc_id, dl, term, count(*) AS tf FROM (
+    SELECT doc_id, len(toks) AS dl, unnest(toks) AS term FROM tokens
+  ) GROUP BY 1, 2, 3
+),
+stats AS (
+  SELECT (SELECT count(*) FROM documents) AS n,
+         (SELECT avg(dl) FROM (SELECT DISTINCT doc_id, dl FROM tf)) AS avgdl
+),
+postings AS (SELECT * FROM tf WHERE term IN ({_TERMS_SQL})),
+dfs AS (SELECT term, count(*) AS df FROM postings GROUP BY 1),
+scored AS (
+  SELECT p.doc_id,
+         ln(1.0 + (s.n - d.df + 0.5) / (d.df + 0.5))
+         * (p.tf * (1.2 + 1)) / (p.tf + 1.2 * (1.0 - 0.75 + 0.75 * p.dl / s.avgdl))
+           AS sc
+  FROM postings p JOIN dfs d USING (term) CROSS JOIN stats s
+)
+SELECT doc_id, round(sum(sc), 6) AS bm25
+FROM scored GROUP BY 1
+ORDER BY bm25 DESC, doc_id ASC
+LIMIT 10
+""",
+)
+def bm25_topk(spark, sf_dir):
+    """Top-10 documents by BM25 for a fixed bag of query terms
+    (operators/text_search.bm25_topk)."""
+    from ..operators.text_search import bm25_topk as _bm25
+
+    docs = load(spark, sf_dir, "documents")
+    return _bm25(docs, list(BM25_TERMS), k=10)
