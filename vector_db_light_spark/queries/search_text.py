@@ -130,3 +130,132 @@ def bm25_topk(spark, sf_dir):
 
     docs = load(spark, sf_dir, "documents")
     return _bm25(docs, list(BM25_TERMS), k=10)
+
+
+# ---------------------------------------------------------------------------
+# Hybrid retrieval: vector top-20 + BM25 top-20 fused by reciprocal-rank
+# fusion (rrf_k=60). RRF is rank-based, so the fused score is a sum of
+# exact divisions of small integers — zero float-parity surface.
+# ---------------------------------------------------------------------------
+
+RRF_K = 60
+
+
+@register(
+    "hybrid_rrf_search",
+    rf"""
+WITH toks AS (
+  SELECT doc_id, unnest({_TOKS_SQL}) AS t FROM documents
+),
+counts AS (
+  SELECT doc_id, strpos('0123456789abcdef', substr(md5(t), 1, 1)) - 1 AS b,
+         count(*) AS c
+  FROM toks GROUP BY 1, 2
+),
+dims AS (SELECT doc_id, unnest(range(0, 16)) AS dim_idx FROM documents),
+vecs AS (
+  SELECT d.doc_id, d.dim_idx, coalesce(c.c, 0) AS c
+  FROM dims d LEFT JOIN counts c ON c.doc_id = d.doc_id AND c.b = d.dim_idx
+),
+norms AS (SELECT doc_id, sum(c * c) AS sumsq FROM vecs GROUP BY 1),
+embs AS (
+  SELECT v.doc_id,
+         list(CASE WHEN n.sumsq > 0 THEN v.c / sqrt(n.sumsq) ELSE 0.0 END
+              ORDER BY v.dim_idx) AS embedding
+  FROM vecs v JOIN norms n ON n.doc_id = v.doc_id
+  GROUP BY v.doc_id
+),
+vscored AS (
+  SELECT doc_id,
+         1.0 - list_reduce(list_transform(list_zip(embedding, {_QVEC_SQL}),
+                                          s -> s[1] * s[2]), (a, b) -> a + b)
+           AS distance
+  FROM embs
+),
+vr AS (
+  SELECT doc_id, rn FROM (
+    SELECT doc_id, row_number() OVER (ORDER BY distance ASC, doc_id ASC) AS rn
+    FROM vscored
+  ) WHERE rn <= 20
+),
+wtoks AS (SELECT doc_id, {_TOKS_SQL} AS toklist FROM documents),
+tf AS (
+  SELECT doc_id, dl, term, count(*) AS tf FROM (
+    SELECT doc_id, len(toklist) AS dl, unnest(toklist) AS term FROM wtoks
+  ) GROUP BY 1, 2, 3
+),
+stats AS (
+  SELECT (SELECT count(*) FROM documents) AS n,
+         (SELECT avg(dl) FROM (SELECT DISTINCT doc_id, dl FROM tf)) AS avgdl
+),
+postings AS (SELECT * FROM tf WHERE term IN ({_TERMS_SQL})),
+dfs AS (SELECT term, count(*) AS df FROM postings GROUP BY 1),
+bmscored AS (
+  SELECT p.doc_id,
+         ln(1.0 + (s.n - d.df + 0.5) / (d.df + 0.5))
+         * (p.tf * (1.2 + 1)) / (p.tf + 1.2 * (1.0 - 0.75 + 0.75 * p.dl / s.avgdl))
+           AS sc
+  FROM postings p JOIN dfs d USING (term) CROSS JOIN stats s
+),
+bm AS (SELECT doc_id, round(sum(sc), 6) AS bm25 FROM bmscored GROUP BY 1),
+br AS (
+  SELECT doc_id, rn FROM (
+    SELECT doc_id, row_number() OVER (ORDER BY bm25 DESC, doc_id ASC) AS rn
+    FROM bm
+  ) WHERE rn <= 20
+)
+SELECT coalesce(v.doc_id, b.doc_id) AS doc_id,
+       coalesce(1.0 / ({RRF_K} + v.rn), 0.0)
+         + coalesce(1.0 / ({RRF_K} + b.rn), 0.0) AS rrf_score,
+       coalesce(v.rn, -1) AS vec_rank,
+       coalesce(b.rn, -1) AS bm25_rank
+FROM vr v
+FULL OUTER JOIN br b ON b.doc_id = v.doc_id
+ORDER BY rrf_score DESC, doc_id ASC
+LIMIT 10
+""",
+)
+def hybrid_rrf_search(spark, sf_dir):
+    """Reciprocal-rank fusion of the vector and BM25 retrievers — the
+    hybrid-search capability real vector stores advertise. Both candidate
+    lists are tiny top-20s, so the global rank windows and the full-outer
+    fuse run on <= 40 rows regardless of corpus size; the expensive parts
+    remain the two retrievals, each already in its 100 TB shape."""
+    from pyspark.sql.window import Window
+
+    from ..operators.text_search import bm25_topk as _bm25
+
+    docs = load(spark, sf_dir, "documents")
+    bm = _bm25(docs, list(BM25_TERMS), k=20)
+    bmr = bm.select(
+        "doc_id",
+        F.row_number()
+        .over(Window.orderBy(F.col("bm25").desc(), F.col("doc_id").asc()))
+        .alias("brn"),
+    )
+    embs = embed_documents(docs, dim=16)
+    q = vector_lit(_QVEC)
+    scored = embs.select(
+        "doc_id", (F.lit(1.0) - dot(F.col("embedding"), q)).alias("distance")
+    )
+    topv = scored.orderBy(F.col("distance").asc(), F.col("doc_id").asc()).limit(20)
+    vrr = topv.select(
+        "doc_id",
+        F.row_number()
+        .over(Window.orderBy(F.col("distance").asc(), F.col("doc_id").asc()))
+        .alias("vrn"),
+    )
+    j = vrr.join(bmr, "doc_id", "full_outer")
+    rrf = F.coalesce(F.lit(1.0) / (F.lit(RRF_K) + F.col("vrn")), F.lit(0.0)) + F.coalesce(
+        F.lit(1.0) / (F.lit(RRF_K) + F.col("brn")), F.lit(0.0)
+    )
+    return (
+        j.select(
+            "doc_id",
+            rrf.alias("rrf_score"),
+            F.coalesce(F.col("vrn"), F.lit(-1)).alias("vec_rank"),
+            F.coalesce(F.col("brn"), F.lit(-1)).alias("bm25_rank"),
+        )
+        .orderBy(F.col("rrf_score").desc(), F.col("doc_id").asc())
+        .limit(10)
+    )

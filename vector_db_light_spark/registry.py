@@ -89,6 +89,7 @@ PRIORITY: tuple[str, ...] = (
     "citations_pages",      # A2 + A3 (combo)
     "json_props_extract",   # X7
     "search_by_text",       # V1 query-embed + instruction prefix
+    "hybrid_rrf_search",    # BM25 + vector reciprocal-rank fusion
     # chunking
     "chunk_fixed_stride",   # X8 + V6
     "chunk_overlap_pages",  # S3 + X5
@@ -116,7 +117,6 @@ PRIORITY: tuple[str, ...] = (
     "text_simhash",
     "dedup_clusters",
     "dedup_simhash_hamming",
-    "dedup_embedding_cosine",
     # similarity search
     "knn_batch_topk",
     "ann_lsh_bucketed",
