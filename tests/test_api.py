@@ -169,3 +169,26 @@ def test_search_uses_model_instruction_prefix(spark, tmp_path, corpus_dir):
     hits = mgr.search("kbp", "distributed spark engine", k=3,
                       score_threshold=0.0).collect()
     assert 0 < len(hits) <= 3
+
+
+def test_search_bm25_and_hybrid(spark, tmp_path, corpus_dir):
+    """Lexical + hybrid retrieval over the lifecycle tables: BM25 favors the
+    term-bearing chunks; RRF fuses both rankings and stays k-bounded."""
+    mgr = VectorDatabaseManager(spark, str(tmp_path / "dbs"))
+    mgr.create_database("kb3", corpus_dir, chunk_size=200, chunk_overlap=100)
+
+    bm = mgr.search_bm25("kb3", "distributed spark engine", k=4).collect()
+    assert 0 < len(bm) <= 4
+    assert all("spark" in r["chunk_text"].lower() for r in bm)
+    scores = [r["bm25"] for r in bm]
+    assert scores == sorted(scores, reverse=True)
+
+    hy = mgr.search_hybrid("kb3", "distributed spark engine", k=4).collect()
+    assert 0 < len(hy) <= 4
+    rrfs = [r["rrf_score"] for r in hy]
+    assert rrfs == sorted(rrfs, reverse=True)
+    # a doc ranked by both retrievers must outscore a vector-only straggler
+    assert rrfs[0] > 1.0 / (60 + 20)
+
+    with pytest.raises(ValueError):
+        mgr.search_bm25("nope", "x")

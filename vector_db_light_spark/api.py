@@ -294,6 +294,77 @@ class VectorDatabaseManager:
             "page_number", "similarity", "distance",
         ).orderBy(F.col("similarity").desc(), F.col("chunk_id").asc())
 
+    def search_bm25(
+        self,
+        name: str,
+        query: str,
+        k: int = DEFAULT_CONTEXTS,
+    ) -> DataFrame:
+        """Lexical BM25 ranking over the chunk table (beyond-reference: the
+        keyword complement to vector search). Query terms are the
+        whitespace tokens of ``query``."""
+        from .operators.text_search import bm25_topk
+
+        if self.registry.get(name) is None:
+            raise ValueError(f"unknown database {name!r}")
+        emb = self.spark.read.parquet(self._table(name, "embeddings"))
+        terms = [t for t in query.lower().split() if t]
+        ranked = bm25_topk(
+            emb, terms, k=k, id_col="chunk_id", text_col="chunk_text"
+        )
+        return (
+            emb.select("chunk_id", "doc_id", "chunk_text", "file_name")
+            .join(F.broadcast(ranked), "chunk_id")
+            .orderBy(F.col("bm25").desc(), F.col("chunk_id").asc())
+        )
+
+    def search_hybrid(
+        self,
+        name: str,
+        query: str,
+        k: int = DEFAULT_CONTEXTS,
+        rrf_k: int = 60,
+        candidates: int = 20,
+    ) -> DataFrame:
+        """Hybrid retrieval: reciprocal-rank fusion of the vector search and
+        the BM25 ranking for the same query string. Both candidate lists are
+        ``candidates``-row top-ks, so the fuse is constant-size; the two
+        retrievals keep their own 100 TB shapes."""
+        from pyspark.sql.window import Window
+
+        if self.registry.get(name) is None:
+            raise ValueError(f"unknown database {name!r}")
+        vec = self.search(name, query, k=candidates, score_threshold=0.0)
+        bm = self.search_bm25(name, query, k=candidates)
+        vr = vec.select(
+            "chunk_id",
+            F.row_number()
+            .over(
+                Window.orderBy(F.col("similarity").desc(), F.col("chunk_id").asc())
+            )
+            .alias("vrn"),
+        )
+        br = bm.select(
+            "chunk_id",
+            F.row_number()
+            .over(Window.orderBy(F.col("bm25").desc(), F.col("chunk_id").asc()))
+            .alias("brn"),
+        )
+        fused = vr.join(br, "chunk_id", "full_outer")
+        rrf = F.coalesce(
+            F.lit(1.0) / (F.lit(rrf_k) + F.col("vrn")), F.lit(0.0)
+        ) + F.coalesce(F.lit(1.0) / (F.lit(rrf_k) + F.col("brn")), F.lit(0.0))
+        emb = self.spark.read.parquet(self._table(name, "embeddings"))
+        return (
+            fused.select("chunk_id", rrf.alias("rrf_score"))
+            .join(
+                emb.select("chunk_id", "doc_id", "chunk_text", "file_name"),
+                "chunk_id",
+            )
+            .orderBy(F.col("rrf_score").desc(), F.col("chunk_id").asc())
+            .limit(k)
+        )
+
     # -- S8 delete / S11 backup-restore --------------------------------------
     def delete_database(self, name: str) -> None:
         shutil.rmtree(self._db_dir(name), ignore_errors=True)
