@@ -192,3 +192,61 @@ def test_search_bm25_and_hybrid(spark, tmp_path, corpus_dir):
 
     with pytest.raises(ValueError):
         mgr.search_bm25("nope", "x")
+
+
+def test_add_documents_incremental_and_ivf_refresh(spark, tmp_path, corpus_dir):
+    """Incremental append: new files join the same tables; re-adding the
+    same content is a no-op (content-addressed); the IVF partitioned table
+    and centroid sidecar refresh only for touched clusters."""
+    mgr = VectorDatabaseManager(spark, str(tmp_path / "dbs"))
+    mgr.create_database("kb4", corpus_dir, chunk_size=200, chunk_overlap=100)
+    mgr.build_ivf_index("kb4")
+    before = {
+        r["cluster_id"]: r["centroid"]
+        for r in spark.read.parquet(
+            str(tmp_path / "dbs" / "kb4" / "ivf_centroids")
+        ).collect()
+    }
+    n_docs0 = spark.read.parquet(
+        str(tmp_path / "dbs" / "kb4" / "documents")
+    ).count()
+
+    # same content again -> nothing happens
+    assert mgr.add_documents("kb4", corpus_dir) == 0
+
+    newdir = tmp_path / "more_docs"
+    newdir.mkdir()
+    (newdir / "flink.txt").write_text(
+        "flink processes unbounded streams with checkpointed state. " * 30
+    )
+    n_new = mgr.add_documents("kb4", str(newdir))
+    assert n_new == 1
+
+    docs = spark.read.parquet(str(tmp_path / "dbs" / "kb4" / "documents"))
+    assert docs.count() == n_docs0 + 1
+    # appended chunks are searchable through the same pipeline
+    hits = mgr.search_bm25("kb4", "flink unbounded streams", k=3).collect()
+    assert hits and all("flink" in r["chunk_text"] for r in hits)
+
+    # sidecar still covers every cluster present in the partitioned table,
+    # and untouched clusters kept their exact centroid rows
+    ivf = spark.read.parquet(str(tmp_path / "dbs" / "kb4" / "embeddings_ivf"))
+    touched = {
+        r["cluster_id"]
+        for r in ivf.join(
+            docs.filter(docs["file_name"] == "flink.txt").select("doc_id"), "doc_id"
+        ).select("cluster_id").distinct().collect()
+    }
+    after = {
+        r["cluster_id"]: r["centroid"]
+        for r in spark.read.parquet(
+            str(tmp_path / "dbs" / "kb4" / "ivf_centroids")
+        ).collect()
+    }
+    assert set(after) == {r["cluster_id"] for r in ivf.select("cluster_id").distinct().collect()}
+    for cid, cent in before.items():
+        if cid not in touched:
+            assert after[cid] == cent
+
+    # idempotence of the second add too
+    assert mgr.add_documents("kb4", str(newdir)) == 0

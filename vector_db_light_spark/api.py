@@ -39,6 +39,9 @@ DEFAULT_CHUNK_OVERLAP = 600  # reference config.py:27
 DEFAULT_CONTEXTS = 6         # reference config.py:28
 DEFAULT_SIMILARITY = 0.4     # reference config.py:29
 N_ID_BUCKETS = 64
+IVF_N_PLANES = 4  # sign-bucket planes: build_ivf_index and incremental
+                  # refresh MUST agree or appended vectors land in the
+                  # wrong partitions
 
 
 @dataclass
@@ -136,7 +139,20 @@ class VectorDatabaseManager:
         parsed = docs.filter(F.col("parse_error").isNull()).withColumn(
             "doc_id", F.pmod(F.xxhash64("hash"), F.lit(2**31))
         )
+        emb_table = self._build_emb_table(parsed, chunk_size, chunk_overlap, dim)
+        emb_table.write.partitionBy("id_bucket").mode("errorifexists").parquet(
+            self._table(name, "embeddings")
+        )
+        parsed.write.mode("errorifexists").parquet(self._table(name, "documents"))
+        self.registry.add(
+            name,
+            DatabaseInfo(model, chunk_size, chunk_overlap, metric),
+        )
 
+    def _build_emb_table(self, parsed, chunk_size: int, chunk_overlap: int, dim: int):
+        """chunk -> clean -> embed -> joined embeddings table (shared by
+        create_database and add_documents so appends run the identical
+        pipeline)."""
         # F5: PDFs get the overlapping page-attributed chunker, everything
         # else the fixed splitter (vector_db_creator.py:258-259).
         pdf = parsed.filter(F.col("file_type") == ".pdf")
@@ -157,7 +173,7 @@ class VectorDatabaseManager:
         embedded = embed_documents(
             clean, id_col="chunk_id", text_col="chunk_text", dim=dim
         )
-        emb_table = (
+        return (
             clean.join(embedded, "chunk_id")
             .join(
                 parsed.select("doc_id", "hash", "file_path", "file_name", "file_type"),
@@ -165,21 +181,94 @@ class VectorDatabaseManager:
             )
             .withColumn("id_bucket", F.pmod(F.col("chunk_id"), F.lit(N_ID_BUCKETS)))
         )
-        emb_table.write.partitionBy("id_bucket").mode("errorifexists").parquet(
+
+    def add_documents(
+        self,
+        name: str,
+        source_dir: str,
+        dim: int = DEFAULT_DIM,
+    ) -> int:
+        """Incremental ingest — the scale-correct alternative to the
+        reference's delete-and-rebuild model (gui_tabs_databases.py: any
+        change rebuilds the whole DB). New files run the SAME parse/chunk/
+        embed pipeline and APPEND; files whose content hash is already in
+        the documents table are skipped (content-addressed idempotence: a
+        re-run or a duplicate upload writes nothing). If the IVF index
+        exists, its partitioned table and centroid sidecar are refreshed
+        incrementally — only the clusters that received new vectors are
+        recomputed and rewritten. Returns the number of NEW documents."""
+        info = self.registry.get(name)
+        if info is None:
+            raise ValueError(f"unknown database {name!r}")
+        docs = ingest(self.spark, source_dir)
+        parsed = docs.filter(F.col("parse_error").isNull()).withColumn(
+            "doc_id", F.pmod(F.xxhash64("hash"), F.lit(2**31))
+        )
+        existing = self.spark.read.parquet(self._table(name, "documents")).select(
+            "hash"
+        )
+        fresh = parsed.join(F.broadcast(existing), "hash", "left_anti").persist()
+        n_new = fresh.count()
+        if n_new == 0:
+            fresh.unpersist()
+            return 0
+        emb_table = self._build_emb_table(
+            fresh, info.chunk_size, info.chunk_overlap, dim
+        )
+        emb_table.write.partitionBy("id_bucket").mode("append").parquet(
             self._table(name, "embeddings")
         )
-        parsed.write.mode("errorifexists").parquet(self._table(name, "documents"))
-        self.registry.add(
-            name,
-            DatabaseInfo(model, chunk_size, chunk_overlap, metric),
+        fresh.write.mode("append").parquet(self._table(name, "documents"))
+        if os.path.isdir(self._table(name, "embeddings_ivf")):
+            self._refresh_ivf_partitions(name, emb_table, dim)
+        fresh.unpersist()
+        return n_new
+
+    def _refresh_ivf_partitions(self, name: str, new_rows, dim: int) -> None:
+        """Append new vectors to their (deterministic sign-bucket) IVF
+        partitions and recompute centroids ONLY for the touched clusters:
+        dynamic partition overwrite on the big table, anti-join + union on
+        the tiny sidecar. Untouched partitions are never read or written."""
+        from .operators.similarity import (
+            ivf_centroids,
+            lsh_bucket_expr,
+            random_hyperplanes,
         )
+
+        planes = random_hyperplanes(IVF_N_PLANES, dim)
+        clustered = new_rows.withColumn(
+            "cluster_id", lsh_bucket_expr("embedding", planes)
+        )
+        clustered.write.partitionBy("cluster_id").mode("append").parquet(
+            self._table(name, "embeddings_ivf")
+        )
+        touched = [
+            r["cluster_id"]
+            for r in clustered.select("cluster_id").distinct().collect()
+        ]
+        ivf = self.spark.read.parquet(self._table(name, "embeddings_ivf"))
+        # partition-pruned: only the touched clusters are scanned
+        refreshed = ivf_centroids(
+            ivf.filter(F.col("cluster_id").isin(touched)),
+            dim,
+            cluster_col="cluster_id",
+        )
+        sidecar_path = self._table(name, "ivf_centroids")
+        old = self.spark.read.parquet(sidecar_path)
+        kept = old.filter(~F.col("cluster_id").isin(touched))
+        merged = kept.unionByName(refreshed).persist()
+        merged.count()  # materialize before overwriting the source
+        merged.write.mode("overwrite").parquet(sidecar_path + ".tmp")
+        merged.unpersist()
+        shutil.rmtree(sidecar_path)
+        os.rename(sidecar_path + ".tmp", sidecar_path)
 
     # -- S6: ANN index build (build-time artifact, queried by search_ann) ----
     def build_ivf_index(
         self,
         name: str,
         dim: int = DEFAULT_DIM,
-        n_planes: int = 4,
+        n_planes: int = IVF_N_PLANES,
     ) -> None:
         """Build the IVF artifact pair (reference vector_db_creator.py:205-235
         writes a FLAT index + index_metadata.json sidecar; here both sides are
