@@ -250,3 +250,35 @@ def test_add_documents_incremental_and_ivf_refresh(spark, tmp_path, corpus_dir):
 
     # idempotence of the second add too
     assert mgr.add_documents("kb4", str(newdir)) == 0
+
+
+def test_delete_documents_partial_rewrite(spark, tmp_path, corpus_dir):
+    """Targeted delete: rows disappear from documents/embeddings/IVF, only
+    affected partitions rewrite, the sidecar stays consistent, and deleting
+    an unknown file is a no-op."""
+    mgr = VectorDatabaseManager(spark, str(tmp_path / "dbs"))
+    mgr.create_database("kb5", corpus_dir, chunk_size=200, chunk_overlap=100)
+    mgr.build_ivf_index("kb5")
+    base = str(tmp_path / "dbs" / "kb5")
+
+    assert mgr.delete_documents("kb5", ["no_such_file.txt"]) == 0
+
+    n_del = mgr.delete_documents("kb5", ["duck.txt"])
+    assert n_del == 1
+    docs = spark.read.parquet(f"{base}/documents")
+    assert docs.filter(docs["file_name"] == "duck.txt").count() == 0
+    emb = spark.read.parquet(f"{base}/embeddings")
+    assert emb.filter(emb["file_name"] == "duck.txt").count() == 0
+    ivf = spark.read.parquet(f"{base}/embeddings_ivf")
+    assert ivf.filter(ivf["file_name"] == "duck.txt").count() == 0
+
+    # sidecar clusters == clusters still present in the IVF table
+    cents = spark.read.parquet(f"{base}/ivf_centroids")
+    assert {r["cluster_id"] for r in cents.select("cluster_id").collect()} == {
+        r["cluster_id"] for r in ivf.select("cluster_id").distinct().collect()
+    }
+
+    # the surviving corpus still searches end to end
+    hits = mgr.search_bm25("kb5", "distributed spark engine", k=3).collect()
+    assert hits and all("duck" not in r["chunk_text"].lower() for r in hits)
+    assert mgr.search("kb5", "spark engine", k=3, score_threshold=0.0).count() > 0

@@ -224,6 +224,121 @@ class VectorDatabaseManager:
         fresh.unpersist()
         return n_new
 
+    def delete_documents(self, name: str, file_names: list[str]) -> int:
+        """Targeted delete — the other half of incremental maintenance
+        (reference parity gap: it can only drop the whole database). Rows
+        for the named files are anti-joined out; the bucket-partitioned
+        embeddings table and the IVF table are rewritten via DYNAMIC
+        partition overwrite, so only partitions that actually contained
+        deleted rows are rewritten — untouched partitions keep their files.
+        The centroid sidecar refreshes for touched clusters (dropped
+        entirely when a cluster empties). On a table format (Iceberg/Delta)
+        this whole method becomes a metadata-level DELETE; the plain-parquet
+        version here keeps the same partition-local cost model. Returns the
+        number of documents removed."""
+        if self.registry.get(name) is None:
+            raise ValueError(f"unknown database {name!r}")
+        docs_path = self._table(name, "documents")
+        docs = self.spark.read.parquet(docs_path)
+        doomed = docs.filter(F.col("file_name").isin(file_names)).select(
+            "doc_id", "file_name"
+        ).persist()
+        n_del = doomed.select("doc_id").distinct().count()
+        if n_del == 0:
+            doomed.unpersist()
+            return 0
+        doomed_ids = [r["doc_id"] for r in doomed.select("doc_id").distinct().collect()]
+        kept_docs = docs.filter(~F.col("doc_id").isin(doomed_ids)).persist()
+        kept_docs.count()
+        kept_docs.write.mode("overwrite").parquet(docs_path + ".tmp")
+        kept_docs.unpersist()
+        shutil.rmtree(docs_path)
+        os.rename(docs_path + ".tmp", docs_path)
+
+        prev = self.spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+        self.spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        try:
+            emb_path = self._table(name, "embeddings")
+            emb = self.spark.read.parquet(emb_path)
+            touched_buckets = [
+                r["id_bucket"]
+                for r in emb.filter(F.col("doc_id").isin(doomed_ids))
+                .select("id_bucket")
+                .distinct()
+                .collect()
+            ]
+            if touched_buckets:
+                self._rewrite_touched_partitions(
+                    emb, emb_path, "id_bucket", touched_buckets, doomed_ids
+                )
+
+            ivf_path = self._table(name, "embeddings_ivf")
+            if os.path.isdir(ivf_path):
+                ivf = self.spark.read.parquet(ivf_path)
+                touched = [
+                    r["cluster_id"]
+                    for r in ivf.filter(F.col("doc_id").isin(doomed_ids))
+                    .select("cluster_id")
+                    .distinct()
+                    .collect()
+                ]
+                if touched:
+                    self._rewrite_touched_partitions(
+                        ivf, ivf_path, "cluster_id", touched, doomed_ids
+                    )
+                    self._recompute_sidecar(name, touched)
+        finally:
+            self.spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+        doomed.unpersist()
+        return n_del
+
+    def _rewrite_touched_partitions(
+        self, table, path: str, part_col: str, touched: list, doomed_ids: list
+    ) -> None:
+        """Rewrite only the partitions that held deleted rows. Dynamic
+        partition overwrite replaces exactly the partitions PRESENT in the
+        written data — a partition whose rows were all deleted writes
+        nothing and would silently keep its old files, so emptied
+        partitions are removed explicitly afterwards. Kept rows persist
+        before the write so the job never reads files it is replacing."""
+        kept = (
+            table.filter(F.col(part_col).isin(touched))
+            .filter(~F.col("doc_id").isin(doomed_ids))
+            .persist()
+        )
+        kept.count()
+        survivors = {
+            r[part_col] for r in kept.select(part_col).distinct().collect()
+        }
+        if survivors:
+            kept.write.partitionBy(part_col).mode("overwrite").parquet(path)
+        kept.unpersist()
+        for val in set(touched) - survivors:
+            shutil.rmtree(os.path.join(path, f"{part_col}={val}"), ignore_errors=True)
+
+    def _recompute_sidecar(
+        self, name: str, touched: list[str], dim: int = DEFAULT_DIM
+    ) -> None:
+        """Refresh centroid rows for ``touched`` clusters from the current
+        IVF table (partition-pruned); clusters that emptied disappear."""
+        from .operators.similarity import ivf_centroids
+
+        ivf = self.spark.read.parquet(self._table(name, "embeddings_ivf"))
+        refreshed = ivf_centroids(
+            ivf.filter(F.col("cluster_id").isin(touched)),
+            dim,
+            cluster_col="cluster_id",
+        )
+        sidecar_path = self._table(name, "ivf_centroids")
+        old = self.spark.read.parquet(sidecar_path)
+        kept = old.filter(~F.col("cluster_id").isin(touched))
+        merged = kept.unionByName(refreshed).persist()
+        merged.count()
+        merged.write.mode("overwrite").parquet(sidecar_path + ".tmp")
+        merged.unpersist()
+        shutil.rmtree(sidecar_path)
+        os.rename(sidecar_path + ".tmp", sidecar_path)
+
     def _refresh_ivf_partitions(self, name: str, new_rows, dim: int) -> None:
         """Append new vectors to their (deterministic sign-bucket) IVF
         partitions and recompute centroids ONLY for the touched clusters:
@@ -237,7 +352,8 @@ class VectorDatabaseManager:
 
         planes = random_hyperplanes(IVF_N_PLANES, dim)
         clustered = new_rows.withColumn(
-            "cluster_id", lsh_bucket_expr("embedding", planes)
+            "cluster_id",
+            F.concat(F.lit("b"), lsh_bucket_expr("embedding", planes)),
         )
         clustered.write.partitionBy("cluster_id").mode("append").parquet(
             self._table(name, "embeddings_ivf")
@@ -246,22 +362,7 @@ class VectorDatabaseManager:
             r["cluster_id"]
             for r in clustered.select("cluster_id").distinct().collect()
         ]
-        ivf = self.spark.read.parquet(self._table(name, "embeddings_ivf"))
-        # partition-pruned: only the touched clusters are scanned
-        refreshed = ivf_centroids(
-            ivf.filter(F.col("cluster_id").isin(touched)),
-            dim,
-            cluster_col="cluster_id",
-        )
-        sidecar_path = self._table(name, "ivf_centroids")
-        old = self.spark.read.parquet(sidecar_path)
-        kept = old.filter(~F.col("cluster_id").isin(touched))
-        merged = kept.unionByName(refreshed).persist()
-        merged.count()  # materialize before overwriting the source
-        merged.write.mode("overwrite").parquet(sidecar_path + ".tmp")
-        merged.unpersist()
-        shutil.rmtree(sidecar_path)
-        os.rename(sidecar_path + ".tmp", sidecar_path)
+        self._recompute_sidecar(name, touched, dim=dim)
 
     # -- S6: ANN index build (build-time artifact, queried by search_ann) ----
     def build_ivf_index(
@@ -288,8 +389,13 @@ class VectorDatabaseManager:
 
         planes = random_hyperplanes(n_planes, dim)
         emb = self.spark.read.parquet(self._table(name, "embeddings"))
+        # 'b' prefix keeps the sign-bit key a STRING through the partition-
+        # directory round trip: a bare "0010" is type-inferred back as int
+        # 10 on read, so a later dynamic-overwrite rewrite would write
+        # cluster_id=10 while the data sat in cluster_id=0010.
         clustered = emb.withColumn(
-            "cluster_id", lsh_bucket_expr("embedding", planes)
+            "cluster_id",
+            F.concat(F.lit("b"), lsh_bucket_expr("embedding", planes)),
         )
         clustered.write.partitionBy("cluster_id").mode("overwrite").parquet(
             self._table(name, "embeddings_ivf")
