@@ -178,3 +178,87 @@ def test_asof_join_matches_model(spark, lefts, rights):
             best_ts = max(rm for rm, _ in cands)
             want[i] = max(v for rm, v in cands if rm == best_ts)
     assert got == want
+
+
+# --- Connected components vs a union-find model ----------------------------
+
+def _uf_components(pairs):
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in pairs:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    # canonical label = min node of the component
+    comp = {}
+    for node in parent:
+        root = find(node)
+        comp.setdefault(root, []).append(node)
+    out = {}
+    for members in comp.values():
+        lo = min(members)
+        for m in members:
+            out[m] = lo
+    return out
+
+
+@settings(max_examples=8, deadline=None, derandomize=True,
+          suppress_health_check=list(HealthCheck))
+@given(pairs=st.lists(
+    st.tuples(st.integers(min_value=0, max_value=30),
+              st.integers(min_value=0, max_value=30)).filter(lambda p: p[0] != p[1]),
+    min_size=1, max_size=40))
+def test_connected_components_matches_union_find(spark, pairs):
+    from vector_db_light_spark.operators.dedup import connected_components
+
+    df = spark.createDataFrame(pairs, "id_a bigint, id_b bigint")
+    got = {r["id"]: r["label"] for r in connected_components(df).collect()}
+    assert got == _uf_components(pairs)
+
+
+# --- BM25 vs the scalar model on arbitrary corpora -------------------------
+
+_words = st.sampled_from(["alpha", "beta", "gamma", "delta", "epsilon"])
+_doc_text = st.lists(_words, min_size=1, max_size=12).map(" ".join)
+
+
+@settings(max_examples=8, deadline=None, derandomize=True,
+          suppress_health_check=list(HealthCheck))
+@given(texts=st.lists(_doc_text, min_size=2, max_size=8))
+def test_bm25_matches_scalar_model(spark, texts):
+    from vector_db_light_spark.operators.text_search import (
+        bm25_score_py,
+        bm25_topk,
+    )
+
+    docs = spark.createDataFrame(
+        list(enumerate(texts)), "doc_id bigint, text string"
+    )
+    terms = ["alpha", "gamma"]
+    got = {
+        r["doc_id"]: r["bm25"]
+        for r in bm25_topk(docs, terms, k=len(texts)).collect()
+    }
+
+    toks = {i: t.split() for i, t in enumerate(texts)}
+    n = len(texts)
+    dls = {i: len(t) for i, t in toks.items()}
+    avgdl = sum(dls.values()) / n
+    want = {}
+    for term in terms:
+        df = sum(1 for t in toks.values() if term in t)
+        for i, t in toks.items():
+            tf = t.count(term)
+            if tf:
+                want[i] = want.get(i, 0.0) + bm25_score_py(tf, df, n, dls[i], avgdl)
+    want = {i: round(s, 6) for i, s in want.items()}
+    assert set(got) == set(want)
+    for i in want:
+        assert abs(got[i] - want[i]) <= 1e-6
