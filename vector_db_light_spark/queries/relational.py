@@ -512,3 +512,101 @@ def orders_by_month(spark, sf_dir):
         )
         .orderBy("order_month")
     )
+
+
+# ---------------------------------------------------------------------------
+# Sequential funnel: per user, the first view -> first click AFTER it ->
+# first purchase AFTER that. Three chained conditional window-mins over ONE
+# user partitioning (single shuffle; each stage's predicate references the
+# previous stage's column). The stage a user reached is the conversion
+# metric every event pipeline wants.
+# ---------------------------------------------------------------------------
+
+@register(
+    "user_funnel_stages",
+    """
+WITH e AS (
+  SELECT user_id, event_type, epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us
+  FROM events
+),
+a AS (
+  SELECT user_id, min(CASE WHEN event_type = 'view' THEN ts_us END) AS a_us
+  FROM e GROUP BY 1
+),
+b AS (
+  SELECT e.user_id, min(e.ts_us) AS b_us
+  FROM e JOIN a ON a.user_id = e.user_id
+  WHERE e.event_type = 'click' AND e.ts_us > a.a_us
+  GROUP BY 1
+),
+c AS (
+  SELECT e.user_id, min(e.ts_us) AS c_us
+  FROM e JOIN b ON b.user_id = e.user_id
+  WHERE e.event_type = 'purchase' AND e.ts_us > b.b_us
+  GROUP BY 1
+)
+SELECT a.user_id,
+       coalesce(a.a_us, -1) AS view_us,
+       coalesce(b.b_us, -1) AS click_us,
+       coalesce(c.c_us, -1) AS purchase_us,
+       CASE WHEN a.a_us IS NULL THEN 0
+            WHEN b.b_us IS NULL THEN 1
+            WHEN c.c_us IS NULL THEN 2
+            ELSE 3 END AS funnel_stage
+FROM a
+LEFT JOIN b USING (user_id)
+LEFT JOIN c USING (user_id)
+ORDER BY a.user_id
+""",
+)
+def user_funnel_stages(spark, sf_dir):
+    """view -> click -> purchase funnel per user, timestamps as epoch-us
+    BIGINTs (driver-hasher parity), missing stages coalesced to -1."""
+    events = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id")
+    e = events.select(
+        "user_id",
+        "event_type",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("ts_us"),
+    )
+    e = e.withColumn(
+        "a_us", F.min(F.when(F.col("event_type") == "view", F.col("ts_us"))).over(w)
+    )
+    e = e.withColumn(
+        "b_us",
+        F.min(
+            F.when(
+                (F.col("event_type") == "click") & (F.col("ts_us") > F.col("a_us")),
+                F.col("ts_us"),
+            )
+        ).over(w),
+    )
+    e = e.withColumn(
+        "c_us",
+        F.min(
+            F.when(
+                (F.col("event_type") == "purchase") & (F.col("ts_us") > F.col("b_us")),
+                F.col("ts_us"),
+            )
+        ).over(w),
+    )
+    return (
+        e.groupBy("user_id")
+        .agg(
+            F.min("a_us").alias("_a"),
+            F.min("b_us").alias("_b"),
+            F.min("c_us").alias("_c"),
+        )
+        .select(
+            "user_id",
+            F.coalesce(F.col("_a"), F.lit(-1)).alias("view_us"),
+            F.coalesce(F.col("_b"), F.lit(-1)).alias("click_us"),
+            F.coalesce(F.col("_c"), F.lit(-1)).alias("purchase_us"),
+            F.when(F.col("_a").isNull(), 0)
+            .when(F.col("_b").isNull(), 1)
+            .when(F.col("_c").isNull(), 2)
+            .otherwise(3)
+            .alias("funnel_stage"),
+        )
+        .orderBy("user_id")
+    )
