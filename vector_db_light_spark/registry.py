@@ -71,6 +71,7 @@ def _populate() -> None:
         subqueries,
         reshape,
         sampling,
+        safety,
         combos,
     )
 
@@ -93,7 +94,7 @@ PRIORITY: tuple[str, ...] = (
     # chunking
     "chunk_fixed_stride",   # X8 + V6
     "chunk_overlap_pages",  # S3 + X5
-    "chunk_count_per_doc",  # A1 + J2
+    "pii_scrub",            # PII detect + redact (data hygiene)
     # relational: joins, aggregates, windows, set ops
     "pricing_summary",
     "shipping_priority",
@@ -114,7 +115,7 @@ PRIORITY: tuple[str, ...] = (
     "dedup_exact",
     "dedup_minhash_lsh",
     "dedup_embedding_lsh",
-    "text_simhash",
+    "decontaminate_ngram",  # benchmark decontamination (data hygiene)
     "dedup_clusters",
     "dedup_simhash_hamming",
     # similarity search
