@@ -164,3 +164,32 @@ def pack_sequences(
         .withColumn(bin_col, F.expr(f"_tokens_before div {int(capacity)}"))
         .drop("_tokens_before")
     )
+
+
+def cap_per_key(
+    df: DataFrame,
+    key_col: str,
+    cap: int,
+    id_col: str = "doc_id",
+    salt: str = "",
+) -> DataFrame:
+    """Keep at most ``cap`` rows per key, chosen deterministically by
+    md5(id || salt) order (tie-broken by id) — the per-domain / per-source
+    quota every web-scale corpus applies so no single origin dominates.
+
+    The hash order makes the kept set a uniform random-looking but
+    reproducible subsample of each key's rows, independent of input
+    partitioning. One shuffle (the per-key window); the rank predicate is
+    the exact row_number-limit shape Spark's WindowGroupLimit rule
+    pre-filters on the map side, so hot keys don't flood the exchange."""
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy(key_col)
+        .orderBy(hash_prefix_expr(F.col(id_col), salt), F.col(id_col))
+    )
+    return (
+        df.withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") <= cap)
+        .drop("_rk")
+    )

@@ -101,3 +101,32 @@ def bm25_score_py(tf: int, df: int, n: int, dl: int, avgdl: float) -> float:
     """Reference scalar BM25 (tests cross-check the distributed result)."""
     idf = math.log(1.0 + (n - df + 0.5) / (df + 0.5))
     return idf * (tf * (K1 + 1)) / (tf + K1 * (1 - B + B * dl / avgdl))
+
+
+def vocabulary(
+    docs: DataFrame,
+    top_k: int | None = None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Corpus vocabulary: (term, tf, df) — total occurrences and document
+    frequency per term — optionally truncated to the top_k terms by
+    (df desc, tf desc, term asc).
+
+    The tokenizer-training / corpus-profiling companion to the BM25 index:
+    same explode, but aggregated per TERM instead of per (doc, term). Two
+    shuffles — the (doc, term) partial (which also serves as the exact
+    distinct-doc count input) then the term rollup; both carry one row per
+    distinct key thanks to map-side partial aggregation. The top-k is
+    TakeOrdered over the (small) term table, never a global sort of the
+    corpus."""
+    per_doc = term_frequencies(docs, id_col=id_col, text_col=text_col)
+    vocab = per_doc.groupBy("term").agg(
+        F.sum("tf").alias("tf"),
+        F.count(F.lit(1)).alias("df"),
+    )
+    if top_k is not None:
+        vocab = vocab.orderBy(
+            F.col("df").desc(), F.col("tf").desc(), F.col("term")
+        ).limit(top_k)
+    return vocab

@@ -415,3 +415,56 @@ def price_histogram(spark, sf_dir):
         )
         .orderBy("bucket")
     )
+
+
+# ---------------------------------------------------------------------------
+# RANGE-frame window: trailing 7-day revenue over the daily grain. Revenue
+# moves through the frame as exact BIGINT cents — integer window sums are
+# engine-exact, so no float fold-order surface exists (the one rounding,
+# daily-sum -> cents, follows the repo round-identically rule). The window
+# runs over the PRE-AGGREGATED day table (bounded by the calendar, ~2.4k
+# rows regardless of corpus size), never the fact rows; partition by year
+# if the grain table ever outgrew one task.
+# ---------------------------------------------------------------------------
+
+@register(
+    "trailing_7d_revenue",
+    """
+WITH daily AS (
+  SELECT date_diff('day', DATE '1992-01-01', CAST(o_orderdate AS DATE)) AS day_num,
+         CAST(round(sum(o_totalprice) * 100) AS BIGINT) AS day_cents
+  FROM orders
+  GROUP BY 1
+)
+SELECT day_num,
+       day_cents,
+       CAST(sum(day_cents) OVER w AS BIGINT) AS rev_7d_cents,
+       CAST(count(*) OVER w AS BIGINT) AS n_days
+FROM daily
+WINDOW w AS (ORDER BY day_num RANGE BETWEEN 6 PRECEDING AND CURRENT ROW)
+ORDER BY day_num
+""",
+)
+def trailing_7d_revenue(spark, sf_dir):
+    from pyspark.sql import Window
+
+    orders = load(spark, sf_dir, "orders")
+    daily = (
+        orders.groupBy(
+            F.datediff(
+                F.to_date("o_orderdate"), F.to_date(F.lit("1992-01-01"))
+            ).alias("day_num")
+        )
+        .agg(
+            F.round(F.sum("o_totalprice") * 100)
+            .cast("long")
+            .alias("day_cents")
+        )
+    )
+    w = Window.orderBy("day_num").rangeBetween(-6, 0)
+    return daily.select(
+        "day_num",
+        "day_cents",
+        F.sum("day_cents").over(w).alias("rev_7d_cents"),
+        F.count(F.lit(1)).over(w).alias("n_days"),
+    ).orderBy("day_num")

@@ -83,3 +83,33 @@ def pack_sequences_bins(spark, sf_dir):
         docs, token_col="n_tokens", capacity=512, key_col="doc_id", num_shards=32
     )
     return packed.select("doc_id", "shard", "n_tokens", "bin_id").orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# Per-source quota: cap every origin at 20 docs, chosen by deterministic
+# md5 order — no single domain dominates the mix.
+# ---------------------------------------------------------------------------
+
+@register(
+    "quota_per_source",
+    """
+WITH ranked AS (
+  SELECT doc_id, source,
+         row_number() OVER (
+           PARTITION BY source
+           ORDER BY substr(md5(CAST(doc_id AS VARCHAR) || 'quota'), 1, 4),
+                    doc_id) AS rk
+  FROM documents
+)
+SELECT doc_id, source FROM ranked WHERE rk <= 20
+ORDER BY doc_id
+""",
+)
+def quota_per_source(spark, sf_dir):
+    """Domain-quota subsample: at most 20 docs per source, md5-ordered
+    (reproducible under any partitioning; WindowGroupLimit pre-filters hot
+    sources map-side)."""
+    docs = load(spark, sf_dir, "documents").select("doc_id", "source")
+    return SM.cap_per_key(docs, "source", 20, id_col="doc_id", salt="quota").orderBy(
+        "doc_id"
+    )

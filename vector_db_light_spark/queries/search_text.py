@@ -14,6 +14,7 @@ from pyspark.sql import functions as F
 from ..functions.embedding import HashedFeatureEmbedder, embed_documents
 from ..functions.policy import prefixed_query
 from ..functions.vector import clip01, dot, vector_lit
+from ..operators import text_search as T
 from ..registry import load, register
 from ._sqlutil import vec_sql
 
@@ -259,3 +260,32 @@ def hybrid_rrf_search(spark, sf_dir):
         .orderBy(F.col("rrf_score").desc(), F.col("doc_id").asc())
         .limit(10)
     )
+
+
+# ---------------------------------------------------------------------------
+# Vocabulary building: global (term, tf, df) stats, top-k by document
+# frequency — the tokenizer-training / corpus-profiling pass.
+# ---------------------------------------------------------------------------
+
+@register(
+    "vocab_top_terms",
+    f"""
+WITH tokens AS (
+  SELECT doc_id, {_TOKS_SQL} AS toks FROM documents
+),
+terms AS (SELECT doc_id, unnest(toks) AS term FROM tokens),
+vocab AS (
+  SELECT term, count(*) AS tf, count(DISTINCT doc_id) AS df
+  FROM terms GROUP BY term
+)
+SELECT term, CAST(tf AS BIGINT) AS tf, CAST(df AS BIGINT) AS df
+FROM vocab
+ORDER BY df DESC, tf DESC, term
+LIMIT 40
+""",
+)
+def vocab_top_terms(spark, sf_dir):
+    """Top-40 corpus terms by (df desc, tf desc, term) — total order, so
+    the LIMIT is deterministic on both engines."""
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    return T.vocabulary(docs, top_k=40).select("term", "tf", "df")
