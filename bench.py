@@ -1,16 +1,30 @@
 """Benchmark harness: run the headline queries at $SPARK_GRAFT_SF_DIR
 (default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and print ONE
 JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
-"queries": {name: sec}, "sf": N}.
+"queries": {name: sec}, "canary_sec": N, "sf": N}.
 
 Each query is materialized through the noop sink (full execution, no
 driver-side row transfer), after a warm-up that triggers JVM/codegen init.
 
+Calibration canary: a fixed parquet scan+aggregate whose plan never changes
+(no code in this repo can alter it) is timed in the SAME run — interleaved
+before and after the guarded queries — and emitted as ``canary_sec``. The
+canary makes the recorded artifact adjudicable: machine load inflates the
+canary and the queries alike, so a reader (or the guard below) compares
+canary-normalized ratios instead of raw wall-clock across runs taken under
+different load.
+
 Regression guard: each query is compared against the recorded baseline
-(BENCH_r01.json, same sf). A query is a regression when it is BOTH >2x its
-baseline AND >0.5s over it (absolute slack + one retry filter out timing
-noise on sub-second queries). Regressions are listed on stderr and flip the
-exit code to 1 — the JSON line on stdout is printed either way.
+(BENCH_BASELINE.json — per-query medians of >=3 runs with the baseline
+canary stored; falls back to BENCH_r01.json with no canary). Ratios are
+divided by ``canary_now / canary_baseline`` (clamped >= 1), so a loaded
+machine does not read as a regression while a genuine uniform slowdown
+(bad session conf etc.) still trips it — unlike median-self-normalization,
+the canary cannot be dragged by the guarded set. A query is a regression
+when it is BOTH >2x its load-normalized baseline AND >0.5s over it
+(absolute slack + one retry filter out timing noise on sub-second queries).
+Regressions are listed on stderr and flip the exit code to 1 — the JSON
+line on stdout is printed either way.
 """
 
 from __future__ import annotations
@@ -69,22 +83,21 @@ def main() -> int:
         QUERIES[name](spark, sf_dir).write.mode("overwrite").format("noop").save()
         return round(time.time() - t0, 3)
 
+    canary_samples = [_canary_once(spark, sf_dir) for _ in range(2)]
     timings: dict[str, float] = {}
-    for name in HEADLINE:
+    for i, name in enumerate(HEADLINE):
         timings[name] = run_once(name)
+        if i == len(HEADLINE) // 2:  # mid-run sample: load can shift mid-bench
+            canary_samples.append(_canary_once(spark, sf_dir))
+    canary_samples += [_canary_once(spark, sf_dir) for _ in range(2)]
+    canary = round(sorted(canary_samples)[len(canary_samples) // 2], 3)
 
     sf = float(os.path.basename(sf_dir.rstrip("/")).removeprefix("sf") or "0.1")
 
-    # Per-query regression guard vs the recorded baseline at the same sf.
-    # Ratios are normalized by the median ratio so a uniformly loaded
-    # machine (every query inflated alike) does not read as a regression —
-    # only queries that got slower RELATIVE to the rest trip the guard.
-    baseline = _load_baseline(sf)
-    ratios = sorted(
-        timings[n] / baseline[n] for n in baseline if n in timings and baseline[n] > 0
-    )
-    med = ratios[len(ratios) // 2] if ratios else 1.0
-    norm = max(1.0, med)
+    # Per-query regression guard vs the recorded baseline at the same sf,
+    # load-normalized by the canary (see module docstring).
+    baseline, base_canary = _load_baseline(sf)
+    norm = max(1.0, canary / base_canary) if base_canary else 1.0
     regressions: list[str] = []
     for name, base_t in baseline.items():
         t = timings.get(name)
@@ -102,6 +115,7 @@ def main() -> int:
         "value": round(sum(timings.values()), 3),
         "unit": "sec",
         "queries": timings,
+        "canary_sec": canary,
         "sf": sf,
     }
     print(json.dumps(out))
@@ -111,17 +125,38 @@ def main() -> int:
     return 1 if regressions else 0
 
 
-def _load_baseline(sf: float) -> dict[str, float]:
-    path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_r01.json")
-    try:
-        with open(path) as f:
-            data = json.load(f)
-    except (OSError, ValueError):
-        return {}
-    data = data.get("parsed", data)  # driver records wrap the JSON line
-    if float(data.get("sf", -1)) != sf:
-        return {}
-    return {k: float(v) for k, v in data.get("queries", {}).items()}
+def _canary_once(spark, sf_dir: str) -> float:
+    """One calibration sample: scan lineitem and aggregate two columns.
+    The plan (parquet scan -> partial agg -> single-row final agg) is fixed
+    for all time — it exercises IO, whole-stage codegen, and task dispatch,
+    the same resources machine load steals from the guarded queries."""
+    from pyspark.sql import functions as F
+
+    t0 = time.time()
+    spark.read.parquet(f"{sf_dir}/lineitem.parquet").agg(
+        F.sum("l_quantity"), F.avg("l_extendedprice")
+    ).collect()
+    return time.time() - t0
+
+
+def _load_baseline(sf: float) -> tuple[dict[str, float], float | None]:
+    """(per-query baseline seconds, baseline canary seconds or None).
+    Prefers BENCH_BASELINE.json (medians of >=3 runs, canary included);
+    falls back to the round-1 driver record, which has no canary."""
+    here = os.path.dirname(os.path.abspath(__file__))
+    for fname in ("BENCH_BASELINE.json", "BENCH_r01.json"):
+        try:
+            with open(os.path.join(here, fname)) as f:
+                data = json.load(f)
+        except (OSError, ValueError):
+            continue
+        data = data.get("parsed", data)  # driver records wrap the JSON line
+        if float(data.get("sf", -1)) != sf:
+            continue
+        queries = {k: float(v) for k, v in data.get("queries", {}).items()}
+        canary = data.get("canary_sec")
+        return queries, (float(canary) if canary else None)
+    return {}, None
 
 
 def _is_regression(t: float, base_t: float, norm: float = 1.0) -> bool:
