@@ -67,16 +67,23 @@ def main() -> int:
     spark = get_spark(app_name="vdl-bench")
     spark.sparkContext.setLogLevel("ERROR")
 
-    # warm-up: JVM, codegen, parquet footer caches
-    QUERIES["knn_cosine_topk"](spark, sf_dir).write.mode("overwrite").format(
-        "noop"
-    ).save()
+    # warm-up: JVM, codegen, parquet footer caches. A failing warm-up must
+    # not abort the bench — the query's own timed run records the error.
+    try:
+        QUERIES["knn_cosine_topk"](spark, sf_dir).write.mode("overwrite").format(
+            "noop"
+        ).save()
+    except Exception as exc:  # noqa: BLE001 — bench must always emit JSON
+        print(f"WARMUP-ERR  knn_cosine_topk: {_errmsg(exc)}", file=sys.stderr)
     # index-build warm-up: ann_ivf_pruned serves from a persisted centroid
     # artifact built once per corpus (constructing the query builds and
     # memoizes it). Index build cost is index_build_pipeline's metric;
     # ann_ivf_pruned's is steady-state serving latency against the built
     # index, so the build runs outside the timed region.
-    QUERIES["ann_ivf_pruned"](spark, sf_dir)
+    try:
+        QUERIES["ann_ivf_pruned"](spark, sf_dir)
+    except Exception as exc:  # noqa: BLE001
+        print(f"WARMUP-ERR  ann_ivf_pruned: {_errmsg(exc)}", file=sys.stderr)
 
     def run_once(name: str) -> float:
         t0 = time.time()
@@ -85,8 +92,13 @@ def main() -> int:
 
     canary_samples = [_canary_once(spark, sf_dir) for _ in range(2)]
     timings: dict[str, float] = {}
+    errors: dict[str, str] = {}
     for i, name in enumerate(HEADLINE):
-        timings[name] = run_once(name)
+        try:
+            timings[name] = run_once(name)
+        except Exception as exc:  # noqa: BLE001 — one red query must not
+            # erase the whole round's bench record (BENCH_r04 parsed:null).
+            errors[name] = _errmsg(exc)
         if i == len(HEADLINE) // 2:  # mid-run sample: load can shift mid-bench
             canary_samples.append(_canary_once(spark, sf_dir))
     canary_samples += [_canary_once(spark, sf_dir) for _ in range(2)]
@@ -103,7 +115,10 @@ def main() -> int:
         t = timings.get(name)
         if t is None or not _is_regression(t, base_t, norm):
             continue
-        timings[name] = t = min(t, run_once(name))  # one retry: drop noise
+        try:
+            timings[name] = t = min(t, run_once(name))  # one retry: drop noise
+        except Exception as exc:  # noqa: BLE001
+            errors[name] = _errmsg(exc)
         if _is_regression(t, base_t, norm):
             regressions.append(
                 f"{name}: {t:.3f}s vs baseline {base_t:.3f}s "
@@ -118,11 +133,19 @@ def main() -> int:
         "canary_sec": canary,
         "sf": sf,
     }
+    if errors:
+        out["err"] = errors
     print(json.dumps(out))
+    for name, msg in errors.items():
+        print(f"QUERY-ERR  {name}: {msg}", file=sys.stderr)
     for line in regressions:
         print(f"REGRESSION  {line}", file=sys.stderr)
     spark.stop()
-    return 1 if regressions else 0
+    return 1 if regressions or errors else 0
+
+
+def _errmsg(exc: Exception) -> str:
+    return f"{type(exc).__name__}: {str(exc).splitlines()[0][:200]}"
 
 
 def _canary_once(spark, sf_dir: str) -> float:

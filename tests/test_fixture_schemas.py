@@ -1,0 +1,152 @@
+"""Fixture-schema contract: every table loaded via ``registry.load`` must
+expose the LOGICAL schema the query surface is written against.
+
+Round 4 lost 7 driver queries, 12 tests, and the whole bench to a silent
+fixture regeneration (events.ts switched TIMESTAMP(NANOS) -> timestamp[us])
+that the old loader couldn't absorb. This test turns any future physical
+regeneration that breaks the logical contract into ONE clear failure naming
+the table and column, instead of a dozen scattered AnalysisExceptions.
+
+The contract is intentionally about the post-``load`` logical types (what
+queries consume), not the parquet physical types (free to change as long as
+``load`` adapts — see registry.load_events).
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from vector_db_light_spark.registry import load
+
+from conftest import SF_SMOKE
+
+# table -> {column: expected Spark simpleString type}
+LOGICAL_CONTRACT: dict[str, dict[str, str]] = {
+    "region": {"r_regionkey": "int", "r_name": "string"},
+    "nation": {"n_nationkey": "int", "n_name": "string", "n_regionkey": "int"},
+    "customer": {
+        "c_custkey": "bigint",
+        "c_name": "string",
+        "c_nationkey": "int",
+        "c_acctbal": "double",
+        "c_mktsegment": "string",
+    },
+    "supplier": {
+        "s_suppkey": "bigint",
+        "s_name": "string",
+        "s_nationkey": "int",
+        "s_acctbal": "double",
+    },
+    "part": {
+        "p_partkey": "bigint",
+        "p_name": "string",
+        "p_brand": "string",
+        "p_type": "string",
+        "p_size": "int",
+        "p_retailprice": "double",
+    },
+    "orders": {
+        "o_orderkey": "bigint",
+        "o_custkey": "bigint",
+        "o_orderstatus": "string",
+        "o_totalprice": "double",
+        "o_orderdate": "timestamp_ntz",
+        "o_orderpriority": "string",
+    },
+    "lineitem": {
+        "l_orderkey": "bigint",
+        "l_partkey": "bigint",
+        "l_suppkey": "bigint",
+        "l_linenumber": "int",
+        "l_quantity": "double",
+        "l_extendedprice": "double",
+        "l_discount": "double",
+        "l_tax": "double",
+        "l_returnflag": "string",
+        "l_linestatus": "string",
+        "l_shipdate": "timestamp_ntz",
+    },
+    "events": {
+        "event_id": "bigint",
+        "ts": "timestamp_ntz",  # load_events guarantees this regardless of
+        # the parquet physical type (BIGINT nanos or timestamp[us])
+        "user_id": "bigint",
+        "event_type": "string",
+        "value": "double",
+        "props": "string",
+    },
+    "documents": {
+        "doc_id": "bigint",
+        "text": "string",
+        "lang": "string",
+        "source": "string",
+        "n_chars": "bigint",
+    },
+    "embeddings": {
+        "vec_id": "bigint",
+        "embedding": "array<float>",
+        "label": "int",
+    },
+}
+
+
+@pytest.mark.parametrize("table", sorted(LOGICAL_CONTRACT))
+def test_logical_schema_contract(spark, table):
+    df = load(spark, SF_SMOKE, table)
+    actual = {f.name: f.dataType.simpleString() for f in df.schema.fields}
+    problems = []
+    for col, want in LOGICAL_CONTRACT[table].items():
+        got = actual.get(col)
+        if got is None:
+            problems.append(f"{table}.{col}: MISSING (fixture regenerated?)")
+        elif got != want:
+            problems.append(f"{table}.{col}: expected {want}, got {got}")
+    assert not problems, (
+        "fixture logical-schema contract broken — a fixture regeneration "
+        "likely changed physical types and registry.load did not adapt:\n  "
+        + "\n  ".join(problems)
+    )
+
+
+def test_events_loader_absorbs_physical_variants(spark, tmp_path):
+    """load_events must normalize BOTH physical vintages of events.ts to
+    TIMESTAMP_NTZ with identical values: BIGINT nanoseconds (the original
+    TIMESTAMP(NANOS) fixtures read under nanosAsLong) and plain
+    timestamp[us] (current fixtures)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from vector_db_light_spark.registry import load_events
+
+    micros = [1_700_000_000_000_000, 1_700_000_123_456_789]
+    base = {
+        "event_id": [1, 2],
+        "user_id": [10, 20],
+        "event_type": ["click", "view"],
+        "value": [1.0, 2.0],
+        "props": ["{}", "{}"],
+    }
+
+    us_dir = tmp_path / "us"
+    us_dir.mkdir()
+    pq.write_table(
+        pa.table({**base, "ts": pa.array(micros, type=pa.timestamp("us"))}),
+        str(us_dir / "events.parquet"),
+    )
+
+    ns_dir = tmp_path / "ns"
+    ns_dir.mkdir()
+    pq.write_table(
+        pa.table(
+            {**base, "ts": pa.array([m * 1000 for m in micros], type=pa.int64())}
+        ),
+        str(ns_dir / "events.parquet"),
+    )
+
+    got_us = load_events(spark, str(us_dir))
+    got_ns = load_events(spark, str(ns_dir))
+    assert got_us.schema["ts"].dataType.simpleString() == "timestamp_ntz"
+    assert got_ns.schema["ts"].dataType.simpleString() == "timestamp_ntz"
+    rows_us = {r["event_id"]: r["ts"] for r in got_us.collect()}
+    rows_ns = {r["event_id"]: r["ts"] for r in got_ns.collect()}
+    assert rows_us == rows_ns

@@ -184,3 +184,22 @@ def test_batch_knn_exchange_is_on_prereduced_candidates(spark):
     assert len(exch_lines) == 1, f"expected exactly one shuffle exchange:\n{tree}"
     # top-down text: Final WGL above the exchange, Partial WGL below it
     assert wgl_lines[0] < exch_lines[0] < wgl_lines[1], tree
+
+
+def test_user_funnel_single_shuffle_no_joins(spark):
+    """The funnel's three stage-mins (view -> click -> purchase) are windows
+    over the SAME partitioning (user_id), and the final per-user groupBy
+    reuses it: exactly ONE hashpartitioning exchange moves the events table,
+    and no join appears (the oracle's three LEFT JOINs collapse into one
+    shuffle). A refactor that re-keys any window or routes a stage through a
+    self-join would re-shuffle a 100 TB events table two extra times."""
+    from vector_db_light_spark.registry import QUERIES
+
+    df = QUERIES["user_funnel_stages"](spark, SF_ORACLE)
+    plan = explain_string(df, mode="simple")
+    lines = plan.splitlines()
+    hash_exch = [l for l in lines if "Exchange hashpartitioning" in l]
+    assert len(hash_exch) == 1, plan
+    assert "user_id" in hash_exch[0], plan
+    assert sum("Window [" in l for l in lines) == 3, plan
+    assert "Join" not in plan, plan

@@ -211,12 +211,14 @@ def multimodal_meta(spark, sf_dir):
 # and parsed; a .pdf is included to show the parse_error path.
 # ---------------------------------------------------------------------------
 
-_INGEST_DIR: str | None = None
+# Keyed by sf_dir: the driver runs entry() at sf0.001 and queries() at
+# sf0.01 in one process; a single cached dir would serve the wrong corpus.
+_INGEST_DIRS: dict[str, str] = {}
 
 
 def _materialize_ingest_dir(spark, sf_dir) -> str:
-    global _INGEST_DIR
-    if _INGEST_DIR is None or not os.path.isdir(_INGEST_DIR):
+    d = _INGEST_DIRS.get(sf_dir)
+    if d is None or not os.path.isdir(d):
         d = tempfile.mkdtemp(prefix="vdl_ingest_")
         rows = (
             load(spark, sf_dir, "documents")
@@ -231,18 +233,60 @@ def _materialize_ingest_dir(spark, sf_dir) -> str:
                 if ext == ".html"
                 else r["text"]
             )
-            with open(os.path.join(d, f"doc_{r['doc_id']}{ext}"), "w") as f:
+            # utf-8 pinned: sha256/file_size parity with the oracle's
+            # encode()/octet_length assumes these exact bytes on disk.
+            path = os.path.join(d, f"doc_{r['doc_id']}{ext}")
+            with open(path, "w", encoding="utf-8") as f:
                 f.write(body)
-        _INGEST_DIR = d
-    return _INGEST_DIR
+        _INGEST_DIRS[sf_dir] = d
+    return d
 
 
-@register("ingest_parse_documents")  # rows-only: S1/S2 smoke over real files
+# Oracle rebuilds the materialized files arithmetically from the documents
+# table (same doc_id < 20 slice, same extension cycle, same html wrapper) and
+# mirrors each parser: txt/md identity, html = tag-strip regex (identical
+# pattern both sides), pdf = parse_error row. sha256()/octet_length(encode())
+# in DuckDB hash/measure the same utf-8 bytes Spark's binaryFile scan reads.
+_INGEST_ORACLE = """
+WITH src AS (
+  SELECT doc_id, text,
+         CASE doc_id % 4 WHEN 0 THEN '.txt' WHEN 1 THEN '.html'
+              WHEN 2 THEN '.pdf' ELSE '.md' END AS ext
+  FROM documents WHERE doc_id < 20
+), body AS (
+  SELECT doc_id, ext,
+         'doc_' || doc_id || ext AS file_name,
+         CASE WHEN ext = '.html'
+              THEN '<html><body>' || text || '</body></html>'
+              ELSE text END AS raw
+  FROM src
+)
+SELECT file_name,
+       ext AS file_type,
+       sha256(raw) AS hash,
+       CAST(octet_length(encode(raw)) AS BIGINT) AS file_size,
+       CASE WHEN ext = '.pdf' THEN ''
+            WHEN ext = '.html' THEN regexp_replace(raw, '<[^>]+>', ' ', 'g')
+            ELSE raw END AS text,
+       CASE WHEN ext = '.pdf'
+            THEN 'NotImplementedError: no parser library available for .pdf'
+            ELSE '' END AS parse_error
+FROM body
+ORDER BY file_name
+"""
+
+
+@register("ingest_parse_documents", _INGEST_ORACLE)  # S1/S2 over real files
 def ingest_parse_documents(spark, sf_dir):
     from ..sources.ingest import ingest
 
     d = _materialize_ingest_dir(spark, sf_dir)
     out = ingest(spark, d)
     return out.select(
-        "file_name", "file_type", "hash", "file_size", "text", "parse_error"
+        "file_name",
+        "file_type",
+        "hash",
+        "file_size",
+        F.coalesce("text", F.lit("")).alias("text"),
+        F.coalesce("parse_error", F.lit("")).alias("parse_error"),
     ).orderBy("file_name")

@@ -430,8 +430,9 @@ ORDER BY user_id, session_id
 )
 def sessionize_events(spark, sf_dir):
     # Parity note: session bounds are emitted as epoch-microsecond BIGINTs —
-    # raw timestamp outputs hash dtype-sensitively under the driver (DuckDB
-    # reads events.ts as TIMESTAMP_NS, Spark as TIMESTAMP_NTZ micros).
+    # raw timestamp outputs hash dtype-sensitively under the driver (DuckDB's
+    # physical ts type has varied across fixture generations; Spark reads
+    # TIMESTAMP_NTZ micros via registry.load_events).
     events = load(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     prev = F.lag("ts").over(w)

@@ -41,19 +41,31 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 
 def load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """events.parquet stores TIMESTAMP(NANOS) which Spark's vectorized reader
-    rejects; read nanos as long and rebuild a TIMESTAMP_NTZ (values are exact
-    microseconds, so the ns->us conversion is lossless). Session tz is pinned
-    to UTC for the instant->wall-clock cast so results are tz-independent,
-    matching DuckDB's naive TIMESTAMP_NS semantics."""
+    """Schema-adaptive events loader. Fixtures have shipped ``ts`` two ways:
+
+    * TIMESTAMP(NANOS) — Spark's vectorized reader rejects it, so with
+      ``nanosAsLong`` the column reads back as BIGINT nanos; rebuild a
+      TIMESTAMP_NTZ via ``timestamp_micros(ts div 1000)`` (values are exact
+      microseconds, so the conversion is lossless).
+    * plain ``timestamp[us]`` (current fixtures) — just cast to
+      TIMESTAMP_NTZ.
+
+    Branching on the *observed* logical type (not the fixture vintage) keeps
+    both generations working. Session tz is pinned to UTC so any
+    instant->wall-clock cast is tz-independent, matching DuckDB's naive
+    timestamp semantics."""
     from pyspark.sql import functions as F
+    from pyspark.sql.types import LongType
 
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     raw = spark.read.parquet(f"{sf_dir}/events.parquet")
-    return raw.withColumn(
-        "ts", F.timestamp_micros(F.expr("ts div 1000")).cast("timestamp_ntz")
-    )
+    ts_type = raw.schema["ts"].dataType
+    if isinstance(ts_type, LongType):
+        ts_col = F.timestamp_micros(F.expr("ts div 1000")).cast("timestamp_ntz")
+    else:
+        ts_col = F.col("ts").cast("timestamp_ntz")
+    return raw.withColumn("ts", ts_col)
 
 
 # Importing the query modules populates the registry.
