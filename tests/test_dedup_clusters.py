@@ -46,3 +46,24 @@ def test_long_chain_converges(spark):
     got = _components(spark, pairs)
     assert set(got.values()) == {1}
     assert len(got) == 13
+
+
+def test_reliable_checkpoint_dir(spark, tmp_path):
+    """checkpoint_dir selects reliable checkpoint(): same labels as the
+    localCheckpoint default, and the checkpoint files actually land in the
+    given directory (the on-cluster durability story is code, not comment)."""
+    import os
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11)], "id_a bigint, id_b bigint"
+    )
+    ckpt = str(tmp_path / "ckpt")
+    got = {
+        (r["id"], r["label"])
+        for r in connected_components(pairs, checkpoint_dir=ckpt).collect()
+    }
+    assert got == {(1, 1), (2, 1), (3, 1), (4, 1), (10, 10), (11, 10)}
+    written = [
+        os.path.join(dp, f) for dp, _, fs in os.walk(ckpt) for f in fs
+    ]
+    assert written, "no reliable checkpoint files written under checkpoint_dir"

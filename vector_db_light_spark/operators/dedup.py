@@ -257,6 +257,7 @@ def connected_components(
     id_a: str = "id_a",
     id_b: str = "id_b",
     max_iter: int = 25,
+    checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """(id, label) connected components over an undirected pair list — the
     final stage of every dedup pipeline: near-dup PAIRS are not deletable
@@ -268,18 +269,32 @@ def connected_components(
     groupBy-min per round); converges in `diameter` rounds. Duplicate
     clusters are near-cliques (diameter 1-2 in practice), so 2-3 rounds
     close real corpora; `max_iter` bounds pathological chains. Each round
-    ends in `localCheckpoint` — mandatory, not an optimization: `labels`
+    ends in a checkpoint — mandatory, not an optimization: `labels`
     appears twice in the next round's plan, so without lineage truncation
     the logical plan doubles per round (2^rounds nodes; plan-string
-    rendering alone OOMs near round 12). On a real cluster prefer
-    reliable `checkpoint()` (localCheckpoint dies with an executor), and
-    switch to the large-star/small-star variant (Kiveris et al., "Connected
-    Components in MapReduce and Beyond") if components with large diameters
-    are expected — the per-round dataflow shape is identical.
+    rendering alone OOMs near round 12).
+
+    ``checkpoint_dir`` selects the checkpoint flavor: None (default, local
+    test mode) uses ``localCheckpoint`` — fast, but the blocks live on
+    executors, so one lost executor kills the lineage-truncated frame. On a
+    real cluster pass a durable path (HDFS/S3): rounds then use reliable
+    ``checkpoint()``, which survives executor loss — the right trade at
+    1000 executors where losing one mid-iteration is routine. Switch to the
+    large-star/small-star variant (Kiveris et al., "Connected Components in
+    MapReduce and Beyond") if components with large diameters are
+    expected — the per-round dataflow shape is identical.
 
     The driver-side loop is control flow only (a `count()` per round for the
     convergence test); all data movement stays distributed.
     """
+    if checkpoint_dir is not None:
+        pairs.sparkSession.sparkContext.setCheckpointDir(checkpoint_dir)
+
+    def _truncate(df: DataFrame) -> DataFrame:
+        if checkpoint_dir is not None:
+            return df.checkpoint(eager=True)
+        return df.localCheckpoint(eager=True)
+
     edges = (
         pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
         .unionByName(
@@ -288,21 +303,19 @@ def connected_components(
         .distinct()
         .persist()
     )
-    labels = (
+    labels = _truncate(
         edges.select(F.col("src").alias("id"))
         .distinct()
         .select("id", F.col("id").alias("label"))
-        .localCheckpoint(eager=True)
     )
     for _ in range(max_iter):
         neighbor_min = edges.join(
             labels, edges["src"] == labels["id"]
         ).select(F.col("dst").alias("id"), "label")
-        new_labels = (
+        new_labels = _truncate(
             labels.unionByName(neighbor_min)
             .groupBy("id")
             .agg(F.min("label").alias("label"))
-            .localCheckpoint(eager=True)
         )
         changed = (
             new_labels.alias("n")
