@@ -1,0 +1,35 @@
+"""Input-parallelism repair for CPU-bound per-row stages.
+
+A parquet scan's task count comes from file/row-group splits, not row
+count: a small table written as one file (one row group) becomes ONE task,
+and everything narrow above it — tokenize, shingle, K minhashes, Pandas-UDF
+embedding — runs on a single core no matter how many the session has. The
+same pathology appears at cluster scale whenever a stage's input is few
+large-ish files (a compacted dimension, a single hot shard): the scan
+parallelism is fine for IO but starves the CPU-heavy map work above it.
+
+``spread`` hash-repartitions on the downstream grouping key, sized to the
+session's default parallelism. Keying (rather than round-robin) matters:
+the shuffle this inserts is the SAME exchange the downstream
+groupBy/window on that key would have forced anyway, so Catalyst reuses it
+(ensure_requirements sees the partitioning satisfied) and the net plan has
+no extra shuffle — the exchange just moved below the expensive map stage,
+which is exactly where we want it.
+
+Use it at the top of pipelines whose per-row work dominates the scan;
+don't bother for scan-bound aggregations, where it only adds a shuffle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+
+
+def spread(df: DataFrame, *keys: str, n: int | None = None) -> DataFrame:
+    """Hash-repartition ``df`` on ``keys`` into ``n`` partitions (default:
+    the session's ``defaultParallelism``) so CPU-heavy narrow stages above
+    run on every core even when the source collapses to few input splits.
+    Results are partitioning-independent; this changes only the schedule."""
+    if n is None:
+        n = df.sparkSession.sparkContext.defaultParallelism
+    return df.repartition(n, *keys)

@@ -12,7 +12,7 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from ..operators import chunking as C
-from ..registry import load, register
+from ..registry import load_docs, register
 
 CHUNK_SIZE = 120  # scaled to the ~300-char fixture docs (reference: 1200)
 OV_SIZE, OV_OVERLAP = 150, 50  # step 100 (reference: 1200/600 -> step 600)
@@ -39,7 +39,7 @@ ORDER BY chunk_id
 """,
 )
 def chunk_fixed_stride(spark, sf_dir):
-    docs = load(spark, sf_dir, "documents")
+    docs = load_docs(spark, sf_dir)
     out = C.chunk_fixed(docs, CHUNK_SIZE)
     return out.select(
         "doc_id",
@@ -63,7 +63,7 @@ _MARKED_SQL = (
 
 
 def _marked_docs(spark, sf_dir):
-    docs = load(spark, sf_dir, "documents")
+    docs = load_docs(spark, sf_dir)
     marked = F.concat(
         F.lit("[[page1]]"), F.substring("text", 1, 120),
         F.lit("[[page2]]"), F.substring("text", 121, 120),
@@ -148,7 +148,7 @@ ORDER BY doc_hash
 """,
 )
 def chunk_count_per_doc(spark, sf_dir):
-    docs = load(spark, sf_dir, "documents")
+    docs = load_docs(spark, sf_dir)
     chunks = C.chunk_fixed(docs, CHUNK_SIZE)
     hashes = docs.select("doc_id", F.sha2("text", 256).alias("doc_hash"))
     return (

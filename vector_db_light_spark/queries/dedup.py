@@ -12,6 +12,7 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from ..operators import dedup as D
+from ..plans.spread import spread
 from ..registry import load, register
 from ._sqlutil import dot_sql
 
@@ -36,7 +37,10 @@ def _corpus(spark, sf_dir):
         (F.col("doc_id") + 100000).alias("doc_id"),
         F.substring("text", 21, 2_000_000_000).alias("text"),
     )
-    return docs.unionByName(exact).unionByName(near)
+    # spread on doc_id: the tokenize/shingle/K-md5 stages above this are the
+    # pipeline's dominant cost and must not inherit the scan's (often 1-3)
+    # input splits; the signature groupBy(doc_id) reuses this exchange.
+    return spread(docs.unionByName(exact).unionByName(near), "doc_id")
 
 
 _SHINGLES_SQL = r"""

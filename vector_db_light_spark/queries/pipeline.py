@@ -12,7 +12,7 @@ from pyspark.sql import functions as F
 
 from ..functions.embedding import embed_documents
 from ..operators.multimodal import attach_payload, extract_media_meta
-from ..registry import load, register
+from ..registry import load, load_docs, register
 
 _TOKS_SQL = r"list_filter(regexp_split_to_array(trim(lower(text)), '\s+'), t -> t != '')"
 
@@ -50,7 +50,7 @@ ORDER BY f.doc_id, f.dim_idx
 """,
 )
 def embed_hashed_features(spark, sf_dir):
-    docs = load(spark, sf_dir, "documents")
+    docs = load_docs(spark, sf_dir)
     emb = embed_documents(docs, dim=16)
     return emb.select(
         "doc_id", F.posexplode("embedding").alias("dim_idx", "value")
@@ -107,7 +107,7 @@ ORDER BY v.chunk_id, v.dim_idx
 def index_build_pipeline(spark, sf_dir):
     from ..operators.chunking import chunk_fixed
 
-    docs = load(spark, sf_dir, "documents")
+    docs = load_docs(spark, sf_dir)
     chunks = chunk_fixed(docs, 120)
     embedded = embed_documents(chunks, id_col="chunk_id", text_col="chunk_text", dim=16)
     return (

@@ -12,7 +12,7 @@ from pyspark.sql import functions as F
 
 from ..operators.decontam import ngram_overlap
 from ..operators.pii import scrub
-from ..registry import load, register
+from ..registry import load_docs, register
 from .dedup import _CORPUS_SQL, _corpus
 
 # ---------------------------------------------------------------------------
@@ -83,7 +83,7 @@ def decontaminate_ngram(spark, sf_dir):
     """8-gram eval-set overlap per corpus doc; the corpus is the dedup
     fixtures' dup-injected variant minus the benchmark slice, so the
     injected copies of benchmark docs are the expected contamination."""
-    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    docs = load_docs(spark, sf_dir).select("doc_id", "text")
     eval_docs = docs.filter(F.substring(F.md5("text"), 1, 1) == "0")
     corpus = _corpus(spark, sf_dir).join(
         F.broadcast(eval_docs.select("doc_id")), "doc_id", "left_anti"
@@ -114,7 +114,7 @@ _INJECT_SQL = """
 
 
 def _injected(spark, sf_dir):
-    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    docs = load_docs(spark, sf_dir).select("doc_id", "text")
     did = F.col("doc_id")
 
     def _piece(mod, expr):

@@ -15,7 +15,7 @@ from ..functions.embedding import HashedFeatureEmbedder, embed_documents
 from ..functions.policy import prefixed_query
 from ..functions.vector import clip01, dot, vector_lit
 from ..operators import text_search as T
-from ..registry import load, register
+from ..registry import load_docs, register
 from ._sqlutil import vec_sql
 
 QUERY_TEXT = "data batch stream query join"
@@ -71,7 +71,7 @@ ORDER BY similarity DESC, d.doc_id ASC
 """,
 )
 def search_by_text(spark, sf_dir):
-    docs = load(spark, sf_dir, "documents")
+    docs = load_docs(spark, sf_dir)
     embs = embed_documents(docs, dim=16)
     q = vector_lit(_QVEC)
     scored = embs.select(
@@ -129,7 +129,7 @@ def bm25_topk(spark, sf_dir):
     (operators/text_search.bm25_topk)."""
     from ..operators.text_search import bm25_topk as _bm25
 
-    docs = load(spark, sf_dir, "documents")
+    docs = load_docs(spark, sf_dir)
     return _bm25(docs, list(BM25_TERMS), k=10)
 
 
@@ -226,7 +226,7 @@ def hybrid_rrf_search(spark, sf_dir):
 
     from ..operators.text_search import bm25_topk as _bm25
 
-    docs = load(spark, sf_dir, "documents")
+    docs = load_docs(spark, sf_dir)
     bm = _bm25(docs, list(BM25_TERMS), k=20)
     bmr = bm.select(
         "doc_id",
@@ -287,5 +287,5 @@ LIMIT 40
 def vocab_top_terms(spark, sf_dir):
     """Top-40 corpus terms by (df desc, tf desc, term) — total order, so
     the LIMIT is deterministic on both engines."""
-    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    docs = load_docs(spark, sf_dir).select("doc_id", "text")
     return T.vocabulary(docs, top_k=40).select("term", "tf", "df")

@@ -6,7 +6,7 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from ..operators import textstats as T
-from ..registry import load, register
+from ..registry import load_docs, register
 
 _TOKS_SQL = r"list_filter(regexp_split_to_array(trim(lower(text)), '\s+'), t -> t != '')"
 
@@ -44,7 +44,7 @@ ORDER BY doc_id
 """,
 )
 def text_lang_id(spark, sf_dir):
-    docs = load(spark, sf_dir, "documents")
+    docs = load_docs(spark, sf_dir)
     return T.lang_id(docs).orderBy("doc_id")
 
 
@@ -77,7 +77,7 @@ ORDER BY doc_id
 """,
 )
 def text_quality_score(spark, sf_dir):
-    docs = load(spark, sf_dir, "documents").select(
+    docs = load_docs(spark, sf_dir).select(
         "doc_id", "text", T.tokens_expr("text").alias("_toks")
     )
     m = T.quality_metrics("text", toks=F.col("_toks"))
@@ -104,7 +104,7 @@ ORDER BY doc_id
 """,
 )
 def text_token_counts(spark, sf_dir):
-    docs = load(spark, sf_dir, "documents")
+    docs = load_docs(spark, sf_dir)
     return docs.select(
         "doc_id",
         F.size(T.tokens_expr("text")).alias("ws_tokens"),
@@ -189,7 +189,7 @@ def text_repetition(spark, sf_dir):
     """Gopher-style repetition filters over a corpus where every 5th doc has
     its first 120 chars re-appended (so duplicated 5-grams actually occur —
     the raw fixture is repetition-free at n=5)."""
-    docs = load(spark, sf_dir, "documents")
+    docs = load_docs(spark, sf_dir)
     mutated = docs.filter(F.col("doc_id") % 5 != 0).select("doc_id", "text").unionByName(
         docs.filter(F.col("doc_id") % 5 == 0).select(
             "doc_id",
@@ -224,5 +224,5 @@ ORDER BY doc_id
 """,
 )
 def text_fingerprint(spark, sf_dir):
-    docs = load(spark, sf_dir, "documents")
+    docs = load_docs(spark, sf_dir)
     return T.fingerprint(docs, n=5).orderBy("doc_id")

@@ -40,6 +40,16 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
+def load_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents, hash-spread on doc_id (plans/spread.py): the table is
+    small enough to arrive as 1-3 input splits, which would serialize the
+    tokenize/regex/embed stages every text pipeline stacks on top. Use for
+    per-row-CPU-heavy pipelines; plain ``load`` for scan-bound ones."""
+    from .plans.spread import spread
+
+    return spread(load(spark, sf_dir, "documents"), "doc_id")
+
+
 def load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Schema-adaptive events loader. Fixtures have shipped ``ts`` two ways:
 
