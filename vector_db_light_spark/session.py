@@ -54,8 +54,8 @@ def get_spark(
 def load_tables(spark: SparkSession, sf_dir: str, names: tuple[str, ...] | None = None):
     """Load the driver's parquet tables from ``sf_dir`` as a dict of
     DataFrames, delegating to ``registry.load`` so every caller gets the
-    events TIMESTAMP(NANOS) workaround automatically (reading events with a
-    plain ``spark.read.parquet`` throws PARQUET_TYPE_ILLEGAL)."""
+    schema-adaptive events loader automatically (events.ts has shipped as
+    both TIMESTAMP(NANOS) and timestamp[us] across fixture generations)."""
     from .registry import load
 
     if names is None:
