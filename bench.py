@@ -84,6 +84,16 @@ def main() -> int:
         QUERIES["ann_ivf_pruned"](spark, sf_dir)
     except Exception as exc:  # noqa: BLE001
         print(f"WARMUP-ERR  ann_ivf_pruned: {_errmsg(exc)}", file=sys.stderr)
+    # Python-worker-pool warm-up: the first Arrow/Pandas stage of a session
+    # pays one python worker spawn per core (~2s at 32 cores), which is
+    # session setup like JVM init, not query cost — prime it with a no-op
+    # mapInPandas so the embed queries measure steady-state throughput.
+    try:
+        spark.range(64).repartition(32).mapInPandas(
+            lambda it: it, schema="id long"
+        ).write.mode("overwrite").format("noop").save()
+    except Exception as exc:  # noqa: BLE001
+        print(f"WARMUP-ERR  python-workers: {_errmsg(exc)}", file=sys.stderr)
 
     def run_once(name: str) -> float:
         t0 = time.time()
