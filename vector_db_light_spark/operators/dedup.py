@@ -87,6 +87,12 @@ def shingle_rows(
     )
 
 
+# Largest prime below 2^48 — the modulus of the double-hash minhash family.
+# 48-bit halves keep every intermediate (h1 + 11*h2 < 2^52) inside BIGINT
+# under ANSI mode, on both engines.
+MINHASH_P = 281_474_976_710_597
+
+
 def minhash_signatures(
     docs: DataFrame,
     n: int = 3,
@@ -95,21 +101,35 @@ def minhash_signatures(
     text_col: str = "text",
     rows: DataFrame | None = None,
 ) -> DataFrame:
-    """One row per doc: ``sig_0..sig_{K-1}`` minhash columns.
+    """One row per doc: ``sig_0..sig_{K-1}`` BIGINT minhash columns.
 
-    A doc's minhash_j = min over shingles of md5(shingle + '#' + j):
-    K aggregates in ONE shuffle over the exploded shingles.
-    Docs with zero shingles are absent (correct: no signature exists).
+    Kirsch-Mitzenmacher double hashing: ONE md5 per shingle supplies two
+    48-bit halves (h1, h2); minhash_j = min over shingles of
+    ``(h1 + j*h2) mod P``. Equivalent LSH guarantees to K independent
+    hashes ("Less Hashing, Same Performance", Kirsch & Mitzenmacher 2006)
+    at 1/K-th the hashing cost — and the signature shuffle carries K
+    BIGINTs instead of K 32-char strings. h1/h2 are materialized as
+    columns BEFORE the aggregate so the md5 provably runs once per shingle
+    (Catalyst CSE inside multi-aggregate expressions is not guaranteed).
+    K aggregates in ONE shuffle over the exploded shingles; docs with zero
+    shingles are absent (correct: no signature exists).
     Pass precomputed (persisted) ``rows`` to share the shingle explode with
     other consumers — shingling is the dominant cost of the LSH pipeline.
     """
     if rows is None:
         rows = shingle_rows(docs, n=n, id_col=id_col, text_col=text_col)
+    p = F.lit(MINHASH_P)
+    md5 = F.md5(F.col("shingle"))
+    hashed = rows.select(
+        F.col(id_col),
+        (F.conv(F.substring(md5, 1, 12), 16, 10).cast("bigint") % p).alias("_h1"),
+        (F.conv(F.substring(md5, 13, 12), 16, 10).cast("bigint") % p).alias("_h2"),
+    )
     aggs = [
-        F.min(F.md5(F.concat(F.col("shingle"), F.lit(f"#{j}")))).alias(f"sig_{j}")
+        F.min((F.col("_h1") + F.lit(j) * F.col("_h2")) % p).alias(f"sig_{j}")
         for j in range(num_hashes)
     ]
-    return rows.groupBy(id_col).agg(*aggs)
+    return hashed.groupBy(id_col).agg(*aggs)
 
 
 def minhash_band_keys(
@@ -118,7 +138,9 @@ def minhash_band_keys(
     num_bands: int = NUM_BANDS,
     id_col: str = "doc_id",
 ) -> DataFrame:
-    """(id, band_idx, band_key): band_key = md5 of the band's joined rows."""
+    """(id, band_idx, band_key): band_key = md5 of the band's joined rows
+    (sig columns cast to string explicitly — identical digit rendering of
+    the BIGINT sigs on both engines)."""
     rows_per_band = num_hashes // num_bands
     bands = F.array(
         *[
@@ -128,7 +150,7 @@ def minhash_band_keys(
                     F.concat_ws(
                         "|",
                         *[
-                            F.col(f"sig_{b * rows_per_band + r}")
+                            F.col(f"sig_{b * rows_per_band + r}").cast("string")
                             for r in range(rows_per_band)
                         ],
                     )

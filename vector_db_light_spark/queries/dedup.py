@@ -60,12 +60,22 @@ shingles AS (
 )
 """
 
+# Kirsch-Mitzenmacher double-hash minhash, mirroring
+# operators/dedup.minhash_signatures exactly: one md5 per shingle, two
+# 48-bit hex halves, sig_j = min((h1 + j*h2) mod P). '0x'||hex ::BIGINT in
+# DuckDB == conv(hex,16,10)::bigint in Spark (parity-tested incl.
+# non-ascii shingles).
+_P = D.MINHASH_P
+_H1_SQL = f"(('0x' || substr(md5(shingle), 1, 12))::BIGINT % {_P})"
+_H2_SQL = f"(('0x' || substr(md5(shingle), 13, 12))::BIGINT % {_P})"
 _SIG_COLS_SQL = ",\n         ".join(
-    f"min(md5(shingle || '#{j}')) AS sig_{j}" for j in range(D.NUM_HASHES)
+    f"min(({_H1_SQL} + {j} * {_H2_SQL}) % {_P}) AS sig_{j}"
+    for j in range(D.NUM_HASHES)
 )
 _BANDS_SQL = "\n  UNION ALL\n".join(
     f"  SELECT doc_id, {b} AS band_idx, "
-    f"md5(sig_{3 * b} || '|' || sig_{3 * b + 1} || '|' || sig_{3 * b + 2}) AS band_key "
+    f"md5(sig_{3 * b}::VARCHAR || '|' || sig_{3 * b + 1}::VARCHAR || '|' "
+    f"|| sig_{3 * b + 2}::VARCHAR) AS band_key "
     "FROM sigs"
     for b in range(D.NUM_BANDS)
 )
