@@ -96,6 +96,45 @@ def test_multimodal_meta_stub(spark):
             assert r["width"] is None
 
 
+def test_multimodal_resize_and_frame_sample(spark):
+    import hashlib
+
+    from vector_db_light_spark.operators.multimodal import (
+        attach_payload,
+        resize_images,
+        sample_frames,
+    )
+
+    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet").limit(12)
+    media = attach_payload(docs)
+
+    resized = {r["doc_id"]: r for r in resize_images(media, 8, 4).collect()}
+    originals = {r["doc_id"]: r for r in media.collect()}
+    for doc_id, r in resized.items():
+        assert r["resize_error"] is None
+        if r["media_type"] == "image/png":
+            assert (r["width"], r["height"]) == (8, 4)
+            assert len(bytes(r["payload"])) == 8 * 4  # bitmap tracks target
+        else:  # non-images pass through untouched
+            assert r["width"] is None
+            assert bytes(r["payload"]) == bytes(originals[doc_id]["payload"])
+
+    frames = sample_frames(media, every_n=2).collect()
+    assert frames, "videos in the first 12 docs should produce frames"
+    by_doc: dict[int, list] = {}
+    for r in frames:
+        assert r["frame_error"] is None and len(bytes(r["frame_payload"])) == 64
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    for doc_id, rows in by_doc.items():
+        assert originals[doc_id]["media_type"] == "video/mp4"  # video-only fan-out
+        assert [r["frame_idx"] for r in sorted(rows, key=lambda r: r["frame_idx"])] == list(range(len(rows)))
+        payload = bytes(originals[doc_id]["payload"])
+        n_frames = len(payload) // 64
+        assert len(rows) == len(range(0, n_frames, 2))
+        first = min(rows, key=lambda r: r["frame_idx"])
+        assert bytes(first["frame_payload"])[:16] == hashlib.md5(payload + b"#frame0").digest()
+
+
 def test_stream_ingest_incremental(spark, tmp_path):
     from vector_db_light_spark.streaming.ingest import stream_ingest
 

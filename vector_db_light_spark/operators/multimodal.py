@@ -18,6 +18,7 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
+    BinaryType,
     IntegerType,
     LongType,
     StringType,
@@ -94,3 +95,110 @@ def extract_media_meta(media: DataFrame) -> DataFrame:
             )
 
     return media.mapInPandas(run, schema=MEDIA_META_SCHEMA)
+
+
+RESIZED_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType(), False),
+        StructField("media_type", StringType(), True),
+        StructField("payload", BinaryType(), True),
+        StructField("width", IntegerType(), True),
+        StructField("height", IntegerType(), True),
+        StructField("resize_error", StringType(), True),
+    ]
+)
+
+
+def resize_image_stub(payload: bytes, width: int, height: int) -> bytes:
+    """STUB for the real resampler (PIL not installed): deterministic fake
+    output bytes — md5 of (payload, target dims) repeated to width*height
+    bytes, so output size actually tracks the target like a real bitmap
+    would. Replace the body with ``PIL.Image.open(...).resize(...)`` when
+    the lib is present."""
+    seed = hashlib.md5(payload + f"#{width}x{height}".encode()).digest()
+    n = width * height
+    return (seed * (n // len(seed) + 1))[:n]
+
+
+def resize_images(media: DataFrame, width: int, height: int) -> DataFrame:
+    """Resize pass: Arrow-batched over the payload column, image rows only
+    are transformed (audio/video pass through untouched with NULL dims).
+    1-in/1-out per row — the stage is narrow, preserves partitioning, and
+    never moves payload bytes through the driver. Per-row failures land in
+    ``resize_error`` instead of poisoning the batch."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, mt, payload in zip(
+                pdf["doc_id"], pdf["media_type"], pdf["payload"]
+            ):
+                b = bytes(payload)
+                err = None
+                w = h = None
+                try:
+                    if mt == "image/png":
+                        b = resize_image_stub(b, width, height)
+                        w, h = width, height
+                except Exception as ex:  # noqa: BLE001 — row-level contract
+                    err = f"{type(ex).__name__}: {ex}"
+                rows.append((int(doc_id), mt, b, w, h, err))
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in RESIZED_SCHEMA.fields]
+            )
+
+    return media.mapInPandas(run, schema=RESIZED_SCHEMA)
+
+
+FRAME_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType(), False),
+        StructField("frame_idx", IntegerType(), False),
+        StructField("frame_payload", BinaryType(), True),
+        StructField("frame_error", StringType(), True),
+    ]
+)
+
+
+def sample_frames_stub(payload: bytes, every_n: int) -> list[bytes]:
+    """STUB for the real demuxer (ffmpeg not installed): pretend the video
+    has ``len(payload) // 64`` frames and emit every ``every_n``-th as a
+    64-byte md5-derived chunk. Replace with an ffmpeg/pyav frame iterator
+    when the lib is present."""
+    n_frames = len(payload) // 64
+    out = []
+    for i in range(0, n_frames, every_n):
+        out.append(hashlib.md5(payload + f"#frame{i}".encode()).digest() * 4)
+    return out
+
+
+def sample_frames(media: DataFrame, every_n: int = 10) -> DataFrame:
+    """Frame sampling: one video row fans out to one row per sampled frame
+    (the multimodal analogue of chunk-explode). The fan-out happens inside
+    ``mapInPandas`` on the executor holding the payload, so the only data
+    movement is the sampled frames themselves; non-video rows produce zero
+    output rows. At 100 TB follow this with the usual `spread` if frame
+    featurization is heavier than demuxing."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, mt, payload in zip(
+                pdf["doc_id"], pdf["media_type"], pdf["payload"]
+            ):
+                if mt != "video/mp4":
+                    continue
+                try:
+                    for i, frame in enumerate(
+                        sample_frames_stub(bytes(payload), every_n)
+                    ):
+                        rows.append((int(doc_id), i, frame, None))
+                except Exception as ex:  # noqa: BLE001 — row-level contract
+                    rows.append(
+                        (int(doc_id), -1, None, f"{type(ex).__name__}: {ex}")
+                    )
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in FRAME_SCHEMA.fields]
+            )
+
+    return media.mapInPandas(run, schema=FRAME_SCHEMA)

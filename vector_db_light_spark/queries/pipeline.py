@@ -290,3 +290,86 @@ def ingest_parse_documents(spark, sf_dir):
         F.coalesce("text", F.lit("")).alias("text"),
         F.coalesce("parse_error", F.lit("")).alias("parse_error"),
     ).orderBy("file_name")
+
+
+# ---------------------------------------------------------------------------
+# Multimodal transform plumbing, hash-checked: the resize pass (1-in/1-out,
+# images only) and the frame-sample fan-out (1 video -> N frame rows). The
+# stub codecs are md5-derived, so the oracle rebuilds the exact payload
+# hashes arithmetically; the Spark side runs the REAL mapInPandas operators
+# and hex-projects the binary payloads for comparison (the driver
+# canonicalizer cannot sort raw binary columns).
+# ---------------------------------------------------------------------------
+
+@register(
+    "multimodal_resize",
+    """
+WITH media AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 3 = 0 THEN 'image/png'
+              WHEN doc_id % 3 = 1 THEN 'audio/wav'
+              ELSE 'video/mp4' END AS media_type,
+         text
+  FROM documents
+)
+SELECT doc_id, media_type,
+       CASE WHEN media_type = 'image/png' THEN 32
+            ELSE CAST(octet_length(encode(text)) AS BIGINT) END AS out_bytes,
+       CASE WHEN media_type = 'image/png' THEN 8 ELSE -1 END AS width,
+       CASE WHEN media_type = 'image/png' THEN 4 ELSE -1 END AS height,
+       CASE WHEN media_type = 'image/png' THEN md5(text || '#8x4')
+            ELSE '' END AS seed_hex
+FROM media
+ORDER BY doc_id
+""",
+)
+def multimodal_resize(spark, sf_dir):
+    from ..operators.multimodal import attach_payload, resize_images
+
+    media = attach_payload(load(spark, sf_dir, "documents"))
+    out = resize_images(media, 8, 4)
+    return out.select(
+        "doc_id",
+        "media_type",
+        F.length("payload").cast("bigint").alias("out_bytes"),
+        F.coalesce(F.col("width"), F.lit(-1)).alias("width"),
+        F.coalesce(F.col("height"), F.lit(-1)).alias("height"),
+        # first 16 bytes of a resized bitmap are the md5 seed; hex-project
+        # so the oracle can recompute it as md5(text || '#WxH')
+        F.when(
+            F.col("media_type") == "image/png",
+            F.lower(F.hex(F.expr("substring(payload, 1, 16)"))),
+        )
+        .otherwise("")
+        .alias("seed_hex"),
+    ).orderBy("doc_id")
+
+
+@register(
+    "multimodal_frame_sample",
+    """
+WITH media AS (
+  SELECT doc_id, text, octet_length(encode(text)) // 64 AS n_frames
+  FROM documents WHERE doc_id % 3 = 2
+)
+SELECT doc_id,
+       CAST(f / 10 AS INT) AS frame_idx,
+       md5(text || '#frame' || CAST(f AS VARCHAR)) AS frame_md5
+FROM media, unnest(range(0, n_frames, 10)) AS t(f)
+ORDER BY doc_id, frame_idx
+""",
+)
+def multimodal_frame_sample(spark, sf_dir):
+    from ..operators.multimodal import attach_payload, sample_frames
+
+    media = attach_payload(load(spark, sf_dir, "documents"))
+    frames = sample_frames(media, every_n=10)
+    return frames.select(
+        "doc_id",
+        "frame_idx",
+        # frame payload = md5 digest x4; its first 16 bytes hex == the md5
+        # the oracle computes from (text, frame number)
+        F.lower(F.hex(F.expr("substring(frame_payload, 1, 16)"))).alias(
+            "frame_md5"
+        ),
+    ).orderBy("doc_id", "frame_idx")
