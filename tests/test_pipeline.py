@@ -135,6 +135,30 @@ def test_multimodal_resize_and_frame_sample(spark):
         assert bytes(first["frame_payload"])[:16] == hashlib.md5(payload + b"#frame0").digest()
 
 
+def test_multimodal_audio_features(spark):
+    import hashlib
+
+    from vector_db_light_spark.operators.multimodal import (
+        attach_payload,
+        extract_audio_features,
+    )
+
+    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet").limit(12)
+    media = attach_payload(docs)
+    feats = extract_audio_features(media, window=32).collect()
+    assert feats, "audio rows in the first 12 docs should produce windows"
+    originals = {r["doc_id"]: bytes(r["payload"]) for r in media.collect()}
+    for r in feats:
+        payload = originals[r["doc_id"]]
+        assert r["feature_error"] is None
+        assert r["n_windows"] == len(payload) // 32
+        i = r["window_idx"]
+        expected = int(
+            hashlib.md5(payload[i * 32 : (i + 1) * 32]).hexdigest()[:6], 16
+        )
+        assert r["energy"] == expected
+
+
 def test_stream_ingest_incremental(spark, tmp_path):
     from vector_db_light_spark.streaming.ingest import stream_ingest
 

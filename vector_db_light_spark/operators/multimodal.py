@@ -202,3 +202,58 @@ def sample_frames(media: DataFrame, every_n: int = 10) -> DataFrame:
             )
 
     return media.mapInPandas(run, schema=FRAME_SCHEMA)
+
+
+AUDIO_FEATURES_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType(), False),
+        StructField("n_windows", IntegerType(), False),
+        StructField("window_idx", IntegerType(), False),
+        StructField("energy", LongType(), True),
+        StructField("feature_error", StringType(), True),
+    ]
+)
+
+
+def audio_energy_stub(payload: bytes, window: int) -> list[int]:
+    """STUB for the real frontend (librosa/torchaudio not installed): treat
+    every ``window`` bytes as one analysis window and emit a deterministic
+    integer "energy" per window (first 6 hex digits of the window hash).
+    Replace with an RMS/mel computation when the lib is present. Integer
+    output is deliberate: the oracle twin reproduces it exactly with no
+    float-summation-order concerns."""
+    out = []
+    for i in range(0, len(payload) // window):
+        h = hashlib.md5(payload[i * window : (i + 1) * window]).hexdigest()
+        out.append(int(h[:6], 16))
+    return out
+
+
+def extract_audio_features(media: DataFrame, window: int = 32) -> DataFrame:
+    """Audio feature extraction: one audio row fans out to one row per
+    analysis window (long layout rather than array<float> columns — array
+    outputs don't survive the driver's canonicalizer, and long layout is
+    what the downstream aggregations want anyway). Runs Arrow-batched on
+    the executor holding the payload; non-audio rows emit nothing."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, mt, payload in zip(
+                pdf["doc_id"], pdf["media_type"], pdf["payload"]
+            ):
+                if mt != "audio/wav":
+                    continue
+                try:
+                    feats = audio_energy_stub(bytes(payload), window)
+                    for i, e in enumerate(feats):
+                        rows.append((int(doc_id), len(feats), i, e, None))
+                except Exception as ex:  # noqa: BLE001 — row-level contract
+                    rows.append(
+                        (int(doc_id), 0, -1, None, f"{type(ex).__name__}: {ex}")
+                    )
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in AUDIO_FEATURES_SCHEMA.fields]
+            )
+
+    return media.mapInPandas(run, schema=AUDIO_FEATURES_SCHEMA)

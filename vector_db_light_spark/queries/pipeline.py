@@ -373,3 +373,33 @@ def multimodal_frame_sample(spark, sf_dir):
             "frame_md5"
         ),
     ).orderBy("doc_id", "frame_idx")
+
+
+@register(
+    "multimodal_audio_features",
+    """
+WITH media AS (
+  SELECT doc_id, text,
+         CAST(octet_length(encode(text)) // 32 AS INT) AS n_windows
+  FROM documents WHERE doc_id % 3 = 1
+)
+SELECT doc_id, n_windows,
+       CAST(w AS INT) AS window_idx,
+       ('0x' || substr(md5(substr(text, CAST(w AS INT) * 32 + 1, 32)), 1, 6))::BIGINT
+         AS energy
+FROM media, unnest(range(0, n_windows)) AS t(w)
+ORDER BY doc_id, window_idx
+""",
+)
+def multimodal_audio_features(spark, sf_dir):
+    """Oracle caveat: the stub windows over BYTES while the oracle's substr
+    windows over CHARACTERS — equivalent because the fixture corpus is
+    ascii (verified by the hash-match; a non-ascii corpus would need
+    encode()-side slicing in the oracle)."""
+    from ..operators.multimodal import attach_payload, extract_audio_features
+
+    media = attach_payload(load(spark, sf_dir, "documents"))
+    feats = extract_audio_features(media, window=32)
+    return feats.select(
+        "doc_id", "n_windows", "window_idx", "energy"
+    ).orderBy("doc_id", "window_idx")
