@@ -203,3 +203,20 @@ def test_user_funnel_single_shuffle_no_joins(spark):
     assert "user_id" in hash_exch[0], plan
     assert sum("Window [" in l for l in lines) == 3, plan
     assert "Join" not in plan, plan
+
+
+def test_spread_exchange_is_reused_by_signature_agg(spark):
+    """plans/spread.py's core claim: keying the input repartition on doc_id
+    means the minhash signature groupBy(doc_id) sits directly on that
+    exchange — ONE shuffle total, moved below the expensive shingle+hash
+    map work, not an extra one. If a refactor breaks the key match (e.g.
+    round-robin repartition), a second hashpartitioning exchange appears
+    between the map stage and the aggregate, re-shuffling the corpus."""
+    import vector_db_light_spark.operators.dedup as D
+    from vector_db_light_spark.queries.dedup import _corpus
+
+    sigs = D.minhash_signatures(_corpus(spark, SF_ORACLE))
+    plan = explain_string(sigs, mode="simple")
+    exchanges = [l for l in plan.splitlines() if "Exchange" in l]
+    assert len(exchanges) == 1, plan
+    assert "doc_id" in exchanges[0], plan
