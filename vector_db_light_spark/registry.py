@@ -13,6 +13,7 @@ Oracle-parity rules used throughout:
 
 from __future__ import annotations
 
+import os
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
@@ -35,9 +36,41 @@ def register(name: str, oracle: str | None = None):
 
 
 def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    _ship_package(spark)
     if name == "events":
         return load_events(spark, sf_dir)
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def _ship_package(spark: SparkSession) -> None:
+    """Make this package importable on EXECUTOR python workers regardless of
+    the driver process's cwd. mapInPandas/applyInPandas closures pickle by
+    module reference, so workers must import ``vector_db_light_spark``
+    themselves; that works by accident when the launching process's cwd is
+    the repo root (cwd lands on the worker path) and breaks from any other
+    cwd. ``addPyFile`` of a package zip is the standard fix — identical to
+    how the package ships to a real 1000-executor cluster. Idempotent per
+    SparkContext; ~100 ms once per session, nothing per query."""
+    sc = spark.sparkContext
+    if getattr(sc, "_vdl_pkg_shipped", False):
+        return
+    import tempfile
+    import zipfile
+
+    pkg_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    zip_path = os.path.join(
+        tempfile.gettempdir(), f"vdl_spark_pkg_{os.getpid()}.zip"
+    )
+    with zipfile.ZipFile(zip_path, "w", zipfile.ZIP_STORED) as zf:
+        pkg_dir = os.path.join(pkg_root, "vector_db_light_spark")
+        for dirpath, _dirnames, filenames in os.walk(pkg_dir):
+            for fn in filenames:
+                if not fn.endswith(".py"):
+                    continue
+                full = os.path.join(dirpath, fn)
+                zf.write(full, os.path.relpath(full, pkg_root))
+    sc.addPyFile(zip_path)
+    sc._vdl_pkg_shipped = True
 
 
 def load_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
