@@ -98,9 +98,14 @@ class VectorDatabaseManager:
     root (local path here; object-store URI on a cluster)."""
 
     def __init__(self, spark: SparkSession, root: str):
+        from .registry import _ship_package
+
         self.spark = spark
         self.root = root
         self.registry = Registry(root)
+        # the build/search pipelines run mapInPandas stages; make the
+        # package importable on executor workers regardless of driver cwd
+        _ship_package(spark)
 
     # -- paths ------------------------------------------------------------
     def _db_dir(self, name: str) -> str:

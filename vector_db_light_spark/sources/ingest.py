@@ -147,6 +147,9 @@ def documents_table(files: DataFrame, parsed: DataFrame) -> DataFrame:
 
 def ingest(spark: SparkSession, source_dir: str, glob: str = "*") -> DataFrame:
     """S1 -> S2 -> documents table, one lazy plan (SURVEY.md §3.1)."""
+    from ..registry import _ship_package
+
+    _ship_package(spark)  # parse stage is mapInPandas; see registry docstring
     files = scan_files(spark, source_dir, glob)
     allowed = files.filter(
         F.lower(F.concat(F.lit("."), F.substring_index("path", ".", -1))).isin(
