@@ -29,6 +29,9 @@ def stream_ingest(
 ) -> StreamingQuery:
     """Watch ``source_dir`` for new text files; chunk + embed each
     micro-batch; append parquet. Returns the running query."""
+    from ..registry import _ship_package
+
+    _ship_package(spark)  # micro-batch embed stage is mapInPandas
     docs = (
         spark.readStream.format("text")
         .option("wholetext", "true")

@@ -71,6 +71,10 @@ def running_user_stats(events_stream: DataFrame) -> DataFrame:
     """Per-user running (count, sum, last_seen) maintained across batches."""
     from pyspark.sql import functions as F
 
+    from ..registry import _ship_package
+
+    _ship_package(events_stream.sparkSession)  # stateful UDF runs on workers
+
     stream = events_stream.withColumn("ts", F.col("ts").cast("timestamp"))
     return stream.groupBy("user_id").applyInPandasWithState(
         _update,
