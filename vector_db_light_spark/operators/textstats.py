@@ -117,10 +117,14 @@ def repetition_metrics(
     <= dup_n-long sequence per duplicated occurrence) and a distinct —
     every shuffle is keyed on (id, gram) or (id, position), linear in
     corpus size. All counts stay BIGINT until a single final division, so
-    the doubles are engine-exact. Pass a persisted `docs` when calling at
-    scale: the token projection feeds three branches of the DAG.
+    the doubles are engine-exact. The token projection feeds three branches
+    of the DAG, so it is persisted here (tokenization would otherwise run
+    three times — at cluster scale make it a materialized intermediate
+    table instead of an in-memory cache).
     """
-    toks_df = docs.select(F.col(id_col), tokens_expr(text_col).alias("_toks"))
+    toks_df = docs.select(
+        F.col(id_col), tokens_expr(text_col).alias("_toks")
+    ).persist()
     n_toks = F.size("_toks")
     totals = toks_df.select(
         F.col(id_col),
