@@ -130,3 +130,58 @@ def vocabulary(
             F.col("df").desc(), F.col("tf").desc(), F.col("term")
         ).limit(top_k)
     return vocab
+
+
+def cross_rerank(
+    candidates: DataFrame,
+    query_text: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Second-stage reranker over a RETRIEVED CANDIDATE SET — the two-stage
+    retrieval shape (retrieve cheap & wide, rerank expensive & narrow) the
+    reference's single-stage pipeline lacks. The scorer runs as an
+    Arrow-batched ``mapInPandas`` pairwise model over (query, doc) pairs;
+    at 100 TB this stage sees only the k1 candidates per query — broadcast
+    scale — never the corpus, so an arbitrarily expensive cross-encoder
+    slots in without any plan change.
+
+    The scorer here is a deterministic surrogate (distinct-token Dice
+    coefficient, ``2|Q∩D| / (|Q|+|D|)``) standing in for a cross-encoder
+    forward pass; integer set sizes + one final division keep it
+    oracle-exact. Replace ``_dice`` with a model call when the lib is
+    present (same seam as functions/embedding.py)."""
+    import pandas as pd
+
+    from pyspark.sql.types import (
+        DoubleType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    q_toks = set(query_text.lower().split())
+    schema = StructType(
+        [
+            StructField("doc_id", LongType(), False),
+            StructField("rerank_score", DoubleType(), False),
+        ]
+    )
+
+    def _dice(text: str) -> float:
+        d_toks = set(text.lower().split())
+        denom = len(q_toks) + len(d_toks)
+        if denom == 0:
+            return 0.0
+        return 2.0 * len(q_toks & d_toks) / denom
+
+    def run(batches):
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf[id_col].astype("int64"),
+                    "rerank_score": [_dice(t) for t in pdf[text_col]],
+                }
+            )
+
+    return candidates.select(id_col, text_col).mapInPandas(run, schema=schema)

@@ -289,3 +289,87 @@ def vocab_top_terms(spark, sf_dir):
     the LIMIT is deterministic on both engines."""
     docs = load_docs(spark, sf_dir).select("doc_id", "text")
     return T.vocabulary(docs, top_k=40).select("term", "tf", "df")
+
+
+# ---------------------------------------------------------------------------
+# Two-stage retrieval: cheap vector top-50 (TakeOrderedAndProject over the
+# corpus) -> expensive cross-scorer over ONLY the candidates (mapInPandas;
+# candidates are broadcast-scale, so an arbitrarily costly cross-encoder
+# slots in without touching the corpus). The surrogate scorer is the
+# distinct-token Dice coefficient — integer set sizes + one final double
+# division, so the oracle reproduces it exactly.
+# ---------------------------------------------------------------------------
+
+_Q_DISTINCT = sorted(set(QUERY_TEXT.lower().split()))
+_Q_LIST_SQL = "[" + ", ".join(f"'{t}'" for t in _Q_DISTINCT) + "]"
+
+
+@register(
+    "search_rerank",
+    f"""
+WITH toks AS (
+  SELECT doc_id, unnest({_TOKS_SQL}) AS t FROM documents
+),
+counts AS (
+  SELECT doc_id, strpos('0123456789abcdef', substr(md5(t), 1, 1)) - 1 AS b,
+         count(*) AS c
+  FROM toks GROUP BY 1, 2
+),
+dims AS (SELECT doc_id, unnest(range(0, 16)) AS dim_idx FROM documents),
+vecs AS (
+  SELECT d.doc_id, d.dim_idx, coalesce(c.c, 0) AS c
+  FROM dims d LEFT JOIN counts c ON c.doc_id = d.doc_id AND c.b = d.dim_idx
+),
+norms AS (SELECT doc_id, sum(c * c) AS sumsq FROM vecs GROUP BY 1),
+embs AS (
+  SELECT v.doc_id,
+         list(CASE WHEN n.sumsq > 0 THEN v.c / sqrt(n.sumsq) ELSE 0.0 END
+              ORDER BY v.dim_idx) AS embedding
+  FROM vecs v JOIN norms n ON n.doc_id = v.doc_id
+  GROUP BY v.doc_id
+),
+scored AS (
+  SELECT doc_id,
+         1.0 - list_reduce(list_transform(list_zip(embedding, {_QVEC_SQL}),
+                                          s -> s[1] * s[2]), (a, b) -> a + b)
+           AS distance
+  FROM embs
+),
+cands AS (
+  SELECT * FROM scored ORDER BY distance ASC, doc_id ASC LIMIT 50
+),
+reranked AS (
+  SELECT c.doc_id,
+         (2 * len(list_filter(
+              list_distinct({_TOKS_SQL.replace("text", "d.text")}),
+              t -> list_contains({_Q_LIST_SQL}, t))))
+           / ({len(_Q_DISTINCT)} + len(list_distinct(
+                {_TOKS_SQL.replace("text", "d.text")})))
+           AS rerank_score
+  FROM cands c JOIN documents d ON d.doc_id = c.doc_id
+)
+SELECT r.doc_id, d.source, r.rerank_score
+FROM reranked r JOIN documents d ON d.doc_id = r.doc_id
+ORDER BY r.rerank_score DESC, r.doc_id ASC
+LIMIT 10
+""",
+)
+def search_rerank(spark, sf_dir):
+    from ..operators.text_search import cross_rerank
+
+    docs = load_docs(spark, sf_dir)
+    embs = embed_documents(docs, dim=16)
+    q = vector_lit(_QVEC)
+    scored = embs.select(
+        "doc_id", (F.lit(1.0) - dot(F.col("embedding"), q)).alias("distance")
+    )
+    cands = scored.orderBy(F.col("distance").asc(), F.col("doc_id").asc()).limit(50)
+    with_text = docs.join(F.broadcast(cands), "doc_id")
+    reranked = cross_rerank(with_text, QUERY_TEXT)
+    return (
+        docs.select("doc_id", "source")
+        .join(F.broadcast(reranked), "doc_id")
+        .select("doc_id", "source", "rerank_score")
+        .orderBy(F.col("rerank_score").desc(), F.col("doc_id").asc())
+        .limit(10)
+    )
