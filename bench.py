@@ -155,7 +155,8 @@ def main() -> int:
 
 
 def _errmsg(exc: Exception) -> str:
-    return f"{type(exc).__name__}: {str(exc).splitlines()[0][:200]}"
+    first_line = (str(exc).splitlines() or [""])[0]
+    return f"{type(exc).__name__}: {first_line[:200]}"
 
 
 def _canary_once(spark, sf_dir: str) -> float:

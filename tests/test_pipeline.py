@@ -86,7 +86,7 @@ def test_multimodal_meta_stub(spark):
         extract_media_meta,
     )
 
-    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet").limit(12)
+    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet").filter("doc_id < 12")
     meta = {r["doc_id"]: r for r in extract_media_meta(attach_payload(docs)).collect()}
     for doc_id, r in meta.items():
         assert r["n_bytes"] > 0 and len(r["sha256"]) == 64
@@ -105,7 +105,7 @@ def test_multimodal_resize_and_frame_sample(spark):
         sample_frames,
     )
 
-    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet").limit(12)
+    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet").filter("doc_id < 12")
     media = attach_payload(docs)
 
     resized = {r["doc_id"]: r for r in resize_images(media, 8, 4).collect()}
@@ -143,7 +143,7 @@ def test_multimodal_audio_features(spark):
         extract_audio_features,
     )
 
-    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet").limit(12)
+    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet").filter("doc_id < 12")
     media = attach_payload(docs)
     feats = extract_audio_features(media, window=32).collect()
     assert feats, "audio rows in the first 12 docs should produce windows"

@@ -301,16 +301,24 @@ def connected_components(
     executors, so one lost executor kills the lineage-truncated frame. On a
     real cluster pass a durable path (HDFS/S3): rounds then use reliable
     ``checkpoint()``, which survives executor loss — the right trade at
-    1000 executors where losing one mid-iteration is routine. Switch to the
-    large-star/small-star variant (Kiveris et al., "Connected Components in
-    MapReduce and Beyond") if components with large diameters are
-    expected — the per-round dataflow shape is identical.
+    1000 executors where losing one mid-iteration is routine. The CALLER
+    owns the directory lifecycle (standard Spark practice: one per-job dir,
+    deleted after the labels frame is consumed) — Spark does not clean
+    checkpoint files unless ``spark.cleaner.referenceTracking.
+    cleanCheckpoints`` was set before the context started, and every round
+    writes one labels copy. The session's previous checkpoint dir is
+    restored on exit (``setCheckpointDir`` is context-global). Switch to
+    the large-star/small-star variant (Kiveris et al., "Connected
+    Components in MapReduce and Beyond") if components with large diameters
+    are expected — the per-round dataflow shape is identical.
 
     The driver-side loop is control flow only (a `count()` per round for the
     convergence test); all data movement stays distributed.
     """
+    sc = pairs.sparkSession.sparkContext
+    prev_ckpt_dir = sc.getCheckpointDir()
     if checkpoint_dir is not None:
-        pairs.sparkSession.sparkContext.setCheckpointDir(checkpoint_dir)
+        sc.setCheckpointDir(checkpoint_dir)
 
     def _truncate(df: DataFrame) -> DataFrame:
         if checkpoint_dir is not None:
@@ -349,6 +357,8 @@ def connected_components(
         if changed == 0:
             break
     edges.unpersist()
+    if checkpoint_dir is not None and prev_ckpt_dir is not None:
+        sc.setCheckpointDir(prev_ckpt_dir)
     return labels
 
 

@@ -150,7 +150,14 @@ def cross_rerank(
     coefficient, ``2|Q∩D| / (|Q|+|D|)``) standing in for a cross-encoder
     forward pass; integer set sizes + one final division keep it
     oracle-exact. Replace ``_dice`` with a model call when the lib is
-    present (same seam as functions/embedding.py)."""
+    present (same seam as functions/embedding.py).
+
+    Tokenization matches the oracle's RE2 ``\\s`` class ``[\\t\\n\\f\\r ]``
+    EXPLICITLY — Python ``str.split()`` also splits on \\x0b/\\x1c-\\x1f/
+    U+00A0 etc., a silent divergence waiting for the first non-ascii
+    fixture regeneration."""
+    import re
+
     import pandas as pd
 
     from pyspark.sql.types import (
@@ -160,7 +167,12 @@ def cross_rerank(
         StructType,
     )
 
-    q_toks = set(query_text.lower().split())
+    _ws = re.compile(r"[\t\n\f\r ]+")
+
+    def _tokens(text: str) -> set[str]:
+        return {t for t in _ws.split(text.lower()) if t}
+
+    q_toks = _tokens(query_text)
     schema = StructType(
         [
             StructField("doc_id", LongType(), False),
@@ -169,7 +181,7 @@ def cross_rerank(
     )
 
     def _dice(text: str) -> float:
-        d_toks = set(text.lower().split())
+        d_toks = _tokens(text)
         denom = len(q_toks) + len(d_toks)
         if denom == 0:
             return 0.0

@@ -118,13 +118,12 @@ def repetition_metrics(
     every shuffle is keyed on (id, gram) or (id, position), linear in
     corpus size. All counts stay BIGINT until a single final division, so
     the doubles are engine-exact. The token projection feeds three branches
-    of the DAG, so it is persisted here (tokenization would otherwise run
-    three times — at cluster scale make it a materialized intermediate
-    table instead of an in-memory cache).
+    of the DAG; pass ``toks`` precomputed AND PERSISTED to avoid running
+    tokenization three times — the caller owns the cache lifecycle
+    (an operator-internal persist would leak one cached corpus per call).
+    At cluster scale make it a materialized intermediate table instead.
     """
-    toks_df = docs.select(
-        F.col(id_col), tokens_expr(text_col).alias("_toks")
-    ).persist()
+    toks_df = docs.select(F.col(id_col), tokens_expr(text_col).alias("_toks"))
     n_toks = F.size("_toks")
     totals = toks_df.select(
         F.col(id_col),
