@@ -67,3 +67,32 @@ def test_reliable_checkpoint_dir(spark, tmp_path):
         os.path.join(dp, f) for dp, _, fs in os.walk(ckpt) for f in fs
     ]
     assert written, "no reliable checkpoint files written under checkpoint_dir"
+
+
+def test_minhash_double_hash_family_properties(spark):
+    """The KM double-hash signatures must behave like a minhash family:
+    values in [0, P); identical texts get identical signatures; a doc's
+    signature depends only on its shingle SET (order/duplication of
+    shingles is irrelevant by construction of min-aggregation)."""
+    from vector_db_light_spark.operators.dedup import (
+        MINHASH_P,
+        NUM_HASHES,
+        minhash_signatures,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog tonight"),
+            (2, "the quick brown fox jumps over the lazy dog tonight"),
+            # same shingle set as 1/2 but with a repeated leading phrase:
+            # extra duplicate shingles must not change any sig value
+            (3, "completely different words in this one altogether now"),
+        ],
+        "doc_id bigint, text string",
+    )
+    sigs = {r["doc_id"]: r for r in minhash_signatures(docs, n=3).collect()}
+    for r in sigs.values():
+        for j in range(NUM_HASHES):
+            assert 0 <= r[f"sig_{j}"] < MINHASH_P
+    assert all(sigs[1][f"sig_{j}"] == sigs[2][f"sig_{j}"] for j in range(NUM_HASHES))
+    assert any(sigs[1][f"sig_{j}"] != sigs[3][f"sig_{j}"] for j in range(NUM_HASHES))
