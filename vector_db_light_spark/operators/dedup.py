@@ -181,6 +181,33 @@ def lsh_candidate_pairs(band_keys: DataFrame, id_col: str = "doc_id") -> DataFra
     )
 
 
+def incremental_lsh_candidates(
+    existing_bands: DataFrame,
+    new_bands: DataFrame,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Candidate (new_id, existing_id) pairs for INCREMENTAL dedup: a new
+    batch checked against an already-indexed corpus. The band equi-join runs
+    new x existing only — the |existing|^2 half of the work never happens,
+    which is the whole point of keeping the band table as a persistent
+    artifact: daily ingest cost scales with the batch, not the corpus.
+    At cluster scale ``existing_bands`` is a table partitioned/bucketed by
+    ``band_key`` so each day's batch joins against it shuffle-free on the
+    big side (the batch side broadcasts when small enough).
+
+    Self-duplicates WITHIN the new batch are deliberately out of scope —
+    run :func:`lsh_candidate_pairs` on ``new_bands`` for that half."""
+    existing = existing_bands.select(
+        F.col(id_col).alias("existing_id"), "band_idx", "band_key"
+    )
+    new = new_bands.select(F.col(id_col).alias("new_id"), "band_idx", "band_key")
+    return (
+        new.join(existing, ["band_idx", "band_key"])
+        .select("new_id", "existing_id")
+        .distinct()
+    )
+
+
 def jaccard_pairs(
     docs: DataFrame,
     n: int = 3,

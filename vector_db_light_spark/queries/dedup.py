@@ -524,3 +524,100 @@ def dedup_embedding_cosine(spark, sf_dir):
         .filter(F.col("cosine") >= 0.95)
         .orderBy("id_a", "id_b")
     )
+
+
+# ---------------------------------------------------------------------------
+# Incremental dedup: a NEW ingest batch checked against the already-indexed
+# corpus. Band join runs new x existing only — daily cost scales with the
+# batch, never |corpus|^2. Existing = doc_id < 400; the new batch is the
+# rest plus deterministic near/exact copies of existing docs, so cross
+# duplicates actually occur.
+# ---------------------------------------------------------------------------
+
+_INCR_CORPUS_SQL = """
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 300000 AS doc_id, substr(text, 21) AS text
+  FROM documents WHERE doc_id < 400 AND doc_id % 9 = 0
+  UNION ALL
+  SELECT doc_id + 400000 AS doc_id, text
+  FROM documents WHERE doc_id < 400 AND doc_id % 11 = 0
+"""
+
+
+def _incr_corpus(spark, sf_dir):
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    near = docs.filter((F.col("doc_id") < 400) & (F.col("doc_id") % 9 == 0)).select(
+        (F.col("doc_id") + 300000).alias("doc_id"),
+        F.substring("text", 21, 2_000_000_000).alias("text"),
+    )
+    exact = docs.filter((F.col("doc_id") < 400) & (F.col("doc_id") % 11 == 0)).select(
+        (F.col("doc_id") + 400000).alias("doc_id"), "text"
+    )
+    return spread(docs.unionByName(near).unionByName(exact), "doc_id")
+
+
+@register(
+    "dedup_incremental_lsh",
+    f"""
+WITH corpus AS ({_INCR_CORPUS_SQL}),
+{_SHINGLES_SQL},
+sigs AS (
+  SELECT doc_id,
+         {_SIG_COLS_SQL}
+  FROM shingles GROUP BY doc_id
+),
+bands AS (
+{_BANDS_SQL}
+),
+cands AS (
+  SELECT DISTINCT n.doc_id AS new_id, e.doc_id AS existing_id
+  FROM bands n
+  JOIN bands e ON n.band_idx = e.band_idx AND n.band_key = e.band_key
+  WHERE n.doc_id >= 400 AND e.doc_id < 400
+),
+sizes AS (
+  SELECT doc_id, count(*) AS n_shingles FROM shingles GROUP BY doc_id
+),
+inter AS (
+  SELECT c.new_id, c.existing_id, count(*) AS n_inter
+  FROM cands c
+  JOIN shingles a ON a.doc_id = c.new_id
+  JOIN shingles b ON b.doc_id = c.existing_id AND b.shingle = a.shingle
+  GROUP BY 1, 2
+)
+SELECT i.new_id, i.existing_id,
+       i.n_inter / (sn.n_shingles + se.n_shingles - i.n_inter) AS jaccard
+FROM inter i
+JOIN sizes sn ON sn.doc_id = i.new_id
+JOIN sizes se ON se.doc_id = i.existing_id
+WHERE i.n_inter / (sn.n_shingles + se.n_shingles - i.n_inter) >= 0.5
+ORDER BY i.new_id, i.existing_id
+""",
+)
+def dedup_incremental_lsh(spark, sf_dir):
+    corpus = _incr_corpus(spark, sf_dir)
+    rows = D.shingle_rows(corpus).persist()
+    sigs = D.minhash_signatures(corpus, rows=rows)
+    bands = D.minhash_band_keys(sigs)
+    cands = D.incremental_lsh_candidates(
+        bands.filter(F.col("doc_id") < 400),
+        bands.filter(F.col("doc_id") >= 400),
+    )
+    # verify exactly like the batch path, restricted to the cross pairs
+    verified = D.jaccard_pairs(
+        corpus,
+        candidates=cands.select(
+            F.col("new_id").alias("id_a"), F.col("existing_id").alias("id_b")
+        ),
+        rows=rows,
+    )
+    return (
+        verified.filter(F.col("jaccard") >= 0.5)
+        .select(
+            F.col("id_a").alias("new_id"),
+            F.col("id_b").alias("existing_id"),
+            "jaccard",
+        )
+        .orderBy("new_id", "existing_id")
+    )
