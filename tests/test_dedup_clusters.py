@@ -96,3 +96,33 @@ def test_minhash_double_hash_family_properties(spark):
             assert 0 <= r[f"sig_{j}"] < MINHASH_P
     assert all(sigs[1][f"sig_{j}"] == sigs[2][f"sig_{j}"] for j in range(NUM_HASHES))
     assert any(sigs[1][f"sig_{j}"] != sigs[3][f"sig_{j}"] for j in range(NUM_HASHES))
+
+
+def test_incremental_candidates_are_cross_only(spark):
+    """incremental_lsh_candidates must emit new x existing pairs only —
+    never existing x existing (that half is the one-time backfill) and
+    never new x new (that's lsh_candidate_pairs on the batch)."""
+    from vector_db_light_spark.operators.dedup import (
+        incremental_lsh_candidates,
+        minhash_band_keys,
+        minhash_signatures,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta epsilon zeta eta theta"),
+            (2, "alpha beta gamma delta epsilon zeta eta theta"),  # dup of 1
+            (100, "alpha beta gamma delta epsilon zeta eta theta"),  # new dup
+            (101, "totally unrelated new content words here now"),
+            (102, "totally unrelated new content words here now"),  # new x new
+        ],
+        "doc_id bigint, text string",
+    )
+    bands = minhash_band_keys(minhash_signatures(docs, n=3))
+    got = {
+        (r["new_id"], r["existing_id"])
+        for r in incremental_lsh_candidates(
+            bands.filter("doc_id < 100"), bands.filter("doc_id >= 100")
+        ).collect()
+    }
+    assert got == {(100, 1), (100, 2)}  # no (1,2), no (101,102)
