@@ -220,3 +220,18 @@ def test_spread_exchange_is_reused_by_signature_agg(spark):
     exchanges = [l for l in plan.splitlines() if "Exchange" in l]
     assert len(exchanges) == 1, plan
     assert "doc_id" in exchanges[0], plan
+
+
+def test_spread_self_disables_on_parallel_input(spark):
+    """At 100 TB the scan arrives as thousands of splits — there spread()
+    must be a no-op, not a full-input shuffle bought for parallelism the
+    scan already has. It fires only for starved inputs."""
+    from vector_db_light_spark.plans.spread import spread
+
+    n = spark.sparkContext.defaultParallelism
+    wide = spark.range(1000).repartition(max(n, 8), "id")
+    assert spread(wide, "id") is wide
+
+    narrow = spark.range(1000).coalesce(1)
+    out = spread(narrow, "id")
+    assert out is not narrow and out.rdd.getNumPartitions() >= min(n, 2)

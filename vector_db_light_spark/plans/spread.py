@@ -29,7 +29,16 @@ def spread(df: DataFrame, *keys: str, n: int | None = None) -> DataFrame:
     """Hash-repartition ``df`` on ``keys`` into ``n`` partitions (default:
     the session's ``defaultParallelism``) so CPU-heavy narrow stages above
     run on every core even when the source collapses to few input splits.
-    Results are partitioning-independent; this changes only the schedule."""
+    Results are partitioning-independent; this changes only the schedule.
+
+    SELF-DISABLING at scale: when the input already has >= n partitions
+    (a 100 TB table arrives as thousands of file splits), the repartition
+    is skipped entirely — there it would be a full-input shuffle bought
+    for parallelism the scan already has. The repartition fires only in
+    the starved case it exists for. Costs one extra physical-planning
+    pass (``rdd.getNumPartitions`` plans, but does not run, the frame)."""
     if n is None:
         n = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() >= n:
+        return df
     return df.repartition(n, *keys)
