@@ -150,3 +150,24 @@ def test_events_loader_absorbs_physical_variants(spark, tmp_path):
     rows_us = {r["event_id"]: r["ts"] for r in got_us.collect()}
     rows_ns = {r["event_id"]: r["ts"] for r in got_ns.collect()}
     assert rows_us == rows_ns
+
+
+def test_bench_baseline_artifact_is_loadable():
+    """bench.py's regression guard silently degrades to unguarded when
+    BENCH_BASELINE.json is missing/stale — make that state loud instead:
+    the artifact must parse, match bench's sf, carry a canary, and cover
+    every headline query."""
+    import importlib
+    import json
+    import os
+
+    here = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    with open(os.path.join(here, "BENCH_BASELINE.json")) as f:
+        data = json.load(f)
+    bench = importlib.import_module("bench")
+    assert float(data["sf"]) == 0.1
+    assert data.get("canary_sec"), "canary required for load-normalization"
+    missing = [q for q in bench.HEADLINE if q not in data["queries"]]
+    assert not missing, f"baseline missing headline queries: {missing}"
+    baseline, canary = bench._load_baseline(0.1)
+    assert canary and baseline, "bench._load_baseline must resolve the artifact"
