@@ -373,3 +373,86 @@ def search_rerank(spark, sf_dir):
         .orderBy(F.col("rerank_score").desc(), F.col("doc_id").asc())
         .limit(10)
     )
+
+
+# ---------------------------------------------------------------------------
+# L1 prompt assembly, oracle-checked: the REAL rag.assemble_rag_prompt runs
+# inside a grouped Pandas stage over the retrieved top-3 contexts (ordered
+# exactly like the serving path: distance asc, doc_id asc) and the oracle
+# rebuilds the byte-identical prompt with string_agg. Turns the RAG layer's
+# only-pytest coverage into a driver-checked query.
+# ---------------------------------------------------------------------------
+
+@register(
+    "rag_prompt_assembly",
+    f"""
+WITH toks AS (
+  SELECT doc_id, unnest({_TOKS_SQL}) AS t FROM documents
+),
+counts AS (
+  SELECT doc_id, strpos('0123456789abcdef', substr(md5(t), 1, 1)) - 1 AS b,
+         count(*) AS c
+  FROM toks GROUP BY 1, 2
+),
+dims AS (SELECT doc_id, unnest(range(0, 16)) AS dim_idx FROM documents),
+vecs AS (
+  SELECT d.doc_id, d.dim_idx, coalesce(c.c, 0) AS c
+  FROM dims d LEFT JOIN counts c ON c.doc_id = d.doc_id AND c.b = d.dim_idx
+),
+norms AS (SELECT doc_id, sum(c * c) AS sumsq FROM vecs GROUP BY 1),
+embs AS (
+  SELECT v.doc_id,
+         list(CASE WHEN n.sumsq > 0 THEN v.c / sqrt(n.sumsq) ELSE 0.0 END
+              ORDER BY v.dim_idx) AS embedding
+  FROM vecs v JOIN norms n ON n.doc_id = v.doc_id
+  GROUP BY v.doc_id
+),
+scored AS (
+  SELECT doc_id,
+         1.0 - list_reduce(list_transform(list_zip(embedding, {_QVEC_SQL}),
+                                          s -> s[1] * s[2]), (a, b) -> a + b)
+           AS distance
+  FROM embs
+),
+topk AS (
+  SELECT * FROM scored ORDER BY distance ASC, doc_id ASC LIMIT 3
+),
+ctx AS (
+  SELECT d.text, t.distance, d.doc_id
+  FROM topk t JOIN documents d ON d.doc_id = t.doc_id
+)
+SELECT 'Use the following contexts to answer:' || chr(10) || chr(10)
+       || string_agg(text, chr(10) || chr(10) || '---' || chr(10) || chr(10)
+                     ORDER BY distance ASC, doc_id ASC)
+       || chr(10) || chr(10) || 'Question: ' || '{QUERY_TEXT}' AS prompt,
+       count(*) AS n_contexts
+FROM ctx
+""",
+)
+def rag_prompt_assembly(spark, sf_dir):
+    import pandas as pd
+
+    from ..rag import assemble_rag_prompt
+
+    docs = load_docs(spark, sf_dir)
+    embs = embed_documents(docs, dim=16)
+    q = vector_lit(_QVEC)
+    scored = embs.select(
+        "doc_id", (F.lit(1.0) - dot(F.col("embedding"), q)).alias("distance")
+    )
+    cands = scored.orderBy(F.col("distance").asc(), F.col("doc_id").asc()).limit(3)
+    with_text = docs.join(F.broadcast(cands), "doc_id").select(
+        "doc_id", "text", "distance"
+    )
+
+    def build(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(["distance", "doc_id"])
+        prompt = assemble_rag_prompt(list(pdf["text"]), QUERY_TEXT)
+        return pd.DataFrame({"prompt": [prompt], "n_contexts": [len(pdf)]})
+
+    return (
+        with_text.withColumn("_g", F.lit(1))
+        .groupBy("_g")
+        .applyInPandas(build, "prompt string, n_contexts bigint")
+        .select("prompt", "n_contexts")
+    )
