@@ -456,3 +456,94 @@ def rag_prompt_assembly(spark, sf_dir):
         .applyInPandas(build, "prompt string, n_contexts bigint")
         .select("prompt", "n_contexts")
     )
+
+
+# ---------------------------------------------------------------------------
+# L4 chunks-only banners, oracle-checked: the REAL rag.format_chunks runs
+# over the retrieved rows (banner per hit + blank-line collapse); newlines
+# are injected deterministically first so the F9 collapse actually fires.
+# ---------------------------------------------------------------------------
+
+@register(
+    "rag_chunk_banners",
+    f"""
+WITH toks AS (
+  SELECT doc_id, unnest({_TOKS_SQL}) AS t FROM documents
+),
+counts AS (
+  SELECT doc_id, strpos('0123456789abcdef', substr(md5(t), 1, 1)) - 1 AS b,
+         count(*) AS c
+  FROM toks GROUP BY 1, 2
+),
+dims AS (SELECT doc_id, unnest(range(0, 16)) AS dim_idx FROM documents),
+vecs AS (
+  SELECT d.doc_id, d.dim_idx, coalesce(c.c, 0) AS c
+  FROM dims d LEFT JOIN counts c ON c.doc_id = d.doc_id AND c.b = d.dim_idx
+),
+norms AS (SELECT doc_id, sum(c * c) AS sumsq FROM vecs GROUP BY 1),
+embs AS (
+  SELECT v.doc_id,
+         list(CASE WHEN n.sumsq > 0 THEN v.c / sqrt(n.sumsq) ELSE 0.0 END
+              ORDER BY v.dim_idx) AS embedding
+  FROM vecs v JOIN norms n ON n.doc_id = v.doc_id
+  GROUP BY v.doc_id
+),
+scored AS (
+  SELECT doc_id,
+         1.0 - list_reduce(list_transform(list_zip(embedding, {_QVEC_SQL}),
+                                          s -> s[1] * s[2]), (a, b) -> a + b)
+           AS distance
+  FROM embs
+),
+topk AS (
+  SELECT * FROM scored ORDER BY distance ASC, doc_id ASC LIMIT 3
+),
+ctx AS (
+  SELECT row_number() OVER (ORDER BY t.distance ASC, t.doc_id ASC) AS i,
+         'doc_' || CAST(d.doc_id AS VARCHAR) || '.txt' AS file_name,
+         regexp_replace(replace(d.text, '. ', '.' || chr(10) || ' ' || chr(10)),
+                        '\\n\\s*\\n+', chr(10) || chr(10), 'g') AS collapsed
+  FROM topk t JOIN documents d ON d.doc_id = t.doc_id
+)
+SELECT string_agg('CONTEXT ' || CAST(i AS VARCHAR) || ' | ' || file_name
+                    || chr(10) || chr(10) || collapsed,
+                  chr(10) || chr(10) || '---' || chr(10) || chr(10)
+                  ORDER BY i) AS banners,
+       count(*) AS n_chunks
+FROM ctx
+""",
+)
+def rag_chunk_banners(spark, sf_dir):
+    import pandas as pd
+
+    from ..rag import format_chunks
+
+    docs = load_docs(spark, sf_dir)
+    embs = embed_documents(docs, dim=16)
+    q = vector_lit(_QVEC)
+    scored = embs.select(
+        "doc_id", (F.lit(1.0) - dot(F.col("embedding"), q)).alias("distance")
+    )
+    cands = scored.orderBy(F.col("distance").asc(), F.col("doc_id").asc()).limit(3)
+    with_text = docs.join(F.broadcast(cands), "doc_id").select(
+        "doc_id",
+        # inject '.\n \n' after sentence ends so the F9 blank-line collapse
+        # in format_chunks has something real to do (fixture text is 1-line)
+        F.regexp_replace("text", r"\. ", ".\n \n").alias("chunk_text"),
+        F.concat(F.lit("doc_"), F.col("doc_id").cast("string"), F.lit(".txt")).alias(
+            "file_name"
+        ),
+        "distance",
+    )
+
+    def build(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(["distance", "doc_id"])
+        banners = format_chunks(pdf.to_dict("records"))
+        return pd.DataFrame({"banners": [banners], "n_chunks": [len(pdf)]})
+
+    return (
+        with_text.withColumn("_g", F.lit(1))
+        .groupBy("_g")
+        .applyInPandas(build, "banners string, n_chunks bigint")
+        .select("banners", "n_chunks")
+    )
