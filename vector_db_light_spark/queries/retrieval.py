@@ -433,3 +433,82 @@ def json_props_extract(spark, sf_dir):
         )
         .orderBy("k_bucket")
     )
+
+
+# ---------------------------------------------------------------------------
+# L3 citation HTML, oracle-checked: the REAL rag.format_citations runs in a
+# grouped Pandas stage over the retrieval hits (rows pre-sorted by
+# (file_name, vec_id) so the group's first-row file_type and the stable
+# min-score ordering are deterministic); the oracle rebuilds the exact HTML
+# with printf('%.3f') score spans and gaps-and-islands page ranges.
+# ---------------------------------------------------------------------------
+
+@register(
+    "rag_citations_html",
+    f"""
+WITH hits AS ({_HITS_SQL}),
+grouped AS (
+  SELECT file_path AS file_name,
+         min(similarity) AS min_s,
+         max(similarity) AS max_s,
+         arg_min(file_type, vec_id) AS ftype
+  FROM hits GROUP BY file_path
+),
+pages AS (
+  SELECT DISTINCT h.file_path AS file_name, h.page_number
+  FROM hits h JOIN grouped g ON g.file_name = h.file_path
+  WHERE g.ftype = '.pdf'
+),
+islands AS (
+  SELECT file_name, page_number,
+         page_number - row_number() OVER (PARTITION BY file_name
+                                          ORDER BY page_number) AS island
+  FROM pages
+),
+ranges AS (
+  SELECT file_name, min(page_number) AS s, max(page_number) AS e
+  FROM islands GROUP BY file_name, island
+),
+prange AS (
+  SELECT file_name,
+         string_agg(CASE WHEN s = e THEN CAST(s AS VARCHAR)
+                         ELSE CAST(s AS VARCHAR) || '-' || CAST(e AS VARCHAR) END,
+                    ', ' ORDER BY s) AS pr
+  FROM ranges GROUP BY file_name
+)
+SELECT '<ol>' || string_agg(
+         '<li>' || g.file_name || ' (score ' || printf('%.3f', g.min_s) || '-'
+           || printf('%.3f', g.max_s) || ')'
+           || CASE WHEN p.pr IS NOT NULL THEN ' p.' || p.pr ELSE '' END
+           || '</li>',
+         '' ORDER BY g.min_s ASC, g.file_name ASC) || '</ol>' AS citations_html,
+       count(*) AS n_files
+FROM grouped g LEFT JOIN prange p ON p.file_name = g.file_name
+""",
+)
+def rag_citations_html(spark, sf_dir):
+    import pandas as pd
+
+    from ..rag import format_citations
+
+    hits = _hits_df(spark, sf_dir).select(
+        F.col("file_path").alias("file_name"),
+        "similarity",
+        "file_type",
+        "page_number",
+        "vec_id",
+    )
+
+    def build(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(["file_name", "vec_id"])
+        html = format_citations(pdf.to_dict("records"))
+        return pd.DataFrame(
+            {"citations_html": [html], "n_files": [pdf["file_name"].nunique()]}
+        )
+
+    return (
+        hits.withColumn("_g", F.lit(1))
+        .groupBy("_g")
+        .applyInPandas(build, "citations_html string, n_files bigint")
+        .select("citations_html", "n_files")
+    )
