@@ -71,9 +71,9 @@ def test_reliable_checkpoint_dir(spark, tmp_path):
 
 def test_minhash_double_hash_family_properties(spark):
     """The KM double-hash signatures must behave like a minhash family:
-    values in [0, P); identical texts get identical signatures; a doc's
-    signature depends only on its shingle SET (order/duplication of
-    shingles is irrelevant by construction of min-aggregation)."""
+    every value in [0, P); identical texts get identical signatures
+    (determinism); unrelated texts differ in at least one of the 12
+    sig columns."""
     from vector_db_light_spark.operators.dedup import (
         MINHASH_P,
         NUM_HASHES,
@@ -84,8 +84,6 @@ def test_minhash_double_hash_family_properties(spark):
         [
             (1, "the quick brown fox jumps over the lazy dog tonight"),
             (2, "the quick brown fox jumps over the lazy dog tonight"),
-            # same shingle set as 1/2 but with a repeated leading phrase:
-            # extra duplicate shingles must not change any sig value
             (3, "completely different words in this one altogether now"),
         ],
         "doc_id bigint, text string",

@@ -35,10 +35,17 @@ def spread(df: DataFrame, *keys: str, n: int | None = None) -> DataFrame:
     (a 100 TB table arrives as thousands of file splits), the repartition
     is skipped entirely — there it would be a full-input shuffle bought
     for parallelism the scan already has. The repartition fires only in
-    the starved case it exists for. Costs one extra physical-planning
-    pass (``rdd.getNumPartitions`` plans, but does not run, the frame)."""
+    the starved case it exists for.
+
+    The parallelism probe is ``inputFiles()`` for scan-backed frames —
+    metadata-only, never executes anything. Only file-less frames
+    (in-memory relations) fall back to ``rdd.getNumPartitions``; do NOT
+    route a post-shuffle frame through spread — under AQE that fallback
+    materializes the upstream stages just to count partitions."""
     if n is None:
         n = df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() >= n:
+    files = df.inputFiles()
+    splits = len(files) if files else df.rdd.getNumPartitions()
+    if splits >= n:
         return df
     return df.repartition(n, *keys)

@@ -484,6 +484,7 @@ SELECT '<ol>' || string_agg(
          '' ORDER BY g.min_s ASC, g.file_name ASC) || '</ol>' AS citations_html,
        count(*) AS n_files
 FROM grouped g LEFT JOIN prange p ON p.file_name = g.file_name
+HAVING count(*) > 0
 """,
 )
 def rag_citations_html(spark, sf_dir):

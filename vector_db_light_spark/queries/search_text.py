@@ -29,11 +29,11 @@ _QVEC_SQL = vec_sql(_QVEC)
 
 _TOKS_SQL = r"list_filter(regexp_split_to_array(trim(lower(text)), '\s+'), t -> t != '')"
 
-
-@register(
-    "search_by_text",
-    f"""
-WITH toks AS (
+# Shared oracle prefix: hashed-feature doc embeddings + query distance
+# (mirrors functions/embedding.py exactly). One copy feeds search_by_text,
+# search_rerank, and the rag_* oracles, so an embedding-parity fix cannot
+# silently diverge between them.
+_EMB_SCORED_CTES = f"""toks AS (
   SELECT doc_id, unnest({_TOKS_SQL}) AS t FROM documents
 ),
 counts AS (
@@ -60,7 +60,26 @@ scored AS (
                                           s -> s[1] * s[2]), (a, b) -> a + b)
            AS distance
   FROM embs
-),
+)"""
+
+def _scored_topk(spark, sf_dir, k: int):
+    """Shared stage-1 retrieval: (docs, top-k candidates by query distance,
+    tie-broken by doc_id) — the Spark twin of _EMB_SCORED_CTES + topk."""
+    docs = load_docs(spark, sf_dir)
+    embs = embed_documents(docs, dim=16)
+    q = vector_lit(_QVEC)
+    scored = embs.select(
+        "doc_id", (F.lit(1.0) - dot(F.col("embedding"), q)).alias("distance")
+    )
+    cands = scored.orderBy(F.col("distance").asc(), F.col("doc_id").asc()).limit(k)
+    return docs, cands
+
+
+
+@register(
+    "search_by_text",
+    f"""
+WITH {_EMB_SCORED_CTES},
 topk AS (
   SELECT * FROM scored ORDER BY distance ASC, doc_id ASC LIMIT 10
 )
@@ -307,34 +326,7 @@ _Q_LIST_SQL = "[" + ", ".join(f"'{t}'" for t in _Q_DISTINCT) + "]"
 @register(
     "search_rerank",
     f"""
-WITH toks AS (
-  SELECT doc_id, unnest({_TOKS_SQL}) AS t FROM documents
-),
-counts AS (
-  SELECT doc_id, strpos('0123456789abcdef', substr(md5(t), 1, 1)) - 1 AS b,
-         count(*) AS c
-  FROM toks GROUP BY 1, 2
-),
-dims AS (SELECT doc_id, unnest(range(0, 16)) AS dim_idx FROM documents),
-vecs AS (
-  SELECT d.doc_id, d.dim_idx, coalesce(c.c, 0) AS c
-  FROM dims d LEFT JOIN counts c ON c.doc_id = d.doc_id AND c.b = d.dim_idx
-),
-norms AS (SELECT doc_id, sum(c * c) AS sumsq FROM vecs GROUP BY 1),
-embs AS (
-  SELECT v.doc_id,
-         list(CASE WHEN n.sumsq > 0 THEN v.c / sqrt(n.sumsq) ELSE 0.0 END
-              ORDER BY v.dim_idx) AS embedding
-  FROM vecs v JOIN norms n ON n.doc_id = v.doc_id
-  GROUP BY v.doc_id
-),
-scored AS (
-  SELECT doc_id,
-         1.0 - list_reduce(list_transform(list_zip(embedding, {_QVEC_SQL}),
-                                          s -> s[1] * s[2]), (a, b) -> a + b)
-           AS distance
-  FROM embs
-),
+WITH {_EMB_SCORED_CTES},
 cands AS (
   SELECT * FROM scored ORDER BY distance ASC, doc_id ASC LIMIT 50
 ),
@@ -357,13 +349,7 @@ LIMIT 10
 def search_rerank(spark, sf_dir):
     from ..operators.text_search import cross_rerank
 
-    docs = load_docs(spark, sf_dir)
-    embs = embed_documents(docs, dim=16)
-    q = vector_lit(_QVEC)
-    scored = embs.select(
-        "doc_id", (F.lit(1.0) - dot(F.col("embedding"), q)).alias("distance")
-    )
-    cands = scored.orderBy(F.col("distance").asc(), F.col("doc_id").asc()).limit(50)
+    docs, cands = _scored_topk(spark, sf_dir, 50)
     with_text = docs.join(F.broadcast(cands), "doc_id")
     reranked = cross_rerank(with_text, QUERY_TEXT)
     return (
@@ -386,34 +372,7 @@ def search_rerank(spark, sf_dir):
 @register(
     "rag_prompt_assembly",
     f"""
-WITH toks AS (
-  SELECT doc_id, unnest({_TOKS_SQL}) AS t FROM documents
-),
-counts AS (
-  SELECT doc_id, strpos('0123456789abcdef', substr(md5(t), 1, 1)) - 1 AS b,
-         count(*) AS c
-  FROM toks GROUP BY 1, 2
-),
-dims AS (SELECT doc_id, unnest(range(0, 16)) AS dim_idx FROM documents),
-vecs AS (
-  SELECT d.doc_id, d.dim_idx, coalesce(c.c, 0) AS c
-  FROM dims d LEFT JOIN counts c ON c.doc_id = d.doc_id AND c.b = d.dim_idx
-),
-norms AS (SELECT doc_id, sum(c * c) AS sumsq FROM vecs GROUP BY 1),
-embs AS (
-  SELECT v.doc_id,
-         list(CASE WHEN n.sumsq > 0 THEN v.c / sqrt(n.sumsq) ELSE 0.0 END
-              ORDER BY v.dim_idx) AS embedding
-  FROM vecs v JOIN norms n ON n.doc_id = v.doc_id
-  GROUP BY v.doc_id
-),
-scored AS (
-  SELECT doc_id,
-         1.0 - list_reduce(list_transform(list_zip(embedding, {_QVEC_SQL}),
-                                          s -> s[1] * s[2]), (a, b) -> a + b)
-           AS distance
-  FROM embs
-),
+WITH {_EMB_SCORED_CTES},
 topk AS (
   SELECT * FROM scored ORDER BY distance ASC, doc_id ASC LIMIT 3
 ),
@@ -427,6 +386,7 @@ SELECT 'Use the following contexts to answer:' || chr(10) || chr(10)
        || chr(10) || chr(10) || 'Question: ' || '{QUERY_TEXT}' AS prompt,
        count(*) AS n_contexts
 FROM ctx
+HAVING count(*) > 0
 """,
 )
 def rag_prompt_assembly(spark, sf_dir):
@@ -434,13 +394,7 @@ def rag_prompt_assembly(spark, sf_dir):
 
     from ..rag import assemble_rag_prompt
 
-    docs = load_docs(spark, sf_dir)
-    embs = embed_documents(docs, dim=16)
-    q = vector_lit(_QVEC)
-    scored = embs.select(
-        "doc_id", (F.lit(1.0) - dot(F.col("embedding"), q)).alias("distance")
-    )
-    cands = scored.orderBy(F.col("distance").asc(), F.col("doc_id").asc()).limit(3)
+    docs, cands = _scored_topk(spark, sf_dir, 3)
     with_text = docs.join(F.broadcast(cands), "doc_id").select(
         "doc_id", "text", "distance"
     )
@@ -467,34 +421,7 @@ def rag_prompt_assembly(spark, sf_dir):
 @register(
     "rag_chunk_banners",
     f"""
-WITH toks AS (
-  SELECT doc_id, unnest({_TOKS_SQL}) AS t FROM documents
-),
-counts AS (
-  SELECT doc_id, strpos('0123456789abcdef', substr(md5(t), 1, 1)) - 1 AS b,
-         count(*) AS c
-  FROM toks GROUP BY 1, 2
-),
-dims AS (SELECT doc_id, unnest(range(0, 16)) AS dim_idx FROM documents),
-vecs AS (
-  SELECT d.doc_id, d.dim_idx, coalesce(c.c, 0) AS c
-  FROM dims d LEFT JOIN counts c ON c.doc_id = d.doc_id AND c.b = d.dim_idx
-),
-norms AS (SELECT doc_id, sum(c * c) AS sumsq FROM vecs GROUP BY 1),
-embs AS (
-  SELECT v.doc_id,
-         list(CASE WHEN n.sumsq > 0 THEN v.c / sqrt(n.sumsq) ELSE 0.0 END
-              ORDER BY v.dim_idx) AS embedding
-  FROM vecs v JOIN norms n ON n.doc_id = v.doc_id
-  GROUP BY v.doc_id
-),
-scored AS (
-  SELECT doc_id,
-         1.0 - list_reduce(list_transform(list_zip(embedding, {_QVEC_SQL}),
-                                          s -> s[1] * s[2]), (a, b) -> a + b)
-           AS distance
-  FROM embs
-),
+WITH {_EMB_SCORED_CTES},
 topk AS (
   SELECT * FROM scored ORDER BY distance ASC, doc_id ASC LIMIT 3
 ),
@@ -511,6 +438,7 @@ SELECT string_agg('CONTEXT ' || CAST(i AS VARCHAR) || ' | ' || file_name
                   ORDER BY i) AS banners,
        count(*) AS n_chunks
 FROM ctx
+HAVING count(*) > 0
 """,
 )
 def rag_chunk_banners(spark, sf_dir):
@@ -518,13 +446,7 @@ def rag_chunk_banners(spark, sf_dir):
 
     from ..rag import format_chunks
 
-    docs = load_docs(spark, sf_dir)
-    embs = embed_documents(docs, dim=16)
-    q = vector_lit(_QVEC)
-    scored = embs.select(
-        "doc_id", (F.lit(1.0) - dot(F.col("embedding"), q)).alias("distance")
-    )
-    cands = scored.orderBy(F.col("distance").asc(), F.col("doc_id").asc()).limit(3)
+    docs, cands = _scored_topk(spark, sf_dir, 3)
     with_text = docs.join(F.broadcast(cands), "doc_id").select(
         "doc_id",
         # inject '.\n \n' after sentence ends so the F9 blank-line collapse
