@@ -61,6 +61,71 @@ def test_stateful_running_user_stats(spark, tmp_path):
         q.stop()
 
 
+def test_stateful_running_user_stats_tws(spark, tmp_path):
+    """Same per-user running stats on Spark 4's transformWithStateInPandas
+    (ValueState + StatefulProcessor lifecycle): state must carry across
+    micro-batches exactly like the applyInPandasWithState variant."""
+    from vector_db_light_spark.streaming.stateful import (
+        _tws_available,
+        running_user_stats_tws,
+    )
+
+    if running_user_stats_tws is None or not _tws_available():
+        import pytest
+
+        pytest.skip(
+            "transformWithStateInPandas needs pyspark>=4 and protobuf "
+            "(google.protobuf absent in this container)"
+        )
+
+    src = str(tmp_path / "src")
+    t0 = dt.datetime(2024, 1, 1)
+    _write_events(spark, src, [(0, t0, 1, 10.0), (1, t0, 1, 5.0), (2, t0, 2, 1.0)])
+    stream = spark.readStream.schema(spark.read.parquet(src).schema).parquet(src)
+    # transformWithState supports only the RocksDB state store (SPARK-49564)
+    prev = spark.conf.get("spark.sql.streaming.stateStore.providerClass", None)
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    out = running_user_stats_tws(stream)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("stateful_tws")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ckpt_tws"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+
+        def latest():
+            rows = spark.sql("SELECT * FROM stateful_tws").collect()
+            state = {}
+            for r in rows:
+                cur = state.get(r["user_id"])
+                if cur is None or r["n_events"] > cur[0]:
+                    state[r["user_id"]] = (r["n_events"], r["total_value"])
+            return state
+
+        got1 = latest()
+        assert got1[1] == (2, 15.0) and got1[2] == (1, 1.0)
+
+        _write_events(spark, src, [(3, t0 + dt.timedelta(hours=1), 1, 2.5),
+                                   (4, t0 + dt.timedelta(hours=1), 3, 7.0)])
+        q.processAllAvailable()
+        got2 = latest()
+        assert got2[1] == (3, 17.5)
+        assert got2[3] == (1, 7.0)
+        assert got2[2] == (1, 1.0)
+    finally:
+        q.stop()
+        if prev is None:
+            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+        else:
+            spark.conf.set("spark.sql.streaming.stateStore.providerClass", prev)
+
+
 def test_bucketed_join_avoids_shuffle(spark, tmp_path):
     """Pre-bucketing both sides on the join key removes the Exchange — the
     co-located join strategy for repeated big-big joins at scale."""

@@ -83,3 +83,77 @@ def running_user_stats(events_stream: DataFrame) -> DataFrame:
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+# ---------------------------------------------------------------------------
+# The same operator on Spark 4's transformWithStateInPandas — the successor
+# API (SPARK-49564): typed state handles (ValueState), per-processor init/
+# close lifecycle, and future-proofing for timers/TTL. Kept alongside the
+# applyInPandasWithState variant so both Structured Streaming stateful APIs
+# are exercised; results are identical.
+# ---------------------------------------------------------------------------
+
+def _tws_available() -> bool:
+    """transformWithStateInPandas needs pyspark>=4 AND protobuf (its state
+    protocol is protobuf-serialized; google.protobuf is not in this
+    container, so the TWS variant is an import-gated seam exactly like the
+    heavy-format parsers)."""
+    try:
+        from google.protobuf import descriptor  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
+try:  # pyspark >= 4.0
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    class _UserStatsProcessor(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._state = handle.getValueState("stats", STATE_SCHEMA)
+
+        def handleInputRows(self, key, rows, timerValues) -> Iterator[pd.DataFrame]:
+            n, total = (
+                self._state.get() if self._state.exists() else (0, 0.0)
+            )
+            last_seen = None
+            for pdf in rows:
+                n += len(pdf)
+                total += float(pdf["value"].sum())
+                batch_max = pdf["ts"].max()
+                if last_seen is None or batch_max > last_seen:
+                    last_seen = batch_max
+            self._state.update((n, total))
+            yield pd.DataFrame(
+                {
+                    "user_id": [key[0]],
+                    "n_events": [n],
+                    "total_value": [total],
+                    "last_seen": [last_seen],
+                }
+            )
+
+        def close(self) -> None:
+            pass
+
+    def running_user_stats_tws(events_stream: DataFrame) -> DataFrame:
+        """``running_user_stats`` on the transformWithStateInPandas API."""
+        from pyspark.sql import functions as F
+
+        from ..registry import _ship_package
+
+        _ship_package(events_stream.sparkSession)
+        stream = events_stream.withColumn("ts", F.col("ts").cast("timestamp"))
+        return stream.groupBy("user_id").transformWithStateInPandas(
+            statefulProcessor=_UserStatsProcessor(),
+            outputStructType=OUTPUT_SCHEMA,
+            outputMode="Update",
+            timeMode="None",
+        )
+
+except ImportError:  # pragma: no cover — pyspark < 4.0
+    running_user_stats_tws = None
