@@ -611,3 +611,49 @@ def user_funnel_stages(spark, sf_dir):
         )
         .orderBy("user_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q13 shape (customer order-count distribution): LEFT OUTER join with
+# a JOIN-SIDE predicate (customers with zero qualifying orders must survive
+# with count 0 — pushing the filter to WHERE would silently drop them), then
+# a second aggregation over the first's results. Two shuffles by necessity
+# (different keys); the histogram side is tiny after the first agg.
+# ---------------------------------------------------------------------------
+
+@register(
+    "customer_order_histogram",
+    """
+WITH per_cust AS (
+  SELECT c.c_custkey, count(o.o_orderkey) AS c_count
+  FROM customer c
+  LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+    AND o.o_orderpriority <> '1-URGENT'
+  GROUP BY c.c_custkey
+)
+SELECT CAST(c_count AS BIGINT) AS c_count,
+       CAST(count(*) AS BIGINT) AS custdist
+FROM per_cust
+GROUP BY c_count
+ORDER BY custdist DESC, c_count DESC
+""",
+)
+def customer_order_histogram(spark, sf_dir):
+    cust = load(spark, sf_dir, "customer")
+    orders = load(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") != "1-URGENT"
+    )
+    per_cust = (
+        cust.join(orders, cust["c_custkey"] == orders["o_custkey"], "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return (
+        per_cust.groupBy("c_count")
+        .agg(F.count(F.lit(1)).alias("custdist"))
+        .select(
+            F.col("c_count").cast("bigint").alias("c_count"),
+            F.col("custdist").cast("bigint").alias("custdist"),
+        )
+        .orderBy(F.col("custdist").desc(), F.col("c_count").desc())
+    )
