@@ -468,3 +468,44 @@ def trailing_7d_revenue(spark, sf_dir):
         F.sum("day_cents").over(w).alias("rev_7d_cents"),
         F.count(F.lit(1)).over(w).alias("n_days"),
     ).orderBy("day_num")
+
+
+# ---------------------------------------------------------------------------
+# Approximate distinct counting — the 100 TB scale path for cardinality
+# (exact COUNT(DISTINCT) shuffles every distinct value; HLL++ ships a
+# constant-size sketch per partition). Oracle trick: the exact counts are
+# hash-verified as real columns on both sides, while the sketch is checked
+# through a WITHIN-5%-OF-EXACT boolean the oracle pins to TRUE — if Spark's
+# HLL estimate ever drifts past the bound, the boolean flips and the driver
+# hash-mismatches. rsd=0.02 makes 5% a comfortable margin at this scale.
+# ---------------------------------------------------------------------------
+
+@register(
+    "approx_distinct_users",
+    """
+SELECT event_type,
+       CAST(count(DISTINCT user_id) AS BIGINT) AS exact_users,
+       CAST(count(*) AS BIGINT) AS n_events,
+       TRUE AS approx_within_5pct
+FROM events
+GROUP BY event_type
+ORDER BY event_type
+""",
+)
+def approx_distinct_users(spark, sf_dir):
+    events = load(spark, sf_dir, "events")
+    agg = events.groupBy("event_type").agg(
+        F.countDistinct("user_id").cast("bigint").alias("exact_users"),
+        F.count(F.lit(1)).cast("bigint").alias("n_events"),
+        F.approx_count_distinct("user_id", rsd=0.02).alias("_approx"),
+    )
+    within = (
+        F.abs(F.col("_approx") - F.col("exact_users"))
+        <= 0.05 * F.col("exact_users")
+    )
+    return agg.select(
+        "event_type",
+        "exact_users",
+        "n_events",
+        within.alias("approx_within_5pct"),
+    ).orderBy("event_type")
