@@ -509,3 +509,45 @@ def approx_distinct_users(spark, sf_dir):
         "n_events",
         within.alias("approx_within_5pct"),
     ).orderBy("event_type")
+
+
+# ---------------------------------------------------------------------------
+# Approximate quantiles — same verified-bound pattern as
+# approx_distinct_users: exact interpolated percentiles are hash-verified
+# (parity already proven by price_quantiles_per_segment); percentile_approx
+# (GK sketch, accuracy 10000) must land within 2% relative error of exact
+# or the pinned boolean flips. At 100 TB the sketch is the only option —
+# exact per-group percentiles sort every group.
+# ---------------------------------------------------------------------------
+
+@register(
+    "approx_price_quantiles",
+    """
+SELECT c_mktsegment,
+       round(quantile_cont(o_totalprice, 0.5), 4) AS median_price,
+       round(quantile_cont(o_totalprice, 0.9), 4) AS p90_price,
+       TRUE AS approx_within_2pct
+FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+GROUP BY c_mktsegment
+ORDER BY c_mktsegment
+""",
+)
+def approx_price_quantiles(spark, sf_dir):
+    orders = load(spark, sf_dir, "orders")
+    cust = load(spark, sf_dir, "customer")
+    joined = orders.join(F.broadcast(cust), cust["c_custkey"] == orders["o_custkey"])
+    agg = joined.groupBy("c_mktsegment").agg(
+        F.round(F.percentile("o_totalprice", F.lit(0.5)), 4).alias("median_price"),
+        F.round(F.percentile("o_totalprice", F.lit(0.9)), 4).alias("p90_price"),
+        F.percentile_approx("o_totalprice", F.lit(0.5), F.lit(10000)).alias("_a50"),
+        F.percentile_approx("o_totalprice", F.lit(0.9), F.lit(10000)).alias("_a90"),
+    )
+    within = (
+        F.abs(F.col("_a50") - F.col("median_price")) <= 0.02 * F.col("median_price")
+    ) & (F.abs(F.col("_a90") - F.col("p90_price")) <= 0.02 * F.col("p90_price"))
+    return agg.select(
+        "c_mktsegment",
+        "median_price",
+        "p90_price",
+        within.alias("approx_within_2pct"),
+    ).orderBy("c_mktsegment")
