@@ -39,9 +39,36 @@ DEFAULT_CHUNK_OVERLAP = 600  # reference config.py:27
 DEFAULT_CONTEXTS = 6         # reference config.py:28
 DEFAULT_SIMILARITY = 0.4     # reference config.py:29
 N_ID_BUCKETS = 64
+# delete_documents broadcasts the doomed doc_id set into its anti-joins; a
+# bigint column at this cardinality is ~160 MB serialized, the comfortable
+# ceiling for a broadcast. Larger doomed sets (deleting a whole multi-billion
+# -chunk source) fall back to a shuffled anti-join, which AQE plans fine.
+DELETE_BROADCAST_MAX = 20_000_000
 IVF_N_PLANES = 4  # sign-bucket planes: build_ivf_index and incremental
                   # refresh MUST agree or appended vectors land in the
                   # wrong partitions
+
+
+def _anti_join_doomed(
+    table: DataFrame, doomed: DataFrame, broadcast_ok: bool = True
+) -> DataFrame:
+    """Rows of ``table`` whose doc_id is NOT in ``doomed`` — the delete
+    path's survivor filter. A broadcast left_anti join, not a driver-side
+    ``.isin(ids)``: the doomed set can be millions of ids when a whole
+    source is deleted, and an In-list that size is a scale-killer in the
+    plan. Above DELETE_BROADCAST_MAX the hint is dropped and the anti-join
+    shuffles (AQE picks the strategy)."""
+    side = F.broadcast(doomed) if broadcast_ok else doomed
+    return table.join(side, "doc_id", "left_anti")
+
+
+def _semi_join_doomed(
+    table: DataFrame, doomed: DataFrame, broadcast_ok: bool = True
+) -> DataFrame:
+    """Rows of ``table`` whose doc_id IS doomed — used only to discover
+    which partition values need rewriting."""
+    side = F.broadcast(doomed) if broadcast_ok else doomed
+    return table.join(side, "doc_id", "left_semi")
 
 
 @dataclass
@@ -245,15 +272,23 @@ class VectorDatabaseManager:
             raise ValueError(f"unknown database {name!r}")
         docs_path = self._table(name, "documents")
         docs = self.spark.read.parquet(docs_path)
-        doomed = docs.filter(F.col("file_name").isin(file_names)).select(
-            "doc_id", "file_name"
-        ).persist()
-        n_del = doomed.select("doc_id").distinct().count()
+        # the doomed set stays a DataFrame end to end: deleting a whole
+        # source can doom millions of doc_ids, and a driver-side In-list at
+        # that size blows the plan. Only PARTITION VALUES (small by
+        # construction: <= N_ID_BUCKETS buckets / 2^n_planes clusters) are
+        # ever collected.
+        doomed = (
+            docs.filter(F.col("file_name").isin(file_names))
+            .select("doc_id")
+            .distinct()
+            .persist()
+        )
+        n_del = doomed.count()
         if n_del == 0:
             doomed.unpersist()
             return 0
-        doomed_ids = [r["doc_id"] for r in doomed.select("doc_id").distinct().collect()]
-        kept_docs = docs.filter(~F.col("doc_id").isin(doomed_ids)).persist()
+        broadcast_ok = n_del <= DELETE_BROADCAST_MAX
+        kept_docs = _anti_join_doomed(docs, doomed, broadcast_ok).persist()
         kept_docs.count()
         kept_docs.write.mode("overwrite").parquet(docs_path + ".tmp")
         kept_docs.unpersist()
@@ -267,14 +302,14 @@ class VectorDatabaseManager:
             emb = self.spark.read.parquet(emb_path)
             touched_buckets = [
                 r["id_bucket"]
-                for r in emb.filter(F.col("doc_id").isin(doomed_ids))
+                for r in _semi_join_doomed(emb, doomed, broadcast_ok)
                 .select("id_bucket")
                 .distinct()
                 .collect()
             ]
             if touched_buckets:
                 self._rewrite_touched_partitions(
-                    emb, emb_path, "id_bucket", touched_buckets, doomed_ids
+                    emb, emb_path, "id_bucket", touched_buckets, doomed, broadcast_ok
                 )
 
             ivf_path = self._table(name, "embeddings_ivf")
@@ -282,14 +317,14 @@ class VectorDatabaseManager:
                 ivf = self.spark.read.parquet(ivf_path)
                 touched = [
                     r["cluster_id"]
-                    for r in ivf.filter(F.col("doc_id").isin(doomed_ids))
+                    for r in _semi_join_doomed(ivf, doomed, broadcast_ok)
                     .select("cluster_id")
                     .distinct()
                     .collect()
                 ]
                 if touched:
                     self._rewrite_touched_partitions(
-                        ivf, ivf_path, "cluster_id", touched, doomed_ids
+                        ivf, ivf_path, "cluster_id", touched, doomed, broadcast_ok
                     )
                     self._recompute_sidecar(name, touched)
         finally:
@@ -298,19 +333,26 @@ class VectorDatabaseManager:
         return n_del
 
     def _rewrite_touched_partitions(
-        self, table, path: str, part_col: str, touched: list, doomed_ids: list
+        self,
+        table,
+        path: str,
+        part_col: str,
+        touched: list,
+        doomed: DataFrame,
+        broadcast_ok: bool = True,
     ) -> None:
         """Rewrite only the partitions that held deleted rows. Dynamic
         partition overwrite replaces exactly the partitions PRESENT in the
         written data — a partition whose rows were all deleted writes
         nothing and would silently keep its old files, so emptied
         partitions are removed explicitly afterwards. Kept rows persist
-        before the write so the job never reads files it is replacing."""
-        kept = (
-            table.filter(F.col(part_col).isin(touched))
-            .filter(~F.col("doc_id").isin(doomed_ids))
-            .persist()
-        )
+        before the write so the job never reads files it is replacing.
+        ``doomed`` stays a DataFrame (anti-joined, never collected); only
+        ``touched`` — partition VALUES, bounded by the bucket/cluster
+        count — rides in the plan as an In-list."""
+        kept = _anti_join_doomed(
+            table.filter(F.col(part_col).isin(touched)), doomed, broadcast_ok
+        ).persist()
         kept.count()
         survivors = {
             r[part_col] for r in kept.select(part_col).distinct().collect()
