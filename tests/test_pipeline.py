@@ -44,6 +44,73 @@ def test_ingest_parses_and_surfaces_errors(spark, tmp_path):
     assert rows["a.txt"]["hash"] and rows["a.txt"]["file_type"] == ".txt"
 
 
+def test_stdlib_container_parsers_roundtrip():
+    """docx/odt/epub/eml parse with the stdlib alone — no Spark needed.
+    Exercises edges the driver fixture doesn't: multi-run docx paragraphs,
+    odt headings, epub without an OPF (archive-order fallback), multipart
+    eml with base64 transfer encoding, and html-only eml fallback."""
+    import base64
+    import io
+    import zipfile
+
+    from vector_db_light_spark.sources.ingest import (
+        _parse_docx,
+        _parse_eml,
+        _parse_epub,
+        _parse_odt,
+    )
+
+    # docx: two paragraphs, second split across runs
+    buf = io.BytesIO()
+    w = "http://schemas.openxmlformats.org/wordprocessingml/2006/main"
+    with zipfile.ZipFile(buf, "w") as z:
+        z.writestr(
+            "word/document.xml",
+            f'<w:document xmlns:w="{w}"><w:body>'
+            "<w:p><w:r><w:t>Hello</w:t></w:r></w:p>"
+            "<w:p><w:r><w:t>wor</w:t></w:r><w:r><w:t>ld</w:t></w:r></w:p>"
+            "</w:body></w:document>",
+        )
+    assert _parse_docx(buf.getvalue()) == "Hello\n\nworld"
+
+    # odt: heading + paragraph with a nested span
+    buf = io.BytesIO()
+    t = "urn:oasis:names:tc:opendocument:xmlns:text:1.0"
+    with zipfile.ZipFile(buf, "w") as z:
+        z.writestr(
+            "content.xml",
+            f'<doc xmlns:text="{t}"><text:h>Title</text:h>'
+            "<text:p>Body <text:span>inline</text:span> end</text:p></doc>",
+        )
+    assert _parse_odt(buf.getvalue()) == "Title\n\nBody inline end"
+
+    # epub without an OPF: chapters fall back to archive order
+    buf = io.BytesIO()
+    with zipfile.ZipFile(buf, "w") as z:
+        z.writestr("b.xhtml", "<html><body><p>second</p></body></html>")
+        z.writestr("a.xhtml", "<html><body><p>first</p></body></html>")
+    assert _parse_epub(buf.getvalue()) == "second\n\nfirst"
+
+    # multipart eml: base64 text/plain wins over the html alternative
+    body = "Nested payload, line one.\nLine two."
+    eml = (
+        "From: a@example.com\nSubject: multi\nMIME-Version: 1.0\n"
+        'Content-Type: multipart/alternative; boundary="XYZ"\n\n'
+        "--XYZ\nContent-Type: text/plain; charset=utf-8\n"
+        "Content-Transfer-Encoding: base64\n\n"
+        + base64.b64encode(body.encode()).decode()
+        + "\n--XYZ\nContent-Type: text/html\n\n<p>ignored</p>\n--XYZ--\n"
+    )
+    assert _parse_eml(eml.encode()) == body
+
+    # html-only eml: falls back to tag-stripped html
+    eml2 = (
+        "From: a@example.com\nContent-Type: text/html\n\n<p>only html</p>"
+    )
+    assert "only html" in _parse_eml(eml2.encode())
+    assert "<p>" not in _parse_eml(eml2.encode())
+
+
 def test_register_parser_plugs_into_pipeline(spark, tmp_path):
     """S2 pluggability: installing a parser for an extension (here a fake
     .pdf text-extractor standing in for PyMuPDF) flows through ingest with

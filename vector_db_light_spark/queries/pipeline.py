@@ -216,7 +216,89 @@ def multimodal_meta(spark, sf_dir):
 _INGEST_DIRS: dict[str, str] = {}
 
 
+# Mail fixture template (ascii; body pre-sanitized so the raw file bytes —
+# and therefore sha256/file_size — are rebuildable in the oracle with
+# string concatenation).
+_EML_TEMPLATE = (
+    "From: corpus@example.com\n"
+    "To: ingest@example.com\n"
+    "Subject: doc {doc_id}\n"
+    "Content-Type: text/plain; charset=utf-8\n"
+    "MIME-Version: 1.0\n"
+    "\n"
+    "{body}"
+)
+
+# Container fixtures embed corpus text sanitized to [0-9A-Za-z .,] — kills
+# XML-special and non-ascii chars so the zip member XML needs no escaping
+# and the oracle can mirror the transform with one regexp_replace,
+# corpus-independently.
+_SANITIZE_RE = r"[^0-9A-Za-z .,]"
+
+
+def _write_docx(path: str, s: str) -> None:
+    import zipfile
+    from xml.sax.saxutils import escape
+
+    doc = (
+        '<?xml version="1.0" encoding="UTF-8" standalone="yes"?>'
+        '<w:document xmlns:w='
+        '"http://schemas.openxmlformats.org/wordprocessingml/2006/main">'
+        '<w:body><w:p><w:r><w:t xml:space="preserve">%s</w:t></w:r></w:p>'
+        '<w:p><w:r><w:t xml:space="preserve">Part two.</w:t></w:r></w:p>'
+        "</w:body></w:document>" % escape(s)
+    )
+    with zipfile.ZipFile(path, "w") as z:
+        z.writestr("word/document.xml", doc)
+
+
+def _write_odt(path: str, s: str) -> None:
+    import zipfile
+    from xml.sax.saxutils import escape
+
+    doc = (
+        '<?xml version="1.0" encoding="UTF-8"?>'
+        "<office:document-content "
+        'xmlns:office="urn:oasis:names:tc:opendocument:xmlns:office:1.0" '
+        'xmlns:text="urn:oasis:names:tc:opendocument:xmlns:text:1.0">'
+        "<office:body><office:text><text:p>%s</text:p>"
+        "<text:p>Part two.</text:p></office:text></office:body>"
+        "</office:document-content>" % escape(s)
+    )
+    with zipfile.ZipFile(path, "w") as z:
+        z.writestr("content.xml", doc)
+
+
+def _write_epub(path: str, s: str) -> None:
+    """Two-chapter epub whose OPF spine order (chap1, chap2) differs from
+    the zip member order (chap2 first) — exercises spine-ordered reading."""
+    import zipfile
+    from xml.sax.saxutils import escape
+
+    opf = (
+        '<?xml version="1.0"?>'
+        '<package xmlns="http://www.idpf.org/2007/opf" version="3.0">'
+        "<manifest>"
+        '<item id="c2" href="chap2.xhtml" media-type="application/xhtml+xml"/>'
+        '<item id="c1" href="chap1.xhtml" media-type="application/xhtml+xml"/>'
+        "</manifest>"
+        '<spine><itemref idref="c1"/><itemref idref="c2"/></spine></package>'
+    )
+    with zipfile.ZipFile(path, "w") as z:
+        z.writestr("mimetype", "application/epub+zip")
+        z.writestr(
+            "OEBPS/chap2.xhtml", "<html><body><p>Part two.</p></body></html>"
+        )
+        z.writestr(
+            "OEBPS/chap1.xhtml",
+            "<html><body><p>%s</p></body></html>" % escape(s),
+        )
+        z.writestr("OEBPS/content.opf", opf)
+
+
 def _materialize_ingest_dir(spark, sf_dir) -> str:
+    import re
+
     d = _INGEST_DIRS.get(sf_dir)
     if d is None or not os.path.isdir(d):
         d = tempfile.mkdtemp(prefix="vdl_ingest_")
@@ -227,46 +309,84 @@ def _materialize_ingest_dir(spark, sf_dir) -> str:
             .collect()
         )
         for r in rows:
-            ext = [".txt", ".html", ".pdf", ".md"][r["doc_id"] % 4]
-            body = (
-                f"<html><body>{r['text']}</body></html>"
-                if ext == ".html"
-                else r["text"]
-            )
-            # utf-8 pinned: sha256/file_size parity with the oracle's
-            # encode()/octet_length assumes these exact bytes on disk.
+            ext = [
+                ".txt", ".html", ".pdf", ".md",
+                ".docx", ".eml", ".odt", ".epub",
+            ][r["doc_id"] % 8]
             path = os.path.join(d, f"doc_{r['doc_id']}{ext}")
-            with open(path, "w", encoding="utf-8") as f:
-                f.write(body)
+            s = re.sub(_SANITIZE_RE, " ", r["text"])
+            if ext == ".docx":
+                _write_docx(path, s)
+            elif ext == ".odt":
+                _write_odt(path, s)
+            elif ext == ".epub":
+                _write_epub(path, s)
+            elif ext == ".eml":
+                with open(path, "w", encoding="utf-8", newline="") as f:
+                    f.write(_EML_TEMPLATE.format(doc_id=r["doc_id"], body=s))
+            else:
+                body = (
+                    f"<html><body>{r['text']}</body></html>"
+                    if ext == ".html"
+                    else r["text"]
+                )
+                # utf-8 pinned: sha256/file_size parity with the oracle's
+                # encode()/octet_length assumes these exact bytes on disk.
+                with open(path, "w", encoding="utf-8") as f:
+                    f.write(body)
         _INGEST_DIRS[sf_dir] = d
     return d
 
 
 # Oracle rebuilds the materialized files arithmetically from the documents
-# table (same doc_id < 20 slice, same extension cycle, same html wrapper) and
+# table (same doc_id < 20 slice, same extension cycle, same wrappers) and
 # mirrors each parser: txt/md identity, html = tag-strip regex (identical
-# pattern both sides), pdf = parse_error row. sha256()/octet_length(encode())
-# in DuckDB hash/measure the same utf-8 bytes Spark's binaryFile scan reads.
-_INGEST_ORACLE = """
+# pattern both sides), docx/odt = sanitized text + blank line + 'Part two.',
+# epub = the same with the parser's whitespace collapse/strip (chapters
+# joined in SPINE order), eml = full RFC-822 byte reconstruction, pdf =
+# parse_error row. sha256()/octet_length(encode()) in DuckDB hash/measure
+# the same utf-8 bytes Spark's binaryFile scan reads — except the zip
+# containers (docx/odt/epub), whose archive bytes (CRCs, headers) are not
+# SQL-expressible: those sentinel hash=''/file_size=-1 on BOTH sides and
+# the parity check rides on the parsed text instead.
+_INGEST_ORACLE = r"""
 WITH src AS (
   SELECT doc_id, text,
-         CASE doc_id % 4 WHEN 0 THEN '.txt' WHEN 1 THEN '.html'
-              WHEN 2 THEN '.pdf' ELSE '.md' END AS ext
+         regexp_replace(text, '[^0-9A-Za-z .,]', ' ', 'g') AS s,
+         CASE doc_id % 8 WHEN 0 THEN '.txt' WHEN 1 THEN '.html'
+              WHEN 2 THEN '.pdf' WHEN 3 THEN '.md' WHEN 4 THEN '.docx'
+              WHEN 5 THEN '.eml' WHEN 6 THEN '.odt' ELSE '.epub' END AS ext
   FROM documents WHERE doc_id < 20
 ), body AS (
-  SELECT doc_id, ext,
+  SELECT doc_id, ext, s,
          'doc_' || doc_id || ext AS file_name,
          CASE WHEN ext = '.html'
               THEN '<html><body>' || text || '</body></html>'
-              ELSE text END AS raw
+              WHEN ext = '.eml'
+              THEN 'From: corpus@example.com' || chr(10)
+                   || 'To: ingest@example.com' || chr(10)
+                   || 'Subject: doc ' || doc_id || chr(10)
+                   || 'Content-Type: text/plain; charset=utf-8' || chr(10)
+                   || 'MIME-Version: 1.0' || chr(10) || chr(10) || s
+              ELSE text END AS raw,
+         regexp_replace(regexp_replace(s, '[ \t\r\n]+', ' ', 'g'),
+                        '^ +| +$', '', 'g') AS s_collapsed
   FROM src
 )
 SELECT file_name,
        ext AS file_type,
-       sha256(raw) AS hash,
-       CAST(octet_length(encode(raw)) AS BIGINT) AS file_size,
+       CASE WHEN ext IN ('.docx', '.odt', '.epub') THEN ''
+            ELSE sha256(raw) END AS hash,
+       CASE WHEN ext IN ('.docx', '.odt', '.epub') THEN CAST(-1 AS BIGINT)
+            ELSE CAST(octet_length(encode(raw)) AS BIGINT) END AS file_size,
        CASE WHEN ext = '.pdf' THEN ''
             WHEN ext = '.html' THEN regexp_replace(raw, '<[^>]+>', ' ', 'g')
+            WHEN ext IN ('.docx', '.odt')
+              THEN s || chr(10) || chr(10) || 'Part two.'
+            WHEN ext = '.epub'
+              THEN CASE WHEN s_collapsed = '' THEN 'Part two.'
+                   ELSE s_collapsed || chr(10) || chr(10) || 'Part two.' END
+            WHEN ext = '.eml' THEN s
             ELSE raw END AS text,
        CASE WHEN ext = '.pdf'
             THEN 'NotImplementedError: no parser library available for .pdf'
@@ -282,11 +402,16 @@ def ingest_parse_documents(spark, sf_dir):
 
     d = _materialize_ingest_dir(spark, sf_dir)
     out = ingest(spark, d)
+    zips = F.col("file_type").isin(".docx", ".odt", ".epub")
     return out.select(
         "file_name",
         "file_type",
-        "hash",
-        "file_size",
+        # zip-container bytes aren't SQL-reconstructable; sentinel to match
+        # the oracle (text carries the parity for those formats)
+        F.when(zips, F.lit("")).otherwise(F.col("hash")).alias("hash"),
+        F.when(zips, F.lit(-1).cast("bigint"))
+        .otherwise(F.col("file_size"))
+        .alias("file_size"),
         F.coalesce("text", F.lit("")).alias("text"),
         F.coalesce("parse_error", F.lit("")).alias("parse_error"),
     ).orderBy("file_name")
