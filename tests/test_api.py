@@ -93,6 +93,73 @@ def test_chat_client_payload_and_stub():
     assert payload["messages"][0]["role"] == "system"
     with pytest.raises(NotImplementedError):
         c.ask("hello")
+    with pytest.raises(NotImplementedError):
+        next(c.ask_stream("hello"))
+
+
+def test_chat_client_streams_sse_incrementally():
+    """L2 streaming against a stubbed OpenAI-compatible SSE server: the
+    exact stream payload is POSTed, tokens arrive INCREMENTALLY (the server
+    holds chunk 2 until the test has consumed chunk 1), the first chunk is
+    lstripped (LM Studio parity, chat_llm.py:85-86), role-only and null
+    deltas are skipped, and the stream ends with the reference's trailing
+    newline after [DONE] (chat_llm.py:151)."""
+    import json as _json
+    import threading
+    from http.server import BaseHTTPRequestHandler, HTTPServer
+
+    from vector_db_light_spark.rag import ChatClient
+
+    received: dict = {}
+    got_first = threading.Event()
+
+    class Handler(BaseHTTPRequestHandler):
+        protocol_version = "HTTP/1.0"  # close-delimited body: no chunked framing
+
+        def do_POST(self):
+            n = int(self.headers["Content-Length"])
+            received["payload"] = _json.loads(self.rfile.read(n))
+            received["auth"] = self.headers.get("Authorization")
+            self.send_response(200)
+            self.send_header("Content-Type", "text/event-stream")
+            self.end_headers()
+
+            def send(obj):
+                self.wfile.write(f"data: {_json.dumps(obj)}\n\n".encode())
+                self.wfile.flush()
+
+            send({"choices": [{"delta": {"role": "assistant"}}]})  # no content
+            send({"choices": [{"delta": {"content": " Hello"}}]})
+            # incremental-delivery proof: chunk 2 is only written after the
+            # client has already yielded chunk 1
+            assert got_first.wait(timeout=10)
+            send({"choices": [{"delta": {"content": " world"}}]})
+            send({"choices": [{"delta": {"content": None}}]})  # null delta
+            self.wfile.write(b"data: [DONE]\n\n")
+            self.wfile.flush()
+
+        def log_message(self, *a):  # keep pytest output clean
+            pass
+
+    srv = HTTPServer(("127.0.0.1", 0), Handler)
+    t = threading.Thread(target=srv.handle_request, daemon=True)
+    t.start()
+    try:
+        c = ChatClient(base_url=f"http://127.0.0.1:{srv.server_port}/v1")
+        gen = c.ask_stream("question", timeout=10.0)
+        first = next(gen)
+        assert first == "Hello"  # leading space stripped on chunk 1 only
+        got_first.set()
+        rest = list(gen)
+        assert rest == [" world", "\n"]
+    finally:
+        got_first.set()
+        t.join(timeout=10)
+        srv.server_close()
+
+    assert received["payload"] == c.build_payload("question", stream=True)
+    assert received["payload"]["stream"] is True
+    assert received["auth"] == "Bearer not-needed"
 
 
 def test_create_database_preconditions(spark, tmp_path, corpus_dir):

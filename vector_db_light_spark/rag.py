@@ -102,10 +102,12 @@ def dump_debug_artifacts(rows: list[Mapping], out_dir: str) -> tuple[str, str]:
 
 
 class ChatClient:
-    """L2: OpenAI-compatible streaming chat (chat_llm.py:69-164). The HTTP
-    call needs a reachable endpoint (LM Studio / OpenAI); ``ask`` raises
-    cleanly when none is configured, while ``build_payload`` — the part with
-    reference semantics — is pure and tested."""
+    """L2: OpenAI-compatible chat (chat_llm.py:69-164): ``ask`` for a
+    single completion, ``ask_stream`` for SSE token streaming. The HTTP
+    call needs a reachable endpoint (LM Studio / OpenAI); both raise
+    cleanly when none is configured. ``build_payload`` and the SSE consume
+    loop — the parts with reference semantics — are tested against a
+    stubbed server."""
 
     def __init__(self, base_url: str | None = None, model: str = "local-model",
                  api_key: str = "not-needed"):
@@ -124,20 +126,68 @@ class ChatClient:
             "temperature": 0.1,
         }
 
+    def _request(self, prompt: str, stream: bool):
+        return _urllib_request.Request(
+            f"{self.base_url.rstrip('/')}/chat/completions",
+            data=json.dumps(self.build_payload(prompt, stream=stream)).encode(),
+            headers={
+                "Content-Type": "application/json",
+                "Authorization": f"Bearer {self.api_key}",
+            },
+        )
+
     def ask(self, prompt: str, timeout: float = 30.0) -> str:
         if not self.base_url:
             raise NotImplementedError(
                 "no LLM endpoint configured; pass base_url (e.g. a local "
                 "OpenAI-compatible server) to enable RAG completion"
             )
-        req = _urllib_request.Request(
-            f"{self.base_url.rstrip('/')}/chat/completions",
-            data=json.dumps(self.build_payload(prompt, stream=False)).encode(),
-            headers={
-                "Content-Type": "application/json",
-                "Authorization": f"Bearer {self.api_key}",
-            },
-        )
-        with _urllib_request.urlopen(req, timeout=timeout) as resp:
+        with _urllib_request.urlopen(
+            self._request(prompt, stream=False), timeout=timeout
+        ) as resp:
             body = json.load(resp)
         return body["choices"][0]["message"]["content"]
+
+    def ask_stream(
+        self,
+        prompt: str,
+        timeout: float = 30.0,
+        strip_leading_space: bool = True,
+    ):
+        """L2 streaming: consume SSE ``data:`` chunks and yield content
+        deltas as they arrive (chat_llm.py:136-151 parity: per-chunk
+        ``delta.content``, None deltas skipped, the FIRST content chunk
+        lstripped for LM-Studio-style servers — should_strip_leading_space,
+        chat_llm.py:85-86 — and a trailing newline emitted after the stream
+        ends, chat_llm.py:151). ``timeout`` bounds each socket read, the
+        same 30 s the reference GUI waits per queue item
+        (gui_tabs_database_query.py:91). Empty post-strip chunks are not
+        yielded; the joined output is byte-identical either way."""
+        if not self.base_url:
+            raise NotImplementedError(
+                "no LLM endpoint configured; pass base_url (e.g. a local "
+                "OpenAI-compatible server) to enable RAG completion"
+            )
+        first = True
+        with _urllib_request.urlopen(
+            self._request(prompt, stream=True), timeout=timeout
+        ) as resp:
+            for raw in resp:
+                line = raw.decode("utf-8", errors="replace").strip()
+                # SSE framing: blank keep-alives and ':' comments skipped
+                if not line or line.startswith(":") or not line.startswith("data:"):
+                    continue
+                data = line[len("data:"):].strip()
+                if data == "[DONE]":
+                    break
+                delta = json.loads(data)["choices"][0].get("delta", {})
+                content = delta.get("content")
+                if content is None:
+                    continue
+                if first:
+                    if strip_leading_space:
+                        content = content.lstrip()
+                    first = False
+                if content:
+                    yield content
+        yield "\n"
