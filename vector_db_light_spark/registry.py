@@ -135,40 +135,43 @@ def _populate() -> None:
 # registration order. This list pins the 50-slot window to one row per §2
 # operator family (combo queries in queries/combos.py pack the granular
 # variants); everything not listed stays registered after the window — the
-# judge re-verifies those with tools/driver_sim.py.
+# judge re-verifies those with tools/driver_sim.py. The window ROTATES
+# between rounds (VERDICT r5 #6) so every family eventually gets an
+# external-oracle pass: r6 swapped in bm25_topk, citations_agg,
+# rag_prompt_assembly, text_repetition, dedup_incremental_lsh,
+# knn_{cosine,l2,inner_product}_topk, quota_per_source, multimodal_resize
+# for ten long-green combo/simple slots (which remain driver_sim-checked).
 PRIORITY: tuple[str, ...] = (
     # retrieval / search surface
     "search_pipeline",      # V2-V4 + F1 + F2 + J1 + F6 flagship
-    "knn_metrics_topk",     # V3 conversion matrix, all 5 metrics (combo)
-    "filters_labeled",      # F1 + F2 + F3 (combo)
+    "knn_cosine_topk",      # V3 cosine (granular; r6 rotation)
+    "knn_l2_topk",          # V3 l2 (granular; r6 rotation)
+    "knn_inner_product_topk",  # V3 inner-product (granular; r6 rotation)
     "doc_profile",          # F7/F8/X1/X6 + 4 textstats ops (combo)
     "citations_pages",      # A2 + A3 (combo)
-    "json_props_extract",   # X7
+    "citations_agg",        # A2 granular (r6 rotation)
     "search_by_text",       # V1 query-embed + instruction prefix
     "hybrid_rrf_search",    # BM25 + vector reciprocal-rank fusion
+    "bm25_topk",            # lexical ranking on its own (r6 rotation)
+    "rag_prompt_assembly",  # L1 byte-identical prompt (r6 rotation)
     # chunking
     "chunk_fixed_stride",   # X8 + V6
     "chunk_overlap_pages",  # S3 + X5
-    "pii_scrub",            # PII detect + redact (data hygiene)
     # relational: joins, aggregates, windows, set ops
-    "pricing_summary",
     "shipping_priority",
     "acctbal_rollup",
-    "segment_status_cube",
-    "priority_grouping_sets",
     "top_customers_per_segment",
     "pack_sequences_bins",
     "customers_without_big_orders",
-    "customers_with_open_orders",
     "set_ops_labeled",      # INTERSECT + EXCEPT (combo)
     "asof_event_order",
     "event_pairs_5min",
     "sessionize_events",
     "tumbling_hourly_events",
-    "session_window_native",
     # dedup tiers
     "dedup_exact",
     "dedup_minhash_lsh",
+    "dedup_incremental_lsh",  # cross-batch-only join (r6 rotation)
     "dedup_embedding_lsh",
     "decontaminate_ngram",  # benchmark decontamination (data hygiene)
     "dedup_clusters",
@@ -183,15 +186,17 @@ PRIORITY: tuple[str, ...] = (
     "index_build_pipeline",
     "ingest_metadata",
     "multimodal_meta",
+    "multimodal_resize",    # image-only Arrow resize pass (r6 rotation)
     "ingest_parse_documents",
-    # analytics
+    # analytics / text stats
     "salted_hot_key_agg",
     "price_quantiles_per_segment",
     "sample_stratified_lang",
+    "text_repetition",      # Gopher repetition ratios (r6 rotation)
+    "quota_per_source",     # per-source cap, WindowGroupLimit (r6 rotation)
     # subqueries + reshape + sampling
     "orders_with_late_lineitems",
     "null_semantics_agg",
-    "decimal_exact_totals",
     "pivot_status_by_segment",
     "unpivot_lineitem_measures",
     "split_train_val_test",
