@@ -48,6 +48,91 @@ def test_long_chain_converges(spark):
     assert len(got) == 13
 
 
+def _star_components(spark, pairs, **kw):
+    from vector_db_light_spark.operators.dedup import connected_components_star
+
+    df = spark.createDataFrame(pairs, "id_a bigint, id_b bigint")
+    return {r["id"]: r["label"] for r in connected_components_star(df, **kw).collect()}
+
+
+def test_star_variant_matches_min_label_on_random_graphs(spark):
+    """Property: large-star/small-star and min-label propagation agree on
+    random graphs (same node set, same min-id labels). Seeded RNG keeps the
+    run deterministic; shapes cover sparse, denser, and chain-heavy."""
+    import random
+
+    for seed, n, m in [(7, 30, 20), (11, 40, 60), (13, 25, 12)]:
+        rng = random.Random(seed)
+        pairs = [
+            (rng.randrange(n), rng.randrange(n)) for _ in range(m)
+        ] + [(i, i + 1) for i in range(0, n // 3)]  # graft a chain segment
+        assert _star_components(spark, pairs) == _components(spark, pairs), (
+            f"divergence at seed={seed}"
+        )
+
+
+def test_star_variant_high_diameter_chain(spark):
+    # diameter 20: the workload the alternating algorithm exists for
+    pairs = [(i, i + 1) for i in range(1, 21)]
+    got = _star_components(spark, pairs)
+    assert set(got.values()) == {1}
+    assert len(got) == 21
+
+
+def test_star_variant_edge_shapes(spark):
+    assert _star_components(spark, []) == {}
+    # self-pair only: node labels itself
+    assert _star_components(spark, [(4, 4)]) == {4: 4}
+    # reversed directions and duplicates don't matter
+    got = _star_components(spark, [(5, 1), (1, 5), (7, 1), (1, 8), (8, 1)])
+    assert set(got.values()) == {1} and set(got) == {1, 5, 7, 8}
+
+
+def test_star_variant_reliable_checkpoint_dir(spark, tmp_path):
+    import os
+
+    from vector_db_light_spark.operators.dedup import connected_components_star
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11)], "id_a bigint, id_b bigint"
+    )
+    ckpt = str(tmp_path / "star_ckpt")
+    got = {
+        r["id"]: r["label"]
+        for r in connected_components_star(pairs, checkpoint_dir=ckpt).collect()
+    }
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10}
+    assert os.listdir(ckpt)  # reliable checkpoints actually landed there
+
+
+def test_checkpoint_dir_restored_even_on_failure(spark, tmp_path):
+    """ADVICE r5: a mid-iteration failure must restore the context-global
+    checkpoint dir when one was previously set."""
+    import pytest
+
+    from vector_db_light_spark.operators.dedup import connected_components
+
+    sc = spark.sparkContext
+    original = str(tmp_path / "orig_ckpt")
+    sc.setCheckpointDir(original)
+    try:
+        prev = sc.getCheckpointDir()
+        bad = spark.createDataFrame([(1, "x")], "id_a bigint, id_b string")
+        with pytest.raises(Exception):
+            # the string id column fails the bigint cast under ANSI mid-
+            # iteration — the finally must still restore the dir
+            connected_components(
+                bad, checkpoint_dir=str(tmp_path / "cc_ckpt")
+            ).collect()
+        # setCheckpointDir nests a fresh UUID under the given path, so
+        # "restored" means: back under the ORIGINAL base, not the cc_ckpt one
+        got = sc.getCheckpointDir()
+        assert got == prev or got.startswith(prev + "/")
+        assert "cc_ckpt" not in got
+    finally:
+        sc.setCheckpointDir(original)
+
+
 def test_reliable_checkpoint_dir(spark, tmp_path):
     """checkpoint_dir selects reliable checkpoint(): same labels as the
     localCheckpoint default, and the checkpoint files actually land in the

@@ -334,10 +334,13 @@ def connected_components(
     checkpoint files unless ``spark.cleaner.referenceTracking.
     cleanCheckpoints`` was set before the context started, and every round
     writes one labels copy. The session's previous checkpoint dir is
-    restored on exit (``setCheckpointDir`` is context-global). Switch to
-    the large-star/small-star variant (Kiveris et al., "Connected
-    Components in MapReduce and Beyond") if components with large diameters
-    are expected — the per-round dataflow shape is identical.
+    restored on exit (try/finally — ``setCheckpointDir`` is context-global)
+    when one existed; a previously-UNSET dir cannot be cleared
+    (setCheckpointDir rejects null), so in that case the passed dir stays
+    active. Use ``connected_components_star`` (large-star/small-star,
+    Kiveris et al., "Connected Components in MapReduce and Beyond") if
+    components with large diameters are expected — O(log²) rounds instead
+    of O(diameter).
 
     The driver-side loop is control flow only (a `count()` per round for the
     convergence test); all data movement stays distributed.
@@ -360,32 +363,146 @@ def connected_components(
         .distinct()
         .persist()
     )
-    labels = _truncate(
-        edges.select(F.col("src").alias("id"))
+    try:
+        labels = _truncate(
+            edges.select(F.col("src").alias("id"))
+            .distinct()
+            .select("id", F.col("id").alias("label"))
+        )
+        for _ in range(max_iter):
+            neighbor_min = edges.join(
+                labels, edges["src"] == labels["id"]
+            ).select(F.col("dst").alias("id"), "label")
+            new_labels = _truncate(
+                labels.unionByName(neighbor_min)
+                .groupBy("id")
+                .agg(F.min("label").alias("label"))
+            )
+            changed = (
+                new_labels.alias("n")
+                .join(labels.alias("o"), "id")
+                .filter(F.col("n.label") != F.col("o.label"))
+                .count()
+            )
+            labels = new_labels
+            if changed == 0:
+                break
+    finally:
+        # a mid-round failure must not leak the persisted edge set or leave
+        # the context-global checkpoint dir pointing at the caller's
+        # (possibly later-deleted) directory
+        edges.unpersist()
+        if checkpoint_dir is not None and prev_ckpt_dir is not None:
+            sc.setCheckpointDir(prev_ckpt_dir)
+    return labels
+
+
+def connected_components_star(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iter: int = 25,
+    checkpoint_dir: str | None = None,
+) -> DataFrame:
+    """(id, label) connected components via LARGE-STAR / SMALL-STAR
+    alternation (Kiveris et al., "Connected Components in MapReduce and
+    Beyond", SoCC'14) — same contract as ``connected_components``, different
+    convergence behavior: O(log² n) rounds regardless of topology, where
+    min-label propagation needs O(diameter) rounds. Duplicate clusters are
+    near-cliques, so min-label wins there; reach for this variant when the
+    pair graph can contain long chains (e.g. transitive URL canonicalization,
+    citation threads).
+
+    Per round, over edges oriented larger->smaller:
+      large-star: every node u links its LARGER neighbors to
+                  min(Γ(u) ∪ {u}) — one groupBy-min + one equi-join;
+      small-star: every node u links its smaller neighbors AND itself to
+                  that min — same shape.
+    At the fixpoint the edge set is a star forest whose centers are the
+    component minima; labels read straight off the final edges. Checkpoint
+    flavor and directory-lifecycle semantics are identical to
+    ``connected_components`` (localCheckpoint by default, reliable
+    ``checkpoint()`` when ``checkpoint_dir`` is given, dir restored on exit
+    when a previous one existed)."""
+    sc = pairs.sparkSession.sparkContext
+    prev_ckpt_dir = sc.getCheckpointDir()
+    if checkpoint_dir is not None:
+        sc.setCheckpointDir(checkpoint_dir)
+
+    def _truncate(df: DataFrame) -> DataFrame:
+        if checkpoint_dir is not None:
+            return df.checkpoint(eager=True)
+        return df.localCheckpoint(eager=True)
+
+    raw = pairs.select(F.col(id_a).alias("a"), F.col(id_b).alias("b"))
+    nodes = (
+        raw.select(F.col("a").alias("id"))
+        .unionByName(raw.select(F.col("b").alias("id")))
         .distinct()
-        .select("id", F.col("id").alias("label"))
+        .persist()
     )
-    for _ in range(max_iter):
-        neighbor_min = edges.join(
-            labels, edges["src"] == labels["id"]
-        ).select(F.col("dst").alias("id"), "label")
-        new_labels = _truncate(
-            labels.unionByName(neighbor_min)
+    try:
+        edges = _truncate(
+            raw.filter(F.col("a") != F.col("b"))
+            .select(
+                F.greatest("a", "b").alias("src"), F.least("a", "b").alias("dst")
+            )
+            .distinct()
+        )
+        for _ in range(max_iter):
+            # large-star over the symmetrized edge set: m(u) = min(Γ⁺(u));
+            # emit (v, m(u)) for every neighbor v > u (max->min oriented by
+            # construction since m(u) <= u < v)
+            sym = edges.unionByName(
+                edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+            )
+            m_large = (
+                sym.groupBy("src")
+                .agg(F.min("dst").alias("mn"))
+                .withColumn("mn", F.least("mn", F.col("src")))
+            )
+            large = (
+                sym.join(m_large, "src")
+                .filter(F.col("dst") > F.col("src"))
+                .select(F.col("dst").alias("src"), F.col("mn").alias("dst"))
+                .distinct()
+            )
+            # small-star over max->min edges: all of Γ(u) is < u, so
+            # m(u) = min(Γ(u)); emit (v, m(u)) for v in Γ(u) ∪ {u} \ {m(u)}
+            m_small = large.groupBy("src").agg(F.min("dst").alias("mn"))
+            new_edges = _truncate(
+                large.join(m_small, "src")
+                .select(F.col("dst").alias("src"), F.col("mn").alias("dst"))
+                .unionByName(
+                    m_small.select("src", F.col("mn").alias("dst"))
+                )
+                .filter(F.col("src") != F.col("dst"))
+                .distinct()
+            )
+            converged = (
+                new_edges.count() == edges.count()
+                and new_edges.subtract(edges).count() == 0
+            )
+            edges = new_edges
+            if converged:
+                break
+        # fixpoint = star forest, centers = component minima: every
+        # non-center has exactly one outgoing edge to its label; centers
+        # and isolated nodes label themselves
+        labels = (
+            nodes.join(
+                edges.select(F.col("src").alias("id"), F.col("dst").alias("lbl")),
+                "id",
+                "left",
+            )
             .groupBy("id")
-            .agg(F.min("label").alias("label"))
+            .agg(F.min(F.coalesce("lbl", F.col("id"))).alias("label"))
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "id")
-            .filter(F.col("n.label") != F.col("o.label"))
-            .count()
-        )
-        labels = new_labels
-        if changed == 0:
-            break
-    edges.unpersist()
-    if checkpoint_dir is not None and prev_ckpt_dir is not None:
-        sc.setCheckpointDir(prev_ckpt_dir)
+        labels = labels.select("id", "label")
+    finally:
+        nodes.unpersist()
+        if checkpoint_dir is not None and prev_ckpt_dir is not None:
+            sc.setCheckpointDir(prev_ckpt_dir)
     return labels
 
 

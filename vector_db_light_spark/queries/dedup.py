@@ -262,6 +262,51 @@ def dedup_clusters(spark, sf_dir):
     )
 
 
+@register(
+    "dedup_clusters_star",
+    # identical closure, identical recursive-CTE oracle: the algorithm is an
+    # implementation detail, the (doc_id -> min-id cluster) contract is not
+    f"""
+WITH RECURSIVE corpus AS ({_CORPUS_SQL}),
+{_PAIRS_CTES_SQL},
+edges AS (
+  SELECT id_a AS src, id_b AS dst FROM pairs
+  UNION
+  SELECT id_b AS src, id_a AS dst FROM pairs
+),
+walk(id, label) AS (
+  SELECT DISTINCT src AS id, src AS label FROM edges
+  UNION
+  SELECT e.dst AS id, w.label FROM walk w JOIN edges e ON e.src = w.id
+),
+comp AS (SELECT id, min(label) AS cluster_id FROM walk GROUP BY id)
+SELECT c.doc_id, coalesce(p.cluster_id, c.doc_id) AS cluster_id
+FROM corpus c LEFT JOIN comp p ON p.id = c.doc_id
+ORDER BY c.doc_id
+""",
+)
+def dedup_clusters_star(spark, sf_dir):
+    """Same transitive closure as ``dedup_clusters`` but via the
+    large-star/small-star alternation (O(log²) rounds on high-diameter
+    graphs) — hash-checked against the same recursive-CTE oracle, proving
+    the two iterative algorithms land on identical clusterings."""
+    corpus = _corpus(spark, sf_dir)
+    rows = D.shingle_rows(corpus).persist()
+    sigs = D.minhash_signatures(corpus, rows=rows)
+    cands = D.lsh_candidate_pairs(D.minhash_band_keys(sigs))
+    verified = D.jaccard_pairs(corpus, candidates=cands, rows=rows).filter(
+        F.col("jaccard") >= 0.5
+    )
+    labels = D.connected_components_star(verified)
+    return (
+        corpus.join(labels.withColumnRenamed("id", "doc_id"), "doc_id", "left")
+        .select(
+            "doc_id", F.coalesce("label", F.col("doc_id")).alias("cluster_id")
+        )
+        .orderBy("doc_id")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Exact n-gram Jaccard pairs (no LSH): inverted-index join, threshold 0.5.
 # ---------------------------------------------------------------------------
