@@ -220,8 +220,13 @@ def test_multimodal_audio_features(spark):
         assert r["feature_error"] is None
         assert r["n_windows"] == len(payload) // 32
         i = r["window_idx"]
+        # energy = md5 of the window's lowercase-hex rendering (the
+        # SQL-expressible contract; see audio_energy_stub)
         expected = int(
-            hashlib.md5(payload[i * 32 : (i + 1) * 32]).hexdigest()[:6], 16
+            hashlib.md5(
+                payload[i * 32 : (i + 1) * 32].hex().encode()
+            ).hexdigest()[:6],
+            16,
         )
         assert r["energy"] == expected
 

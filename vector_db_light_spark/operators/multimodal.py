@@ -121,11 +121,16 @@ def resize_image_stub(payload: bytes, width: int, height: int) -> bytes:
 
 
 def resize_images(media: DataFrame, width: int, height: int) -> DataFrame:
-    """Resize pass: Arrow-batched over the payload column, image rows only
-    are transformed (audio/video pass through untouched with NULL dims).
-    1-in/1-out per row — the stage is narrow, preserves partitioning, and
-    never moves payload bytes through the driver. Per-row failures land in
-    ``resize_error`` instead of poisoning the batch."""
+    """Resize pass: ONLY image rows enter the Arrow stage — audio/video
+    payloads union back untouched (NULL dims) without ever crossing the
+    JVM<->Python boundary. At 100 TB non-image payloads dominate the corpus
+    byte count, so a pass-through that still serializes them both ways
+    would pay the full Arrow transfer cost for nothing (ADVICE r5). The
+    media_type filter is a Catalyst predicate, so parquet sources prune to
+    image row groups before any Python worker starts. 1-in/1-out per row —
+    the stage is narrow, preserves partitioning, and never moves payload
+    bytes through the driver. Per-row failures land in ``resize_error``
+    instead of poisoning the batch."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -137,9 +142,8 @@ def resize_images(media: DataFrame, width: int, height: int) -> DataFrame:
                 err = None
                 w = h = None
                 try:
-                    if mt == "image/png":
-                        b = resize_image_stub(b, width, height)
-                        w, h = width, height
+                    b = resize_image_stub(b, width, height)
+                    w, h = width, height
                 except Exception as ex:  # noqa: BLE001 — row-level contract
                     err = f"{type(ex).__name__}: {ex}"
                 rows.append((int(doc_id), mt, b, w, h, err))
@@ -147,7 +151,17 @@ def resize_images(media: DataFrame, width: int, height: int) -> DataFrame:
                 rows, columns=[f.name for f in RESIZED_SCHEMA.fields]
             )
 
-    return media.mapInPandas(run, schema=RESIZED_SCHEMA)
+    is_image = F.col("media_type") == "image/png"
+    resized = media.filter(is_image).mapInPandas(run, schema=RESIZED_SCHEMA)
+    passthrough = media.filter(~is_image).select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        "media_type",
+        "payload",
+        F.lit(None).cast("int").alias("width"),
+        F.lit(None).cast("int").alias("height"),
+        F.lit(None).cast("string").alias("resize_error"),
+    )
+    return resized.unionByName(passthrough)
 
 
 FRAME_SCHEMA = StructType(
@@ -218,14 +232,18 @@ AUDIO_FEATURES_SCHEMA = StructType(
 def audio_energy_stub(payload: bytes, window: int) -> list[int]:
     """STUB for the real frontend (librosa/torchaudio not installed): treat
     every ``window`` bytes as one analysis window and emit a deterministic
-    integer "energy" per window (first 6 hex digits of the window hash).
-    Replace with an RMS/mel computation when the lib is present. Integer
-    output is deliberate: the oracle twin reproduces it exactly with no
-    float-summation-order concerns."""
+    integer "energy" per window (first 6 hex digits of the hash of the
+    window's lowercase-hex rendering — hashing the HEX STRING rather than
+    the raw bytes keeps the oracle twin expressible in ANSI SQL for any
+    payload: DuckDB's md5 only takes VARCHAR, and hex-slicing windows
+    BYTE-addresses them regardless of the text's utf-8 widths). Replace
+    with an RMS/mel computation when the lib is present. Integer output is
+    deliberate: the oracle reproduces it exactly with no float-summation-
+    order concerns."""
     out = []
     for i in range(0, len(payload) // window):
-        h = hashlib.md5(payload[i * window : (i + 1) * window]).hexdigest()
-        out.append(int(h[:6], 16))
+        hx = payload[i * window : (i + 1) * window].hex()
+        out.append(int(hashlib.md5(hx.encode()).hexdigest()[:6], 16))
     return out
 
 

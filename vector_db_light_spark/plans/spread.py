@@ -41,7 +41,19 @@ def spread(df: DataFrame, *keys: str, n: int | None = None) -> DataFrame:
     metadata-only, never executes anything. Only file-less frames
     (in-memory relations) fall back to ``rdd.getNumPartitions``; do NOT
     route a post-shuffle frame through spread — under AQE that fallback
-    materializes the upstream stages just to count partitions."""
+    materializes the upstream stages just to count partitions.
+
+    File count is a PROXY for scan task count, not the truth (ADVICE r5).
+    Undercounts — a union reading the same file k times reports it once;
+    a large file split into several byte-range tasks counts once — err
+    SAFE: at worst a redundant repartition of an already-parallel scan.
+    The one OVERCOUNT mode is many tiny files packed into fewer tasks
+    (openCostInBytes bin-packing): file count then exceeds real
+    parallelism and the >= n self-disable can skip a repartition that was
+    needed. This repo's spread call sites feed few-file fixture scans
+    where packing cannot push the true task count below n; at cluster
+    scale, pass ``n`` explicitly (or repartition unconditionally) when
+    the input is a sea of small files."""
     if n is None:
         n = df.sparkSession.sparkContext.defaultParallelism
     files = df.inputFiles()

@@ -475,9 +475,11 @@ def trailing_7d_revenue(spark, sf_dir):
 # (exact COUNT(DISTINCT) shuffles every distinct value; HLL++ ships a
 # constant-size sketch per partition). Oracle trick: the exact counts are
 # hash-verified as real columns on both sides, while the sketch is checked
-# through a WITHIN-5%-OF-EXACT boolean the oracle pins to TRUE — if Spark's
+# through a WITHIN-10%-OF-EXACT boolean the oracle pins to TRUE — if Spark's
 # HLL estimate ever drifts past the bound, the boolean flips and the driver
-# hash-mismatches. rsd=0.02 makes 5% a comfortable margin at this scale.
+# hash-mismatches. At rsd=0.02 a 10% bound is a ~5-sigma margin — wide
+# enough that a regenerated fixture cannot flip it by estimator luck
+# (ADVICE r5: the old 5% bound was only ~2.5 sigma per group).
 # ---------------------------------------------------------------------------
 
 @register(
@@ -486,7 +488,7 @@ def trailing_7d_revenue(spark, sf_dir):
 SELECT event_type,
        CAST(count(DISTINCT user_id) AS BIGINT) AS exact_users,
        CAST(count(*) AS BIGINT) AS n_events,
-       TRUE AS approx_within_5pct
+       TRUE AS approx_within_10pct
 FROM events
 GROUP BY event_type
 ORDER BY event_type
@@ -501,13 +503,13 @@ def approx_distinct_users(spark, sf_dir):
     )
     within = (
         F.abs(F.col("_approx") - F.col("exact_users"))
-        <= 0.05 * F.col("exact_users")
+        <= 0.10 * F.col("exact_users")
     )
     return agg.select(
         "event_type",
         "exact_users",
         "n_events",
-        within.alias("approx_within_5pct"),
+        within.alias("approx_within_10pct"),
     ).orderBy("event_type")
 
 
@@ -515,7 +517,7 @@ def approx_distinct_users(spark, sf_dir):
 # Approximate quantiles — same verified-bound pattern as
 # approx_distinct_users: exact interpolated percentiles are hash-verified
 # (parity already proven by price_quantiles_per_segment); percentile_approx
-# (GK sketch, accuracy 10000) must land within 2% relative error of exact
+# (GK sketch, accuracy 10000) must land within 5% relative error of exact
 # or the pinned boolean flips. At 100 TB the sketch is the only option —
 # exact per-group percentiles sort every group.
 # ---------------------------------------------------------------------------
@@ -526,7 +528,7 @@ def approx_distinct_users(spark, sf_dir):
 SELECT c_mktsegment,
        round(quantile_cont(o_totalprice, 0.5), 4) AS median_price,
        round(quantile_cont(o_totalprice, 0.9), 4) AS p90_price,
-       TRUE AS approx_within_2pct
+       TRUE AS approx_within_5pct
 FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
 GROUP BY c_mktsegment
 ORDER BY c_mktsegment
@@ -543,11 +545,11 @@ def approx_price_quantiles(spark, sf_dir):
         F.percentile_approx("o_totalprice", F.lit(0.9), F.lit(10000)).alias("_a90"),
     )
     within = (
-        F.abs(F.col("_a50") - F.col("median_price")) <= 0.02 * F.col("median_price")
-    ) & (F.abs(F.col("_a90") - F.col("p90_price")) <= 0.02 * F.col("p90_price"))
+        F.abs(F.col("_a50") - F.col("median_price")) <= 0.05 * F.col("median_price")
+    ) & (F.abs(F.col("_a90") - F.col("p90_price")) <= 0.05 * F.col("p90_price"))
     return agg.select(
         "c_mktsegment",
         "median_price",
         "p90_price",
-        within.alias("approx_within_2pct"),
+        within.alias("approx_within_5pct"),
     ).orderBy("c_mktsegment")

@@ -502,25 +502,24 @@ def multimodal_frame_sample(spark, sf_dir):
 
 @register(
     "multimodal_audio_features",
+    # byte-addressed windows for ANY corpus: hex(encode(text)) renders the
+    # utf-8 BYTES, so slicing 64 hex chars = 32 payload bytes exactly —
+    # no char-vs-byte drift on non-ascii fixtures (ADVICE r5)
     """
 WITH media AS (
-  SELECT doc_id, text,
+  SELECT doc_id, lower(hex(encode(text))) AS hx,
          CAST(octet_length(encode(text)) // 32 AS INT) AS n_windows
   FROM documents WHERE doc_id % 3 = 1
 )
 SELECT doc_id, n_windows,
        CAST(w AS INT) AS window_idx,
-       ('0x' || substr(md5(substr(text, CAST(w AS INT) * 32 + 1, 32)), 1, 6))::BIGINT
+       ('0x' || substr(md5(substr(hx, CAST(w AS INT) * 64 + 1, 64)), 1, 6))::BIGINT
          AS energy
 FROM media, unnest(range(0, n_windows)) AS t(w)
 ORDER BY doc_id, window_idx
 """,
 )
 def multimodal_audio_features(spark, sf_dir):
-    """Oracle caveat: the stub windows over BYTES while the oracle's substr
-    windows over CHARACTERS — equivalent because the fixture corpus is
-    ascii (verified by the hash-match; a non-ascii corpus would need
-    encode()-side slicing in the oracle)."""
     from ..operators.multimodal import attach_payload, extract_audio_features
 
     media = attach_payload(load(spark, sf_dir, "documents"))
