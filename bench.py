@@ -5,6 +5,9 @@ JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
 
 Each query is materialized through the noop sink (full execution, no
 driver-side row transfer), after a warm-up that triggers JVM/codegen init.
+Every timing is the MEDIAN of $SPARK_GRAFT_BENCH_RUNS runs (default 3), so
+the recorded per-query numbers are comparable to BENCH_BASELINE.json's
+medians and single-run noise cannot masquerade as a regression.
 
 Calibration canary: a fixed parquet scan+aggregate whose plan never changes
 (no code in this repo can alter it) is timed in the SAME run — interleaved
@@ -100,12 +103,22 @@ def main() -> int:
         QUERIES[name](spark, sf_dir).write.mode("overwrite").format("noop").save()
         return round(time.time() - t0, 3)
 
+    # median-of-N per query (default 3): the recorded artifact is then
+    # directly comparable to BENCH_BASELINE.json's medians, and a single
+    # GC pause / load spike cannot brand one query 2x (VERDICT r5: the
+    # tumbling_hourly_events "regression" was an n=1 artifact).
+    n_runs = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3")))
+
+    def run_median(name: str) -> float:
+        samples = sorted(run_once(name) for _ in range(n_runs))
+        return samples[len(samples) // 2]
+
     canary_samples = [_canary_once(spark, sf_dir) for _ in range(2)]
     timings: dict[str, float] = {}
     errors: dict[str, str] = {}
     for i, name in enumerate(HEADLINE):
         try:
-            timings[name] = run_once(name)
+            timings[name] = run_median(name)
         except Exception as exc:  # noqa: BLE001 — one red query must not
             # erase the whole round's bench record (BENCH_r04 parsed:null).
             errors[name] = _errmsg(exc)
@@ -136,7 +149,10 @@ def main() -> int:
             )
 
     out = {
-        "metric": f"total wall-clock of {len(HEADLINE)} headline queries (noop sink)",
+        "metric": (
+            f"total wall-clock of {len(HEADLINE)} headline queries (noop "
+            f"sink), per-query median of {n_runs} in-process runs"
+        ),
         "value": round(sum(timings.values()), 3),
         "unit": "sec",
         "queries": timings,

@@ -71,14 +71,41 @@ class HashedFeatureEmbedder:
         return [self.encode_one(t) for t in texts]
 
 
-# Per-executor singleton (one per Python worker process).
-_MODEL_CACHE: dict[int, HashedFeatureEmbedder] = {}
+class SentenceTransformerEmbedder:
+    """Real-model encoder behind the same ``encode_one``/``encode_batch``
+    contract as the surrogate — THE swap for production (reference
+    ``embedding_models.py:116-157``). Import-gated: this container has no
+    torch, so construction raises ImportError cleanly and the seam test
+    auto-skips. Normalization is on (the reference L2-normalizes so cosine
+    == dot), and the model loads once per Python worker via the same
+    ``_get_model`` cache the surrogate uses."""
+
+    def __init__(self, model_name: str, dim: int | None = None):
+        from sentence_transformers import SentenceTransformer  # torch stack
+
+        self._model = SentenceTransformer(model_name)
+        self.dim = dim or self._model.get_sentence_embedding_dimension()
+
+    def encode_one(self, text: str) -> list[float]:
+        return self.encode_batch([text])[0]
+
+    def encode_batch(self, texts: list[str]) -> list[list[float]]:
+        vecs = self._model.encode(
+            [t or "" for t in texts], normalize_embeddings=True
+        )
+        return [[float(x) for x in v] for v in vecs]
 
 
-def _get_model(dim: int) -> HashedFeatureEmbedder:
-    if dim not in _MODEL_CACHE:
-        _MODEL_CACHE[dim] = HashedFeatureEmbedder(dim)
-    return _MODEL_CACHE[dim]
+# Per-executor singleton cache (one per Python worker process), keyed by
+# (factory, dim) so surrogate and real models coexist.
+_MODEL_CACHE: dict[tuple, object] = {}
+
+
+def _get_model(dim: int, factory=HashedFeatureEmbedder):
+    key = (factory, dim)
+    if key not in _MODEL_CACHE:
+        _MODEL_CACHE[key] = factory(dim)
+    return _MODEL_CACHE[key]
 
 
 def embed_documents(
@@ -87,11 +114,20 @@ def embed_documents(
     text_col: str = "text",
     dim: int = DEFAULT_DIM,
     batch_size: int = DEFAULT_BATCH_SIZE,
+    encoder_factory=HashedFeatureEmbedder,
 ) -> DataFrame:
     """Arrow-batched embedding: (id, embedding ARRAY<DOUBLE>, embed_error).
 
     Batch-level encode with per-row fallback on failure, mirroring
     ``embedding_models.py:134-157``: a poison row degrades only itself.
+
+    ``encoder_factory`` is the ONLY thing that changes between the
+    hashed-feature surrogate and a real model: pass
+    ``lambda dim: SentenceTransformerEmbedder("BAAI/bge-small-en", dim)``
+    where torch is installed and the identical mapInPandas scaffold,
+    executor-singleton cache, batching, and fallback run unchanged. The
+    factory is SNAPSHOTTED into the closure (module-level lookup on the
+    executor would re-import this module and see only the default).
     """
     out_schema = StructType(
         [
@@ -101,8 +137,10 @@ def embed_documents(
         ]
     )
 
+    factory = encoder_factory
+
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        model = _get_model(dim)
+        model = _get_model(dim, factory)
         for pdf in batches:
             ids = pdf[id_col]
             texts = pdf[text_col].tolist()
