@@ -235,3 +235,43 @@ def test_spread_self_disables_on_parallel_input(spark):
     narrow = spark.range(1000).coalesce(1)
     out = spread(narrow, "id")
     assert out is not narrow and out.rdd.getNumPartitions() >= min(n, 2)
+
+
+def test_pq_adc_topk_is_take_ordered_over_codes_only(spark, tmp_path):
+    """ADC serving must rank with TakeOrderedAndProject (no corpus shuffle)
+    and, when the codes table is the stored artifact, read ONLY the code
+    columns — the 32x-IO claim depends on the vectors never being scanned."""
+    from vector_db_light_spark.operators import similarity as S
+
+    emb = spark.read.parquet(f"{SF_ORACLE}/embeddings.parquet")
+    books = S.pq_codebooks(8, 16, 8)
+    codes_path = str(tmp_path / "codes")
+    S.pq_encode(emb, books).write.parquet(codes_path)
+    codes = spark.read.parquet(codes_path)
+    lut = S.pq_adc_lut(Q, books)
+    df = S.pq_adc_topk(codes, lut, k=10)
+    plan = explain_string(df)
+    assert "TakeOrderedAndProject" in plan
+    assert "Exchange" not in plan
+    assert "embedding" not in plan.split("ReadSchema:")[-1]
+
+
+def test_batch_pq_adc_uses_window_group_limit(spark):
+    """Batch ADC keeps the WindowGroupLimit pre-reduction shape: partial
+    top-k per input partition BEFORE the single exchange."""
+    from vector_db_light_spark.operators import similarity as S
+
+    emb = spark.read.parquet(f"{SF_ORACLE}/embeddings.parquet")
+    books = S.pq_codebooks(8, 16, 8)
+    codes = S.pq_encode(emb, books)
+    luts = spark.createDataFrame(
+        [(i, S.pq_adc_lut(default_query_vector(seed=7 + i), books))
+         for i in range(4)],
+        "query_id INT, lut ARRAY<ARRAY<DOUBLE>>",
+    )
+    df = S.batch_pq_adc_topk(codes, luts, 8, k=5)
+    plan = explain_string(df, "simple")
+    assert "WindowGroupLimit" in plan
+    # partial pre-reduction must sit BELOW the single row shuffle
+    assert plan.index("Partial") > plan.index("Exchange hashpartitioning")
+    assert plan.count("Exchange hashpartitioning") == 1

@@ -641,3 +641,151 @@ def simhash(
         bit = F.when(F.col(f"bitsum_{i}") > 0, F.lit(1 << i)).otherwise(F.lit(0))
         sig = bit if sig is None else sig + bit
     return sums.select(F.col(id_col), sig.cast("bigint").alias("simhash"))
+
+
+def duplicate_spans(
+    docs: DataFrame,
+    width: int = 40,
+    sample_mod: int = 10,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """EXACT-SUBSTRING duplicate spans (the Spark re-expression of
+    suffix-array substring dedup, Lee et al., "Deduplicating Training Data
+    Makes Language Models Better", ACL 2022): find character ranges of
+    >= ``width`` chars that occur more than once ANYWHERE in the corpus,
+    and report per-doc duplicated coverage.
+
+    Returns (id, n_spans, dup_chars, dup_frac) for docs with >= 1
+    duplicated span.
+
+    Dataflow:
+      1. md5 every ``width``-char window (narrow explode — this full-scan
+         hashing IS the honest price of substring-level dedup; a suffix
+         array pays the same linear pass).
+      2. CONTENT-DEFINED sampling: keep a window iff its own hash mod
+         ``sample_mod`` == 0. Both copies of a duplicated region select
+         the IDENTICAL windows regardless of how the copies are aligned —
+         a fixed-stride grid would miss every duplicate whose copies start
+         at different offsets mod stride. Expected 1/sample_mod of windows
+         survive, shrinking the global shuffle by that factor.
+      3. hot grams: groupBy(gram) HAVING count > 1 (corpus-wide
+         multiplicity — within-doc self-repeats count, like the suffix
+         array's). One shuffle keyed on the gram hash: uniform by
+         construction, no skewable key.
+      4. per-doc gaps-and-islands merge of surviving positions into
+         maximal covered spans (one doc-keyed window pass; consecutive
+         kept windows <= width apart cover contiguously).
+
+    A duplicated region can split into several reported spans when
+    sampling leaves an internal gap > width (p = (1-1/mod)^width per
+    position, ~1.5% at 40/10) — coverage is slightly under-reported,
+    deterministically and identically in the oracle.
+    """
+    n = F.length(F.col(text_col))
+    pos_seq = F.when(n >= width, F.sequence(F.lit(1), n - width + 1)).otherwise(
+        F.array().cast("array<int>")
+    )
+    grams = (
+        docs.select(F.col(id_col), F.col(text_col))
+        .select(F.col(id_col), F.col(text_col), F.explode(pos_seq).alias("p"))
+        .select(
+            F.col(id_col),
+            F.col("p"),
+            F.md5(F.substring(F.col(text_col), F.col("p"), F.lit(width))).alias(
+                "g"
+            ),
+        )
+    )
+    kept = grams.filter(
+        F.conv(F.substring("g", 1, 8), 16, 10).cast("bigint") % sample_mod == 0
+    )
+    hot = kept.groupBy("g").agg(F.count(F.lit(1)).alias("_n")).filter(
+        F.col("_n") > 1
+    )
+    dup = kept.join(hot.select("g"), "g", "left_semi")
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy(id_col).orderBy("p")
+    brk = F.when(F.col("p") - F.lag("p").over(w) <= width, 0).otherwise(1)
+    grp = dup.withColumn("_brk", brk).withColumn(
+        "_isl",
+        F.sum("_brk").over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    spans = grp.groupBy(F.col(id_col), F.col("_isl")).agg(
+        F.min("p").alias("_s"), (F.max("p") + (width - 1)).alias("_e")
+    )
+    per_doc = spans.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_spans"),
+        F.sum(F.col("_e") - F.col("_s") + 1).cast("bigint").alias("dup_chars"),
+    )
+    lens = docs.select(F.col(id_col), F.length(text_col).alias("_len"))
+    return per_doc.join(lens, id_col).select(
+        F.col(id_col),
+        "n_spans",
+        "dup_chars",
+        (F.col("dup_chars").cast("double") / F.col("_len")).alias("dup_frac"),
+    )
+
+
+def semantic_prune(
+    corpus: DataFrame,
+    tau: float = 0.92,
+    id_col: str = "vec_id",
+    vector_col: str = "embedding",
+    cluster_col: str = "label",
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al., "SemDeDup:
+    Data-efficient learning at web-scale through semantic deduplication",
+    2023): block by a CLUSTER assignment (k-means labels — the data-driven
+    complement of ``embedding_near_dup_lsh``'s data-independent hyperplane
+    buckets), compute pairwise cosine only within clusters, and PRUNE every
+    row that has a smaller-id row above ``tau`` in its cluster.
+
+    Returns one row per corpus row: (id, cluster, kept, pruned_by) with
+    ``pruned_by`` = the smallest dominating id (-1 when kept).
+
+    Prune semantics, not transitive closure: ``kept`` is well-defined
+    (x is pruned iff some y < x with cos(x,y) >= tau shares its cluster)
+    but ``pruned_by`` may itself be pruned — chains need
+    ``connected_components`` when a canonical representative per group is
+    required. SemDeDup's published results use exactly this
+    one-hop-within-cluster pruning.
+
+    At scale the cluster id is a partition column (same layout the IVF
+    index already writes), making the within-cluster self-join
+    partition-local; cluster count grows with the corpus so the expected
+    |cluster|^2 term stays bounded — never an unblocked cross join.
+    Cross-cluster near-dups split by the clustering are missed (the same
+    recall trade as every blocked method; SemDeDup accepts it too).
+    """
+    from ..functions.vector import dot
+
+    a = corpus.select(
+        F.col(cluster_col),
+        F.col(id_col).alias("id_a"),
+        F.col(vector_col).alias("emb_a"),
+    )
+    b = corpus.select(
+        F.col(cluster_col),
+        F.col(id_col).alias("id_b"),
+        F.col(vector_col).alias("emb_b"),
+    )
+    cos = dot(F.col("emb_a"), F.col("emb_b").cast("array<double>"))
+    dom = (
+        a.join(b, cluster_col)
+        .filter(F.col("id_b") < F.col("id_a"))
+        .filter(cos >= tau)
+        .groupBy("id_a")
+        .agg(F.min("id_b").alias("_pruned_by"))
+    )
+    return corpus.join(
+        dom, corpus[id_col] == dom["id_a"], "left"
+    ).select(
+        F.col(id_col),
+        F.col(cluster_col),
+        F.col("_pruned_by").isNull().alias("kept"),
+        F.coalesce("_pruned_by", F.lit(-1)).cast("bigint").alias("pruned_by"),
+    )

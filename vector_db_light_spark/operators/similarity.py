@@ -269,6 +269,169 @@ def knn_sq8(
     )
 
 
+def pq_codebooks(
+    m: int, ksub: int, subdim: int, seed: int = 5, scale: float = 0.15
+) -> list[list[list[float]]]:
+    """Deterministic product-quantization codebooks:
+    ``codebooks[s][c]`` is the ``subdim``-float codeword ``c`` of subspace
+    ``s``. Literal (data-independent) like :func:`random_hyperplanes`, so
+    queries and oracles share them verbatim; in production the codebooks
+    come from per-subspace k-means at index build (a tiny sidecar next to
+    ``ivf_centroids`` — training changes quantization error, not the plan).
+    ``scale`` ~ the per-element magnitude of unit-norm corpus vectors."""
+    return [
+        [
+            [
+                round(scale * math.sin(seed + s * 131 + c * 17 + j * 0.61), 6)
+                for j in range(subdim)
+            ]
+            for c in range(ksub)
+        ]
+        for s in range(m)
+    ]
+
+
+def _subspace_sumsq(sub: Column, codeword: list[float]) -> Column:
+    """Left-to-right double fold of (x - c)^2 — same IEEE op order as the
+    oracle's list_reduce(list_transform(list_zip(...)))."""
+    from ..functions.vector import vector_lit
+
+    diffs = F.zip_with(sub, vector_lit(codeword), lambda x, y: (x - y) * (x - y))
+    return F.aggregate(diffs, F.lit(0.0), lambda acc, x: acc + x)
+
+
+def pq_encode(
+    corpus: DataFrame,
+    codebooks: list[list[list[float]]],
+    id_col: str = "vec_id",
+    vector_col: str = "embedding",
+) -> DataFrame:
+    """PQ encode: (id, code_0..code_{M-1}) — each subvector replaced by the
+    index of its nearest codeword (squared-L2 argmin, first-index
+    tie-break).
+
+    This is the vector-compression lever past SQ8: M codes of ceil(log2 K)
+    bits replace M*subdim float32s — 8 bytes instead of 256 at
+    (M=8, K=16, dim=64), a 32x scan-IO reduction. At 100 TB the codes table
+    (plus a codebook sidecar measured in kilobytes) IS the index; the raw
+    vectors are cold storage touched only by an optional exact re-rank of
+    the shortlist (`Jegou, Douze, Schmid, "Product Quantization for Nearest
+    Neighbor Search", TPAMI 2011`).
+
+    Distances to all K codewords are materialized as columns first —
+    ``least(...)`` + the argmin CASE chain reference each distance twice,
+    and Catalyst does not CSE through higher-order-function folds (same
+    trap as operators/dedup.py shingles).
+    """
+    m = len(codebooks)
+    subdim = len(codebooks[0][0])
+    v = F.col(vector_col).cast("array<double>")
+    with_subs = corpus.select(
+        F.col(id_col),
+        *[
+            F.slice(v, s * subdim + 1, subdim).alias(f"_sub_{s}")
+            for s in range(m)
+        ],
+    )
+    with_dists = with_subs.select(
+        F.col(id_col),
+        *[
+            _subspace_sumsq(F.col(f"_sub_{s}"), cw).alias(f"_d_{s}_{c}")
+            for s in range(m)
+            for c, cw in enumerate(codebooks[s])
+        ],
+    )
+    code_cols = []
+    for s in range(m):
+        ksub = len(codebooks[s])
+        dmin = F.least(*[F.col(f"_d_{s}_{c}") for c in range(ksub)])
+        code: Column = F.lit(ksub - 1)
+        expr = F.when(F.col(f"_d_{s}_0") == dmin, 0)
+        for c in range(1, ksub - 1):
+            expr = expr.when(F.col(f"_d_{s}_{c}") == dmin, c)
+        code = expr.otherwise(ksub - 1)
+        code_cols.append(code.cast("int").alias(f"code_{s}"))
+    return with_dists.select(F.col(id_col), *code_cols)
+
+
+def pq_adc_lut(
+    query_vector: list[float], codebooks: list[list[list[float]]]
+) -> list[list[float]]:
+    """Asymmetric-distance lookup table: lut[s][c] = squared L2 between the
+    query's subvector s and codeword c, computed driver-side with the same
+    left-to-right double accumulation as the encode fold (the LUT is a
+    LITERAL in the plan — both engines consume identical doubles)."""
+    m = len(codebooks)
+    subdim = len(codebooks[0][0])
+    lut = []
+    for s in range(m):
+        qsub = query_vector[s * subdim : (s + 1) * subdim]
+        row = []
+        for cw in codebooks[s]:
+            acc = 0.0
+            for x, y in zip(qsub, cw):
+                acc = acc + (x - y) * (x - y)
+            row.append(acc)
+        lut.append(row)
+    return lut
+
+
+def pq_adc_topk(
+    codes: DataFrame,
+    lut: list[list[float]],
+    k: int = 10,
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Top-k by asymmetric distance: adc = sum_s lut[s][code_s], a fixed
+    left-to-right sum of M table lookups — the scan touches ONLY the code
+    columns (M small ints per row), never the vectors. Ranking is
+    TakeOrderedAndProject (no shuffle of the corpus), same as exact knn but
+    over 32x less IO; recall loss is measured by ann_pq_recall."""
+    adc: Column | None = None
+    for s, row in enumerate(lut):
+        lut_arr = F.array(*[F.lit(float(v)) for v in row])
+        term = F.element_at(lut_arr, F.col(f"code_{s}") + 1)
+        adc = term if adc is None else adc + term
+    return (
+        codes.select(F.col(id_col), adc.alias("adc"))
+        .orderBy(F.col("adc").asc(), F.col(id_col).asc())
+        .limit(k)
+    )
+
+
+def batch_pq_adc_topk(
+    codes: DataFrame,
+    luts: DataFrame,
+    m: int,
+    k: int = 5,
+    id_col: str = "vec_id",
+    query_id_col: str = "query_id",
+    lut_col: str = "lut",
+) -> DataFrame:
+    """Batch ADC serving: ``luts`` is the tiny per-query lookup-table frame
+    (query_id, lut ARRAY<ARRAY<DOUBLE>>) — the query-side preprocessing of
+    PQ — broadcast against ONE scan of the codes table. Per-row work is M
+    array lookups + M-1 adds regardless of dim; the WindowGroupLimit top-k
+    shape matches batch_knn (partial top-k before the single exchange)."""
+    bcast = F.broadcast(luts.select(query_id_col, lut_col))
+    joined = codes.join(bcast)
+    adc: Column | None = None
+    for s in range(m):
+        term = F.element_at(
+            F.element_at(F.col(lut_col), s + 1), F.col(f"code_{s}") + 1
+        )
+        adc = term if adc is None else adc + term
+    scored = joined.select(
+        F.col(query_id_col), F.col(id_col), adc.alias("adc")
+    )
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col("adc").asc(), F.col(id_col).asc()
+    )
+    return scored.withColumn("rk", F.row_number().over(w)).filter(
+        F.col("rk") <= k
+    )
+
+
 def batch_ivf_topk(
     corpus: DataFrame,
     queries: DataFrame,

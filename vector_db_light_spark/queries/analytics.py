@@ -553,3 +553,89 @@ def approx_price_quantiles(spark, sf_dir):
         "p90_price",
         within.alias("approx_within_5pct"),
     ).orderBy("c_mktsegment")
+
+
+# ---------------------------------------------------------------------------
+# Z-order layout: Morton-interleave (custkey-bucket, orderdate-bucket) and
+# show that every 1024-row "file" of the z-sorted layout covers a bounded
+# range in BOTH dimensions — the min/max stats multi-dim pruning needs.
+# ---------------------------------------------------------------------------
+
+def _morton_sql(x: str, y: str, bits: int = 8) -> str:
+    terms = []
+    for i in range(bits):
+        terms.append(f"((({x} >> {i}) & 1) << {2 * i})")
+        terms.append(f"((({y} >> {i}) & 1) << {2 * i + 1})")
+    return "(" + " | ".join(terms) + ")"
+
+
+@register(
+    "zorder_layout_ranges",
+    f"""
+WITH pts AS (
+  SELECT o_orderkey,
+         o_custkey % 256 AS x,
+         date_diff('day', DATE '1992-01-01', CAST(o_orderdate AS DATE)) % 256
+           AS y
+  FROM orders
+),
+keyed AS (
+  SELECT *, {_morton_sql('x', 'y')} AS zkey FROM pts
+),
+filed AS (
+  SELECT *, (row_number() OVER (ORDER BY zkey, o_orderkey) - 1) // 1024
+              AS file_id
+  FROM keyed
+)
+SELECT file_id, count(*) AS n_rows,
+       min(x) AS min_x, max(x) AS max_x,
+       min(y) AS min_y, max(y) AS max_y,
+       min(zkey) AS zmin, max(zkey) AS zmax
+FROM filed
+GROUP BY 1
+ORDER BY 1
+""",
+)
+def zorder_layout_ranges(spark, sf_dir):
+    """Write-time z-order clustering, measured: per 1024-row file the
+    min/max of BOTH bucketed dimensions stays narrow (a single-column sort
+    would pin one dim and spread the other across its full range). The
+    global row_number here is the write path's sort — a one-off layout
+    cost, not a query-path operator; at cluster scale it is the usual
+    repartitionByRange(zkey) + local sort, and readers prune files from
+    parquet min/max stats with no engine support."""
+    from ..plans.zorder import morton_key
+
+    orders = load(spark, sf_dir, "orders")
+    from pyspark.sql.window import Window
+
+    pts = orders.select(
+        "o_orderkey",
+        (F.col("o_custkey") % 256).alias("x"),
+        (
+            F.datediff(
+                F.col("o_orderdate").cast("date"), F.lit("1992-01-01").cast("date")
+            )
+            % 256
+        )
+        .cast("bigint")
+        .alias("y"),
+    )
+    keyed = pts.withColumn("zkey", morton_key(F.col("x"), F.col("y")))
+    w = Window.orderBy("zkey", "o_orderkey")
+    filed = keyed.withColumn("rn", F.row_number().over(w)).withColumn(
+        "file_id", F.expr("(rn - 1) div 1024")
+    )
+    return (
+        filed.groupBy("file_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.min("x").alias("min_x"),
+            F.max("x").alias("max_x"),
+            F.min("y").alias("min_y"),
+            F.max("y").alias("max_y"),
+            F.min("zkey").alias("zmin"),
+            F.max("zkey").alias("zmax"),
+        )
+        .orderBy("file_id")
+    )

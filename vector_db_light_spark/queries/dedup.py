@@ -666,3 +666,103 @@ def dedup_incremental_lsh(spark, sf_dir):
         )
         .orderBy("new_id", "existing_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# Exact-substring duplicate spans (Lee et al. suffix-array dedup,
+# re-expressed): md5 every 40-char window, content-defined 1/10 sampling
+# (alignment-free), corpus-wide hot-gram groupBy, per-doc island merge.
+# ---------------------------------------------------------------------------
+
+@register(
+    "dedup_substring_spans",
+    f"""
+WITH corpus AS ({_CORPUS_SQL}),
+grams0 AS (
+  SELECT doc_id, text, unnest(range(1, len(text) - 38)) AS p
+  FROM corpus WHERE len(text) >= 40
+),
+grams AS (
+  SELECT doc_id, p, md5(substr(text, p, 40)) AS g FROM grams0
+),
+kept AS (
+  SELECT * FROM grams WHERE ('0x' || substr(g, 1, 8))::BIGINT % 10 = 0
+),
+hot AS (
+  SELECT g FROM kept GROUP BY g HAVING count(*) > 1
+),
+dup AS (
+  SELECT k.doc_id, k.p FROM kept k WHERE k.g IN (SELECT g FROM hot)
+),
+brk AS (
+  SELECT doc_id, p,
+         CASE WHEN p - lag(p) OVER (PARTITION BY doc_id ORDER BY p) <= 40
+              THEN 0 ELSE 1 END AS b
+  FROM dup
+),
+grp AS (
+  SELECT doc_id, p,
+         sum(b) OVER (PARTITION BY doc_id ORDER BY p
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS isl
+  FROM brk
+),
+spans AS (
+  SELECT doc_id, isl, min(p) AS s, max(p) + 39 AS e
+  FROM grp GROUP BY 1, 2
+),
+per_doc AS (
+  SELECT doc_id, count(*) AS n_spans,
+         CAST(sum(e - s + 1) AS BIGINT) AS dup_chars
+  FROM spans GROUP BY 1
+)
+SELECT d.doc_id, d.n_spans, d.dup_chars,
+       CAST(d.dup_chars AS DOUBLE) / len(c.text) AS dup_frac
+FROM per_doc d JOIN corpus c USING (doc_id)
+ORDER BY doc_id
+""",
+)
+def dedup_substring_spans(spark, sf_dir):
+    """Character-level exact-substring dedup over the mutated corpus: the
+    near-copies (prefix-shifted by 20 chars) are exactly what fixed-stride
+    gram grids miss and content-defined sampling catches — every reported
+    span is a >= 40-char range occurring elsewhere in the corpus."""
+    return D.duplicate_spans(_corpus(spark, sf_dir)).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# SemDeDup: cluster-blocked semantic prune over the embeddings table —
+# k-means labels as the blocking key, one-hop min-id domination within
+# clusters (prune semantics; transitive closure stays dedup_clusters' job).
+# ---------------------------------------------------------------------------
+
+@register(
+    "dedup_semantic_prune",
+    f"""
+WITH vcorpus AS (
+  SELECT vec_id, embedding, label FROM embeddings
+  UNION ALL
+  SELECT vec_id + 100000 AS vec_id, embedding, label
+  FROM embeddings WHERE vec_id % 10 = 0
+),
+dom AS (
+  SELECT a.vec_id AS id_a, min(b.vec_id) AS pruned_by
+  FROM vcorpus a
+  JOIN vcorpus b
+    ON a.label = b.label AND b.vec_id < a.vec_id
+  WHERE {dot_sql('a.embedding', 'b.embedding::DOUBLE[]')} >= 0.92
+  GROUP BY 1
+)
+SELECT e.vec_id, e.label,
+       d.pruned_by IS NULL AS kept,
+       CAST(coalesce(d.pruned_by, -1) AS BIGINT) AS pruned_by
+FROM vcorpus e LEFT JOIN dom d ON d.id_a = e.vec_id
+ORDER BY e.vec_id
+""",
+)
+def dedup_semantic_prune(spark, sf_dir):
+    emb = load(spark, sf_dir, "embeddings")
+    copies = emb.filter(F.col("vec_id") % 10 == 0).select(
+        (F.col("vec_id") + 100000).alias("vec_id"), "embedding", "label"
+    )
+    corpus = emb.select("vec_id", "embedding", "label").unionByName(copies)
+    return D.semantic_prune(corpus, tau=0.92).orderBy("vec_id")

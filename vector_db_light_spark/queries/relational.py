@@ -657,3 +657,146 @@ def customer_order_histogram(spark, sf_dir):
         )
         .orderBy(F.col("custdist").desc(), F.col("c_count").desc())
     )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q12 shape (shipmode adapted to this fixture's columns): fact-fact
+# join + two-way conditional count by priority class.
+# ---------------------------------------------------------------------------
+
+@register(
+    "urgent_lines_by_flag",
+    """
+SELECT l.l_returnflag,
+       CAST(sum(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                     THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+       CAST(sum(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                     THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+FROM lineitem l
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+WHERE l.l_shipdate > o.o_orderdate
+GROUP BY l.l_returnflag
+ORDER BY l.l_returnflag
+""",
+)
+def urgent_lines_by_flag(spark, sf_dir):
+    """TPC-H Q12 shape: late-shipped lines split urgent/non-urgent per
+    return flag. Integer conditional counts — zero float-parity surface;
+    the join is fact-fact on the order key (shuffle on both sides; with
+    both tables bucketed by orderkey the Exchange disappears — proven by
+    tests/test_stateful_and_bucketing.py for this key)."""
+    li = load(spark, sf_dir, "lineitem")
+    orders = load(spark, sf_dir, "orders")
+    urgent = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .filter(F.col("l_shipdate") > F.col("o_orderdate"))
+        .groupBy("l_returnflag")
+        .agg(
+            F.sum(F.when(urgent, 1).otherwise(0)).cast("bigint").alias(
+                "high_line_count"
+            ),
+            F.sum(F.when(~urgent, 1).otherwise(0)).cast("bigint").alias(
+                "low_line_count"
+            ),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q18 shape: large-volume orders — grouped HAVING pre-aggregate
+# joined back to orders + customer dim.
+# ---------------------------------------------------------------------------
+
+@register(
+    "large_volume_orders",
+    """
+WITH big AS (
+  SELECT l_orderkey, round(sum(l_quantity), 6) AS total_qty
+  FROM lineitem GROUP BY 1
+  HAVING round(sum(l_quantity), 6) > 150
+)
+SELECT c.c_name, o.o_orderkey, o.o_totalprice, b.total_qty
+FROM orders o
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN big b ON b.l_orderkey = o.o_orderkey
+ORDER BY b.total_qty DESC, o.o_orderkey ASC
+LIMIT 20
+""",
+)
+def large_volume_orders(spark, sf_dir):
+    """TPC-H Q18: the HAVING aggregate runs FIRST and shrinks the fact
+    side to the qualifying orders (~2% of them), so the dim join handles
+    thousands of rows, not millions; per-order double sums are rounded
+    identically on both sides before the threshold compare (order-dependent
+    summation, CLAUDE.md float rules)."""
+    li = load(spark, sf_dir, "lineitem")
+    orders = load(spark, sf_dir, "orders")
+    customer = load(spark, sf_dir, "customer")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.round(F.sum("l_quantity"), 6).alias("total_qty"))
+        .filter(F.col("total_qty") > 150)
+    )
+    return (
+        orders.join(F.broadcast(customer), orders["o_custkey"] == customer["c_custkey"])
+        .join(big, big["l_orderkey"] == orders["o_orderkey"])
+        .select("c_name", "o_orderkey", "o_totalprice", "total_qty")
+        .orderBy(F.col("total_qty").desc(), F.col("o_orderkey").asc())
+        .limit(20)
+    )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q19 shape: disjunctive brand/size/quantity predicates over the
+# part dim join — the OR-of-ANDs Catalyst must push through the join.
+# ---------------------------------------------------------------------------
+
+@register(
+    "disjunctive_revenue",
+    """
+SELECT CAST(count(*) AS BIGINT) AS n_lines,
+       round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+FROM lineitem l
+JOIN part p ON p.p_partkey = l.l_partkey
+WHERE (p.p_brand = 'Brand#3'  AND p.p_size BETWEEN 1 AND 15
+       AND l.l_quantity BETWEEN 1 AND 11)
+   OR (p.p_brand = 'Brand#7'  AND p.p_size BETWEEN 1 AND 25
+       AND l.l_quantity BETWEEN 10 AND 20)
+   OR (p.p_brand = 'Brand#15' AND p.p_size BETWEEN 1 AND 50
+       AND l.l_quantity BETWEEN 20 AND 35)
+""",
+)
+def disjunctive_revenue(spark, sf_dir):
+    """TPC-H Q19: one broadcast dim join; the disjunction's common
+    sub-predicates (brand IN (...), quantity range hull) are derivable by
+    Catalyst's constraint propagation and land in PushedFilters for the
+    part scan — rows failing every branch die before the join."""
+    li = load(spark, sf_dir, "lineitem")
+    part = load(spark, sf_dir, "part")
+    b1 = (
+        (F.col("p_brand") == "Brand#3")
+        & F.col("p_size").between(1, 15)
+        & F.col("l_quantity").between(1, 11)
+    )
+    b2 = (
+        (F.col("p_brand") == "Brand#7")
+        & F.col("p_size").between(1, 25)
+        & F.col("l_quantity").between(10, 20)
+    )
+    b3 = (
+        (F.col("p_brand") == "Brand#15")
+        & F.col("p_size").between(1, 50)
+        & F.col("l_quantity").between(20, 35)
+    )
+    return (
+        li.join(F.broadcast(part), part["p_partkey"] == li["l_partkey"])
+        .filter(b1 | b2 | b3)
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_lines"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue"),
+        )
+    )

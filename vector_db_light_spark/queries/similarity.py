@@ -414,3 +414,193 @@ def ann_ivf_pruned(spark, sf_dir):
         cents.count()  # materialize the build artifact
         _CENTROID_ARTIFACTS[sf_dir] = cents
     return S.ivf_search(emb, QUERY_VEC, nprobe=2, k=10, centroids=cents)
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (PQ/ADC): 64-dim vectors -> 8 subspaces x 16
+# codewords = 8 small-int codes per vector (32x scan-IO vs float32).
+# Codebooks are deterministic literals (operators/similarity.pq_codebooks);
+# production swaps in per-subspace k-means sidecars without a plan change.
+# ---------------------------------------------------------------------------
+
+from ..functions.vector import default_query_vector  # noqa: E402
+
+_PQ_M, _PQ_K, _PQ_SUBDIM = 8, 16, 8
+_CODEBOOKS = S.pq_codebooks(_PQ_M, _PQ_K, _PQ_SUBDIM)
+
+_PQ_SUBS_SQL = ",\n         ".join(
+    f"list_slice(embedding::DOUBLE[], {s * _PQ_SUBDIM + 1}, "
+    f"{(s + 1) * _PQ_SUBDIM}) AS sub_{s}"
+    for s in range(_PQ_M)
+)
+
+
+def _pq_d_sql(s: int, c: int) -> str:
+    """Squared-L2 to codeword (s, c): same left-to-right fold as the Spark
+    _subspace_sumsq."""
+    return (
+        f"list_reduce(list_transform(list_zip(sub_{s}, "
+        f"{vec_sql(_CODEBOOKS[s][c])}), "
+        f"s -> (s[1] - s[2]) * (s[1] - s[2])), (a, b) -> a + b)"
+    )
+
+
+_PQ_DISTS_SQL = ",\n         ".join(
+    f"{_pq_d_sql(s, c)} AS d_{s}_{c}"
+    for s in range(_PQ_M)
+    for c in range(_PQ_K)
+)
+_PQ_MINS_SQL = ",\n         ".join(
+    "least(" + ", ".join(f"d_{s}_{c}" for c in range(_PQ_K)) + f") AS m_{s}"
+    for s in range(_PQ_M)
+)
+
+
+def _pq_code_sql(s: int) -> str:
+    whens = " ".join(
+        f"WHEN d_{s}_{c} = m_{s} THEN {c}" for c in range(_PQ_K - 1)
+    )
+    return f"CAST(CASE {whens} ELSE {_PQ_K - 1} END AS INTEGER) AS code_{s}"
+
+
+_PQ_CODES_CTES = f"""subs AS (
+  SELECT vec_id,
+         {_PQ_SUBS_SQL}
+  FROM embeddings
+),
+dists AS (
+  SELECT vec_id,
+         {_PQ_DISTS_SQL}
+  FROM subs
+),
+mins AS (
+  SELECT *,
+         {_PQ_MINS_SQL}
+  FROM dists
+),
+codes AS (
+  SELECT vec_id, {", ".join(_pq_code_sql(s) for s in range(_PQ_M))}
+  FROM mins
+)"""
+
+_PQ_LUT = S.pq_adc_lut(QUERY_VEC, _CODEBOOKS)
+_PQ_ADC_SQL = " + ".join(
+    f"({vec_sql(_PQ_LUT[s])})[code_{s} + 1]" for s in range(_PQ_M)
+)
+
+
+@register(
+    "knn_pq_adc_topk",
+    f"""
+WITH {_PQ_CODES_CTES}
+SELECT vec_id, {_PQ_ADC_SQL} AS adc
+FROM codes
+ORDER BY adc ASC, vec_id ASC
+LIMIT 10
+""",
+)
+def knn_pq_adc_topk(spark, sf_dir):
+    """Single-query ADC top-k over PQ codes — the scan touches 8 small ints
+    per row instead of 64 floats (SQ8's 4x IO lever pushed to 32x); ranking
+    stays TakeOrderedAndProject, no corpus shuffle. In a deployment
+    ``pq_encode``'s output is the stored codes table (built once, like the
+    IVF sidecar); here encode+ADC run in one plan so the oracle can rebuild
+    both halves arithmetically."""
+    emb = load(spark, sf_dir, "embeddings")
+    codes = S.pq_encode(emb, _CODEBOOKS)
+    return S.pq_adc_topk(codes, _PQ_LUT, k=10)
+
+
+_N_PQ_Q = 8
+_PQ_QUERIES = [default_query_vector(dim=DIM, seed=7 + i) for i in range(_N_PQ_Q)]
+_PQ_LUTS = [S.pq_adc_lut(q, _CODEBOOKS) for q in _PQ_QUERIES]
+
+_PQ_Q_ROWS = ", ".join(
+    f"({i}, {vec_sql(q)})" for i, q in enumerate(_PQ_QUERIES)
+)
+_PQ_LUT_ROWS = ", ".join(
+    f"({i}, [" + ", ".join(vec_sql(row) for row in lut) + "])"
+    for i, lut in enumerate(_PQ_LUTS)
+)
+_PQ_BATCH_ADC_SQL = " + ".join(
+    f"l.lut[{s + 1}][c.code_{s} + 1]" for s in range(_PQ_M)
+)
+
+
+@register(
+    "ann_pq_recall",
+    f"""
+WITH {_PQ_CODES_CTES},
+q AS (
+  SELECT * FROM (VALUES {_PQ_Q_ROWS}) AS t(query_id, qv)
+),
+luts AS (
+  SELECT * FROM (VALUES {_PQ_LUT_ROWS}) AS t(query_id, lut)
+),
+truth AS (
+  SELECT query_id, vec_id FROM (
+    SELECT q.query_id, e.vec_id,
+           row_number() OVER (PARTITION BY q.query_id
+             ORDER BY 1.0 - {dot_sql('e.embedding', 'q.qv')} ASC,
+                      e.vec_id ASC) AS rk
+    FROM embeddings e, q
+  ) WHERE rk <= {_RECALL_K}
+),
+approx AS (
+  SELECT query_id, vec_id FROM (
+    SELECT query_id, vec_id,
+           row_number() OVER (PARTITION BY query_id
+             ORDER BY adc ASC, vec_id ASC) AS rk
+    FROM (
+      SELECT l.query_id, c.vec_id, {_PQ_BATCH_ADC_SQL} AS adc
+      FROM codes c, luts l
+    )
+  ) WHERE rk <= {_RECALL_K}
+),
+hits AS (
+  SELECT t.query_id, count(a.vec_id) AS n_hits
+  FROM truth t
+  LEFT JOIN approx a ON a.query_id = t.query_id AND a.vec_id = t.vec_id
+  GROUP BY 1
+)
+SELECT CAST(query_id AS BIGINT) AS query_id,
+       CAST(n_hits AS BIGINT) AS n_hits,
+       CAST(n_hits AS DOUBLE) / {_RECALL_K} AS recall_at_k
+FROM hits
+ORDER BY query_id
+""",
+)
+def ann_pq_recall(spark, sf_dir):
+    """Recall@k of batch PQ/ADC vs exact batch kNN over 8 literal queries —
+    the quantization-loss measurement that decides M/K before anyone trusts
+    the 32x-compressed codes at 100 TB (re-rank the ADC shortlist with raw
+    vectors to claw recall back; that is a k-row lookup, not a scan)."""
+    emb = load(spark, sf_dir, "embeddings")
+    queries = spark.createDataFrame(
+        [(i, q) for i, q in enumerate(_PQ_QUERIES)],
+        "query_id INT, query_vec ARRAY<DOUBLE>",
+    )
+    truth = S.batch_knn(emb, queries, k=_RECALL_K).select("query_id", "vec_id")
+    codes = S.pq_encode(emb, _CODEBOOKS)
+    luts = spark.createDataFrame(
+        [(i, lut) for i, lut in enumerate(_PQ_LUTS)],
+        "query_id INT, lut ARRAY<ARRAY<DOUBLE>>",
+    )
+    approx = S.batch_pq_adc_topk(codes, luts, _PQ_M, k=_RECALL_K).select(
+        F.col("query_id").alias("a_qid"), F.col("vec_id").alias("a_vid")
+    )
+    hits = (
+        truth.join(
+            approx,
+            (F.col("query_id") == F.col("a_qid"))
+            & (F.col("vec_id") == F.col("a_vid")),
+            "left",
+        )
+        .groupBy("query_id")
+        .agg(F.count("a_vid").alias("n_hits"))
+    )
+    return hits.select(
+        F.col("query_id").cast("bigint").alias("query_id"),
+        F.col("n_hits").cast("bigint").alias("n_hits"),
+        (F.col("n_hits").cast("double") / _RECALL_K).alias("recall_at_k"),
+    ).orderBy("query_id")

@@ -150,3 +150,54 @@ def decimal_exact_totals(spark, sf_dir):
         )
         .orderBy("o_orderstatus")
     )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q22 shape: scalar AVG subquery threshold + NOT EXISTS anti-join,
+# bucketed by a name suffix (the fixture has no phone column).
+# ---------------------------------------------------------------------------
+
+@register(
+    "idle_customer_balance",
+    """
+SELECT right(c.c_name, 1) AS name_bucket,
+       count(*) AS n_custs,
+       round(sum(c.c_acctbal), 2) AS total_bal
+FROM customer c
+WHERE c.c_acctbal > (
+  SELECT avg(c2.c_acctbal) FROM customer c2 WHERE c2.c_acctbal > 0.0
+)
+AND NOT EXISTS (
+  SELECT 1 FROM orders o
+  WHERE o.o_custkey = c.c_custkey AND o.o_orderpriority = '1-URGENT'
+)
+GROUP BY 1
+ORDER BY 1
+""",
+)
+def idle_customer_balance(spark, sf_dir):
+    """TPC-H Q22: above-average-balance customers with no URGENT orders
+    (every fixture customer has some order, so the classic no-orders
+    predicate is vacuous here; the anti-join shape is identical). Catalyst
+    plans the scalar subquery as a 1-row broadcast and the NOT EXISTS as a
+    left-anti hash join — the anti side never shuffles the big table when
+    the order-key list broadcasts."""
+    load(spark, sf_dir, "customer").createOrReplaceTempView("_sq_customer")
+    load(spark, sf_dir, "orders").createOrReplaceTempView("_sq_orders22")
+    return spark.sql(
+        """
+        SELECT right(c.c_name, 1) AS name_bucket,
+               count(*) AS n_custs,
+               round(sum(c.c_acctbal), 2) AS total_bal
+        FROM _sq_customer c
+        WHERE c.c_acctbal > (
+          SELECT avg(c2.c_acctbal) FROM _sq_customer c2 WHERE c2.c_acctbal > 0.0
+        )
+        AND NOT EXISTS (
+          SELECT 1 FROM _sq_orders22 o
+          WHERE o.o_custkey = c.c_custkey AND o.o_orderpriority = '1-URGENT'
+        )
+        GROUP BY 1
+        ORDER BY 1
+        """
+    )

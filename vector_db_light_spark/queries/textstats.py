@@ -226,3 +226,92 @@ ORDER BY doc_id
 def text_fingerprint(spark, sf_dir):
     docs = load_docs(spark, sf_dir)
     return T.fingerprint(docs, n=5).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# Count-min heavy hitters: top-10 corpus terms, exact count vs sketch
+# estimate, with the CM overestimate bound pinned TRUE (same
+# verified-bound pattern as approx_distinct_users — the exact numbers
+# hash-match as real columns, the boolean flips on sketch drift).
+# ---------------------------------------------------------------------------
+
+_CM_DEPTH, _CM_WIDTH = 4, 256
+_CM_ROWS_SQL = "unnest([" + ", ".join(str(r) for r in range(_CM_DEPTH)) + "]) AS t(r)"
+_CM_BUCKET_SQL = (
+    "('0x' || substr(md5(term || '#' || r::VARCHAR), 1, 8))::BIGINT"
+    f" % {_CM_WIDTH}"
+)
+
+
+@register(
+    "heavy_hitters_cms",
+    f"""
+WITH toks AS (
+  SELECT unnest({_TOKS_SQL}) AS term FROM documents
+),
+cells AS (
+  SELECT r, {_CM_BUCKET_SQL} AS bucket, count(*) AS cell
+  FROM toks, {_CM_ROWS_SQL}
+  GROUP BY 1, 2
+),
+exact AS (
+  SELECT term, count(*) AS exact_count FROM toks GROUP BY 1
+),
+probes AS (
+  SELECT term, r, {_CM_BUCKET_SQL} AS bucket
+  FROM exact, {_CM_ROWS_SQL}
+),
+est AS (
+  SELECT p.term, min(c.cell) AS cm_estimate
+  FROM probes p JOIN cells c ON c.r = p.r AND c.bucket = p.bucket
+  GROUP BY 1
+),
+tot AS (SELECT count(*) AS n FROM toks)
+SELECT e.term, CAST(x.exact_count AS BIGINT) AS exact_count,
+       CAST(e.cm_estimate AS BIGINT) AS cm_estimate,
+       (e.cm_estimate >= x.exact_count AND
+        CAST(e.cm_estimate - x.exact_count AS DOUBLE)
+          <= 4.0 * t.n / {_CM_WIDTH}) AS within_bound
+FROM est e JOIN exact x USING (term), tot t
+ORDER BY exact_count DESC, term ASC
+LIMIT 10
+""",
+)
+def heavy_hitters_cms(spark, sf_dir):
+    """Hot-term detection with a mergeable count-min sketch: the exact
+    per-term counts here are the ground truth the sketch is audited
+    against (cm_estimate >= exact always; overestimate bounded by 4N/width
+    — ~4x the expected single-row collision mass, several sigma of
+    headroom against fixture regeneration). At 100 TB the exact half of
+    this query is the expensive path and the sketch replaces it wherever a
+    bounded estimate suffices (hot-key salting decisions, quota
+    pre-screening, vocabulary pruning)."""
+    from ..operators import sketches as SK
+    from ..operators.dedup import tokens_expr
+
+    docs = load_docs(spark, sf_dir)
+    toks = docs.select(F.explode(tokens_expr("text")).alias("term"))
+    exact = toks.groupBy("term").agg(F.count(F.lit(1)).alias("exact_count"))
+    cells = SK.count_min_cells(toks, "term", _CM_DEPTH, _CM_WIDTH)
+    est = SK.count_min_estimates(
+        exact.select("term"), cells, "term", _CM_DEPTH, _CM_WIDTH
+    )
+    total = toks.agg(F.count(F.lit(1)).alias("_n"))
+    return (
+        exact.join(est, "term")
+        .crossJoin(F.broadcast(total))
+        .select(
+            "term",
+            F.col("exact_count").cast("bigint").alias("exact_count"),
+            F.col("cm_estimate").cast("bigint").alias("cm_estimate"),
+            (
+                (F.col("cm_estimate") >= F.col("exact_count"))
+                & (
+                    (F.col("cm_estimate") - F.col("exact_count")).cast("double")
+                    <= F.lit(4.0) * F.col("_n") / _CM_WIDTH
+                )
+            ).alias("within_bound"),
+        )
+        .orderBy(F.col("exact_count").desc(), F.col("term").asc())
+        .limit(10)
+    )

@@ -141,6 +141,11 @@ def _populate() -> None:
 # rag_prompt_assembly, text_repetition, dedup_incremental_lsh,
 # knn_{cosine,l2,inner_product}_topk, quota_per_source, multimodal_resize
 # for ten long-green combo/simple slots (which remain driver_sim-checked).
+# Round 6 additionally swapped the four new operator families INTO the
+# window (knn_pq_adc_topk, dedup_substring_spans, heavy_hitters_cms,
+# dedup_semantic_prune) for four long-green slots (pivot/unpivot,
+# orders_with_late_lineitems, split_train_val_test — all still checked by
+# driver_sim), so the external oracle exercises the new work immediately.
 PRIORITY: tuple[str, ...] = (
     # retrieval / search surface
     "search_pipeline",      # V2-V4 + F1 + F2 + J1 + F6 flagship
@@ -173,6 +178,8 @@ PRIORITY: tuple[str, ...] = (
     "dedup_minhash_lsh",
     "dedup_incremental_lsh",  # cross-batch-only join (r6 rotation)
     "dedup_embedding_lsh",
+    "dedup_substring_spans",  # exact-substring spans (new in r6)
+    "dedup_semantic_prune",   # SemDeDup cluster prune (new in r6)
     "decontaminate_ngram",  # benchmark decontamination (data hygiene)
     "dedup_clusters",
     "dedup_simhash_hamming",
@@ -180,6 +187,7 @@ PRIORITY: tuple[str, ...] = (
     "knn_batch_topk",
     "ann_lsh_bucketed",
     "knn_sq8_topk",
+    "knn_pq_adc_topk",      # PQ/ADC codes-only top-k (new in r6)
     "ann_ivf_pruned",
     # pipeline / ingest / multimodal
     "embed_hashed_features",
@@ -194,12 +202,9 @@ PRIORITY: tuple[str, ...] = (
     "sample_stratified_lang",
     "text_repetition",      # Gopher repetition ratios (r6 rotation)
     "quota_per_source",     # per-source cap, WindowGroupLimit (r6 rotation)
-    # subqueries + reshape + sampling
-    "orders_with_late_lineitems",
+    "heavy_hitters_cms",    # count-min vs exact, bound pinned (new in r6)
+    # subqueries + null semantics
     "null_semantics_agg",
-    "pivot_status_by_segment",
-    "unpivot_lineitem_measures",
-    "split_train_val_test",
 )
 
 
