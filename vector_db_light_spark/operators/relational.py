@@ -173,3 +173,51 @@ def sessionize(
             w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
         ),
     )
+
+
+def ewma_per_key(
+    df,
+    key_col: str,
+    order_cols: list[str],
+    value_col: str,
+    alpha: float = 0.2,
+):
+    """Per-key exponentially weighted moving average — the recurrence
+    e_i = alpha*v_i + (1-alpha)*e_{i-1} (e_0 = v_0) expressed as a
+    deterministic left fold over the key's time-ordered values:
+    ``sort_array(collect_list(struct(order..., value)))`` then
+    ``aggregate`` seeded with the first element.
+
+    Returns (key, n_events, last_value, ewma).
+
+    Recurrences are not window-expressible (no windowed "previous RESULT"
+    in SQL), so the honest options are this collect+fold (state = one
+    key's history; right whenever per-key cardinality is bounded, as with
+    user/session/device series) or applyInPandas for unbounded keys. ONE
+    shuffle on the key either way. The fold order is pinned by the struct
+    sort (order cols first), so doubles come out bit-identical to an
+    oracle running the same left fold — no rounding needed.
+    """
+    from pyspark.sql import functions as F
+
+    lst = F.sort_array(
+        F.collect_list(
+            F.struct(
+                *[F.col(c) for c in order_cols],
+                F.col(value_col).cast("double").alias("v"),
+            )
+        )
+    )
+    grouped = df.groupBy(key_col).agg(lst.alias("_lst"))
+    vals = F.transform(F.col("_lst"), lambda s: s["v"])
+    ewma = F.aggregate(
+        F.slice(vals, 2, F.size(vals) - 1),
+        F.element_at(vals, 1),
+        lambda acc, x: F.lit(alpha) * x + F.lit(1.0 - alpha) * acc,
+    )
+    return grouped.select(
+        F.col(key_col),
+        F.size("_lst").cast("bigint").alias("n_events"),
+        F.element_at(vals, F.size(vals)).alias("last_value"),
+        ewma.alias("ewma"),
+    )

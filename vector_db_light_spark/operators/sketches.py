@@ -77,3 +77,78 @@ def count_min_estimates(
         .groupBy(key_col)
         .agg(F.min("cell").alias("cm_estimate"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Bloom filter: set-membership pre-filter with zero false negatives.
+# ---------------------------------------------------------------------------
+
+def _bloom_pos(key_col: str, j: int, n_bits: int) -> Column:
+    """Bit position j for a key: md5-derived (portable), suffix '#bj' keeps
+    the hash family disjoint from count-min's '#j'."""
+    md5 = F.md5(F.concat(F.col(key_col), F.lit(f"#b{j}")))
+    return F.conv(F.substring(md5, 1, 12), 16, 10).cast("bigint") % n_bits
+
+
+def bloom_word_table(
+    keys: DataFrame, key_col: str, n_bits: int = 65536, k: int = 4
+) -> DataFrame:
+    """Build the filter as a (word_idx, word) table of 32-bit words —
+    32-bit, not 64: a 1<<63 shift overflows signed BIGINT on both engines.
+    One narrow explode (x k) + one groupBy(word_idx) with a bit_or
+    aggregate; the result is <= n_bits/32 rows (kilobytes), broadcastable,
+    and mergeable across builds by word-wise OR — the standard shape for
+    shipping a membership test to a 100 TB scan without shuffling it."""
+    positions = keys.select(
+        F.explode(
+            F.array(*[_bloom_pos(key_col, j, n_bits) for j in range(k)])
+        ).alias("pos")
+    )
+    return (
+        positions.select(
+            F.expr("pos div 32").alias("word_idx"),
+            (F.col("pos") % 32).cast("int").alias("bit"),
+        )
+        .groupBy("word_idx")
+        .agg(
+            F.bit_or(
+                F.expr("shiftleft(CAST(1 AS BIGINT), bit)")
+            ).alias("word")
+        )
+    )
+
+
+def bloom_maybe_contains(
+    probes: DataFrame,
+    words: DataFrame,
+    key_col: str,
+    group_cols: list[str],
+    n_bits: int = 65536,
+    k: int = 4,
+) -> DataFrame:
+    """Per probe row (identified by ``group_cols``): bloom_maybe = 1 iff
+    ALL k bits are set. A missing word row means an all-zero word (left
+    join + coalesce). Guarantees bloom_maybe >= true membership (no false
+    negatives); false positives are bounded by (1-e^{-kn/m})^k and audited
+    by the query's exact twin. The word table broadcasts; the probe side
+    is never shuffled — this is the pre-filter that lets an exact
+    (expensive) membership join run on the tiny maybe-set only."""
+    pp = probes.select(
+        *[F.col(c) for c in group_cols],
+        F.explode(
+            F.array(*[_bloom_pos(key_col, j, n_bits) for j in range(k)])
+        ).alias("pos"),
+    ).select(
+        *group_cols,
+        F.expr("pos div 32").alias("word_idx"),
+        (F.col("pos") % 32).cast("int").alias("bit"),
+    )
+    hit = F.expr(
+        "CAST(shiftright(coalesce(word, CAST(0 AS BIGINT)), bit) & 1 AS INT)"
+    )
+    return (
+        pp.join(F.broadcast(words), "word_idx", "left")
+        .select(*group_cols, hit.alias("_hit"))
+        .groupBy(*group_cols)
+        .agg(F.min("_hit").alias("bloom_maybe"))
+    )

@@ -639,3 +639,49 @@ def zorder_layout_ranges(spark, sf_dir):
         )
         .orderBy("file_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# Per-user EWMA: a recurrence (not window-expressible) as a deterministic
+# time-ordered left fold — bit-identical doubles on both engines, so the
+# EWMA column ships unrounded.
+# ---------------------------------------------------------------------------
+
+@register(
+    "ewma_per_user",
+    """
+WITH lst AS (
+  SELECT user_id,
+         list_transform(
+           list_sort(list({'ts_us': epoch_us(CAST(ts AS TIMESTAMP)),
+                           'event_id': event_id,
+                           'v': value::DOUBLE})),
+           s -> s.v) AS vals
+  FROM events
+  GROUP BY user_id
+)
+SELECT user_id,
+       CAST(len(vals) AS BIGINT) AS n_events,
+       vals[len(vals)] AS last_value,
+       list_reduce(vals,
+                   (a, b) -> '0.2'::DOUBLE * b + '0.8'::DOUBLE * a) AS ewma
+FROM lst
+ORDER BY user_id
+""",
+)
+def ewma_per_user(spark, sf_dir):
+    """EWMA(alpha=0.2) of each user's event values in (ts, event_id)
+    order. DuckDB's list_reduce seeds with the first element; the Spark
+    fold mirrors that exactly (aggregate over slice(2..) seeded with
+    element 1), so both engines run the identical IEEE op sequence."""
+    from ..operators.relational import ewma_per_key
+
+    ev = load(spark, sf_dir, "events").select(
+        "user_id",
+        "event_id",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("ts_us"),
+        "value",
+    )
+    return ewma_per_key(
+        ev, "user_id", ["ts_us", "event_id"], "value", alpha=0.2
+    ).orderBy("user_id")

@@ -800,3 +800,165 @@ def disjunctive_revenue(spark, sf_dir):
             ).alias("revenue"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q7 shape: cross-nation shipping volume — two independent dim
+# chains (supplier->nation, customer->nation) hanging off the fact join.
+# ---------------------------------------------------------------------------
+
+@register(
+    "cross_nation_volume",
+    """
+SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+       CAST(date_part('year', l.l_shipdate) AS INTEGER) AS ship_year,
+       CAST(count(*) AS BIGINT) AS n_lines,
+       CAST(sum(CAST(round(l.l_extendedprice * (1 - l.l_discount) * 100, 0)
+                     AS BIGINT)) AS BIGINT) AS volume_cents
+FROM lineitem l
+JOIN supplier s ON l.l_suppkey = s.s_suppkey
+JOIN nation n1 ON s.s_nationkey = n1.n_nationkey
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN nation n2 ON c.c_nationkey = n2.n_nationkey
+WHERE n1.n_name <> n2.n_name
+GROUP BY 1, 2, 3
+ORDER BY 1, 2, 3
+""",
+)
+def cross_nation_volume(spark, sf_dir):
+    """TPC-H Q7: every dim in both chains broadcasts (supplier, customer,
+    nation x2); the only shuffles are the lineitem-orders fact join and
+    the final group — the 100 TB plan is two broadcast chains over one
+    fact-fact exchange."""
+    li = load(spark, sf_dir, "lineitem")
+    orders = load(spark, sf_dir, "orders")
+    supplier = load(spark, sf_dir, "supplier")
+    customer = load(spark, sf_dir, "customer")
+    nation = load(spark, sf_dir, "nation")
+    n1 = nation.select(
+        F.col("n_nationkey").alias("n1_key"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = nation.select(
+        F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("cust_nation")
+    )
+    return (
+        li.join(F.broadcast(supplier), li["l_suppkey"] == supplier["s_suppkey"])
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("n1_key"))
+        .join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .join(F.broadcast(customer), orders["o_custkey"] == customer["c_custkey"])
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("n2_key"))
+        .filter(F.col("supp_nation") != F.col("cust_nation"))
+        .groupBy(
+            "supp_nation",
+            "cust_nation",
+            F.year("l_shipdate").cast("int").alias("ship_year"),
+        )
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_lines"),
+            F.sum(
+                F.round(
+                    F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100, 0
+                ).cast("bigint")
+            )
+            .cast("bigint")
+            .alias("volume_cents"),
+        )
+        .orderBy("supp_nation", "cust_nation", "ship_year")
+    )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q10 shape: returned-item revenue per customer, top 20.
+# ---------------------------------------------------------------------------
+
+@register(
+    "returned_item_customers",
+    """
+SELECT c.c_custkey, c.c_name,
+       round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+       CAST(count(*) AS BIGINT) AS n_return_lines
+FROM customer c
+JOIN orders o ON o.o_custkey = c.c_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+WHERE l.l_returnflag = 'R'
+GROUP BY 1, 2
+ORDER BY revenue DESC, c_custkey ASC
+LIMIT 20
+""",
+)
+def returned_item_customers(spark, sf_dir):
+    """TPC-H Q10: the returnflag filter lands in the lineitem scan's
+    PushedFilters (only 'R' rows leave the files), the customer dim
+    broadcasts, and the top-20 on the ROUNDED revenue (custkey tiebreak)
+    is deterministic despite the order-dependent double sum."""
+    li = load(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    orders = load(spark, sf_dir, "orders")
+    customer = load(spark, sf_dir, "customer")
+    return (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .join(F.broadcast(customer), orders["o_custkey"] == customer["c_custkey"])
+        .groupBy("c_custkey", "c_name")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue"),
+            F.count(F.lit(1)).cast("bigint").alias("n_return_lines"),
+        )
+        .orderBy(F.col("revenue").desc(), F.col("c_custkey").asc())
+        .limit(20)
+    )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q21 shape: suppliers who were the ONLY late supplier of a
+# multi-supplier order — EXISTS + NOT EXISTS over a grouped self-join.
+# ---------------------------------------------------------------------------
+
+_Q21_SQL = """
+WITH li AS (
+  SELECT l.l_orderkey, l.l_suppkey, l.l_shipdate, o.o_orderdate
+  FROM {lineitem} l JOIN {orders} o ON l.l_orderkey = o.o_orderkey
+),
+per AS (
+  SELECT l_orderkey, l_suppkey,
+         max(CASE WHEN l_shipdate > o_orderdate + INTERVAL 60 DAY
+                  THEN 1 ELSE 0 END) AS late
+  FROM li GROUP BY 1, 2
+),
+cand AS (
+  SELECT p.l_orderkey, p.l_suppkey FROM per p
+  WHERE p.late = 1
+    AND EXISTS (SELECT 1 FROM per p2
+                WHERE p2.l_orderkey = p.l_orderkey
+                  AND p2.l_suppkey <> p.l_suppkey)
+    AND NOT EXISTS (SELECT 1 FROM per p3
+                    WHERE p3.l_orderkey = p.l_orderkey
+                      AND p3.l_suppkey <> p.l_suppkey AND p3.late = 1)
+)
+SELECT s.s_name, CAST(count(*) AS BIGINT) AS numwait
+FROM cand c JOIN {supplier} s ON s.s_suppkey = c.l_suppkey
+GROUP BY 1
+ORDER BY numwait DESC, s_name ASC
+LIMIT 25
+"""
+
+
+@register(
+    "lonely_late_suppliers",
+    _Q21_SQL.format(lineitem="lineitem", orders="orders", supplier="supplier"),
+)
+def lonely_late_suppliers(spark, sf_dir):
+    """TPC-H Q21 (lateness = shipped >60 days after order; the fixture has
+    no commit/receipt dates): the per-(order, supplier) lateness aggregate
+    is computed ONCE and both correlated subqueries run against it —
+    Catalyst de-correlates them into one semi- and one anti-join on the
+    order key, all reusing the same exchange."""
+    load(spark, sf_dir, "lineitem").createOrReplaceTempView("_sq_li21")
+    load(spark, sf_dir, "orders").createOrReplaceTempView("_sq_ord21")
+    load(spark, sf_dir, "supplier").createOrReplaceTempView("_sq_sup21")
+    return spark.sql(
+        _Q21_SQL.format(
+            lineitem="_sq_li21", orders="_sq_ord21", supplier="_sq_sup21"
+        )
+    )

@@ -174,3 +174,134 @@ def pii_scrub(spark, sf_dir):
     per kind, a has_pii flag, and the redacted text (patterns applied in
     PII_PATTERNS order on both engines)."""
     return scrub(_injected(spark, sf_dir)).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# Bloom-filter decontamination pre-filter: the eval-set gram dictionary
+# compressed into a 64 Kbit / 2048-word broadcast bitset. bloom_matched is
+# pinned >= exact_matched per doc (no false negatives — the property that
+# makes a Bloom pre-screen SAFE: only maybe-hits need the exact join).
+# ---------------------------------------------------------------------------
+
+_BLOOM_BITS, _BLOOM_K = 65536, 4
+_BLOOM_J_SQL = "unnest([" + ", ".join(str(j) for j in range(_BLOOM_K)) + "]) AS t(j)"
+_BLOOM_POS_SQL = (
+    "('0x' || substr(md5(gram || '#b' || j::VARCHAR), 1, 12))::BIGINT"
+    f" % {_BLOOM_BITS}"
+)
+
+
+@register(
+    "bloom_prefilter_decontam",
+    f"""
+WITH mut AS ({_CORPUS_SQL}),
+eval_docs AS (
+  SELECT doc_id, text FROM documents WHERE substr(md5(text), 1, 1) = '0'
+),
+corpus AS (
+  SELECT doc_id, text FROM mut
+  WHERE doc_id NOT IN (SELECT doc_id FROM eval_docs)
+),
+etoks AS (
+  SELECT list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'),
+                     t -> t != '') AS toks
+  FROM eval_docs
+),
+egrams AS (
+  SELECT DISTINCT unnest({_NGRAM8_SQL}) AS gram FROM etoks
+),
+epos AS (
+  SELECT {_BLOOM_POS_SQL} AS pos FROM egrams, {_BLOOM_J_SQL}
+),
+words AS (
+  SELECT pos // 32 AS word_idx,
+         bit_or(1::BIGINT << ((pos % 32)::INTEGER)) AS word
+  FROM epos GROUP BY 1
+),
+ctoks AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'),
+                     t -> t != '') AS toks
+  FROM corpus
+),
+cgrams AS (
+  SELECT doc_id, unnest(list_distinct({_NGRAM8_SQL})) AS gram FROM ctoks
+),
+cpos AS (
+  SELECT doc_id, gram, {_BLOOM_POS_SQL} AS pos FROM cgrams, {_BLOOM_J_SQL}
+),
+probed AS (
+  SELECT c.doc_id, c.gram,
+         min(((coalesce(w.word, 0) >> ((c.pos % 32)::INTEGER)) & 1)::INTEGER)
+           AS maybe
+  FROM cpos c LEFT JOIN words w ON w.word_idx = c.pos // 32
+  GROUP BY 1, 2
+),
+ex AS (
+  SELECT g.doc_id, count(*) AS n_grams, count(e.gram) AS exact_matched
+  FROM cgrams g LEFT JOIN egrams e ON e.gram = g.gram
+  GROUP BY 1
+),
+bm AS (
+  SELECT doc_id, CAST(sum(maybe) AS BIGINT) AS bloom_matched
+  FROM probed GROUP BY 1
+)
+SELECT ex.doc_id, CAST(ex.n_grams AS BIGINT) AS n_grams,
+       CAST(ex.exact_matched AS BIGINT) AS exact_matched,
+       bm.bloom_matched,
+       bm.bloom_matched >= ex.exact_matched AS no_false_negative
+FROM ex JOIN bm ON bm.doc_id = ex.doc_id
+ORDER BY ex.doc_id
+""",
+)
+def bloom_prefilter_decontam(spark, sf_dir):
+    """Same corpus/eval split as decontaminate_ngram, but the membership
+    test is a 2048-word broadcast Bloom bitset instead of the gram
+    dictionary itself. At 100 TB the dictionary of a large eval suite can
+    outgrow comfortable broadcast range while its Bloom filter never does
+    (64 Kbit here; size m/n ~ 16 bits/key keeps fp ~ 0.2% at k=4) — the
+    exact join then runs only on the maybe-set. Docs with zero 8-grams
+    carry no membership question and are omitted."""
+    from ..operators import sketches as SK
+    from ..operators.decontam import eval_gram_dictionary
+    from ..operators.dedup import shingles_from_tokens, tokens_expr
+
+    docs = load_docs(spark, sf_dir).select("doc_id", "text")
+    eval_docs = docs.filter(F.substring(F.md5("text"), 1, 1) == "0")
+    corpus = _corpus(spark, sf_dir).join(
+        F.broadcast(eval_docs.select("doc_id")), "doc_id", "left_anti"
+    )
+    egrams = eval_gram_dictionary(eval_docs, 8)
+    words = SK.bloom_word_table(egrams, "gram", _BLOOM_BITS, _BLOOM_K)
+    ctoks = corpus.select("doc_id", tokens_expr("text").alias("_toks"))
+    cgrams = ctoks.select(
+        "doc_id",
+        F.explode(shingles_from_tokens(F.col("_toks"), 8)).alias("gram"),
+    )
+    maybe = SK.bloom_maybe_contains(
+        cgrams, words, "gram", ["doc_id", "gram"], _BLOOM_BITS, _BLOOM_K
+    )
+    ex = (
+        cgrams.join(F.broadcast(egrams.withColumn("_hit", F.lit(1))), "gram", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_grams"),
+            F.count("_hit").cast("bigint").alias("exact_matched"),
+        )
+    )
+    bm = maybe.groupBy("doc_id").agg(
+        F.sum("bloom_maybe").cast("bigint").alias("bloom_matched")
+    )
+    return (
+        ex.join(bm, "doc_id")
+        .select(
+            "doc_id",
+            "n_grams",
+            "exact_matched",
+            "bloom_matched",
+            (F.col("bloom_matched") >= F.col("exact_matched")).alias(
+                "no_false_negative"
+            ),
+        )
+        .orderBy("doc_id")
+    )
