@@ -397,3 +397,65 @@ def test_delete_documents_mass_delete_is_anti_join_not_in_list(
         r["cluster_id"] for r in ivf.select("cluster_id").distinct().collect()
     }
     assert mgr.search("kb6", "catalyst plans", k=2, score_threshold=0.0).count() > 0
+
+
+def test_pq_index_build_and_search(spark, tmp_path, corpus_dir):
+    """S6b: build_pq_index writes the codes table + codebook json sidecar;
+    search_pq ranks by ADC over the codes only, and the default exact
+    re-rank returns the true nearest chunks OF the shortlist."""
+    import json
+    import os
+
+    mgr = VectorDatabaseManager(spark, str(tmp_path / "dbs"))
+    mgr.create_database("kbpq", corpus_dir, chunk_size=200, chunk_overlap=100)
+    mgr.build_pq_index("kbpq")
+
+    db_dir = str(tmp_path / "dbs" / "kbpq")
+    assert os.path.isdir(os.path.join(db_dir, "embeddings_pq"))
+    side = json.load(open(os.path.join(db_dir, "pq_codebooks.json")))
+    assert side["m"] == 8 and side["ksub"] == 16
+
+    codes = spark.read.parquet(os.path.join(db_dir, "embeddings_pq"))
+    assert set(codes.columns) == {"chunk_id"} | {
+        f"code_{s}" for s in range(8)
+    }  # no vectors in the serving table
+    n_corpus = spark.read.parquet(os.path.join(db_dir, "embeddings")).count()
+    assert codes.count() == n_corpus
+
+    hits = mgr.search_pq("kbpq", "distributed spark engine", k=4).collect()
+    assert 0 < len(hits) <= 4
+    dists = [r["distance"] for r in hits]
+    assert dists == sorted(dists)
+
+    # ADC-only mode exposes the quantized ranking
+    raw = mgr.search_pq("kbpq", "distributed spark engine", k=4, rerank=False)
+    assert "adc" in raw.columns
+    adc = [r["adc"] for r in raw.limit(4).collect()]
+    assert adc == sorted(adc)
+
+
+def test_optimize_table_compacts_and_preserves_data(spark, tmp_path, corpus_dir):
+    """Maintenance rewrite: fewer files, identical rows; z-order variant
+    clusters on (doc_id, chunk_offset) and still round-trips the data."""
+    mgr = VectorDatabaseManager(spark, str(tmp_path / "dbs"))
+    mgr.create_database("kbopt", corpus_dir, chunk_size=200, chunk_overlap=100)
+    import os
+
+    path = str(tmp_path / "dbs" / "kbopt" / "embeddings")
+    before_rows = spark.read.parquet(path).count()
+    before_ids = {r["chunk_id"] for r in
+                  spark.read.parquet(path).select("chunk_id").collect()}
+
+    n_files = mgr.optimize_table("kbopt", "embeddings", target_files=2)
+    assert n_files <= 2
+    assert spark.read.parquet(path).count() == before_rows
+
+    n_files = mgr.optimize_table(
+        "kbopt", "embeddings", target_files=2,
+        zorder=("doc_id", "chunk_offset"),
+    )
+    assert n_files <= 2
+    after = spark.read.parquet(path)
+    assert after.count() == before_rows
+    assert {r["chunk_id"] for r in after.select("chunk_id").collect()} == before_ids
+    assert "_z" not in after.columns

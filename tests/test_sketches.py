@@ -129,3 +129,81 @@ def test_ewma_fold_matches_python_recurrence(spark):
         assert n == len(seq)
         assert last == seq[-1][1]
         assert ewma == e  # bit-identical fold
+
+
+def test_count_min_cells_build_incrementally_in_streaming(spark, tmp_path):
+    """The CM grid is an additive groupBy, so Structured Streaming builds
+    it with the SAME operator and complete-mode output equals the batch
+    sketch — the per-day incremental profiling path needs no new code."""
+    items = _random_items(17, n=1500)
+    src = str(tmp_path / "cm_src")
+    df = spark.createDataFrame([(w,) for w in items], "term STRING")
+    # two files ~ two micro-batches worth of input
+    df.repartition(2).write.parquet(src)
+    schema = spark.read.parquet(src).schema
+
+    stream = spark.readStream.schema(schema).parquet(src)
+    cells_stream = SK.count_min_cells(stream, "term", depth=4, width=64)
+    q = (
+        cells_stream.writeStream.format("memory")
+        .queryName("cm_cells")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r["r"], r["bucket"]): r["cell"]
+        for r in spark.sql("SELECT * FROM cm_cells").collect()
+    }
+    want = {
+        (r["r"], r["bucket"]): r["cell"]
+        for r in SK.count_min_cells(
+            spark.read.parquet(src), "term", 4, 64
+        ).collect()
+    }
+    assert got == want
+
+
+def test_pq_pack_roundtrips_codes(spark):
+    from vector_db_light_spark.operators import similarity as S
+
+    rng = random.Random(5)
+    rows = [
+        tuple([i] + [rng.randrange(16) for _ in range(8)]) for i in range(200)
+    ]
+    schema = "vec_id INT, " + ", ".join(f"code_{s} INT" for s in range(8))
+    codes = spark.createDataFrame(rows, schema)
+    packed = S.pq_pack_codes(codes, m=8)
+    unpacked = packed.select("vec_id", *S.pq_unpack_expr(8))
+    got = {r["vec_id"]: tuple(r[f"code_{s}"] for s in range(8))
+           for r in unpacked.collect()}
+    for row in rows:
+        assert got[row[0]] == row[1:]
+
+
+def test_salted_join_equals_plain_join_on_skewed_keys(spark):
+    from vector_db_light_spark.operators.relational import salted_join
+
+    rng = random.Random(23)
+    # 90% of fact rows share one hot key
+    fact = [(i, "hot" if rng.random() < 0.9 else f"k{rng.randrange(20)}",
+             rng.randrange(1000)) for i in range(5000)]
+    dim = [(k, f"name_{k}") for k in {r[1] for r in fact}]
+    fdf = spark.createDataFrame(fact, "row_id BIGINT, key STRING, v INT")
+    ddf = spark.createDataFrame(dim, "key STRING, name STRING")
+
+    got = salted_join(fdf, ddf, "key", salt_from="row_id", n_salt=8)
+    want = fdf.join(ddf, "key")
+    assert got.count() == want.count()
+    assert got.select("row_id", "name").subtract(
+        want.select("row_id", "name")
+    ).count() == 0
+    # left join keeps unmatched fact rows exactly once
+    ddf_partial = ddf.filter(F.col("key") != "hot")
+    lj = salted_join(fdf, ddf_partial, "key", salt_from="row_id",
+                     n_salt=8, how="left")
+    assert lj.count() == len(fact)
+    assert lj.filter(F.col("name").isNull()).count() == sum(
+        1 for r in fact if r[1] == "hot"
+    )

@@ -482,6 +482,137 @@ class VectorDatabaseManager:
             centroids=cents,
         )
 
+    # -- S6b: PQ index (compression tier past IVF) ---------------------------
+    def build_pq_index(
+        self,
+        name: str,
+        dim: int = DEFAULT_DIM,
+        m: int = 8,
+        ksub: int = 16,
+    ) -> None:
+        """Build the PQ artifact pair (the compression analogue of
+        build_ivf_index's pruning pair):
+
+          * ``embeddings_pq`` — (chunk_id, code_0..code_{m-1}) — the
+            32x-smaller table ADC serving scans INSTEAD of the vectors;
+          * ``pq_codebooks.json`` — the kilobyte codebook sidecar
+            (reference index_metadata.json analogue; deterministic literal
+            codebooks here — swapping in per-subspace k-means training
+            changes this file only, never the query plan).
+
+        The sidecar is written with local-file json (the warehouse is a
+        local path in this deployment; on HDFS/S3 the same bytes go
+        through the filesystem API)."""
+        import json
+
+        from .operators.similarity import pq_codebooks, pq_encode
+
+        books = pq_codebooks(m, ksub, dim // m)
+        emb = self.spark.read.parquet(self._table(name, "embeddings"))
+        pq_encode(emb, books, id_col="chunk_id").write.mode(
+            "overwrite"
+        ).parquet(self._table(name, "embeddings_pq"))
+        with open(self._table(name, "pq_codebooks.json"), "w") as f:
+            json.dump(
+                {"m": m, "ksub": ksub, "subdim": dim // m, "codebooks": books},
+                f,
+            )
+
+    def search_pq(
+        self,
+        name: str,
+        query: str,
+        k: int = DEFAULT_CONTEXTS,
+        shortlist: int = 50,
+        rerank: bool = True,
+    ) -> DataFrame:
+        """ADC search over the PQ codes: LUT from the codebook sidecar
+        (driver-side, m x ksub doubles), top-``shortlist`` by asymmetric
+        distance touching ONLY the codes table, then (default) an exact
+        re-rank of the shortlist against the raw vectors — a broadcast
+        k-row lookup, never a scan (ann_pq_rerank_recall measures the
+        recall this recovers). ``rerank=False`` returns raw ADC ranking
+        with an ``adc`` column instead of ``distance``."""
+        import json
+
+        from .functions.embedding import HashedFeatureEmbedder
+        from .functions.policy import prefixed_query
+        from .functions.vector import dot, vector_lit
+        from .operators.similarity import pq_adc_lut, pq_adc_topk
+
+        info = self.registry.get(name)
+        if info is None:
+            raise ValueError(f"unknown database {name!r}")
+        with open(self._table(name, "pq_codebooks.json")) as f:
+            side = json.load(f)
+        qvec = HashedFeatureEmbedder().encode_one(
+            prefixed_query(info.model, query)
+        )
+        lut = pq_adc_lut(qvec, side["codebooks"])
+        codes = self.spark.read.parquet(self._table(name, "embeddings_pq"))
+        short = pq_adc_topk(
+            codes, lut, k=(shortlist if rerank else k), id_col="chunk_id"
+        )
+        if not rerank:
+            return short
+        emb = self.spark.read.parquet(self._table(name, "embeddings"))
+        d = (F.lit(1.0) - dot(F.col("embedding"), vector_lit(qvec))).alias(
+            "distance"
+        )
+        return (
+            emb.join(F.broadcast(short.select("chunk_id")), "chunk_id")
+            .select(F.col("chunk_id"), F.col("chunk_text"), d)
+            .orderBy(F.col("distance").asc(), F.col("chunk_id").asc())
+            .limit(k)
+        )
+
+    # -- maintenance: compaction / clustering rewrite ------------------------
+    def optimize_table(
+        self,
+        name: str,
+        table: str = "embeddings",
+        target_files: int = 8,
+        zorder: tuple[str, str] | None = None,
+    ) -> int:
+        """Rewrite a table into ``target_files`` files, optionally z-order
+        clustered on two numeric columns (Morton key over their %256
+        buckets — plans/zorder.py) so parquet min/max stats prune 2-D
+        range predicates. The streaming/incremental paths append small
+        files per micro-batch; this is the periodic OPTIMIZE that keeps
+        scan task counts sane (a 100 TB table of 1 MB files is a
+        100-million-task scan). Write-audit-swap: the rewrite lands in a
+        tmp dir and replaces the table atomically only after its row
+        count matches. Returns the new file count."""
+        from .plans.zorder import morton_key
+
+        path = self._table(name, table)
+        df = self.spark.read.parquet(path)
+        n_before = df.count()
+        if zorder is not None:
+            cx, cy = zorder
+            keyed = df.withColumn(
+                "_z",
+                morton_key(
+                    F.pmod(F.col(cx).cast("bigint"), F.lit(256)),
+                    F.pmod(F.col(cy).cast("bigint"), F.lit(256)),
+                ),
+            )
+            out = (
+                keyed.repartitionByRange(target_files, "_z")
+                .sortWithinPartitions("_z")
+                .drop("_z")
+            )
+        else:
+            out = df.repartition(target_files)
+        out.write.mode("overwrite").parquet(path + ".tmp")
+        rewritten = self.spark.read.parquet(path + ".tmp")
+        if rewritten.count() != n_before:
+            shutil.rmtree(path + ".tmp")
+            raise RuntimeError(f"optimize_table row-count audit failed for {path}")
+        shutil.rmtree(path)
+        os.rename(path + ".tmp", path)
+        return len(self.spark.read.parquet(path).inputFiles())
+
     # -- S9: metadata scan --------------------------------------------------
     def list_files(self, name: str) -> DataFrame:
         return (

@@ -221,3 +221,35 @@ def ewma_per_key(
         F.element_at(vals, F.size(vals)).alias("last_value"),
         ewma.alias("ewma"),
     )
+
+
+def salted_join(
+    left,
+    right,
+    key: str,
+    salt_from: str,
+    n_salt: int = 8,
+    how: str = "inner",
+):
+    """Skew-busting equi-join: the LEFT (fact, skewed) side gets a
+    deterministic salt from one of its own columns — ``pmod(xxhash64(
+    salt_from), n_salt)``, partition-independent and retry-stable — and
+    the RIGHT (smaller) side is replicated once per salt value, so a hot
+    key's rows spread across ``n_salt`` reducers instead of one.
+
+    Complements AQE's skew-join handling (on in session defaults): AQE
+    splits oversized SHUFFLE PARTITIONS after the fact, but a single
+    monster key still lands in one partition per join key — salting is
+    the only fix when one key alone exceeds an executor. Cost: the right
+    side shuffles/broadcasts n_salt x; keep it the dimension side.
+    ``how`` supports inner/left joins (right replication makes right-side
+    outer semantics wrong by construction — rejected)."""
+    from pyspark.sql import functions as F
+
+    if how not in ("inner", "left"):
+        raise ValueError("salted_join supports inner/left joins only")
+    l = left.withColumn("_salt", F.pmod(F.xxhash64(salt_from), F.lit(n_salt)))
+    r = right.withColumn(
+        "_salt", F.explode(F.array(*[F.lit(i) for i in range(n_salt)]))
+    )
+    return l.join(r, [key, "_salt"], how).drop("_salt")

@@ -305,6 +305,7 @@ def pq_encode(
     codebooks: list[list[list[float]]],
     id_col: str = "vec_id",
     vector_col: str = "embedding",
+    keep_cols: list[str] | None = None,
 ) -> DataFrame:
     """PQ encode: (id, code_0..code_{M-1}) — each subvector replaced by the
     index of its nearest codeword (squared-L2 argmin, first-index
@@ -325,9 +326,11 @@ def pq_encode(
     """
     m = len(codebooks)
     subdim = len(codebooks[0][0])
+    keep = keep_cols or []
     v = F.col(vector_col).cast("array<double>")
     with_subs = corpus.select(
         F.col(id_col),
+        *[F.col(c) for c in keep],
         *[
             F.slice(v, s * subdim + 1, subdim).alias(f"_sub_{s}")
             for s in range(m)
@@ -335,6 +338,7 @@ def pq_encode(
     )
     with_dists = with_subs.select(
         F.col(id_col),
+        *[F.col(c) for c in keep],
         *[
             _subspace_sumsq(F.col(f"_sub_{s}"), cw).alias(f"_d_{s}_{c}")
             for s in range(m)
@@ -351,7 +355,9 @@ def pq_encode(
             expr = expr.when(F.col(f"_d_{s}_{c}") == dmin, c)
         code = expr.otherwise(ksub - 1)
         code_cols.append(code.cast("int").alias(f"code_{s}"))
-    return with_dists.select(F.col(id_col), *code_cols)
+    return with_dists.select(
+        F.col(id_col), *[F.col(c) for c in keep], *code_cols
+    )
 
 
 def pq_adc_lut(
@@ -415,6 +421,75 @@ def batch_pq_adc_topk(
     shape matches batch_knn (partial top-k before the single exchange)."""
     bcast = F.broadcast(luts.select(query_id_col, lut_col))
     joined = codes.join(bcast)
+    adc: Column | None = None
+    for s in range(m):
+        term = F.element_at(
+            F.element_at(F.col(lut_col), s + 1), F.col(f"code_{s}") + 1
+        )
+        adc = term if adc is None else adc + term
+    scored = joined.select(
+        F.col(query_id_col), F.col(id_col), adc.alias("adc")
+    )
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col("adc").asc(), F.col(id_col).asc()
+    )
+    return scored.withColumn("rk", F.row_number().over(w)).filter(
+        F.col("rk") <= k
+    )
+
+
+def batch_ivf_probes(
+    queries: DataFrame,
+    centroids: DataFrame,
+    nprobe: int = 2,
+    cluster_col: str = "label",
+    query_id_col: str = "query_id",
+    query_vec_col: str = "query_vec",
+) -> DataFrame:
+    """(query_id, cluster) probe list: each query's ``nprobe`` nearest
+    centroids — the shared front half of batch IVF and IVF+PQ."""
+    q = queries.select(
+        F.col(query_id_col),
+        F.col(query_vec_col).cast("array<double>").alias("_qv"),
+    )
+    cd = (F.lit(1.0) - V.dot(F.col("centroid"), F.col("_qv"))).alias("_cd")
+    probe_w = Window.partitionBy(query_id_col).orderBy(
+        F.col("_cd").asc(), F.col(cluster_col).asc()
+    )
+    return (
+        centroids.join(F.broadcast(q))
+        .select(F.col(query_id_col), F.col(cluster_col), cd)
+        .withColumn("_pr", F.row_number().over(probe_w))
+        .filter(F.col("_pr") <= nprobe)
+        .select(query_id_col, cluster_col)
+    )
+
+
+def batch_ivf_pq_topk(
+    codes: DataFrame,
+    probes: DataFrame,
+    luts: DataFrame,
+    m: int,
+    k: int = 5,
+    id_col: str = "vec_id",
+    cluster_col: str = "label",
+    query_id_col: str = "query_id",
+    lut_col: str = "lut",
+) -> DataFrame:
+    """IVF + PQ stacked — the FAISS IVFPQ architecture in DataFrame form:
+    the cluster equi-join against the broadcast probe list prunes which
+    (row, query) pairs exist at all (with the codes table PARTITIONED BY
+    cluster, unprobed partitions are never read), and the ADC lookup runs
+    only inside probed clusters over the 32x-compressed codes. Per-row
+    cost: one equi-join probe + M array lookups; the top-k keeps the
+    WindowGroupLimit pre-reduction shape. Codes here quantize RAW vectors
+    (IVF-Flat-PQ); classic IVFPQ quantizes residuals against the probed
+    centroid — same plan, different codebook training, noted in SCALE.md.
+    """
+    cand = codes.join(F.broadcast(probes), cluster_col)
+    joined = cand.join(
+        F.broadcast(luts.select(query_id_col, lut_col)), query_id_col
+    )
     adc: Column | None = None
     for s in range(m):
         term = F.element_at(
@@ -570,3 +645,34 @@ def ivf_search(
         .orderBy(F.col("distance").asc(), F.col(id_col).asc())
         .limit(k)
     )
+
+
+def pq_pack_codes(
+    codes: DataFrame,
+    m: int,
+    bits: int = 4,
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Pack M codes of ``bits`` bits into ONE BIGINT column — the physical
+    form behind the '8 bytes/vector' PQ claim (m*bits <= 63 required;
+    8x4=32 bits here, so the packed code is half a machine word). Parquet
+    then stores one int64 column instead of M int32s: fewer pages, better
+    dictionary/RLE behavior, and the scan reads a single column."""
+    if m * bits > 63:
+        raise ValueError("packed code must fit a signed 64-bit int")
+    packed: Column | None = None
+    for s in range(m):
+        term = F.shiftleft(F.col(f"code_{s}").cast("bigint"), s * bits)
+        packed = term if packed is None else packed.bitwiseOR(term)
+    return codes.select(F.col(id_col), packed.alias("packed_code"))
+
+
+def pq_unpack_expr(m: int, bits: int = 4, packed_col: str = "packed_code") -> list[Column]:
+    """code_s columns back out of the packed BIGINT (bitwise, no division)."""
+    mask = (1 << bits) - 1
+    return [
+        (F.shiftright(F.col(packed_col), s * bits).bitwiseAND(F.lit(mask)))
+        .cast("int")
+        .alias(f"code_{s}")
+        for s in range(m)
+    ]

@@ -463,13 +463,16 @@ def _pq_code_sql(s: int) -> str:
     return f"CAST(CASE {whens} ELSE {_PQ_K - 1} END AS INTEGER) AS code_{s}"
 
 
-_PQ_CODES_CTES = f"""subs AS (
-  SELECT vec_id,
+def _pq_codes_ctes(extra: str = "") -> str:
+    """The encode pipeline as SQL CTEs; ``extra`` = ', col' to carry extra
+    corpus columns (e.g. the IVF cluster label) through to ``codes``."""
+    return f"""subs AS (
+  SELECT vec_id{extra},
          {_PQ_SUBS_SQL}
   FROM embeddings
 ),
 dists AS (
-  SELECT vec_id,
+  SELECT vec_id{extra},
          {_PQ_DISTS_SQL}
   FROM subs
 ),
@@ -479,9 +482,12 @@ mins AS (
   FROM dists
 ),
 codes AS (
-  SELECT vec_id, {", ".join(_pq_code_sql(s) for s in range(_PQ_M))}
+  SELECT vec_id{extra}, {", ".join(_pq_code_sql(s) for s in range(_PQ_M))}
   FROM mins
 )"""
+
+
+_PQ_CODES_CTES = _pq_codes_ctes()
 
 _PQ_LUT = S.pq_adc_lut(QUERY_VEC, _CODEBOOKS)
 _PQ_ADC_SQL = " + ".join(
@@ -589,6 +595,230 @@ def ann_pq_recall(spark, sf_dir):
     approx = S.batch_pq_adc_topk(codes, luts, _PQ_M, k=_RECALL_K).select(
         F.col("query_id").alias("a_qid"), F.col("vec_id").alias("a_vid")
     )
+    hits = (
+        truth.join(
+            approx,
+            (F.col("query_id") == F.col("a_qid"))
+            & (F.col("vec_id") == F.col("a_vid")),
+            "left",
+        )
+        .groupBy("query_id")
+        .agg(F.count("a_vid").alias("n_hits"))
+    )
+    return hits.select(
+        F.col("query_id").cast("bigint").alias("query_id"),
+        F.col("n_hits").cast("bigint").alias("n_hits"),
+        (F.col("n_hits").cast("double") / _RECALL_K).alias("recall_at_k"),
+    ).orderBy("query_id")
+
+
+_RERANK_SHORTLIST = 50
+
+
+@register(
+    "ann_pq_rerank_recall",
+    f"""
+WITH {_PQ_CODES_CTES},
+q AS (
+  SELECT * FROM (VALUES {_PQ_Q_ROWS}) AS t(query_id, qv)
+),
+luts AS (
+  SELECT * FROM (VALUES {_PQ_LUT_ROWS}) AS t(query_id, lut)
+),
+truth AS (
+  SELECT query_id, vec_id FROM (
+    SELECT q.query_id, e.vec_id,
+           row_number() OVER (PARTITION BY q.query_id
+             ORDER BY 1.0 - {dot_sql('e.embedding', 'q.qv')} ASC,
+                      e.vec_id ASC) AS rk
+    FROM embeddings e, q
+  ) WHERE rk <= {_RECALL_K}
+),
+shortlist AS (
+  SELECT query_id, vec_id FROM (
+    SELECT query_id, vec_id,
+           row_number() OVER (PARTITION BY query_id
+             ORDER BY adc ASC, vec_id ASC) AS rk
+    FROM (
+      SELECT l.query_id, c.vec_id, {_PQ_BATCH_ADC_SQL} AS adc
+      FROM codes c, luts l
+    )
+  ) WHERE rk <= {_RERANK_SHORTLIST}
+),
+reranked AS (
+  SELECT query_id, vec_id FROM (
+    SELECT s.query_id, s.vec_id,
+           row_number() OVER (PARTITION BY s.query_id
+             ORDER BY 1.0 - {dot_sql('e.embedding', 'q.qv')} ASC,
+                      s.vec_id ASC) AS rk
+    FROM shortlist s
+    JOIN embeddings e ON e.vec_id = s.vec_id
+    JOIN q ON q.query_id = s.query_id
+  ) WHERE rk <= {_RECALL_K}
+),
+hits AS (
+  SELECT t.query_id, count(a.vec_id) AS n_hits
+  FROM truth t
+  LEFT JOIN reranked a ON a.query_id = t.query_id AND a.vec_id = t.vec_id
+  GROUP BY 1
+)
+SELECT CAST(query_id AS BIGINT) AS query_id,
+       CAST(n_hits AS BIGINT) AS n_hits,
+       CAST(n_hits AS DOUBLE) / {_RECALL_K} AS recall_at_k
+FROM hits
+ORDER BY query_id
+""",
+)
+def ann_pq_rerank_recall(spark, sf_dir):
+    """The standard PQ serving pipeline measured end to end: ADC over the
+    compressed codes produces a top-50 SHORTLIST (32x-less
+    scan IO), then exact distances re-rank ONLY those rows (a broadcast
+    k-row lookup into the raw vectors — never a scan) down to top-5.
+    Compare with ann_pq_recall (~0.43 without re-rank): the shortlist is
+    wide enough that quantization error mostly washes out, which is why
+    production PQ always re-ranks."""
+    emb = load(spark, sf_dir, "embeddings")
+    queries = spark.createDataFrame(
+        [(i, q) for i, q in enumerate(_PQ_QUERIES)],
+        "query_id INT, query_vec ARRAY<DOUBLE>",
+    )
+    truth = S.batch_knn(emb, queries, k=_RECALL_K).select("query_id", "vec_id")
+    codes = S.pq_encode(emb, _CODEBOOKS)
+    luts = spark.createDataFrame(
+        [(i, lut) for i, lut in enumerate(_PQ_LUTS)],
+        "query_id INT, lut ARRAY<ARRAY<DOUBLE>>",
+    )
+    shortlist = S.batch_pq_adc_topk(
+        codes, luts, _PQ_M, k=_RERANK_SHORTLIST
+    ).select("query_id", "vec_id")
+    qv = queries.select(
+        F.col("query_id").alias("q_qid"),
+        F.col("query_vec").cast("array<double>").alias("_qv"),
+    )
+    from pyspark.sql.window import Window
+    from ..functions import vector as V
+
+    scored = (
+        shortlist.join(emb.select("vec_id", "embedding"), "vec_id")
+        .join(F.broadcast(qv), F.col("query_id") == F.col("q_qid"))
+        .select(
+            "query_id",
+            "vec_id",
+            (F.lit(1.0) - V.dot(F.col("embedding"), F.col("_qv"))).alias(
+                "distance"
+            ),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("distance").asc(), F.col("vec_id").asc()
+    )
+    reranked = (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= _RECALL_K)
+        .select(F.col("query_id").alias("a_qid"), F.col("vec_id").alias("a_vid"))
+    )
+    hits = (
+        truth.join(
+            reranked,
+            (F.col("query_id") == F.col("a_qid"))
+            & (F.col("vec_id") == F.col("a_vid")),
+            "left",
+        )
+        .groupBy("query_id")
+        .agg(F.count("a_vid").alias("n_hits"))
+    )
+    return hits.select(
+        F.col("query_id").cast("bigint").alias("query_id"),
+        F.col("n_hits").cast("bigint").alias("n_hits"),
+        (F.col("n_hits").cast("double") / _RECALL_K).alias("recall_at_k"),
+    ).orderBy("query_id")
+
+
+@register(
+    "ann_ivfpq_recall",
+    f"""
+WITH {_pq_codes_ctes(', label')},
+q AS (
+  SELECT * FROM (VALUES {_PQ_Q_ROWS}) AS t(query_id, qv)
+),
+luts AS (
+  SELECT * FROM (VALUES {_PQ_LUT_ROWS}) AS t(query_id, lut)
+),
+cents AS (
+  SELECT label, [{_CENT_COLS_SQL}] AS centroid
+  FROM embeddings GROUP BY label
+),
+probes AS (
+  SELECT query_id, label FROM (
+    SELECT q.query_id, c.label,
+           row_number() OVER (PARTITION BY q.query_id
+             ORDER BY 1.0 - {dot_sql('c.centroid', 'q.qv')} ASC,
+                      c.label ASC) AS pr
+    FROM cents c, q
+  ) WHERE pr <= 4
+),
+truth AS (
+  SELECT query_id, vec_id FROM (
+    SELECT q.query_id, e.vec_id,
+           row_number() OVER (PARTITION BY q.query_id
+             ORDER BY 1.0 - {dot_sql('e.embedding', 'q.qv')} ASC,
+                      e.vec_id ASC) AS rk
+    FROM embeddings e, q
+  ) WHERE rk <= {_RECALL_K}
+),
+approx AS (
+  SELECT query_id, vec_id FROM (
+    SELECT query_id, vec_id,
+           row_number() OVER (PARTITION BY query_id
+             ORDER BY adc ASC, vec_id ASC) AS rk
+    FROM (
+      SELECT p.query_id, c.vec_id, {_PQ_BATCH_ADC_SQL} AS adc
+      FROM codes c
+      JOIN probes p ON p.label = c.label
+      JOIN luts l ON l.query_id = p.query_id
+    )
+  ) WHERE rk <= {_RECALL_K}
+),
+hits AS (
+  SELECT t.query_id, count(a.vec_id) AS n_hits
+  FROM truth t
+  LEFT JOIN approx a ON a.query_id = t.query_id AND a.vec_id = t.vec_id
+  GROUP BY 1
+)
+SELECT CAST(query_id AS BIGINT) AS query_id,
+       CAST(n_hits AS BIGINT) AS n_hits,
+       CAST(n_hits AS DOUBLE) / {_RECALL_K} AS recall_at_k
+FROM hits
+ORDER BY query_id
+""",
+)
+def ann_ivfpq_recall(spark, sf_dir):
+    """IVF + PQ stacked (the FAISS IVFPQ architecture): the probe list
+    prunes clusters BEFORE the ADC scan (nprobe=4 here), so per query the
+    engine reads ~nprobe/|clusters| of the corpus AND only its 8-byte codes — the two
+    scale levers multiplied. Recall compounds both approximations
+    (cluster pruning x quantization); re-rank the shortlist against raw
+    vectors to recover, as ann_pq_rerank_recall measures for plain PQ."""
+    emb = load(spark, sf_dir, "embeddings")
+    queries = spark.createDataFrame(
+        [(i, q) for i, q in enumerate(_PQ_QUERIES)],
+        "query_id INT, query_vec ARRAY<DOUBLE>",
+    )
+    cents = _CENTROID_ARTIFACTS.get(sf_dir)
+    if cents is None:
+        cents = S.ivf_centroids(emb, DIM).persist()
+        cents.count()
+        _CENTROID_ARTIFACTS[sf_dir] = cents
+    truth = S.batch_knn(emb, queries, k=_RECALL_K).select("query_id", "vec_id")
+    codes = S.pq_encode(emb, _CODEBOOKS, keep_cols=["label"])
+    probes = S.batch_ivf_probes(queries, cents, nprobe=4)
+    luts = spark.createDataFrame(
+        [(i, lut) for i, lut in enumerate(_PQ_LUTS)],
+        "query_id INT, lut ARRAY<ARRAY<DOUBLE>>",
+    )
+    approx = S.batch_ivf_pq_topk(
+        codes, probes, luts, _PQ_M, k=_RECALL_K
+    ).select(F.col("query_id").alias("a_qid"), F.col("vec_id").alias("a_vid"))
     hits = (
         truth.join(
             approx,
