@@ -171,3 +171,17 @@ def test_bench_baseline_artifact_is_loadable():
     assert not missing, f"baseline missing headline queries: {missing}"
     baseline, canary = bench._load_baseline(0.1)
     assert canary and baseline, "bench._load_baseline must resolve the artifact"
+
+
+def test_priority_window_is_exactly_50_registered_names():
+    """The driver records CORRECTNESS for the FIRST 50 registered queries;
+    registry.PRIORITY pins that window. Guard the invariants a rotation
+    edit could silently break: exactly 50 names, every one registered
+    with an oracle, and registration order actually starts with them."""
+    from vector_db_light_spark.registry import ORACLES, PRIORITY, QUERIES
+
+    assert len(PRIORITY) == 50
+    assert len(set(PRIORITY)) == 50
+    assert list(QUERIES)[:50] == list(PRIORITY)
+    missing_oracles = [n for n in PRIORITY if n not in ORACLES]
+    assert not missing_oracles

@@ -193,16 +193,17 @@ def test_salted_join_equals_plain_join_on_skewed_keys(spark):
     fdf = spark.createDataFrame(fact, "row_id BIGINT, key STRING, v INT")
     ddf = spark.createDataFrame(dim, "key STRING, name STRING")
 
-    got = salted_join(fdf, ddf, "key", salt_from="row_id", n_salt=8)
-    want = fdf.join(ddf, "key")
+    ddf2 = ddf.withColumnRenamed("key", "dkey")
+    got = salted_join(fdf, ddf2, "key", "dkey", n_salts=8, salt_from="row_id")
+    want = fdf.join(ddf2, fdf["key"] == ddf2["dkey"])
     assert got.count() == want.count()
     assert got.select("row_id", "name").subtract(
         want.select("row_id", "name")
     ).count() == 0
     # left join keeps unmatched fact rows exactly once
-    ddf_partial = ddf.filter(F.col("key") != "hot")
-    lj = salted_join(fdf, ddf_partial, "key", salt_from="row_id",
-                     n_salt=8, how="left")
+    ddf_partial = ddf2.filter(F.col("dkey") != "hot")
+    lj = salted_join(fdf, ddf_partial, "key", "dkey",
+                     n_salts=8, salt_from="row_id", how="left")
     assert lj.count() == len(fact)
     assert lj.filter(F.col("name").isNull()).count() == sum(
         1 for r in fact if r[1] == "hot"

@@ -682,6 +682,27 @@ def duplicate_spans(
     position, ~1.5% at 40/10) — coverage is slightly under-reported,
     deterministically and identically in the oracle.
     """
+    kept = sampled_grams(
+        docs, width=width, sample_mod=sample_mod, id_col=id_col,
+        text_col=text_col,
+    )
+    hot = kept.groupBy("g").agg(F.count(F.lit(1)).alias("_n")).filter(
+        F.col("_n") > 1
+    )
+    dup = kept.join(hot.select("g"), "g", "left_semi")
+    return _span_coverage(dup, docs, width, id_col, text_col)
+
+
+def sampled_grams(
+    docs: DataFrame,
+    width: int = 40,
+    sample_mod: int = 10,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(id, p, g): the content-defined sample of ``width``-char window
+    hashes — the persistent artifact of substring dedup (keep this table
+    partitioned/bucketed by ``g``; incremental batches join against it)."""
     n = F.length(F.col(text_col))
     pos_seq = F.when(n >= width, F.sequence(F.lit(1), n - width + 1)).otherwise(
         F.array().cast("array<int>")
@@ -697,13 +718,16 @@ def duplicate_spans(
             ),
         )
     )
-    kept = grams.filter(
+    return grams.filter(
         F.conv(F.substring("g", 1, 8), 16, 10).cast("bigint") % sample_mod == 0
     )
-    hot = kept.groupBy("g").agg(F.count(F.lit(1)).alias("_n")).filter(
-        F.col("_n") > 1
-    )
-    dup = kept.join(hot.select("g"), "g", "left_semi")
+
+
+def _span_coverage(
+    dup: DataFrame, docs: DataFrame, width: int, id_col: str, text_col: str
+) -> DataFrame:
+    """Gaps-and-islands merge of duplicated window positions into maximal
+    covered spans; per-doc (id, n_spans, dup_chars, dup_frac)."""
     from pyspark.sql.window import Window
 
     w = Window.partitionBy(id_col).orderBy("p")
@@ -728,6 +752,31 @@ def duplicate_spans(
         "dup_chars",
         (F.col("dup_chars").cast("double") / F.col("_len")).alias("dup_frac"),
     )
+
+
+def incremental_duplicate_spans(
+    existing_grams: DataFrame,
+    new_docs: DataFrame,
+    width: int = 40,
+    sample_mod: int = 10,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Incremental exact-substring dedup: spans of a NEW ingest batch that
+    already occur in the indexed corpus, via a semi-join of the batch's
+    sampled grams against the persistent corpus gram table
+    (:func:`sampled_grams` output) — new x existing only, same contract
+    as :func:`incremental_lsh_candidates`: daily cost scales with the
+    batch, the |existing|^2 half never runs. Within-batch duplicates are
+    out of scope (run :func:`duplicate_spans` on the batch for those).
+    At cluster scale the gram table is partitioned/bucketed by ``g`` so
+    the batch side broadcasts into it shuffle-free."""
+    new_grams = sampled_grams(
+        new_docs, width=width, sample_mod=sample_mod, id_col=id_col,
+        text_col=text_col,
+    )
+    dup = new_grams.join(existing_grams.select("g").distinct(), "g", "left_semi")
+    return _span_coverage(dup, new_docs, width, id_col, text_col)
 
 
 def semantic_prune(

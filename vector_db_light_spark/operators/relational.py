@@ -131,17 +131,35 @@ def salted_join(
     big_key: str,
     small_key: str,
     n_salts: int = 16,
+    salt_from: str | None = None,
+    how: str = "inner",
 ) -> DataFrame:
     """Skew-defeating equi-join: salt the big side's key, replicate the
     small side across all salt values, join on (key, salt). Result set is
     identical to the plain join; a single hot key's rows now spread over
     ``n_salts`` tasks instead of one straggler.
 
-    (AQE's skew-join split handles sort-merge skew automatically; explicit
-    salting is for aggregations-after-join and for engines/stages AQE can't
-    rewrite.)
+    ``salt_from`` names a big-side column to derive the salt from
+    (``pmod(xxhash64(col), n)`` — deterministic, partition-independent,
+    retry-stable); without it the salt comes from
+    ``monotonically_increasing_id`` (fine for distribution, but the salt
+    assignment then varies across retries/repartitions — prefer a real
+    id column). ``how`` supports inner/left (replicating the small side
+    makes right/full outer semantics wrong by construction — rejected).
+
+    (AQE's skew-join split handles oversized shuffle partitions
+    automatically, but cannot split ONE key's partition; explicit salting
+    is the fix when a single key exceeds an executor, and for
+    aggregations-after-join AQE can't rewrite.)
     """
-    salted_big = big.withColumn("_salt", F.pmod(F.xxhash64(F.monotonically_increasing_id()), F.lit(n_salts)))
+    if how not in ("inner", "left"):
+        raise ValueError("salted_join supports inner/left joins only")
+    salt_src = (
+        F.xxhash64(salt_from)
+        if salt_from is not None
+        else F.xxhash64(F.monotonically_increasing_id())
+    )
+    salted_big = big.withColumn("_salt", F.pmod(salt_src, F.lit(n_salts)))
     replicated = skewed_small.withColumn(
         "_salt", F.explode(F.array(*[F.lit(i) for i in range(n_salts)]))
     )
@@ -149,6 +167,7 @@ def salted_join(
         replicated,
         (salted_big[big_key] == replicated[small_key])
         & (salted_big["_salt"] == replicated["_salt"]),
+        how,
     )
     return out.drop("_salt")
 
@@ -221,35 +240,3 @@ def ewma_per_key(
         F.element_at(vals, F.size(vals)).alias("last_value"),
         ewma.alias("ewma"),
     )
-
-
-def salted_join(
-    left,
-    right,
-    key: str,
-    salt_from: str,
-    n_salt: int = 8,
-    how: str = "inner",
-):
-    """Skew-busting equi-join: the LEFT (fact, skewed) side gets a
-    deterministic salt from one of its own columns — ``pmod(xxhash64(
-    salt_from), n_salt)``, partition-independent and retry-stable — and
-    the RIGHT (smaller) side is replicated once per salt value, so a hot
-    key's rows spread across ``n_salt`` reducers instead of one.
-
-    Complements AQE's skew-join handling (on in session defaults): AQE
-    splits oversized SHUFFLE PARTITIONS after the fact, but a single
-    monster key still lands in one partition per join key — salting is
-    the only fix when one key alone exceeds an executor. Cost: the right
-    side shuffles/broadcasts n_salt x; keep it the dimension side.
-    ``how`` supports inner/left joins (right replication makes right-side
-    outer semantics wrong by construction — rejected)."""
-    from pyspark.sql import functions as F
-
-    if how not in ("inner", "left"):
-        raise ValueError("salted_join supports inner/left joins only")
-    l = left.withColumn("_salt", F.pmod(F.xxhash64(salt_from), F.lit(n_salt)))
-    r = right.withColumn(
-        "_salt", F.explode(F.array(*[F.lit(i) for i in range(n_salt)]))
-    )
-    return l.join(r, [key, "_salt"], how).drop("_salt")

@@ -676,3 +676,71 @@ def pq_unpack_expr(m: int, bits: int = 4, packed_col: str = "packed_code") -> li
         .alias(f"code_{s}")
         for s in range(m)
     ]
+
+
+def mmr_rerank(
+    candidates: DataFrame,
+    lam: float = 0.5,
+    k: int = 5,
+    id_col: str = "vec_id",
+    rel_col: str = "rel",
+    vector_col: str = "embedding",
+) -> DataFrame:
+    """Maximal Marginal Relevance diversity re-rank (Carbonell & Goldstein,
+    SIGIR'98): greedily pick k results maximizing
+    ``lam * rel(d) - (1 - lam) * max_{s in selected} sim(d, s)`` —
+    the standard fix for near-duplicate top-k lists in RAG retrieval.
+
+    Greedy selection is inherently sequential, but it runs over the
+    CANDIDATE SET ONLY (tens of rows — same cost contract as
+    ``cross_rerank``): one Arrow-batched grouped stage, never a corpus
+    operation. Pairwise sims are computed with explicit left-to-right
+    Python fold loops — NOT numpy dot (pairwise/SIMD summation) — so
+    scores are bit-identical to the oracle's list_reduce folds. Ties
+    break on the smaller id. Returns (rank, id, mmr_score).
+    """
+    import pandas as pd
+
+    out_schema = f"rank INT, {id_col} BIGINT, mmr_score DOUBLE"
+
+    def _greedy(pdf: pd.DataFrame) -> pd.DataFrame:
+        rows = list(
+            pdf[[id_col, rel_col, vector_col]].itertuples(index=False, name=None)
+        )
+        rows.sort(key=lambda r: r[0])
+        vecs = {r[0]: [float(x) for x in r[2]] for r in rows}
+        rel = {r[0]: float(r[1]) for r in rows}
+
+        def dot(a, b):
+            acc = 0.0
+            for x, y in zip(a, b):
+                acc = acc + x * y
+            return acc
+
+        selected: list[tuple[int, float]] = []
+        remaining = [r[0] for r in rows]
+        while remaining and len(selected) < k:
+            best_id, best_score = None, None
+            for d in remaining:
+                if selected:
+                    m = max(dot(vecs[d], vecs[s]) for s, _ in selected)
+                    score = lam * rel[d] - (1.0 - lam) * m
+                else:
+                    score = rel[d]
+                if best_score is None or score > best_score:
+                    best_id, best_score = d, score
+            selected.append((best_id, best_score))
+            remaining.remove(best_id)
+        return pd.DataFrame(
+            {
+                "rank": range(1, len(selected) + 1),
+                id_col: [s for s, _ in selected],
+                "mmr_score": [sc for _, sc in selected],
+            }
+        )
+
+    return (
+        candidates.withColumn("_g", F.lit(1))
+        .groupBy("_g")
+        .applyInPandas(_greedy, out_schema)
+    )

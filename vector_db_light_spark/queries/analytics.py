@@ -685,3 +685,40 @@ def ewma_per_user(spark, sf_dir):
     return ewma_per_key(
         ev, "user_id", ["ts_us", "event_id"], "value", alpha=0.2
     ).orderBy("user_id")
+
+
+# ---------------------------------------------------------------------------
+# Incremental aggregate state: the Spark side folds TWO batch states
+# together (operators/incremental.py); the oracle computes the single-pass
+# answer over the full table — the hash match PROVES merge == direct,
+# which only holds because sums are exact integers (cents).
+# ---------------------------------------------------------------------------
+
+@register(
+    "incremental_agg_state",
+    """
+SELECT event_type,
+       count(*) AS n,
+       CAST(sum(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT) AS sum_cents,
+       CAST(min(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT) AS min_cents,
+       CAST(max(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT) AS max_cents
+FROM events
+GROUP BY event_type
+ORDER BY event_type
+""",
+)
+def incremental_agg_state(spark, sf_dir):
+    """Two daily batches (event_id parity split) folded into one state via
+    merge_agg_state; history is never rescanned. Decomposability is exact
+    because values are summed as integer cents — the oracle's single-pass
+    aggregate hash-matches the two-pass merge bit for bit."""
+    from ..operators.incremental import agg_state, merge_agg_state
+
+    ev = load(spark, sf_dir, "events").select(
+        "event_type",
+        "event_id",
+        F.round(F.col("value") * 100, 0).cast("bigint").alias("v_cents"),
+    )
+    b1 = agg_state(ev.filter(F.col("event_id") % 2 == 0), "event_type")
+    b2 = agg_state(ev.filter(F.col("event_id") % 2 == 1), "event_type")
+    return merge_agg_state(b1, b2, "event_type").orderBy("event_type")

@@ -766,3 +766,80 @@ def dedup_semantic_prune(spark, sf_dir):
     )
     corpus = emb.select("vec_id", "embedding", "label").unionByName(copies)
     return D.semantic_prune(corpus, tau=0.92).orderBy("vec_id")
+
+
+# ---------------------------------------------------------------------------
+# Incremental exact-substring dedup: a new ingest batch's sampled grams
+# semi-join the PERSISTENT corpus gram table — new x existing only.
+# ---------------------------------------------------------------------------
+
+def _sampled_grams_sql(src: str) -> str:
+    return f"""
+  SELECT doc_id, p, g FROM (
+    SELECT doc_id, p, md5(substr(text, p, 40)) AS g FROM (
+      SELECT doc_id, text, unnest(range(1, len(text) - 38)) AS p
+      FROM {src} WHERE len(text) >= 40
+    )
+  ) WHERE ('0x' || substr(g, 1, 8))::BIGINT % 10 = 0
+"""
+
+
+@register(
+    "dedup_incremental_substring",
+    f"""
+WITH newb AS (
+  SELECT doc_id + 200000 AS doc_id, text FROM documents WHERE doc_id % 7 = 0
+  UNION ALL
+  SELECT doc_id + 100000 AS doc_id, substr(text, 21) AS text
+  FROM documents WHERE doc_id % 10 = 0
+),
+egr AS (SELECT DISTINCT g FROM ({_sampled_grams_sql('documents')})),
+ngr AS ({_sampled_grams_sql('newb')}),
+dup AS (
+  SELECT n.doc_id, n.p FROM ngr n WHERE n.g IN (SELECT g FROM egr)
+),
+brk AS (
+  SELECT doc_id, p,
+         CASE WHEN p - lag(p) OVER (PARTITION BY doc_id ORDER BY p) <= 40
+              THEN 0 ELSE 1 END AS b
+  FROM dup
+),
+grp AS (
+  SELECT doc_id, p,
+         sum(b) OVER (PARTITION BY doc_id ORDER BY p
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS isl
+  FROM brk
+),
+spans AS (
+  SELECT doc_id, isl, min(p) AS s, max(p) + 39 AS e
+  FROM grp GROUP BY 1, 2
+),
+per_doc AS (
+  SELECT doc_id, count(*) AS n_spans,
+         CAST(sum(e - s + 1) AS BIGINT) AS dup_chars
+  FROM spans GROUP BY 1
+)
+SELECT d.doc_id, d.n_spans, d.dup_chars,
+       CAST(d.dup_chars AS DOUBLE) / len(n.text) AS dup_frac
+FROM per_doc d JOIN newb n USING (doc_id)
+ORDER BY doc_id
+""",
+)
+def dedup_incremental_substring(spark, sf_dir):
+    """A day's ingest checked against the indexed corpus at substring
+    level: the batch is the mutated exact/near copies, the 'index' is the
+    base documents' persistent sampled-gram table. Every copy should be
+    flagged with near-total coverage (exact copies ~100%, the
+    prefix-shifted near copies slightly less) — and cost scales with the
+    batch, never |corpus|^2."""
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    exact = docs.filter(F.col("doc_id") % 7 == 0).select(
+        (F.col("doc_id") + 200000).alias("doc_id"), "text"
+    )
+    near = docs.filter(F.col("doc_id") % 10 == 0).select(
+        (F.col("doc_id") + 100000).alias("doc_id"),
+        F.substring("text", 21, 2_000_000_000).alias("text"),
+    )
+    newb = spread(exact.unionByName(near), "doc_id")
+    existing = D.sampled_grams(spread(docs, "doc_id"))
+    return D.incremental_duplicate_spans(existing, newb).orderBy("doc_id")

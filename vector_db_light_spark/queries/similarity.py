@@ -834,3 +834,81 @@ def ann_ivfpq_recall(spark, sf_dir):
         F.col("n_hits").cast("bigint").alias("n_hits"),
         (F.col("n_hits").cast("double") / _RECALL_K).alias("recall_at_k"),
     ).orderBy("query_id")
+
+
+# ---------------------------------------------------------------------------
+# MMR diversity re-rank: greedy over the top-20 candidates only. The
+# oracle unrolls the 5 greedy steps as chained CTEs (no recursion); both
+# sides compute every score through the identical left-to-right fold.
+# ---------------------------------------------------------------------------
+
+_MMR_K, _MMR_N_CAND = 5, 20
+
+
+def _mmr_steps_sql() -> str:
+    parts = []
+    prev_union = "SELECT vec_id FROM s1"
+    for i in range(2, _MMR_K + 1):
+        parts.append(f"""r{i} AS (
+  SELECT c.vec_id,
+         '0.5'::DOUBLE * c.rel - '0.5'::DOUBLE * max(p.s) AS mmr_score
+  FROM cand c
+  JOIN psim p ON p.ia = c.vec_id AND p.ib IN ({prev_union})
+  WHERE c.vec_id NOT IN ({prev_union})
+  GROUP BY c.vec_id, c.rel
+),
+s{i} AS (
+  SELECT vec_id, mmr_score FROM r{i}
+  ORDER BY mmr_score DESC, vec_id ASC LIMIT 1
+)""")
+        prev_union += f" UNION ALL SELECT vec_id FROM s{i}"
+    return ",\n".join(parts)
+
+
+_MMR_FINAL_SQL = "\nUNION ALL\n".join(
+    f"SELECT {i} AS rank, vec_id, mmr_score FROM s{i}"
+    for i in range(1, _MMR_K + 1)
+)
+
+
+@register(
+    "search_mmr_diversify",
+    f"""
+WITH cand AS (
+  SELECT vec_id, {dot_sql('embedding')} AS rel, embedding::DOUBLE[] AS emb
+  FROM embeddings
+  ORDER BY rel DESC, vec_id ASC
+  LIMIT {_MMR_N_CAND}
+),
+psim AS (
+  SELECT a.vec_id AS ia, b.vec_id AS ib, {dot_sql('a.emb', 'b.emb')} AS s
+  FROM cand a, cand b
+),
+s1 AS (
+  SELECT vec_id, rel AS mmr_score FROM cand
+  ORDER BY rel DESC, vec_id ASC LIMIT 1
+),
+{_mmr_steps_sql()}
+SELECT CAST(rank AS INTEGER) AS rank, vec_id, mmr_score
+FROM ({_MMR_FINAL_SQL})
+ORDER BY rank
+""",
+)
+def search_mmr_diversify(spark, sf_dir):
+    """Diversity-aware top-5 from the relevance top-20 (MMR, lambda=0.5):
+    the greedy stage sees 20 rows regardless of corpus size (same cost
+    contract as cross_rerank); the first pick is pure relevance, each
+    later pick trades relevance against similarity to what's already
+    chosen — the anti-redundancy step RAG context windows need after
+    near-dup corpora."""
+    from ..functions.vector import vector_lit
+    from ..functions import vector as V
+
+    emb = load(spark, sf_dir, "embeddings")
+    rel = V.dot(F.col("embedding"), vector_lit(QUERY_VEC))
+    cand = (
+        emb.select("vec_id", rel.alias("rel"), "embedding")
+        .orderBy(F.col("rel").desc(), F.col("vec_id").asc())
+        .limit(_MMR_N_CAND)
+    )
+    return S.mmr_rerank(cand, lam=0.5, k=_MMR_K).orderBy("rank")
