@@ -581,8 +581,11 @@ class VectorDatabaseManager:
         files per micro-batch; this is the periodic OPTIMIZE that keeps
         scan task counts sane (a 100 TB table of 1 MB files is a
         100-million-task scan). Write-audit-swap: the rewrite lands in a
-        tmp dir and replaces the table atomically only after its row
-        count matches. Returns the new file count."""
+        tmp dir and replaces the table only after its row count matches —
+        the old table is renamed aside first, so a recoverable copy
+        exists at every step (rmtree-then-rename would have a window
+        where a crash loses the only live copy). Returns the new file
+        count."""
         from .plans.zorder import morton_key
 
         path = self._table(name, table)
@@ -609,8 +612,9 @@ class VectorDatabaseManager:
         if rewritten.count() != n_before:
             shutil.rmtree(path + ".tmp")
             raise RuntimeError(f"optimize_table row-count audit failed for {path}")
-        shutil.rmtree(path)
+        os.rename(path, path + ".old")
         os.rename(path + ".tmp", path)
+        shutil.rmtree(path + ".old")
         return len(self.spark.read.parquet(path).inputFiles())
 
     # -- S9: metadata scan --------------------------------------------------

@@ -217,8 +217,6 @@ def ewma_per_key(
     sort (order cols first), so doubles come out bit-identical to an
     oracle running the same left fold — no rounding needed.
     """
-    from pyspark.sql import functions as F
-
     lst = F.sort_array(
         F.collect_list(
             F.struct(

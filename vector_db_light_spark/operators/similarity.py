@@ -349,7 +349,6 @@ def pq_encode(
     for s in range(m):
         ksub = len(codebooks[s])
         dmin = F.least(*[F.col(f"_d_{s}_{c}") for c in range(ksub)])
-        code: Column = F.lit(ksub - 1)
         expr = F.when(F.col(f"_d_{s}_0") == dmin, 0)
         for c in range(1, ksub - 1):
             expr = expr.when(F.col(f"_d_{s}_{c}") == dmin, c)

@@ -668,6 +668,34 @@ def dedup_incremental_lsh(spark, sf_dir):
     )
 
 
+def _span_coverage_sql() -> str:
+    """Gaps-and-islands merge of duplicated window positions (a ``dup``
+    CTE of (doc_id, p)) into per-doc covered spans — the SQL twin of
+    operators/dedup._span_coverage; both oracles share this fragment so
+    the merge semantics cannot silently desynchronize."""
+    return """brk AS (
+  SELECT doc_id, p,
+         CASE WHEN p - lag(p) OVER (PARTITION BY doc_id ORDER BY p) <= 40
+              THEN 0 ELSE 1 END AS b
+  FROM dup
+),
+grp AS (
+  SELECT doc_id, p,
+         sum(b) OVER (PARTITION BY doc_id ORDER BY p
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS isl
+  FROM brk
+),
+spans AS (
+  SELECT doc_id, isl, min(p) AS s, max(p) + 39 AS e
+  FROM grp GROUP BY 1, 2
+),
+per_doc AS (
+  SELECT doc_id, count(*) AS n_spans,
+         CAST(sum(e - s + 1) AS BIGINT) AS dup_chars
+  FROM spans GROUP BY 1
+)"""
+
+
 # ---------------------------------------------------------------------------
 # Exact-substring duplicate spans (Lee et al. suffix-array dedup,
 # re-expressed): md5 every 40-char window, content-defined 1/10 sampling
@@ -694,27 +722,7 @@ hot AS (
 dup AS (
   SELECT k.doc_id, k.p FROM kept k WHERE k.g IN (SELECT g FROM hot)
 ),
-brk AS (
-  SELECT doc_id, p,
-         CASE WHEN p - lag(p) OVER (PARTITION BY doc_id ORDER BY p) <= 40
-              THEN 0 ELSE 1 END AS b
-  FROM dup
-),
-grp AS (
-  SELECT doc_id, p,
-         sum(b) OVER (PARTITION BY doc_id ORDER BY p
-                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS isl
-  FROM brk
-),
-spans AS (
-  SELECT doc_id, isl, min(p) AS s, max(p) + 39 AS e
-  FROM grp GROUP BY 1, 2
-),
-per_doc AS (
-  SELECT doc_id, count(*) AS n_spans,
-         CAST(sum(e - s + 1) AS BIGINT) AS dup_chars
-  FROM spans GROUP BY 1
-)
+{_span_coverage_sql()}
 SELECT d.doc_id, d.n_spans, d.dup_chars,
        CAST(d.dup_chars AS DOUBLE) / len(c.text) AS dup_frac
 FROM per_doc d JOIN corpus c USING (doc_id)
@@ -749,7 +757,7 @@ dom AS (
   FROM vcorpus a
   JOIN vcorpus b
     ON a.label = b.label AND b.vec_id < a.vec_id
-  WHERE {dot_sql('a.embedding', 'b.embedding::DOUBLE[]')} >= 0.92
+  WHERE {dot_sql('a.embedding', 'b.embedding::DOUBLE[]')} >= '0.92'::DOUBLE
   GROUP BY 1
 )
 SELECT e.vec_id, e.label,
@@ -798,27 +806,7 @@ ngr AS ({_sampled_grams_sql('newb')}),
 dup AS (
   SELECT n.doc_id, n.p FROM ngr n WHERE n.g IN (SELECT g FROM egr)
 ),
-brk AS (
-  SELECT doc_id, p,
-         CASE WHEN p - lag(p) OVER (PARTITION BY doc_id ORDER BY p) <= 40
-              THEN 0 ELSE 1 END AS b
-  FROM dup
-),
-grp AS (
-  SELECT doc_id, p,
-         sum(b) OVER (PARTITION BY doc_id ORDER BY p
-                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS isl
-  FROM brk
-),
-spans AS (
-  SELECT doc_id, isl, min(p) AS s, max(p) + 39 AS e
-  FROM grp GROUP BY 1, 2
-),
-per_doc AS (
-  SELECT doc_id, count(*) AS n_spans,
-         CAST(sum(e - s + 1) AS BIGINT) AS dup_chars
-  FROM spans GROUP BY 1
-)
+{_span_coverage_sql()}
 SELECT d.doc_id, d.n_spans, d.dup_chars,
        CAST(d.dup_chars AS DOUBLE) / len(n.text) AS dup_frac
 FROM per_doc d JOIN newb n USING (doc_id)

@@ -757,7 +757,8 @@ def large_volume_orders(spark, sf_dir):
     "disjunctive_revenue",
     """
 SELECT CAST(count(*) AS BIGINT) AS n_lines,
-       round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+       CAST(sum(CAST(round(l.l_extendedprice * (1 - l.l_discount) * 100, 0)
+                     AS BIGINT)) AS BIGINT) AS revenue_cents
 FROM lineitem l
 JOIN part p ON p.p_partkey = l.l_partkey
 WHERE (p.p_brand = 'Brand#3'  AND p.p_size BETWEEN 1 AND 15
@@ -795,9 +796,13 @@ def disjunctive_revenue(spark, sf_dir):
         .filter(b1 | b2 | b3)
         .agg(
             F.count(F.lit(1)).cast("bigint").alias("n_lines"),
-            F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
-            ).alias("revenue"),
+            F.sum(
+                F.round(
+                    F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100, 0
+                ).cast("bigint")
+            )
+            .cast("bigint")
+            .alias("revenue_cents"),
         )
     )
 
@@ -876,22 +881,24 @@ def cross_nation_volume(spark, sf_dir):
     "returned_item_customers",
     """
 SELECT c.c_custkey, c.c_name,
-       round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+       CAST(sum(CAST(round(l.l_extendedprice * (1 - l.l_discount) * 100, 0)
+                     AS BIGINT)) AS BIGINT) AS revenue_cents,
        CAST(count(*) AS BIGINT) AS n_return_lines
 FROM customer c
 JOIN orders o ON o.o_custkey = c.c_custkey
 JOIN lineitem l ON l.l_orderkey = o.o_orderkey
 WHERE l.l_returnflag = 'R'
 GROUP BY 1, 2
-ORDER BY revenue DESC, c_custkey ASC
+ORDER BY revenue_cents DESC, c_custkey ASC
 LIMIT 20
 """,
 )
 def returned_item_customers(spark, sf_dir):
     """TPC-H Q10: the returnflag filter lands in the lineitem scan's
     PushedFilters (only 'R' rows leave the files), the customer dim
-    broadcasts, and the top-20 on the ROUNDED revenue (custkey tiebreak)
-    is deterministic despite the order-dependent double sum."""
+    broadcasts, and the top-20 ranks on exact BIGINT-cents revenue
+    (custkey tiebreak) — a rounded double sum near the rank-20 cut could
+    flip a cent cross-engine and change LIMIT membership."""
     li = load(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
     orders = load(spark, sf_dir, "orders")
     customer = load(spark, sf_dir, "customer")
@@ -900,12 +907,16 @@ def returned_item_customers(spark, sf_dir):
         .join(F.broadcast(customer), orders["o_custkey"] == customer["c_custkey"])
         .groupBy("c_custkey", "c_name")
         .agg(
-            F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
-            ).alias("revenue"),
+            F.sum(
+                F.round(
+                    F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100, 0
+                ).cast("bigint")
+            )
+            .cast("bigint")
+            .alias("revenue_cents"),
             F.count(F.lit(1)).cast("bigint").alias("n_return_lines"),
         )
-        .orderBy(F.col("revenue").desc(), F.col("c_custkey").asc())
+        .orderBy(F.col("revenue_cents").desc(), F.col("c_custkey").asc())
         .limit(20)
     )
 

@@ -165,7 +165,8 @@ SELECT right(c.c_name, 1) AS name_bucket,
        round(sum(c.c_acctbal), 2) AS total_bal
 FROM customer c
 WHERE c.c_acctbal > (
-  SELECT avg(c2.c_acctbal) FROM customer c2 WHERE c2.c_acctbal > 0.0
+  SELECT round(avg(c2.c_acctbal), 6)
+  FROM customer c2 WHERE c2.c_acctbal > 0.0
 )
 AND NOT EXISTS (
   SELECT 1 FROM orders o
@@ -178,7 +179,9 @@ ORDER BY 1
 def idle_customer_balance(spark, sf_dir):
     """TPC-H Q22: above-average-balance customers with no URGENT orders
     (every fixture customer has some order, so the classic no-orders
-    predicate is vacuous here; the anti-join shape is identical). Catalyst
+    predicate is vacuous here; the anti-join shape is identical); the AVG
+    threshold is rounded identically on both sides — an unrounded
+    order-dependent double avg is an unpinned cross-engine compare. Catalyst
     plans the scalar subquery as a 1-row broadcast and the NOT EXISTS as a
     left-anti hash join — the anti side never shuffles the big table when
     the order-key list broadcasts."""
@@ -191,7 +194,8 @@ def idle_customer_balance(spark, sf_dir):
                round(sum(c.c_acctbal), 2) AS total_bal
         FROM _sq_customer c
         WHERE c.c_acctbal > (
-          SELECT avg(c2.c_acctbal) FROM _sq_customer c2 WHERE c2.c_acctbal > 0.0
+          SELECT round(avg(c2.c_acctbal), 6)
+          FROM _sq_customer c2 WHERE c2.c_acctbal > 0.0
         )
         AND NOT EXISTS (
           SELECT 1 FROM _sq_orders22 o
