@@ -722,3 +722,105 @@ def incremental_agg_state(spark, sf_dir):
     b1 = agg_state(ev.filter(F.col("event_id") % 2 == 0), "event_type")
     b2 = agg_state(ev.filter(F.col("event_id") % 2 == 1), "event_type")
     return merge_agg_state(b1, b2, "event_type").orderBy("event_type")
+
+
+# ---------------------------------------------------------------------------
+# Remaining rank-function family in one checkable row set: rank,
+# dense_rank, percent_rank, cume_dist over acctbal per segment. All four
+# derive from integer rank arithmetic (divisions of small exact ints), so
+# the doubles are bit-identical cross-engine without rounding.
+# ---------------------------------------------------------------------------
+
+@register(
+    "rank_functions_per_segment",
+    """
+WITH top3 AS (
+  SELECT c_mktsegment, c_custkey, c_acctbal,
+         rank()         OVER w AS rnk,
+         dense_rank()   OVER w AS drnk,
+         percent_rank() OVER w AS prnk,
+         cume_dist()    OVER w AS cdist,
+         row_number()   OVER w AS rn
+  FROM customer
+  WINDOW w AS (PARTITION BY c_mktsegment
+               ORDER BY c_acctbal DESC, c_custkey ASC)
+)
+SELECT c_mktsegment, c_custkey, c_acctbal, rnk, drnk, prnk, cdist
+FROM top3 WHERE rn <= 3
+ORDER BY c_mktsegment, rn
+""",
+)
+def rank_functions_per_segment(spark, sf_dir):
+    from pyspark.sql.window import Window
+
+    cust = load(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_mktsegment").orderBy(
+        F.col("c_acctbal").desc(), F.col("c_custkey").asc()
+    )
+    return (
+        cust.select(
+            "c_mktsegment",
+            "c_custkey",
+            "c_acctbal",
+            F.rank().over(w).alias("rnk"),
+            F.dense_rank().over(w).alias("drnk"),
+            F.percent_rank().over(w).alias("prnk"),
+            F.cume_dist().over(w).alias("cdist"),
+            F.row_number().over(w).alias("rn"),
+        )
+        .filter(F.col("rn") <= 3)
+        .drop("rn")
+        .orderBy("c_mktsegment", F.col("c_acctbal").desc(), "c_custkey")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Ordered string aggregation: per-priority CSV of the 5 highest-value
+# order keys — Spark's array_join(array_agg inside a sorted window) vs
+# DuckDB's string_agg(... ORDER BY), byte-identical when the order is
+# fully pinned.
+# ---------------------------------------------------------------------------
+
+@register(
+    "priority_top_orders_csv",
+    """
+WITH ranked AS (
+  SELECT o_orderpriority, o_orderkey, o_totalprice,
+         row_number() OVER (PARTITION BY o_orderpriority
+                            ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn
+  FROM orders
+)
+SELECT o_orderpriority,
+       string_agg(o_orderkey::VARCHAR, ',' ORDER BY rn) AS top_keys_csv,
+       CAST(count(*) AS BIGINT) AS n
+FROM ranked WHERE rn <= 5
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+""",
+)
+def priority_top_orders_csv(spark, sf_dir):
+    from pyspark.sql.window import Window
+
+    orders = load(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey").asc()
+    )
+    ranked = orders.withColumn("rn", F.row_number().over(w)).filter(
+        F.col("rn") <= 5
+    )
+    return (
+        ranked.groupBy("o_orderpriority")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("rn", "o_orderkey"))
+                    ),
+                    lambda s: s["o_orderkey"].cast("string"),
+                ),
+                ",",
+            ).alias("top_keys_csv"),
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+        )
+        .orderBy("o_orderpriority")
+    )

@@ -527,3 +527,128 @@ def multimodal_audio_features(spark, sf_dir):
     return feats.select(
         "doc_id", "n_windows", "window_idx", "energy"
     ).orderBy("doc_id", "window_idx")
+
+
+# ---------------------------------------------------------------------------
+# Capstone: the whole training-data curation pipeline in ONE lazy DAG —
+# dup-injected corpus -> exact dedup -> quality floor -> substring-level
+# benchmark decontamination -> content-keyed 80% sample -> per-source
+# stats. Every stage reuses a shipped operator; the oracle rebuilds the
+# identical five stages as CTEs.
+# ---------------------------------------------------------------------------
+
+_CURATE_CORPUS_SQL = """
+  SELECT doc_id, text, source, lang FROM documents
+  UNION ALL
+  SELECT doc_id + 200000 AS doc_id, text, source, lang
+  FROM documents WHERE doc_id % 7 = 0
+  UNION ALL
+  SELECT doc_id + 100000 AS doc_id, substr(text, 21) AS text, source, lang
+  FROM documents WHERE doc_id % 10 = 0
+"""
+
+
+@register(
+    "corpus_curation_pipeline",
+    f"""
+WITH corpus AS ({_CURATE_CORPUS_SQL}),
+kept_exact AS (
+  SELECT min(doc_id) AS doc_id FROM corpus GROUP BY sha256(text)
+),
+dd AS (
+  SELECT c.* FROM corpus c JOIN kept_exact k USING (doc_id)
+),
+q AS (
+  SELECT * FROM dd WHERE len(text) >= 200
+),
+eval_docs AS (
+  SELECT doc_id, text FROM documents WHERE substr(md5(text), 1, 1) = '0'
+),
+egr AS (
+  SELECT DISTINCT g FROM (
+    SELECT doc_id, p, g FROM (
+      SELECT doc_id, p, md5(substr(text, p, 40)) AS g FROM (
+        SELECT doc_id, text, unnest(range(1, len(text) - 38)) AS p
+        FROM eval_docs WHERE len(text) >= 40
+      )
+    ) WHERE ('0x' || substr(g, 1, 8))::BIGINT % 10 = 0
+  )
+),
+qgr AS (
+  SELECT doc_id, g FROM (
+    SELECT doc_id, md5(substr(text, p, 40)) AS g FROM (
+      SELECT doc_id, text, unnest(range(1, len(text) - 38)) AS p
+      FROM q WHERE len(text) >= 40
+    )
+  ) WHERE ('0x' || substr(g, 1, 8))::BIGINT % 10 = 0
+),
+contaminated AS (
+  SELECT DISTINCT doc_id FROM qgr WHERE g IN (SELECT g FROM egr)
+),
+clean AS (
+  SELECT * FROM q WHERE doc_id NOT IN (SELECT doc_id FROM contaminated)
+),
+sampled AS (
+  SELECT * FROM clean
+  WHERE ('0x' || substr(md5(text), 1, 8))::BIGINT % 10 < 8
+)
+SELECT source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(len(text)) AS BIGINT) AS total_chars,
+       CAST(count(DISTINCT lang) AS BIGINT) AS n_langs
+FROM sampled
+GROUP BY source
+ORDER BY source
+""",
+)
+def corpus_curation_pipeline(spark, sf_dir):
+    """End-to-end curation, the order production pipelines run it:
+    exact dedup FIRST (cheapest full-corpus op, shrinks everything
+    downstream), a quality floor, SUBSTRING-level decontamination against
+    the eval slice (content-defined sampled grams — catches partial
+    inclusions n-gram-fraction methods dilute away), then the
+    content-keyed 80% sample (partition-independent, retry-stable).
+    One lazy DAG: Catalyst pipelines the five stages into ~6 shuffles
+    total; nothing materializes in between, history is scanned once."""
+    from ..operators.dedup import sampled_grams
+    from ..plans.spread import spread
+
+    docs = load(spark, sf_dir, "documents").select(
+        "doc_id", "text", "source", "lang"
+    )
+    exact = docs.filter(F.col("doc_id") % 7 == 0).select(
+        (F.col("doc_id") + 200000).alias("doc_id"), "text", "source", "lang"
+    )
+    near = docs.filter(F.col("doc_id") % 10 == 0).select(
+        (F.col("doc_id") + 100000).alias("doc_id"),
+        F.substring("text", 21, 2_000_000_000).alias("text"),
+        "source",
+        "lang",
+    )
+    corpus = spread(docs.unionByName(exact).unionByName(near), "doc_id")
+    kept = corpus.groupBy(F.sha2("text", 256).alias("_h")).agg(
+        F.min("doc_id").alias("doc_id")
+    )
+    dd = corpus.join(kept.select("doc_id"), "doc_id", "left_semi")
+    q = dd.filter(F.length("text") >= 200)
+    eval_docs = docs.filter(F.substring(F.md5("text"), 1, 1) == "0").select(
+        "doc_id", "text"
+    )
+    egr = sampled_grams(eval_docs).select("g").distinct()
+    qgr = sampled_grams(q)
+    contaminated = (
+        qgr.join(egr, "g", "left_semi").select("doc_id").distinct()
+    )
+    clean = q.join(contaminated, "doc_id", "left_anti")
+    sampled = clean.filter(
+        F.conv(F.substring(F.md5("text"), 1, 8), 16, 10).cast("bigint") % 10 < 8
+    )
+    return (
+        sampled.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum(F.length("text")).cast("bigint").alias("total_chars"),
+            F.countDistinct("lang").cast("bigint").alias("n_langs"),
+        )
+        .orderBy("source")
+    )

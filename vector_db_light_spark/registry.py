@@ -143,8 +143,9 @@ def _populate() -> None:
 # for ten long-green combo/simple slots (which remain driver_sim-checked).
 # Round 6 additionally swapped the four new operator families INTO the
 # window (knn_pq_adc_topk, dedup_substring_spans, heavy_hitters_cms,
-# dedup_semantic_prune) for four long-green slots (pivot/unpivot,
-# orders_with_late_lineitems, split_train_val_test — all still checked by
+# dedup_semantic_prune, corpus_curation_pipeline) for five long-green /
+# double-covered slots (pivot/unpivot, orders_with_late_lineitems,
+# split_train_val_test, multimodal_resize — all still checked by
 # driver_sim), so the external oracle exercises the new work immediately.
 PRIORITY: tuple[str, ...] = (
     # retrieval / search surface
@@ -194,7 +195,7 @@ PRIORITY: tuple[str, ...] = (
     "index_build_pipeline",
     "ingest_metadata",
     "multimodal_meta",
-    "multimodal_resize",    # image-only Arrow resize pass (r6 rotation)
+    "corpus_curation_pipeline",  # capstone 5-stage curation DAG (new in r6)
     "ingest_parse_documents",
     # analytics / text stats
     "salted_hot_key_agg",
