@@ -295,15 +295,20 @@ def test_add_documents_incremental_and_ivf_refresh(spark, tmp_path, corpus_dir):
     hits = mgr.search_bm25("kb4", "flink unbounded streams", k=3).collect()
     assert hits and all("flink" in r["chunk_text"] for r in hits)
 
-    # sidecar still covers every cluster present in the partitioned table,
-    # and untouched clusters kept their exact centroid rows
+    # the new doc's vectors MUST be present in the partitioned IVF table —
+    # this is the assertion that catches the lazy-recompute hazard where
+    # the refresh silently appends nothing (emb_table's anti-join lineage
+    # re-evaluated empty after the documents append)
     ivf = spark.read.parquet(str(tmp_path / "dbs" / "kb4" / "embeddings_ivf"))
+    emb = spark.read.parquet(str(tmp_path / "dbs" / "kb4" / "embeddings"))
+    assert ivf.count() == emb.count()
     touched = {
         r["cluster_id"]
         for r in ivf.join(
             docs.filter(docs["file_name"] == "flink.txt").select("doc_id"), "doc_id"
         ).select("cluster_id").distinct().collect()
     }
+    assert touched, "appended vectors missing from embeddings_ivf"
     after = {
         r["cluster_id"]: r["centroid"]
         for r in spark.read.parquet(
@@ -459,3 +464,32 @@ def test_optimize_table_compacts_and_preserves_data(spark, tmp_path, corpus_dir)
     assert after.count() == before_rows
     assert {r["chunk_id"] for r in after.select("chunk_id").collect()} == before_ids
     assert "_z" not in after.columns
+
+
+def test_pq_index_stays_fresh_through_add_and_delete(spark, tmp_path, corpus_dir):
+    """Incremental CRUD keeps the PQ codes table consistent with the
+    embeddings table: add_documents appends codes for new chunks only;
+    delete_documents leaves codes exactly for the surviving chunks."""
+    mgr = VectorDatabaseManager(spark, str(tmp_path / "dbs"))
+    mgr.create_database("kbpqc", corpus_dir, chunk_size=200, chunk_overlap=100)
+    mgr.build_pq_index("kbpqc")
+    db = str(tmp_path / "dbs" / "kbpqc")
+
+    def ids(table):
+        return {r["chunk_id"] for r in
+                spark.read.parquet(f"{db}/{table}").select("chunk_id").collect()}
+
+    assert ids("embeddings_pq") == ids("embeddings")
+
+    extra = tmp_path / "more_docs"
+    extra.mkdir()
+    (extra / "new1.txt").write_text("entirely new content about tungsten codegen. " * 30)
+    (extra / "new2.txt").write_text("another new file on shuffle partitioning. " * 30)
+    assert mgr.add_documents("kbpqc", str(extra)) == 2
+    assert ids("embeddings_pq") == ids("embeddings")
+
+    assert mgr.delete_documents("kbpqc", ["new1.txt", "spark.txt"]) == 2
+    assert ids("embeddings_pq") == ids("embeddings")
+
+    hits = mgr.search_pq("kbpqc", "shuffle partitioning", k=3).collect()
+    assert 0 < len(hits) <= 3

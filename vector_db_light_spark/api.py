@@ -246,15 +246,41 @@ class VectorDatabaseManager:
             return 0
         emb_table = self._build_emb_table(
             fresh, info.chunk_size, info.chunk_overlap, dim
-        )
+        ).persist()
+        # Materialize BEFORE mutating any table, and append to the
+        # documents table LAST: emb_table's lineage anti-joins against the
+        # documents table, so a recomputation after that append would see
+        # the fresh hashes as "existing" and evaluate EMPTY — found live as
+        # the IVF (and PQ) refresh silently appending nothing. The persist
+        # makes recomputation unlikely; the ordering makes it harmless.
+        emb_table.count()
         emb_table.write.partitionBy("id_bucket").mode("append").parquet(
             self._table(name, "embeddings")
         )
-        fresh.write.mode("append").parquet(self._table(name, "documents"))
         if os.path.isdir(self._table(name, "embeddings_ivf")):
             self._refresh_ivf_partitions(name, emb_table, dim)
+        if os.path.exists(self._table(name, "pq_codebooks.json")):
+            self._append_pq_codes(name, emb_table)
+        fresh.write.mode("append").parquet(self._table(name, "documents"))
+        emb_table.unpersist()
         fresh.unpersist()
         return n_new
+
+    def _append_pq_codes(self, name: str, new_rows) -> None:
+        """Keep the PQ index fresh on incremental ingest: encode ONLY the
+        new chunks with the build-time codebook sidecar and append to the
+        codes table — the codebooks themselves never change on append
+        (re-train = rebuild, like any quantizer). Deterministic chunk ids
+        make the append idempotent at the table level."""
+        import json
+
+        from .operators.similarity import pq_encode
+
+        with open(self._table(name, "pq_codebooks.json")) as f:
+            side = json.load(f)
+        pq_encode(new_rows, side["codebooks"], id_col="chunk_id").write.mode(
+            "append"
+        ).parquet(self._table(name, "embeddings_pq"))
 
     def delete_documents(self, name: str, file_names: list[str]) -> int:
         """Targeted delete — the other half of incremental maintenance
@@ -329,6 +355,27 @@ class VectorDatabaseManager:
                     self._recompute_sidecar(name, touched)
         finally:
             self.spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+        if os.path.exists(self._table(name, "pq_codebooks.json")):
+            # Re-encode the post-delete embeddings and swap the codes table
+            # whole: at 32x compression the codes table is a rounding error
+            # next to the partition rewrites above, so the simple rewrite
+            # beats threading chunk-level anti-joins through one more
+            # artifact. (On Delta/Iceberg this is a metadata-level DELETE
+            # keyed on chunk_id instead.)
+            import json
+
+            from .operators.similarity import pq_encode
+
+            with open(self._table(name, "pq_codebooks.json")) as f:
+                side = json.load(f)
+            pq_path = self._table(name, "embeddings_pq")
+            remaining = self.spark.read.parquet(self._table(name, "embeddings"))
+            pq_encode(remaining, side["codebooks"], id_col="chunk_id").write.mode(
+                "overwrite"
+            ).parquet(pq_path + ".tmp")
+            os.rename(pq_path, pq_path + ".old")
+            os.rename(pq_path + ".tmp", pq_path)
+            shutil.rmtree(pq_path + ".old")
         doomed.unpersist()
         return n_del
 

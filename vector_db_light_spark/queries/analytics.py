@@ -824,3 +824,115 @@ def priority_top_orders_csv(spark, sf_dir):
         )
         .orderBy("o_orderpriority")
     )
+
+
+# ---------------------------------------------------------------------------
+# Dataset profiling: per-column null/distinct/min/max stats of orders in
+# one pass-per-column union — the first query any pipeline runs against a
+# new table. Min/max are NUMERICALLY encoded per type (ids raw, doubles
+# as cents, timestamps as unix micros, strings via an md5-derived BIGINT
+# of the extreme value) because raw double/timestamp-to-string rendering
+# is engine-specific.
+# ---------------------------------------------------------------------------
+
+_PROFILE_COLS_SQL = """
+  SELECT 'o_orderkey' AS col_name, count(o_orderkey) AS n_nonnull,
+         count(DISTINCT o_orderkey) AS n_distinct,
+         CAST(min(o_orderkey) AS BIGINT) AS min_enc,
+         CAST(max(o_orderkey) AS BIGINT) AS max_enc FROM orders
+  UNION ALL
+  SELECT 'o_custkey', count(o_custkey), count(DISTINCT o_custkey),
+         CAST(min(o_custkey) AS BIGINT), CAST(max(o_custkey) AS BIGINT)
+  FROM orders
+  UNION ALL
+  SELECT 'o_orderstatus', count(o_orderstatus),
+         count(DISTINCT o_orderstatus),
+         ('0x' || substr(md5(min(o_orderstatus)), 1, 12))::BIGINT,
+         ('0x' || substr(md5(max(o_orderstatus)), 1, 12))::BIGINT
+  FROM orders
+  UNION ALL
+  SELECT 'o_orderpriority', count(o_orderpriority),
+         count(DISTINCT o_orderpriority),
+         ('0x' || substr(md5(min(o_orderpriority)), 1, 12))::BIGINT,
+         ('0x' || substr(md5(max(o_orderpriority)), 1, 12))::BIGINT
+  FROM orders
+  UNION ALL
+  SELECT 'o_totalprice', count(o_totalprice),
+         count(DISTINCT o_totalprice),
+         CAST(round(min(o_totalprice) * 100, 0) AS BIGINT),
+         CAST(round(max(o_totalprice) * 100, 0) AS BIGINT)
+  FROM orders
+  UNION ALL
+  SELECT 'o_orderdate', count(o_orderdate),
+         count(DISTINCT o_orderdate),
+         epoch_us(CAST(min(o_orderdate) AS TIMESTAMP)),
+         epoch_us(CAST(max(o_orderdate) AS TIMESTAMP))
+  FROM orders
+"""
+
+
+@register(
+    "table_profile_orders",
+    f"""
+SELECT col_name, CAST(n_nonnull AS BIGINT) AS n_nonnull,
+       CAST(n_distinct AS BIGINT) AS n_distinct, min_enc, max_enc
+FROM ({_PROFILE_COLS_SQL})
+ORDER BY col_name
+""",
+)
+def table_profile_orders(spark, sf_dir):
+    """One profiling row per column. At 100 TB run the distincts as
+    approx_count_distinct (the HLL++ tier) and all columns in ONE
+    aggregate pass — the exact per-column union here keeps the oracle
+    strict; the shape (stats row per column) is what downstream schema
+    monitors consume."""
+    orders = load(spark, sf_dir, "orders")
+
+    def _md5_enc(c):
+        return F.conv(F.substring(F.md5(c), 1, 12), 16, 10).cast("bigint")
+
+    def prof(col_name, min_enc, max_enc):
+        return orders.agg(
+            F.lit(col_name).alias("col_name"),
+            F.count(col_name).cast("bigint").alias("n_nonnull"),
+            F.countDistinct(col_name).cast("bigint").alias("n_distinct"),
+            min_enc.alias("min_enc"),
+            max_enc.alias("max_enc"),
+        )
+
+    parts = [
+        prof(
+            "o_orderkey",
+            F.min("o_orderkey").cast("bigint"),
+            F.max("o_orderkey").cast("bigint"),
+        ),
+        prof(
+            "o_custkey",
+            F.min("o_custkey").cast("bigint"),
+            F.max("o_custkey").cast("bigint"),
+        ),
+        prof(
+            "o_orderstatus",
+            _md5_enc(F.min("o_orderstatus")),
+            _md5_enc(F.max("o_orderstatus")),
+        ),
+        prof(
+            "o_orderpriority",
+            _md5_enc(F.min("o_orderpriority")),
+            _md5_enc(F.max("o_orderpriority")),
+        ),
+        prof(
+            "o_totalprice",
+            F.round(F.min("o_totalprice") * 100, 0).cast("bigint"),
+            F.round(F.max("o_totalprice") * 100, 0).cast("bigint"),
+        ),
+        prof(
+            "o_orderdate",
+            F.unix_micros(F.min("o_orderdate").cast("timestamp")),
+            F.unix_micros(F.max("o_orderdate").cast("timestamp")),
+        ),
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out.orderBy("col_name")

@@ -912,3 +912,111 @@ def search_mmr_diversify(spark, sf_dir):
         .limit(_MMR_N_CAND)
     )
     return S.mmr_rerank(cand, lam=0.5, k=_MMR_K).orderBy("rank")
+
+
+# ---------------------------------------------------------------------------
+# NDCG@5 of the LSH path vs exact: rank-aware quality (recall treats all
+# top-k slots equally; NDCG discounts the tail). The 1/log2(r+1) rank
+# discounts are PYTHON literals injected into both engines — no engine
+# log() in the plan, so no libm-parity surface; the DCG sum is a fixed
+# 5-term expression over 0/1 hit pivots, not an aggregate over doubles.
+# ---------------------------------------------------------------------------
+
+import math as _math
+
+_NDCG_DISC = [1.0 / _math.log2(r + 1) for r in range(1, _RECALL_K + 1)]
+_IDCG = sum(_NDCG_DISC)
+
+
+def _dcg_sql(prefix: str) -> str:
+    return " + ".join(
+        f"{prefix}h{r} * '{_NDCG_DISC[r - 1]!r}'::DOUBLE"
+        for r in range(1, _RECALL_K + 1)
+    )
+
+
+@register(
+    "ann_lsh_ndcg",
+    f"""
+WITH q AS (
+  SELECT vec_id AS query_id, embedding AS qv
+  FROM embeddings WHERE vec_id < {_N_RECALL_Q}
+),
+truth AS (
+  SELECT query_id, vec_id FROM (
+    SELECT q.query_id, e.vec_id,
+           row_number() OVER (PARTITION BY q.query_id
+             ORDER BY 1.0 - {dot_sql('e.embedding', 'q.qv::DOUBLE[]')} ASC,
+                      e.vec_id ASC) AS rk
+    FROM embeddings e, q
+  ) WHERE rk <= {_RECALL_K}
+),
+cb AS (
+  SELECT vec_id, embedding, {_bucket_sql('embedding')} AS b FROM embeddings
+),
+qb AS (
+  SELECT query_id, qv, {_bucket_sql('qv::DOUBLE[]')} AS b FROM q
+),
+approx AS (
+  SELECT query_id, vec_id, rk FROM (
+    SELECT qb.query_id, cb.vec_id,
+           row_number() OVER (PARTITION BY qb.query_id
+             ORDER BY 1.0 - {dot_sql('cb.embedding', 'qb.qv::DOUBLE[]')} ASC,
+                      cb.vec_id ASC) AS rk
+    FROM cb JOIN qb ON cb.b = qb.b
+  ) WHERE rk <= {_RECALL_K}
+),
+hits AS (
+  SELECT q.query_id,
+         {", ".join(
+           f"max(CASE WHEN a.rk = {r} AND t.vec_id IS NOT NULL "
+           f"THEN 1 ELSE 0 END) AS h{r}" for r in range(1, _RECALL_K + 1))}
+  FROM q
+  LEFT JOIN approx a ON a.query_id = q.query_id
+  LEFT JOIN truth t ON t.query_id = a.query_id AND t.vec_id = a.vec_id
+  GROUP BY 1
+)
+SELECT query_id,
+       round(({_dcg_sql('')}) / '{_IDCG!r}'::DOUBLE, 6) AS ndcg_at_k
+FROM hits
+ORDER BY query_id
+""",
+)
+def ann_lsh_ndcg(spark, sf_dir):
+    """Rank-aware LSH quality: binary relevance (approx hit is in the
+    exact top-5), position-discounted. Complements the recall triptych —
+    two rankings with equal recall can differ here when one buries its
+    hits at rank 5."""
+    emb = load(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < _N_RECALL_Q).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    truth = S.batch_knn(emb, queries, k=_RECALL_K).select(
+        F.col("query_id").alias("t_qid"), F.col("vec_id").alias("t_vid")
+    )
+    approx = S.batch_lsh_topk(emb, queries, PLANES, k=_RECALL_K).select(
+        F.col("query_id").alias("a_qid"), F.col("vec_id").alias("a_vid"), "rk"
+    )
+    joined = (
+        queries.select(F.col("query_id"))
+        .join(approx, F.col("query_id") == F.col("a_qid"), "left")
+        .join(
+            truth,
+            (F.col("a_qid") == F.col("t_qid")) & (F.col("a_vid") == F.col("t_vid")),
+            "left",
+        )
+    )
+    hit_aggs = [
+        F.max(
+            F.when((F.col("rk") == r) & F.col("t_vid").isNotNull(), 1).otherwise(0)
+        ).alias(f"h{r}")
+        for r in range(1, _RECALL_K + 1)
+    ]
+    hits = joined.groupBy("query_id").agg(*hit_aggs)
+    dcg: F.Column | None = None
+    for r in range(1, _RECALL_K + 1):
+        term = F.col(f"h{r}") * F.lit(_NDCG_DISC[r - 1])
+        dcg = term if dcg is None else dcg + term
+    return hits.select(
+        "query_id", F.round(dcg / F.lit(_IDCG), 6).alias("ndcg_at_k")
+    ).orderBy("query_id")
