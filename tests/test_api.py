@@ -493,3 +493,67 @@ def test_pq_index_stays_fresh_through_add_and_delete(spark, tmp_path, corpus_dir
 
     hits = mgr.search_pq("kbpqc", "shuffle partitioning", k=3).collect()
     assert 0 < len(hits) <= 3
+
+
+def test_ivf_kmeans_build_search_and_incremental_routing(spark, tmp_path, corpus_dir):
+    """S6 trained variant: method='kmeans' trains Lloyd centroids
+    (operators/clustering.py), labels the corpus with one broadcast
+    nearest-centroid pass, and writes 'k'-prefixed partition values.
+    Probing ALL clusters must equal the exact brute-force top-k (IVF with
+    nprobe = n_clusters is lossless); an incremental add must route new
+    vectors through nearest-centroid assignment (no 'b' buckets appear)."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from vector_db_light_spark.functions import vector as V
+    from vector_db_light_spark.functions.embedding import HashedFeatureEmbedder
+    from vector_db_light_spark.functions.policy import prefixed_query
+
+    mgr = VectorDatabaseManager(spark, str(tmp_path / "dbs"))
+    mgr.create_database("kbk", corpus_dir, chunk_size=200, chunk_overlap=100)
+    mgr.build_ivf_index("kbk", method="kmeans", n_clusters=3, train_iters=2)
+
+    db_dir = str(tmp_path / "dbs" / "kbk")
+    parts = [
+        d
+        for d in os.listdir(os.path.join(db_dir, "embeddings_ivf"))
+        if d.startswith("cluster_id=")
+    ]
+    assert parts and all(p.startswith("cluster_id=k") for p in parts)
+    cents = spark.read.parquet(os.path.join(db_dir, "ivf_centroids"))
+    assert 0 < cents.count() <= 3
+
+    # nprobe >= n_clusters scans every partition -> must equal brute force
+    hits = mgr.search_ann("kbk", "distributed spark engine", k=4, nprobe=3).collect()
+    info = mgr.registry.get("kbk")
+    qvec = HashedFeatureEmbedder().encode_one(
+        prefixed_query(info.model, "distributed spark engine")
+    )
+    emb = spark.read.parquet(os.path.join(db_dir, "embeddings"))
+    brute = (
+        emb.select(
+            "chunk_id",
+            (F.lit(1.0) - V.dot(F.col("embedding"), V.vector_lit(qvec))).alias("d"),
+        )
+        .orderBy(F.col("d").asc(), F.col("chunk_id").asc())
+        .limit(4)
+        .collect()
+    )
+    assert [r["chunk_id"] for r in hits] == [r["chunk_id"] for r in brute]
+
+    # incremental append routes through nearest-centroid (layout sniffing)
+    newdir = tmp_path / "more_docs_k"
+    newdir.mkdir()
+    (newdir / "flink.txt").write_text(
+        "flink processes unbounded streams with checkpointed state. " * 30
+    )
+    assert mgr.add_documents("kbk", str(newdir)) == 1
+    parts_after = [
+        d
+        for d in os.listdir(os.path.join(db_dir, "embeddings_ivf"))
+        if d.startswith("cluster_id=")
+    ]
+    assert all(p.startswith("cluster_id=k") for p in parts_after)
+    ivf_n = spark.read.parquet(os.path.join(db_dir, "embeddings_ivf")).count()
+    assert ivf_n == spark.read.parquet(os.path.join(db_dir, "embeddings")).count()

@@ -434,21 +434,36 @@ class VectorDatabaseManager:
         os.rename(sidecar_path + ".tmp", sidecar_path)
 
     def _refresh_ivf_partitions(self, name: str, new_rows, dim: int) -> None:
-        """Append new vectors to their (deterministic sign-bucket) IVF
-        partitions and recompute centroids ONLY for the touched clusters:
-        dynamic partition overwrite on the big table, anti-join + union on
-        the tiny sidecar. Untouched partitions are never read or written."""
+        """Append new vectors to their IVF partitions and recompute
+        centroids ONLY for the touched clusters: dynamic partition
+        overwrite on the big table, anti-join + union on the tiny sidecar.
+        Untouched partitions are never read or written.
+
+        Assignment routing follows the index's layout contract (see
+        build_ivf_index): a 'k'-prefixed sidecar means trained centroids —
+        new vectors take a broadcast nearest-centroid pass against the
+        sidecar (the correct IVF append; no retraining) — while the 'b'
+        prefix re-derives the hyperplane sign bucket."""
         from .operators.similarity import (
             ivf_centroids,
             lsh_bucket_expr,
             random_hyperplanes,
         )
 
-        planes = random_hyperplanes(IVF_N_PLANES, dim)
-        clustered = new_rows.withColumn(
-            "cluster_id",
-            F.concat(F.lit("b"), lsh_bucket_expr("embedding", planes)),
-        )
+        cents = self.spark.read.parquet(self._table(name, "ivf_centroids"))
+        probe = cents.select("cluster_id").limit(1).collect()
+        if probe and str(probe[0]["cluster_id"]).startswith("k"):
+            from .operators.clustering import kmeans_assign
+
+            clustered = kmeans_assign(
+                new_rows, cents, id_col="chunk_id", vector_col="embedding"
+            ).drop("distance")
+        else:
+            planes = random_hyperplanes(IVF_N_PLANES, dim)
+            clustered = new_rows.withColumn(
+                "cluster_id",
+                F.concat(F.lit("b"), lsh_bucket_expr("embedding", planes)),
+            )
         clustered.write.partitionBy("cluster_id").mode("append").parquet(
             self._table(name, "embeddings_ivf")
         )
@@ -464,16 +479,32 @@ class VectorDatabaseManager:
         name: str,
         dim: int = DEFAULT_DIM,
         n_planes: int = IVF_N_PLANES,
+        method: str = "lsh",
+        n_clusters: int = 16,
+        train_iters: int = 2,
+        train_fraction: float = 1.0,
     ) -> None:
         """Build the IVF artifact pair (reference vector_db_creator.py:205-235
         writes a FLAT index + index_metadata.json sidecar; here both sides are
         parquet):
 
           * ``embeddings_ivf`` — the embeddings table REWRITTEN partitioned by
-            a deterministic ``cluster_id`` (hyperplane-LSH sign bucket), so a
-            probed search is a partition-pruned scan;
+            a deterministic ``cluster_id``, so a probed search is a
+            partition-pruned scan;
           * ``ivf_centroids``  — the tiny (cluster_id, centroid) sidecar the
             query path probes INSTEAD of re-aggregating the corpus per query.
+
+        ``method="lsh"`` (default) buckets by hyperplane sign bits — zero
+        training cost, data-independent balance. ``method="kmeans"`` trains
+        ``n_clusters`` Lloyd centroids (operators/clustering.py) on a
+        deterministic md5-prefix sample of ``train_fraction`` of the corpus
+        (no sort — at 100 TB set a small fraction; Lloyd's converges on a
+        few million rows regardless of corpus size), then labels the FULL
+        corpus with one broadcast nearest-centroid pass — the FAISS IVF
+        recipe, typically much better cluster balance/recall per probe than
+        sign buckets. The partition value prefix ('b' vs 'k') is part of
+        the layout contract: incremental refresh sniffs it to route new
+        vectors through the matching assignment.
         """
         from .operators.similarity import (
             ivf_centroids,
@@ -481,16 +512,43 @@ class VectorDatabaseManager:
             random_hyperplanes,
         )
 
-        planes = random_hyperplanes(n_planes, dim)
         emb = self.spark.read.parquet(self._table(name, "embeddings"))
-        # 'b' prefix keeps the sign-bit key a STRING through the partition-
+        # 'b'/'k' prefix keeps the key a STRING through the partition-
         # directory round trip: a bare "0010" is type-inferred back as int
         # 10 on read, so a later dynamic-overwrite rewrite would write
         # cluster_id=10 while the data sat in cluster_id=0010.
-        clustered = emb.withColumn(
-            "cluster_id",
-            F.concat(F.lit("b"), lsh_bucket_expr("embedding", planes)),
-        )
+        if method == "kmeans":
+            from .operators.clustering import kmeans_assign, kmeans_train
+
+            train = emb
+            if train_fraction < 1.0:
+                # deterministic md5-prefix sample: uniform, no shuffle/sort
+                cut = format(int(train_fraction * 0xFFFF), "04x")
+                train = emb.filter(
+                    F.substring(F.md5(F.col("chunk_id").cast("string")), 1, 4)
+                    < F.lit(cut)
+                )
+            _, cents = kmeans_train(
+                train,
+                k=n_clusters,
+                iters=train_iters,
+                dim=dim,
+                id_col="chunk_id",
+                vector_col="embedding",
+            )
+            labels = cents.select(
+                F.format_string("k%04d", F.col("cluster_id")).alias("cluster_id"),
+                "centroid",
+            )
+            clustered = kmeans_assign(
+                emb, labels, id_col="chunk_id", vector_col="embedding"
+            ).drop("distance")
+        else:
+            planes = random_hyperplanes(n_planes, dim)
+            clustered = emb.withColumn(
+                "cluster_id",
+                F.concat(F.lit("b"), lsh_bucket_expr("embedding", planes)),
+            )
         clustered.write.partitionBy("cluster_id").mode("overwrite").parquet(
             self._table(name, "embeddings_ivf")
         )

@@ -1020,3 +1020,124 @@ def ann_lsh_ndcg(spark, sf_dir):
     return hits.select(
         "query_id", F.round(dcg / F.lit(_IDCG), 6).alias("ndcg_at_k")
     ).orderBy("query_id")
+
+
+# ---------------------------------------------------------------------------
+# Distributed Lloyd's k-means (the IVF trainer, operators/clustering.py):
+# k=4, 2 rounds over the embedding corpus. Fully deterministic — md5-seeded
+# init, FIXED-POINT centroid updates (exact BIGINT element sums + integer
+# div; no float-summation-order exposure at all, unlike a rounded avg) and
+# fold-ordered squared-L2 assignment — so the entire iterative algorithm is
+# oracle-checkable: per-cluster sizes, exact inertia (micro-units) and
+# centroid fingerprints all hash-match DuckDB replaying the same recipe.
+# ---------------------------------------------------------------------------
+
+_KM_K = 4
+_KM_DIM = 64
+
+
+def _km_el_sql(i: int) -> str:
+    """Fixed-point centroid element i (0-based) from DuckDB best-CTE rows."""
+    return (
+        f"((SUM(CAST(round((v[{i + 1}] + 2.0) * 1000000) AS BIGINT)) // COUNT(*))"
+        f" - 2000000) / 1000000.0"
+    )
+
+
+def _km_ssq_sql(v: str, c: str) -> str:
+    """Squared L2 as the same left-to-right double fold as
+    functions/vector.py::sum_of_squares_distance (0.0-init fold == no-init
+    fold here: every term is a square >= 0, and 0.0 + x == x)."""
+    return (
+        f"list_reduce(list_transform(list_zip({v}, {c}), "
+        f"s -> (s[1] - s[2]) * (s[1] - s[2])), (a, b) -> a + b)"
+    )
+
+
+def _km_round_sql(t: int) -> str:
+    """One Lloyd round: score against cent{t-1}, argmin, fixed-point update."""
+    cent_els = ", ".join(_km_el_sql(i) for i in range(_KM_DIM))
+    return f"""
+score{t} AS (
+  SELECT e.id, e.v, c.cluster_id, {_km_ssq_sql('e.v', 'c.centroid')} AS d
+  FROM emb e, cent{t - 1} c
+),
+best{t} AS (
+  SELECT id, v, cluster_id, d FROM (
+    SELECT *, row_number() OVER (PARTITION BY id ORDER BY d ASC, cluster_id ASC) AS rn
+    FROM score{t}
+  ) WHERE rn = 1
+),
+cent{t} AS (
+  SELECT cluster_id, COUNT(*) AS n, [{cent_els}]::DOUBLE[] AS centroid
+  FROM best{t} GROUP BY cluster_id
+)"""
+
+
+_KM_SAMPLED = (0, 16, 32, 48)
+_KM_CSUM_SQL = " + ".join(
+    f"CAST(round(c.centroid[{i + 1}] * 1000000) AS BIGINT)" for i in range(_KM_DIM)
+)
+_KM_SAMPLE_SQL = ", ".join(
+    f"CAST(round(c.centroid[{i + 1}] * 1000000) AS BIGINT) AS c{i}_u6"
+    for i in _KM_SAMPLED
+)
+
+
+@register(
+    "kmeans_lloyd",
+    f"""
+WITH emb AS (
+  SELECT vec_id AS id, embedding::DOUBLE[] AS v FROM embeddings
+),
+seeds AS (
+  SELECT id, v, md5(CAST(id AS VARCHAR)) AS h FROM emb ORDER BY h, id LIMIT {_KM_K}
+),
+cent0 AS (
+  SELECT row_number() OVER (ORDER BY h, id) - 1 AS cluster_id, v AS centroid
+  FROM seeds
+),
+{_km_round_sql(1)},
+{_km_round_sql(2)},
+inertia AS (
+  SELECT cluster_id,
+         CAST(SUM(CAST(round(d * 1000000) AS BIGINT)) AS BIGINT) AS inertia_u6
+  FROM best2 GROUP BY cluster_id
+)
+SELECT c.cluster_id, c.n, i.inertia_u6,
+       {_KM_CSUM_SQL} AS c_sum_u6,
+       {_KM_SAMPLE_SQL}
+FROM cent2 c JOIN inertia i USING (cluster_id)
+ORDER BY c.cluster_id
+""",
+)
+def kmeans_lloyd(spark, sf_dir):
+    """k=4, iters=2 Lloyd over embeddings; emits per-cluster size, exact
+    micro-unit inertia (distances to the round's pre-update centroids) and
+    exact centroid fingerprints. `cents` and the inertia agg share the
+    `assigned` sub-plan — at fixture scale the recomputation is free; a
+    production trainer would cache the assignment between the two."""
+    from ..operators import clustering as C
+
+    emb = load(spark, sf_dir, "embeddings")
+    assigned, cents = C.kmeans_train(emb, k=_KM_K, iters=2, dim=_KM_DIM)
+    inert = assigned.groupBy("cluster_id").agg(
+        F.sum(F.round(F.col("distance") * F.lit(1e6), 0).cast("long")).alias(
+            "inertia_u6"
+        )
+    )
+    u6 = lambda i: F.round(F.col("centroid")[i] * F.lit(1e6), 0).cast("long")
+    c_sum = None
+    for i in range(_KM_DIM):
+        c_sum = u6(i) if c_sum is None else c_sum + u6(i)
+    return (
+        cents.join(inert, "cluster_id")
+        .select(
+            "cluster_id",
+            "n",
+            "inertia_u6",
+            c_sum.alias("c_sum_u6"),
+            *[u6(i).alias(f"c{i}_u6") for i in _KM_SAMPLED],
+        )
+        .orderBy("cluster_id")
+    )
