@@ -68,3 +68,29 @@ def test_assign_plan_broadcasts_centroids(spark):
     plan = assigned._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastNestedLoopJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_random_projection_preserves_distances(spark):
+    """JL guarantee, measured: 64->16 Rademacher projection keeps pairwise
+    L2 distances within loose relative distortion on the deterministic
+    fixture (test-only driver-side math over a small sample)."""
+    import numpy as np
+
+    from vector_db_light_spark.operators.similarity import random_projection
+
+    emb = load(spark, SF_SMOKE, "embeddings").filter(F.col("vec_id") < 30)
+    rows = (
+        random_projection(emb, 64, 16)
+        .select("vec_id", "embedding", "proj")
+        .orderBy("vec_id")
+        .collect()
+    )
+    orig = np.array([r["embedding"] for r in rows], dtype=np.float64)
+    proj = np.array([r["proj"] for r in rows], dtype=np.float64)
+    dists_o, dists_p = [], []
+    for i in range(0, len(rows) - 1, 2):
+        dists_o.append(np.linalg.norm(orig[i] - orig[i + 1]))
+        dists_p.append(np.linalg.norm(proj[i] - proj[i + 1]))
+    rel = np.abs(np.array(dists_p) / np.array(dists_o) - 1.0)
+    assert rel.mean() < 0.35
+    assert rel.max() < 1.0

@@ -82,3 +82,27 @@ def test_pack_sequences_respects_capacity(spark):
         all_ids = sorted(r["doc_id"] for r in packed if r["shard"] == shard)
         lo, hi = all_ids.index(ids[0]), all_ids.index(ids[-1])
         assert all_ids[lo : hi + 1] == ids
+
+
+def test_temperature_mixture_flattens_and_is_partition_independent(spark):
+    """alpha=1/2 mixing: dominant stratum keeps a LOWER rate than the tail,
+    total lands near target_fraction, and the kept set is identical under
+    repartitioning (content-keyed, no RNG)."""
+    from vector_db_light_spark.operators import sampling as SM
+
+    docs = spark.read.parquet(f"{SF_ORACLE}/documents.parquet")
+    kept = SM.temperature_mixture(docs, "lang", key_col="doc_id")
+    n, k = docs.count(), kept.count()
+    assert 0.35 * n < k < 0.65 * n
+
+    before = {r["lang"]: r["c"] for r in docs.groupBy("lang").agg(F.count("*").alias("c")).collect()}
+    after = {r["lang"]: r["c"] for r in kept.groupBy("lang").agg(F.count("*").alias("c")).collect()}
+    hi = max(before, key=before.get)
+    lo = min(before, key=before.get)
+    assert after[hi] / before[hi] < after[lo] / before[lo]
+    # flatter: dominant/tail ratio shrinks
+    assert after[hi] / after[lo] < before[hi] / before[lo]
+
+    ids = {r["doc_id"] for r in kept.select("doc_id").collect()}
+    kept2 = SM.temperature_mixture(docs.repartition(7), "lang", key_col="doc_id")
+    assert {r["doc_id"] for r in kept2.select("doc_id").collect()} == ids

@@ -193,3 +193,91 @@ def cap_per_key(
         .filter(F.col("_rk") <= cap)
         .drop("_rk")
     )
+
+
+def temperature_mixture(
+    df: DataFrame,
+    strata_col: str,
+    key_col: str,
+    target_fraction: float = 0.5,
+    salt: str = "mix",
+    buckets_col: str = "_buckets",
+) -> DataFrame:
+    """Temperature-flattened source mixing with DATA-DRIVEN rates — the
+    multilingual/multi-source rebalance every pretraining mixture applies
+    (T5/mC4-style alpha sampling): per-stratum keep-probability
+    proportional to n_s^alpha / n_s with alpha = 1/2, so dominant strata
+    are downsampled toward a flatter mixture while the total stays at
+    ``target_fraction`` of the corpus in expectation.
+
+    alpha is FIXED at 1/2 by design: sqrt is IEEE-correctly-rounded on
+    every engine, so the whole rate computation stays engine-exact —
+    per-stratum sqrt(n_s) is quantized to integer micro-units (BIGINT,
+    order-independent sums), and the final keep-threshold is an integer
+    bucket count in [0, 65536] derived by one double multiply/divide chain
+    written identically on both engines. An arbitrary-alpha variant would
+    need pow(), whose cross-engine bit-parity is NOT guaranteed (same
+    reason the NDCG query injects its log-discount literals).
+
+    Two scans at scale (one counting pass, one filter pass), one tiny
+    broadcast join of the per-stratum thresholds; the filter itself is a
+    pure per-row predicate like every sampler in this module.
+    """
+    counts = df.groupBy(strata_col).agg(F.count("*").alias("n_s"))
+    # sqrt in micro-units -> BIGINT: exact, summation-order-free
+    sq = counts.withColumn(
+        "_sq_u6", F.round(F.sqrt(F.col("n_s")) * F.lit(1e6), 0).cast("long")
+    )
+    tot = sq.agg(
+        F.sum("n_s").alias("_n_total"), F.sum("_sq_u6").alias("_w_u6")
+    )
+    # buckets = round(65536 * target * N * sq_s / (W * n_s)); every term is
+    # an exact integer < 2^53 cast to double, multiplied/divided in the
+    # same order on both engines
+    tgt = float(target_fraction)
+    rates = sq.crossJoin(F.broadcast(tot)).withColumn(
+        buckets_col,
+        F.least(
+            F.lit(65536),
+            F.round(
+                (F.lit(65536.0) * F.lit(tgt) * F.col("_n_total") * F.col("_sq_u6"))
+                / (F.col("_w_u6") * F.col("n_s")),
+                0,
+            ).cast("long"),
+        ),
+    )
+    u16 = F.conv(hash_prefix_expr(key_col, salt), 16, 10).cast("long")
+    return (
+        df.join(
+            F.broadcast(rates.select(strata_col, buckets_col)), strata_col
+        )
+        .filter(u16 < F.col(buckets_col))
+        .drop(buckets_col)
+    )
+
+
+def temperature_mixture_sql(
+    table: str,
+    strata_expr: str,
+    key_expr: str,
+    target_fraction: float = 0.5,
+    salt: str = "mix",
+) -> str:
+    """Oracle twin of temperature_mixture: a SELECT over ``table`` keeping
+    the sampled rows (identical integer/sqrt arithmetic)."""
+    tgt = float(target_fraction)
+    return f"""
+SELECT d.* FROM {table} d
+JOIN (
+  SELECT {strata_expr} AS _st,
+         LEAST(65536, CAST(round(
+           (65536.0 * {tgt!r} * (SUM(COUNT(*)) OVER ()) *
+            CAST(round(sqrt(COUNT(*)) * 1000000) AS BIGINT))
+           / ((SUM(CAST(round(sqrt(COUNT(*)) * 1000000) AS BIGINT)) OVER ()) *
+              COUNT(*))
+         ) AS BIGINT)) AS _buckets
+  FROM {table} GROUP BY 1
+) r ON {strata_expr.replace('documents.', 'd.')} = r._st
+WHERE ('0x' || substr(md5(CAST({key_expr} AS VARCHAR) || '{salt}'), 1, 4))::BIGINT
+      < r._buckets
+"""

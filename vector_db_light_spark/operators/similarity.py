@@ -743,3 +743,49 @@ def mmr_rerank(
         .groupBy("_g")
         .applyInPandas(_greedy, out_schema)
     )
+
+
+def rademacher_matrix(d_in: int, d_out: int, seed: int = 13) -> list[list[float]]:
+    """Deterministic +-1 projection columns (md5 parity of (seed, i, j)) —
+    literals on both engines, like random_hyperplanes."""
+    import hashlib
+
+    cols = []
+    for j in range(d_out):
+        col = []
+        for i in range(d_in):
+            h = hashlib.md5(f"{seed}:{i}:{j}".encode()).hexdigest()
+            col.append(1.0 if int(h[:2], 16) % 2 == 0 else -1.0)
+        cols.append(col)
+    return cols
+
+
+def random_projection(
+    df: DataFrame,
+    d_in: int,
+    d_out: int,
+    vector_col: str = "embedding",
+    out_col: str = "proj",
+    seed: int = 13,
+) -> DataFrame:
+    """Johnson-Lindenstrauss dimensionality reduction: y = (1/sqrt(d_out))
+    * R^T x with Rademacher (+-1) R — the sparse-free JL variant (Achlioptas
+    2003). Pairwise distances are preserved within (1 +- eps) w.h.p. for
+    d_out = O(log n / eps^2); at 100 TB this is the cheap pre-pass that
+    shrinks every downstream ANN/dedup shuffle by d_in/d_out with no model.
+
+    Pure Catalyst: d_out dot-product folds per row (same left-to-right
+    order contract as functions/vector.py), a narrow map — no shuffle, no
+    Python. d_out must make 1/sqrt(d_out) exactly representable if oracle
+    parity matters (powers of 4: 0.5, 0.25, 0.125...); the fold + one exact
+    scale multiply is then bit-identical across engines.
+    """
+    cols = rademacher_matrix(d_in, d_out, seed=seed)
+    scale = 1.0 / math.sqrt(d_out)
+    proj = F.array(
+        *[
+            V.dot(F.col(vector_col), V.vector_lit(c)) * F.lit(scale)
+            for c in cols
+        ]
+    )
+    return df.withColumn(out_col, proj)

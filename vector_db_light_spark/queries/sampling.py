@@ -113,3 +113,46 @@ def quota_per_source(spark, sf_dir):
     return SM.cap_per_key(docs, "source", 20, id_col="doc_id", salt="quota").orderBy(
         "doc_id"
     )
+
+
+@register(
+    "sample_mixture_temperature",
+    f"""
+WITH kept AS (
+{SM.temperature_mixture_sql('documents', 'lang', 'd.doc_id', 0.5)}
+),
+before AS (
+  SELECT lang, COUNT(*) AS n_before FROM documents GROUP BY 1
+)
+SELECT b.lang, CAST(b.n_before AS BIGINT) AS n_before,
+       CAST(COALESCE(COUNT(k.doc_id), 0) AS BIGINT) AS n_after,
+       CAST(COALESCE(SUM(k.doc_id), 0) AS BIGINT) AS kept_id_sum
+FROM before b LEFT JOIN kept k ON k.lang = b.lang
+GROUP BY b.lang, b.n_before
+ORDER BY b.lang
+""",
+)
+def sample_mixture_temperature(spark, sf_dir):
+    """Data-driven alpha=1/2 temperature mixing (operators/sampling.py::
+    temperature_mixture): dominant langs downsampled toward a flat
+    mixture, total ~= 50% of the corpus; per-lang before/after counts +
+    kept-id checksum, all integer-exact."""
+    docs = load(spark, sf_dir, "documents")
+    kept = SM.temperature_mixture(docs, "lang", key_col="doc_id")
+    before = docs.groupBy("lang").agg(F.count("*").alias("n_before"))
+    after = kept.groupBy("lang").agg(
+        F.count("*").alias("n_after"),
+        F.sum("doc_id").alias("kept_id_sum"),
+    )
+    return (
+        before.join(after, "lang", "left")
+        .select(
+            "lang",
+            F.col("n_before").cast("long").alias("n_before"),
+            F.coalesce(F.col("n_after"), F.lit(0)).cast("long").alias("n_after"),
+            F.coalesce(F.col("kept_id_sum"), F.lit(0))
+            .cast("long")
+            .alias("kept_id_sum"),
+        )
+        .orderBy("lang")
+    )

@@ -1141,3 +1141,36 @@ def kmeans_lloyd(spark, sf_dir):
         )
         .orderBy("cluster_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# Johnson-Lindenstrauss random projection (operators/similarity.py::
+# random_projection): 64 -> 16 dims with a Rademacher matrix. d_out = 16
+# makes the 1/sqrt(d_out) scale (0.25) exactly representable, so each
+# output is one fold + one exact multiply — bit-identical on both engines,
+# no rounding anywhere.
+# ---------------------------------------------------------------------------
+
+_JL_DOUT = 16
+_JL_COLS = S.rademacher_matrix(DIM, _JL_DOUT)
+
+
+@register(
+    "embed_random_projection",
+    f"""
+SELECT vec_id,
+       {", ".join(
+           f"{dot_sql('embedding', vec_sql(c))} * '0.25'::DOUBLE AS r{j}"
+           for j, c in enumerate(_JL_COLS))}
+FROM embeddings
+ORDER BY vec_id
+""",
+)
+def embed_random_projection(spark, sf_dir):
+    """JL compression pre-pass: the narrow no-shuffle map that shrinks
+    every downstream ANN/dedup shuffle by d_in/d_out (4x here)."""
+    emb = load(spark, sf_dir, "embeddings")
+    p = S.random_projection(emb, DIM, _JL_DOUT)
+    return p.select(
+        "vec_id", *[F.col("proj")[j].alias(f"r{j}") for j in range(_JL_DOUT)]
+    ).orderBy("vec_id")
