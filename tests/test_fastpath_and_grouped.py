@@ -96,3 +96,49 @@ def test_stream_dedup_across_batches(spark, tmp_path):
         assert rows2 == {"h0": 1, "h1": 1, "h2": 1}
     finally:
         q.stop()
+
+
+def test_stream_dedup_watermark_evicts_state(spark, tmp_path):
+    """The bounded-memory contract of the watermarked variant: a duplicate
+    arriving WITHIN the watermark is dropped, and once the watermark has
+    advanced past a hash's eviction point its state is gone — a much-later
+    re-occurrence is emitted again. (Unbounded-state dedup at 100 TB is a
+    slow OOM; eviction is what makes the operator deployable.)"""
+    from vector_db_light_spark.streaming.ingest import stream_dedup_exact
+
+    src = str(tmp_path / "src_wm")
+
+    def write(rows):
+        spark.createDataFrame(
+            rows, "doc_id bigint, doc_hash string, ts string"
+        ).write.mode("append").parquet(src)
+
+    write([(0, "h0", "2026-01-01 00:00:00"), (1, "h0", "2026-01-01 00:10:00")])
+    stream = spark.readStream.schema(spark.read.parquet(src).schema).parquet(src)
+    out = stream_dedup_exact(stream, ts_col="ts", watermark_delay="1 hour")
+    q = (
+        out.writeStream.format("memory")
+        .queryName("dedup_wm")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt_wm"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        assert spark.sql("SELECT count(*) c FROM dedup_wm").collect()[0]["c"] == 1
+
+        # advance event time far past h0's expiry (00:00 + 1h watermark)
+        write([(2, "h1", "2026-01-01 06:00:00")])
+        q.processAllAvailable()
+        # h0's state is evicted -> the same content re-emits
+        write([(3, "h0", "2026-01-01 06:30:00")])
+        q.processAllAvailable()
+        per_hash = {
+            r["doc_hash"]: r["c"]
+            for r in spark.sql(
+                "SELECT doc_hash, count(*) c FROM dedup_wm GROUP BY 1"
+            ).collect()
+        }
+        assert per_hash == {"h0": 2, "h1": 1}
+    finally:
+        q.stop()

@@ -62,3 +62,50 @@ def test_stream_interval_join_matches_batch(spark, tmp_path):
     }
     assert want, "fixture produced no pairs — widen the interval"
     assert got == want
+
+
+def test_stream_search_matches_batch(spark, tmp_path):
+    """Streaming ANN serving == the batch IVF plan over the same queries:
+    two query micro-batches against the static embeddings corpus produce
+    exactly the rows batch_ivf_topk computes for the union."""
+    from vector_db_light_spark.operators.similarity import (
+        batch_ivf_topk,
+        ivf_centroids,
+    )
+    from vector_db_light_spark.registry import load
+    from vector_db_light_spark.streaming.serving import stream_search
+
+    emb = load(spark, SF_SMOKE, "embeddings")
+    cents = ivf_centroids(emb, dim=64)
+
+    queries = emb.filter(F.col("vec_id") < 6).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    qsrc = str(tmp_path / "qsrc")
+    queries.filter(F.col("query_id") < 3).write.mode("append").parquet(qsrc)
+
+    out_dir = str(tmp_path / "hits")
+    stream = spark.readStream.schema(spark.read.parquet(qsrc).schema).parquet(qsrc)
+    q = stream_search(
+        stream, emb, cents, out_dir, str(tmp_path / "ckpt_srv"), nprobe=2, k=3
+    )
+    q.awaitTermination(120)
+    # second micro-batch (availableNow already stopped; restart picks up
+    # the new files from the checkpoint — the serving loop in production
+    # runs continuously, the restart here just exercises the offset log)
+    queries.filter(F.col("query_id") >= 3).write.mode("append").parquet(qsrc)
+    stream2 = spark.readStream.schema(spark.read.parquet(qsrc).schema).parquet(qsrc)
+    q2 = stream_search(
+        stream2, emb, cents, out_dir, str(tmp_path / "ckpt_srv"), nprobe=2, k=3
+    )
+    q2.awaitTermination(120)
+
+    got = {
+        (r["query_id"], r["vec_id"], r["rk"])
+        for r in spark.read.parquet(out_dir).collect()
+    }
+    want = {
+        (r["query_id"], r["vec_id"], r["rk"])
+        for r in batch_ivf_topk(emb, queries, cents, nprobe=2, k=3).collect()
+    }
+    assert got == want and len(got) == 6 * 3
