@@ -147,6 +147,11 @@ def _populate() -> None:
 # double-covered slots (pivot/unpivot, orders_with_late_lineitems,
 # split_train_val_test, multimodal_resize — all still checked by
 # driver_sim), so the external oracle exercises the new work immediately.
+# Late-r6 rotation: kmeans_lloyd (oracle-checked iterative trainer),
+# sample_mixture_temperature (data-driven mixing) and
+# embed_random_projection (JL compression) swapped in for ann_lsh_bucketed,
+# sample_stratified_lang and ingest_metadata — each replaced slot keeps a
+# same-family representative in the window and stays driver_sim-checked.
 PRIORITY: tuple[str, ...] = (
     # retrieval / search surface
     "search_pipeline",      # V2-V4 + F1 + F2 + J1 + F6 flagship
@@ -186,21 +191,21 @@ PRIORITY: tuple[str, ...] = (
     "dedup_simhash_hamming",
     # similarity search
     "knn_batch_topk",
-    "ann_lsh_bucketed",
+    "kmeans_lloyd",          # Lloyd trainer, fixed-point exact (late r6)
     "knn_sq8_topk",
     "knn_pq_adc_topk",      # PQ/ADC codes-only top-k (new in r6)
     "ann_ivf_pruned",
     # pipeline / ingest / multimodal
     "embed_hashed_features",
     "index_build_pipeline",
-    "ingest_metadata",
+    "embed_random_projection",  # JL 64->16, bit-exact (late r6)
     "multimodal_meta",
     "corpus_curation_pipeline",  # capstone 5-stage curation DAG (new in r6)
     "ingest_parse_documents",
     # analytics / text stats
     "salted_hot_key_agg",
     "price_quantiles_per_segment",
-    "sample_stratified_lang",
+    "sample_mixture_temperature",  # data-driven alpha=1/2 mixing (late r6)
     "text_repetition",      # Gopher repetition ratios (r6 rotation)
     "quota_per_source",     # per-source cap, WindowGroupLimit (r6 rotation)
     "heavy_hitters_cms",    # count-min vs exact, bound pinned (new in r6)
