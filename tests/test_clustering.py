@@ -94,3 +94,35 @@ def test_random_projection_preserves_distances(spark):
     rel = np.abs(np.array(dists_p) / np.array(dists_o) - 1.0)
     assert rel.mean() < 0.35
     assert rel.max() < 1.0
+
+
+def test_pagerank_exact_hand_graph_and_invariants(spark):
+    """Tiny hand-checkable star graph + invariants: integer mass is
+    conserved up to division truncation, and ranks are identical under
+    repartitioning (pure integer arithmetic has no summation-order
+    exposure)."""
+    from vector_db_light_spark.operators.graph import pagerank_exact
+
+    # star: hub h <-> a, b, c (symmetrized)
+    pairs = [("h", x) for x in "abc"]
+    rows = pairs + [(b, a) for a, b in pairs]
+    edges = spark.createDataFrame(rows, "src string, dst string")
+
+    ranks = {r["node"]: r["rank_u6"] for r in pagerank_exact(edges, iters=2).collect()}
+    # round 1: h gets 3 leaves' full rank (out_deg 1 each): 150000 +
+    # 85*3000000//100 = 2700000; leaves get h's third: 150000 +
+    # 85*(1000000//3)//100 = 433333
+    # round 2: h: 150000 + 85*(3*433333)//100 = 1254999
+    #          leaf: 150000 + 85*(2700000//3)//100 = 915000
+    assert ranks["h"] == 1_254_999
+    assert ranks["a"] == ranks["b"] == ranks["c"] == 915_000
+
+    total = sum(ranks.values())
+    n = len(ranks)
+    assert n * 1_000_000 * 0.99 < total <= n * 1_000_000
+
+    ranks2 = {
+        r["node"]: r["rank_u6"]
+        for r in pagerank_exact(edges.repartition(5), iters=2).collect()
+    }
+    assert ranks2 == ranks

@@ -936,3 +936,80 @@ def table_profile_orders(spark, sf_dir):
     for p in parts[1:]:
         out = out.unionByName(p)
     return out.orderBy("col_name")
+
+
+# ---------------------------------------------------------------------------
+# Exact integer PageRank (operators/graph.py) over the symmetrized
+# customer<->supplier transaction graph: 2 damped rounds, all mass in
+# BIGINT micro-units (integer division throughout) so the iterative
+# algorithm hash-matches an unrolled DuckDB replay exactly — the same
+# fixed-point strategy as kmeans_lloyd. Top-20 suppliers by centrality.
+# ---------------------------------------------------------------------------
+
+def _pr_round_sql(t: int) -> str:
+    return f"""
+i{t} AS (
+  SELECT e.dst AS node,
+         CAST(SUM(r.rank_u6 // d.out_deg) AS BIGINT) AS inc
+  FROM edges e
+  JOIN r{t - 1} r ON r.node = e.src
+  JOIN deg d ON d.src = e.src
+  GROUP BY 1
+),
+r{t} AS (
+  SELECT n.node,
+         CAST(150000 + (85 * COALESCE(i.inc, 0)) // 100 AS BIGINT) AS rank_u6
+  FROM nodes n LEFT JOIN i{t} i ON i.node = n.node
+)"""
+
+
+@register(
+    "pagerank_suppliers",
+    f"""
+WITH pairs AS (
+  SELECT DISTINCT 'c' || CAST(o.o_custkey AS VARCHAR) AS c,
+                  's' || CAST(l.l_suppkey AS VARCHAR) AS s
+  FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+),
+edges AS (
+  SELECT c AS src, s AS dst FROM pairs
+  UNION ALL
+  SELECT s AS src, c AS dst FROM pairs
+),
+deg AS (SELECT src, COUNT(*) AS out_deg FROM edges GROUP BY 1),
+nodes AS (SELECT DISTINCT src AS node FROM edges),
+r0 AS (SELECT node, CAST(1000000 AS BIGINT) AS rank_u6 FROM nodes),
+{_pr_round_sql(1)},
+{_pr_round_sql(2)}
+SELECT node, rank_u6 FROM r2
+WHERE node LIKE 's%'
+ORDER BY rank_u6 DESC, node ASC
+LIMIT 20
+""",
+)
+def pagerank_suppliers(spark, sf_dir):
+    """Supplier centrality on the customer<->supplier graph: a quality/
+    importance prior of the kind web-corpus pipelines compute from link
+    graphs, here over transaction edges. Symmetrized, so no dangling
+    nodes exist and every rank stays integer-exact."""
+    from ..operators.graph import pagerank_exact
+
+    orders = load(spark, sf_dir, "orders")
+    lineitem = load(spark, sf_dir, "lineitem")
+    pairs = (
+        orders.join(lineitem, orders.o_orderkey == lineitem.l_orderkey)
+        .select(
+            F.concat(F.lit("c"), F.col("o_custkey").cast("string")).alias("c"),
+            F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias("s"),
+        )
+        .distinct()
+    )
+    edges = pairs.select(F.col("c").alias("src"), F.col("s").alias("dst")).unionAll(
+        pairs.select(F.col("s").alias("src"), F.col("c").alias("dst"))
+    )
+    ranks = pagerank_exact(edges, iters=2)
+    return (
+        ranks.filter(F.col("node").startswith("s"))
+        .orderBy(F.col("rank_u6").desc(), F.col("node").asc())
+        .limit(20)
+    )
