@@ -67,3 +67,30 @@ def test_chunks_before_first_marker_dropped(spark):
     # clean = abcdefghij; marker pos 6; starts 0,2,4 have no marker -> dropped
     assert sorted(out) == [6, 8]
     assert out[6] == 4 and out[8] == 4
+
+
+def test_chunk_udtf_matches_chunk_fixed(spark):
+    """§2.9 UDTF surface: the SQL-visible LATERAL table function yields
+    exactly chunk_fixed's (doc_id, chunk_offset, chunk_text) rows on the
+    fixture corpus — per-row Python, pinned equal to the Catalyst chunker
+    it fronts for pure-SQL users."""
+    from conftest import SF_SMOKE
+
+    from vector_db_light_spark.functions.udtfs import register_udtfs
+    from vector_db_light_spark.operators.chunking import chunk_fixed
+
+    register_udtfs(spark)
+    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+    docs.createOrReplaceTempView("_udtf_docs")
+    got = {
+        (r["doc_id"], r["chunk_offset"], r["chunk_text"])
+        for r in spark.sql(
+            "SELECT d.doc_id, c.chunk_offset, c.chunk_text "
+            "FROM _udtf_docs d, LATERAL chunk_text(d.text, 150) c"
+        ).collect()
+    }
+    want = {
+        (r["doc_id"], r["chunk_offset"], r["chunk_text"])
+        for r in chunk_fixed(docs, 150).collect()
+    }
+    assert got == want and got
