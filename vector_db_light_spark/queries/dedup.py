@@ -10,6 +10,7 @@ sides: exact copies (id+200000 for id%7==0) and near copies with the first
 from __future__ import annotations
 
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from ..operators import dedup as D
 from ..plans.spread import spread
@@ -831,3 +832,76 @@ def dedup_incremental_substring(spark, sf_dir):
     newb = spread(exact.unionByName(near), "doc_id")
     existing = D.sampled_grams(spread(docs, "doc_id"))
     return D.incremental_duplicate_spans(existing, newb).orderBy("doc_id")
+
+
+@register(
+    "dedup_keep_best",
+    # same closure as dedup_clusters; the canonical pick upgrades from
+    # "min doc_id" to "longest member" (argmax by (length, min id)) — the
+    # completeness heuristic real curation uses: near-dup truncations lose
+    # to their fuller original. length(text) is an integer on both engines,
+    # so the argmax has zero float exposure.
+    f"""
+WITH RECURSIVE corpus AS ({_CORPUS_SQL}),
+{_PAIRS_CTES_SQL},
+edges AS (
+  SELECT id_a AS src, id_b AS dst FROM pairs
+  UNION
+  SELECT id_b AS src, id_a AS dst FROM pairs
+),
+walk(id, label) AS (
+  SELECT DISTINCT src AS id, src AS label FROM edges
+  UNION
+  SELECT e.dst AS id, w.label FROM walk w JOIN edges e ON e.src = w.id
+),
+comp AS (SELECT id, min(label) AS cluster_id FROM walk GROUP BY id),
+labeled AS (
+  SELECT c.doc_id, length(c.text) AS n_chars,
+         coalesce(p.cluster_id, c.doc_id) AS cluster_id
+  FROM corpus c LEFT JOIN comp p ON p.id = c.doc_id
+),
+ranked AS (
+  SELECT doc_id, cluster_id, CAST(n_chars AS BIGINT) AS n_chars,
+         row_number() OVER (PARTITION BY cluster_id
+                            ORDER BY n_chars DESC, doc_id ASC) AS rn
+  FROM labeled
+)
+SELECT doc_id, cluster_id, n_chars, CAST(rn = 1 AS INT) AS is_kept
+FROM ranked
+ORDER BY doc_id
+""",
+)
+def dedup_keep_best(spark, sf_dir):
+    """Keep-best canonical selection: cluster exactly like dedup_clusters,
+    then keep the LONGEST member of each cluster (tie: smallest doc_id) —
+    the WindowGroupLimit-shaped argmax, integer-exact. The near-dup rows
+    the fixture injects are 20-char truncations, so every one of them is
+    dropped in favor of its original."""
+    corpus = _corpus(spark, sf_dir)
+    rows = D.shingle_rows(corpus).persist()
+    sigs = D.minhash_signatures(corpus, rows=rows)
+    cands = D.lsh_candidate_pairs(D.minhash_band_keys(sigs))
+    verified = D.jaccard_pairs(corpus, candidates=cands, rows=rows).filter(
+        F.col("jaccard") >= 0.5
+    )
+    labels = D.connected_components(verified)
+    labeled = corpus.join(
+        labels.withColumnRenamed("id", "doc_id"), "doc_id", "left"
+    ).select(
+        "doc_id",
+        F.length("text").cast("long").alias("n_chars"),
+        F.coalesce("label", F.col("doc_id")).alias("cluster_id"),
+    )
+    w = Window.partitionBy("cluster_id").orderBy(
+        F.col("n_chars").desc(), F.col("doc_id").asc()
+    )
+    return (
+        labeled.withColumn("rn", F.row_number().over(w))
+        .select(
+            "doc_id",
+            "cluster_id",
+            "n_chars",
+            (F.col("rn") == 1).cast("int").alias("is_kept"),
+        )
+        .orderBy("doc_id")
+    )

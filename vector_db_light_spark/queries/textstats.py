@@ -315,3 +315,50 @@ def heavy_hitters_cms(spark, sf_dir):
         .orderBy(F.col("exact_count").desc(), F.col("term").asc())
         .limit(10)
     )
+
+
+@register(
+    "bpe_pair_counts",
+    f"""
+WITH words AS (
+  SELECT unnest({_TOKS_SQL}) AS w FROM documents
+),
+pairs AS (
+  SELECT unnest(list_transform(generate_series(1, len(w) - 1),
+                               i -> substr(w, i, 2))) AS pair
+  FROM words WHERE len(w) >= 2
+)
+SELECT pair, CAST(COUNT(*) AS BIGINT) AS cnt
+FROM pairs GROUP BY 1
+ORDER BY cnt DESC, pair ASC
+LIMIT 20
+""",
+)
+def bpe_pair_counts(spark, sf_dir):
+    """The BPE trainer's inner-loop statistic: corpus-wide adjacent
+    symbol-pair (character-bigram) frequencies at the initial alphabet,
+    i.e. the counts whose argmax picks the next merge. Double fan-out
+    (tokens, then in-word positions) is narrow — no shuffle before the
+    final pair aggregation, which partial-aggregates map-side; the full
+    merge loop would re-run this with the merged symbol table applied
+    (mapInPandas), each round reading the same layout."""
+    from ..operators.dedup import tokens_expr
+
+    docs = load_docs(spark, sf_dir)
+    words = docs.select(F.explode(tokens_expr("text")).alias("w")).filter(
+        F.length("w") >= 2
+    )
+    pairs = words.select(
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.length("w") - F.lit(1)),
+                lambda i: F.col("w").substr(i, F.lit(2)),
+            )
+        ).alias("pair")
+    )
+    return (
+        pairs.groupBy("pair")
+        .agg(F.count("*").cast("long").alias("cnt"))
+        .orderBy(F.col("cnt").desc(), F.col("pair").asc())
+        .limit(20)
+    )
