@@ -4,7 +4,7 @@ from __future__ import annotations
 
 import pytest
 
-from conftest import SF_ORACLE
+from conftest import SF_ORACLE, SF_SMOKE
 
 from vector_db_light_spark.functions.vector import default_query_vector
 
@@ -63,3 +63,41 @@ def test_knn_plan_is_scan_project_takeordered(spark):
     assert "TakeOrderedAndProject" in plan
     assert "Exchange" not in plan.split("AdaptiveSparkPlan")[-1] or True
     assert "Exchange hashpartitioning" not in plan
+
+
+def test_residual_pq_reconstructs_better_than_raw(spark):
+    """The reason residual quantization exists: with IDENTICAL codebooks
+    and code size, reconstructing centroid + decode(residual code) must
+    beat decode(raw code) in mean squared error — residuals concentrate
+    near zero where the codewords are."""
+    import numpy as np
+
+    from vector_db_light_spark.operators.similarity import (
+        ivf_centroids,
+        pq_codebooks,
+        pq_encode,
+        pq_encode_residual,
+    )
+    from vector_db_light_spark.registry import load
+
+    m, ksub, subdim = 8, 16, 8
+    books = pq_codebooks(m, ksub, subdim)
+    emb = load(spark, SF_SMOKE, "embeddings")
+    cents = {r["label"]: np.array(r["centroid"]) for r in ivf_centroids(emb, 64).collect()}
+    vecs = {r["vec_id"]: (np.array(r["embedding"], dtype=np.float64), r["label"])
+            for r in emb.collect()}
+
+    def decode(row):
+        return np.concatenate([np.array(books[s][row[f"code_{s}"]]) for s in range(m)])
+
+    raw = {r["vec_id"]: decode(r) for r in pq_encode(emb, books).collect()}
+    res = {
+        r["vec_id"]: decode(r)
+        for r in pq_encode_residual(emb, ivf_centroids(emb, 64), books).collect()
+    }
+
+    mse_raw = np.mean([np.sum((vecs[i][0] - raw[i]) ** 2) for i in vecs])
+    mse_res = np.mean(
+        [np.sum((vecs[i][0] - (cents[vecs[i][1]] + res[i])) ** 2) for i in vecs]
+    )
+    assert mse_res < mse_raw

@@ -789,3 +789,89 @@ def random_projection(
         ]
     )
     return df.withColumn(out_col, proj)
+
+
+def pq_encode_residual(
+    corpus: DataFrame,
+    centroids: DataFrame,
+    codebooks: list[list[list[float]]],
+    id_col: str = "vec_id",
+    vector_col: str = "embedding",
+    cluster_col: str = "label",
+) -> DataFrame:
+    """Classic-IVFPQ encode: quantize the RESIDUAL v - centroid(v) instead
+    of the raw vector (Jegou et al. 2011 §III.C — the variant FAISS calls
+    IndexIVFPQ). Residuals concentrate near zero, so a fixed codebook
+    budget spends its codewords on a tighter distribution — better
+    reconstruction at identical code size. One broadcast join against the
+    tiny centroid table, then the standard pq_encode argmin; output keeps
+    ``cluster_col`` because serving must pick the LUT of the residual's own
+    cluster."""
+    res = corpus.join(F.broadcast(centroids), cluster_col).select(
+        F.col(id_col),
+        F.col(cluster_col),
+        F.zip_with(
+            F.col(vector_col).cast("array<double>"),
+            F.col("centroid"),
+            lambda x, y: x - y,
+        ).alias("_res"),
+    )
+    return pq_encode(
+        res, codebooks, id_col=id_col, vector_col="_res", keep_cols=[cluster_col]
+    )
+
+
+def ivf_pq_residual_topk(
+    codes: DataFrame,
+    centroids: DataFrame,
+    query_vector: list[float],
+    codebooks: list[list[list[float]]],
+    nprobe: int = 2,
+    k: int = 10,
+    id_col: str = "vec_id",
+    cluster_col: str = "label",
+) -> DataFrame:
+    """Serve a residual-PQ index: probe the ``nprobe`` nearest centroids,
+    build ONE ADC LUT per probed cluster from the query's residual
+    q - centroid (asymmetric distance in residual space equals
+    ||v - q||^2 up to quantization), broadcast the (cluster, LUT) rows,
+    and rank probed-cluster codes by table lookups only. The corpus scan
+    reads M small ints per row and never the vectors; the probe side is
+    centroid-table-sized. ADC sums the M lookups left-to-right (same
+    order as pq_adc_topk)."""
+    from ..functions.vector import vector_lit
+
+    m = len(codebooks)
+    subdim = len(codebooks[0][0])
+    q = vector_lit(query_vector)
+    cd = (F.lit(1.0) - V.dot(F.col("centroid"), q)).alias("_cd")
+    probed = (
+        centroids.select(F.col(cluster_col), F.col("centroid"), cd)
+        .orderBy(F.col("_cd").asc(), F.col(cluster_col).asc())
+        .limit(nprobe)
+    )
+    qr = F.zip_with(q, F.col("centroid"), lambda x, y: x - y)
+    luts = probed.withColumn("_qr", qr).select(
+        F.col(cluster_col),
+        *[
+            F.array(
+                *[
+                    _subspace_sumsq(
+                        F.slice(F.col("_qr"), s * subdim + 1, subdim), cw
+                    )
+                    for cw in codebooks[s]
+                ]
+            ).alias(f"_lut_{s}")
+            for s in range(m)
+        ],
+    )
+    adc: Column | None = None
+    for s in range(m):
+        term = F.element_at(F.col(f"_lut_{s}"), F.col(f"code_{s}") + 1)
+        adc = term if adc is None else adc + term
+    return (
+        codes.join(F.broadcast(luts), cluster_col)
+        .select(F.col(id_col), adc.alias("adc"))
+        .orderBy(F.col("adc").asc(), F.col(id_col).asc())
+        .limit(k)
+    )

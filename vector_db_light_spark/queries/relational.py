@@ -973,3 +973,74 @@ def lonely_late_suppliers(spark, sf_dir):
             lineitem="_sq_li21", orders="_sq_ord21", supplier="_sq_sup21"
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Gap-filled time-series resample: the dense (hour x event_type) grid with
+# zero rows for empty cells — the resample/fill operator every time-series
+# pipeline needs before windowed models (missing hours must be zeros, not
+# absent rows). Spine = sequence(min_hour, max_hour); value sums in exact
+# BIGINT cents (per-row round then integer sum — no float agg).
+# ---------------------------------------------------------------------------
+
+@register(
+    "events_resample_hourly",
+    """
+WITH b AS (
+  SELECT date_trunc('hour', min(ts)) AS h0, date_trunc('hour', max(ts)) AS h1
+  FROM events
+),
+spine AS (
+  SELECT unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS window_start
+  FROM b
+),
+types AS (SELECT DISTINCT event_type FROM events),
+counts AS (
+  SELECT date_trunc('hour', ts) AS window_start, event_type,
+         COUNT(*) AS n,
+         SUM(CAST(round(value * 100) AS BIGINT)) AS cents
+  FROM events GROUP BY 1, 2
+)
+SELECT s.window_start, t.event_type,
+       CAST(COALESCE(c.n, 0) AS BIGINT) AS n,
+       CAST(COALESCE(c.cents, 0) AS BIGINT) AS total_cents
+FROM spine s
+CROSS JOIN types t
+LEFT JOIN counts c
+  ON c.window_start = s.window_start AND c.event_type = t.event_type
+ORDER BY s.window_start, t.event_type
+""",
+)
+def events_resample_hourly(spark, sf_dir):
+    """Dense resample: spine x types is tiny (hours x cardinality) and
+    broadcast; the one real aggregation partial-aggregates map-side. At
+    100 TB the spine stays driver-free — min/max are an aggregate row,
+    sequence+explode fans it out distributed."""
+    events = load(spark, sf_dir, "events")
+    bounds = events.agg(
+        F.date_trunc("hour", F.min("ts")).alias("h0"),
+        F.date_trunc("hour", F.max("ts")).alias("h1"),
+    )
+    spine = bounds.select(
+        F.explode(
+            F.sequence("h0", "h1", F.expr("interval 1 hour"))
+        ).alias("window_start")
+    )
+    types = events.select("event_type").distinct()
+    counts = events.groupBy(
+        F.date_trunc("hour", "ts").alias("window_start"), "event_type"
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.round(F.col("value") * 100, 0).cast("long")).alias("cents"),
+    )
+    return (
+        spine.crossJoin(types)
+        .join(counts, ["window_start", "event_type"], "left")
+        .select(
+            "window_start",
+            "event_type",
+            F.coalesce("n", F.lit(0)).cast("long").alias("n"),
+            F.coalesce("cents", F.lit(0)).cast("long").alias("total_cents"),
+        )
+        .orderBy("window_start", "event_type")
+    )

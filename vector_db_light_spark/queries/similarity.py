@@ -1174,3 +1174,107 @@ def embed_random_projection(spark, sf_dir):
     return p.select(
         "vec_id", *[F.col("proj")[j].alias(f"r{j}") for j in range(_JL_DOUT)]
     ).orderBy("vec_id")
+
+
+# ---------------------------------------------------------------------------
+# Residual IVF+PQ (classic FAISS IndexIVFPQ): PQ codes quantize the
+# RESIDUAL v - centroid(v); serving probes nprobe centroids and builds one
+# ADC LUT per probed cluster from the query residual. Same codebooks, same
+# code size as knn_pq_adc_topk — tighter reconstruction because residuals
+# concentrate near zero (Jegou et al. 2011 §III.C).
+# ---------------------------------------------------------------------------
+
+_RES_SUBS_SQL = ",\n         ".join(
+    f"list_slice(rv, {s * _PQ_SUBDIM + 1}, {(s + 1) * _PQ_SUBDIM}) AS sub_{s}"
+    for s in range(_PQ_M)
+)
+
+
+def _res_lut_sql(s: int) -> str:
+    folds = ", ".join(
+        f"list_reduce(list_transform(list_zip("
+        f"list_slice(qr, {s * _PQ_SUBDIM + 1}, {(s + 1) * _PQ_SUBDIM}), "
+        f"{vec_sql(cw)}), s -> (s[1] - s[2]) * (s[1] - s[2])), (a, b) -> a + b)"
+        for cw in _CODEBOOKS[s]
+    )
+    return f"[{folds}] AS lut_{s}"
+
+
+_RES_ADC_SQL = " + ".join(
+    f"l.lut_{s}[c.code_{s} + 1]" for s in range(_PQ_M)
+)
+
+
+@register(
+    "knn_ivfpq_residual_topk",
+    f"""
+WITH cents AS (
+  SELECT label, [{_CENT_COLS_SQL}] AS centroid
+  FROM embeddings GROUP BY label
+),
+res AS (
+  SELECT e.vec_id, e.label,
+         list_transform(list_zip(e.embedding::DOUBLE[], c.centroid),
+                        s -> s[1] - s[2]) AS rv
+  FROM embeddings e JOIN cents c USING (label)
+),
+subs AS (
+  SELECT vec_id, label,
+         {_RES_SUBS_SQL}
+  FROM res
+),
+dists AS (
+  SELECT vec_id, label,
+         {_PQ_DISTS_SQL}
+  FROM subs
+),
+mins AS (
+  SELECT *,
+         {_PQ_MINS_SQL}
+  FROM dists
+),
+codes AS (
+  SELECT vec_id, label, {", ".join(_pq_code_sql(s) for s in range(_PQ_M))}
+  FROM mins
+),
+probes AS (
+  SELECT label, centroid FROM (
+    SELECT c.label, c.centroid,
+           row_number() OVER (ORDER BY 1.0 - {dot_sql('c.centroid')} ASC,
+                              c.label ASC) AS pr
+    FROM cents c
+  ) WHERE pr <= 2
+),
+qres AS (
+  SELECT label,
+         list_transform(list_zip({QUERY_VEC_SQL}, centroid),
+                        s -> s[1] - s[2]) AS qr
+  FROM probes
+),
+luts AS (
+  SELECT label, {", ".join(_res_lut_sql(s) for s in range(_PQ_M))}
+  FROM qres
+)
+SELECT c.vec_id, {_RES_ADC_SQL} AS adc
+FROM codes c JOIN luts l USING (label)
+ORDER BY adc ASC, c.vec_id ASC
+LIMIT 10
+""",
+)
+def knn_ivfpq_residual_topk(spark, sf_dir):
+    """Residual-quantizing IVFPQ serving: probe 2 centroids, per-cluster
+    residual LUTs, ADC over codes of probed clusters only — the corpus
+    scan reads 8 small ints per probed row. Encode here runs in-plan so
+    the oracle can replay both halves arithmetically; a deployment stores
+    pq_encode_residual's output as the codes table (api.build_pq_index's
+    sidecar layout)."""
+    emb = load(spark, sf_dir, "embeddings")
+    cents = _CENTROID_ARTIFACTS.get(sf_dir)
+    if cents is None:
+        cents = S.ivf_centroids(emb, DIM).persist()
+        cents.count()
+        _CENTROID_ARTIFACTS[sf_dir] = cents
+    codes = S.pq_encode_residual(emb, cents, _CODEBOOKS)
+    return S.ivf_pq_residual_topk(
+        codes, cents, QUERY_VEC, _CODEBOOKS, nprobe=2, k=10
+    )
