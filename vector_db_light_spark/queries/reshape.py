@@ -165,3 +165,172 @@ def fuzzy_source_pairs(spark, sf_dir):
         .filter(F.col("dist") <= 2)
         .orderBy("src_a", "src_b")
     )
+
+
+
+# ---------------------------------------------------------------------------
+# Snapshot diff (CDC-style): old vs new table states compared by content
+# hash through ONE full-outer join on the key — the added/removed/changed
+# report every incremental pipeline needs before publishing a new corpus
+# snapshot. The "new" snapshot is derived in-query (deterministic edits:
+# drop doc_id%13, rewrite text for doc_id%11, append shifted ids) so the
+# oracle replays both sides arithmetically.
+# ---------------------------------------------------------------------------
+
+@register(
+    "table_snapshot_diff",
+    """
+WITH old_s AS (
+  SELECT doc_id, md5(text) AS h FROM documents
+),
+new_s AS (
+  SELECT doc_id,
+         md5(CASE WHEN doc_id % 11 = 0 THEN text || ' [rev2]' ELSE text END) AS h
+  FROM documents WHERE doc_id % 13 != 0
+  UNION ALL
+  SELECT doc_id + 500000 AS doc_id, md5(text) AS h
+  FROM documents WHERE doc_id % 17 = 0
+)
+SELECT COALESCE(o.doc_id, n.doc_id) AS doc_id,
+       CASE WHEN o.doc_id IS NULL THEN 'added'
+            WHEN n.doc_id IS NULL THEN 'removed'
+            ELSE 'changed' END AS change
+FROM old_s o FULL OUTER JOIN new_s n ON o.doc_id = n.doc_id
+WHERE o.doc_id IS NULL OR n.doc_id IS NULL OR o.h != n.h
+ORDER BY doc_id
+""",
+)
+def table_snapshot_diff(spark, sf_dir):
+    """One key-partitioned full-outer join, hash compare in the join
+    output — no row ever crosses the wire twice. At 100 TB both snapshots
+    bucket by the key so the join is co-located; the content hash rides
+    the scan (or is a stored column, as api.create_database stores it)."""
+    docs = load(spark, sf_dir, "documents")
+    old_s = docs.select("doc_id", F.md5("text").alias("h"))
+    new_s = (
+        docs.filter(F.col("doc_id") % 13 != 0)
+        .select(
+            "doc_id",
+            F.md5(
+                F.when(
+                    F.col("doc_id") % 11 == 0, F.concat(F.col("text"), F.lit(" [rev2]"))
+                ).otherwise(F.col("text"))
+            ).alias("h"),
+        )
+        .unionByName(
+            docs.filter(F.col("doc_id") % 17 == 0).select(
+                (F.col("doc_id") + 500000).alias("doc_id"), F.md5("text").alias("h")
+            )
+        )
+    )
+    o = old_s.alias("o")
+    n = new_s.alias("n")
+    j = o.join(n, F.col("o.doc_id") == F.col("n.doc_id"), "full_outer")
+    change = (
+        F.when(F.col("o.doc_id").isNull(), "added")
+        .when(F.col("n.doc_id").isNull(), "removed")
+        .otherwise(F.lit("changed"))
+    )
+    return (
+        j.filter(
+            F.col("o.doc_id").isNull()
+            | F.col("n.doc_id").isNull()
+            | (F.col("o.h") != F.col("n.h"))
+        )
+        .select(
+            F.coalesce(F.col("o.doc_id"), F.col("n.doc_id")).alias("doc_id"),
+            change.alias("change"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Data-quality constraint suite (the expectations/dbt-test pattern): each
+# constraint is one aggregate over its table; the report is a UNION of
+# single-row summaries — null checks, domain ranges, key uniqueness and
+# referential integrity (orphan FK anti-join), each with checked/violation
+# counts and a pass flag.
+# ---------------------------------------------------------------------------
+
+@register(
+    "dq_constraint_report",
+    """
+WITH checks AS (
+  SELECT 'orders_custkey_not_null' AS check_name,
+         CAST(COUNT(*) AS BIGINT) AS n_checked,
+         CAST(SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_violations
+  FROM orders
+  UNION ALL
+  SELECT 'lineitem_discount_in_0_1',
+         CAST(COUNT(*) AS BIGINT),
+         CAST(SUM(CASE WHEN l_discount < 0 OR l_discount > 1 THEN 1 ELSE 0 END)
+              AS BIGINT)
+  FROM lineitem
+  UNION ALL
+  SELECT 'orders_orderkey_unique',
+         CAST(COUNT(*) AS BIGINT),
+         CAST(COUNT(*) - COUNT(DISTINCT o_orderkey) AS BIGINT)
+  FROM orders
+  UNION ALL
+  SELECT 'lineitem_orderkey_fk',
+         CAST((SELECT COUNT(*) FROM lineitem) AS BIGINT),
+         CAST((SELECT COUNT(*) FROM lineitem l
+               WHERE NOT EXISTS (SELECT 1 FROM orders o
+                                 WHERE o.o_orderkey = l.l_orderkey)) AS BIGINT)
+)
+SELECT check_name, n_checked, n_violations,
+       CAST(n_violations = 0 AS INT) AS passed
+FROM checks
+ORDER BY check_name
+""",
+)
+def dq_constraint_report(spark, sf_dir):
+    """Constraint suite as one plan: aggregates union'd into a report.
+    The FK check is a broadcast-able anti-join count; every check is a
+    single pass over its table and they run concurrently under AQE."""
+    orders = load(spark, sf_dir, "orders")
+    lineitem = load(spark, sf_dir, "lineitem")
+    c1 = orders.agg(
+        F.lit("orders_custkey_not_null").alias("check_name"),
+        F.count(F.lit(1)).cast("long").alias("n_checked"),
+        F.sum(F.when(F.col("o_custkey").isNull(), 1).otherwise(0))
+        .cast("long")
+        .alias("n_violations"),
+    )
+    c2 = lineitem.agg(
+        F.lit("lineitem_discount_in_0_1").alias("check_name"),
+        F.count(F.lit(1)).cast("long").alias("n_checked"),
+        F.sum(
+            F.when((F.col("l_discount") < 0) | (F.col("l_discount") > 1), 1).otherwise(0)
+        )
+        .cast("long")
+        .alias("n_violations"),
+    )
+    c3 = orders.agg(
+        F.lit("orders_orderkey_unique").alias("check_name"),
+        F.count(F.lit(1)).cast("long").alias("n_checked"),
+        (F.count(F.lit(1)) - F.countDistinct("o_orderkey"))
+        .cast("long")
+        .alias("n_violations"),
+    )
+    orphans = lineitem.join(
+        orders.select("o_orderkey"),
+        lineitem.l_orderkey == F.col("o_orderkey"),
+        "left_anti",
+    )
+    c4 = lineitem.agg(F.count(F.lit(1)).cast("long").alias("n_checked")).crossJoin(
+        orphans.agg(F.count(F.lit(1)).cast("long").alias("n_violations"))
+    ).select(
+        F.lit("lineitem_orderkey_fk").alias("check_name"),
+        "n_checked",
+        "n_violations",
+    )
+    report = c1.unionByName(c2).unionByName(c3).unionByName(c4)
+    return report.select(
+        "check_name",
+        "n_checked",
+        "n_violations",
+        (F.col("n_violations") == 0).cast("int").alias("passed"),
+    ).orderBy("check_name")
