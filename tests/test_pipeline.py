@@ -103,7 +103,8 @@ def test_ingest_parses_and_surfaces_errors(spark, tmp_path):
     assert rows["a.txt"]["parse_error"] is None
     assert "hi" in rows["b.html"]["text"] and "<b>" not in rows["b.html"]["text"]
     assert rows["c.pdf"]["text"] is None
-    assert "NotImplementedError" in rows["c.pdf"]["parse_error"]
+    # junk pdf: the stdlib extractor finds no text streams -> parse_error
+    assert "no extractable text" in rows["c.pdf"]["parse_error"]
     assert rows["a.txt"]["hash"] and rows["a.txt"]["file_type"] == ".txt"
 
 
@@ -196,7 +197,8 @@ def test_register_parser_plugs_into_pipeline(spark, tmp_path):
         register_parser(".pdf", before)
     assert rows["doc.pdf"]["parse_error"] is None
     assert rows["doc.pdf"]["text"] == "PDF::%PDF-fake payload"
-    assert "NotImplementedError" in rows["sheet.xlsx"]["parse_error"]
+    # junk xlsx: the stdlib SpreadsheetML parser rejects the bytes
+    assert "BadZipFile" in rows["sheet.xlsx"]["parse_error"]
 
     # a brand-new extension becomes allowed on registration
     register_parser(".zzz", lambda b: "Z")
@@ -406,3 +408,102 @@ def test_watermark_drops_late_events(spark, tmp_path):
         assert rows.get(10) == 1  # late event did NOT bump the count
     finally:
         q.stop()
+
+
+def test_parse_xlsx_rtf_enex_pdf_stdlib():
+    """The round-6 second parser wave: xlsx/xlsm (SpreadsheetML), rtf
+    (state machine), enex (ENML notes) and basic pdf (stream scan + zlib +
+    show operators with [[pageN]] markers) — stdlib only."""
+    import io
+    import zipfile
+    import zlib
+
+    from vector_db_light_spark.sources.ingest import (
+        _parse_enex,
+        _parse_pdf,
+        _parse_rtf,
+        _parse_xlsx,
+    )
+
+    # xlsx: shared + inline + numeric cells over two rows
+    ns = 'xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main"'
+    shared = (
+        f'<sst {ns}><si><t>name</t></si>'
+        f"<si><t>spark</t><t> engine</t></si></sst>"
+    )
+    sheet = (
+        f'<worksheet {ns}><sheetData>'
+        '<row><c t="s"><v>0</v></c><c><v>42</v></c></row>'
+        '<row><c t="s"><v>1</v></c>'
+        '<c t="inlineStr"><is><t>inline</t></is></c></row>'
+        "</sheetData></worksheet>"
+    )
+    buf = io.BytesIO()
+    with zipfile.ZipFile(buf, "w") as z:
+        z.writestr("xl/sharedStrings.xml", shared)
+        z.writestr("xl/worksheets/sheet1.xml", sheet)
+    assert _parse_xlsx(buf.getvalue()) == "name\t42\nspark engine\tinline"
+
+    # rtf: font table skipped, \par newline, hex + unicode escapes decoded
+    rtf = (
+        rb"{\rtf1\ansi{\fonttbl{\f0 Arial;}}Hello \b bold\b0 world\par "
+        rb"caf\'e9 \u8212?dash}"
+    )
+    out = _parse_rtf(rtf)
+    assert "Hello" in out and "boldworld" in out  # delimiter spaces consumed
+    assert "Arial" not in out
+    assert "café" in out and "—dash" in out
+    assert out.count("\n") == 1
+
+    # enex: two notes, ENML tags stripped, titles kept
+    enex = (
+        "<en-export><note><title>First</title>"
+        "<content><![CDATA[<en-note><div>body one</div></en-note>]]></content>"
+        "</note><note><title>Second</title>"
+        "<content><![CDATA[<en-note>body two</en-note>]]></content>"
+        "</note></en-export>"
+    ).encode()
+    assert _parse_enex(enex) == "First\nbody one\n\nSecond\nbody two"
+
+    # pdf: page 1 uncompressed Tj, page 2 Flate-compressed TJ array with
+    # an escaped paren
+    p1 = b"BT (Hello \\(PDF\\)) Tj ET"
+    p2 = zlib.compress(b"BT [(World) -2 (again)] TJ ET")
+    pdf = (
+        b"%PDF-1.4\n1 0 obj\n<< /Length 99 >>\nstream\n" + p1
+        + b"\nendstream\nendobj\n2 0 obj\n<< /Filter /FlateDecode >>\nstream\n"
+        + p2 + b"\nendstream\nendobj\n%%EOF"
+    )
+    assert _parse_pdf(pdf) == "[[page1]]Hello (PDF)[[page2]]World again"
+
+
+def test_pdf_end_to_end_page_aware_chunking(spark, tmp_path):
+    """A real .pdf file now flows through create_database's pdf branch:
+    parsed by the stdlib extractor, page markers drive the page-aware
+    overlap chunker (F5/S3), and the pages land in citations."""
+    import zlib
+
+    from vector_db_light_spark.api import VectorDatabaseManager
+
+    body1 = "spark runs distributed queries over parquet. " * 8
+    body2 = "page two talks about catalyst optimization. " * 8
+    stream1 = f"BT ({body1}) Tj ET".encode("latin-1")
+    stream2 = zlib.compress(f"BT ({body2}) Tj ET".encode("latin-1"))
+    pdf = (
+        b"%PDF-1.4\nstream\n" + stream1 + b"\nendstream\nstream\n"
+        + stream2 + b"\nendstream\n%%EOF"
+    )
+    src = tmp_path / "pdfdocs"
+    src.mkdir()
+    (src / "doc.pdf").write_bytes(pdf)
+
+    mgr = VectorDatabaseManager(spark, str(tmp_path / "dbs"))
+    mgr.create_database("pdfkb", str(src), chunk_size=200, chunk_overlap=50)
+    emb = spark.read.parquet(str(tmp_path / "dbs" / "pdfkb" / "embeddings"))
+    rows = emb.collect()
+    assert rows
+    pages = {r["page"] for r in rows if "page" in r.asDict()}
+    texts = " ".join(r["chunk_text"] for r in rows)
+    assert "catalyst" in texts
+    if pages:
+        assert {1, 2} <= pages

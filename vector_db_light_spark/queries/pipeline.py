@@ -208,7 +208,9 @@ def multimodal_meta(spark, sf_dir):
 # ---------------------------------------------------------------------------
 # S1+S2 end-to-end over real files (rows-only: filesystem-dependent). Files
 # are materialized once per process into a temp dir, then binaryFile-scanned
-# and parsed; a .pdf is included to show the parse_error path.
+# and parsed; the .pdf fixture is a real minimal one-stream PDF (ascii
+# literal string, so its bytes — and thus sha256/file_size — are SQL-
+# reconstructable) exercising the stdlib pdf extractor + [[page1]] marker.
 # ---------------------------------------------------------------------------
 
 # Keyed by sf_dir: the driver runs entry() at sf0.001 and queries() at
@@ -324,6 +326,14 @@ def _materialize_ingest_dir(spark, sf_dir) -> str:
             elif ext == ".eml":
                 with open(path, "w", encoding="utf-8", newline="") as f:
                     f.write(_EML_TEMPLATE.format(doc_id=r["doc_id"], body=s))
+            elif ext == ".pdf":
+                # sanitized s has no parens/backslashes -> safe literal
+                with open(path, "w", encoding="utf-8") as f:
+                    f.write(
+                        "%PDF-1.4\nstream\nBT (" + s + ") Tj ET\n"
+                        "endstream\n%%EOF"
+                    )
+                continue
             else:
                 body = (
                     f"<html><body>{r['text']}</body></html>"
@@ -344,7 +354,8 @@ def _materialize_ingest_dir(spark, sf_dir) -> str:
 # pattern both sides), docx/odt = sanitized text + blank line + 'Part two.',
 # epub = the same with the parser's whitespace collapse/strip (chapters
 # joined in SPINE order), eml = full RFC-822 byte reconstruction, pdf =
-# parse_error row. sha256()/octet_length(encode()) in DuckDB hash/measure
+# prefix || '(' || s || ') Tj' || suffix with text '[[page1]]' || s.
+# sha256()/octet_length(encode()) in DuckDB hash/measure
 # the same utf-8 bytes Spark's binaryFile scan reads — except the zip
 # containers (docx/odt/epub), whose archive bytes (CRCs, headers) are not
 # SQL-expressible: those sentinel hash=''/file_size=-1 on BOTH sides and
@@ -362,6 +373,10 @@ WITH src AS (
          'doc_' || doc_id || ext AS file_name,
          CASE WHEN ext = '.html'
               THEN '<html><body>' || text || '</body></html>'
+              WHEN ext = '.pdf'
+              THEN '%PDF-1.4' || chr(10) || 'stream' || chr(10)
+                   || 'BT (' || s || ') Tj ET' || chr(10)
+                   || 'endstream' || chr(10) || '%%EOF'
               WHEN ext = '.eml'
               THEN 'From: corpus@example.com' || chr(10)
                    || 'To: ingest@example.com' || chr(10)
@@ -379,7 +394,7 @@ SELECT file_name,
             ELSE sha256(raw) END AS hash,
        CASE WHEN ext IN ('.docx', '.odt', '.epub') THEN CAST(-1 AS BIGINT)
             ELSE CAST(octet_length(encode(raw)) AS BIGINT) END AS file_size,
-       CASE WHEN ext = '.pdf' THEN ''
+       CASE WHEN ext = '.pdf' THEN '[[page1]]' || s
             WHEN ext = '.html' THEN regexp_replace(raw, '<[^>]+>', ' ', 'g')
             WHEN ext IN ('.docx', '.odt')
               THEN s || chr(10) || chr(10) || 'Part two.'
@@ -388,9 +403,7 @@ SELECT file_name,
                    ELSE s_collapsed || chr(10) || chr(10) || 'Part two.' END
             WHEN ext = '.eml' THEN s
             ELSE raw END AS text,
-       CASE WHEN ext = '.pdf'
-            THEN 'NotImplementedError: no parser library available for .pdf'
-            ELSE '' END AS parse_error
+       '' AS parse_error
 FROM body
 ORDER BY file_name
 """

@@ -10,11 +10,14 @@ Spark shape:
   * S1 scan    = ``spark.read.format("binaryFile")`` with ``pathGlobFilter``
     (task-parallel, no thread pool needed — S4 is free);
   * S2 parse   = ``mapInPandas`` dispatching on extension. Text-ish formats
-    (txt/md/csv/html/log/json) and the stdlib-parseable containers
-    (docx/odt/epub via zipfile+ElementTree, eml via email) parse for real;
-    formats that genuinely need native libs (pdf/msg/xlsx/rtf/enex) raise
-    and the row carries a ``parse_error`` instead of being silently dropped
-    (an upgrade over the reference, which loses the file).
+    (txt/md/csv/html/log/json) and the stdlib-parseable formats
+    (docx/odt/epub via zipfile+ElementTree, eml via email, xlsx/xlsm via
+    SpreadsheetML, rtf via a small state machine, enex via ElementTree,
+    basic pdf via stream scan + zlib + show-operator extraction with
+    ``[[pageN]]`` markers) parse for real; formats that genuinely need
+    native libs (msg OLE compound files, legacy xls BIFF) raise and the
+    row carries a ``parse_error`` instead of being silently dropped (an
+    upgrade over the reference, which loses the file).
   * metadata   = X1-X4 column expressions (sha256, basename, extension,
     timestamps from the binaryFile columns).
 """
@@ -33,13 +36,14 @@ from pyspark.sql.types import StringType, StructField, StructType
 # Extension -> parser family (reference loader map, constants.py:294-311).
 TEXT_EXTS = {".txt", ".md", ".log", ".csv", ".json"}
 HTML_EXTS = {".html", ".htm"}
-# zip/XML container formats and RFC-822 mail parse with the stdlib alone
-# (zipfile + xml.etree + email) — no native parser libs needed.
-CONTAINER_EXTS = {".docx", ".odt", ".epub", ".eml"}
-HEAVY_EXTS = {
-    ".pdf", ".msg", ".enex",
-    ".xls", ".xlsx", ".xlsm", ".rtf",
+# zip/XML container formats, RFC-822 mail, SpreadsheetML, RTF, Evernote
+# XML and basic PDF all parse with the stdlib alone (zipfile + xml.etree +
+# email + zlib + a small RTF state machine) — no native parser libs needed.
+CONTAINER_EXTS = {
+    ".docx", ".odt", ".epub", ".eml",
+    ".xlsx", ".xlsm", ".rtf", ".enex", ".pdf",
 }
+HEAVY_EXTS = {".msg", ".xls"}
 ALLOWED_EXTS = TEXT_EXTS | HTML_EXTS | CONTAINER_EXTS | HEAVY_EXTS
 
 _TAG_RE = re.compile(r"<[^>]+>")
@@ -161,6 +165,240 @@ def _parse_eml(content: bytes) -> str:
     return "\n\n".join(_TAG_RE.sub(" ", h) for h in html)
 
 
+_XLSX_MAIN_NS = "{http://schemas.openxmlformats.org/spreadsheetml/2006/main}"
+
+
+def _parse_xlsx(content: bytes) -> str:
+    """.xlsx/.xlsm = zip + SpreadsheetML, stdlib-only (zipfile + xml.etree):
+    shared strings resolved, cells tab-joined, rows newline-joined, sheets
+    (archive order) blank-line-joined — the flat text shape the reference's
+    UnstructuredExcelLoader produces in 'single' mode
+    (document_processor.py:139-146). Formulas contribute their cached
+    ``<v>`` value, matching what Excel last computed."""
+    import io
+    import xml.etree.ElementTree as ET
+    import zipfile
+
+    with zipfile.ZipFile(io.BytesIO(content)) as z:
+        names = z.namelist()
+        shared: list[str] = []
+        if "xl/sharedStrings.xml" in names:
+            sroot = ET.fromstring(z.read("xl/sharedStrings.xml"))
+            for si in sroot.iter(_XLSX_MAIN_NS + "si"):
+                shared.append(
+                    "".join(t.text or "" for t in si.iter(_XLSX_MAIN_NS + "t"))
+                )
+        sheets = sorted(
+            n for n in names
+            if n.startswith("xl/worksheets/sheet") and n.endswith(".xml")
+        )
+        blocks = []
+        for name in sheets:
+            root = ET.fromstring(z.read(name))
+            rows = []
+            for row in root.iter(_XLSX_MAIN_NS + "row"):
+                cells = []
+                for c in row.iter(_XLSX_MAIN_NS + "c"):
+                    ctype = c.get("t", "n")
+                    if ctype == "inlineStr":
+                        cells.append(
+                            "".join(
+                                t.text or "" for t in c.iter(_XLSX_MAIN_NS + "t")
+                            )
+                        )
+                        continue
+                    v = c.find(_XLSX_MAIN_NS + "v")
+                    if v is None or v.text is None:
+                        continue
+                    if ctype == "s":
+                        idx = int(v.text)
+                        cells.append(shared[idx] if idx < len(shared) else "")
+                    else:
+                        cells.append(v.text)
+                if cells:
+                    rows.append("\t".join(cells))
+            if rows:
+                blocks.append("\n".join(rows))
+    return "\n\n".join(blocks)
+
+
+_RTF_DESTS = {
+    "fonttbl", "colortbl", "stylesheet", "info", "pict", "themedata",
+    "header", "footer", "generator", "datastore", "xmlnstbl",
+}
+_RTF_CW_RE = re.compile(
+    rb"\\([a-zA-Z]+)(-?\d+)? ?|\\'([0-9a-fA-F]{2})|\\([^a-zA-Z])|([{}])"
+)
+
+
+def _parse_rtf(content: bytes) -> str:
+    """.rtf via a small stdlib state machine: control words consumed,
+    ``\\par``/``\\line`` -> newline, ``\\tab`` -> tab, ``\\'hh`` and
+    ``\\uN`` escapes decoded, destination groups (font/color tables,
+    embedded pictures, metadata) skipped whole. Covers the text layer the
+    reference's UnstructuredRTFLoader extracts; exotic encodings degrade
+    to replacement chars rather than failing the row."""
+    out: list[str] = []
+    skip_depth = 0  # >0 while inside a skipped destination group
+    depth = 0
+    uc_skip = 1  # chars to skip after \uN (RTF spec \ucN, default 1)
+    pending_skip = 0
+    pos = 0
+    data = content
+    while pos < len(data):
+        m = _RTF_CW_RE.match(data, pos)
+        if m is None:
+            ch = data[pos:pos + 1]
+            pos += 1
+            if skip_depth:
+                continue
+            if pending_skip > 0:
+                pending_skip -= 1
+                continue
+            if ch not in (b"\r", b"\n"):
+                out.append(ch.decode("cp1252", errors="replace"))
+            continue
+        pos = m.end()
+        word, param, hexb, esc, brace = m.groups()
+        if brace is not None:
+            if brace == b"{":
+                depth += 1
+                # a destination group opens as {\*\dest or {\dest
+                nxt = data[pos:pos + 24]
+                probe = nxt[2:] if nxt.startswith(b"\\*") else nxt
+                mm = re.match(rb"\\([a-zA-Z]+)", probe)
+                if skip_depth == 0 and (
+                    nxt.startswith(b"\\*")
+                    or (mm and mm.group(1).decode() in _RTF_DESTS)
+                ):
+                    skip_depth = depth
+            else:
+                if skip_depth == depth:
+                    skip_depth = 0
+                depth = max(0, depth - 1)
+            continue
+        if skip_depth:
+            continue
+        if hexb is not None:
+            if pending_skip > 0:
+                pending_skip -= 1
+            else:
+                out.append(bytes([int(hexb, 16)]).decode("cp1252", "replace"))
+            continue
+        if esc is not None:
+            out.append(esc.decode("cp1252", "replace"))
+            continue
+        w = word.decode()
+        if w in ("par", "line"):
+            out.append("\n")
+        elif w == "tab":
+            out.append("\t")
+        elif w == "uc" and param is not None:
+            uc_skip = int(param)
+        elif w == "u" and param is not None:
+            out.append(chr(int(param) % 0x10000))
+            pending_skip = uc_skip
+    return "".join(out)
+
+
+def _parse_enex(content: bytes) -> str:
+    """.enex = Evernote export XML: per note, title + tag-stripped ENML
+    body (the CDATA payload), notes joined with a blank line (reference:
+    EverNoteLoader, document_processor.py loader map)."""
+    import xml.etree.ElementTree as ET
+
+    root = ET.fromstring(content)
+    notes = []
+    for note in root.iter("note"):
+        title = note.findtext("title") or ""
+        body = note.findtext("content") or ""
+        body = _TAG_RE.sub(" ", body)
+        body = _EDGE_RE.sub("", _WS_RE.sub(" ", body))
+        notes.append((title + "\n" + body) if title else body)
+    return "\n\n".join(n for n in notes if n)
+
+
+_PDF_STREAM_RE = re.compile(rb"stream\r?\n(.*?)endstream", re.DOTALL)
+_PDF_TEXT_RE = re.compile(
+    rb"\((?P<lit>(?:\\.|[^\\()])*)\)\s*(?:Tj|')"  # (..) Tj / (..) '
+    rb"|\[(?P<arr>(?:\\.|[^\]])*)\]\s*TJ"         # [(..) -12 (..)] TJ
+)
+_PDF_LIT_RE = re.compile(rb"\((?:\\.|[^\\()])*\)")
+_PDF_ESC = {
+    b"n": b"\n", b"r": b"\r", b"t": b"\t", b"b": b"\b", b"f": b"\f",
+    b"(": b"(", b")": b")", b"\\": b"\\",
+}
+
+
+def _pdf_unescape(lit: bytes) -> bytes:
+    out = bytearray()
+    i = 0
+    while i < len(lit):
+        c = lit[i:i + 1]
+        if c == b"\\" and i + 1 < len(lit):
+            nxt = lit[i + 1:i + 2]
+            if nxt.isdigit():  # octal \ddd
+                j = i + 1
+                while j < len(lit) and j < i + 4 and lit[j:j + 1].isdigit():
+                    j += 1
+                out += bytes([int(lit[i + 1:j], 8) % 256])
+                i = j
+                continue
+            out += _PDF_ESC.get(nxt, nxt)
+            i += 2
+            continue
+        out += c
+        i += 1
+    return bytes(out)
+
+
+def _parse_pdf(content: bytes) -> str:
+    """BASIC stdlib PDF text extraction: every content stream is tried raw
+    and Flate-decompressed (zlib is stdlib), literal-string show operators
+    ((..)Tj, (..)', [..]TJ) are collected in stream order, and each
+    stream's text is prefixed with the ``[[pageN]]`` marker protocol
+    (operators/chunking.py S3) — one content stream per page holds for the
+    common writer layout, so the repo's own pdf -> page-aware overlap
+    chunker path (F5) runs end to end. LIMITS (documented, not hidden):
+    unencrypted PDFs, simple byte-mapped fonts; CMap/ToUnicode-encoded or
+    hex-string text degrades to omission. The reference's PyMuPDF loader
+    (document_processor.py:95-113) remains the drop-in upgrade via
+    register_parser('.pdf', ...) where the native lib exists."""
+    import zlib
+
+    pages = []
+    for m in _PDF_STREAM_RE.finditer(content):
+        raw = m.group(1)
+        candidates = [raw]
+        try:
+            candidates.insert(0, zlib.decompress(raw.strip(b"\r\n")))
+        except Exception:
+            pass
+        text_parts: list[str] = []
+        for data in candidates:
+            for tm in _PDF_TEXT_RE.finditer(data):
+                if tm.group("lit") is not None:
+                    text_parts.append(
+                        _pdf_unescape(tm.group("lit")).decode("latin-1", "replace")
+                    )
+                else:
+                    for lit in _PDF_LIT_RE.findall(tm.group("arr")):
+                        text_parts.append(
+                            _pdf_unescape(lit[1:-1]).decode("latin-1", "replace")
+                        )
+            if text_parts:
+                break  # the decodable variant won; don't double-extract
+        if text_parts:
+            pages.append(" ".join(text_parts))
+    if not pages:
+        # junk or image-only/CMap-encoded pdf: surface parse_error rather
+        # than ingesting an empty document
+        raise ValueError("no extractable text streams")
+    return "".join(
+        f"[[page{i + 1}]]{t}" for i, t in enumerate(pages)
+    )
+
+
 def _parse_heavy_missing(ext: str):
     def parse(content: bytes) -> str:
         # Real parsers (PyMuPDF, python-docx, ...) are optional extras not
@@ -183,6 +421,11 @@ PARSERS: dict[str, object] = {
     ".odt": _parse_odt,
     ".epub": _parse_epub,
     ".eml": _parse_eml,
+    ".xlsx": _parse_xlsx,
+    ".xlsm": _parse_xlsx,
+    ".rtf": _parse_rtf,
+    ".enex": _parse_enex,
+    ".pdf": _parse_pdf,
     **{ext: _parse_heavy_missing(ext) for ext in HEAVY_EXTS},
 }
 
