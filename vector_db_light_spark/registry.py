@@ -192,7 +192,9 @@ PRIORITY: tuple[str, ...] = (
     # similarity search
     "knn_batch_topk",
     "kmeans_lloyd",          # Lloyd trainer, fixed-point exact (late r6)
-    "knn_sq8_topk",
+    "pagerank_suppliers",   # integer-exact iterative PageRank (late r6;
+                            # SQ8 slot — PQ/ADC keeps compression in-window,
+                            # knn_sq8_topk stays driver_sim-checked)
     "knn_pq_adc_topk",      # PQ/ADC codes-only top-k (new in r6)
     "ann_ivf_pruned",
     # pipeline / ingest / multimodal
