@@ -507,3 +507,101 @@ def test_pdf_end_to_end_page_aware_chunking(spark, tmp_path):
     assert "catalyst" in texts
     if pages:
         assert {1, 2} <= pages
+
+
+def _build_cfb_msg(subject: str, body: str) -> bytes:
+    """Hand-assemble a minimal valid CFB/OLE2 .msg: the UTF-16 body is
+    padded past the 4096-byte mini cutoff (regular FAT chain) while the
+    subject stays small (mini-FAT + root mini-stream) — both reader paths
+    exercised by one file."""
+    import struct
+
+    END, FREE, FATSECT = 0xFFFFFFFE, 0xFFFFFFFF, 0xFFFFFFFD
+    subj_b = subject.encode("utf-16-le")
+    body_b = body.encode("utf-16-le")
+    if len(body_b) < 4096:
+        body_b += " ".encode("utf-16-le") * ((4096 - len(body_b)) // 2 + 1)
+    n_body_sects = (len(body_b) + 511) // 512
+
+    # sectors: 0=FAT 1=dir 2=miniFAT 3=mini-stream 4..=body
+    fat = [FREE] * 128
+    fat[0] = FATSECT
+    fat[1] = END          # directory
+    fat[2] = END          # mini-FAT
+    fat[3] = END          # mini stream container
+    for i in range(n_body_sects):
+        fat[4 + i] = 4 + i + 1 if i < n_body_sects - 1 else END
+
+    minifat = [FREE] * 128
+    minifat[0] = END      # subject occupies mini sector 0 (and maybe more)
+    n_mini = (len(subj_b) + 63) // 64
+    for i in range(n_mini):
+        minifat[i] = i + 1 if i < n_mini - 1 else END
+
+    def dirent(name, etype, start, size):
+        nm = name.encode("utf-16-le") + b"\x00\x00"
+        e = bytearray(128)
+        e[0:len(nm)] = nm
+        struct.pack_into("<H", e, 64, len(nm))
+        e[66] = etype
+        e[67] = 1  # black
+        struct.pack_into("<III", e, 68, FREE, FREE, FREE)  # left/right/child
+        struct.pack_into("<I", e, 116, start)
+        struct.pack_into("<Q", e, 120, size)
+        return bytes(e)
+
+    mini_stream_size = n_mini * 64
+    directory = b"".join(
+        [
+            dirent("Root Entry", 5, 3, mini_stream_size),
+            dirent("__substg1.0_0037001F", 2, 0, len(subj_b)),
+            dirent("__substg1.0_1000001F", 2, 4, len(body_b)),
+            bytes(128),
+        ]
+    )
+
+    header = bytearray(512)
+    header[0:8] = b"\xd0\xcf\x11\xe0\xa1\xb1\x1a\xe1"
+    struct.pack_into("<H", header, 26, 0x003E)   # minor version
+    struct.pack_into("<H", header, 28, 0x0003)   # major
+    struct.pack_into("<H", header, 24, 0xFFFE)   # byte order
+    struct.pack_into("<HH", header, 30, 9, 6)    # sector/mini shifts
+    struct.pack_into("<I", header, 44, 1)        # number of FAT sectors
+    struct.pack_into("<I", header, 48, 1)        # first directory sector
+    struct.pack_into("<I", header, 56, 4096)     # mini cutoff
+    struct.pack_into("<II", header, 60, 2, 1)    # first miniFAT, count
+    struct.pack_into("<II", header, 68, END, 0)  # first DIFAT, count
+    struct.pack_into("<109I", header, 76, *([0] + [0xFFFFFFFF] * 108))
+
+    mini_container = subj_b + bytes(512 - len(subj_b) % 512 if len(subj_b) % 512 else 0)
+    body_padded = body_b + bytes(n_body_sects * 512 - len(body_b))
+    return bytes(header) + struct.pack("<128I", *fat) + directory \
+        + struct.pack("<128I", *minifat) + mini_container[:512] + body_padded
+
+
+def test_parse_msg_cfb_stdlib(spark, tmp_path):
+    """.msg via the minimal CFB reader: subject from the mini stream,
+    UTF-16 body from the regular FAT chain; junk bytes surface
+    parse_error; end-to-end through ingest."""
+    from vector_db_light_spark.sources.ingest import _parse_msg, ingest
+
+    subject = "Quarterly report"
+    body = "The cluster processed all partitions without spill. " * 40
+    blob = _build_cfb_msg(subject, body)
+    out = _parse_msg(blob)
+    assert out.startswith(subject + "\n\n")
+    assert "without spill" in out
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        _parse_msg(b"not an ole file at all")
+
+    src = tmp_path / "maildir"
+    src.mkdir()
+    (src / "note.msg").write_bytes(blob)
+    (src / "legacy.xls").write_bytes(b"\x09\x08junk")
+    rows = {r["file_name"]: r for r in ingest(spark, str(src)).collect()}
+    assert rows["note.msg"]["parse_error"] is None
+    assert "Quarterly report" in rows["note.msg"]["text"]
+    assert rows["legacy.xls"]["parse_error"] is not None

@@ -14,10 +14,10 @@ Spark shape:
     (docx/odt/epub via zipfile+ElementTree, eml via email, xlsx/xlsm via
     SpreadsheetML, rtf via a small state machine, enex via ElementTree,
     basic pdf via stream scan + zlib + show-operator extraction with
-    ``[[pageN]]`` markers) parse for real; formats that genuinely need
-    native libs (msg OLE compound files, legacy xls BIFF) raise and the
-    row carries a ``parse_error`` instead of being silently dropped (an
-    upgrade over the reference, which loses the file).
+    ``[[pageN]]`` markers, msg via a minimal CFB/OLE2 reader) parse for
+    real; only legacy xls BIFF still raises, carrying a ``parse_error``
+    instead of being silently dropped (an upgrade over the reference,
+    which loses the file).
   * metadata   = X1-X4 column expressions (sha256, basename, extension,
     timestamps from the binaryFile columns).
 """
@@ -41,9 +41,9 @@ HTML_EXTS = {".html", ".htm"}
 # email + zlib + a small RTF state machine) — no native parser libs needed.
 CONTAINER_EXTS = {
     ".docx", ".odt", ".epub", ".eml",
-    ".xlsx", ".xlsm", ".rtf", ".enex", ".pdf",
+    ".xlsx", ".xlsm", ".rtf", ".enex", ".pdf", ".msg",
 }
-HEAVY_EXTS = {".msg", ".xls"}
+HEAVY_EXTS = {".xls"}
 ALLOWED_EXTS = TEXT_EXTS | HTML_EXTS | CONTAINER_EXTS | HEAVY_EXTS
 
 _TAG_RE = re.compile(r"<[^>]+>")
@@ -399,6 +399,114 @@ def _parse_pdf(content: bytes) -> str:
     )
 
 
+_CFB_MAGIC = b"\xd0\xcf\x11\xe0\xa1\xb1\x1a\xe1"
+_CFB_END = 0xFFFFFFFE  # ENDOFCHAIN
+_CFB_FREE = 0xFFFFFFFF
+
+
+def _cfb_streams(content: bytes) -> dict[str, bytes]:
+    """Minimal stdlib reader for the Compound File Binary format (the OLE2
+    container .msg uses): header -> DIFAT -> FAT -> directory; stream bytes
+    come from the FAT chain, or from the mini-FAT + root mini-stream for
+    streams under the 4096-byte cutoff. Covers single-DIFAT files (< ~7 MB
+    of FAT, i.e. multi-GB payloads) — larger files raise and surface as
+    parse_error. Returns {stream_name: bytes} for every stream entry."""
+    import struct
+
+    if content[:8] != _CFB_MAGIC:
+        raise ValueError("not a compound file")
+    sect_shift, mini_shift = struct.unpack_from("<HH", content, 30)
+    ssz, msz = 1 << sect_shift, 1 << mini_shift
+    (first_dir,) = struct.unpack_from("<I", content, 48)
+    (mini_cutoff,) = struct.unpack_from("<I", content, 56)
+    first_minifat, n_minifat = struct.unpack_from("<II", content, 60)
+    (n_difat,) = struct.unpack_from("<I", content, 72)
+    if n_difat:
+        raise ValueError("DIFAT-chained compound file not supported")
+    difat = struct.unpack_from("<109I", content, 76)
+
+    def sector(n: int) -> bytes:
+        off = 512 + n * ssz
+        return content[off:off + ssz]
+
+    fat: list[int] = []
+    for s in difat:
+        if s in (_CFB_FREE, _CFB_END):
+            continue
+        fat.extend(struct.unpack(f"<{ssz // 4}I", sector(s)))
+
+    def chain(start: int, size: int) -> bytes:
+        out, s, guard = bytearray(), start, 0
+        while s != _CFB_END and s != _CFB_FREE and guard <= len(fat):
+            out += sector(s)
+            s = fat[s]
+            guard += 1
+        return bytes(out[:size])
+
+    dir_raw = chain(first_dir, 1 << 62)
+    minifat: list[int] = []
+    if first_minifat not in (_CFB_FREE, _CFB_END) and n_minifat:
+        raw = chain(first_minifat, n_minifat * ssz)
+        minifat = list(struct.unpack(f"<{len(raw) // 4}I", raw))
+
+    entries = []
+    for off in range(0, len(dir_raw) - 127, 128):
+        e = dir_raw[off:off + 128]
+        (name_len,) = struct.unpack_from("<H", e, 64)
+        etype = e[66]
+        if etype == 0 or name_len < 2:
+            continue
+        name = e[:name_len - 2].decode("utf-16-le", "replace")
+        (start,) = struct.unpack_from("<I", e, 116)
+        (size,) = struct.unpack_from("<Q", e, 120)
+        entries.append((name, etype, start, size))
+
+    root = next((e for e in entries if e[1] == 5), None)
+    mini_stream = chain(root[2], root[3]) if root else b""
+
+    def mini_chain(start: int, size: int) -> bytes:
+        out, s, guard = bytearray(), start, 0
+        while s != _CFB_END and s != _CFB_FREE and guard <= len(minifat):
+            out += mini_stream[s * msz:(s + 1) * msz]
+            s = minifat[s] if s < len(minifat) else _CFB_END
+            guard += 1
+        return bytes(out[:size])
+
+    streams = {}
+    for name, etype, start, size in entries:
+        if etype != 2:  # stream objects only
+            continue
+        if size < mini_cutoff:
+            streams[name] = mini_chain(start, size)
+        else:
+            streams[name] = chain(start, size)
+    return streams
+
+
+def _parse_msg(content: bytes) -> str:
+    """.msg = MAPI properties in a CFB container. Subject
+    (``__substg1.0_0037001F``) and body (``1000001F`` UTF-16LE, falling
+    back to ``1000001E`` ANSI) streams extracted with the stdlib CFB
+    reader above — the text the reference's UnstructuredLoader surfaces.
+    RTF-compressed-only bodies (``10090102``) are out of scope and yield
+    the subject alone (or a parse_error when nothing is found)."""
+    streams = _cfb_streams(content)
+    parts = []
+    subj = streams.get("__substg1.0_0037001F")
+    if subj:
+        parts.append(subj.decode("utf-16-le", "replace"))
+    body = streams.get("__substg1.0_1000001F")
+    if body is not None:
+        parts.append(body.decode("utf-16-le", "replace"))
+    else:
+        ansi = streams.get("__substg1.0_1000001E")
+        if ansi is not None:
+            parts.append(ansi.decode("cp1252", "replace"))
+    if not parts:
+        raise ValueError("no subject/body text streams in .msg")
+    return "\n\n".join(parts)
+
+
 def _parse_heavy_missing(ext: str):
     def parse(content: bytes) -> str:
         # Real parsers (PyMuPDF, python-docx, ...) are optional extras not
@@ -426,6 +534,7 @@ PARSERS: dict[str, object] = {
     ".rtf": _parse_rtf,
     ".enex": _parse_enex,
     ".pdf": _parse_pdf,
+    ".msg": _parse_msg,
     **{ext: _parse_heavy_missing(ext) for ext in HEAVY_EXTS},
 }
 
