@@ -557,3 +557,34 @@ def test_ivf_kmeans_build_search_and_incremental_routing(spark, tmp_path, corpus
     assert all(p.startswith("cluster_id=k") for p in parts_after)
     ivf_n = spark.read.parquet(os.path.join(db_dir, "embeddings_ivf")).count()
     assert ivf_n == spark.read.parquet(os.path.join(db_dir, "embeddings")).count()
+
+
+def test_vacuum_database_removes_debris_only(spark, tmp_path, corpus_dir):
+    """S8 maintenance: vacuum removes write-audit-swap debris (*.tmp, *.old)
+    and abandoned _temporary job dirs — and nothing else; dry_run lists
+    without deleting; the database stays fully queryable."""
+    import os
+
+    mgr = VectorDatabaseManager(spark, str(tmp_path / "dbs"))
+    mgr.create_database("kbv", corpus_dir, chunk_size=200, chunk_overlap=100)
+    db = str(tmp_path / "dbs" / "kbv")
+
+    os.makedirs(os.path.join(db, "embeddings.tmp"))
+    os.makedirs(os.path.join(db, "documents.old"))
+    os.makedirs(os.path.join(db, "embeddings", "_temporary", "0"))
+    (tmp_path / "dbs" / "kbv" / "embeddings.tmp" / "part-junk").write_text("x")
+
+    preview = mgr.vacuum_database("kbv", dry_run=True)
+    assert len(preview) == 3
+    assert os.path.isdir(os.path.join(db, "embeddings.tmp"))  # dry run
+
+    removed = mgr.vacuum_database("kbv")
+    assert sorted(removed) == sorted(preview)
+    assert not os.path.exists(os.path.join(db, "embeddings.tmp"))
+    assert not os.path.exists(os.path.join(db, "documents.old"))
+    assert not os.path.exists(os.path.join(db, "embeddings", "_temporary"))
+    assert os.path.isdir(os.path.join(db, "embeddings"))
+    assert mgr.vacuum_database("kbv") == []
+    assert mgr.vacuum_database("never_existed") == []
+    hits = mgr.search("kbv", "distributed spark engine", k=2, score_threshold=0.0)
+    assert hits.count() > 0

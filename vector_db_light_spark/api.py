@@ -847,6 +847,35 @@ class VectorDatabaseManager:
             .limit(k)
         )
 
+    def vacuum_database(self, name: str, dry_run: bool = False) -> list[str]:
+        """Remove crash debris from a database directory: ``*.tmp`` /
+        ``*.old`` siblings left by an interrupted write-audit-swap
+        (optimize_table, the delete-rewrite path) and ``_temporary`` dirs
+        abandoned by killed Spark write jobs. The Delta VACUUM analogue
+        for this layout — debris is identified purely by the swap
+        protocol's naming, never by age or reachability guesswork, so a
+        live table can never match. Returns the removed (or, with
+        ``dry_run``, would-be-removed) paths."""
+        root = self._db_dir(name)
+        if not os.path.isdir(root):
+            return []
+        doomed: list[str] = []
+        for entry in sorted(os.listdir(root)):
+            full = os.path.join(root, entry)
+            if entry.endswith((".tmp", ".old")):
+                doomed.append(full)
+            elif os.path.isdir(full):
+                tmp = os.path.join(full, "_temporary")
+                if os.path.isdir(tmp):
+                    doomed.append(tmp)
+        if not dry_run:
+            for path in doomed:
+                if os.path.isdir(path):
+                    shutil.rmtree(path)
+                else:
+                    os.remove(path)
+        return doomed
+
     # -- S8 delete / S11 backup-restore --------------------------------------
     def delete_database(self, name: str) -> None:
         shutil.rmtree(self._db_dir(name), ignore_errors=True)
