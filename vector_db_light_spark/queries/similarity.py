@@ -1278,3 +1278,132 @@ def knn_ivfpq_residual_topk(spark, sf_dir):
     return S.ivf_pq_residual_topk(
         codes, cents, QUERY_VEC, _CODEBOOKS, nprobe=2, k=10
     )
+
+
+# ---------------------------------------------------------------------------
+# Trained-IVF recall: the 2-round Lloyd trainer (k=10 to match the fixture
+# label count) supplies clusters + centroids; serving assigns the corpus to
+# the final centroids and probes nprobe=2 — the full
+# build_ivf_index(method="kmeans") path measured for recall@5 against
+# exact truth, entirely oracle-checked (fixed-point training makes even
+# the trained index deterministic). Compare ann_ivf_recall (fixture-label
+# clusters, same nprobe): the trainer's clusters reflect actual geometry.
+# ---------------------------------------------------------------------------
+
+_KMIVF_K = 10
+_KMIVF_CENTS: dict[str, object] = {}
+
+
+@register(
+    "ann_ivf_kmeans_recall",
+    f"""
+WITH emb AS (
+  SELECT vec_id AS id, embedding::DOUBLE[] AS v FROM embeddings
+),
+seeds AS (
+  SELECT id, v, md5(CAST(id AS VARCHAR)) AS h FROM emb
+  ORDER BY h, id LIMIT {_KMIVF_K}
+),
+cent0 AS (
+  SELECT row_number() OVER (ORDER BY h, id) - 1 AS cluster_id, v AS centroid
+  FROM seeds
+),
+{_km_round_sql(1)},
+{_km_round_sql(2)},
+score3 AS (
+  SELECT e.id, c.cluster_id, {_km_ssq_sql('e.v', 'c.centroid')} AS d
+  FROM emb e, cent2 c
+),
+best3 AS (
+  SELECT id, cluster_id FROM (
+    SELECT *, row_number() OVER (PARTITION BY id
+                                 ORDER BY d ASC, cluster_id ASC) AS rn
+    FROM score3
+  ) WHERE rn = 1
+),
+q AS (
+  SELECT vec_id AS query_id, embedding AS qv
+  FROM embeddings WHERE vec_id < {_N_RECALL_Q}
+),
+truth AS (
+  SELECT query_id, vec_id FROM (
+    SELECT q.query_id, e.vec_id,
+           row_number() OVER (PARTITION BY q.query_id
+             ORDER BY 1.0 - {dot_sql('e.embedding', 'q.qv::DOUBLE[]')} ASC,
+                      e.vec_id ASC) AS rk
+    FROM embeddings e, q
+  ) WHERE rk <= {_RECALL_K}
+),
+probes AS (
+  SELECT query_id, cluster_id, qv FROM (
+    SELECT q.query_id, c.cluster_id, q.qv,
+           row_number() OVER (PARTITION BY q.query_id
+             ORDER BY 1.0 - {dot_sql('c.centroid', 'q.qv::DOUBLE[]')} ASC,
+                      c.cluster_id ASC) AS pr
+    FROM cent2 c, q
+  ) WHERE pr <= 2
+),
+approx AS (
+  SELECT query_id, vec_id FROM (
+    SELECT p.query_id, e.vec_id,
+           row_number() OVER (PARTITION BY p.query_id
+             ORDER BY 1.0 - {dot_sql('e.embedding', 'p.qv::DOUBLE[]')} ASC,
+                      e.vec_id ASC) AS rk
+    FROM embeddings e
+    JOIN best3 b ON b.id = e.vec_id
+    JOIN probes p ON p.cluster_id = b.cluster_id
+  ) WHERE rk <= {_RECALL_K}
+),
+hits AS (
+  SELECT t.query_id, count(a.vec_id) AS n_hits
+  FROM truth t
+  LEFT JOIN approx a ON a.query_id = t.query_id AND a.vec_id = t.vec_id
+  GROUP BY 1
+)
+SELECT query_id, CAST(n_hits AS BIGINT) AS n_hits,
+       CAST(n_hits AS DOUBLE) / {_RECALL_K} AS recall_at_k
+FROM hits
+ORDER BY query_id
+""",
+)
+def ann_ivf_kmeans_recall(spark, sf_dir):
+    """build_ivf_index(method='kmeans') measured: train (fixed-point, 2
+    rounds), assign the corpus to the final centroids (the serving
+    layout), probe 2, recall@5 vs exact truth."""
+    from ..operators import clustering as C
+
+    emb = load(spark, sf_dir, "embeddings")
+    cents = _KMIVF_CENTS.get(sf_dir)
+    if cents is None:
+        cents = (
+            C.kmeans_train(emb, k=_KMIVF_K, iters=2, dim=DIM)[1]
+            .select("cluster_id", "centroid")
+            .persist()
+        )
+        cents.count()
+        _KMIVF_CENTS[sf_dir] = cents
+    labeled = C.kmeans_assign(
+        emb, cents, id_col="vec_id", vector_col="embedding"
+    ).select("vec_id", "embedding", "cluster_id")
+    queries = emb.filter(F.col("vec_id") < _N_RECALL_Q).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    truth = S.batch_knn(emb, queries, k=_RECALL_K).select("query_id", "vec_id")
+    approx = S.batch_ivf_topk(
+        labeled, queries, cents, nprobe=2, k=_RECALL_K, cluster_col="cluster_id"
+    ).select(F.col("query_id").alias("a_qid"), F.col("vec_id").alias("a_vid"))
+    hits = (
+        truth.join(
+            approx,
+            (F.col("query_id") == F.col("a_qid"))
+            & (F.col("vec_id") == F.col("a_vid")),
+            "left",
+        )
+        .groupBy("query_id")
+        .agg(F.count("a_vid").alias("n_hits"))
+    )
+    return hits.select(
+        "query_id",
+        F.col("n_hits").cast("bigint").alias("n_hits"),
+        (F.col("n_hits").cast("double") / _RECALL_K).alias("recall_at_k"),
+    ).orderBy("query_id")

@@ -362,3 +362,75 @@ def bpe_pair_counts(spark, sf_dir):
         .orderBy(F.col("cnt").desc(), F.col("pair").asc())
         .limit(20)
     )
+
+
+@register(
+    "bigram_coverage_score",
+    f"""
+WITH words AS (
+  SELECT doc_id, unnest({_TOKS_SQL}) AS w,
+         generate_subscripts({_TOKS_SQL}, 1) AS pos
+  FROM documents
+),
+bigrams AS (
+  SELECT a.doc_id, a.w || ' ' || b.w AS bg
+  FROM words a JOIN words b
+    ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
+),
+freq AS (
+  SELECT bg, COUNT(*) AS n FROM bigrams GROUP BY 1
+),
+scored AS (
+  SELECT g.doc_id,
+         COUNT(*) AS n_bigrams,
+         SUM(CASE WHEN f.n >= 5 THEN 1 ELSE 0 END) AS n_common
+  FROM bigrams g JOIN freq f ON f.bg = g.bg
+  GROUP BY 1
+)
+SELECT doc_id, CAST(n_bigrams AS BIGINT) AS n_bigrams,
+       CAST(n_common AS BIGINT) AS n_common,
+       CAST(n_common AS DOUBLE) / n_bigrams AS coverage
+FROM scored
+ORDER BY doc_id
+""",
+)
+def bigram_coverage_score(spark, sf_dir):
+    """Model-free fluency/quality proxy (the KenLM-perplexity stand-in a
+    no-libm engine can oracle-check): the fraction of a document's word
+    bigrams that occur >= 5 times corpus-wide. Natural prose reuses
+    common bigrams; gibberish and mangled extractions don't. Two shuffles
+    (bigram count, per-doc agg), both partial-aggregated map-side; the
+    per-doc ratio is one exact-integer division. At 100 TB the freq table
+    prunes to >=5 BEFORE the join (a broadcast for real vocabularies)."""
+    from ..operators.dedup import tokens_expr
+
+    docs = load_docs(spark, sf_dir)
+    toks = docs.select("doc_id", tokens_expr("text").alias("toks"))
+    # adjacent pairs zipped inside the array — a narrow map, unlike the
+    # oracle's positional self-join (same strings either way)
+    bigrams = toks.select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.slice(F.col("toks"), 1, F.size("toks") - 1),
+                lambda t, i: F.concat(
+                    t, F.lit(" "), F.element_at(F.col("toks"), i + 2)
+                ),
+            )
+        ).alias("bg"),
+    )
+    freq = bigrams.groupBy("bg").agg(F.count("*").alias("n"))
+    scored = (
+        bigrams.join(freq, "bg")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_bigrams"),
+            F.sum(F.when(F.col("n") >= 5, 1).otherwise(0)).alias("n_common"),
+        )
+    )
+    return scored.select(
+        "doc_id",
+        F.col("n_bigrams").cast("long").alias("n_bigrams"),
+        F.col("n_common").cast("long").alias("n_common"),
+        (F.col("n_common").cast("double") / F.col("n_bigrams")).alias("coverage"),
+    ).orderBy("doc_id")
