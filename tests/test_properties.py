@@ -262,3 +262,52 @@ def test_bm25_matches_scalar_model(spark, texts):
     assert set(got) == set(want)
     for i in want:
         assert abs(got[i] - want[i]) <= 1e-6
+
+
+# --- Parser robustness: the stdlib parsers are TOTAL on arbitrary bytes ----
+# (they either return a str or raise a catchable parse error — never hang,
+# never crash the worker; parse_documents turns the raises into
+# parse_error rows).
+
+@given(st.binary(max_size=4096))
+@settings(max_examples=200, deadline=None)
+def test_rtf_parser_total_on_arbitrary_bytes(data):
+    from vector_db_light_spark.sources.ingest import _parse_rtf
+
+    out = _parse_rtf(data)
+    assert isinstance(out, str)
+
+
+@given(st.binary(max_size=4096))
+@settings(max_examples=200, deadline=None)
+def test_pdf_parser_total_on_arbitrary_bytes(data):
+    from vector_db_light_spark.sources.ingest import _parse_pdf
+
+    try:
+        out = _parse_pdf(data)
+        assert isinstance(out, str) and out
+    except ValueError:
+        pass  # "no extractable text streams" — the parse_error path
+
+
+@given(st.binary(max_size=4096))
+@settings(max_examples=200, deadline=None)
+def test_cfb_reader_total_on_arbitrary_bytes(data):
+    from vector_db_light_spark.sources.ingest import _cfb_streams
+
+    import struct
+
+    try:
+        streams = _cfb_streams(data)
+        assert isinstance(streams, dict)
+    except (ValueError, IndexError, struct.error):
+        pass
+
+
+@given(st.binary(max_size=2048))
+@settings(max_examples=200, deadline=None)
+def test_pdf_unescape_total(data):
+    from vector_db_light_spark.sources.ingest import _pdf_unescape
+
+    out = _pdf_unescape(data)
+    assert isinstance(out, bytes)
