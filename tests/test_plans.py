@@ -275,3 +275,36 @@ def test_batch_pq_adc_uses_window_group_limit(spark):
     # partial pre-reduction must sit BELOW the single row shuffle
     assert plan.index("Partial") > plan.index("Exchange hashpartitioning")
     assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_join_hints_steer_physical_strategy(spark):
+    """§4 optimizer control: the engine's join-strategy levers actually
+    move the physical plan — broadcast() forces BroadcastHashJoin on a
+    side AQE would shuffle, merge() forces SortMergeJoin where broadcast
+    would win, and shuffle_hash() suppresses the sort. These are the
+    knobs SCALE.md's posture notes assume are available."""
+    import pyspark.sql.functions as F
+
+    from conftest import SF_ORACLE
+
+    orders = spark.read.parquet(f"{SF_ORACLE}/orders.parquet")
+    customer = spark.read.parquet(f"{SF_ORACLE}/customer.parquet")
+
+    def plan(df):
+        return df._jdf.queryExecution().executedPlan().toString()
+
+    j1 = orders.join(
+        F.broadcast(customer), orders.o_custkey == customer.c_custkey
+    )
+    assert "BroadcastHashJoin" in plan(j1)
+
+    j2 = orders.join(
+        customer.hint("merge"), orders.o_custkey == customer.c_custkey
+    )
+    assert "SortMergeJoin" in plan(j2)
+
+    j3 = orders.join(
+        customer.hint("shuffle_hash"), orders.o_custkey == customer.c_custkey
+    )
+    p3 = plan(j3)
+    assert "ShuffledHashJoin" in p3 and "SortMergeJoin" not in p3
