@@ -155,3 +155,59 @@ def test_bucketed_join_avoids_shuffle(spark, tmp_path):
         "o_orderstatus"
     ).count()
     assert sorted(map(tuple, joined.collect())) == sorted(map(tuple, plain.collect()))
+
+
+def test_closed_sessions_emit_on_event_time_timeout(spark, tmp_path):
+    """EventTimeTimeout pattern: a session row is emitted only after the
+    WATERMARK passes last_event + gap — quiet keys close, active keys
+    stay open, and closed state is removed (bounded by open sessions)."""
+    from vector_db_light_spark.streaming.stateful import closed_sessions
+
+    src = str(tmp_path / "sess_src")
+
+    def write(rows):
+        spark.createDataFrame(
+            rows, "user_id bigint, ts string, value double"
+        ).write.mode("append").parquet(src)
+
+    # user 1: two events 5 min apart (one session); user 2: one event
+    write(
+        [
+            (1, "2026-01-01 00:00:00", 1.0),
+            (1, "2026-01-01 00:05:00", 1.0),
+            (2, "2026-01-01 00:06:00", 1.0),
+        ]
+    )
+    stream = spark.readStream.schema(spark.read.parquet(src).schema).parquet(src)
+    out = closed_sessions(stream, gap="10 minutes", watermark="10 minutes")
+    q = (
+        out.writeStream.format("memory")
+        .queryName("closed_sess")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "sess_ckpt"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        assert (
+            spark.sql("SELECT count(*) c FROM closed_sess").collect()[0]["c"] == 0
+        )
+
+        # much later activity from user 2 pushes the watermark far past
+        # user 1's (last + gap) -> user 1's session closes; user 2's new
+        # session stays open
+        write([(2, "2026-01-01 02:00:00", 1.0)])
+        q.processAllAvailable()
+        # one more batch so the updated watermark's timeout sweep runs
+        write([(2, "2026-01-01 02:00:01", 1.0)])
+        q.processAllAvailable()
+        rows = spark.sql(
+            "SELECT * FROM closed_sess ORDER BY user_id, session_start_us"
+        ).collect()
+        closed = {(r["user_id"], r["n_events"]) for r in rows}
+        assert (1, 2) in closed
+        # user 1's bounds are its two event times
+        u1 = [r for r in rows if r["user_id"] == 1][0]
+        assert u1["session_end_us"] - u1["session_start_us"] == 5 * 60 * 1_000_000
+    finally:
+        q.stop()

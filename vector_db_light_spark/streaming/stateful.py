@@ -157,3 +157,104 @@ try:  # pyspark >= 4.0
 
 except ImportError:  # pragma: no cover — pyspark < 4.0
     running_user_stats_tws = None
+
+
+# ---------------------------------------------------------------------------
+# Session-close detection via EVENT-TIME STATE TIMEOUT — the stateful
+# pattern the running-stats operator doesn't exercise: output is produced
+# when a key goes QUIET (the watermark passes last_event + gap), not when
+# data arrives. Spark's built-in session_window can aggregate sessions,
+# but emitting a single "session closed" record with custom payload at
+# close time is exactly what GroupStateTimeout exists for.
+# ---------------------------------------------------------------------------
+
+SESSION_OUTPUT_SCHEMA = StructType(
+    [
+        StructField("user_id", LongType(), False),
+        StructField("session_start_us", LongType(), False),
+        StructField("session_end_us", LongType(), False),
+        StructField("n_events", LongType(), False),
+    ]
+)
+# state carries event-time bounds in epoch MICROS (integers cross the
+# Arrow boundary losslessly; timestamps in state invite tz surprises)
+SESSION_STATE_SCHEMA = StructType(
+    [
+        StructField("start_us", LongType(), False),
+        StructField("end_us", LongType(), False),
+        StructField("n_events", LongType(), False),
+    ]
+)
+
+
+def _session_update_factory(gap_ms: int):
+    def update(
+        key: tuple[Any, ...],
+        pdfs: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        (user_id,) = key
+        if state.hasTimedOut:
+            start_us, end_us, n = state.get
+            state.remove()
+            yield pd.DataFrame(
+                {
+                    "user_id": [user_id],
+                    "session_start_us": [start_us],
+                    "session_end_us": [end_us],
+                    "n_events": [n],
+                }
+            )
+            return
+        start_us, end_us, n = (
+            state.get if state.exists else (None, None, 0)
+        )
+        for pdf in pdfs:
+            us = pdf["ts"].astype("int64") // 1000  # datetime64[ns] -> epoch us
+            lo, hi = int(us.min()), int(us.max())
+            start_us = lo if start_us is None else min(start_us, lo)
+            end_us = hi if end_us is None else max(end_us, hi)
+            n += len(pdf)
+        state.update((start_us, end_us, n))
+        # close when the WATERMARK passes last event + gap
+        state.setTimeoutTimestamp(end_us // 1000 + gap_ms)
+        yield pd.DataFrame(
+            {
+                "user_id": pd.Series(dtype="int64"),
+                "session_start_us": pd.Series(dtype="int64"),
+                "session_end_us": pd.Series(dtype="int64"),
+                "n_events": pd.Series(dtype="int64"),
+            }
+        )
+
+    return update
+
+
+def closed_sessions(
+    events_stream: DataFrame,
+    gap: str = "10 minutes",
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Emit one record per user session WHEN IT CLOSES (event-time gap
+    exceeded, judged by the watermark — deterministic, not wall-clock).
+    State per live session is three longs; closed keys are removed, so
+    state size tracks concurrently-open sessions only."""
+    from pyspark.sql import functions as F
+
+    from ..registry import _ship_package
+
+    _ship_package(events_stream.sparkSession)
+
+    unit_ms = {"minutes": 60_000, "minute": 60_000, "seconds": 1_000}
+    qty, unit = gap.split()
+    gap_ms = int(qty) * unit_ms[unit]
+    stream = events_stream.withColumn(
+        "ts", F.col("ts").cast("timestamp")
+    ).withWatermark("ts", watermark)
+    return stream.groupBy("user_id").applyInPandasWithState(
+        _session_update_factory(gap_ms),
+        outputStructType=SESSION_OUTPUT_SCHEMA,
+        stateStructType=SESSION_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.EventTimeTimeout,
+    )
