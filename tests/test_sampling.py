@@ -106,3 +106,22 @@ def test_temperature_mixture_flattens_and_is_partition_independent(spark):
     ids = {r["doc_id"] for r in kept.select("doc_id").collect()}
     kept2 = SM.temperature_mixture(docs.repartition(7), "lang", key_col="doc_id")
     assert {r["doc_id"] for r in kept2.select("doc_id").collect()} == ids
+
+
+def test_pps_systematic_sample_weights_and_determinism(spark):
+    """PPS property: the length-weighted sample over-represents long docs
+    (kept mean n_chars > corpus mean), lands near k picks, and is
+    identical under repartitioning (integer arithmetic + content order)."""
+    from vector_db_light_spark.operators.sampling import pps_systematic_sample
+
+    docs = spark.read.parquet(f"{SF_ORACLE}/documents.parquet")
+    kept = pps_systematic_sample(docs, "n_chars", 60, "doc_id")
+    rows = kept.collect()
+    assert 50 <= len(rows) <= 70  # systematic: within a few of k
+    mean_all = docs.agg(F.avg("n_chars")).collect()[0][0]
+    mean_kept = sum(r["n_chars"] for r in rows) / len(rows)
+    assert mean_kept > mean_all
+
+    ids = {r["doc_id"] for r in rows}
+    kept2 = pps_systematic_sample(docs.repartition(7), "n_chars", 60, "doc_id")
+    assert {r["doc_id"] for r in kept2.collect()} == ids

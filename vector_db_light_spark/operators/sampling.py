@@ -19,6 +19,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 HEX_BUCKETS = 16**4  # 4 hex digits
 
@@ -280,4 +281,103 @@ JOIN (
 ) r ON {strata_expr.replace('documents.', 'd.')} = r._st
 WHERE ('0x' || substr(md5(CAST({key_expr} AS VARCHAR) || '{salt}'), 1, 4))::BIGINT
       < r._buckets
+"""
+
+
+def pps_systematic_sample(
+    df: DataFrame,
+    weight_col: str,
+    k: int,
+    key_col: str,
+    salt: str = "pps",
+    num_shards: int = 16,
+) -> DataFrame:
+    """Weighted sampling (probability proportional to size) via SYSTEMATIC
+    selection on the cumulative-weight line — the classic PPS design, and
+    the one deterministic weighted sampler that needs NO pow/log (the
+    Efraimidis-Spirakis exponential-keys trick does, and transcendentals
+    have no cross-engine bit parity — CLAUDE.md).
+
+    Rows are laid on a line in md5-shuffled order, each owning an interval
+    of its INTEGER weight; a row is selected iff a grid point of stride
+    W/k lands in its interval — computed as ``(hi*k) div W > (lo*k) div W``,
+    pure BIGINT arithmetic (requires hi*k < 2^63; at larger scale rescale
+    weights first). Expected selections per row = k*w/W, total ~= k.
+
+    Scale shape: the cumulative sum is TWO-LEVEL — per-shard running sums
+    (shard = md5-derived, so the "random" order is (shard, md5, id)
+    lexicographic) plus a tiny shard-offset table (num_shards rows) — so
+    no global single-partition window ever exists. Three narrow shuffles
+    (shard window, shard totals, broadcast offsets join).
+    """
+    h = F.md5(F.concat(F.col(key_col).cast("string"), F.lit(salt)))
+    shard = (
+        F.conv(F.substring(h, 1, 2), 16, 10).cast("int") % num_shards
+    ).alias("_shard")
+    rows = df.withColumn("_h", h).withColumn("_shard", shard)
+    w_in = Window.partitionBy("_shard").orderBy("_h", key_col).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    rows = rows.withColumn(
+        "_cum_in", F.sum(F.col(weight_col).cast("long")).over(w_in)
+    )
+    totals = rows.groupBy("_shard").agg(
+        F.sum(F.col(weight_col).cast("long")).alias("_shard_w")
+    )
+    w_off = Window.orderBy("_shard").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    offsets = totals.withColumn(
+        "_off", F.sum("_shard_w").over(w_off) - F.col("_shard_w")
+    )  # num_shards rows: the single-partition window is over a tiny set
+    total = totals.agg(F.sum("_shard_w").alias("_w_total"))
+    out = (
+        rows.join(F.broadcast(offsets.select("_shard", "_off")), "_shard")
+        .crossJoin(F.broadcast(total))
+        .withColumn("_hi", F.col("_off") + F.col("_cum_in"))
+        .withColumn("_lo", F.col("_hi") - F.col(weight_col).cast("long"))
+    )
+    sel = F.expr(f"(_hi * {int(k)}) div _w_total") > F.expr(
+        f"(_lo * {int(k)}) div _w_total"
+    )
+    return out.filter(sel).drop("_h", "_shard", "_cum_in", "_off", "_w_total", "_hi", "_lo")
+
+
+def pps_systematic_sample_sql(
+    table: str,
+    weight_expr: str,
+    k: int,
+    key_expr: str,
+    salt: str = "pps",
+    num_shards: int = 16,
+) -> str:
+    """Oracle twin: identical two-level integer cumulative construction."""
+    return f"""
+SELECT * EXCLUDE (_h, _shard, _cum_in, _off, _w_total, _hi, _lo) FROM (
+  SELECT r.*, o._off, t._w_total,
+         o._off + r._cum_in AS _hi,
+         o._off + r._cum_in - CAST({weight_expr} AS BIGINT) AS _lo
+  FROM (
+    SELECT d.*, md5(CAST({key_expr} AS VARCHAR) || '{salt}') AS _h,
+           CAST(('0x' || substr(md5(CAST({key_expr} AS VARCHAR) || '{salt}'), 1, 2))::BIGINT % {num_shards} AS INT) AS _shard,
+           CAST(SUM(CAST({weight_expr} AS BIGINT)) OVER (
+             PARTITION BY ('0x' || substr(md5(CAST({key_expr} AS VARCHAR) || '{salt}'), 1, 2))::BIGINT % {num_shards}
+             ORDER BY md5(CAST({key_expr} AS VARCHAR) || '{salt}'), {key_expr}
+             ROWS UNBOUNDED PRECEDING) AS BIGINT) AS _cum_in
+    FROM {table} d
+  ) r
+  JOIN (
+    SELECT _shard, CAST(SUM(_shard_w) OVER (ORDER BY _shard ROWS UNBOUNDED PRECEDING) - _shard_w AS BIGINT) AS _off
+    FROM (
+      SELECT ('0x' || substr(md5(CAST({key_expr} AS VARCHAR) || '{salt}'), 1, 2))::BIGINT % {num_shards} AS _shard,
+             SUM(CAST({weight_expr} AS BIGINT)) AS _shard_w
+      FROM {table} d GROUP BY 1
+    )
+  ) o ON o._shard = r._shard
+  CROSS JOIN (
+    SELECT CAST(SUM(CAST({weight_expr} AS BIGINT)) AS BIGINT) AS _w_total
+    FROM {table} d
+  ) t
+)
+WHERE (_hi * {int(k)}) // _w_total > (_lo * {int(k)}) // _w_total
 """

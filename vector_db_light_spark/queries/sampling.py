@@ -156,3 +156,25 @@ def sample_mixture_temperature(spark, sf_dir):
         )
         .orderBy("lang")
     )
+
+
+@register(
+    "sample_weighted_pps",
+    f"""
+WITH kept AS (
+{SM.pps_systematic_sample_sql('documents', 'n_chars', 60, 'd.doc_id')}
+)
+SELECT doc_id, CAST(n_chars AS BIGINT) AS n_chars, lang
+FROM kept
+ORDER BY doc_id
+""",
+)
+def sample_weighted_pps(spark, sf_dir):
+    """PPS systematic sampling by document length (~60 picks): long docs
+    proportionally more likely, pure BIGINT arithmetic end to end, no
+    global sort (two-level cumulative construction)."""
+    docs = load(spark, sf_dir, "documents")
+    kept = SM.pps_systematic_sample(docs, "n_chars", 60, "doc_id")
+    return kept.select(
+        "doc_id", F.col("n_chars").cast("long").alias("n_chars"), "lang"
+    ).orderBy("doc_id")
