@@ -838,3 +838,42 @@ def semantic_prune(
         F.col("_pruned_by").isNull().alias("kept"),
         F.coalesce("_pruned_by", F.lit(-1)).cast("bigint").alias("pruned_by"),
     )
+
+
+def containment_pairs(
+    docs: DataFrame,
+    n: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    rows: DataFrame | None = None,
+) -> DataFrame:
+    """ASYMMETRIC near-duplication: shingle containment
+    ``|A and B| / |A|`` per direction. Jaccard misses subset relations —
+    a doc quoted whole inside a much larger one scores low Jaccard but
+    containment ~1 in the quote's direction; dedup policies drop the
+    contained side (Broder's containment, the complement of resemblance).
+    Same inverted-index + candidate shape as :func:`jaccard_pairs`; at
+    scale restrict with LSH candidates exactly as there."""
+    if rows is None:
+        rows = shingle_rows(docs, n=n, id_col=id_col, text_col=text_col)
+    sizes = rows.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_shingles"))
+    a = rows.select(F.col(id_col).alias("id_a"), "shingle")
+    b = rows.select(F.col(id_col).alias("id_b"), "shingle")
+    inter = (
+        a.join(b, "shingle")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    sa = sizes.select(F.col(id_col).alias("id_a"), F.col("n_shingles").alias("n_a"))
+    sb = sizes.select(F.col(id_col).alias("id_b"), F.col("n_shingles").alias("n_b"))
+    return (
+        inter.join(sa, "id_a")
+        .join(sb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            (F.col("n_inter") / F.col("n_a")).alias("containment_a"),
+            (F.col("n_inter") / F.col("n_b")).alias("containment_b"),
+        )
+    )

@@ -905,3 +905,38 @@ def dedup_keep_best(spark, sf_dir):
         )
         .orderBy("doc_id")
     )
+
+
+@register(
+    "dedup_containment_pairs",
+    f"""
+WITH corpus AS ({_CORPUS_SQL}),
+{_SHINGLES_SQL},
+sizes AS (
+  SELECT doc_id, count(*) AS n_shingles FROM shingles GROUP BY doc_id
+),
+inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_inter
+  FROM shingles a JOIN shingles b ON a.shingle = b.shingle
+  WHERE a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT i.id_a, i.id_b,
+       i.n_inter / sa.n_shingles AS containment_a,
+       i.n_inter / sb.n_shingles AS containment_b
+FROM inter i
+JOIN sizes sa ON sa.doc_id = i.id_a
+JOIN sizes sb ON sb.doc_id = i.id_b
+WHERE i.n_inter / sa.n_shingles >= 0.9 OR i.n_inter / sb.n_shingles >= 0.9
+ORDER BY id_a, id_b
+""",
+)
+def dedup_containment_pairs(spark, sf_dir):
+    """Subset/quote detection the symmetric Jaccard tier misses: the
+    fixture's truncation near-dups are ~fully CONTAINED in their
+    originals even when their Jaccard dips; policy drops the contained
+    side. Directional ratios are single exact-int divisions."""
+    pairs = D.containment_pairs(_corpus(spark, sf_dir))
+    return pairs.filter(
+        (F.col("containment_a") >= 0.9) | (F.col("containment_b") >= 0.9)
+    ).orderBy("id_a", "id_b")
