@@ -197,3 +197,88 @@ def cross_rerank(
             )
 
     return candidates.select(id_col, text_col).mapInPandas(run, schema=schema)
+
+
+def bm25_topk_terms_df(
+    docs: DataFrame,
+    terms_df: DataFrame,
+    k: int = 10,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """:func:`bm25_topk` with a DATA-DEPENDENT term set (a 1-column
+    ``term`` DataFrame) — the postings filter becomes a broadcast
+    left-semi join instead of a literal IN, which is what a query-
+    expansion stage needs (its terms come out of the corpus, not the
+    caller). Same scoring, same 6-decimal rounding contract."""
+    tfs = term_frequencies(docs, id_col=id_col, text_col=text_col)
+    stats = docs.select(F.count(F.lit(1)).alias("_n")).crossJoin(
+        tfs.select(id_col, "dl").distinct().agg(F.avg("dl").alias("_avgdl"))
+    )
+    postings = tfs.join(F.broadcast(terms_df.select("term")), "term", "left_semi")
+    df_per_term = postings.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    scored = (
+        postings.join(F.broadcast(df_per_term), "term")
+        .crossJoin(F.broadcast(stats))
+        .select(
+            F.col(id_col),
+            (
+                F.log(
+                    F.lit(1.0)
+                    + (F.col("_n") - F.col("df") + F.lit(0.5))
+                    / (F.col("df") + F.lit(0.5))
+                )
+                * (F.col("tf") * (K1 + 1))
+                / (
+                    F.col("tf")
+                    + F.lit(K1)
+                    * (F.lit(1.0) - F.lit(B) + F.lit(B) * F.col("dl") / F.col("_avgdl"))
+                )
+            ).alias("_s"),
+        )
+    )
+    return (
+        scored.groupBy(id_col)
+        .agg(F.round(F.sum("_s"), 6).alias("bm25"))
+        .orderBy(F.col("bm25").desc(), F.col(id_col).asc())
+        .limit(k)
+    )
+
+
+def prf_expansion_terms(
+    docs: DataFrame,
+    seed_terms: list[str],
+    n_fb_docs: int = 5,
+    n_fb_terms: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Pseudo-relevance feedback (Rocchio-style, rank-only): take the
+    seed query's BM25 top-``n_fb_docs``, then pick the ``n_fb_terms``
+    terms that (a) are not seed terms, (b) occur in at least 2 feedback
+    docs (theme, not one doc's quirk), ranked by total feedback tf
+    (INTEGER ordering — the selection is float-free; only the BM25 stages
+    keep the 6-decimal rounding contract), tie alphabetic. Returns the
+    expanded 1-column ``term`` DataFrame (seed + feedback)."""
+    fb_docs = bm25_topk(
+        docs, seed_terms, k=n_fb_docs, id_col=id_col, text_col=text_col
+    ).select(id_col)
+    tfs = term_frequencies(docs, id_col=id_col, text_col=text_col)
+    fb_tf = tfs.join(F.broadcast(fb_docs), id_col)
+    seeds = [t.lower() for t in seed_terms]
+    fb_terms = (
+        fb_tf.filter(~F.col("term").isin(seeds))
+        .groupBy("term")
+        .agg(
+            F.count(F.lit(1)).alias("fb_df"),
+            F.sum("tf").alias("fb_tf"),
+        )
+        .filter(F.col("fb_df") >= 2)
+        .orderBy(F.col("fb_tf").desc(), F.col("term").asc())
+        .limit(n_fb_terms)
+        .select("term")
+    )
+    seed_df = docs.sparkSession.createDataFrame(
+        [(t,) for t in seeds], "term string"
+    )
+    return seed_df.unionByName(fb_terms).distinct()

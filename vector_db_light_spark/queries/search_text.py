@@ -469,3 +469,78 @@ def rag_chunk_banners(spark, sf_dir):
         .applyInPandas(build, "banners string, n_chunks bigint")
         .select("banners", "n_chunks")
     )
+
+
+# ---------------------------------------------------------------------------
+# Pseudo-relevance feedback (Rocchio-style) query expansion: seed BM25
+# top-5 -> feedback terms (integer-ranked: in >=2 feedback docs, by total
+# feedback tf) -> second BM25 pass over seed+feedback terms. The classic
+# IR recall lever, fully relational on the inverted-index layout.
+# ---------------------------------------------------------------------------
+
+def _bm25_scored_sql(postings: str, dfs: str) -> str:
+    return f"""
+  SELECT p.doc_id,
+         ln(1.0 + (s.n - d.df + 0.5) / (d.df + 0.5))
+         * (p.tf * (1.2 + 1)) / (p.tf + 1.2 * (1.0 - 0.75 + 0.75 * p.dl / s.avgdl))
+           AS sc
+  FROM {postings} p JOIN {dfs} d USING (term) CROSS JOIN stats s
+"""
+
+
+@register(
+    "search_prf_expansion",
+    rf"""
+WITH tokens AS (SELECT doc_id, {_TOKS_SQL} AS toks FROM documents),
+tf AS (
+  SELECT doc_id, dl, term, count(*) AS tf FROM (
+    SELECT doc_id, len(toks) AS dl, unnest(toks) AS term FROM tokens
+  ) GROUP BY 1, 2, 3
+),
+stats AS (
+  SELECT (SELECT count(*) FROM documents) AS n,
+         (SELECT avg(dl) FROM (SELECT DISTINCT doc_id, dl FROM tf)) AS avgdl
+),
+postings1 AS (SELECT * FROM tf WHERE term IN ({_TERMS_SQL})),
+dfs1 AS (SELECT term, count(*) AS df FROM postings1 GROUP BY 1),
+scored1 AS ({_bm25_scored_sql('postings1', 'dfs1')}),
+fb_docs AS (
+  SELECT doc_id FROM (
+    SELECT doc_id, round(sum(sc), 6) AS bm25
+    FROM scored1 GROUP BY 1
+    ORDER BY bm25 DESC, doc_id ASC
+    LIMIT 5
+  )
+),
+fb_terms AS (
+  SELECT term FROM (
+    SELECT t.term, count(*) AS fb_df, sum(t.tf) AS fb_tf
+    FROM tf t JOIN fb_docs f USING (doc_id)
+    WHERE t.term NOT IN ({_TERMS_SQL})
+    GROUP BY 1
+  ) WHERE fb_df >= 2
+  ORDER BY fb_tf DESC, term ASC
+  LIMIT 3
+),
+all_terms AS (
+  SELECT unnest([{_TERMS_SQL}]) AS term
+  UNION
+  SELECT term FROM fb_terms
+),
+postings2 AS (SELECT * FROM tf WHERE term IN (SELECT term FROM all_terms)),
+dfs2 AS (SELECT term, count(*) AS df FROM postings2 GROUP BY 1),
+scored2 AS ({_bm25_scored_sql('postings2', 'dfs2')})
+SELECT doc_id, round(sum(sc), 6) AS bm25
+FROM scored2 GROUP BY 1
+ORDER BY bm25 DESC, doc_id ASC
+LIMIT 10
+""",
+)
+def search_prf_expansion(spark, sf_dir):
+    """Two-pass PRF retrieval: the feedback-term pick is pure integer
+    ordering (float-free), both BM25 passes keep the 6-decimal rounding
+    contract; expansion terms reach the second pass as a broadcast
+    semi-join (bm25_topk_terms_df), never a driver round-trip."""
+    docs = load_docs(spark, sf_dir)
+    expanded = T.prf_expansion_terms(docs, list(BM25_TERMS))
+    return T.bm25_topk_terms_df(docs, expanded, k=10)
