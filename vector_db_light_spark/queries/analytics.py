@@ -1013,3 +1013,91 @@ def pagerank_suppliers(spark, sf_dir):
         .orderBy(F.col("rank_u6").desc(), F.col("node").asc())
         .limit(20)
     )
+
+
+# ---------------------------------------------------------------------------
+# Robust outlier detection: per-event-type median and MAD (median absolute
+# deviation) computed by EXACT RANK SELECTION — no float aggregation
+# exists anywhere (median/MAD are order statistics picked from parquet
+# doubles; the only arithmetic is |x - m| and one scaled comparison), so
+# the classic |x - median| > 3 * MAD flag is engine-exact. The z-score
+# variant needs mean/stddev — order-dependent float sums — which is why
+# robust statistics are ALSO the right determinism choice, not just the
+# right statistics choice.
+# ---------------------------------------------------------------------------
+
+def _median_by_rank_sql(src: str, val: str, part: str) -> str:
+    """Lower-median via row_number selection (deterministic tie-break on
+    the value then rn ordering is value asc only — duplicates are fine,
+    any element with the median rank has the median VALUE)."""
+    return f"""
+  SELECT {part}, {val} AS med FROM (
+    SELECT {part}, {val},
+           row_number() OVER (PARTITION BY {part} ORDER BY {val} ASC) AS rn,
+           count(*) OVER (PARTITION BY {part}) AS n
+    FROM {src}
+  ) WHERE rn = (n + 1) // 2
+"""
+
+
+@register(
+    "events_robust_outliers",
+    f"""
+WITH ev AS (
+  SELECT user_id, event_type, value FROM events
+),
+med AS ({_median_by_rank_sql('ev', 'value', 'event_type')}),
+dev AS (
+  SELECT e.user_id, e.event_type, e.value,
+         abs(e.value - m.med) AS adev, m.med
+  FROM ev e JOIN med m USING (event_type)
+),
+mad AS ({_median_by_rank_sql('dev', 'adev', 'event_type')})
+SELECT d.event_type, CAST(count(*) AS BIGINT) AS n_events,
+       CAST(SUM(CASE WHEN d.adev > 3 * m2.med THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_outliers
+FROM dev d JOIN mad m2 USING (event_type)
+GROUP BY 1
+ORDER BY 1
+""",
+)
+def events_robust_outliers(spark, sf_dir):
+    """Per-type outlier counts under the 3-MAD rule. Two rank-selection
+    passes (each: one window shuffle on event_type) + a broadcast of the
+    per-type medians; at scale swap the exact rank for approx_percentile
+    when +-epsilon medians are acceptable — the flag rule is unchanged."""
+    from pyspark.sql.window import Window
+
+    ev = load(spark, sf_dir, "events").select("user_id", "event_type", "value")
+
+    def median_of(df, val):
+        w = Window.partitionBy("event_type").orderBy(F.col(val).asc())
+        wc = Window.partitionBy("event_type")
+        return (
+            df.withColumn("_rn", F.row_number().over(w))
+            .withColumn("_n", F.count(F.lit(1)).over(wc))
+            .filter(F.col("_rn") == F.expr("(_n + 1) div 2"))
+            .select("event_type", F.col(val).alias("med"))
+        )
+
+    med = median_of(ev, "value")
+    dev = ev.join(F.broadcast(med), "event_type").select(
+        "user_id",
+        "event_type",
+        "value",
+        F.abs(F.col("value") - F.col("med")).alias("adev"),
+    )
+    mad = median_of(dev, "adev").withColumnRenamed("med", "mad")
+    return (
+        dev.join(F.broadcast(mad), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.sum(
+                F.when(F.col("adev") > 3 * F.col("mad"), 1).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_outliers"),
+        )
+        .orderBy("event_type")
+    )
