@@ -1101,3 +1101,39 @@ def events_robust_outliers(spark, sf_dir):
         )
         .orderBy("event_type")
     )
+
+
+@register(
+    "supplier_degree_histogram",
+    """
+WITH pairs AS (
+  SELECT DISTINCT o.o_custkey AS c, l.l_suppkey AS s
+  FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+),
+deg AS (
+  SELECT s, CAST(count(*) AS BIGINT) AS degree FROM pairs GROUP BY 1
+)
+SELECT degree, CAST(count(*) AS BIGINT) AS n_suppliers
+FROM deg GROUP BY 1
+ORDER BY degree
+""",
+)
+def supplier_degree_histogram(spark, sf_dir):
+    """Degree distribution of the customer<->supplier graph pagerank runs
+    on — the structural sanity check before any centrality number is
+    trusted (a near-uniform histogram means centrality differences are
+    real signal, a power law means hubs dominate). Two partial-aggregated
+    shuffles; the distinct is the same pairs build as pagerank_suppliers."""
+    orders = load(spark, sf_dir, "orders")
+    lineitem = load(spark, sf_dir, "lineitem")
+    pairs = (
+        orders.join(lineitem, orders.o_orderkey == lineitem.l_orderkey)
+        .select(F.col("o_custkey").alias("c"), F.col("l_suppkey").alias("s"))
+        .distinct()
+    )
+    deg = pairs.groupBy("s").agg(F.count(F.lit(1)).cast("long").alias("degree"))
+    return (
+        deg.groupBy("degree")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_suppliers"))
+        .orderBy("degree")
+    )
