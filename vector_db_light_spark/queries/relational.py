@@ -1044,3 +1044,86 @@ def events_resample_hourly(spark, sf_dir):
         )
         .orderBy("window_start", "event_type")
     )
+
+
+# ---------------------------------------------------------------------------
+# BAG-semantics set ops: INTERSECT ALL / EXCEPT ALL keep multiplicity —
+# a genuinely different operator from the distinct variants
+# (set_ops_labeled): a value occurring 3x on the left and 2x on the right
+# intersects 2x and excepts 1x.
+# ---------------------------------------------------------------------------
+
+@register(
+    "set_ops_all_labeled",
+    """
+WITH l AS (SELECT o_custkey AS k FROM orders WHERE o_orderstatus = 'O'),
+r AS (SELECT o_custkey AS k FROM orders WHERE o_orderpriority = '1-URGENT'),
+i AS (SELECT 'intersect_all' AS op, k FROM (SELECT k FROM l INTERSECT ALL SELECT k FROM r)),
+e AS (SELECT 'except_all' AS op, k FROM (SELECT k FROM l EXCEPT ALL SELECT k FROM r))
+SELECT op, k, CAST(count(*) AS BIGINT) AS n
+FROM (SELECT * FROM i UNION ALL SELECT * FROM e)
+GROUP BY 1, 2
+ORDER BY op, k
+""",
+)
+def set_ops_all_labeled(spark, sf_dir):
+    """intersectAll/exceptAll multiplicity semantics, aggregated to
+    per-key counts so the multiplicities themselves are hash-checked."""
+    orders = load(spark, sf_dir, "orders")
+    l = orders.filter(F.col("o_orderstatus") == "O").select(
+        F.col("o_custkey").alias("k")
+    )
+    r = orders.filter(F.col("o_orderpriority") == "1-URGENT").select(
+        F.col("o_custkey").alias("k")
+    )
+    i = l.intersectAll(r).select(F.lit("intersect_all").alias("op"), "k")
+    e = l.exceptAll(r).select(F.lit("except_all").alias("op"), "k")
+    return (
+        i.unionByName(e)
+        .groupBy("op", "k")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+        .orderBy("op", "k")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Schema-evolution union: two snapshots with DIFFERENT columns combined by
+# name, absent columns null-filled — unionByName(allowMissingColumns) vs
+# DuckDB's UNION ALL BY NAME. The operation every long-lived table needs
+# the day a column is added.
+# ---------------------------------------------------------------------------
+
+@register(
+    "union_schema_evolution",
+    """
+WITH v1 AS (
+  SELECT doc_id, lang FROM documents WHERE doc_id % 2 = 0
+),
+v2 AS (
+  SELECT doc_id, lang, n_chars FROM documents WHERE doc_id % 2 = 1
+),
+u AS (SELECT * FROM v1 UNION ALL BY NAME SELECT * FROM v2)
+SELECT lang,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(count(n_chars) AS BIGINT) AS n_with_chars,
+       CAST(coalesce(sum(n_chars), 0) AS BIGINT) AS chars_total
+FROM u GROUP BY 1
+ORDER BY lang
+""",
+)
+def union_schema_evolution(spark, sf_dir):
+    """v1 rows lack n_chars entirely; the by-name union null-fills it, and
+    the aggregate proves exactly the v2 half carries values."""
+    docs = load(spark, sf_dir, "documents")
+    v1 = docs.filter(F.col("doc_id") % 2 == 0).select("doc_id", "lang")
+    v2 = docs.filter(F.col("doc_id") % 2 == 1).select("doc_id", "lang", "n_chars")
+    u = v1.unionByName(v2, allowMissingColumns=True)
+    return (
+        u.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.count("n_chars").cast("long").alias("n_with_chars"),
+            F.coalesce(F.sum("n_chars"), F.lit(0)).cast("long").alias("chars_total"),
+        )
+        .orderBy("lang")
+    )
