@@ -1127,3 +1127,93 @@ def union_schema_evolution(spark, sf_dir):
         )
         .orderBy("lang")
     )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q6 shape: the forecast-revenue-change scan — a pure filter +
+# scalar aggregate, the canonical predicate-pushdown benchmark. Revenue in
+# exact BIGINT cents (per-row round of one double product, then integer
+# sum) per the repo's wide-aggregate rule.
+# ---------------------------------------------------------------------------
+
+@register(
+    "forecast_revenue_q6",
+    """
+SELECT CAST(SUM(CAST(round(l_extendedprice * l_discount * 100) AS BIGINT)) AS BIGINT)
+         AS revenue_cents,
+       CAST(count(*) AS BIGINT) AS n_lines
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+  AND l_shipdate < TIMESTAMP '1997-01-01'
+  AND l_discount BETWEEN '0.05'::DOUBLE AND '0.07'::DOUBLE
+  AND l_quantity < 24
+""",
+)
+def forecast_revenue_q6(spark, sf_dir):
+    """Every predicate reaches the parquet scan (PushedFilters); the
+    aggregate is a map-side partial over the surviving rows — the plan is
+    scan-bound by construction."""
+    li = load(spark, sf_dir, "lineitem")
+    f = li.filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_discount") >= F.lit(0.05))
+        & (F.col("l_discount") <= F.lit(0.07))
+        & (F.col("l_quantity") < 24)
+    )
+    return f.agg(
+        F.sum(
+            F.round(F.col("l_extendedprice") * F.col("l_discount") * 100, 0).cast(
+                "long"
+            )
+        )
+        .cast("long")
+        .alias("revenue_cents"),
+        F.count(F.lit(1)).cast("long").alias("n_lines"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q9 shape (adapted: the schema has no partsupp, so profit reduces
+# to discounted revenue): per (supplier nation, order year) totals through
+# the lineitem -> supplier -> nation + lineitem -> orders join web, the
+# multi-dimension join-aggregate Q9 exercises.
+# ---------------------------------------------------------------------------
+
+@register(
+    "revenue_by_supplier_nation_year",
+    """
+SELECT n.n_name AS nation,
+       CAST(year(o.o_orderdate) AS BIGINT) AS o_year,
+       CAST(SUM(CAST(round(l.l_extendedprice * (1 - l.l_discount) * 100) AS BIGINT)) AS BIGINT)
+         AS revenue_cents
+FROM lineitem l
+JOIN supplier s ON s.s_suppkey = l.l_suppkey
+JOIN nation n ON n.n_nationkey = s.s_nationkey
+JOIN orders o ON o.o_orderkey = l.l_orderkey
+GROUP BY 1, 2
+ORDER BY nation, o_year
+""",
+)
+def revenue_by_supplier_nation_year(spark, sf_dir):
+    """supplier/nation broadcast (tiny dims); the only real shuffle is the
+    fact-fact join on orderkey + the final group — Q9's shape with exact
+    integer cents."""
+    li = load(spark, sf_dir, "lineitem")
+    sup = load(spark, sf_dir, "supplier")
+    nat = load(spark, sf_dir, "nation")
+    orders = load(spark, sf_dir, "orders")
+    cents = F.round(
+        F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount")) * 100, 0
+    ).cast("long")
+    return (
+        li.join(F.broadcast(sup), li.l_suppkey == sup.s_suppkey)
+        .join(F.broadcast(nat), sup.s_nationkey == nat.n_nationkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").cast("long").alias("o_year"),
+        )
+        .agg(F.sum(cents).cast("long").alias("revenue_cents"))
+        .orderBy("nation", "o_year")
+    )
