@@ -160,7 +160,9 @@ PRIORITY: tuple[str, ...] = (
     "knn_inner_product_topk",  # V3 inner-product (granular; r6 rotation)
     "doc_profile",          # F7/F8/X1/X6 + 4 textstats ops (combo)
     "citations_pages",      # A2 + A3 (combo)
-    "citations_agg",        # A2 granular (r6 rotation)
+    "search_prf_expansion", # PRF expansion over BM25 (late r6; citations_agg
+                            # stays driver_sim-checked, citations_pages combo
+                            # keeps A2 in-window)
     "search_by_text",       # V1 query-embed + instruction prefix
     "hybrid_rrf_search",    # BM25 + vector reciprocal-rank fusion
     "bm25_topk",            # lexical ranking on its own (r6 rotation)
