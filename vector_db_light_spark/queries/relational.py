@@ -1217,3 +1217,44 @@ def revenue_by_supplier_nation_year(spark, sf_dir):
         .agg(F.sum(cents).cast("long").alias("revenue_cents"))
         .orderBy("nation", "o_year")
     )
+
+
+# ---------------------------------------------------------------------------
+# NULL-safe equi-join: <=> (eqNullSafe) matches NULL with NULL — standard
+# equality drops those rows silently. The semantics gap shows up the first
+# time a join key is an optional attribute; counted per key with the NULL
+# key coalesced to a sentinel per the repo's nullable-group-key rule.
+# ---------------------------------------------------------------------------
+
+@register(
+    "null_safe_join_counts",
+    """
+WITH a AS (
+  SELECT doc_id, CASE WHEN lang = 'en' THEN NULL ELSE lang END AS k
+  FROM documents WHERE doc_id % 2 = 0
+),
+b AS (
+  SELECT doc_id, CASE WHEN lang = 'en' THEN NULL ELSE lang END AS k
+  FROM documents WHERE doc_id % 2 = 1
+)
+SELECT coalesce(a.k, '<null>') AS join_key,
+       CAST(count(*) AS BIGINT) AS n_pairs
+FROM a JOIN b ON a.k IS NOT DISTINCT FROM b.k
+GROUP BY 1
+ORDER BY join_key
+""",
+)
+def null_safe_join_counts(spark, sf_dir):
+    """eqNullSafe pair counts per key: the '<null>' row exists ONLY under
+    null-safe semantics (plain == would drop every NULL pair), so its
+    presence is the semantic the oracle checks."""
+    docs = load(spark, sf_dir, "documents")
+    key = F.when(F.col("lang") == "en", F.lit(None)).otherwise(F.col("lang"))
+    a = docs.filter(F.col("doc_id") % 2 == 0).select(key.alias("ka"))
+    b = docs.filter(F.col("doc_id") % 2 == 1).select(key.alias("kb"))
+    return (
+        a.join(b, F.col("ka").eqNullSafe(F.col("kb")))
+        .groupBy(F.coalesce(F.col("ka"), F.lit("<null>")).alias("join_key"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_pairs"))
+        .orderBy("join_key")
+    )
