@@ -308,3 +308,31 @@ def test_join_hints_steer_physical_strategy(spark):
     )
     p3 = plan(j3)
     assert "ShuffledHashJoin" in p3 and "SortMergeJoin" not in p3
+
+
+def test_observation_metrics_piggyback_one_pass(spark):
+    """df.observe: pipeline health metrics (rows kept, weight kept) ride
+    the SAME job as the real sink — at 100 TB this replaces the separate
+    .count() pass every naive pipeline pays for monitoring. The observed
+    values must equal what a second pass would report."""
+    import pyspark.sql.functions as F
+    from pyspark.sql import Observation
+
+    from conftest import SF_ORACLE
+    from vector_db_light_spark.operators.sampling import temperature_mixture
+
+    docs = spark.read.parquet(f"{SF_ORACLE}/documents.parquet")
+    kept = temperature_mixture(docs, "lang", key_col="doc_id")
+    obs = Observation("mixture")
+    observed = kept.observe(
+        obs,
+        F.count(F.lit(1)).alias("n_kept"),
+        F.sum("n_chars").alias("chars_kept"),
+    )
+    # ONE action drives both the "sink" (noop-ish collect of a projection)
+    # and the metrics
+    out_rows = observed.select("doc_id").count()
+    got = obs.get
+    assert got["n_kept"] == out_rows
+    want_chars = kept.agg(F.sum("n_chars")).collect()[0][0]
+    assert got["chars_kept"] == want_chars
