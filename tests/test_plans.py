@@ -336,3 +336,31 @@ def test_observation_metrics_piggyback_one_pass(spark):
     assert got["n_kept"] == out_rows
     want_chars = kept.agg(F.sum("n_chars")).collect()[0][0]
     assert got["chars_kept"] == want_chars
+
+
+def test_knn_dot_is_unrolled_codegen_not_interpreted_hof(spark):
+    """VERDICT r6 #1: a literal query vector must score via a statically
+    unrolled Add/Multiply chain inside whole-stage codegen, NOT the
+    interpreted ``aggregate(zip_with(...))`` HigherOrderFunction fold (the
+    search_pipeline bench breach). Column-valued query vectors (batch
+    serving without a known dim) may still fold."""
+    emb = spark.read.parquet(f"{SF_ORACLE}/embeddings.parquet")
+    df = knn(emb, Q, k=6)
+    plan = explain_string(df)
+    assert "zip_with" not in plan and "aggregate(" not in plan
+    assert "lambdafunction" not in plan.lower()
+    # the statically unrolled left-to-right chain is in the Project
+    # (plain Add/Multiply over array indexing => codegen-able; AQE hides
+    # the WholeStageCodegen label pre-execution, so pin the expression)
+    assert "(0.0 + (cast(embedding" in plan
+
+
+def test_batch_knn_dot_unrolls_with_known_dim(spark):
+    from vector_db_light_spark.operators.similarity import batch_knn
+
+    emb = spark.read.parquet(f"{SF_ORACLE}/embeddings.parquet")
+    queries = emb.limit(3).select(
+        emb.vec_id.alias("query_id"), emb.embedding.alias("query_vec")
+    )
+    plan = explain_string(batch_knn(emb, queries, k=3, dim=64))
+    assert "zip_with" not in plan and "aggregate(" not in plan

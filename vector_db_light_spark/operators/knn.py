@@ -44,8 +44,10 @@ def knn(
     most-similar first, ties broken by id (deterministic; TileDB ties are
     index-order, SURVEY.md §7 hard-part #5).
     """
-    q = V.vector_lit(query_vector)
-    d = V.distance_expr(metric, vector_col, q)
+    # Pass the raw Python list: distance_expr emits the statically unrolled
+    # left-to-right sum (whole-stage codegen) instead of an interpreted
+    # HOF fold — same IEEE-754 op order, ~codegen-speed scan (VERDICT r6 #1).
+    d = V.distance_expr(metric, vector_col, query_vector)
     scored = embeddings.select(F.col(id_col), d.alias("distance"))
 
     # inner_product: larger is nearer; all other metrics: smaller is nearer.

@@ -37,8 +37,13 @@ def batch_knn(
     vector_col: str = "embedding",
     query_id_col: str = "query_id",
     query_vec_col: str = "query_vec",
+    dim: int | None = None,
 ) -> DataFrame:
     """Cosine top-k per query: one corpus scan x broadcast queries.
+
+    Pass ``dim`` when the vector width is known (it always is in a real
+    index): the per-row dot unrolls into codegen-able Add/Multiply chains
+    instead of an interpreted HOF fold — identical op order, same hashes.
 
     Returns (query_id, vec_id, distance, rk). The row_number window +
     ``rk <= k`` filter is deliberately the EXACT shape Spark's
@@ -53,7 +58,9 @@ def batch_knn(
     q = queries.select(
         F.col(query_id_col), F.col(query_vec_col).cast("array<double>").alias("_qv")
     )
-    d = (F.lit(1.0) - V.dot(F.col(vector_col), F.col("_qv"))).alias("distance")
+    d = (F.lit(1.0) - V.dot(F.col(vector_col), F.col("_qv"), dim=dim)).alias(
+        "distance"
+    )
     scored = corpus.join(F.broadcast(q)).select(
         F.col(query_id_col), F.col(id_col), d
     )
@@ -80,7 +87,7 @@ def lsh_bucket_expr(vec_col: str | Column, planes: list[list[float]]) -> Column:
     """Sign-bit bucket key: one char per hyperplane ('1' if dot > 0)."""
     v = F.col(vec_col) if isinstance(vec_col, str) else vec_col
     bits = [
-        F.when(V.dot(v, V.vector_lit(pl)) > 0, "1").otherwise("0")
+        F.when(V.dot(v, list(pl)) > 0, "1").otherwise("0")
         for pl in planes
     ]
     return F.concat(*bits)
@@ -95,6 +102,7 @@ def batch_lsh_topk(
     vector_col: str = "embedding",
     query_id_col: str = "query_id",
     query_vec_col: str = "query_vec",
+    dim: int | None = None,
 ) -> DataFrame:
     """Batch ANN: per-query top-k restricted to the query's sign bucket.
 
@@ -117,7 +125,9 @@ def batch_lsh_topk(
         F.col(query_vec_col).cast("array<double>").alias("_qv"),
         lsh_bucket_expr(query_vec_col, planes).alias("_b"),
     )
-    d = (F.lit(1.0) - V.dot(F.col(vector_col), F.col("_qv"))).alias("distance")
+    d = (F.lit(1.0) - V.dot(F.col(vector_col), F.col("_qv"), dim=dim)).alias(
+        "distance"
+    )
     scored = c.join(F.broadcast(q), "_b").select(
         F.col(query_id_col), F.col(id_col), d
     )
@@ -149,6 +159,7 @@ def batch_lsh_multiprobe_topk(
     vector_col: str = "embedding",
     query_id_col: str = "query_id",
     query_vec_col: str = "query_vec",
+    dim: int | None = None,
 ) -> DataFrame:
     """Multi-probe batch LSH: each query probes its own bucket PLUS every
     bucket at Hamming distance 1 (one sign bit flipped) — the standard
@@ -181,7 +192,9 @@ def batch_lsh_multiprobe_topk(
     q = q0.select(
         query_id_col, "_qv", F.explode(probes).alias("_b")
     )
-    d = (F.lit(1.0) - V.dot(F.col(vector_col), F.col("_qv"))).alias("distance")
+    d = (F.lit(1.0) - V.dot(F.col(vector_col), F.col("_qv"), dim=dim)).alias(
+        "distance"
+    )
     scored = (
         c.join(F.broadcast(q), "_b")
         .select(F.col(query_id_col), F.col(id_col), d)
@@ -213,7 +226,7 @@ def lsh_topk(
         for pl in planes
     )
     bucketed = corpus.filter(lsh_bucket_expr(vector_col, planes) == qbits)
-    d = (F.lit(1.0) - V.dot(F.col(vector_col), V.vector_lit(query_vector))).alias(
+    d = (F.lit(1.0) - V.dot(F.col(vector_col), list(query_vector))).alias(
         "distance"
     )
     return (
@@ -444,6 +457,7 @@ def batch_ivf_probes(
     cluster_col: str = "label",
     query_id_col: str = "query_id",
     query_vec_col: str = "query_vec",
+    dim: int | None = None,
 ) -> DataFrame:
     """(query_id, cluster) probe list: each query's ``nprobe`` nearest
     centroids — the shared front half of batch IVF and IVF+PQ."""
@@ -451,7 +465,9 @@ def batch_ivf_probes(
         F.col(query_id_col),
         F.col(query_vec_col).cast("array<double>").alias("_qv"),
     )
-    cd = (F.lit(1.0) - V.dot(F.col("centroid"), F.col("_qv"))).alias("_cd")
+    cd = (F.lit(1.0) - V.dot(F.col("centroid"), F.col("_qv"), dim=dim)).alias(
+        "_cd"
+    )
     probe_w = Window.partitionBy(query_id_col).orderBy(
         F.col("_cd").asc(), F.col(cluster_col).asc()
     )
@@ -517,6 +533,7 @@ def batch_ivf_topk(
     vector_col: str = "embedding",
     query_id_col: str = "query_id",
     query_vec_col: str = "query_vec",
+    dim: int | None = None,
 ) -> DataFrame:
     """Batch IVF: each query probes its ``nprobe`` nearest centroids; the
     corpus joins the (query, probed cluster) pairs on the CLUSTER key.
@@ -534,7 +551,9 @@ def batch_ivf_topk(
         F.col(query_id_col),
         F.col(query_vec_col).cast("array<double>").alias("_qv"),
     )
-    cd = (F.lit(1.0) - V.dot(F.col("centroid"), F.col("_qv"))).alias("_cd")
+    cd = (F.lit(1.0) - V.dot(F.col("centroid"), F.col("_qv"), dim=dim)).alias(
+        "_cd"
+    )
     probe_w = Window.partitionBy(query_id_col).orderBy(
         F.col("_cd").asc(), F.col(cluster_col).asc()
     )
@@ -545,7 +564,9 @@ def batch_ivf_topk(
         .filter(F.col("_pr") <= nprobe)
         .select(query_id_col, cluster_col, "_qv")
     )
-    d = (F.lit(1.0) - V.dot(F.col(vector_col), F.col("_qv"))).alias("distance")
+    d = (F.lit(1.0) - V.dot(F.col(vector_col), F.col("_qv"), dim=dim)).alias(
+        "distance"
+    )
     scored = corpus.join(F.broadcast(probes), cluster_col).select(
         F.col(query_id_col), F.col(id_col), d
     )
@@ -615,7 +636,7 @@ def ivf_search(
         selective filter predicate), so every partition is still READ and
         filtered. Use only when the probe must stay inside one lazy plan.
     """
-    q = V.vector_lit(query_vector)
+    q = list(query_vector)
     if centroids is None:
         if dim is None:
             raise ValueError("dim is required when no centroid table is given")
@@ -784,7 +805,7 @@ def random_projection(
     scale = 1.0 / math.sqrt(d_out)
     proj = F.array(
         *[
-            V.dot(F.col(vector_col), V.vector_lit(c)) * F.lit(scale)
+            V.dot(F.col(vector_col), list(c)) * F.lit(scale)
             for c in cols
         ]
     )
@@ -839,18 +860,17 @@ def ivf_pq_residual_topk(
     reads M small ints per row and never the vectors; the probe side is
     centroid-table-sized. ADC sums the M lookups left-to-right (same
     order as pq_adc_topk)."""
-    from ..functions.vector import vector_lit
-
     m = len(codebooks)
     subdim = len(codebooks[0][0])
-    q = vector_lit(query_vector)
-    cd = (F.lit(1.0) - V.dot(F.col("centroid"), q)).alias("_cd")
+    cd = (F.lit(1.0) - V.dot(F.col("centroid"), list(query_vector))).alias("_cd")
     probed = (
         centroids.select(F.col(cluster_col), F.col("centroid"), cd)
         .orderBy(F.col("_cd").asc(), F.col(cluster_col).asc())
         .limit(nprobe)
     )
-    qr = F.zip_with(q, F.col("centroid"), lambda x, y: x - y)
+    qr = F.zip_with(
+        V.vector_lit(query_vector), F.col("centroid"), lambda x, y: x - y
+    )
     luts = probed.withColumn("_qr", qr).select(
         F.col(cluster_col),
         *[

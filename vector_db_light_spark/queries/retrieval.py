@@ -143,8 +143,7 @@ ORDER BY similarity DESC, vec_id ASC
 )
 def filter_threshold(spark, sf_dir):
     emb = load(spark, sf_dir, "embeddings")
-    q = V.vector_lit(QUERY_VEC)
-    sim = V.clip01(F.lit(1.0) - V.cosine_distance("embedding", q))
+    sim = V.clip01(F.lit(1.0) - V.cosine_distance("embedding", QUERY_VEC))
     return (
         emb.select("vec_id", sim.alias("similarity"))
         .filter(F.col("similarity") >= 0.1)
@@ -265,8 +264,7 @@ _HITS_SQL = f"""
 def _hits_df(spark, sf_dir, k: int = 50):
     emb = load(spark, sf_dir, "embeddings")
     docs = load(spark, sf_dir, "documents")
-    q = V.vector_lit(QUERY_VEC)
-    sim = V.clip01(F.lit(1.0) - V.cosine_distance("embedding", q))
+    sim = V.clip01(F.lit(1.0) - V.cosine_distance("embedding", QUERY_VEC))
     topk = (
         emb.select("vec_id", sim.alias("similarity"))
         .orderBy(F.col("similarity").desc(), F.col("vec_id").asc())

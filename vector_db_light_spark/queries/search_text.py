@@ -67,9 +67,8 @@ def _scored_topk(spark, sf_dir, k: int):
     tie-broken by doc_id) — the Spark twin of _EMB_SCORED_CTES + topk."""
     docs = load_docs(spark, sf_dir)
     embs = embed_documents(docs, dim=16)
-    q = vector_lit(_QVEC)
     scored = embs.select(
-        "doc_id", (F.lit(1.0) - dot(F.col("embedding"), q)).alias("distance")
+        "doc_id", (F.lit(1.0) - dot(F.col("embedding"), _QVEC)).alias("distance")
     )
     cands = scored.orderBy(F.col("distance").asc(), F.col("doc_id").asc()).limit(k)
     return docs, cands
@@ -92,9 +91,8 @@ ORDER BY similarity DESC, d.doc_id ASC
 def search_by_text(spark, sf_dir):
     docs = load_docs(spark, sf_dir)
     embs = embed_documents(docs, dim=16)
-    q = vector_lit(_QVEC)
     scored = embs.select(
-        "doc_id", (F.lit(1.0) - dot(F.col("embedding"), q)).alias("distance")
+        "doc_id", (F.lit(1.0) - dot(F.col("embedding"), _QVEC)).alias("distance")
     )
     topk = scored.orderBy(F.col("distance").asc(), F.col("doc_id").asc()).limit(10)
     sim = clip01(F.lit(1.0) - F.col("distance"))
@@ -254,9 +252,8 @@ def hybrid_rrf_search(spark, sf_dir):
         .alias("brn"),
     )
     embs = embed_documents(docs, dim=16)
-    q = vector_lit(_QVEC)
     scored = embs.select(
-        "doc_id", (F.lit(1.0) - dot(F.col("embedding"), q)).alias("distance")
+        "doc_id", (F.lit(1.0) - dot(F.col("embedding"), _QVEC)).alias("distance")
     )
     topv = scored.orderBy(F.col("distance").asc(), F.col("doc_id").asc()).limit(20)
     vrr = topv.select(

@@ -46,7 +46,7 @@ def knn_batch_topk(spark, sf_dir):
     queries = emb.filter(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
     )
-    return S.batch_knn(emb, queries, k=3).orderBy("query_id", "rk")
+    return S.batch_knn(emb, queries, dim=64, k=3).orderBy("query_id", "rk")
 
 
 # ---------------------------------------------------------------------------
@@ -143,8 +143,8 @@ def ann_lsh_recall(spark, sf_dir):
     queries = emb.filter(F.col("vec_id") < _N_RECALL_Q).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
     )
-    truth = S.batch_knn(emb, queries, k=_RECALL_K).select("query_id", "vec_id")
-    approx = S.batch_lsh_topk(emb, queries, PLANES, k=_RECALL_K).select(
+    truth = S.batch_knn(emb, queries, dim=64, k=_RECALL_K).select("query_id", "vec_id")
+    approx = S.batch_lsh_topk(emb, queries, PLANES, dim=64, k=_RECALL_K).select(
         F.col("query_id").alias("a_qid"), F.col("vec_id").alias("a_vid")
     )
     hits = (
@@ -235,9 +235,9 @@ def ann_lsh_multiprobe_recall(spark, sf_dir):
     queries = emb.filter(F.col("vec_id") < _N_RECALL_Q).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
     )
-    truth = S.batch_knn(emb, queries, k=_RECALL_K).select("query_id", "vec_id")
+    truth = S.batch_knn(emb, queries, dim=64, k=_RECALL_K).select("query_id", "vec_id")
     approx = S.batch_lsh_multiprobe_topk(
-        emb, queries, PLANES, k=_RECALL_K
+        emb, queries, PLANES, dim=64, k=_RECALL_K
     ).select(F.col("query_id").alias("a_qid"), F.col("vec_id").alias("a_vid"))
     hits = (
         truth.join(
@@ -327,9 +327,9 @@ def ann_ivf_recall(spark, sf_dir):
         cents = S.ivf_centroids(emb, DIM).persist()
         cents.count()
         _CENTROID_ARTIFACTS[sf_dir] = cents
-    truth = S.batch_knn(emb, queries, k=_RECALL_K).select("query_id", "vec_id")
+    truth = S.batch_knn(emb, queries, dim=64, k=_RECALL_K).select("query_id", "vec_id")
     approx = S.batch_ivf_topk(
-        emb, queries, cents, nprobe=2, k=_RECALL_K
+        emb, queries, cents, nprobe=2, k=_RECALL_K, dim=64
     ).select(F.col("query_id").alias("a_qid"), F.col("vec_id").alias("a_vid"))
     hits = (
         truth.join(
@@ -586,7 +586,7 @@ def ann_pq_recall(spark, sf_dir):
         [(i, q) for i, q in enumerate(_PQ_QUERIES)],
         "query_id INT, query_vec ARRAY<DOUBLE>",
     )
-    truth = S.batch_knn(emb, queries, k=_RECALL_K).select("query_id", "vec_id")
+    truth = S.batch_knn(emb, queries, dim=64, k=_RECALL_K).select("query_id", "vec_id")
     codes = S.pq_encode(emb, _CODEBOOKS)
     luts = spark.createDataFrame(
         [(i, lut) for i, lut in enumerate(_PQ_LUTS)],
@@ -682,7 +682,7 @@ def ann_pq_rerank_recall(spark, sf_dir):
         [(i, q) for i, q in enumerate(_PQ_QUERIES)],
         "query_id INT, query_vec ARRAY<DOUBLE>",
     )
-    truth = S.batch_knn(emb, queries, k=_RECALL_K).select("query_id", "vec_id")
+    truth = S.batch_knn(emb, queries, dim=64, k=_RECALL_K).select("query_id", "vec_id")
     codes = S.pq_encode(emb, _CODEBOOKS)
     luts = spark.createDataFrame(
         [(i, lut) for i, lut in enumerate(_PQ_LUTS)],
@@ -704,7 +704,7 @@ def ann_pq_rerank_recall(spark, sf_dir):
         .select(
             "query_id",
             "vec_id",
-            (F.lit(1.0) - V.dot(F.col("embedding"), F.col("_qv"))).alias(
+            (F.lit(1.0) - V.dot(F.col("embedding"), F.col("_qv"), dim=64)).alias(
                 "distance"
             ),
         )
@@ -809,9 +809,9 @@ def ann_ivfpq_recall(spark, sf_dir):
         cents = S.ivf_centroids(emb, DIM).persist()
         cents.count()
         _CENTROID_ARTIFACTS[sf_dir] = cents
-    truth = S.batch_knn(emb, queries, k=_RECALL_K).select("query_id", "vec_id")
+    truth = S.batch_knn(emb, queries, dim=64, k=_RECALL_K).select("query_id", "vec_id")
     codes = S.pq_encode(emb, _CODEBOOKS, keep_cols=["label"])
-    probes = S.batch_ivf_probes(queries, cents, nprobe=4)
+    probes = S.batch_ivf_probes(queries, cents, nprobe=4, dim=64)
     luts = spark.createDataFrame(
         [(i, lut) for i, lut in enumerate(_PQ_LUTS)],
         "query_id INT, lut ARRAY<ARRAY<DOUBLE>>",
@@ -905,7 +905,7 @@ def search_mmr_diversify(spark, sf_dir):
     from ..functions import vector as V
 
     emb = load(spark, sf_dir, "embeddings")
-    rel = V.dot(F.col("embedding"), vector_lit(QUERY_VEC))
+    rel = V.dot(F.col("embedding"), QUERY_VEC)
     cand = (
         emb.select("vec_id", rel.alias("rel"), "embedding")
         .orderBy(F.col("rel").desc(), F.col("vec_id").asc())
@@ -991,10 +991,10 @@ def ann_lsh_ndcg(spark, sf_dir):
     queries = emb.filter(F.col("vec_id") < _N_RECALL_Q).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
     )
-    truth = S.batch_knn(emb, queries, k=_RECALL_K).select(
+    truth = S.batch_knn(emb, queries, dim=64, k=_RECALL_K).select(
         F.col("query_id").alias("t_qid"), F.col("vec_id").alias("t_vid")
     )
-    approx = S.batch_lsh_topk(emb, queries, PLANES, k=_RECALL_K).select(
+    approx = S.batch_lsh_topk(emb, queries, PLANES, dim=64, k=_RECALL_K).select(
         F.col("query_id").alias("a_qid"), F.col("vec_id").alias("a_vid"), "rk"
     )
     joined = (
@@ -1388,9 +1388,10 @@ def ann_ivf_kmeans_recall(spark, sf_dir):
     queries = emb.filter(F.col("vec_id") < _N_RECALL_Q).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
     )
-    truth = S.batch_knn(emb, queries, k=_RECALL_K).select("query_id", "vec_id")
+    truth = S.batch_knn(emb, queries, dim=64, k=_RECALL_K).select("query_id", "vec_id")
     approx = S.batch_ivf_topk(
-        labeled, queries, cents, nprobe=2, k=_RECALL_K, cluster_col="cluster_id"
+        labeled, queries, cents, nprobe=2, k=_RECALL_K, cluster_col="cluster_id",
+        dim=64,
     ).select(F.col("query_id").alias("a_qid"), F.col("vec_id").alias("a_vid"))
     hits = (
         truth.join(
