@@ -455,6 +455,13 @@ def test_parse_xlsx_rtf_enex_pdf_stdlib():
     assert "café" in out and "—dash" in out
     assert out.count("\n") == 1
 
+    # rtf non-BMP: surrogate-pair \uN escapes merge into the real code
+    # point; an unpaired surrogate becomes U+FFFD — output always utf-8
+    # encodable (ADVICE r6: a lone surrogate failed the Arrow boundary)
+    emoji = _parse_rtf(rb"{\rtf1 hi \u-10179?\u-8704? there \u-10179? x}")
+    emoji.encode("utf-8")
+    assert "\U0001F600" in emoji and "\ufffd" in emoji
+
     # enex: two notes, ENML tags stripped, titles kept
     enex = (
         "<en-export><note><title>First</title>"

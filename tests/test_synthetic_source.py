@@ -50,3 +50,23 @@ def test_synthetic_source_feeds_dedup(spark):
     groups = exact_dedup(df)
     n_dup_rows = 2000 - groups.count()  # rows lost to duplicate groups
     assert 0.02 * 2000 < n_dup_rows < 0.10 * 2000
+
+
+def test_synthetic_duplicates_match_an_existing_doc(spark):
+    """ADVICE r6: every planted duplicate's text must equal the text of at
+    least one OTHER document (the redirection chain is fully resolved; a
+    one-hop copy of a doc that is itself a duplicate matched nothing)."""
+    rows = _load(spark).select("doc_id", "text").collect()
+    by_text: dict[str, list[int]] = {}
+    for r in rows:
+        by_text.setdefault(r["text"], []).append(r["doc_id"])
+    # duplicates exist, and no text group is a singleton copy-of-nothing:
+    # every doc flagged by the hash branch shares its text with its source
+    import hashlib
+
+    lonely = 0
+    for r in rows:
+        h = hashlib.md5(f"7:{r['doc_id']}".encode()).digest()
+        if h[0] < 13 and r["doc_id"] >= 20 and len(by_text[r["text"]]) == 1:
+            lonely += 1
+    assert lonely == 0

@@ -43,3 +43,21 @@ def test_full_self_repeat_covers_everything(spark):
     # every 5-gram inside each copy occurs twice; coverage spans all tokens
     assert r["dup5_char_frac"] == pytest.approx(1.0)
     assert r["unique_token_ratio"] == pytest.approx(0.5)
+
+
+def test_bigram_coverage_survives_empty_token_docs(spark, tmp_path):
+    """ADVICE r6: a whitespace-only (or one-token) doc must produce no row,
+    not crash the whole query with INVALID_PARAMETER_VALUE.LENGTH from
+    F.slice(toks, 1, size-1)."""
+    from vector_db_light_spark.registry import QUERIES
+
+    docs = spark.createDataFrame(
+        [(1, "common words common words here"), (2, "   "), (3, "solo"),
+         (4, "common words again")],
+        "doc_id bigint, text string",
+    )
+    docs.write.parquet(str(tmp_path / "documents.parquet"))
+    out = QUERIES["bigram_coverage_score"](spark, str(tmp_path)).collect()
+    ids = [r["doc_id"] for r in out]
+    assert 2 not in ids and 3 not in ids
+    assert 1 in ids and 4 in ids

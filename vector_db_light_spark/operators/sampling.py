@@ -267,12 +267,18 @@ def temperature_mixture_sql(
     """Oracle twin of temperature_mixture: a SELECT over ``table`` keeping
     the sampled rows (identical integer/sqrt arithmetic)."""
     tgt = float(target_fraction)
+    # Float literals go through VARCHAR::DOUBLE: DuckDB parses bare numeric
+    # literals as DECIMAL, whose exact arithmetic chain can diverge from
+    # Spark's rounded double-multiply once the numerator isn't decimal-
+    # exact-to-double (ADVICE r6; '0.x'::DOUBLE rule in CLAUDE.md). The
+    # 65536*tgt*N_total*sq_u6 numerator must also stay below 2^53 for the
+    # double product to be exact — same caveat as the _w_u6 overflow note.
     return f"""
 SELECT d.* FROM {table} d
 JOIN (
   SELECT {strata_expr} AS _st,
          LEAST(65536, CAST(round(
-           (65536.0 * {tgt!r} * (SUM(COUNT(*)) OVER ()) *
+           ('65536'::DOUBLE * '{tgt!r}'::DOUBLE * (SUM(COUNT(*)) OVER ()) *
             CAST(round(sqrt(COUNT(*)) * 1000000) AS BIGINT))
            / ((SUM(CAST(round(sqrt(COUNT(*)) * 1000000) AS BIGINT)) OVER ()) *
               COUNT(*))

@@ -406,6 +406,11 @@ def bigram_coverage_score(spark, sf_dir):
 
     docs = load_docs(spark, sf_dir)
     toks = docs.select("doc_id", tokens_expr("text").alias("toks"))
+    # Docs with <2 tokens have no bigrams: the oracle simply emits no rows
+    # for them, and F.slice(toks, 1, size-1) throws INVALID_PARAMETER_VALUE
+    # on a length of -1 (ADVICE r6: reproduced on a whitespace-only doc) —
+    # filter them out before slicing, like shingles_from_tokens does.
+    toks = toks.filter(F.size("toks") >= 2)
     # adjacent pairs zipped inside the array — a narrow map, unlike the
     # oracle's positional self-join (same strings either way)
     bigrams = toks.select(

@@ -298,6 +298,31 @@ def _parse_rtf(content: bytes) -> str:
         elif w == "u" and param is not None:
             out.append(chr(int(param) % 0x10000))
             pending_skip = uc_skip
+    return _merge_surrogates("".join(out))
+
+
+def _merge_surrogates(s: str) -> str:
+    r"""RTF writes non-BMP characters as TWO \uN escapes carrying a UTF-16
+    surrogate pair; the per-escape chr() above therefore leaves lone
+    surrogates, which cannot utf-8-encode at the Arrow boundary — turning a
+    decodable file into a failed task instead of a parse_error row (ADVICE
+    r6). Combine adjacent high/low pairs into the real code point and
+    replace any unpaired surrogate with U+FFFD."""
+    if not any("\ud800" <= c <= "\udfff" for c in s):
+        return s
+    out: list[str] = []
+    i, n = 0, len(s)
+    while i < n:
+        o = ord(s[i])
+        if 0xD800 <= o <= 0xDBFF and i + 1 < n and 0xDC00 <= ord(s[i + 1]) <= 0xDFFF:
+            out.append(chr(0x10000 + ((o - 0xD800) << 10) + (ord(s[i + 1]) - 0xDC00)))
+            i += 2
+        elif 0xD800 <= o <= 0xDFFF:
+            out.append("\ufffd")
+            i += 1
+        else:
+            out.append(s[i])
+            i += 1
     return "".join(out)
 
 

@@ -54,12 +54,16 @@ class SyntheticDocsReader(DataSourceReader):
         hi = self.n_docs * (pid + 1) // self.n_partitions
         for doc_id in range(lo, hi):
             h = hashlib.md5(f"{self.seed}:{doc_id}".encode()).digest()
-            if h[0] < 13 and doc_id >= 20:  # ~5%: duplicate an earlier doc
-                src_id = int.from_bytes(h[1:5], "big") % (doc_id - 1)
-                h2 = hashlib.md5(f"{self.seed}:{src_id}".encode()).digest()
-                text = self._text(h2)
-            else:
-                text = self._text(h)
+            # ~5%: duplicate an earlier doc. Resolve the WHOLE redirection
+            # chain: if the chosen src is itself a duplicate row, its actual
+            # text is its own source's text, so stopping after one hop
+            # would emit text matching no existing document (ADVICE r6).
+            # Each hop maps to [0, src-2], strictly decreasing: terminates.
+            hd, src = h, doc_id
+            while hd[0] < 13 and src >= 20:
+                src = int.from_bytes(hd[1:5], "big") % (src - 1)
+                hd = hashlib.md5(f"{self.seed}:{src}".encode()).digest()
+            text = self._text(hd)
             lang = _LANGS[h[5] % len(_LANGS)]
             source = f"src{h[6] % 20}"
             yield (doc_id, text, lang, source, len(text))

@@ -9,13 +9,23 @@ corpus) into Structured Streaming the way the batch side's
   per micro-batch
     1. in-batch exact dedup (min-id canonical per sha256)
     2. exact anti-join against the curated corpus' content hashes
-    3. minhash band keys of the survivors joined against the PERSISTED
-       band table -> candidate (new, existing) pairs only
-       (incremental_lsh_candidates: the |corpus|^2 half never runs)
+    3. minhash band keys of the survivors; candidate pairs BOTH within the
+       batch (lsh_candidate_pairs self-join, id_a < id_b) and against the
+       PERSISTED band table (incremental_lsh_candidates: the |corpus|^2
+       half never runs)
     4. exact-Jaccard verify restricted to candidates; drop new docs with
-       jaccard >= threshold against anything already curated
-    5. append survivors to the corpus, append their band keys to the
-       band table — the index the NEXT batch joins against
+       jaccard >= threshold against anything already curated, and the
+       LARGER id of every verified in-batch pair (greedy keep-min policy,
+       matching step 1's min-id canonical; ADVICE r6: two near-dup copies
+       arriving in one batch were both admitted before)
+    5. append the survivors' band keys to the band table FIRST, then the
+       survivors to the corpus. Bands-first makes a crash between the two
+       writes recoverable: the replayed docs are not in the corpus yet, so
+       they re-run curation (their stale band rows self-pair, filtered by
+       new_id != existing_id) and the corpus append completes — whereas
+       corpus-first left them permanently absent from the band index
+       (ADVICE r6). The only replay residue is duplicate band rows, which
+       candidate-generation dedups via .distinct().
 
 Exactly-once: checkpointed source offsets + content-addressed dedup make
 replayed batches idempotent (a replayed doc is dropped by step 2).
@@ -36,6 +46,7 @@ from pyspark.sql.window import Window
 from ..operators.dedup import (
     incremental_lsh_candidates,
     jaccard_pairs,
+    lsh_candidate_pairs,
     minhash_band_keys,
     minhash_signatures,
 )
@@ -58,21 +69,39 @@ def _curate_batch(
     corpus_exists = os.path.isdir(corpus_dir) and any(
         f.endswith(".parquet") for f in os.listdir(corpus_dir)
     )
-    fresh_p = None
     if corpus_exists:
         corpus = spark.read.parquet(corpus_dir)
         # 2. exact vs curated corpus
         new = new.join(
             F.broadcast(corpus.select("content_sha")), "content_sha", "left_anti"
         )
-        fresh_p = new = new.persist()  # shared by steps 3-4 + the final anti
-        # 3. near-dup candidates vs the persisted band index
-        new_bands = minhash_band_keys(minhash_signatures(new))
+    fresh_p = new = new.persist()  # shared by steps 3-4 + the final anti
+    # 3a. band keys of the batch — used for in-batch AND vs-corpus pairs
+    new_bands = minhash_band_keys(minhash_signatures(new))
+    # 3b/4a. near-dups WITHIN the batch: verify the self-join candidates,
+    # doom the larger id of each verified pair (keep-min, like step 1)
+    in_cands = lsh_candidate_pairs(new_bands)
+    in_doomed = (
+        jaccard_pairs(new.select("doc_id", "text"), candidates=in_cands)
+        .filter(F.col("jaccard") >= jaccard_threshold)
+        .select(F.col("id_b").alias("doc_id"))
+        .distinct()
+    )
+    new = new.join(F.broadcast(in_doomed), "doc_id", "left_anti")
+    if corpus_exists:
+        # 3c. near-dup candidates vs the persisted band index. The
+        # new_id != existing_id guard drops the self-pairs a crash-replayed
+        # batch produces under bands-first write ordering (its band rows
+        # are already indexed, the doc itself is not yet in the corpus).
         existing_bands = spark.read.parquet(bands_dir)
-        cands = incremental_lsh_candidates(existing_bands, new_bands).select(
-            F.col("new_id").alias("id_a"), F.col("existing_id").alias("id_b")
+        cands = (
+            incremental_lsh_candidates(existing_bands, new_bands)
+            .filter(F.col("new_id") != F.col("existing_id"))
+            .select(
+                F.col("new_id").alias("id_a"), F.col("existing_id").alias("id_b")
+            )
         )
-        # 4. verify only the candidate pairs (batch + referenced existing)
+        # 4b. verify only the candidate pairs (batch + referenced existing)
         sides = new.select("doc_id", "text").unionByName(
             corpus.join(
                 F.broadcast(cands.select(F.col("id_b").alias("doc_id"))),
@@ -97,15 +126,17 @@ def _curate_batch(
     # the plan from both paths; within one foreachBatch the reduced fault
     # tolerance is fine (the checkpointed offsets replay the batch).
     survivors = new.localCheckpoint(eager=True)
-    if fresh_p is not None:
-        fresh_p.unpersist()
+    fresh_p.unpersist()
     if survivors.isEmpty():
         return
-    # 5. append survivors + their band keys (the next batch's index)
-    survivors.write.mode("append").parquet(corpus_dir)
+    # 5. bands FIRST, then corpus (see module docstring: a crash between
+    # the writes must leave the replayed docs recoverable, not permanently
+    # missing from the band index). The band plan reads only the
+    # checkpointed survivors, so the corpus append cannot re-execute it.
     minhash_band_keys(minhash_signatures(survivors)).write.mode(
         "append"
     ).parquet(bands_dir)
+    survivors.write.mode("append").parquet(corpus_dir)
 
 
 def stream_curate(
