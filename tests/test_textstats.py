@@ -61,3 +61,32 @@ def test_bigram_coverage_survives_empty_token_docs(spark, tmp_path):
     ids = [r["doc_id"] for r in out]
     assert 2 not in ids and 3 not in ids
     assert 1 in ids and 4 in ids
+
+
+def test_remove_boilerplate_lines_edges(spark):
+    """All-boilerplate docs come back empty; kept lines preserve original
+    (unstripped) bytes and position order; normalization matches str.strip."""
+    from vector_db_light_spark.operators.dedup import remove_boilerplate_lines
+
+    header = "=== header ==="
+    rows = [(i, f"{header}\nbody {i}\n  {header}  ") for i in range(8)]
+    rows.append((99, header))  # only-boilerplate doc
+    docs = spark.createDataFrame(rows, "doc_id bigint, text string")
+    out = {
+        r["doc_id"]: r
+        for r in remove_boilerplate_lines(docs, max_doc_freq=5).collect()
+    }
+    assert out[99]["text"] == "" and out[99]["n_lines_kept"] == 0
+    assert out[0]["text"] == "body 0"  # both header variants stripped-equal
+    assert out[0]["n_lines_total"] == 3 and out[0]["n_lines_kept"] == 1
+    assert len(out) == 9
+
+
+def test_remove_boilerplate_keeps_rare_lines_in_order(spark):
+    from vector_db_light_spark.operators.dedup import remove_boilerplate_lines
+
+    docs = spark.createDataFrame(
+        [(1, "z last\na first\nm mid")], "doc_id bigint, text string"
+    )
+    out = remove_boilerplate_lines(docs, max_doc_freq=5).collect()[0]
+    assert out["text"] == "z last\na first\nm mid"  # position, not sort order

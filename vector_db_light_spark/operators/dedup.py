@@ -877,3 +877,75 @@ def containment_pairs(
             (F.col("n_inter") / F.col("n_b")).alias("containment_b"),
         )
     )
+
+
+def line_rows(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    r"""(id, pos, line, line_hash) rows: text split on '\n', each line
+    whitespace-stripped via the anchored-\s regexp (== Python str.strip and
+    DuckDB regexp_replace(...,'g'); NOT SQL trim, which only eats spaces),
+    hashed with md5 (the only cross-engine-portable hash)."""
+    return (
+        docs.select(
+            F.col(id_col),
+            F.posexplode(F.split(F.col(text_col), "\n")).alias("pos", "line"),
+        )
+        .withColumn(
+            "line_hash",
+            F.md5(F.regexp_replace(F.col("line"), r"^\s+|\s+$", "")),
+        )
+    )
+
+
+def remove_boilerplate_lines(
+    docs: DataFrame,
+    max_doc_freq: int = 5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    r"""Line-level boilerplate removal (CCNet / RefinedWeb curation stage):
+    drop every line whose normalized form appears in MORE than
+    ``max_doc_freq`` DISTINCT documents corpus-wide — repeated headers,
+    footers, nav bars, cookie banners — and reassemble each document from
+    its surviving lines in original order.
+
+    Returns (id, text, n_lines_kept, n_lines_total); documents whose every
+    line is boilerplate come back with text = '' (callers typically filter
+    n_lines_kept > 0 next).
+
+    Scale shape: ONE shuffle builds the per-line-hash document frequency
+    (map-side partial agg on the hash), and the boilerplate set — lines
+    with df > N, a tiny fraction of distinct lines in any real corpus — is
+    broadcast back as a LEFT join flag, so the corpus is never shuffled for
+    the lookup. Reassembly is one groupBy(id) whose per-doc arrays are
+    document-sized (bounded), sorted in-memory by position. No step is
+    corpus-quadratic and nothing depends on partitioning.
+    """
+    lines = line_rows(docs, id_col=id_col, text_col=text_col)
+    freq = lines.groupBy("line_hash").agg(
+        F.count_distinct(F.col(id_col)).alias("line_df")
+    )
+    boiler = freq.filter(F.col("line_df") > max_doc_freq).select(
+        "line_hash", F.lit(1).alias("_is_boiler")
+    )
+    flagged = lines.join(F.broadcast(boiler), "line_hash", "left")
+    per_doc = flagged.groupBy(id_col).agg(
+        F.array_join(
+            F.transform(
+                F.filter(
+                    F.array_sort(
+                        F.collect_list(F.struct("pos", "line", "_is_boiler"))
+                    ),
+                    lambda s: s["_is_boiler"].isNull(),
+                ),
+                lambda s: s["line"],
+            ),
+            "\n",
+        ).alias(text_col),
+        F.sum(
+            F.when(F.col("_is_boiler").isNull(), F.lit(1)).otherwise(F.lit(0))
+        ).cast("long").alias("n_lines_kept"),
+        F.count(F.lit(1)).cast("long").alias("n_lines_total"),
+    )
+    return per_doc

@@ -940,3 +940,84 @@ def dedup_containment_pairs(spark, sf_dir):
     return pairs.filter(
         (F.col("containment_a") >= 0.9) | (F.col("containment_b") >= 0.9)
     ).orderBy("id_a", "id_b")
+
+
+# --- line-level boilerplate removal (VERDICT r7 #2) ------------------------
+#
+# The fixture's documents are single-line, so both sides derive the same
+# multi-line corpus first: a per-source header on every doc, a per-lang
+# footer on even ids. Headers recur in ~25 docs/source and footers in
+# 64-218 docs/lang — far above the df>5 boilerplate threshold — while
+# bodies are (near-)unique, so the expected output is "body only".
+
+_LINED_SQL = """
+  SELECT doc_id,
+         '=== ' || source || ' newsletter ===' || chr(10) || text ||
+         CASE WHEN doc_id % 2 = 0
+              THEN chr(10) || 'unsubscribe to stop these ' || lang || ' mails'
+              ELSE '' END AS text
+  FROM documents
+"""
+
+
+def _lined(spark, sf_dir):
+    docs = load(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.concat(
+            F.lit("=== "), F.col("source"), F.lit(" newsletter ===\n"),
+            F.col("text"),
+            F.when(
+                F.col("doc_id") % 2 == 0,
+                F.concat(
+                    F.lit("\nunsubscribe to stop these "),
+                    F.col("lang"),
+                    F.lit(" mails"),
+                ),
+            ).otherwise(F.lit("")),
+        ).alias("text"),
+    )
+
+
+@register(
+    "line_dedup_boilerplate",
+    f"""
+WITH lined AS ({_LINED_SQL}),
+split AS (
+  SELECT doc_id, string_split(text, chr(10)) AS ls FROM lined
+),
+lines AS (
+  SELECT doc_id, unnest(ls) AS line, generate_subscripts(ls, 1) AS pos
+  FROM split
+),
+hashed AS (
+  SELECT doc_id, pos, line,
+         md5(regexp_replace(line, '^\\s+|\\s+$', '', 'g')) AS lh
+  FROM lines
+),
+freq AS (
+  SELECT lh, COUNT(DISTINCT doc_id) AS line_df FROM hashed GROUP BY 1
+),
+flagged AS (
+  SELECT h.doc_id, h.pos, h.line, (f.line_df > 5) AS is_b
+  FROM hashed h JOIN freq f ON f.lh = h.lh
+)
+SELECT doc_id,
+       coalesce(string_agg(CASE WHEN NOT is_b THEN line END,
+                           chr(10) ORDER BY pos), '') AS text,
+       CAST(SUM(CASE WHEN is_b THEN 0 ELSE 1 END) AS BIGINT) AS n_lines_kept,
+       CAST(COUNT(*) AS BIGINT) AS n_lines_total
+FROM flagged
+GROUP BY doc_id
+ORDER BY doc_id
+""",
+)
+def line_dedup_boilerplate(spark, sf_dir):
+    """CCNet/RefinedWeb-style line-level boilerplate removal: drop lines
+    whose normalized form recurs in >5 distinct docs corpus-wide (headers,
+    footers), reassemble docs from surviving lines in position order. One
+    doc-frequency shuffle + a broadcast flag join + one reassembly groupBy
+    (operators/dedup.py:remove_boilerplate_lines)."""
+    return D.remove_boilerplate_lines(_lined(spark, sf_dir), max_doc_freq=5).orderBy(
+        "doc_id"
+    )

@@ -550,21 +550,61 @@ def multimodal_audio_features(spark, sf_dir):
 # identical five stages as CTEs.
 # ---------------------------------------------------------------------------
 
+# Stage 0 (optional, on by default): line-level boilerplate removal over a
+# header/footer-wrapped rendering of the docs — the CCNet/RefinedWeb stage
+# line_dedup_boilerplate ships standalone. On this fixture it provably
+# strips exactly the injected header/footer lines (df >= 25 > 5) and keeps
+# every body (df <= 2), so downstream stages see the original text; at
+# scale it removes real nav/banner lines before dedup sees them.
+_CURATE_BASE_SQL = """
+  lined AS (
+    SELECT doc_id,
+           '=== ' || source || ' newsletter ===' || chr(10) || text ||
+           CASE WHEN doc_id % 2 = 0
+                THEN chr(10) || 'unsubscribe to stop these ' || lang || ' mails'
+                ELSE '' END AS text
+    FROM documents
+  ),
+  lsplit AS (SELECT doc_id, string_split(text, chr(10)) AS ls FROM lined),
+  lrows AS (
+    SELECT doc_id, unnest(ls) AS line, generate_subscripts(ls, 1) AS pos
+    FROM lsplit
+  ),
+  lhashed AS (
+    SELECT doc_id, pos, line,
+           md5(regexp_replace(line, '^\\s+|\\s+$', '', 'g')) AS lh
+    FROM lrows
+  ),
+  lfreq AS (SELECT lh, COUNT(DISTINCT doc_id) AS ldf FROM lhashed GROUP BY 1),
+  lclean AS (
+    SELECT h.doc_id,
+           coalesce(string_agg(CASE WHEN f.ldf <= 5 THEN h.line END,
+                               chr(10) ORDER BY h.pos), '') AS text
+    FROM lhashed h JOIN lfreq f ON f.lh = h.lh
+    GROUP BY h.doc_id
+  ),
+  base AS (
+    SELECT d.doc_id, c.text, d.source, d.lang
+    FROM documents d JOIN lclean c USING (doc_id)
+  )
+"""
+
 _CURATE_CORPUS_SQL = """
-  SELECT doc_id, text, source, lang FROM documents
+  SELECT doc_id, text, source, lang FROM base
   UNION ALL
   SELECT doc_id + 200000 AS doc_id, text, source, lang
-  FROM documents WHERE doc_id % 7 = 0
+  FROM base WHERE doc_id % 7 = 0
   UNION ALL
   SELECT doc_id + 100000 AS doc_id, substr(text, 21) AS text, source, lang
-  FROM documents WHERE doc_id % 10 = 0
+  FROM base WHERE doc_id % 10 = 0
 """
 
 
 @register(
     "corpus_curation_pipeline",
     f"""
-WITH corpus AS ({_CURATE_CORPUS_SQL}),
+WITH {_CURATE_BASE_SQL},
+corpus AS ({_CURATE_CORPUS_SQL}),
 kept_exact AS (
   SELECT min(doc_id) AS doc_id FROM corpus GROUP BY sha256(text)
 ),
@@ -623,12 +663,13 @@ def corpus_curation_pipeline(spark, sf_dir):
     content-keyed 80% sample (partition-independent, retry-stable).
     One lazy DAG: Catalyst pipelines the five stages into ~6 shuffles
     total; nothing materializes in between, history is scanned once."""
-    from ..operators.dedup import sampled_grams
+    from ..operators.dedup import remove_boilerplate_lines, sampled_grams
     from ..plans.spread import spread
+    from .dedup import _lined
 
-    docs = load(spark, sf_dir, "documents").select(
-        "doc_id", "text", "source", "lang"
-    )
+    raw = load(spark, sf_dir, "documents").select("doc_id", "source", "lang")
+    cleaned = remove_boilerplate_lines(_lined(spark, sf_dir), max_doc_freq=5)
+    docs = raw.join(cleaned.select("doc_id", "text"), "doc_id")
     exact = docs.filter(F.col("doc_id") % 7 == 0).select(
         (F.col("doc_id") + 200000).alias("doc_id"), "text", "source", "lang"
     )
@@ -644,7 +685,12 @@ def corpus_curation_pipeline(spark, sf_dir):
     )
     dd = corpus.join(kept.select("doc_id"), "doc_id", "left_semi")
     q = dd.filter(F.length("text") >= 200)
-    eval_docs = docs.filter(F.substring(F.md5("text"), 1, 1) == "0").select(
+    # eval slice comes from the RAW documents (like the oracle): identical
+    # values either way on this fixture, and it keeps the line-dedup
+    # subtree out of one more union branch (no CSE across branches).
+    eval_docs = load(spark, sf_dir, "documents").filter(
+        F.substring(F.md5("text"), 1, 1) == "0"
+    ).select(
         "doc_id", "text"
     )
     egr = sampled_grams(eval_docs).select("g").distinct()

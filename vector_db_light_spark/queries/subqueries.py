@@ -205,3 +205,118 @@ def idle_customer_balance(spark, sf_dir):
         ORDER BY 1
         """
     )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q4: EXISTS-per-order WITH an outer date window — the decorrelation
+# must compose with partition-prunable pushdown on the probe side (the
+# window lands in the orders scan's PushedFilters; the EXISTS becomes a
+# left-semi hash join). The fixture has no commitdate/receiptdate, so
+# "late" is l_shipdate > o_orderdate, as in orders_with_late_lineitems.
+# ---------------------------------------------------------------------------
+
+_Q4_SQL = """
+SELECT o_orderpriority, count(*) AS n_orders
+FROM {orders} o
+WHERE o.o_orderdate >= TIMESTAMP '1996-07-01 00:00:00'
+  AND o.o_orderdate <  TIMESTAMP '1996-10-01 00:00:00'
+  AND EXISTS (
+    SELECT 1 FROM {lineitem} l
+    WHERE l.l_orderkey = o.o_orderkey AND l.l_shipdate > o.o_orderdate
+  )
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+"""
+
+
+@register("q4_priority_count", _Q4_SQL.format(orders="orders", lineitem="lineitem"))
+def q4_priority_count(spark, sf_dir):
+    load(spark, sf_dir, "orders").createOrReplaceTempView("_q4_orders")
+    load(spark, sf_dir, "lineitem").createOrReplaceTempView("_q4_lineitem")
+    return spark.sql(_Q4_SQL.format(orders="_q4_orders", lineitem="_q4_lineitem"))
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q17: correlated scalar AVG per part, filtered by a part-dim
+# predicate — Catalyst decorrelates the scalar subquery into an aggregate
+# + join on partkey. Money is exact BIGINT cents (per-row round, integer
+# sum); the weekly average uses integer division (Spark `div` == DuckDB
+# `//`) so no double summation order leaks. The avg(l_quantity) threshold
+# is safe unrounded: quantities are small integers stored as doubles, so
+# their sum (and thus avg) is exact in any order.
+# ---------------------------------------------------------------------------
+
+_Q17_SQL = """
+SELECT CAST(count(*) AS BIGINT) AS n_items,
+       CAST(sum(CAST(round(l.l_extendedprice * 100, 0) AS BIGINT)) AS BIGINT)
+         AS revenue_cents,
+       CAST(sum(CAST(round(l.l_extendedprice * 100, 0) AS BIGINT)) {div} 7
+         AS BIGINT) AS avg_weekly_cents
+FROM {lineitem} l
+JOIN {part} p ON p.p_partkey = l.l_partkey
+WHERE p.p_brand = 'Brand#23'
+  AND l.l_quantity < (
+    SELECT 0.2 * avg(l2.l_quantity) FROM {lineitem} l2
+    WHERE l2.l_partkey = l.l_partkey
+  )
+"""
+
+
+@register(
+    "q17_small_quantity_revenue",
+    _Q17_SQL.format(lineitem="lineitem", part="part", div="//"),
+)
+def q17_small_quantity_revenue(spark, sf_dir):
+    load(spark, sf_dir, "lineitem").createOrReplaceTempView("_q17_lineitem")
+    load(spark, sf_dir, "part").createOrReplaceTempView("_q17_part")
+    return spark.sql(
+        _Q17_SQL.format(lineitem="_q17_lineitem", part="_q17_part", div="div")
+    )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q20: the nested semi-join chain — suppliers IN (heavy shippers of
+# parts IN (a part-type slice)) AND nation IN (a nation slice). Catalyst
+# turns both IN-subqueries into left-semi joins; the inner GROUP BY/HAVING
+# aggregates BEFORE the semi-join so the supplier table never explodes.
+# sum(l_quantity) is exact (integer-valued doubles).
+# ---------------------------------------------------------------------------
+
+_Q20_SQL = """
+SELECT s.s_suppkey, s.s_name,
+       CAST(round(s.s_acctbal * 100, 0) AS BIGINT) AS acctbal_cents
+FROM {supplier} s
+WHERE s.s_suppkey IN (
+  SELECT l.l_suppkey FROM {lineitem} l
+  WHERE l.l_partkey IN (
+    SELECT p_partkey FROM {part} WHERE p_type = 'PROMO'
+  )
+  AND l.l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+  GROUP BY l.l_suppkey, l.l_partkey
+  HAVING sum(l.l_quantity) > 60
+)
+AND s.s_nationkey IN (
+  SELECT n_nationkey FROM {nation}
+  WHERE n_name IN ('NATION_3', 'NATION_7', 'NATION_11')
+)
+ORDER BY s.s_suppkey
+"""
+
+
+@register(
+    "q20_excess_suppliers",
+    _Q20_SQL.format(
+        supplier="supplier", lineitem="lineitem", part="part", nation="nation"
+    ),
+)
+def q20_excess_suppliers(spark, sf_dir):
+    for t in ("supplier", "lineitem", "part", "nation"):
+        load(spark, sf_dir, t).createOrReplaceTempView(f"_q20_{t}")
+    return spark.sql(
+        _Q20_SQL.format(
+            supplier="_q20_supplier",
+            lineitem="_q20_lineitem",
+            part="_q20_part",
+            nation="_q20_nation",
+        )
+    )
