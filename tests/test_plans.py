@@ -364,3 +364,17 @@ def test_batch_knn_dot_unrolls_with_known_dim(spark):
     )
     plan = explain_string(batch_knn(emb, queries, k=3, dim=64))
     assert "zip_with" not in plan and "aggregate(" not in plan
+
+
+def test_line_dedup_boilerplate_set_is_broadcast(spark):
+    """remove_boilerplate_lines must broadcast the (tiny) boilerplate-line
+    set back to the corpus — the big side is never shuffled for the lookup;
+    the only exchanges are the line-df aggregate and the per-doc reassembly."""
+    from vector_db_light_spark.operators.dedup import remove_boilerplate_lines
+
+    docs = spark.read.parquet(f"{SF_ORACLE}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    plan = explain_string(remove_boilerplate_lines(docs))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan

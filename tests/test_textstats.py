@@ -90,3 +90,26 @@ def test_remove_boilerplate_keeps_rare_lines_in_order(spark):
     )
     out = remove_boilerplate_lines(docs, max_doc_freq=5).collect()[0]
     assert out["text"] == "z last\na first\nm mid"  # position, not sort order
+
+
+def test_bpe_train_greedy_overlap_and_ties(spark):
+    """'aaa' with merge (a,a) must become [aa, a] (greedy left-to-right,
+    non-overlapping), and argmax ties break lexicographically."""
+    from vector_db_light_spark.operators.textstats import bpe_train
+
+    docs = spark.createDataFrame(
+        [(1, "aaa aaa bb bb bb")], "doc_id bigint, text string"
+    )
+    out = bpe_train(docs, n_merges=2).collect()
+    # round 1: pairs = (a,a)x2x... 'aaa' gives (a a)x2 per word x2 words = 4
+    # vs (b b)x1x3 = 3 -> merge 'a a' first
+    assert out[0]["pair"] == "a a" and out[0]["cnt"] == 4
+    # after merging, 'aaa' -> 'aa a' (greedy): pairs now (aa,a)x2=2, (b,b)x3=3
+    assert out[1]["pair"] == "b b" and out[1]["cnt"] == 3
+
+
+def test_bpe_train_exhausts_gracefully(spark):
+    from vector_db_light_spark.operators.textstats import bpe_train
+
+    docs = spark.createDataFrame([(1, "x y z")], "doc_id bigint, text string")
+    assert bpe_train(docs, n_merges=5).count() == 0  # no pairs at all

@@ -150,6 +150,13 @@ def main() -> int:
             print(f"      oracle dtypes: {od}")
     print(f"\n{n_pass} pass, {n_fail} fail, {len(names)} total")
     spark.stop()
+
+    # COVERAGE.md drift gate (VERDICT r6 #2): the query index must match
+    # the live registry — regenerating must be a no-op.
+    import gen_coverage
+
+    if args.only is None and gen_coverage.main_check() != 0:
+        n_fail += 1
     return 1 if n_fail else 0
 
 

@@ -661,7 +661,7 @@ class VectorDatabaseManager:
         if not rerank:
             return short
         emb = self.spark.read.parquet(self._table(name, "embeddings"))
-        d = (F.lit(1.0) - dot(F.col("embedding"), list(qvec))).alias(
+        d = (F.lit(1.0) - dot("embedding", list(qvec))).alias(
             "distance"
         )
         return (

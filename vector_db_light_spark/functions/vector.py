@@ -42,50 +42,85 @@ def vector_lit(vec: list[float]) -> Column:
     return F.array(*[F.lit(float(v)) for v in vec])
 
 
-Query = "Column | list[float]"  # accepted query-vector forms (doc alias)
+import re as _re
+
+_IDENT_RE = _re.compile(r"[A-Za-z_][A-Za-z0-9_]*")
+
+
+def _col_sql(name: str) -> str:
+    """Backtick simple identifiers; pass qualified refs (a.b) through."""
+    return f"`{name}`" if _IDENT_RE.fullmatch(name) else name
+
+
+def _dlit_sql(x: float) -> str:
+    """Exact double literal: repr round-trips binary64, and both engines'
+    string->double parse is correctly rounded ('0.x'::DOUBLE rule)."""
+    return f"CAST('{float(x)!r}' AS DOUBLE)"
+
+
+def _arr_sql(name: str) -> str:
+    return f"CAST({_col_sql(name)} AS ARRAY<DOUBLE>)"
 
 
 def dot(
-    vec_col: Column | str, query: Column | list[float], dim: int | None = None
+    vec_col: Column | str,
+    query: Column | str | list[float],
+    dim: int | None = None,
 ) -> Column:
     """Left-to-right double fold of the elementwise product.
 
-    Two physical forms, one numeric result:
+    Three physical forms, one numeric result:
 
-    * ``query`` is a **Python list** (literal query vector, dim known at
-      plan time): emit the statically unrolled sum
-      ``(((0.0 + v[0]*q0) + v[1]*q1) + ...)``. Plain Add/Multiply
-      expressions stay inside whole-stage codegen — this is the hot
-      serving path (VERDICT r6 #1: the interpreted HOF fold was the
-      search_pipeline bench breach).
-    * ``query`` is a **Column** with ``dim`` given (batch serving: a
-      broadcast-joined per-row query vector of known width): unroll with
-      ``F.get`` on both sides — still codegen-able.
-    * ``query`` is a **Column**, ``dim`` unknown: fall back to the Catalyst
+    * ``vec_col`` is a column NAME and ``query`` a **Python list** (literal
+      query vector) or a column NAME with ``dim`` given (batch serving):
+      emit the statically unrolled sum ``0.0 + v[0]*q0 + v[1]*q1 + ...``
+      as ONE ``F.expr`` string. Plain Add/Multiply stays inside whole-stage
+      codegen (VERDICT r6 #1: the interpreted HOF fold was the
+      search_pipeline bench breach), and the single-parse construction
+      avoids ~4*dim Py4J round-trips per call (~260 ms at dim 64 — found
+      live as an ann_ivf_pruned construction regression; the string parse
+      is ~0.5 ms).
+    * same shapes but with Column (not name) inputs: the per-term loop —
+      construction-heavy, prefer passing names on hot paths.
+    * ``query`` is a Column, ``dim`` unknown: the Catalyst
       HigherOrderFunction fold ``aggregate(zip_with(...))`` — JVM-side but
       interpreted.
 
-    Both evaluate the identical IEEE-754 addition sequence starting from
-    0.0, so results are bit-identical to each other and to the DuckDB
+    All evaluate the identical IEEE-754 addition sequence starting from
+    0.0 (``get``/[] out-of-bounds -> NULL, matching zip_with's padding),
+    so results are bit-identical to each other and to the DuckDB
     ``list_reduce(list_transform(list_zip(...)))`` oracles.
     """
-    v = F.col(vec_col) if isinstance(vec_col, str) else vec_col
     if isinstance(query, (list, tuple)):
-        vd = v.cast("array<double>")
+        if not query:
+            return F.lit(0.0)
+        if isinstance(vec_col, str):
+            vd = _arr_sql(vec_col)
+            terms = " + ".join(
+                f"(get({vd}, {i}) * {_dlit_sql(x)})" for i, x in enumerate(query)
+            )
+            return F.expr(f"0.0D + {terms}")
+        vd = vec_col.cast("array<double>")
         acc = F.lit(0.0)
         for i, q in enumerate(query):
-            # F.get (not [] / element_at): NULL on out-of-bounds even under
-            # ANSI mode, matching zip_with's null-padding semantics.
             acc = acc + F.get(vd, i) * F.lit(float(q))
         return acc
+    if dim is not None and isinstance(vec_col, str) and isinstance(query, str):
+        vd, qd = _arr_sql(vec_col), _arr_sql(query)
+        terms = " + ".join(
+            f"(get({vd}, {i}) * get({qd}, {i}))" for i in range(dim)
+        )
+        return F.expr(f"0.0D + {terms}")
+    v = F.col(vec_col) if isinstance(vec_col, str) else vec_col
+    q = F.col(query) if isinstance(query, str) else query
     if dim is not None:
         vd = v.cast("array<double>")
-        qd = query.cast("array<double>")
+        qd = q.cast("array<double>")
         acc = F.lit(0.0)
         for i in range(dim):
             acc = acc + F.get(vd, i) * F.get(qd, i)
         return acc
-    prods = F.zip_with(v.cast("array<double>"), query, lambda x, y: x * y)
+    prods = F.zip_with(v.cast("array<double>"), q, lambda x, y: x * y)
     return F.aggregate(prods, F.lit(0.0), lambda acc, x: acc + x)
 
 
@@ -98,14 +133,24 @@ def cosine_distance(vec_col: Column | str, query: Column | list[float]) -> Colum
 def sum_of_squares_distance(
     vec_col: Column | str, query: Column | list[float]
 ) -> Column:
-    v = F.col(vec_col) if isinstance(vec_col, str) else vec_col
     if isinstance(query, (list, tuple)):
-        vd = v.cast("array<double>")
+        if not query:
+            return F.lit(0.0)
+        if isinstance(vec_col, str):
+            vd = _arr_sql(vec_col)
+            terms = " + ".join(
+                f"((get({vd}, {i}) - {_dlit_sql(x)}) *"
+                f" (get({vd}, {i}) - {_dlit_sql(x)}))"
+                for i, x in enumerate(query)
+            )
+            return F.expr(f"0.0D + {terms}")
+        vd = vec_col.cast("array<double>")
         acc = F.lit(0.0)
         for i, q in enumerate(query):
             diff = F.get(vd, i) - F.lit(float(q))
             acc = acc + diff * diff
         return acc
+    v = F.col(vec_col) if isinstance(vec_col, str) else vec_col
     diffs = F.zip_with(v.cast("array<double>"), query, lambda x, y: (x - y) * (x - y))
     return F.aggregate(diffs, F.lit(0.0), lambda acc, x: acc + x)
 

@@ -58,7 +58,7 @@ def batch_knn(
     q = queries.select(
         F.col(query_id_col), F.col(query_vec_col).cast("array<double>").alias("_qv")
     )
-    d = (F.lit(1.0) - V.dot(F.col(vector_col), F.col("_qv"), dim=dim)).alias(
+    d = (F.lit(1.0) - V.dot(vector_col, "_qv", dim=dim)).alias(
         "distance"
     )
     scored = corpus.join(F.broadcast(q)).select(
@@ -125,7 +125,7 @@ def batch_lsh_topk(
         F.col(query_vec_col).cast("array<double>").alias("_qv"),
         lsh_bucket_expr(query_vec_col, planes).alias("_b"),
     )
-    d = (F.lit(1.0) - V.dot(F.col(vector_col), F.col("_qv"), dim=dim)).alias(
+    d = (F.lit(1.0) - V.dot(vector_col, "_qv", dim=dim)).alias(
         "distance"
     )
     scored = c.join(F.broadcast(q), "_b").select(
@@ -192,7 +192,7 @@ def batch_lsh_multiprobe_topk(
     q = q0.select(
         query_id_col, "_qv", F.explode(probes).alias("_b")
     )
-    d = (F.lit(1.0) - V.dot(F.col(vector_col), F.col("_qv"), dim=dim)).alias(
+    d = (F.lit(1.0) - V.dot(vector_col, "_qv", dim=dim)).alias(
         "distance"
     )
     scored = (
@@ -226,7 +226,7 @@ def lsh_topk(
         for pl in planes
     )
     bucketed = corpus.filter(lsh_bucket_expr(vector_col, planes) == qbits)
-    d = (F.lit(1.0) - V.dot(F.col(vector_col), list(query_vector))).alias(
+    d = (F.lit(1.0) - V.dot(vector_col, list(query_vector))).alias(
         "distance"
     )
     return (
@@ -465,7 +465,7 @@ def batch_ivf_probes(
         F.col(query_id_col),
         F.col(query_vec_col).cast("array<double>").alias("_qv"),
     )
-    cd = (F.lit(1.0) - V.dot(F.col("centroid"), F.col("_qv"), dim=dim)).alias(
+    cd = (F.lit(1.0) - V.dot("centroid", "_qv", dim=dim)).alias(
         "_cd"
     )
     probe_w = Window.partitionBy(query_id_col).orderBy(
@@ -551,7 +551,7 @@ def batch_ivf_topk(
         F.col(query_id_col),
         F.col(query_vec_col).cast("array<double>").alias("_qv"),
     )
-    cd = (F.lit(1.0) - V.dot(F.col("centroid"), F.col("_qv"), dim=dim)).alias(
+    cd = (F.lit(1.0) - V.dot("centroid", "_qv", dim=dim)).alias(
         "_cd"
     )
     probe_w = Window.partitionBy(query_id_col).orderBy(
@@ -564,7 +564,7 @@ def batch_ivf_topk(
         .filter(F.col("_pr") <= nprobe)
         .select(query_id_col, cluster_col, "_qv")
     )
-    d = (F.lit(1.0) - V.dot(F.col(vector_col), F.col("_qv"), dim=dim)).alias(
+    d = (F.lit(1.0) - V.dot(vector_col, "_qv", dim=dim)).alias(
         "distance"
     )
     scored = corpus.join(F.broadcast(probes), cluster_col).select(
@@ -648,7 +648,7 @@ def ivf_search(
     probed = (
         cents.select(
             F.col(cluster_col),
-            (F.lit(1.0) - V.dot(F.col("centroid"), q)).alias("_cd"),
+            (F.lit(1.0) - V.dot("centroid", q)).alias("_cd"),
         )
         .orderBy(F.col("_cd").asc(), F.col(cluster_col).asc())
         .limit(nprobe)
@@ -659,7 +659,7 @@ def ivf_search(
         pruned = corpus.filter(F.col(cluster_col).isin(probed_ids))
     else:
         pruned = corpus.join(F.broadcast(probed), cluster_col, "left_semi")
-    d = (F.lit(1.0) - V.dot(F.col(vector_col), q)).alias("distance")
+    d = (F.lit(1.0) - V.dot(vector_col, q)).alias("distance")
     return (
         pruned.select(F.col(id_col), F.col(cluster_col), d)
         .orderBy(F.col("distance").asc(), F.col(id_col).asc())
@@ -805,7 +805,7 @@ def random_projection(
     scale = 1.0 / math.sqrt(d_out)
     proj = F.array(
         *[
-            V.dot(F.col(vector_col), list(c)) * F.lit(scale)
+            V.dot(vector_col, list(c)) * F.lit(scale)
             for c in cols
         ]
     )
@@ -862,7 +862,7 @@ def ivf_pq_residual_topk(
     order as pq_adc_topk)."""
     m = len(codebooks)
     subdim = len(codebooks[0][0])
-    cd = (F.lit(1.0) - V.dot(F.col("centroid"), list(query_vector))).alias("_cd")
+    cd = (F.lit(1.0) - V.dot("centroid", list(query_vector))).alias("_cd")
     probed = (
         centroids.select(F.col(cluster_col), F.col("centroid"), cd)
         .orderBy(F.col("_cd").asc(), F.col(cluster_col).asc())

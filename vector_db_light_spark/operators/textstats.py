@@ -232,3 +232,128 @@ def fingerprint(
         F.size(sh).alias("n_shingles"),
         F.array_min(F.transform(sh, lambda s: F.md5(s))).alias("fingerprint"),
     )
+
+
+def bpe_symbol_init(words: DataFrame, word_col: str = "w") -> DataFrame:
+    """Initial BPE state: each distinct word as a space-joined character
+    sequence plus its corpus frequency. The space separator is safe by
+    construction — tokens come from a whitespace split, so no symbol can
+    contain one."""
+    chars = F.transform(
+        F.sequence(F.lit(1), F.length(word_col)),
+        lambda i: F.col(word_col).substr(i, F.lit(1)),
+    )
+    return words.select(
+        F.col("n"), F.array_join(chars, " ").alias("s")
+    )
+
+
+def bpe_pair_stats(sym: DataFrame) -> DataFrame:
+    """Adjacent-symbol-pair frequencies (weighted by word frequency) of the
+    current symbol table — the statistic whose argmax picks the next merge.
+    Counts are exact integer sums, so the result is partition-independent.
+    Map-side partial aggregation; ONE shuffle on the pair key."""
+    ls = F.split(F.col("s"), " ")
+    pairs = F.when(
+        F.size(ls) >= 2,
+        F.transform(
+            F.slice(ls, 1, F.size(ls) - 1),
+            lambda t, i: F.concat(t, F.lit(" "), F.get(ls, i + 1)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return (
+        sym.select("n", F.explode(pairs).alias("pair"))
+        .groupBy("pair")
+        .agg(F.sum("n").cast("long").alias("cnt"))
+    )
+
+
+def bpe_apply_merge(sym: DataFrame, pair: str) -> DataFrame:
+    """Apply one merge to every word: literal string replace of
+    'L R' -> 'LR' over the space-joined symbol string. Both Spark's
+    ``replace`` and DuckDB's scan left-to-right over non-overlapping
+    occurrences — exactly BPE's greedy merge order ('a a a' with merge
+    (a,a) becomes 'aa a', never 'a aa')."""
+    return sym.select(
+        "n",
+        F.replace(
+            F.col("s"), F.lit(pair), F.lit(pair.replace(" ", ""))
+        ).alias("s"),
+    )
+
+
+def bpe_train(
+    docs: DataFrame,
+    n_merges: int = 3,
+    text_col: str = "text",
+) -> DataFrame:
+    """Iterative BPE trainer (Sennrich et al. 2016), the fixed-point-exact
+    loop pattern kmeans_lloyd established: all evolving state is integer
+    (pair counts) or exact strings (symbol tables), so every round is
+    bit-identical across engines AND partitionings; ties in the argmax
+    break lexicographically on the pair.
+
+    Per round: ONE pair-count shuffle + a 1-row argmax collect (the same
+    bounded driver probe the IVF nprobe read uses) + a narrow map applying
+    the merge. At 100 TB the word-frequency table (the only state) is
+    vocabulary-sized — millions of rows, not corpus-sized — so rounds are
+    cheap regardless of corpus scale; the corpus is read exactly once to
+    build it.
+
+    Returns (merge_round, pair, cnt): the ordered merge table a tokenizer
+    would ship."""
+    spark = docs.sparkSession
+    toks = docs.select(F.explode(tokens_expr(text_col)).alias("w"))
+    words = toks.groupBy("w").agg(F.count(F.lit(1)).alias("n"))
+    # materialize the (tiny, vocabulary-sized) word-frequency table once:
+    # without this every round re-tokenizes the corpus under the growing
+    # replace chain (localCheckpoint, not persist — CLAUDE.md rule 4)
+    sym = bpe_symbol_init(words).localCheckpoint(eager=True)
+    merges: list[tuple[int, str, int]] = []
+    for r in range(1, n_merges + 1):
+        best = (
+            bpe_pair_stats(sym)
+            .orderBy(F.col("cnt").desc(), F.col("pair").asc())
+            .limit(1)
+            .collect()
+        )
+        if not best:
+            break
+        merges.append((r, best[0]["pair"], int(best[0]["cnt"])))
+        sym = bpe_apply_merge(sym, best[0]["pair"])
+    return spark.createDataFrame(
+        merges, "merge_round int, pair string, cnt bigint"
+    )
+
+
+def bpe_tokenize_counts(
+    docs: DataFrame,
+    merges: list[str],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Apply an ORDERED merge list (from :func:`bpe_train`) to every token
+    occurrence and count per-doc symbols before/after — the tokenizer
+    APPLICATION half of the trainer, i.e. what a token-budget estimator
+    runs over a corpus. Narrow map (chained literal replaces, codegen) +
+    one groupBy(id); docs with zero tokens produce no row."""
+    toks = docs.select(F.col(id_col), F.explode(tokens_expr(text_col)).alias("w"))
+    chars = F.transform(
+        F.sequence(F.lit(1), F.length("w")),
+        lambda i: F.col("w").substr(i, F.lit(1)),
+    )
+    s = F.array_join(chars, " ")
+    for pair in merges:
+        s = F.replace(s, F.lit(pair), F.lit(pair.replace(" ", "")))
+    return (
+        toks.select(
+            F.col(id_col),
+            F.length("w").alias("_nb"),
+            F.size(F.split(s, " ")).alias("_na"),
+        )
+        .groupBy(id_col)
+        .agg(
+            F.sum("_nb").cast("long").alias("n_symbols_before"),
+            F.sum("_na").cast("long").alias("n_tokens_after"),
+        )
+    )

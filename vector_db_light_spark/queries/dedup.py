@@ -150,7 +150,11 @@ def dedup_minhash_lsh(spark, sf_dir):
     corpus = _corpus(spark, sf_dir)
     # the shingle explode feeds both the signature and the verify stage:
     # persist it once (at cluster scale: a checkpointed shingle table)
-    rows = D.shingle_rows(corpus).persist()
+    rows = D.shingle_rows(corpus).localCheckpoint(eager=True)
+    # (localCheckpoint, not persist: a lazy cache is populated RACILY
+    # when the signature and verify branches run in one job — both
+    # recompute the explode; eager materialization halves the query.
+    # At cluster scale this is the written shingle table.)
     sigs = D.minhash_signatures(corpus, rows=rows)
     cands = D.lsh_candidate_pairs(D.minhash_band_keys(sigs))
     verified = D.jaccard_pairs(corpus, candidates=cands, rows=rows)
@@ -236,7 +240,11 @@ def dedup_clusters(spark, sf_dir):
     LSH-verified Jaccard>=0.5 pairs), the cluster size, and a canonical flag.
     Dropping rows with is_canonical = 0 is the dedup action at 100 TB."""
     corpus = _corpus(spark, sf_dir)
-    rows = D.shingle_rows(corpus).persist()
+    rows = D.shingle_rows(corpus).localCheckpoint(eager=True)
+    # (localCheckpoint, not persist: a lazy cache is populated RACILY
+    # when the signature and verify branches run in one job — both
+    # recompute the explode; eager materialization halves the query.
+    # At cluster scale this is the written shingle table.)
     sigs = D.minhash_signatures(corpus, rows=rows)
     cands = D.lsh_candidate_pairs(D.minhash_band_keys(sigs))
     verified = D.jaccard_pairs(corpus, candidates=cands, rows=rows).filter(
@@ -292,7 +300,11 @@ def dedup_clusters_star(spark, sf_dir):
     graphs) — hash-checked against the same recursive-CTE oracle, proving
     the two iterative algorithms land on identical clusterings."""
     corpus = _corpus(spark, sf_dir)
-    rows = D.shingle_rows(corpus).persist()
+    rows = D.shingle_rows(corpus).localCheckpoint(eager=True)
+    # (localCheckpoint, not persist: a lazy cache is populated RACILY
+    # when the signature and verify branches run in one job — both
+    # recompute the explode; eager materialization halves the query.
+    # At cluster scale this is the written shingle table.)
     sigs = D.minhash_signatures(corpus, rows=rows)
     cands = D.lsh_candidate_pairs(D.minhash_band_keys(sigs))
     verified = D.jaccard_pairs(corpus, candidates=cands, rows=rows).filter(
@@ -643,7 +655,11 @@ ORDER BY i.new_id, i.existing_id
 )
 def dedup_incremental_lsh(spark, sf_dir):
     corpus = _incr_corpus(spark, sf_dir)
-    rows = D.shingle_rows(corpus).persist()
+    rows = D.shingle_rows(corpus).localCheckpoint(eager=True)
+    # (localCheckpoint, not persist: a lazy cache is populated RACILY
+    # when the signature and verify branches run in one job — both
+    # recompute the explode; eager materialization halves the query.
+    # At cluster scale this is the written shingle table.)
     sigs = D.minhash_signatures(corpus, rows=rows)
     bands = D.minhash_band_keys(sigs)
     cands = D.incremental_lsh_candidates(
@@ -878,7 +894,11 @@ def dedup_keep_best(spark, sf_dir):
     the fixture injects are 20-char truncations, so every one of them is
     dropped in favor of its original."""
     corpus = _corpus(spark, sf_dir)
-    rows = D.shingle_rows(corpus).persist()
+    rows = D.shingle_rows(corpus).localCheckpoint(eager=True)
+    # (localCheckpoint, not persist: a lazy cache is populated RACILY
+    # when the signature and verify branches run in one job — both
+    # recompute the explode; eager materialization halves the query.
+    # At cluster scale this is the written shingle table.)
     sigs = D.minhash_signatures(corpus, rows=rows)
     cands = D.lsh_candidate_pairs(D.minhash_band_keys(sigs))
     verified = D.jaccard_pairs(corpus, candidates=cands, rows=rows).filter(

@@ -669,7 +669,11 @@ def corpus_curation_pipeline(spark, sf_dir):
 
     raw = load(spark, sf_dir, "documents").select("doc_id", "source", "lang")
     cleaned = remove_boilerplate_lines(_lined(spark, sf_dir), max_doc_freq=5)
-    docs = raw.join(cleaned.select("doc_id", "text"), "doc_id")
+    # the cleaned table feeds THREE corpus union branches — materialize it
+    # once (localCheckpoint, not persist: CLAUDE.md rule 4)
+    docs = raw.join(cleaned.select("doc_id", "text"), "doc_id").localCheckpoint(
+        eager=True
+    )
     exact = docs.filter(F.col("doc_id") % 7 == 0).select(
         (F.col("doc_id") + 200000).alias("doc_id"), "text", "source", "lang"
     )

@@ -68,7 +68,7 @@ def _scored_topk(spark, sf_dir, k: int):
     docs = load_docs(spark, sf_dir)
     embs = embed_documents(docs, dim=16)
     scored = embs.select(
-        "doc_id", (F.lit(1.0) - dot(F.col("embedding"), _QVEC)).alias("distance")
+        "doc_id", (F.lit(1.0) - dot("embedding", _QVEC)).alias("distance")
     )
     cands = scored.orderBy(F.col("distance").asc(), F.col("doc_id").asc()).limit(k)
     return docs, cands
@@ -92,7 +92,7 @@ def search_by_text(spark, sf_dir):
     docs = load_docs(spark, sf_dir)
     embs = embed_documents(docs, dim=16)
     scored = embs.select(
-        "doc_id", (F.lit(1.0) - dot(F.col("embedding"), _QVEC)).alias("distance")
+        "doc_id", (F.lit(1.0) - dot("embedding", _QVEC)).alias("distance")
     )
     topk = scored.orderBy(F.col("distance").asc(), F.col("doc_id").asc()).limit(10)
     sim = clip01(F.lit(1.0) - F.col("distance"))
@@ -253,7 +253,7 @@ def hybrid_rrf_search(spark, sf_dir):
     )
     embs = embed_documents(docs, dim=16)
     scored = embs.select(
-        "doc_id", (F.lit(1.0) - dot(F.col("embedding"), _QVEC)).alias("distance")
+        "doc_id", (F.lit(1.0) - dot("embedding", _QVEC)).alias("distance")
     )
     topv = scored.orderBy(F.col("distance").asc(), F.col("doc_id").asc()).limit(20)
     vrr = topv.select(

@@ -704,7 +704,7 @@ def ann_pq_rerank_recall(spark, sf_dir):
         .select(
             "query_id",
             "vec_id",
-            (F.lit(1.0) - V.dot(F.col("embedding"), F.col("_qv"), dim=64)).alias(
+            (F.lit(1.0) - V.dot("embedding", "_qv", dim=64)).alias(
                 "distance"
             ),
         )
@@ -905,7 +905,7 @@ def search_mmr_diversify(spark, sf_dir):
     from ..functions import vector as V
 
     emb = load(spark, sf_dir, "embeddings")
-    rel = V.dot(F.col("embedding"), QUERY_VEC)
+    rel = V.dot("embedding", QUERY_VEC)
     cand = (
         emb.select("vec_id", rel.alias("rel"), "embedding")
         .orderBy(F.col("rel").desc(), F.col("vec_id").asc())

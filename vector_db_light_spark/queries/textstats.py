@@ -439,3 +439,120 @@ def bigram_coverage_score(spark, sf_dir):
         F.col("n_common").cast("long").alias("n_common"),
         (F.col("n_common").cast("double") / F.col("n_bigrams")).alias("coverage"),
     ).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# BPE trainer (VERDICT r7 #7): N-merge iterative loop, fixed-point exact.
+# The oracle unrolls every round into CTEs (the kmeans_lloyd pattern):
+# integer pair counts -> lexicographic-tie argmax -> greedy left-to-right
+# merge via literal string replace (both engines scan non-overlapping
+# occurrences left to right, which IS BPE's merge order).
+# ---------------------------------------------------------------------------
+
+_BPE_MERGES = 3
+
+
+def _bpe_ctes(n_merges: int) -> str:
+    """Shared WITH-body: word frequencies, initial symbol table, and one
+    (pair-counts, argmax, merged-symbols) CTE triple per round."""
+    pair_cte = """
+p{r} AS (
+  SELECT pair, CAST(SUM(n) AS BIGINT) AS cnt FROM (
+    SELECT n,
+           unnest(list_transform(generate_series(1, len(ls) - 1),
+                                 i -> ls[i] || ' ' || ls[i + 1])) AS pair
+    FROM (SELECT n, string_split(s, ' ') AS ls FROM sym{prev})
+    WHERE len(ls) >= 2
+  ) GROUP BY 1
+),
+m{r} AS (SELECT pair, cnt FROM p{r} ORDER BY cnt DESC, pair ASC LIMIT 1),
+sym{r} AS (
+  SELECT n, replace(s, (SELECT pair FROM m{r}),
+                    replace((SELECT pair FROM m{r}), ' ', '')) AS s
+  FROM sym{prev}
+)"""
+    ctes = [
+        f"""words AS (
+  SELECT w, CAST(count(*) AS BIGINT) AS n
+  FROM (SELECT unnest({_TOKS_SQL}) AS w FROM documents) GROUP BY 1
+),
+sym0 AS (
+  SELECT n, array_to_string(
+      list_transform(generate_series(1, len(w)), i -> substr(w, i, 1)), ' ')
+      AS s
+  FROM words
+)"""
+    ]
+    for r in range(1, n_merges + 1):
+        ctes.append(pair_cte.format(r=r, prev=r - 1))
+    return ", ".join(ctes)
+
+
+def _bpe_oracle_sql(n_merges: int) -> str:
+    unions = "\nUNION ALL ".join(
+        f"SELECT {r} AS merge_round, pair, cnt FROM m{r}"
+        for r in range(1, n_merges + 1)
+    )
+    return (
+        f"WITH {_bpe_ctes(n_merges)}\n{unions}\nORDER BY merge_round"
+    )
+
+
+@register("bpe_train_merges", _bpe_oracle_sql(_BPE_MERGES))
+def bpe_train_merges(spark, sf_dir):
+    """The tokenizer-training loop bpe_pair_counts previews: three greedy
+    merges over the corpus word-frequency table, each round one integer
+    pair-count shuffle + a 1-row argmax probe + a narrow merge map
+    (operators/textstats.py:bpe_train)."""
+    docs = load_docs(spark, sf_dir)
+    return T.bpe_train(docs, n_merges=_BPE_MERGES).orderBy("merge_round")
+
+
+def _bpe_tokenize_oracle_sql(n_merges: int) -> str:
+    applied = "s"
+    for r in range(1, n_merges + 1):
+        applied = (
+            f"replace({applied}, (SELECT pair FROM m{r}),"
+            f" (SELECT replace(pair, ' ', '') FROM m{r}))"
+        )
+    return f"""
+WITH {_bpe_ctes(n_merges)},
+dwords AS (
+  SELECT doc_id, unnest({_TOKS_SQL}) AS w FROM documents
+),
+dsym AS (
+  SELECT doc_id, length(w) AS nb,
+         array_to_string(
+           list_transform(generate_series(1, len(w)), i -> substr(w, i, 1)),
+           ' ') AS s
+  FROM dwords
+),
+applied AS (SELECT doc_id, nb, {applied} AS s2 FROM dsym)
+SELECT doc_id,
+       CAST(sum(nb) AS BIGINT) AS n_symbols_before,
+       CAST(sum(len(string_split(s2, ' '))) AS BIGINT) AS n_tokens_after,
+       CAST(sum(len(string_split(s2, ' '))) AS DOUBLE) / sum(nb) AS compression
+FROM applied
+GROUP BY doc_id
+ORDER BY doc_id
+"""
+
+
+@register("bpe_tokenize_counts", _bpe_tokenize_oracle_sql(_BPE_MERGES))
+def bpe_tokenize_counts(spark, sf_dir):
+    """Tokenizer application: train the 3-merge BPE table, then tokenize
+    every document with it and report per-doc symbol counts before/after —
+    the corpus token-budget estimate a training-data pipeline needs. The
+    merge table is a tiny collected list (N rows); application is a narrow
+    chained-replace map + one groupBy(doc_id)."""
+    docs = load_docs(spark, sf_dir)
+    merges = [r["pair"] for r in T.bpe_train(docs, n_merges=_BPE_MERGES).collect()]
+    out = T.bpe_tokenize_counts(docs, merges)
+    return out.select(
+        "doc_id",
+        "n_symbols_before",
+        "n_tokens_after",
+        (F.col("n_tokens_after").cast("double") / F.col("n_symbols_before")).alias(
+            "compression"
+        ),
+    ).orderBy("doc_id")

@@ -152,67 +152,79 @@ def _populate() -> None:
 # embed_random_projection (JL compression) swapped in for ann_lsh_bucketed,
 # sample_stratified_lang and ingest_metadata — each replaced slot keeps a
 # same-family representative in the window and stays driver_sim-checked.
+# Round-7 rotation (VERDICT r6 #6): thirteen never-driver-checked families
+# swapped in (rag_citations_html, null_safe_join_counts,
+# union_schema_evolution, forecast_revenue_q6, ewma_per_user,
+# table_snapshot_diff, dq_constraint_report, incremental_agg_state,
+# dedup_containment_pairs, sample_weighted_pps + the new
+# line_dedup_boilerplate, bpe_train_merges, q17_small_quantity_revenue)
+# for thirteen slots that earned their external pass in r6 and keep a
+# same-family representative in-window (see inline comments); every
+# rotated-out query stays registered and driver_sim-checked.
 PRIORITY: tuple[str, ...] = (
     # retrieval / search surface
     "search_pipeline",      # V2-V4 + F1 + F2 + J1 + F6 flagship
-    "knn_cosine_topk",      # V3 cosine (granular; r6 rotation)
-    "knn_l2_topk",          # V3 l2 (granular; r6 rotation)
-    "knn_inner_product_topk",  # V3 inner-product (granular; r6 rotation)
     "doc_profile",          # F7/F8/X1/X6 + 4 textstats ops (combo)
     "citations_pages",      # A2 + A3 (combo)
-    "search_prf_expansion", # PRF expansion over BM25 (late r6; citations_agg
-                            # stays driver_sim-checked, citations_pages combo
-                            # keeps A2 in-window)
-    "search_by_text",       # V1 query-embed + instruction prefix
-    "hybrid_rrf_search",    # BM25 + vector reciprocal-rank fusion
-    "bm25_topk",            # lexical ranking on its own (r6 rotation)
-    "rag_prompt_assembly",  # L1 byte-identical prompt (r6 rotation)
+    "search_prf_expansion", # PRF expansion over BM25
+    "hybrid_rrf_search",    # BM25 + vector reciprocal-rank fusion (keeps
+                            # BM25 and the text-embed path in-window;
+                            # bm25_topk / search_by_text rotated out r7
+                            # after their r6 external pass)
+    "rag_citations_html",   # L3 citation rendering (r7 rotation)
+    "rag_prompt_assembly",  # L1 byte-identical prompt
     # chunking
-    "chunk_fixed_stride",   # X8 + V6
-    "chunk_overlap_pages",  # S3 + X5
+    "chunk_overlap_pages",  # S3 + X5 (chunk_fixed_stride rotated out r7;
+                            # index_build_pipeline keeps stride chunking)
     # relational: joins, aggregates, windows, set ops
     "shipping_priority",
     "acctbal_rollup",
-    "top_customers_per_segment",
-    "pack_sequences_bins",
-    "customers_without_big_orders",
-    "set_ops_labeled",      # INTERSECT + EXCEPT (combo)
+    "null_safe_join_counts",   # <=> vs IS NOT DISTINCT FROM (r7 rotation)
+    "union_schema_evolution",  # by-name union evolution (r7 rotation)
+    "forecast_revenue_q6",     # TPC-H Q6 exact cents (r7 rotation)
+    "q17_small_quantity_revenue",  # Q17 correlated scalar avg (new in r7;
+                            # q4/q20 shapes stay driver_sim-checked)
     "asof_event_order",
-    "event_pairs_5min",
     "sessionize_events",
     "tumbling_hourly_events",
+    "ewma_per_user",        # recursive time-series smoothing (r7 rotation)
+    "table_snapshot_diff",  # CDC-style snapshot diff (r7 rotation)
+    "dq_constraint_report", # data-quality constraint audit (r7 rotation)
+    "incremental_agg_state",  # monoid merge == single-pass (r7 rotation)
     # dedup tiers
     "dedup_exact",
     "dedup_minhash_lsh",
-    "dedup_incremental_lsh",  # cross-batch-only join (r6 rotation)
-    "dedup_embedding_lsh",
-    "dedup_substring_spans",  # exact-substring spans (new in r6)
-    "dedup_semantic_prune",   # SemDeDup cluster prune (new in r6)
-    "decontaminate_ngram",  # benchmark decontamination (data hygiene)
+    "dedup_incremental_lsh",
+    "dedup_substring_spans",
+    "dedup_semantic_prune",
+    "dedup_containment_pairs",  # directional subset/quote (r7 rotation)
+    "line_dedup_boilerplate",   # line-level boilerplate (new in r7;
+                            # dedup_embedding_lsh / dedup_simhash_hamming
+                            # rotated out after r6 external passes)
+    "decontaminate_ngram",
     "dedup_clusters",
-    "dedup_simhash_hamming",
     # similarity search
     "knn_batch_topk",
-    "kmeans_lloyd",          # Lloyd trainer, fixed-point exact (late r6)
-    "pagerank_suppliers",   # integer-exact iterative PageRank (late r6;
-                            # SQ8 slot — PQ/ADC keeps compression in-window,
-                            # knn_sq8_topk stays driver_sim-checked)
-    "knn_pq_adc_topk",      # PQ/ADC codes-only top-k (new in r6)
+    "kmeans_lloyd",
+    "pagerank_suppliers",
+    "knn_pq_adc_topk",
     "ann_ivf_pruned",
     # pipeline / ingest / multimodal
     "embed_hashed_features",
     "index_build_pipeline",
-    "embed_random_projection",  # JL 64->16, bit-exact (late r6)
+    "embed_random_projection",
     "multimodal_meta",
-    "corpus_curation_pipeline",  # capstone 5-stage curation DAG (new in r6)
+    "corpus_curation_pipeline",
     "ingest_parse_documents",
-    # analytics / text stats
+    # analytics / text stats / sampling
     "salted_hot_key_agg",
     "price_quantiles_per_segment",
-    "sample_mixture_temperature",  # data-driven alpha=1/2 mixing (late r6)
-    "text_repetition",      # Gopher repetition ratios (r6 rotation)
-    "quota_per_source",     # per-source cap, WindowGroupLimit (r6 rotation)
-    "heavy_hitters_cms",    # count-min vs exact, bound pinned (new in r6)
+    "sample_mixture_temperature",
+    "sample_weighted_pps",  # PPS systematic sampling (r7 rotation)
+    "text_repetition",
+    "quota_per_source",
+    "heavy_hitters_cms",
+    "bpe_train_merges",     # iterative BPE trainer (new in r7)
     # subqueries + null semantics
     "null_semantics_agg",
 )
