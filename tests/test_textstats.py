@@ -113,3 +113,32 @@ def test_bpe_train_exhausts_gracefully(spark):
 
     docs = spark.createDataFrame([(1, "x y z")], "doc_id bigint, text string")
     assert bpe_train(docs, n_merges=5).count() == 0  # no pairs at all
+
+
+def test_incremental_line_df_merge_is_cumulative(spark):
+    """A line under the threshold in each batch alone must still be dropped
+    when the MERGED state crosses it — the incrementality contract."""
+    from vector_db_light_spark.operators.dedup import (
+        line_doc_freq,
+        merge_line_doc_freq,
+        remove_boilerplate_lines,
+    )
+
+    hdr = "shared header"
+    b1 = spark.createDataFrame(
+        [(i, f"{hdr}\nbody one {i}") for i in range(4)],
+        "doc_id bigint, text string",
+    )
+    b2 = spark.createDataFrame(
+        [(10 + i, f"{hdr}\nbody two {i}") for i in range(4)],
+        "doc_id bigint, text string",
+    )
+    cum = merge_line_doc_freq(line_doc_freq(b1), line_doc_freq(b2))
+    # per-batch df = 4 <= 5 (kept); cumulative = 8 > 5 (dropped)
+    own = {r["doc_id"]: r for r in remove_boilerplate_lines(b2, 5).collect()}
+    inc = {
+        r["doc_id"]: r
+        for r in remove_boilerplate_lines(b2, 5, line_df=cum).collect()
+    }
+    assert own[10]["n_lines_kept"] == 2  # batch-local counts admit the header
+    assert inc[10]["n_lines_kept"] == 1 and inc[10]["text"] == "body two 0"

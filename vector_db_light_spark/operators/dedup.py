@@ -898,11 +898,37 @@ def line_rows(
     )
 
 
+def line_doc_freq(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """(line_hash, line_df): distinct-document frequency per normalized
+    line — the persistent state of incremental boilerplate removal. A
+    monoid: counts from disjoint batches merge by integer sum
+    (:func:`merge_line_doc_freq`)."""
+    return (
+        line_rows(docs, id_col=id_col, text_col=text_col)
+        .groupBy("line_hash")
+        .agg(F.count_distinct(F.col(id_col)).alias("line_df"))
+    )
+
+
+def merge_line_doc_freq(existing: DataFrame, batch: DataFrame) -> DataFrame:
+    """Merge two line-df tables by integer sum. Exact for disjoint doc
+    sets (the incremental-ingest invariant); one shuffle on line_hash —
+    at scale both sides are bucketed by line_hash, making it local."""
+    return (
+        existing.unionByName(batch)
+        .groupBy("line_hash")
+        .agg(F.sum("line_df").cast("long").alias("line_df"))
+    )
+
+
 def remove_boilerplate_lines(
     docs: DataFrame,
     max_doc_freq: int = 5,
     id_col: str = "doc_id",
     text_col: str = "text",
+    line_df: DataFrame | None = None,
 ) -> DataFrame:
     r"""Line-level boilerplate removal (CCNet / RefinedWeb curation stage):
     drop every line whose normalized form appears in MORE than
@@ -912,7 +938,10 @@ def remove_boilerplate_lines(
 
     Returns (id, text, n_lines_kept, n_lines_total); documents whose every
     line is boilerplate come back with text = '' (callers typically filter
-    n_lines_kept > 0 next).
+    n_lines_kept > 0 next). Pass ``line_df`` (a (line_hash, line_df)
+    table, e.g. the merged cumulative state from :func:`merge_line_doc_freq`)
+    to clean against corpus-wide counts instead of this frame's own — the
+    incremental-ingest path.
 
     Scale shape: ONE shuffle builds the per-line-hash document frequency
     (map-side partial agg on the hash), and the boilerplate set — lines
@@ -923,8 +952,12 @@ def remove_boilerplate_lines(
     corpus-quadratic and nothing depends on partitioning.
     """
     lines = line_rows(docs, id_col=id_col, text_col=text_col)
-    freq = lines.groupBy("line_hash").agg(
-        F.count_distinct(F.col(id_col)).alias("line_df")
+    freq = (
+        line_df
+        if line_df is not None
+        else lines.groupBy("line_hash").agg(
+            F.count_distinct(F.col(id_col)).alias("line_df")
+        )
     )
     boiler = freq.filter(F.col("line_df") > max_doc_freq).select(
         "line_hash", F.lit(1).alias("_is_boiler")

@@ -1041,3 +1041,158 @@ def line_dedup_boilerplate(spark, sf_dir):
     return D.remove_boilerplate_lines(_lined(spark, sf_dir), max_doc_freq=5).orderBy(
         "doc_id"
     )
+
+
+# ---------------------------------------------------------------------------
+# LSH quality audit: precision/recall of the banded candidate generator
+# against exact all-pairs Jaccard ground truth — the dedup twin of the
+# ann_*_recall family. The exact half (inverted-index all-pairs) is the
+# expensive audit-only path; at 100 TB it runs on a sample while the
+# banded pipeline runs on the corpus.
+# ---------------------------------------------------------------------------
+
+@register(
+    "dedup_lsh_quality",
+    f"""
+WITH corpus AS ({_CORPUS_SQL}),
+{_SHINGLES_SQL},
+sigs AS (
+  SELECT doc_id,
+         {_SIG_COLS_SQL}
+  FROM shingles GROUP BY doc_id
+),
+bands AS (
+{_BANDS_SQL}
+),
+cands AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM bands a
+  JOIN bands b ON a.band_idx = b.band_idx AND a.band_key = b.band_key
+  WHERE a.doc_id < b.doc_id
+),
+sizes AS (
+  SELECT doc_id, count(*) AS n_shingles FROM shingles GROUP BY doc_id
+),
+inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_inter
+  FROM shingles a JOIN shingles b ON a.shingle = b.shingle
+  WHERE a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+truth AS (
+  SELECT i.id_a, i.id_b
+  FROM inter i
+  JOIN sizes sa ON sa.doc_id = i.id_a
+  JOIN sizes sb ON sb.doc_id = i.id_b
+  WHERE i.n_inter / (sa.n_shingles + sb.n_shingles - i.n_inter) >= 0.5
+),
+hits AS (
+  SELECT t.id_a, t.id_b FROM truth t JOIN cands c USING (id_a, id_b)
+)
+SELECT CAST((SELECT count(*) FROM truth) AS BIGINT) AS n_truth,
+       CAST((SELECT count(*) FROM cands) AS BIGINT) AS n_candidates,
+       CAST((SELECT count(*) FROM hits) AS BIGINT) AS n_hits,
+       CAST((SELECT count(*) FROM hits) AS DOUBLE)
+         / (SELECT count(*) FROM truth) AS recall,
+       CAST((SELECT count(*) FROM hits) AS DOUBLE)
+         / (SELECT count(*) FROM cands) AS band_precision
+""",
+)
+def dedup_lsh_quality(spark, sf_dir):
+    """Measures what the banded generator trades for sub-quadratic cost:
+    recall = truth pairs surfaced as candidates (misses = pairs whose 12
+    minhashes never agree on a full band), band_precision = candidate
+    pairs that verify (the rest are the Jaccard-verify stage's discard
+    work). Counts are exact integers; the two ratios are single divisions
+    of exact ints (bit-identical cross-engine)."""
+    corpus = _corpus(spark, sf_dir)
+    rows = D.shingle_rows(corpus).localCheckpoint(eager=True)
+    sigs = D.minhash_signatures(corpus, rows=rows)
+    cands = D.lsh_candidate_pairs(D.minhash_band_keys(sigs))
+    truth = D.jaccard_pairs(corpus, rows=rows).filter(
+        F.col("jaccard") >= 0.5
+    ).select("id_a", "id_b")
+    hits = truth.join(cands, ["id_a", "id_b"], "left_semi")
+    n_truth = truth.agg(F.count(F.lit(1)).alias("c"))
+    n_cands = cands.agg(F.count(F.lit(1)).alias("c"))
+    n_hits = hits.agg(F.count(F.lit(1)).alias("c"))
+    return (
+        n_truth.select(F.col("c").alias("n_truth"))
+        .crossJoin(n_cands.select(F.col("c").alias("n_candidates")))
+        .crossJoin(n_hits.select(F.col("c").alias("n_hits")))
+        .select(
+            "n_truth",
+            "n_candidates",
+            "n_hits",
+            (F.col("n_hits").cast("double") / F.col("n_truth")).alias("recall"),
+            (F.col("n_hits").cast("double") / F.col("n_candidates")).alias(
+                "band_precision"
+            ),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Incremental line-level boilerplate removal: clean a NEW batch against the
+# CUMULATIVE line document-frequency state (persisted table at scale). The
+# threshold (20) is deliberately above any single batch's per-source header
+# count (~12) but below the cumulative (~25): headers are only dropped
+# BECAUSE the merged state is consulted — per-batch counting would admit
+# them, which is exactly the incrementality being verified.
+# ---------------------------------------------------------------------------
+
+@register(
+    "line_dedup_incremental",
+    """
+WITH lined AS (
+  SELECT doc_id,
+         '=== ' || source || ' newsletter ===' || chr(10) || text ||
+         CASE WHEN doc_id % 2 = 0
+              THEN chr(10) || 'unsubscribe to stop these ' || lang || ' mails'
+              ELSE '' END AS text
+  FROM documents
+),
+split AS (SELECT doc_id, string_split(text, chr(10)) AS ls FROM lined),
+lines AS (
+  SELECT doc_id, unnest(ls) AS line, generate_subscripts(ls, 1) AS pos
+  FROM split
+),
+hashed AS (
+  SELECT doc_id, pos, line,
+         md5(regexp_replace(line, '^\\s+|\\s+$', '', 'g')) AS lh
+  FROM lines
+),
+-- cumulative df over batch1 (odd ids) + batch2 (even ids) == whole-corpus
+-- df, because the doc sets are disjoint
+freq AS (
+  SELECT lh, COUNT(DISTINCT doc_id) AS line_df FROM hashed GROUP BY 1
+),
+b2 AS (
+  SELECT h.doc_id, h.pos, h.line, (f.line_df > 20) AS is_b
+  FROM hashed h JOIN freq f ON f.lh = h.lh
+  WHERE h.doc_id % 2 = 0
+)
+SELECT doc_id,
+       coalesce(string_agg(CASE WHEN NOT is_b THEN line END,
+                           chr(10) ORDER BY pos), '') AS text,
+       CAST(SUM(CASE WHEN is_b THEN 0 ELSE 1 END) AS BIGINT) AS n_lines_kept,
+       CAST(COUNT(*) AS BIGINT) AS n_lines_total
+FROM b2
+GROUP BY doc_id
+ORDER BY doc_id
+""",
+)
+def line_dedup_incremental(spark, sf_dir):
+    """Incremental-ingest cleaning: batch 1 (odd ids) built the line-df
+    state; batch 2 (even ids) merges its own counts in (monoid sum,
+    operators/dedup.py:merge_line_doc_freq) and is cleaned against the
+    CUMULATIVE table. The oracle computes the same cumulative df directly
+    (disjoint batches: sum == whole-corpus count)."""
+    lined = _lined(spark, sf_dir)
+    b1 = lined.filter(F.col("doc_id") % 2 == 1)
+    b2 = lined.filter(F.col("doc_id") % 2 == 0)
+    state = D.line_doc_freq(b1)  # yesterday's persisted table
+    cum = D.merge_line_doc_freq(state, D.line_doc_freq(b2))
+    return D.remove_boilerplate_lines(b2, max_doc_freq=20, line_df=cum).orderBy(
+        "doc_id"
+    )
