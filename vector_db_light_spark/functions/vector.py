@@ -131,8 +131,21 @@ def cosine_distance(vec_col: Column | str, query: Column | list[float]) -> Colum
 
 
 def sum_of_squares_distance(
-    vec_col: Column | str, query: Column | list[float]
+    vec_col: Column | str,
+    query: Column | str | list[float],
+    dim: int | None = None,
 ) -> Column:
+    if dim is not None and isinstance(vec_col, str) and isinstance(query, str):
+        # name+name+dim: single-parse unrolled chain (see dot())
+        vd, qd = _arr_sql(vec_col), _arr_sql(query)
+        terms = " + ".join(
+            f"((get({vd}, {i}) - get({qd}, {i})) *"
+            f" (get({vd}, {i}) - get({qd}, {i})))"
+            for i in range(dim)
+        )
+        return F.expr(f"0.0D + {terms}")
+    if isinstance(query, str):
+        query = F.col(query)
     if isinstance(query, (list, tuple)):
         if not query:
             return F.lit(0.0)

@@ -81,6 +81,7 @@ def kmeans_assign(
     centroids: DataFrame,
     id_col: str = "_id",
     vector_col: str = "_v",
+    dim: int | None = None,
 ) -> DataFrame:
     """Nearest-centroid assignment: all input columns + (cluster_id,
     distance).
@@ -93,7 +94,11 @@ def kmeans_assign(
     """
     e = emb.alias("_e")
     c = centroids.alias("_c")
-    d = V.sum_of_squares_distance(F.col(f"_e.{vector_col}"), F.col("_c.centroid"))
+    # with dim known the distance unrolls into a codegen-able chain built
+    # as one F.expr string (see functions/vector.py) — same fold order
+    d = V.sum_of_squares_distance(
+        f"_e.{vector_col}", "_c.centroid", dim=dim
+    )
     scored = e.crossJoin(F.broadcast(c)).select(
         F.col("_e.*"),
         F.col("_c.cluster_id").alias("cluster_id"),
@@ -162,6 +167,6 @@ def kmeans_train(
     cents = kmeans_init(emb, k)
     assigned = None
     for _ in range(iters):
-        assigned = kmeans_assign(emb, cents)
+        assigned = kmeans_assign(emb, cents, dim=dim)
         cents = kmeans_update(assigned, dim)
     return assigned, cents
