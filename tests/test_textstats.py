@@ -115,6 +115,64 @@ def test_bpe_train_exhausts_gracefully(spark):
     assert bpe_train(docs, n_merges=5).count() == 0  # no pairs at all
 
 
+def test_bpe_merge_is_positional_not_substring(spark):
+    """ADVICE r7 (high): a merge must only join a full adjacent symbol
+    pair. With symbols [c, at, h, e], merging (t, h) must be a no-op —
+    the bare space-joined replace('t h' -> 'th') falsely produced
+    [c, ath, e] by matching the suffix of the multi-char symbol 'at'."""
+    from vector_db_light_spark.operators.textstats import bpe_apply_merge
+
+    sym = spark.createDataFrame(
+        [(1, "\tc\n\tat\n\th\n\te\n")], "n bigint, s string"
+    )
+    out = bpe_apply_merge(sym, "t h").collect()[0]["s"]
+    assert out == "\tc\n\tat\n\th\n\te\n"
+    # and the true adjacent pair does merge:
+    out2 = bpe_apply_merge(sym, "at h").collect()[0]["s"]
+    assert out2 == "\tc\n\tath\n\te\n"
+
+
+def test_bpe_multichar_suffix_overlap_end_to_end(spark):
+    """End-to-end version of the boundary case (ADVICE r7): corpus where
+    round 3 picks merge (ca, t) while the symbol sequence [ca, th] exists —
+    substring replace would have collapsed 'cath' to ONE token."""
+    from vector_db_light_spark.operators.textstats import (
+        bpe_tokenize_counts,
+        bpe_train,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "th th th cat cat cath")], "doc_id bigint, text string"
+    )
+    merges = bpe_train(docs, n_merges=3).orderBy("merge_round").collect()
+    assert [(m["pair"], m["cnt"]) for m in merges] == [
+        ("t h", 4), ("c a", 3), ("ca t", 2)
+    ]
+    out = bpe_tokenize_counts(docs, [m["pair"] for m in merges]).collect()[0]
+    # th->[th] x3 (3) + cat->[cat] x2 (2) + cath->[ca, th] (2) = 7;
+    # the substring-replace bug gave 6 (cath -> [cath]).
+    assert out["n_symbols_before"] == 16 and out["n_tokens_after"] == 7
+
+
+def test_bpe_checkpoint_bounds_replace_chain_depth(spark):
+    """VERDICT r7 #2: re-localCheckpoint every K merges so a 30k-merge run
+    never carries an unbounded replace chain; the merge table must be
+    invariant to K (checkpointing is a pure plan cut)."""
+    from vector_db_light_spark.operators.textstats import bpe_train
+
+    docs = spark.createDataFrame(
+        [(1, "the quick brown fox jumps over the lazy dog then there other")],
+        "doc_id bigint, text string",
+    )
+    state: dict = {}
+    out = bpe_train(docs, n_merges=7, checkpoint_every=3, debug_state=state)
+    plan = state["sym"]._jdf.queryExecution().optimizedPlan().toString()
+    # checkpoints after merges 3 and 6 -> only merge 7's replace remains
+    assert plan.count("replace(") <= 3
+    ref = bpe_train(docs, n_merges=7, checkpoint_every=10_000)
+    assert sorted(map(tuple, out.collect())) == sorted(map(tuple, ref.collect()))
+
+
 def test_incremental_line_df_merge_is_cumulative(spark):
     """A line under the threshold in each batch alone must still be dropped
     when the MERGED state crosses it — the incrementality contract."""

@@ -234,26 +234,61 @@ def fingerprint(
     )
 
 
+# BPE symbol-table representation: every symbol is individually WRAPPED as
+# "\t<sym>\n" and the wrapped symbols concatenated, so a word with symbols
+# [c, at, h, e] is stored as "\tc\n\tat\n\th\n\te\n". Tokens come from a
+# \s+ split (tokens_expr), so no symbol can contain either sentinel, and a
+# merge of (L, R) is the POSITIONAL replace "\tL\n\tR\n" -> "\tLR\n": the
+# pattern can only match a full adjacent symbol pair. (ADVICE r7, high: the
+# previous space-joined form merged via bare replace('L R' -> 'LR'), which
+# falsely matched ACROSS symbol boundaries — [c, at, h, e] with merge
+# 't h' became [c, ath, e].) Adjacent wrapped matches share no characters,
+# and both Spark's and DuckDB's replace() scan left-to-right over
+# non-overlapping occurrences, which is exactly BPE's greedy merge order
+# ([a, a, a] with merge (a, a) becomes [aa, a], never [a, aa]).
+_SYM_OPEN = "\t"
+_SYM_CLOSE = "\n"
+
+
+def _wrap_pair(pair: str) -> tuple[str, str]:
+    """(pattern, replacement) for one merge, given the external space-joined
+    'L R' pair form (symbols never contain a space)."""
+    left, right = pair.split(" ")
+    pat = _SYM_OPEN + left + _SYM_CLOSE + _SYM_OPEN + right + _SYM_CLOSE
+    rep = _SYM_OPEN + left + right + _SYM_CLOSE
+    return pat, rep
+
+
+def _symbols(s: Column) -> Column:
+    """Symbol ARRAY from the wrapped representation: strip the outer
+    sentinels, then split on the inter-symbol '\\n\\t' seam."""
+    return F.split(s.substr(F.lit(2), F.length(s) - 2), _SYM_CLOSE + _SYM_OPEN)
+
+
 def bpe_symbol_init(words: DataFrame, word_col: str = "w") -> DataFrame:
-    """Initial BPE state: each distinct word as a space-joined character
-    sequence plus its corpus frequency. The space separator is safe by
-    construction — tokens come from a whitespace split, so no symbol can
-    contain one."""
+    """Initial BPE state: each distinct word as a wrapped character
+    sequence (see representation note above) plus its corpus frequency."""
     chars = F.transform(
         F.sequence(F.lit(1), F.length(word_col)),
         lambda i: F.col(word_col).substr(i, F.lit(1)),
     )
     return words.select(
-        F.col("n"), F.array_join(chars, " ").alias("s")
+        F.col("n"),
+        F.concat(
+            F.lit(_SYM_OPEN),
+            F.array_join(chars, _SYM_CLOSE + _SYM_OPEN),
+            F.lit(_SYM_CLOSE),
+        ).alias("s"),
     )
 
 
 def bpe_pair_stats(sym: DataFrame) -> DataFrame:
     """Adjacent-symbol-pair frequencies (weighted by word frequency) of the
     current symbol table — the statistic whose argmax picks the next merge.
-    Counts are exact integer sums, so the result is partition-independent.
-    Map-side partial aggregation; ONE shuffle on the pair key."""
-    ls = F.split(F.col("s"), " ")
+    Pairs are reported in the external space-joined 'L R' form. Counts are
+    exact integer sums, so the result is partition-independent. Map-side
+    partial aggregation; ONE shuffle on the pair key."""
+    ls = _symbols(F.col("s"))
     pairs = F.when(
         F.size(ls) >= 2,
         F.transform(
@@ -269,16 +304,14 @@ def bpe_pair_stats(sym: DataFrame) -> DataFrame:
 
 
 def bpe_apply_merge(sym: DataFrame, pair: str) -> DataFrame:
-    """Apply one merge to every word: literal string replace of
-    'L R' -> 'LR' over the space-joined symbol string. Both Spark's
-    ``replace`` and DuckDB's scan left-to-right over non-overlapping
-    occurrences — exactly BPE's greedy merge order ('a a a' with merge
-    (a,a) becomes 'aa a', never 'a aa')."""
+    """Apply one merge to every word: positional replace of the wrapped
+    pair "\\tL\\n\\tR\\n" -> "\\tLR\\n" (see representation note — this
+    cannot match inside a multi-character symbol). Left-to-right
+    non-overlapping replace IS BPE's greedy merge order."""
+    pat, rep = _wrap_pair(pair)
     return sym.select(
         "n",
-        F.replace(
-            F.col("s"), F.lit(pair), F.lit(pair.replace(" ", ""))
-        ).alias("s"),
+        F.replace(F.col("s"), F.lit(pat), F.lit(rep)).alias("s"),
     )
 
 
@@ -286,6 +319,8 @@ def bpe_train(
     docs: DataFrame,
     n_merges: int = 3,
     text_col: str = "text",
+    checkpoint_every: int = 8,
+    debug_state: dict | None = None,
 ) -> DataFrame:
     """Iterative BPE trainer (Sennrich et al. 2016), the fixed-point-exact
     loop pattern kmeans_lloyd established: all evolving state is integer
@@ -299,6 +334,16 @@ def bpe_train(
     vocabulary-sized — millions of rows, not corpus-sized — so rounds are
     cheap regardless of corpus scale; the corpus is read exactly once to
     build it.
+
+    ``checkpoint_every`` bounds the replace-chain depth (VERDICT r7 #2):
+    every K merges the symbol table is re-localCheckpointed, so a real
+    30k-merge run carries at most K chained replaces per job instead of a
+    30k-deep expression tree. Job count stays one-per-merge by Sennrich
+    BPE's definition (each argmax depends on the previous merge); see
+    SCALE.md for the posture.
+
+    ``debug_state`` (tests only): when a dict is passed, the final symbol
+    DataFrame is stored under ``"sym"`` so tests can pin the chain depth.
 
     Returns (merge_round, pair, cnt): the ordered merge table a tokenizer
     would ship."""
@@ -321,6 +366,10 @@ def bpe_train(
             break
         merges.append((r, best[0]["pair"], int(best[0]["cnt"])))
         sym = bpe_apply_merge(sym, best[0]["pair"])
+        if r % checkpoint_every == 0:
+            sym = sym.localCheckpoint(eager=True)
+    if debug_state is not None:
+        debug_state["sym"] = sym
     return spark.createDataFrame(
         merges, "merge_round int, pair string, cnt bigint"
     )
@@ -342,14 +391,19 @@ def bpe_tokenize_counts(
         F.sequence(F.lit(1), F.length("w")),
         lambda i: F.col("w").substr(i, F.lit(1)),
     )
-    s = F.array_join(chars, " ")
+    s = F.concat(
+        F.lit(_SYM_OPEN),
+        F.array_join(chars, _SYM_CLOSE + _SYM_OPEN),
+        F.lit(_SYM_CLOSE),
+    )
     for pair in merges:
-        s = F.replace(s, F.lit(pair), F.lit(pair.replace(" ", "")))
+        pat, rep = _wrap_pair(pair)
+        s = F.replace(s, F.lit(pat), F.lit(rep))
     return (
         toks.select(
             F.col(id_col),
             F.length("w").alias("_nb"),
-            F.size(F.split(s, " ")).alias("_na"),
+            F.size(_symbols(s)).alias("_na"),
         )
         .groupBy(id_col)
         .agg(

@@ -445,31 +445,44 @@ def bigram_coverage_score(spark, sf_dir):
 # BPE trainer (VERDICT r7 #7): N-merge iterative loop, fixed-point exact.
 # The oracle unrolls every round into CTEs (the kmeans_lloyd pattern):
 # integer pair counts -> lexicographic-tie argmax -> greedy left-to-right
-# merge via literal string replace (both engines scan non-overlapping
-# occurrences left to right, which IS BPE's merge order).
+# merge. The symbol table mirrors the operator's WRAPPED representation
+# (operators/textstats.py: each symbol as chr(9)||sym||chr(10)), so the
+# merge replace is positional — it can only match a full adjacent symbol
+# pair, never a substring spanning a multi-character symbol's boundary
+# (ADVICE r7 high: the old space-joined replace merged [c,at,h,e] +
+# 't h' into [c,ath,e] on BOTH engines, masking the defect).
 # ---------------------------------------------------------------------------
 
 _BPE_MERGES = 3
+# SQL fragments for the wrapped-symbol representation (chr(9)=\t opens a
+# symbol, chr(10)=\n closes it; tokens come from a \s+ split so neither
+# can occur inside a symbol).
+# wrapped merge pattern / replacement built from the external 'L R' pair:
+_BPE_PAT = "(chr(9) || replace({pair}, ' ', chr(10) || chr(9)) || chr(10))"
+_BPE_REP = "(chr(9) || replace({pair}, ' ', '') || chr(10))"
+# symbol list back out of the wrapped string:
+_BPE_SYMS = "string_split(substr({s}, 2, len({s}) - 2), chr(10) || chr(9))"
 
 
 def _bpe_ctes(n_merges: int) -> str:
     """Shared WITH-body: word frequencies, initial symbol table, and one
     (pair-counts, argmax, merged-symbols) CTE triple per round."""
-    pair_cte = """
-p{r} AS (
+    pair_cte = f"""
+p{{r}} AS (
   SELECT pair, CAST(SUM(n) AS BIGINT) AS cnt FROM (
     SELECT n,
            unnest(list_transform(generate_series(1, len(ls) - 1),
                                  i -> ls[i] || ' ' || ls[i + 1])) AS pair
-    FROM (SELECT n, string_split(s, ' ') AS ls FROM sym{prev})
+    FROM (SELECT n, {_BPE_SYMS.format(s='s')} AS ls FROM sym{{prev}})
     WHERE len(ls) >= 2
   ) GROUP BY 1
 ),
-m{r} AS (SELECT pair, cnt FROM p{r} ORDER BY cnt DESC, pair ASC LIMIT 1),
-sym{r} AS (
-  SELECT n, replace(s, (SELECT pair FROM m{r}),
-                    replace((SELECT pair FROM m{r}), ' ', '')) AS s
-  FROM sym{prev}
+m{{r}} AS (SELECT pair, cnt FROM p{{r}} ORDER BY cnt DESC, pair ASC LIMIT 1),
+sym{{r}} AS (
+  SELECT n, replace(s,
+      {_BPE_PAT.format(pair='(SELECT pair FROM m{r})')},
+      {_BPE_REP.format(pair='(SELECT pair FROM m{r})')}) AS s
+  FROM sym{{prev}}
 )"""
     ctes = [
         f"""words AS (
@@ -477,8 +490,9 @@ sym{r} AS (
   FROM (SELECT unnest({_TOKS_SQL}) AS w FROM documents) GROUP BY 1
 ),
 sym0 AS (
-  SELECT n, array_to_string(
-      list_transform(generate_series(1, len(w)), i -> substr(w, i, 1)), ' ')
+  SELECT n, chr(9) || array_to_string(
+      list_transform(generate_series(1, len(w)), i -> substr(w, i, 1)),
+      chr(10) || chr(9)) || chr(10)
       AS s
   FROM words
 )"""
@@ -511,10 +525,12 @@ def bpe_train_merges(spark, sf_dir):
 def _bpe_tokenize_oracle_sql(n_merges: int) -> str:
     applied = "s"
     for r in range(1, n_merges + 1):
+        pair = f"(SELECT pair FROM m{r})"
         applied = (
-            f"replace({applied}, (SELECT pair FROM m{r}),"
-            f" (SELECT replace(pair, ' ', '') FROM m{r}))"
+            f"replace({applied}, {_BPE_PAT.format(pair=pair)},"
+            f" {_BPE_REP.format(pair=pair)})"
         )
+    n_after = f"len({_BPE_SYMS.format(s='s2')})"
     return f"""
 WITH {_bpe_ctes(n_merges)},
 dwords AS (
@@ -522,16 +538,16 @@ dwords AS (
 ),
 dsym AS (
   SELECT doc_id, length(w) AS nb,
-         array_to_string(
+         chr(9) || array_to_string(
            list_transform(generate_series(1, len(w)), i -> substr(w, i, 1)),
-           ' ') AS s
+           chr(10) || chr(9)) || chr(10) AS s
   FROM dwords
 ),
 applied AS (SELECT doc_id, nb, {applied} AS s2 FROM dsym)
 SELECT doc_id,
        CAST(sum(nb) AS BIGINT) AS n_symbols_before,
-       CAST(sum(len(string_split(s2, ' '))) AS BIGINT) AS n_tokens_after,
-       CAST(sum(len(string_split(s2, ' '))) AS DOUBLE) / sum(nb) AS compression
+       CAST(sum({n_after}) AS BIGINT) AS n_tokens_after,
+       CAST(sum({n_after}) AS DOUBLE) / sum(nb) AS compression
 FROM applied
 GROUP BY doc_id
 ORDER BY doc_id
