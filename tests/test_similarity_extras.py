@@ -101,3 +101,32 @@ def test_residual_pq_reconstructs_better_than_raw(spark):
         [np.sum((vecs[i][0] - (cents[vecs[i][1]] + res[i])) ** 2) for i in vecs]
     )
     assert mse_res < mse_raw
+
+
+def test_dot_dimension_mismatch_yields_null_not_partial(spark):
+    """ADVICE r7: a stored vector LONGER than the query must produce NULL
+    (like the zip_with fold and DuckDB's list_zip NULL-padding), not a
+    silently plausible partial dot — every physical form of dot() agrees."""
+    from pyspark.sql import functions as F
+
+    from vector_db_light_spark.functions.vector import dot
+
+    df = spark.createDataFrame(
+        [(1, [1.0, 2.0, 3.0]), (2, [1.0, 2.0, 3.0, 4.0]), (3, [1.0, 2.0])],
+        "id int, v array<double>",
+    )
+    q = [1.0, 1.0, 1.0]
+    # literal-query unrolled (name input), literal-query Column input,
+    # and name+name+dim unrolled must all NULL the mismatched rows
+    out = df.select(
+        "id",
+        dot("v", q).alias("d_name"),
+        dot(F.col("v"), q).alias("d_col"),
+        dot("v", "v", dim=3).alias("d_pair"),
+    ).orderBy("id").collect()
+    assert out[0]["d_name"] == 6.0 and out[0]["d_col"] == 6.0
+    assert out[0]["d_pair"] == 14.0
+    for row in out[1:]:
+        assert row["d_name"] is None
+        assert row["d_col"] is None
+        assert row["d_pair"] is None

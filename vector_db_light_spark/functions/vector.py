@@ -87,21 +87,37 @@ def dot(
       interpreted.
 
     All evaluate the identical IEEE-754 addition sequence starting from
-    0.0 (``get``/[] out-of-bounds -> NULL, matching zip_with's padding),
-    so results are bit-identical to each other and to the DuckDB
-    ``list_reduce(list_transform(list_zip(...)))`` oracles.
+    0.0, so results are bit-identical to each other and to the DuckDB
+    ``list_reduce(list_transform(list_zip(...)))`` oracles — INCLUDING on
+    dimension mismatch: zip_with/list_zip NULL-pad the shorter side (sum
+    -> NULL), a short stored vector makes ``get``/[] return NULL, and the
+    unrolled forms guard the LONGER-stored-vector case with a size check
+    (ADVICE r7: without it a too-long vector produced a silently plausible
+    partial dot where every other form returns NULL). The guard is emitted
+    as the chain's INITIAL term — ``(CASE WHEN size(v)=N THEN 0.0D END) +
+    t0 + ...`` — so NULL propagates through the additions on mismatch
+    while the chain itself stays a flat top-level Add sequence; wrapping
+    the whole chain in the CASE instead pushed the 64-term expression into
+    one un-splittable conditional branch whose generated method blew the
+    JIT's 8 KB compile limit (measured live: knn_batch_topk 0.63->2.83 s).
+    In the valid case the initial term is 0.0, so the IEEE op sequence is
+    unchanged and oracle parity holds bit-for-bit.
     """
     if isinstance(query, (list, tuple)):
         if not query:
             return F.lit(0.0)
+        n = len(query)
         if isinstance(vec_col, str):
             vd = _arr_sql(vec_col)
             terms = " + ".join(
                 f"(get({vd}, {i}) * {_dlit_sql(x)})" for i, x in enumerate(query)
             )
-            return F.expr(f"0.0D + {terms}")
+            return F.expr(
+                f"(CASE WHEN size({_col_sql(vec_col)}) = {n} THEN 0.0D END)"
+                f" + {terms}"
+            )
         vd = vec_col.cast("array<double>")
-        acc = F.lit(0.0)
+        acc = F.when(F.size(vec_col) == n, F.lit(0.0))
         for i, q in enumerate(query):
             acc = acc + F.get(vd, i) * F.lit(float(q))
         return acc
@@ -110,13 +126,16 @@ def dot(
         terms = " + ".join(
             f"(get({vd}, {i}) * get({qd}, {i}))" for i in range(dim)
         )
-        return F.expr(f"0.0D + {terms}")
+        return F.expr(
+            f"(CASE WHEN size({_col_sql(vec_col)}) = {dim} THEN 0.0D END)"
+            f" + {terms}"
+        )
     v = F.col(vec_col) if isinstance(vec_col, str) else vec_col
     q = F.col(query) if isinstance(query, str) else query
     if dim is not None:
         vd = v.cast("array<double>")
         qd = q.cast("array<double>")
-        acc = F.lit(0.0)
+        acc = F.when(F.size(v) == dim, F.lit(0.0))
         for i in range(dim):
             acc = acc + F.get(vd, i) * F.get(qd, i)
         return acc
@@ -136,14 +155,17 @@ def sum_of_squares_distance(
     dim: int | None = None,
 ) -> Column:
     if dim is not None and isinstance(vec_col, str) and isinstance(query, str):
-        # name+name+dim: single-parse unrolled chain (see dot())
+        # name+name+dim: single-parse unrolled chain, size-guarded (dot())
         vd, qd = _arr_sql(vec_col), _arr_sql(query)
         terms = " + ".join(
             f"((get({vd}, {i}) - get({qd}, {i})) *"
             f" (get({vd}, {i}) - get({qd}, {i})))"
             for i in range(dim)
         )
-        return F.expr(f"0.0D + {terms}")
+        return F.expr(
+            f"(CASE WHEN size({_col_sql(vec_col)}) = {dim} THEN 0.0D END)"
+            f" + {terms}"
+        )
     if isinstance(query, str):
         query = F.col(query)
     if isinstance(query, (list, tuple)):
@@ -156,9 +178,12 @@ def sum_of_squares_distance(
                 f" (get({vd}, {i}) - {_dlit_sql(x)}))"
                 for i, x in enumerate(query)
             )
-            return F.expr(f"0.0D + {terms}")
+            return F.expr(
+                f"(CASE WHEN size({_col_sql(vec_col)}) = {len(query)} "
+                f"THEN 0.0D END) + {terms}"
+            )
         vd = vec_col.cast("array<double>")
-        acc = F.lit(0.0)
+        acc = F.when(F.size(vec_col) == len(query), F.lit(0.0))
         for i, q in enumerate(query):
             diff = F.get(vd, i) - F.lit(float(q))
             acc = acc + diff * diff
