@@ -117,3 +117,89 @@ def test_stream_curate_replay_after_partial_write_recovers(spark, tmp_path):
     _curate_batch(b2, corpus, bands, 0.5)
     ids = {r["doc_id"] for r in spark.read.parquet(corpus).collect()}
     assert ids == {0, 5}
+
+
+def test_stream_curate_in_batch_policy_is_cluster_canonical(spark, tmp_path):
+    """ADVICE r7: in-batch near-dup resolution must match the batch side's
+    cluster-canonical policy (dedup_clusters: one survivor per connected
+    component). For the star a~c, b~c (a not~ b) only the component min a
+    survives — per-pair larger-id dooming kept b as well."""
+    from vector_db_light_spark.streaming.curation import _curate_batch
+
+    corpus = str(tmp_path / "curated")
+    bands = str(tmp_path / "bands")
+    x = (
+        "alpha bravo charlie delta echo foxtrot golf hotel india juliet "
+        "kilo lima mike november oscar papa quebec romeo sierra tango "
+    ) * 2
+    y = (
+        "uniform victor whiskey xray yankee zulu apple banana cherry dates "
+        "elder figs grape honey iris jasmine kale lemon mango nectar "
+    ) * 2
+    batch = spark.createDataFrame(
+        [(10, x), (11, y), (12, x + y)], "doc_id bigint, text string"
+    )
+    # jaccard(10,12) = jaccard(11,12) ~= 0.476, jaccard(10,11) = 0, and
+    # both star edges are LSH band candidates (deterministic md5 minhash)
+    _curate_batch(batch, corpus, bands, jaccard_threshold=0.4)
+    ids = {r["doc_id"] for r in spark.read.parquet(corpus).collect()}
+    assert ids == {10}
+
+
+def test_stream_curate_removes_boilerplate_once_cumulative_df_crosses(
+    spark, tmp_path
+):
+    """VERDICT r7 #7: with line_df_dir set, a header line admitted in batch
+    1 (df under the threshold) must be stripped from batch-N docs once the
+    CUMULATIVE line-df state crosses the threshold — the incremental twin
+    of remove_boilerplate_lines' corpus-wide pass."""
+    src = str(tmp_path / "incoming")
+    corpus = str(tmp_path / "curated")
+    bands = str(tmp_path / "bands")
+    ckpt = str(tmp_path / "ckpt")
+    ldf = str(tmp_path / "line_df")
+    header = "ACME corp internal newsletter"
+
+    def write(rows):
+        spark.createDataFrame(rows, "doc_id bigint, text string").write.mode(
+            "append"
+        ).parquet(src)
+
+    def drain():
+        stream = spark.readStream.schema(
+            spark.read.parquet(src).schema
+        ).parquet(src)
+        stream_curate(
+            stream, corpus, bands, ckpt, line_df_dir=ldf, max_line_doc_freq=2
+        ).awaitTermination(180)
+
+    # batch 1: two docs share the header -> cumulative df = 2, NOT > 2
+    write(
+        [
+            (0, header + "\nducks prefer shallow ponds near quiet meadows"),
+            (1, header + "\ngeese migrate across continents every autumn"),
+        ]
+    )
+    drain()
+    texts = {
+        r["doc_id"]: r["text"] for r in spark.read.parquet(corpus).collect()
+    }
+    assert header in texts[0] and header in texts[1]
+
+    # batch 2: one more doc with the header -> cumulative df = 3 > 2:
+    # the header is stripped from the NEW doc (curated docs stay as-is)
+    write([(2, header + "\nowls hunt rodents after the moon rises high")])
+    drain()
+    texts = {
+        r["doc_id"]: r["text"] for r in spark.read.parquet(corpus).collect()
+    }
+    assert set(texts) == {0, 1, 2}
+    assert header not in texts[2]
+    assert texts[2] == "owls hunt rodents after the moon rises high"
+
+    # batch 3: header-only doc -> every line boilerplate -> not admitted
+    write([(3, header)])
+    drain()
+    assert {
+        r["doc_id"] for r in spark.read.parquet(corpus).collect()
+    } == {0, 1, 2}

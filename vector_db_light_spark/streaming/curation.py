@@ -7,6 +7,11 @@ corpus) into Structured Streaming the way the batch side's
 `dedup_incremental_lsh` query promises:
 
   per micro-batch
+    0. (optional, ``line_df_dir``) line-level boilerplate removal against
+       the CUMULATIVE line-df state: batch counts merge with the persisted
+       monoid for the threshold test, and the SURVIVORS' counts are folded
+       back in at the end — so a header admitted early starts being
+       stripped once its corpus-wide df crosses the threshold
     1. in-batch exact dedup (min-id canonical per sha256)
     2. exact anti-join against the curated corpus' content hashes
     3. minhash band keys of the survivors; candidate pairs BOTH within the
@@ -14,10 +19,12 @@ corpus) into Structured Streaming the way the batch side's
        PERSISTED band table (incremental_lsh_candidates: the |corpus|^2
        half never runs)
     4. exact-Jaccard verify restricted to candidates; drop new docs with
-       jaccard >= threshold against anything already curated, and the
-       LARGER id of every verified in-batch pair (greedy keep-min policy,
-       matching step 1's min-id canonical; ADVICE r6: two near-dup copies
-       arriving in one batch were both admitted before)
+       jaccard >= threshold against anything already curated; verified
+       IN-BATCH pairs are transitively closed into connected components
+       with ONE survivor (the min id) per component — the same
+       cluster-canonical policy the batch side's dedup_clusters applies
+       (ADVICE r6: two near-dup copies in one batch were both admitted;
+       ADVICE r7: per-pair larger-id dooming under-deleted star shapes)
     5. append the survivors' band keys to the band table FIRST, then the
        survivors to the corpus. Bands-first makes a crash between the two
        writes recoverable: the replayed docs are not in the corpus yet, so
@@ -44,12 +51,20 @@ from pyspark.sql.streaming import StreamingQuery
 from pyspark.sql.window import Window
 
 from ..operators.dedup import (
+    connected_components,
     incremental_lsh_candidates,
     jaccard_pairs,
+    line_doc_freq,
     lsh_candidate_pairs,
+    merge_line_doc_freq,
     minhash_band_keys,
     minhash_signatures,
+    remove_boilerplate_lines,
 )
+
+
+def _has_parquet(d: str) -> bool:
+    return os.path.isdir(d) and any(f.endswith(".parquet") for f in os.listdir(d))
 
 
 def _curate_batch(
@@ -57,8 +72,35 @@ def _curate_batch(
     corpus_dir: str,
     bands_dir: str,
     jaccard_threshold: float,
+    line_df_dir: str | None = None,
+    max_line_doc_freq: int = 5,
 ) -> None:
     spark = batch_df.sparkSession
+    if line_df_dir is not None:
+        # 0. line-level boilerplate removal against the CUMULATIVE line-df
+        # state (VERDICT r7 #7): the batch's own line counts merge with the
+        # persisted monoid, so a header admitted in batch 1 starts being
+        # stripped the moment its cumulative document frequency crosses the
+        # threshold — without rewriting already-curated docs (that is a
+        # compaction job, not a streaming stage). All later stages (sha,
+        # minhash) run over the CLEANED text, so the corpus and its band
+        # index only ever see post-curation content.
+        batch_ldf = line_doc_freq(batch_df)
+        cum = (
+            merge_line_doc_freq(spark.read.parquet(line_df_dir), batch_ldf)
+            if _has_parquet(line_df_dir)
+            else batch_ldf
+        )
+        # detach from line_df_dir before this batch overwrites it below
+        cum = cum.localCheckpoint(eager=True)
+        cleaned = remove_boilerplate_lines(
+            batch_df, max_doc_freq=max_line_doc_freq, line_df=cum
+        )
+        keep = [c for c in batch_df.columns if c != "text"]
+        batch_df = batch_df.select(*keep).join(
+            cleaned.filter(F.col("n_lines_kept") > 0).select("doc_id", "text"),
+            "doc_id",
+        )
     new = batch_df.withColumn("content_sha", F.sha2("text", 256))
     # 1. in-batch exact dedup, min-id canonical
     w = Window.partitionBy("content_sha").orderBy("doc_id")
@@ -79,13 +121,22 @@ def _curate_batch(
     # 3a. band keys of the batch — used for in-batch AND vs-corpus pairs
     new_bands = minhash_band_keys(minhash_signatures(new))
     # 3b/4a. near-dups WITHIN the batch: verify the self-join candidates,
-    # doom the larger id of each verified pair (keep-min, like step 1)
+    # transitively close the verified pairs into components and keep ONE
+    # doc per component (the min id) — the exact cluster-canonical policy
+    # the batch side's dedup_clusters applies. (ADVICE r7: dooming the
+    # larger id of EVERY pair independently matched the policy on chains
+    # but UNDER-deleted stars — for edges a~c, b~c only c was doomed while
+    # dedup_clusters keeps just a of {a,b,c}.) In-batch duplicate clusters
+    # are near-cliques, so the min-label loop closes in 2-3 rounds over
+    # batch-sized pair lists.
     in_cands = lsh_candidate_pairs(new_bands)
+    in_pairs = jaccard_pairs(
+        new.select("doc_id", "text"), candidates=in_cands
+    ).filter(F.col("jaccard") >= jaccard_threshold)
     in_doomed = (
-        jaccard_pairs(new.select("doc_id", "text"), candidates=in_cands)
-        .filter(F.col("jaccard") >= jaccard_threshold)
-        .select(F.col("id_b").alias("doc_id"))
-        .distinct()
+        connected_components(in_pairs.select("id_a", "id_b"))
+        .filter(F.col("id") != F.col("label"))
+        .select(F.col("id").alias("doc_id"))
     )
     new = new.join(F.broadcast(in_doomed), "doc_id", "left_anti")
     if corpus_exists:
@@ -137,6 +188,25 @@ def _curate_batch(
         "append"
     ).parquet(bands_dir)
     survivors.write.mode("append").parquet(corpus_dir)
+    if line_df_dir is not None:
+        # 6. fold the SURVIVORS' line counts into the persistent line-df
+        # state, LAST. Counting survivors (not the raw batch) keeps the
+        # state equal to the curated corpus' own line frequencies AND makes
+        # replay idempotent: a replayed doc is already in the corpus, so it
+        # produces no survivors and no double count. The failure window is
+        # a crash between the corpus append and this write — those docs'
+        # lines are under-counted by one batch, which a df-threshold test
+        # recovers from on the next genuine occurrence (counts only ever
+        # need to CROSS max_doc_freq, not be exact).
+        counts = line_doc_freq(survivors)
+        new_state = (
+            merge_line_doc_freq(spark.read.parquet(line_df_dir), counts)
+            if _has_parquet(line_df_dir)
+            else counts
+        )
+        # materialize before overwriting the path the plan reads
+        new_state = new_state.localCheckpoint(eager=True)
+        new_state.write.mode("overwrite").parquet(line_df_dir)
 
 
 def stream_curate(
@@ -145,14 +215,26 @@ def stream_curate(
     bands_dir: str,
     checkpoint_dir: str,
     jaccard_threshold: float = 0.5,
+    line_df_dir: str | None = None,
+    max_line_doc_freq: int = 5,
 ) -> StreamingQuery:
     """Curate ``doc_stream`` (doc_id, text, ...) into ``corpus_dir``;
-    ``bands_dir`` holds the persistent minhash band index. Returns the
-    running query (availableNow trigger — rerun to drain new input)."""
+    ``bands_dir`` holds the persistent minhash band index. Pass
+    ``line_df_dir`` to also run line-level boilerplate removal against the
+    cumulative line-document-frequency state persisted there (stage 0 of
+    the batch capstone pipeline, incrementally). Returns the running query
+    (availableNow trigger — rerun to drain new input)."""
 
     def run(batch_df: DataFrame, batch_id: int) -> None:
         if not batch_df.isEmpty():
-            _curate_batch(batch_df, corpus_dir, bands_dir, jaccard_threshold)
+            _curate_batch(
+                batch_df,
+                corpus_dir,
+                bands_dir,
+                jaccard_threshold,
+                line_df_dir=line_df_dir,
+                max_line_doc_freq=max_line_doc_freq,
+            )
 
     return (
         doc_stream.writeStream.foreachBatch(run)
