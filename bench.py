@@ -103,13 +103,17 @@ def main() -> int:
         QUERIES[name](spark, sf_dir).write.mode("overwrite").format("noop").save()
         return round(time.time() - t0, 3)
 
-    # median-of-N per query (default 3): the recorded artifact is then
-    # directly comparable to BENCH_BASELINE.json's medians, and a single
-    # GC pause / load spike cannot brand one query 2x (VERDICT r5: the
-    # tumbling_hourly_events "regression" was an n=1 artifact).
-    n_runs = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3")))
+    # One UNTIMED warm-up run, then median-of-N (default 5): the first run
+    # of a query pays codegen compile + shuffle-file/footer cache misses
+    # that are session state, not query cost, and at sub-second medians a
+    # single GC pause / load spike is ~25% — enough to flip the 2x gate on
+    # an unlucky n=3 (VERDICT r7 #1: ann_ivf_pruned/knn_batch_topk drifted
+    # +30% round-over-round with unchanged plans). Warm-up discard +
+    # median-of-5 keeps the recorded number a steady-state statistic.
+    n_runs = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "5")))
 
     def run_median(name: str) -> float:
+        run_once(name)  # untimed warm-up (discarded)
         samples = sorted(run_once(name) for _ in range(n_runs))
         return samples[len(samples) // 2]
 
@@ -151,7 +155,8 @@ def main() -> int:
     out = {
         "metric": (
             f"total wall-clock of {len(HEADLINE)} headline queries (noop "
-            f"sink), per-query median of {n_runs} in-process runs"
+            f"sink), per-query median of {n_runs} in-process runs after an "
+            f"untimed warm-up run"
         ),
         "value": round(sum(timings.values()), 3),
         "unit": "sec",
@@ -159,6 +164,24 @@ def main() -> int:
         "canary_sec": canary,
         "sf": sf,
     }
+    # Machine-state-independent comparison (VERDICT r7 #1): record the
+    # baseline canary, the load-normalization factor, and the normalized
+    # per-query/total ratios IN the artifact, so the gate comparison does
+    # not depend on the reader re-deriving them from two files.
+    if baseline and base_canary:
+        covered = [n for n in timings if n in baseline and baseline[n] > 0]
+        base_total = sum(baseline[n] for n in covered)
+        out["baseline_canary_sec"] = base_canary
+        out["load_norm"] = round(norm, 3)
+        out["vs_baseline_normalized"] = {
+            n: round(timings[n] / (norm * baseline[n]), 2) for n in covered
+        }
+        if base_total:
+            total_now = sum(timings[n] for n in covered)
+            out["total_ratio_raw"] = round(total_now / base_total, 3)
+            out["total_ratio_normalized"] = round(
+                total_now / (norm * base_total), 3
+            )
     if errors:
         out["err"] = errors
     print(json.dumps(out))

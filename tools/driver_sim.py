@@ -148,15 +148,17 @@ def main() -> int:
             print(f"FAIL  {name}: values repr-match but driver hash differs (dtype-level)")
             print(f"      spark dtypes : {sd}")
             print(f"      oracle dtypes: {od}")
-    print(f"\n{n_pass} pass, {n_fail} fail, {len(names)} total")
     spark.stop()
 
     # COVERAGE.md drift gate (VERDICT r6 #2): the query index must match
-    # the live registry — regenerating must be a no-op.
+    # the live registry — regenerating must be a no-op. Runs BEFORE the
+    # summary line so the printed totals agree with the exit status
+    # (ADVICE r7: a coverage-only failure used to print '... 0 fail').
     import gen_coverage
 
     if args.only is None and gen_coverage.main_check() != 0:
         n_fail += 1
+    print(f"\n{n_pass} pass, {n_fail} fail, {len(names)} total")
     return 1 if n_fail else 0
 
 

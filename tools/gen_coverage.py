@@ -90,6 +90,26 @@ ANNOTATIONS: dict[str, str] = {
 }
 
 
+def _ever_driver_checked() -> set[str]:
+    """Query names with at least one recorded external-driver pass across
+    all committed CORRECTNESS_r*.json rounds (VERDICT r7 #8)."""
+    import glob
+    import json
+
+    here = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    seen: set[str] = set()
+    for path in glob.glob(os.path.join(here, "CORRECTNESS_r*.json")):
+        try:
+            with open(path) as f:
+                rec = json.load(f)
+        except (OSError, ValueError):
+            continue
+        for name, row in rec.items():
+            if isinstance(row, dict) and row.get("rows_match"):
+                seen.add(name)
+    return seen
+
+
 def render() -> str:
     from vector_db_light_spark.registry import ORACLES, PRIORITY, QUERIES
 
@@ -106,6 +126,16 @@ def render() -> str:
     out.append(
         "First 50 in registration order form the driver-checked window "
         "(registry.PRIORITY)."
+    )
+    ever = _ever_driver_checked() & set(QUERIES)
+    pending = window - ever  # rotated in this round, external pass pending
+    never = set(QUERIES) - ever - window
+    out.append(
+        f"External-driver rotation status (VERDICT r7 #8): {len(ever)} of "
+        f"{len(QUERIES)} registered families have >=1 recorded external "
+        f"pass across CORRECTNESS_r*.json; the current window adds "
+        f"{len(pending)} first-timers this round; {len(never)} remain "
+        f"driver_sim-only pending future rotations."
     )
     out.append("")
     for name in sorted(QUERIES):

@@ -153,14 +153,19 @@ def _populate() -> None:
 # sample_stratified_lang and ingest_metadata — each replaced slot keeps a
 # same-family representative in the window and stays driver_sim-checked.
 # Round-7 rotation (VERDICT r6 #6): thirteen never-driver-checked families
-# swapped in (rag_citations_html, null_safe_join_counts,
-# union_schema_evolution, forecast_revenue_q6, ewma_per_user,
-# table_snapshot_diff, dq_constraint_report, incremental_agg_state,
-# dedup_containment_pairs, sample_weighted_pps + the new
-# line_dedup_boilerplate, bpe_train_merges, q17_small_quantity_revenue)
-# for thirteen slots that earned their external pass in r6 and keep a
-# same-family representative in-window (see inline comments); every
-# rotated-out query stays registered and driver_sim-checked.
+# swapped in for thirteen slots that earned their external pass in r6.
+# Round-8 rotation (VERDICT r7 #1): the thirteen r7-rotated slots all went
+# green in CORRECTNESS_r07, so they rotate back out (staying registered and
+# driver_sim-checked) for the highest-value never-driver-checked families:
+# the ANN recall-measurement tier (ann_lsh_recall,
+# ann_lsh_multiprobe_recall, ann_ivf_recall, ann_pq_rerank_recall), TPC-H
+# Q4/Q20, dedup_clusters_star, dedup_lsh_quality, line_dedup_incremental,
+# search_rerank, search_mmr_diversify, trailing_7d_revenue,
+# zorder_layout_ranges. Two r8-specific holds/swaps: bpe_train_merges
+# STAYS in-window (its merge representation changed this round — the
+# positional-merge ADVICE fix deserves an external pass), and
+# multimodal_resize swaps back IN for multimodal_meta (twice-green)
+# because resize now operates on real stdlib-decoded PNG pixels.
 PRIORITY: tuple[str, ...] = (
     # retrieval / search surface
     "search_pipeline",      # V2-V4 + F1 + F2 + J1 + F6 flagship
@@ -168,63 +173,60 @@ PRIORITY: tuple[str, ...] = (
     "citations_pages",      # A2 + A3 (combo)
     "search_prf_expansion", # PRF expansion over BM25
     "hybrid_rrf_search",    # BM25 + vector reciprocal-rank fusion (keeps
-                            # BM25 and the text-embed path in-window;
-                            # bm25_topk / search_by_text rotated out r7
-                            # after their r6 external pass)
-    "rag_citations_html",   # L3 citation rendering (r7 rotation)
+                            # BM25 and the text-embed path in-window)
+    "search_rerank",        # cross-encoder-style rerank (r8 rotation)
+    "search_mmr_diversify", # MMR diversification (r8 rotation)
     "rag_prompt_assembly",  # L1 byte-identical prompt
     # chunking
-    "chunk_overlap_pages",  # S3 + X5 (chunk_fixed_stride rotated out r7;
-                            # index_build_pipeline keeps stride chunking)
+    "chunk_overlap_pages",  # S3 + X5 (index_build_pipeline keeps stride)
     # relational: joins, aggregates, windows, set ops
     "shipping_priority",
     "acctbal_rollup",
-    "null_safe_join_counts",   # <=> vs IS NOT DISTINCT FROM (r7 rotation)
-    "union_schema_evolution",  # by-name union evolution (r7 rotation)
-    "forecast_revenue_q6",     # TPC-H Q6 exact cents (r7 rotation)
-    "q17_small_quantity_revenue",  # Q17 correlated scalar avg (new in r7;
-                            # q4/q20 shapes stay driver_sim-checked)
+    "q4_priority_count",    # TPC-H Q4 exists-semi count (r8 rotation)
+    "q20_excess_suppliers", # TPC-H Q20 nested correlated (r8 rotation)
+    "trailing_7d_revenue",  # range-frame rolling window (r8 rotation)
     "asof_event_order",
     "sessionize_events",
     "tumbling_hourly_events",
-    "ewma_per_user",        # recursive time-series smoothing (r7 rotation)
-    "table_snapshot_diff",  # CDC-style snapshot diff (r7 rotation)
-    "dq_constraint_report", # data-quality constraint audit (r7 rotation)
-    "incremental_agg_state",  # monoid merge == single-pass (r7 rotation)
     # dedup tiers
     "dedup_exact",
     "dedup_minhash_lsh",
     "dedup_incremental_lsh",
     "dedup_substring_spans",
     "dedup_semantic_prune",
-    "dedup_containment_pairs",  # directional subset/quote (r7 rotation)
-    "line_dedup_boilerplate",   # line-level boilerplate (new in r7;
-                            # dedup_embedding_lsh / dedup_simhash_hamming
-                            # rotated out after r6 external passes)
+    "dedup_lsh_quality",    # band recall/precision vs truth (r8 rotation)
+    "line_dedup_incremental",  # cumulative line-df monoid (r8 rotation;
+                            # line_dedup_boilerplate green r7, rotated out)
     "decontaminate_ngram",
     "dedup_clusters",
-    # similarity search
+    "dedup_clusters_star",  # large-star/small-star CC (r8 rotation)
+    # similarity search + recall measurement tier
     "knn_batch_topk",
     "kmeans_lloyd",
     "pagerank_suppliers",
     "knn_pq_adc_topk",
     "ann_ivf_pruned",
+    "ann_lsh_recall",           # (r8 rotation) recall tier: each measures
+    "ann_lsh_multiprobe_recall",  # an ANN variant's recall@k against the
+    "ann_ivf_recall",           # exact top-k on the same fixture
+    "ann_pq_rerank_recall",     # (ADC shortlist + exact rerank)
     # pipeline / ingest / multimodal
     "embed_hashed_features",
     "index_build_pipeline",
     "embed_random_projection",
-    "multimodal_meta",
+    "multimodal_resize",    # real PNG decode + resize (r8 swap for
+                            # multimodal_meta, green r6+r7)
     "corpus_curation_pipeline",
     "ingest_parse_documents",
+    "zorder_layout_ranges", # Z-order layout pruning ranges (r8 rotation)
     # analytics / text stats / sampling
     "salted_hot_key_agg",
     "price_quantiles_per_segment",
     "sample_mixture_temperature",
-    "sample_weighted_pps",  # PPS systematic sampling (r7 rotation)
-    "text_repetition",
     "quota_per_source",
     "heavy_hitters_cms",
-    "bpe_train_merges",     # iterative BPE trainer (new in r7)
+    "bpe_train_merges",     # held in-window r8: merge representation
+                            # changed (positional-merge ADVICE fix)
     # subqueries + null semantics
     "null_semantics_agg",
 )
