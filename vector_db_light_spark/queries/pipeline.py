@@ -163,8 +163,13 @@ def ingest_metadata(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
-# Multimodal: binary payload column + Arrow-batched metadata extraction
-# (decode stubbed; width/height are md5-derived fakes the oracle mirrors).
+# Multimodal: binary payload column + Arrow-batched metadata extraction.
+# PNG rows carry REAL container bytes (functions/png.py stdlib codec) whose
+# DECODED facts — IHDR dims, per-pixel values — are pure integer/md5
+# functions of the id, so the oracle rebuilds them arithmetically. The
+# container bytes themselves (zlib stream, CRCs) are not SQL-expressible:
+# like the ingest fixtures' zip containers, byte-level fields use
+# sentinels for png rows while the DECODE facts carry the parity.
 # ---------------------------------------------------------------------------
 
 @register(
@@ -179,29 +184,37 @@ WITH media AS (
   FROM documents
 )
 SELECT doc_id, media_type,
-       CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
-       sha256(text) AS sha256,
+       CASE WHEN media_type = 'image/png' THEN CAST(-1 AS BIGINT)
+            ELSE CAST(octet_length(encode(text)) AS BIGINT) END AS n_bytes,
+       CASE WHEN media_type = 'image/png' THEN ''
+            ELSE sha256(text) END AS sha256,
        CASE WHEN media_type = 'image/png'
-            THEN 16 + strpos('0123456789abcdef', substr(md5(text), 1, 1)) - 1
-            END AS width,
+            THEN CAST(8 + doc_id % 9 AS INT) ELSE -1 END AS width,
        CASE WHEN media_type = 'image/png'
-            THEN 16 + strpos('0123456789abcdef', substr(md5(text), 2, 1)) - 1
-            END AS height
+            THEN CAST(8 + doc_id % 7 AS INT) ELSE -1 END AS height
 FROM media
 ORDER BY doc_id
 """,
 )
 def multimodal_meta(spark, sf_dir):
+    """Width/height for png rows come from the REAL stdlib decoder parsing
+    real IHDR bytes; the oracle recomputes them from the fixture's dim
+    formula — a hash match proves encoder, container and decoder agree.
+    Container-byte fields (n_bytes, sha256) are sentineled for png rows
+    (zlib bytes aren't SQL-reconstructable; ingest-zip precedent)."""
     docs = load(spark, sf_dir, "documents")
     media = attach_payload(docs)
     meta = extract_media_meta(media)
+    is_png = F.col("media_type") == "image/png"
     return meta.select(
         "doc_id",
         "media_type",
-        "n_bytes",
-        "sha256",
-        F.col("width").cast("int").alias("width"),
-        F.col("height").cast("int").alias("height"),
+        F.when(is_png, F.lit(-1).cast("bigint"))
+        .otherwise(F.col("n_bytes"))
+        .alias("n_bytes"),
+        F.when(is_png, F.lit("")).otherwise(F.col("sha256")).alias("sha256"),
+        F.coalesce(F.col("width"), F.lit(-1)).cast("int").alias("width"),
+        F.coalesce(F.col("height"), F.lit(-1)).cast("int").alias("height"),
     ).orderBy("doc_id")
 
 
@@ -298,6 +311,191 @@ def _write_epub(path: str, s: str) -> None:
         z.writestr("OEBPS/content.opf", opf)
 
 
+def _build_cfb(streams: dict[str, bytes]) -> bytes:
+    """Minimal CFB/OLE2 container writer (fixture-side twin of
+    ``sources.ingest._cfb_streams``): every stream lives in the mini
+    stream (all fixture streams are < 4096 bytes... larger ones would need
+    regular FAT chains). Layout: header | FAT | directory | mini-FAT |
+    mini-stream container. Single FAT/dir/mini-FAT sector each — ample for
+    fixtures (<= 3 streams, <= 8 KB of payload)."""
+    import struct
+
+    END, FREE, FATSECT = 0xFFFFFFFE, 0xFFFFFFFF, 0xFFFFFFFD
+    mini = bytearray()
+    entries = []
+    for name, data in streams.items():
+        if len(data) >= 4096:
+            raise ValueError(
+                f"fixture stream {name!r} is {len(data)} bytes — the "
+                "mini-stream-only fixture writer caps at the 4096 cutoff"
+            )
+        start = len(mini) // 64
+        mini += data
+        if len(mini) % 64:
+            mini += bytes(64 - len(mini) % 64)
+        entries.append((name, start, len(data)))
+    minifat = [FREE] * 128
+    for _name, start, size in entries:
+        n = max(1, (size + 63) // 64)
+        for i in range(n):
+            minifat[start + i] = start + i + 1 if i < n - 1 else END
+    n_cont = max(1, (len(mini) + 511) // 512)
+    mini_cont = bytes(mini) + bytes(n_cont * 512 - len(mini))
+
+    # sectors: 0 = FAT, 1 = directory, 2 = mini-FAT, 3.. = mini container
+    fat = [FREE] * 128
+    fat[0], fat[1], fat[2] = FATSECT, END, END
+    for i in range(n_cont):
+        fat[3 + i] = 3 + i + 1 if i < n_cont - 1 else END
+
+    def dirent(name, etype, start, size):
+        nm = name.encode("utf-16-le") + b"\x00\x00"
+        e = bytearray(128)
+        e[0 : len(nm)] = nm
+        struct.pack_into("<H", e, 64, len(nm))
+        e[66] = etype
+        e[67] = 1
+        struct.pack_into("<III", e, 68, FREE, FREE, FREE)
+        struct.pack_into("<I", e, 116, start)
+        struct.pack_into("<Q", e, 120, size)
+        return bytes(e)
+
+    directory = dirent("Root Entry", 5, 3, len(mini)) + b"".join(
+        dirent(n, 2, s, sz) for n, s, sz in entries
+    )
+    if len(directory) > 512:
+        raise ValueError("fixture CFB supports at most 3 streams")
+    directory += bytes(512 - len(directory))
+
+    header = bytearray(512)
+    header[0:8] = b"\xd0\xcf\x11\xe0\xa1\xb1\x1a\xe1"
+    struct.pack_into("<H", header, 24, 0xFFFE)
+    struct.pack_into("<H", header, 26, 0x003E)
+    struct.pack_into("<H", header, 28, 0x0003)
+    struct.pack_into("<HH", header, 30, 9, 6)
+    struct.pack_into("<I", header, 44, 1)      # FAT sector count
+    struct.pack_into("<I", header, 48, 1)      # first directory sector
+    struct.pack_into("<I", header, 56, 4096)   # mini cutoff
+    struct.pack_into("<II", header, 60, 2, 1)  # first mini-FAT, count
+    struct.pack_into("<II", header, 68, END, 0)
+    struct.pack_into("<109I", header, 76, *([0] + [FREE] * 108))
+    return (
+        bytes(header)
+        + struct.pack("<128I", *fat)
+        + directory
+        + struct.pack("<128I", *minifat)
+        + mini_cont
+    )
+
+
+_BIFF_REC_CAP = 8224  # [MS-XLS] 2.1.4: max record payload before CONTINUE
+
+
+def _sst_records(strings: list[str]) -> list[bytes]:
+    """SST payload + CONTINUE payloads, splitting per spec: records break
+    between strings where possible, mid-string splits re-state the 1-byte
+    grbit — exactly the layout _parse_xls's _BiffStrCursor reassembles."""
+    import struct
+
+    recs: list[bytes] = []
+    cur = bytearray(struct.pack("<II", len(strings), len(strings)))
+    for s in strings:
+        high = not all(ord(c) < 256 for c in s)
+        width = 2 if high else 1
+        header = struct.pack("<HB", len(s), 1 if high else 0)
+        if _BIFF_REC_CAP - len(cur) < len(header):
+            recs.append(bytes(cur))
+            cur = bytearray()  # new string at boundary: no grbit restated
+        cur += header
+        data = s.encode("utf-16-le" if high else "latin-1")
+        i = 0
+        while i < len(data):
+            room = _BIFF_REC_CAP - len(cur)
+            if room < width:
+                recs.append(bytes(cur))
+                cur = bytearray([1 if high else 0])  # mid-string: grbit
+                room = _BIFF_REC_CAP - len(cur)
+            take = min(len(data) - i, (room // width) * width)
+            cur += data[i : i + take]
+            i += take
+    recs.append(bytes(cur))
+    return recs
+
+
+def _write_xls(path: str, sheets: list[list[list[object]]]) -> None:
+    """Real BIFF8 .xls: workbook globals (BOF, BOUNDSHEET per sheet, SST
+    with CONTINUE splitting, EOF) + one substream per sheet (LABELSST for
+    strings, RK for small ints, NUMBER for doubles) inside a real CFB
+    container — the file the stdlib _parse_xls reader decodes."""
+    import struct
+
+    def rec(rid: int, payload: bytes) -> bytes:
+        return struct.pack("<HH", rid, len(payload)) + payload
+
+    sst_list: list[str] = []
+    sst_idx: dict[str, int] = {}
+    for sh in sheets:
+        for row in sh:
+            for cell in row:
+                if isinstance(cell, str) and cell not in sst_idx:
+                    sst_idx[cell] = len(sst_list)
+                    sst_list.append(cell)
+
+    sheet_blobs = []
+    for sh in sheets:
+        b = bytearray(
+            rec(0x0809, struct.pack("<HHHHII", 0x0600, 0x0010, 0x0DBB, 0x07CC, 0, 0))
+        )
+        for r, row in enumerate(sh):
+            for c, cell in enumerate(row):
+                if isinstance(cell, str):
+                    b += rec(0x00FD, struct.pack("<HHHI", r, c, 0, sst_idx[cell]))
+                elif isinstance(cell, int) and -(2**29) <= cell < 2**29:
+                    b += rec(
+                        0x027E,
+                        struct.pack("<HHHI", r, c, 0, ((cell << 2) & 0xFFFFFFFF) | 0x02),
+                    )
+                else:
+                    b += rec(
+                        0x0203,
+                        struct.pack("<HHH", r, c, 0) + struct.pack("<d", float(cell)),
+                    )
+        b += rec(0x000A, b"")
+        sheet_blobs.append(bytes(b))
+
+    sst_recs = _sst_records(sst_list)
+    sst_bytes = rec(0x00FC, sst_recs[0]) + b"".join(
+        rec(0x003C, p) for p in sst_recs[1:]
+    )
+    bof = rec(0x0809, struct.pack("<HHHHII", 0x0600, 0x0005, 0x0DBB, 0x07CC, 0, 0))
+    names = [f"Sheet{i + 1}" for i in range(len(sheets))]
+
+    def bsheet(name: str, pos: int) -> bytes:
+        nm = name.encode("latin-1")
+        return rec(0x0085, struct.pack("<IHBB", pos, 0, len(nm), 0) + nm)
+
+    globals_len = (
+        len(bof)
+        + sum(len(bsheet(n, 0)) for n in names)
+        + len(sst_bytes)
+        + len(rec(0x000A, b""))
+    )
+    offs = []
+    cursor = globals_len
+    for blob in sheet_blobs:
+        offs.append(cursor)
+        cursor += len(blob)
+    wb = (
+        bof
+        + b"".join(bsheet(n, o) for n, o in zip(names, offs))
+        + sst_bytes
+        + rec(0x000A, b"")
+        + b"".join(sheet_blobs)
+    )
+    with open(path, "wb") as f:
+        f.write(_build_cfb({"Workbook": wb}))
+
+
 def _materialize_ingest_dir(spark, sf_dir) -> str:
     import re
 
@@ -313,8 +511,8 @@ def _materialize_ingest_dir(spark, sf_dir) -> str:
         for r in rows:
             ext = [
                 ".txt", ".html", ".pdf", ".md",
-                ".docx", ".eml", ".odt", ".epub",
-            ][r["doc_id"] % 8]
+                ".docx", ".eml", ".odt", ".epub", ".xls",
+            ][r["doc_id"] % 9]
             path = os.path.join(d, f"doc_{r['doc_id']}{ext}")
             s = re.sub(_SANITIZE_RE, " ", r["text"])
             if ext == ".docx":
@@ -323,6 +521,11 @@ def _materialize_ingest_dir(spark, sf_dir) -> str:
                 _write_odt(path, s)
             elif ext == ".epub":
                 _write_epub(path, s)
+            elif ext == ".xls":
+                # real BIFF8: SST string cell, RK int + NUMBER double row,
+                # second sheet — exercises sheet order and number decode
+                # (3.25 is binary-exact so repr() matches the oracle text)
+                _write_xls(path, [[[s], [42, 3.25]], [["Part two."]]])
             elif ext == ".eml":
                 with open(path, "w", encoding="utf-8", newline="") as f:
                     f.write(_EML_TEMPLATE.format(doc_id=r["doc_id"], body=s))
@@ -364,9 +567,10 @@ _INGEST_ORACLE = r"""
 WITH src AS (
   SELECT doc_id, text,
          regexp_replace(text, '[^0-9A-Za-z .,]', ' ', 'g') AS s,
-         CASE doc_id % 8 WHEN 0 THEN '.txt' WHEN 1 THEN '.html'
+         CASE doc_id % 9 WHEN 0 THEN '.txt' WHEN 1 THEN '.html'
               WHEN 2 THEN '.pdf' WHEN 3 THEN '.md' WHEN 4 THEN '.docx'
-              WHEN 5 THEN '.eml' WHEN 6 THEN '.odt' ELSE '.epub' END AS ext
+              WHEN 5 THEN '.eml' WHEN 6 THEN '.odt' WHEN 7 THEN '.epub'
+              ELSE '.xls' END AS ext
   FROM documents WHERE doc_id < 20
 ), body AS (
   SELECT doc_id, ext, s,
@@ -390,9 +594,10 @@ WITH src AS (
 )
 SELECT file_name,
        ext AS file_type,
-       CASE WHEN ext IN ('.docx', '.odt', '.epub') THEN ''
+       CASE WHEN ext IN ('.docx', '.odt', '.epub', '.xls') THEN ''
             ELSE sha256(raw) END AS hash,
-       CASE WHEN ext IN ('.docx', '.odt', '.epub') THEN CAST(-1 AS BIGINT)
+       CASE WHEN ext IN ('.docx', '.odt', '.epub', '.xls')
+            THEN CAST(-1 AS BIGINT)
             ELSE CAST(octet_length(encode(raw)) AS BIGINT) END AS file_size,
        CASE WHEN ext = '.pdf' THEN '[[page1]]' || s
             WHEN ext = '.html' THEN regexp_replace(raw, '<[^>]+>', ' ', 'g')
@@ -402,6 +607,9 @@ SELECT file_name,
               THEN CASE WHEN s_collapsed = '' THEN 'Part two.'
                    ELSE s_collapsed || chr(10) || chr(10) || 'Part two.' END
             WHEN ext = '.eml' THEN s
+            WHEN ext = '.xls'
+              THEN s || chr(10) || '42' || chr(9) || '3.25'
+                   || chr(10) || chr(10) || 'Part two.'
             ELSE raw END AS text,
        '' AS parse_error
 FROM body
@@ -415,11 +623,11 @@ def ingest_parse_documents(spark, sf_dir):
 
     d = _materialize_ingest_dir(spark, sf_dir)
     out = ingest(spark, d)
-    zips = F.col("file_type").isin(".docx", ".odt", ".epub")
+    zips = F.col("file_type").isin(".docx", ".odt", ".epub", ".xls")
     return out.select(
         "file_name",
         "file_type",
-        # zip-container bytes aren't SQL-reconstructable; sentinel to match
+        # zip/CFB-container bytes aren't SQL-reconstructable; sentinel to match
         # the oracle (text carries the parity for those formats)
         F.when(zips, F.lit("")).otherwise(F.col("hash")).alias("hash"),
         F.when(zips, F.lit(-1).cast("bigint"))
@@ -432,11 +640,13 @@ def ingest_parse_documents(spark, sf_dir):
 
 # ---------------------------------------------------------------------------
 # Multimodal transform plumbing, hash-checked: the resize pass (1-in/1-out,
-# images only) and the frame-sample fan-out (1 video -> N frame rows). The
-# stub codecs are md5-derived, so the oracle rebuilds the exact payload
-# hashes arithmetically; the Spark side runs the REAL mapInPandas operators
-# and hex-projects the binary payloads for comparison (the driver
-# canonicalizer cannot sort raw binary columns).
+# images only) and the frame-sample fan-out (1 video -> N frame rows). PNG
+# rows are REAL container bytes decoded by the stdlib codec and resampled
+# with integer nearest-neighbour, so the oracle recomputes EVERY output
+# pixel arithmetically (src = (dst * src_dim) // dst_dim into the
+# md5-defined fixture pixels); audio/video stubs stay md5-derived. Binary
+# payloads are hex-projected for comparison (the driver canonicalizer
+# cannot sort raw binary columns).
 # ---------------------------------------------------------------------------
 
 @register(
@@ -447,21 +657,38 @@ WITH media AS (
          CASE WHEN doc_id % 3 = 0 THEN 'image/png'
               WHEN doc_id % 3 = 1 THEN 'audio/wav'
               ELSE 'video/mp4' END AS media_type,
-         text
+         text,
+         8 + doc_id % 9 AS w0,
+         8 + doc_id % 7 AS h0
   FROM documents
+),
+px AS (
+  SELECT m.doc_id,
+         string_agg(
+           substr(md5(CAST(m.doc_id AS VARCHAR) || ':' ||
+                      CAST((yy * m.h0) // 4 AS VARCHAR)),
+                  2 * ((xx * m.w0) // 8) + 1, 2),
+           '' ORDER BY yy, xx) AS pixels_hex
+  FROM media m, unnest(range(0, 4)) AS t(yy), unnest(range(0, 8)) AS s(xx)
+  WHERE m.media_type = 'image/png'
+  GROUP BY m.doc_id
 )
-SELECT doc_id, media_type,
-       CASE WHEN media_type = 'image/png' THEN 32
-            ELSE CAST(octet_length(encode(text)) AS BIGINT) END AS out_bytes,
-       CASE WHEN media_type = 'image/png' THEN 8 ELSE -1 END AS width,
-       CASE WHEN media_type = 'image/png' THEN 4 ELSE -1 END AS height,
-       CASE WHEN media_type = 'image/png' THEN md5(text || '#8x4')
-            ELSE '' END AS seed_hex
-FROM media
-ORDER BY doc_id
+SELECT m.doc_id, m.media_type,
+       CASE WHEN m.media_type = 'image/png' THEN CAST(32 AS BIGINT)
+            ELSE CAST(octet_length(encode(m.text)) AS BIGINT)
+            END AS out_bytes,
+       CASE WHEN m.media_type = 'image/png' THEN 8 ELSE -1 END AS width,
+       CASE WHEN m.media_type = 'image/png' THEN 4 ELSE -1 END AS height,
+       coalesce(p.pixels_hex, '') AS pixels_hex
+FROM media m LEFT JOIN px p USING (doc_id)
+ORDER BY m.doc_id
 """,
 )
 def multimodal_resize(spark, sf_dir):
+    """Real stdlib PNG decode -> integer nearest resample; the oracle
+    replays the resample's index arithmetic over the md5-defined fixture
+    pixels, checking all 32 output bytes of every image row (VERDICT r7
+    #2 — previously a stub-seed projection)."""
     from ..operators.multimodal import attach_payload, resize_images
 
     media = attach_payload(load(spark, sf_dir, "documents"))
@@ -472,14 +699,12 @@ def multimodal_resize(spark, sf_dir):
         F.length("payload").cast("bigint").alias("out_bytes"),
         F.coalesce(F.col("width"), F.lit(-1)).alias("width"),
         F.coalesce(F.col("height"), F.lit(-1)).alias("height"),
-        # first 16 bytes of a resized bitmap are the md5 seed; hex-project
-        # so the oracle can recompute it as md5(text || '#WxH')
         F.when(
             F.col("media_type") == "image/png",
-            F.lower(F.hex(F.expr("substring(payload, 1, 16)"))),
+            F.lower(F.hex("payload")),
         )
         .otherwise("")
-        .alias("seed_hex"),
+        .alias("pixels_hex"),
     ).orderBy("doc_id")
 
 

@@ -14,8 +14,9 @@ Spark shape:
     (docx/odt/epub via zipfile+ElementTree, eml via email, xlsx/xlsm via
     SpreadsheetML, rtf via a small state machine, enex via ElementTree,
     basic pdf via stream scan + zlib + show-operator extraction with
-    ``[[pageN]]`` markers, msg via a minimal CFB/OLE2 reader) parse for
-    real; only legacy xls BIFF still raises, carrying a ``parse_error``
+    ``[[pageN]]`` markers, msg via a minimal CFB/OLE2 reader, legacy xls
+    via a BIFF8 record parser over the same CFB base) parse for real;
+    genuinely library-bound formats raise, carrying a ``parse_error``
     instead of being silently dropped (an upgrade over the reference,
     which loses the file).
   * metadata   = X1-X4 column expressions (sha256, basename, extension,
@@ -41,9 +42,12 @@ HTML_EXTS = {".html", ".htm"}
 # email + zlib + a small RTF state machine) — no native parser libs needed.
 CONTAINER_EXTS = {
     ".docx", ".odt", ".epub", ".eml",
-    ".xlsx", ".xlsm", ".rtf", ".enex", ".pdf", ".msg",
+    ".xlsx", ".xlsm", ".rtf", ".enex", ".pdf", ".msg", ".xls",
 }
-HEAVY_EXTS = {".xls"}
+# Extensions whose parser genuinely needs a native library. Empty since the
+# BIFF8 .xls reader landed (round 8) — kept as the registration seam for
+# formats a deployment may add (e.g. .doc OLE word binaries).
+HEAVY_EXTS: set[str] = set()
 ALLOWED_EXTS = TEXT_EXTS | HTML_EXTS | CONTAINER_EXTS | HEAVY_EXTS
 
 _TAG_RE = re.compile(r"<[^>]+>")
@@ -532,6 +536,221 @@ def _parse_msg(content: bytes) -> str:
     return "\n\n".join(parts)
 
 
+# ---------------------------------------------------------------------------
+# Legacy .xls: BIFF8 records inside the CFB 'Workbook' stream (public
+# [MS-XLS] spec; the reference reads these via UnstructuredExcelLoader,
+# document_processor.py:140-180). Reuses the stdlib CFB reader above.
+# ---------------------------------------------------------------------------
+
+_BIFF_BOF = 0x0809
+_BIFF_EOF = 0x000A
+_BIFF_CONTINUE = 0x003C
+_BIFF_BOUNDSHEET = 0x0085
+_BIFF_SST = 0x00FC
+_BIFF_LABELSST = 0x00FD
+_BIFF_LABEL = 0x0204
+_BIFF_NUMBER = 0x0203
+_BIFF_RK = 0x027E
+_BIFF_MULRK = 0x00BD
+
+
+class _BiffStrCursor:
+    """Reader over an SST record plus its CONTINUE records. Character data
+    of an XLUnicodeRichExtendedString may be split at ANY point across a
+    CONTINUE boundary, and each continuation RE-STATES the 1-byte grbit
+    (the string can switch between compressed and UTF-16 halves mid-string,
+    [MS-XLS] 2.5.293) — so raw concatenation of record payloads would
+    mis-decode real Excel files. Fixed-width fields (counts, format runs)
+    span boundaries byte-transparently via :meth:`read`."""
+
+    def __init__(self, chunks: list[bytes]):
+        self.chunks = chunks
+        self.ci = 0
+        self.off = 0
+
+    def _advance_chunk(self) -> bool:
+        while self.ci < len(self.chunks) and self.off >= len(self.chunks[self.ci]):
+            self.ci += 1
+            self.off = 0
+        return self.ci < len(self.chunks)
+
+    def eof(self) -> bool:
+        return not self._advance_chunk()
+
+    def read(self, n: int) -> bytes:
+        out = bytearray()
+        while n > 0 and self._advance_chunk():
+            take = self.chunks[self.ci][self.off : self.off + n]
+            out += take
+            self.off += len(take)
+            n -= len(take)
+        if n:
+            raise ValueError("truncated SST stream")
+        return bytes(out)
+
+    def read_chars(self, cch: int, high: bool) -> str:
+        """cch CHARACTERS honouring the per-continuation grbit restart."""
+        out = []
+        while cch > 0:
+            if not self._advance_chunk():
+                raise ValueError("truncated SST string")
+            if self.off == 0 and out:
+                # crossed into a CONTINUE: fresh option byte for the rest
+                high = bool(self.read(1)[0] & 0x01)
+                if not self._advance_chunk():
+                    raise ValueError("truncated SST string")
+            avail = len(self.chunks[self.ci]) - self.off
+            width = 2 if high else 1
+            take = min(cch, avail // width)
+            if take == 0:
+                # a UTF-16 char split across the boundary: spec forbids it
+                # (continuations break at character boundaries); treat a
+                # dangling byte as corruption
+                raise ValueError("SST continuation splits a UTF-16 unit")
+            raw = self.read(take * width)
+            out.append(raw.decode("utf-16-le" if high else "latin-1"))
+            cch -= take
+        return "".join(out)
+
+
+def _parse_sst(chunks: list[bytes]) -> list[str]:
+    """Shared-string table from the SST record + CONTINUE payloads."""
+    cur = _BiffStrCursor(chunks)
+    import struct
+
+    _total, unique = struct.unpack("<II", cur.read(8))
+    out: list[str] = []
+    for _ in range(unique):
+        (cch,) = struct.unpack("<H", cur.read(2))
+        flags = cur.read(1)[0]
+        high = bool(flags & 0x01)
+        n_runs = struct.unpack("<H", cur.read(2))[0] if flags & 0x08 else 0
+        cb_ext = struct.unpack("<I", cur.read(4))[0] if flags & 0x04 else 0
+        out.append(cur.read_chars(cch, high))
+        if n_runs:
+            cur.read(4 * n_runs)  # formatting runs: presentation only
+        if cb_ext:
+            cur.read(cb_ext)  # phonetic/ext block
+    return out
+
+
+def _rk_value(rk: int):
+    """Decode an RK cell value ([MS-XLS] 2.5.217): bit0 = /100,
+    bit1 = 30-bit signed int vs top-30-bits-of-double."""
+    import struct
+
+    div100 = rk & 0x01
+    if rk & 0x02:
+        v = rk >> 2
+        if v & 0x20000000:  # sign-extend 30-bit
+            v -= 0x40000000
+        return v / 100 if div100 else v
+    (d,) = struct.unpack("<d", struct.pack("<Q", (rk & 0xFFFFFFFC) << 32))
+    return d / 100 if div100 else d
+
+
+def _num_text(v) -> str:
+    """Numeric cell -> text the way the xlsx parser surfaces cached <v>
+    values: integral doubles render without a fractional part."""
+    if isinstance(v, int) or (isinstance(v, float) and v == int(v)):
+        return str(int(v))
+    return repr(v)
+
+
+def _parse_xls(content: bytes) -> str:
+    """.xls = BIFF8 records in the CFB 'Workbook' stream: BOUNDSHEET order,
+    SST/LABELSST + LABEL + NUMBER/RK/MULRK cells. Output shape matches
+    ``_parse_xlsx``: cells tab-joined (column order), rows newline-joined
+    (row order), sheets blank-line-joined. Unknown records are skipped by
+    their declared length, so files with the full Excel record zoo (INDEX,
+    XF, FORMAT, ...) parse their text layer fine; BIFF5 ('Book' stream,
+    no SST) and encrypted workbooks raise -> parse_error."""
+    import struct
+
+    streams = _cfb_streams(content)
+    wb = streams.get("Workbook")
+    if wb is None:
+        if "Book" in streams:
+            raise ValueError("BIFF5 'Book' stream not supported (BIFF8 only)")
+        raise ValueError("no Workbook stream in compound file")
+
+    # pass 1: record walk — globals (SST, sheet order), then per-substream
+    # cell records. Records: 2-byte id, 2-byte length, payload.
+    pos = 0
+    sst: list[str] = []
+    sheet_starts: list[int] = []
+    records: list[tuple[int, int, int]] = []  # (id, data_off, length)
+    while pos + 4 <= len(wb):
+        rid, ln = struct.unpack_from("<HH", wb, pos)
+        if rid == 0 and ln == 0:
+            break  # trailing padding
+        records.append((rid, pos + 4, ln))
+        pos += 4 + ln
+    for i, (rid, off, ln) in enumerate(records):
+        if rid == _BIFF_SST:
+            chunks = [wb[off : off + ln]]
+            j = i + 1
+            while j < len(records) and records[j][0] == _BIFF_CONTINUE:
+                _, coff, cln = records[j]
+                chunks.append(wb[coff : coff + cln])
+                j += 1
+            sst = _parse_sst(chunks)
+        elif rid == _BIFF_BOUNDSHEET:
+            (lb_ply_pos,) = struct.unpack_from("<I", wb, off)
+            sheet_starts.append(lb_ply_pos)
+
+    blocks: list[str] = []
+    for start in sheet_starts:  # BOUNDSHEET order == workbook tab order
+        cells: dict[int, dict[int, str]] = {}
+        pos = start
+        depth = 0
+        while pos + 4 <= len(wb):
+            rid, ln = struct.unpack_from("<HH", wb, pos)
+            off = pos + 4
+            pos = off + ln
+            if rid == _BIFF_BOF:
+                depth += 1
+                continue
+            if rid == _BIFF_EOF:
+                depth -= 1
+                if depth <= 0:
+                    break
+                continue
+            if rid == _BIFF_LABELSST:
+                row, col, _ixfe, isst = struct.unpack_from("<HHHI", wb, off)
+                if isst < len(sst):
+                    cells.setdefault(row, {})[col] = sst[isst]
+            elif rid == _BIFF_LABEL:
+                row, col, _ixfe, cch = struct.unpack_from("<HHHH", wb, off)
+                high = wb[off + 8] & 0x01
+                raw = wb[off + 9 : off + 9 + cch * (2 if high else 1)]
+                cells.setdefault(row, {})[col] = raw.decode(
+                    "utf-16-le" if high else "latin-1"
+                )
+            elif rid == _BIFF_NUMBER:
+                row, col, _ixfe = struct.unpack_from("<HHH", wb, off)
+                (v,) = struct.unpack_from("<d", wb, off + 6)
+                cells.setdefault(row, {})[col] = _num_text(v)
+            elif rid == _BIFF_RK:
+                row, col, _ixfe, rk = struct.unpack_from("<HHHI", wb, off)
+                cells.setdefault(row, {})[col] = _num_text(_rk_value(rk))
+            elif rid == _BIFF_MULRK:
+                row, col0 = struct.unpack_from("<HH", wb, off)
+                n = (ln - 6) // 6
+                for k in range(n):
+                    _ixfe, rk = struct.unpack_from("<HI", wb, off + 4 + 6 * k)
+                    cells.setdefault(row, {})[col0 + k] = _num_text(
+                        _rk_value(rk)
+                    )
+        rows = [
+            "\t".join(cells[r][c] for c in sorted(cells[r]))
+            for r in sorted(cells)
+        ]
+        if rows:
+            blocks.append("\n".join(rows))
+    return "\n\n".join(blocks)
+
+
 def _parse_heavy_missing(ext: str):
     def parse(content: bytes) -> str:
         # Real parsers (PyMuPDF, python-docx, ...) are optional extras not
@@ -560,6 +779,7 @@ PARSERS: dict[str, object] = {
     ".enex": _parse_enex,
     ".pdf": _parse_pdf,
     ".msg": _parse_msg,
+    ".xls": _parse_xls,
     **{ext: _parse_heavy_missing(ext) for ext in HEAVY_EXTS},
 }
 
