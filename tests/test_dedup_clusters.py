@@ -209,3 +209,63 @@ def test_incremental_candidates_are_cross_only(spark):
         ).collect()
     }
     assert got == {(100, 1), (100, 2)}  # no (1,2), no (101,102)
+
+
+def test_fuzzy_self_join_blocking_tiers_complete(spark):
+    """Both blocking tiers and the boundary: long strings (q-gram tier),
+    short strings (length-bucket tier), a cross-boundary-length pair, and
+    a distance-3 pair that must be excluded."""
+    from vector_db_light_spark.operators.fuzzy import fuzzy_self_join
+
+    rows = [
+        (1, "the quick brown fox jumps over the dog"),
+        (2, "the quick brown fox jumps over the do"),    # dist 1 to 1
+        (3, "the quick brown fox jumpz over the dig"),   # dist 2 to 1
+        (4, "completely different sentence entirely"),
+        (5, "cat"),                                      # short tier
+        (6, "cut"),                                      # dist 1 to 5
+        (7, "ba"),                                       # dist 2 to 5/6
+        (8, "abcdefgh"),                                 # len 8 (short)
+        (9, "abcdefghij"),                               # len 10, dist 2 to 8
+        (10, "the quick brown fox j"),                   # dist >2 to 1-3
+    ]
+    df = spark.createDataFrame(rows, "id bigint, k string")
+    got = {
+        (r["id_a"], r["id_b"]): r["dist"]
+        for r in fuzzy_self_join(df, "k", "id", max_dist=2, q=3).collect()
+    }
+    # ground truth via python
+    import itertools
+
+    def ed(a, b):
+        dp = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            prev, dp[0] = dp[0], i
+            for j, cb in enumerate(b, 1):
+                prev, dp[j] = dp[j], min(
+                    dp[j] + 1, dp[j - 1] + 1, prev + (ca != cb)
+                )
+        return dp[len(b)]
+
+    want = {
+        (a, b): ed(ka, kb)
+        for (a, ka), (b, kb) in itertools.combinations(rows, 2)
+        if ed(ka, kb) <= 2
+    }
+    assert got == want and (1, 2) in got and (5, 6) in got and (8, 9) in got
+
+
+def test_fuzzy_self_join_gram_df_pruning_is_explicit_tradeoff(spark):
+    """max_gram_df prunes hot grams: with every 3-gram shared by > 1
+    string pruned, the long-tier pair disappears (documented recall
+    trade); without pruning it is found."""
+    from vector_db_light_spark.operators.fuzzy import fuzzy_self_join
+
+    df = spark.createDataFrame(
+        [(1, "aaaaaaaaaaaaaaaa"), (2, "aaaaaaaaaaaaaaab")],
+        "id bigint, k string",
+    )
+    assert fuzzy_self_join(df, "k", "id", max_dist=2).count() == 1
+    assert (
+        fuzzy_self_join(df, "k", "id", max_dist=2, max_gram_df=1).count() == 0
+    )

@@ -50,6 +50,7 @@ ANNOTATIONS: dict[str, str] = {
     "events_robust_outliers": "3-MAD rule, median/MAD by exact rank selection",
     "ewma_per_user": "recurrence as bit-identical time-ordered fold",
     "forecast_revenue_q6": "Q6 scan-bound predicate-pushdown shape, BIGINT cents",
+    "fuzzy_join_titles": "edit-distance<=2 entity resolution; q-gram + length-bucket blocking vs a blocking-free O(n^2) truth oracle",
     "heavy_hitters_cms": "count-min estimates vs exact, bound pinned TRUE",
     "idle_customer_balance": "Q22 shape: scalar AVG + NOT EXISTS anti",
     "incremental_agg_state": "two-batch monoid merge hash-matches the single-pass answer",
@@ -63,7 +64,7 @@ ANNOTATIONS: dict[str, str] = {
     "lonely_late_suppliers": "Q21 shape, de-correlated EXISTS/NOT EXISTS",
     "multimodal_audio_features": "audio->windowed-energy fan-out, stub frontend",
     "multimodal_frame_sample": "video->frames fan-out, stub demuxer",
-    "multimodal_resize": "resize pass, stub codec, payload-hash checked",
+    "multimodal_resize": "REAL stdlib PNG decode + integer nearest resize; oracle recomputes every output pixel",
     "null_safe_join_counts": "<=> vs IS NOT DISTINCT FROM",
     "pagerank_suppliers": "2-round integer-exact PageRank, top-20 suppliers",
     "priority_top_orders_csv": "ordered string_agg vs array_join(array_sort(collect_list))",

@@ -1196,3 +1196,41 @@ def line_dedup_incremental(spark, sf_dir):
     return D.remove_boilerplate_lines(b2, max_doc_freq=20, line_df=cum).orderBy(
         "doc_id"
     )
+
+
+# ---------------------------------------------------------------------------
+# Edit-distance fuzzy self-join (entity resolution, round 8): q-gram +
+# length-bucket blocked candidates, exact levenshtein verify. The ORACLE is
+# deliberately blocking-free — the full O(n^2) length-windowed join — so a
+# hash match certifies the Spark side's blocking tiers lose no pair at this
+# scale, the same truth-vs-blocked pattern dedup_lsh_quality uses.
+# Integer distances: no float parity concerns.
+# ---------------------------------------------------------------------------
+
+@register(
+    "fuzzy_join_titles",
+    """
+WITH t AS (
+  SELECT doc_id, lower(substr(text, 1, 40)) AS title FROM documents
+)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       CAST(levenshtein(a.title, b.title) AS INT) AS dist
+FROM t a JOIN t b ON b.doc_id > a.doc_id
+WHERE abs(length(a.title) - length(b.title)) <= 2
+  AND levenshtein(a.title, b.title) <= 2
+ORDER BY id_a, id_b
+""",
+)
+def fuzzy_join_titles(spark, sf_dir):
+    """Doc pairs whose 40-char lowered title prefixes are within edit
+    distance 2 (operators/fuzzy.py::fuzzy_self_join). Reference has no
+    fuzzy matching; this is the record-linkage stage a training-data
+    pipeline runs on titles/URLs before exact dedup."""
+    from ..operators.fuzzy import fuzzy_self_join
+
+    docs = load(spark, sf_dir, "documents").select(
+        "doc_id", F.lower(F.expr("substring(text, 1, 40)")).alias("title")
+    )
+    return fuzzy_self_join(
+        docs, key_col="title", id_col="doc_id", max_dist=2, q=3
+    ).orderBy("id_a", "id_b")
