@@ -311,3 +311,55 @@ def test_pdf_unescape_total(data):
 
     out = _pdf_unescape(data)
     assert isinstance(out, bytes)
+
+
+# --- binary codec round-trips (round 8) ------------------------------------
+
+@given(
+    w=st.integers(1, 20),
+    h=st.integers(1, 20),
+    ch=st.sampled_from([1, 2, 3, 4]),
+    data=st.data(),
+)
+@settings(max_examples=60, deadline=None)
+def test_png_roundtrip_property(w, h, ch, data):
+    """decode(encode(px)) == px for arbitrary 8-bit pixel buffers across
+    all supported channel counts — every scanline filter is exercised for
+    h >= 5 (the encoder cycles y % 5)."""
+    from vector_db_light_spark.functions.png import decode_png, encode_png
+
+    px = bytes(
+        data.draw(
+            st.lists(
+                st.integers(0, 255), min_size=w * h * ch, max_size=w * h * ch
+            )
+        )
+    )
+    assert decode_png(encode_png(px, w, h, ch)) == (w, h, ch, px)
+
+
+@given(
+    strings=st.lists(
+        st.text(
+            alphabet=st.characters(
+                blacklist_categories=("Cs",),  # no lone surrogates
+                max_codepoint=0xFFFF,          # UTF-16 single units (BIFF8)
+            ),
+            max_size=400,
+        ),
+        min_size=1,
+        max_size=60,
+    )
+)
+@settings(max_examples=40, deadline=None)
+def test_biff8_sst_continue_roundtrip_property(strings):
+    """_parse_sst(_sst_records(xs)) == xs for arbitrary string tables —
+    including tables big enough to split across CONTINUE records and
+    strings mixing compressed and UTF-16 encodings."""
+    from vector_db_light_spark import registry  # noqa: F401 — populates the
+    # query registry first; importing queries.pipeline directly would hit
+    # the circular-import guard in registry._reorder
+    from vector_db_light_spark.queries.pipeline import _sst_records
+    from vector_db_light_spark.sources.ingest import _parse_sst
+
+    assert _parse_sst(_sst_records(strings)) == strings

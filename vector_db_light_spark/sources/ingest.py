@@ -366,9 +366,12 @@ def _pdf_unescape(lit: bytes) -> bytes:
         c = lit[i:i + 1]
         if c == b"\\" and i + 1 < len(lit):
             nxt = lit[i + 1:i + 2]
-            if nxt.isdigit():  # octal \ddd
+            if nxt in b"01234567":  # octal \d, \dd, \ddd — 0-7 ONLY:
+                # \8 / \9 are "ignore the backslash" per the PDF spec's
+                # unknown-escape rule (hypothesis-found: isdigit() admitted
+                # them and int(..., 8) raised, failing the whole file)
                 j = i + 1
-                while j < len(lit) and j < i + 4 and lit[j:j + 1].isdigit():
+                while j < len(lit) and j < i + 4 and lit[j:j + 1] in b"01234567":
                     j += 1
                 out += bytes([int(lit[i + 1:j], 8) % 256])
                 i = j
