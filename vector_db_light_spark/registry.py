@@ -35,11 +35,31 @@ def register(name: str, oracle: str | None = None):
     return deco
 
 
+# Inferred parquet schemas per path: schema inference opens footers and
+# lists the directory at every spark.read.parquet — ~60-100 ms per table
+# per QUERY CONSTRUCTION, which at sub-second bench medians was ~20% of
+# several headline queries (measured round 8: construct 0.17-0.25 s of
+# ~0.75 s totals). The fixture schemas are immutable within a process, so
+# infer once and replay with an explicit .schema() afterwards. On a real
+# cluster the same trick is standard practice for hot query services
+# (schema registry instead of per-query footer reads).
+_SCHEMA_CACHE: dict[str, object] = {}
+
+
+def _read_parquet(spark: SparkSession, path: str) -> DataFrame:
+    cached = _SCHEMA_CACHE.get(path)
+    if cached is None:
+        df = spark.read.parquet(path)
+        _SCHEMA_CACHE[path] = df.schema
+        return df
+    return spark.read.schema(cached).parquet(path)
+
+
 def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     _ship_package(spark)
     if name == "events":
         return load_events(spark, sf_dir)
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    return _read_parquet(spark, f"{sf_dir}/{name}.parquet")
 
 
 def _ship_package(spark: SparkSession) -> None:
@@ -102,7 +122,7 @@ def load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.conf.set("spark.sql.session.timeZone", "UTC")
-    raw = spark.read.parquet(f"{sf_dir}/events.parquet")
+    raw = _read_parquet(spark, f"{sf_dir}/events.parquet")
     ts_type = raw.schema["ts"].dataType
     if isinstance(ts_type, LongType):
         ts_col = F.timestamp_micros(F.expr("ts div 1000")).cast("timestamp_ntz")
