@@ -34,6 +34,7 @@ ANNOTATIONS: dict[str, str] = {
     "bpe_train_merges": "N-merge iterative BPE trainer, unrolled-CTE oracle (kmeans_lloyd pattern)",
     "corpus_curation_pipeline": "capstone: dedup -> quality -> substring decontam -> sample in one DAG",
     "cross_nation_volume": "Q7 shape, exact BIGINT-cents volume",
+    "cohort_retention_daily": "first-active-day cohorts x day offset; integer day buckets, exact-operand retention division",
     "customer_order_histogram": "Q13 shape: left join w/ join-side predicate + double aggregation",
     "dedup_clusters_star": "large-star/small-star CC, same recursive-CTE oracle",
     "dedup_lsh_quality": "band recall 0.988 / precision 0.977 vs exact all-pairs Jaccard truth",

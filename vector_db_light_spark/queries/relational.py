@@ -1258,3 +1258,75 @@ def null_safe_join_counts(spark, sf_dir):
         .agg(F.count(F.lit(1)).cast("long").alias("n_pairs"))
         .orderBy("join_key")
     )
+
+
+# ---------------------------------------------------------------------------
+# Cohort retention (round 8): users cohorted by first-active day, matrix of
+# (cohort_day, day_offset) -> active users + retention rate. Day indices
+# are integer epoch-microsecond divisions (ANSI div / DuckDB //), so the
+# bucketing is bit-identical across engines; retention is one BIGINT/BIGINT
+# double division with identical operands on both sides.
+# ---------------------------------------------------------------------------
+
+@register(
+    "cohort_retention_daily",
+    """
+WITH wk AS (
+  SELECT DISTINCT user_id,
+         epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS wk
+  FROM events
+),
+cohort AS (
+  SELECT user_id, min(wk) AS cohort_wk FROM wk GROUP BY 1
+),
+sizes AS (
+  SELECT cohort_wk, CAST(count(*) AS BIGINT) AS cohort_size
+  FROM cohort GROUP BY 1
+)
+SELECT c.cohort_wk AS cohort_day,
+       CAST(w.wk - c.cohort_wk AS BIGINT) AS day_offset,
+       CAST(count(*) AS BIGINT) AS n_active,
+       s.cohort_size,
+       CAST(count(*) AS DOUBLE) / s.cohort_size AS retention
+FROM wk w
+JOIN cohort c USING (user_id)
+JOIN sizes s ON s.cohort_wk = c.cohort_wk
+GROUP BY 1, 2, s.cohort_size
+ORDER BY cohort_day, day_offset
+""",
+)
+def cohort_retention_daily(spark, sf_dir):
+    """Classic warehouse retention matrix. Scale shape: one user-day
+    distinct + one per-user min (both user-keyed shuffles with map-side
+    partial agg), then the matrix agg; the per-cohort size table is
+    #days rows and broadcasts back. No window functions, no skew hot key
+    (users spread the shuffles)."""
+    events = load(spark, sf_dir, "events")
+    wk = events.select(
+        "user_id",
+        F.expr("unix_micros(cast(ts as timestamp)) div 86400000000").alias(
+            "wk"
+        ),
+    ).distinct()
+    cohort = wk.groupBy("user_id").agg(F.min("wk").alias("cohort_wk"))
+    sizes = cohort.groupBy("cohort_wk").agg(
+        F.count(F.lit(1)).cast("long").alias("cohort_size")
+    )
+    return (
+        wk.join(cohort, "user_id")
+        .groupBy(
+            "cohort_wk", (F.col("wk") - F.col("cohort_wk")).alias("day_offset")
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("n_active"))
+        .join(F.broadcast(sizes), "cohort_wk")
+        .select(
+            F.col("cohort_wk").alias("cohort_day"),
+            F.col("day_offset").cast("long").alias("day_offset"),
+            "n_active",
+            "cohort_size",
+            (F.col("n_active").cast("double") / F.col("cohort_size")).alias(
+                "retention"
+            ),
+        )
+        .orderBy("cohort_day", "day_offset")
+    )
