@@ -566,14 +566,14 @@ def _build_cfb_msg(subject: str, body: str) -> bytes:
     for i in range(n_mini):
         minifat[i] = i + 1 if i < n_mini - 1 else END
 
-    def dirent(name, etype, start, size):
+    def dirent(name, etype, start, size, left=FREE, right=FREE, child=FREE):
         nm = name.encode("utf-16-le") + b"\x00\x00"
         e = bytearray(128)
         e[0:len(nm)] = nm
         struct.pack_into("<H", e, 64, len(nm))
         e[66] = etype
         e[67] = 1  # black
-        struct.pack_into("<III", e, 68, FREE, FREE, FREE)  # left/right/child
+        struct.pack_into("<III", e, 68, left, right, child)
         struct.pack_into("<I", e, 116, start)
         struct.pack_into("<Q", e, 120, size)
         return bytes(e)
@@ -581,8 +581,8 @@ def _build_cfb_msg(subject: str, body: str) -> bytes:
     mini_stream_size = n_mini * 64
     directory = b"".join(
         [
-            dirent("Root Entry", 5, 3, mini_stream_size),
-            dirent("__substg1.0_0037001F", 2, 0, len(subj_b)),
+            dirent("Root Entry", 5, 3, mini_stream_size, child=1),
+            dirent("__substg1.0_0037001F", 2, 0, len(subj_b), right=2),
             dirent("__substg1.0_1000001F", 2, 4, len(body_b)),
             bytes(128),
         ]
@@ -590,9 +590,10 @@ def _build_cfb_msg(subject: str, body: str) -> bytes:
 
     header = bytearray(512)
     header[0:8] = b"\xd0\xcf\x11\xe0\xa1\xb1\x1a\xe1"
-    struct.pack_into("<H", header, 26, 0x003E)   # minor version
-    struct.pack_into("<H", header, 28, 0x0003)   # major
-    struct.pack_into("<H", header, 24, 0xFFFE)   # byte order
+    # MS-CFB 2.2 field order: minor version @24, major @26, byte order @28
+    struct.pack_into("<H", header, 24, 0x003E)   # minor version
+    struct.pack_into("<H", header, 26, 0x0003)   # major
+    struct.pack_into("<H", header, 28, 0xFFFE)   # byte order
     struct.pack_into("<HH", header, 30, 9, 6)    # sector/mini shifts
     struct.pack_into("<I", header, 44, 1)        # number of FAT sectors
     struct.pack_into("<I", header, 48, 1)        # first directory sector
@@ -673,3 +674,10 @@ def test_parse_xls_sst_continue_records():
     recs = _sst_records(strings)
     assert len(recs) > 1  # really split
     assert _parse_sst(recs) == strings
+    # boundary sweep (review r8): walk the record split across the 3-byte
+    # string header so the continuation begins anywhere from mid-header to
+    # exactly at the character data — the 'header ended the record' case
+    # previously skipped the restated grbit and mis-decoded
+    for pad in range(8206, 8216):
+        case = ["a" * pad, "bb", "é" * 2]
+        assert _parse_sst(_sst_records(case)) == case, pad

@@ -79,3 +79,31 @@ def test_fixture_pixels_are_md5_defined():
     for y in (0, h0 - 1):
         digest = hashlib.md5(f"{doc_id}:{y}".encode()).digest()
         assert px[y * w0 : (y + 1) * w0] == digest[:w0]
+
+
+def test_decode_normalizes_all_malformed_inputs_to_pngerror():
+    """Review r8: zlib/struct/slice failures from corrupt-but-CRC-valid
+    input must surface as PngError (the operator's per-row decode_error
+    contract), never a bare zlib.error/struct.error."""
+    px = _pixels(4, 4, 1)
+    good = encode_png(px, 4, 4, 1)
+    # IDAT with a valid CRC over INVALID zlib bytes
+    body = b"not zlib at all"
+    idat = (
+        struct.pack(">I", len(body))
+        + b"IDAT"
+        + body
+        + struct.pack(">I", zlib.crc32(b"IDAT" + body) & 0xFFFFFFFF)
+    )
+    end = good.rindex(struct.pack(">I", 0) + b"IEND")
+    idat_start = good.index(b"IDAT") - 4
+    with pytest.raises(PngError):
+        decode_png(good[:idat_start] + idat + good[end:])
+    # truncations at every prefix length must also be PngError (or succeed)
+    for cut in range(0, len(good), 7):
+        try:
+            decode_png(good[:cut])
+        except PngError:
+            pass
+    with pytest.raises(PngError):
+        png_dimensions(good[:20])

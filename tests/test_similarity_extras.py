@@ -130,3 +130,11 @@ def test_dot_dimension_mismatch_yields_null_not_partial(spark):
         assert row["d_name"] is None
         assert row["d_col"] is None
         assert row["d_pair"] is None
+    # review r8: a too-long QUERY-side column must also NULL (the guard
+    # covers both sides of the name+name+dim batch form)
+    df2 = spark.createDataFrame(
+        [(1, [1.0, 2.0, 3.0], [1.0, 1.0, 1.0, 9.0])],
+        "id int, v array<double>, q array<double>",
+    )
+    row = df2.select(dot("v", "q", dim=3).alias("d")).collect()[0]
+    assert row["d"] is None

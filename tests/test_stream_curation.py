@@ -203,3 +203,25 @@ def test_stream_curate_removes_boilerplate_once_cumulative_df_crosses(
     assert {
         r["doc_id"] for r in spark.read.parquet(corpus).collect()
     } == {0, 1, 2}
+
+
+def test_stream_curate_in_batch_copies_do_not_inflate_line_df(spark, tmp_path):
+    """Review r8: six exact copies of one doc in a SINGLE batch must curate
+    exactly one copy with its text intact — before the raw-copy collapse,
+    every line's df counted 6 distinct doc_ids (> threshold 5) and all six
+    copies were stripped empty and dropped."""
+    from vector_db_light_spark.streaming.curation import _curate_batch
+
+    corpus = str(tmp_path / "curated")
+    bands = str(tmp_path / "bands")
+    ldf = str(tmp_path / "line_df")
+    text = "unique header line\nducks prefer shallow ponds near the meadow"
+    batch = spark.createDataFrame(
+        [(i, text) for i in range(6)], "doc_id bigint, text string"
+    )
+    _curate_batch(
+        batch, corpus, bands, 0.5, line_df_dir=ldf, max_line_doc_freq=5
+    )
+    rows = spark.read.parquet(corpus).collect()
+    assert len(rows) == 1 and rows[0]["doc_id"] == 0
+    assert rows[0]["text"] == text

@@ -156,9 +156,14 @@ def main() -> int:
     # (ADVICE r7: a coverage-only failure used to print '... 0 fail').
     import gen_coverage
 
-    if args.only is None and gen_coverage.main_check() != 0:
-        n_fail += 1
-    print(f"\n{n_pass} pass, {n_fail} fail, {len(names)} total")
+    n_total = len(names)
+    if args.only is None:
+        n_total += 1  # the coverage gate is one more checked item
+        if gen_coverage.main_check() != 0:
+            n_fail += 1
+        else:
+            n_pass += 1
+    print(f"\n{n_pass} pass, {n_fail} fail, {n_total} total")
     return 1 if n_fail else 0
 
 

@@ -107,7 +107,14 @@ def _ever_driver_checked() -> set[str]:
         except (OSError, ValueError):
             continue
         for name, row in rec.items():
-            if isinstance(row, dict) and row.get("rows_match"):
+            # a pass needs the value hash too when one was recorded —
+            # rows_match alone with hash_match=False is a dtype-level FAIL
+            # (review r8), not an earned external pass
+            if (
+                isinstance(row, dict)
+                and row.get("rows_match")
+                and row.get("hash_match") is not False
+            ):
                 seen.add(name)
     return seen
 

@@ -125,7 +125,10 @@ def png_dimensions(data: bytes) -> tuple[int, int]:
         raise PngError("bad signature")
     if data[12:16] != b"IHDR":
         raise PngError("first chunk is not IHDR")
-    w, h = struct.unpack(">II", data[16:24])
+    try:
+        w, h = struct.unpack(">II", data[16:24])
+    except struct.error as ex:
+        raise PngError(f"truncated IHDR: {ex}") from ex
     return w, h
 
 
@@ -134,8 +137,20 @@ def decode_png(data: bytes) -> tuple[int, int, int, bytes]:
 
     Walks the chunk chain verifying CRCs, inflates the concatenated IDAT
     zlib stream, and reconstructs scanlines through the five filter
-    predictors. Raises :class:`PngError` on anything outside the supported
-    subset (see module docstring)."""
+    predictors. EVERY malformed-input failure surfaces as
+    :class:`PngError` — including zlib and struct errors from corrupt
+    streams (review r8: a valid-CRC IDAT with invalid zlib bytes raised
+    bare ``zlib.error`` and poisoned the whole Arrow batch the per-row
+    ``decode_error`` contract promises to protect)."""
+    try:
+        return _decode_png(data)
+    except PngError:
+        raise
+    except (zlib.error, struct.error, IndexError, ValueError) as ex:
+        raise PngError(f"{type(ex).__name__}: {ex}") from ex
+
+
+def _decode_png(data: bytes) -> tuple[int, int, int, bytes]:
     if data[:8] != _PNG_SIG:
         raise PngError("bad signature")
     pos = 8

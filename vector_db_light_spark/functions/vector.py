@@ -91,7 +91,10 @@ def dot(
     ``list_reduce(list_transform(list_zip(...)))`` oracles — INCLUDING on
     dimension mismatch: zip_with/list_zip NULL-pad the shorter side (sum
     -> NULL), a short stored vector makes ``get``/[] return NULL, and the
-    unrolled forms guard the LONGER-stored-vector case with a size check
+    unrolled forms guard the LONGER-vector case (BOTH sides in the
+    name+name+dim batch form — review r8: guarding only the stored side
+    left a too-long QUERY vector producing the same silent partial dot)
+    with a size check
     (ADVICE r7: without it a too-long vector produced a silently plausible
     partial dot where every other form returns NULL). The guard is emitted
     as the chain's INITIAL term — ``(CASE WHEN size(v)=N THEN 0.0D END) +
@@ -127,7 +130,8 @@ def dot(
             f"(get({vd}, {i}) * get({qd}, {i}))" for i in range(dim)
         )
         return F.expr(
-            f"(CASE WHEN size({_col_sql(vec_col)}) = {dim} THEN 0.0D END)"
+            f"(CASE WHEN size({_col_sql(vec_col)}) = {dim}"
+            f" AND size({_col_sql(query)}) = {dim} THEN 0.0D END)"
             f" + {terms}"
         )
     v = F.col(vec_col) if isinstance(vec_col, str) else vec_col
@@ -135,7 +139,7 @@ def dot(
     if dim is not None:
         vd = v.cast("array<double>")
         qd = q.cast("array<double>")
-        acc = F.when(F.size(v) == dim, F.lit(0.0))
+        acc = F.when((F.size(v) == dim) & (F.size(q) == dim), F.lit(0.0))
         for i in range(dim):
             acc = acc + F.get(vd, i) * F.get(qd, i)
         return acc
@@ -163,7 +167,8 @@ def sum_of_squares_distance(
             for i in range(dim)
         )
         return F.expr(
-            f"(CASE WHEN size({_col_sql(vec_col)}) = {dim} THEN 0.0D END)"
+            f"(CASE WHEN size({_col_sql(vec_col)}) = {dim}"
+            f" AND size({_col_sql(query)}) = {dim} THEN 0.0D END)"
             f" + {terms}"
         )
     if isinstance(query, str):

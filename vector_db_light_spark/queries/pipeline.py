@@ -334,6 +334,12 @@ def _build_cfb(streams: dict[str, bytes]) -> bytes:
         if len(mini) % 64:
             mini += bytes(64 - len(mini) % 64)
         entries.append((name, start, len(data)))
+    if len(mini) // 64 > 128:
+        raise ValueError(
+            f"fixture CFB mini stream is {len(mini)} bytes — exceeds the "
+            "single mini-FAT sector (128 x 64-byte sectors) this writer "
+            "emits"
+        )
     minifat = [FREE] * 128
     for _name, start, size in entries:
         n = max(1, (size + 63) // 64)
@@ -344,24 +350,37 @@ def _build_cfb(streams: dict[str, bytes]) -> bytes:
 
     # sectors: 0 = FAT, 1 = directory, 2 = mini-FAT, 3.. = mini container
     fat = [FREE] * 128
+    if 3 + n_cont > 128:
+        raise ValueError("fixture CFB exceeds its single FAT sector")
     fat[0], fat[1], fat[2] = FATSECT, END, END
     for i in range(n_cont):
         fat[3 + i] = 3 + i + 1 if i < n_cont - 1 else END
 
-    def dirent(name, etype, start, size):
+    def dirent(name, etype, start, size, left=FREE, right=FREE, child=FREE):
         nm = name.encode("utf-16-le") + b"\x00\x00"
         e = bytearray(128)
         e[0 : len(nm)] = nm
         struct.pack_into("<H", e, 64, len(nm))
         e[66] = etype
         e[67] = 1
-        struct.pack_into("<III", e, 68, FREE, FREE, FREE)
+        struct.pack_into("<III", e, 68, left, right, child)
         struct.pack_into("<I", e, 116, start)
         struct.pack_into("<Q", e, 120, size)
         return bytes(e)
 
-    directory = dirent("Root Entry", 5, 3, len(mini)) + b"".join(
-        dirent(n, 2, s, sz) for n, s, sz in entries
+    # Root's child points at the first stream entry; streams chain as a
+    # degenerate right-sibling tree (a valid BST for the <=3 fixture
+    # streams) — review r8: a NOSTREAM child made real consumers see an
+    # empty container even though this repo's lenient reader ignored it.
+    n_streams = len(entries)
+    directory = dirent(
+        "Root Entry", 5, 3, len(mini), child=(1 if n_streams else FREE)
+    ) + b"".join(
+        dirent(
+            name, 2, s, sz,
+            right=(k + 2 if k + 1 < n_streams else FREE),
+        )
+        for k, (name, s, sz) in enumerate(entries)
     )
     if len(directory) > 512:
         raise ValueError("fixture CFB supports at most 3 streams")
@@ -369,9 +388,12 @@ def _build_cfb(streams: dict[str, bytes]) -> bytes:
 
     header = bytearray(512)
     header[0:8] = b"\xd0\xcf\x11\xe0\xa1\xb1\x1a\xe1"
-    struct.pack_into("<H", header, 24, 0xFFFE)
-    struct.pack_into("<H", header, 26, 0x003E)
-    struct.pack_into("<H", header, 28, 0x0003)
+    # MS-CFB 2.2: minor version @24, major version @26, byte order @28
+    # (review r8: these were shifted one slot, carrying 0xFFFE as the
+    # minor version — accepted by our reader, rejected by real consumers)
+    struct.pack_into("<H", header, 24, 0x003E)
+    struct.pack_into("<H", header, 26, 0x0003)
+    struct.pack_into("<H", header, 28, 0xFFFE)
     struct.pack_into("<HH", header, 30, 9, 6)
     struct.pack_into("<I", header, 44, 1)      # FAT sector count
     struct.pack_into("<I", header, 48, 1)      # first directory sector

@@ -592,13 +592,21 @@ class _BiffStrCursor:
         return bytes(out)
 
     def read_chars(self, cch: int, high: bool) -> str:
-        """cch CHARACTERS honouring the per-continuation grbit restart."""
+        """cch CHARACTERS honouring the per-continuation grbit restart.
+
+        The restart applies at EVERY record boundary crossed while inside
+        a string's character run — including the boundary case where the
+        3-byte string header ended exactly at the end of the previous
+        record, so the continuation begins with the grbit before any
+        character was emitted (found in review: guarding on 'characters
+        already read' mis-decoded that alignment)."""
         out = []
         while cch > 0:
             if not self._advance_chunk():
                 raise ValueError("truncated SST string")
-            if self.off == 0 and out:
-                # crossed into a CONTINUE: fresh option byte for the rest
+            if self.off == 0:
+                # at the start of a CONTINUE while mid-character-run:
+                # fresh option byte for the rest of this string
                 high = bool(self.read(1)[0] & 0x01)
                 if not self._advance_chunk():
                     raise ValueError("truncated SST string")

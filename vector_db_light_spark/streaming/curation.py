@@ -77,7 +77,20 @@ def _curate_batch(
 ) -> None:
     spark = batch_df.sparkSession
     if line_df_dir is not None:
-        # 0. line-level boilerplate removal against the CUMULATIVE line-df
+        # 0a. collapse exact RAW-text copies before counting line df
+        # (review r8: N identical copies in one batch counted as N distinct
+        # docs, inflating every one of their lines' df by N — six copies at
+        # max_line_doc_freq=5 had every line stripped and the doc vanished
+        # from the stream instead of being deduplicated). Step 1 below
+        # still dedups on the CLEANED text's sha, catching docs that only
+        # become identical once boilerplate is removed.
+        wr = Window.partitionBy(F.sha2("text", 256)).orderBy("doc_id")
+        batch_df = (
+            batch_df.withColumn("_rn", F.row_number().over(wr))
+            .filter(F.col("_rn") == 1)
+            .drop("_rn")
+        )
+        # 0b. line-level boilerplate removal against the CUMULATIVE line-df
         # state (VERDICT r7 #7): the batch's own line counts merge with the
         # persisted monoid, so a header admitted in batch 1 starts being
         # stripped the moment its cumulative document frequency crosses the
