@@ -225,3 +225,39 @@ def test_stream_curate_in_batch_copies_do_not_inflate_line_df(spark, tmp_path):
     rows = spark.read.parquet(corpus).collect()
     assert len(rows) == 1 and rows[0]["doc_id"] == 0
     assert rows[0]["text"] == text
+
+
+def test_stream_curate_line_df_state_is_replay_idempotent(spark, tmp_path):
+    """The documented exactly-once posture for the line-df monoid: a
+    replayed batch (checkpoint re-delivery after a crash AFTER all writes)
+    produces no survivors via the exact anti-join, so neither the corpus
+    nor the cumulative line-df state double-counts."""
+    from vector_db_light_spark.streaming.curation import _curate_batch
+
+    corpus = str(tmp_path / "curated")
+    bands = str(tmp_path / "bands")
+    ldf = str(tmp_path / "line_df")
+    batch = spark.createDataFrame(
+        [
+            (1, "shared header\nducks prefer shallow ponds"),
+            (2, "shared header\ngeese migrate across continents"),
+        ],
+        "doc_id bigint, text string",
+    )
+    _curate_batch(batch, corpus, bands, 0.5, line_df_dir=ldf, max_line_doc_freq=5)
+    state1 = sorted(
+        (r["line_hash"], r["line_df"])
+        for r in spark.read.parquet(ldf).collect()
+    )
+    ids1 = sorted(r["doc_id"] for r in spark.read.parquet(corpus).collect())
+    # full replay of the SAME batch
+    _curate_batch(batch, corpus, bands, 0.5, line_df_dir=ldf, max_line_doc_freq=5)
+    state2 = sorted(
+        (r["line_hash"], r["line_df"])
+        for r in spark.read.parquet(ldf).collect()
+    )
+    ids2 = sorted(r["doc_id"] for r in spark.read.parquet(corpus).collect())
+    assert ids2 == ids1 == [1, 2]
+    assert state2 == state1  # no double count: the monoid saw it once
+    assert dict(state1)  # and the header really is counted (df == 2)
+    assert 2 in {df for _h, df in state1}

@@ -46,6 +46,8 @@ ANNOTATIONS: dict[str, str] = {
     "dedup_substring_spans": "exact-substring duplicate spans, content-defined sampling",
     "disjunctive_revenue": "Q19 shape: OR-of-ANDs through the dim join",
     "dq_constraint_report": "4-constraint DQ suite, FK anti-join",
+    "event_transition_matrix": "first-order Markov transitions per user sequence; id-tiebroken lag window",
+    "kn_bigram_stats": "Kneser-Ney count tables (bigram/left-total/continuation/fan-out), all exact integers",
     "embed_random_projection": "JL 64->16 Rademacher projection, bit-exact folds",
     "events_resample_hourly": "gap-filled dense hour x type grid, BIGINT cents",
     "events_robust_outliers": "3-MAD rule, median/MAD by exact rank selection",

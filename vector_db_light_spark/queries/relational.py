@@ -1330,3 +1330,58 @@ def cohort_retention_daily(spark, sf_dir):
         )
         .orderBy("cohort_day", "day_offset")
     )
+
+
+# ---------------------------------------------------------------------------
+# Event-type transition matrix (round 8): per-user ordered event sequences
+# reduced to global (prev -> next) transition counts + probabilities — the
+# first-order Markov model of user behavior. Ordering ties broken by
+# event_id (CLAUDE.md: tie-break every ordering with an id); the
+# probability is one BIGINT/BIGINT double division, identical operands on
+# both engines.
+# ---------------------------------------------------------------------------
+
+@register(
+    "event_transition_matrix",
+    """
+WITH seq AS (
+  SELECT user_id, event_type,
+         lag(event_type) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id) AS prev_type
+  FROM events
+),
+c AS (
+  SELECT prev_type, event_type AS next_type, CAST(count(*) AS BIGINT) AS n
+  FROM seq WHERE prev_type IS NOT NULL GROUP BY 1, 2
+),
+t AS (SELECT prev_type, CAST(sum(n) AS BIGINT) AS row_total FROM c GROUP BY 1)
+SELECT c.prev_type, c.next_type, c.n, t.row_total,
+       CAST(c.n AS DOUBLE) / t.row_total AS p
+FROM c JOIN t USING (prev_type)
+ORDER BY prev_type, next_type
+""",
+)
+def event_transition_matrix(spark, sf_dir):
+    """Scale shape: one user-keyed shuffle for the lag window (users
+    spread it, no hot key), one (prev, next) count agg with map-side
+    partials, and a broadcast of the #event_types^2-row totals."""
+    events = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.col("ts"), F.col("event_id"))
+    seq = events.select(
+        "event_type", F.lag("event_type").over(w).alias("prev_type")
+    ).filter(F.col("prev_type").isNotNull())
+    c = seq.groupBy("prev_type", F.col("event_type").alias("next_type")).agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    t = c.groupBy("prev_type").agg(F.sum("n").cast("long").alias("row_total"))
+    return (
+        c.join(F.broadcast(t), "prev_type")
+        .select(
+            "prev_type",
+            "next_type",
+            "n",
+            "row_total",
+            (F.col("n").cast("double") / F.col("row_total")).alias("p"),
+        )
+        .orderBy("prev_type", "next_type")
+    )

@@ -572,3 +572,74 @@ def bpe_tokenize_counts(spark, sf_dir):
             "compression"
         ),
     ).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# Kneser-Ney bigram statistics (round 8): the count tables an n-gram LM
+# trainer ships — raw bigram counts, left-context totals, continuation
+# counts (distinct left contexts per right word, the KN innovation) and
+# right fan-outs (distinct right types per left word, the lambda weight's
+# numerator). All exact integers; the float smoothing formula is a
+# client-side fold over these tables, so the engine artifact stays
+# bit-exact.
+# ---------------------------------------------------------------------------
+
+@register(
+    "kn_bigram_stats",
+    f"""
+WITH toks AS (
+  SELECT doc_id, unnest({_TOKS_SQL}) AS w,
+         generate_subscripts({_TOKS_SQL}, 1) AS pos
+  FROM documents
+),
+bg AS (
+  SELECT a.w AS w1, b.w AS w2
+  FROM toks a JOIN toks b ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
+),
+c AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS c FROM bg GROUP BY 1, 2),
+lt AS (SELECT w1, CAST(sum(c) AS BIGINT) AS c_w1 FROM c GROUP BY 1),
+cont AS (SELECT w2, CAST(count(*) AS BIGINT) AS n_cont FROM c GROUP BY 1),
+fan AS (SELECT w1, CAST(count(*) AS BIGINT) AS n_fanout FROM c GROUP BY 1)
+SELECT c.w1, c.w2, c.c, lt.c_w1, cont.n_cont, fan.n_fanout
+FROM c
+JOIN lt USING (w1) JOIN cont USING (w2) JOIN fan USING (w1)
+ORDER BY c.c DESC, c.w1, c.w2
+LIMIT 30
+""",
+)
+def kn_bigram_stats(spark, sf_dir):
+    """Top-30 corpus bigrams with the four Kneser-Ney count statistics.
+    Scale shape: one narrow in-array zip for bigrams (no positional
+    self-join — same strings as the oracle's), one (w1, w2) count shuffle,
+    then three VOCABULARY-sized aggregates of that table (not the corpus)
+    joined back — at 100 TB the count table is the only corpus-sized
+    shuffle and everything downstream is dictionary-scale."""
+    from ..operators.dedup import tokens_expr
+
+    docs = load_docs(spark, sf_dir)
+    toks = docs.select("doc_id", tokens_expr("text").alias("toks")).filter(
+        F.size("toks") >= 2
+    )
+    bg = toks.select(
+        F.explode(
+            F.transform(
+                F.slice(F.col("toks"), 1, F.size("toks") - 1),
+                lambda t, i: F.struct(
+                    t.alias("w1"),
+                    F.element_at(F.col("toks"), i + 2).alias("w2"),
+                ),
+            )
+        ).alias("b")
+    ).select("b.w1", "b.w2")
+    c = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).cast("long").alias("c"))
+    lt = c.groupBy("w1").agg(F.sum("c").cast("long").alias("c_w1"))
+    cont = c.groupBy("w2").agg(F.count(F.lit(1)).cast("long").alias("n_cont"))
+    fan = c.groupBy("w1").agg(F.count(F.lit(1)).cast("long").alias("n_fanout"))
+    return (
+        c.join(lt, "w1")
+        .join(cont, "w2")
+        .join(fan, "w1")
+        .select("w1", "w2", "c", "c_w1", "n_cont", "n_fanout")
+        .orderBy(F.col("c").desc(), "w1", "w2")
+        .limit(30)
+    )
