@@ -389,3 +389,19 @@ def test_line_dedup_boilerplate_set_is_broadcast(spark):
     )
     assert "BroadcastHashJoin" not in plan2
     assert "SortMergeJoin" in plan2 or "ShuffledHashJoin" in plan2
+
+
+def test_fuzzy_self_join_has_no_cartesian_shapes(spark):
+    """Both blocking tiers must be equi-joins: the gram join on the gram
+    value, the short tier on the replicated length bucket — never a
+    cartesian/nested-loop pairing of the corpus with itself."""
+    import pyspark.sql.functions as F
+
+    from vector_db_light_spark.operators.fuzzy import fuzzy_self_join
+
+    docs = spark.read.parquet(f"{SF_ORACLE}/documents.parquet").select(
+        "doc_id", F.lower(F.expr("substring(text, 1, 40)")).alias("title")
+    )
+    plan = explain_string(fuzzy_self_join(docs, "title", "doc_id"))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
