@@ -269,3 +269,45 @@ def test_fuzzy_self_join_gram_df_pruning_is_explicit_tradeoff(spark):
     assert (
         fuzzy_self_join(df, "k", "id", max_dist=2, max_gram_df=1).count() == 0
     )
+
+
+def test_incremental_fuzzy_matches_self_join_on_union(spark):
+    """The incremental path's index+probe must find exactly the
+    cross-set pairs the batch self-join over the union finds — including
+    across the tier boundary (one short key, one gram-tier key)."""
+    from vector_db_light_spark.operators.fuzzy import (
+        fuzzy_self_join,
+        incremental_fuzzy_pairs,
+    )
+
+    corpus = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps"),
+            (2, "completely different text"),
+            (3, "abcdefgh"),            # short tier (len 8)
+            (4, "abcdefghij"),          # gram+short overlap (len 10)
+        ],
+        "id bigint, k string",
+    )
+    new = spark.createDataFrame(
+        [
+            (101, "the quick brown fox jumpz"),   # dist 1 to 1
+            (102, "abcdefg"),                      # dist 1 to 3, 3 to 4
+            (103, "abcdefghijkl"),                 # dist 2 to 4 (len 12)
+            (104, "zzzzzzzzzzzzzzzz"),             # matches nothing
+        ],
+        "id bigint, k string",
+    )
+    got = {
+        (r["new_id"], r["existing_id"]): r["dist"]
+        for r in incremental_fuzzy_pairs(corpus, new, "k", "id").collect()
+    }
+    # truth: self-join over the union, restricted to cross-set pairs
+    both = corpus.unionByName(new)
+    want = {
+        (r["id_b"], r["id_a"]): r["dist"]
+        for r in fuzzy_self_join(both, "k", "id").collect()
+        if r["id_b"] > 100 and r["id_a"] <= 100
+    }
+    assert got == want
+    assert (101, 1) in got and (102, 3) in got and (103, 4) in got

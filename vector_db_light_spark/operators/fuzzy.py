@@ -118,3 +118,101 @@ def fuzzy_self_join(
         .filter(F.col("dist") <= max_dist)
         .select("id_a", "id_b", F.col("dist").cast("int").alias("dist"))
     )
+
+
+def fuzzy_blocking_keys(
+    df: DataFrame,
+    key_col: str,
+    id_col: str,
+    max_dist: int = 2,
+    q: int = 3,
+    probe: bool = False,
+) -> DataFrame:
+    """(id, kind, key) blocking rows for the INCREMENTAL entity-resolution
+    path — the persistable gram/length index the batch-vs-corpus join
+    probes (the fuzzy twin of dedup's band table).
+
+    Two row kinds mirror :func:`fuzzy_self_join`'s tiers: ``'g'`` rows are
+    q-grams of strings long enough for the count-filter guarantee;
+    ``'l'`` rows block the short minority by length. ``probe=False``
+    emits INDEX rows (one length row per short string); ``probe=True``
+    emits PROBE rows (a short string fans out to the ``2k+1`` partner
+    lengths it could match). Completeness across the tiers holds because
+    a pair's lengths differ by <= k: if either member is under the gram
+    bound, BOTH are under the short bound + k, so the probe's length
+    fan-out reaches the index's length row; pairs with both members at or
+    above the gram bound meet in the gram tier."""
+    keyed = df.select(
+        F.col(id_col).alias("_fid"), F.col(key_col).alias("_k")
+    ).filter(F.col("_k").isNotNull())
+    gram_bound = q + q * max_dist
+    short_bound = gram_bound + max_dist
+
+    long_rows = keyed.filter(F.length("_k") >= gram_bound)
+    grams = F.transform(
+        F.sequence(F.lit(1), F.length("_k") - q + 1),
+        lambda i: F.col("_k").substr(i, F.lit(q)),
+    )
+    g = long_rows.select(
+        "_fid", F.lit("g").alias("kind"), F.explode(grams).alias("key")
+    )
+    shorts = keyed.filter(F.length("_k") < short_bound)
+    if probe:
+        lens = shorts.select(
+            "_fid",
+            F.lit("l").alias("kind"),
+            F.explode(
+                F.transform(
+                    F.sequence(
+                        F.length("_k") - max_dist, F.length("_k") + max_dist
+                    ),
+                    lambda x: x.cast("string"),
+                )
+            ).alias("key"),
+        )
+    else:
+        lens = shorts.select(
+            "_fid",
+            F.lit("l").alias("kind"),
+            F.length("_k").cast("string").alias("key"),
+        )
+    return g.unionByName(lens)
+
+
+def incremental_fuzzy_pairs(
+    corpus: DataFrame,
+    new: DataFrame,
+    key_col: str,
+    id_col: str,
+    max_dist: int = 2,
+    q: int = 3,
+) -> DataFrame:
+    """(new_id, existing_id, dist) for every new-batch key within
+    ``max_dist`` of a corpus key — the daily-ingest entity-resolution
+    pass. Candidate generation joins the NEW batch's probe rows against
+    the corpus' (persistable) blocking index only, so per-batch cost
+    scales with the batch, never |corpus|^2 (the dedup_incremental_lsh
+    posture); verification computes the exact distance on candidates."""
+    idx = fuzzy_blocking_keys(
+        corpus, key_col, id_col, max_dist=max_dist, q=q, probe=False
+    ).select(F.col("_fid").alias("existing_id"), "kind", "key")
+    probes = fuzzy_blocking_keys(
+        new, key_col, id_col, max_dist=max_dist, q=q, probe=True
+    ).select(F.col("_fid").alias("new_id"), "kind", "key")
+    cands = probes.join(idx, ["kind", "key"]).select(
+        "new_id", "existing_id"
+    ).distinct()
+    kn = new.select(
+        F.col(id_col).alias("new_id"), F.col(key_col).alias("_kn")
+    )
+    ke = corpus.select(
+        F.col(id_col).alias("existing_id"), F.col(key_col).alias("_ke")
+    )
+    return (
+        cands.join(kn, "new_id")
+        .join(ke, "existing_id")
+        .filter(F.abs(F.length("_kn") - F.length("_ke")) <= max_dist)
+        .withColumn("dist", F.levenshtein("_kn", "_ke"))
+        .filter(F.col("dist") <= max_dist)
+        .select("new_id", "existing_id", F.col("dist").cast("int").alias("dist"))
+    )

@@ -1234,3 +1234,43 @@ def fuzzy_join_titles(spark, sf_dir):
     return fuzzy_self_join(
         docs, key_col="title", id_col="doc_id", max_dist=2, q=3
     ).orderBy("id_a", "id_b")
+
+
+@register(
+    "fuzzy_incremental_pairs",
+    """
+WITH corpus AS (
+  SELECT doc_id, lower(substr(text, 1, 40)) AS title FROM documents
+),
+newb AS (
+  SELECT doc_id + 100000 AS doc_id, lower(substr(text, 1, 39)) AS title
+  FROM documents WHERE doc_id % 10 = 0
+)
+SELECT n.doc_id AS new_id, c.doc_id AS existing_id,
+       CAST(levenshtein(n.title, c.title) AS INT) AS dist
+FROM newb n JOIN corpus c
+  ON abs(length(n.title) - length(c.title)) <= 2
+ AND levenshtein(n.title, c.title) <= 2
+ORDER BY new_id, existing_id
+""",
+)
+def fuzzy_incremental_pairs(spark, sf_dir):
+    """Batch-vs-corpus fuzzy matching: a simulated daily batch (every 10th
+    doc's title with its last char dropped — edit distance 1 to its
+    source) probed against the corpus' gram/length blocking index
+    (operators/fuzzy.py::incremental_fuzzy_pairs). The oracle is again the
+    blocking-free quadratic truth join, certifying the index loses no
+    pair."""
+    from ..operators.fuzzy import incremental_fuzzy_pairs
+
+    docs = load(spark, sf_dir, "documents")
+    corpus = docs.select(
+        "doc_id", F.lower(F.expr("substring(text, 1, 40)")).alias("title")
+    )
+    new = docs.filter(F.col("doc_id") % 10 == 0).select(
+        (F.col("doc_id") + 100000).alias("doc_id"),
+        F.lower(F.expr("substring(text, 1, 39)")).alias("title"),
+    )
+    return incremental_fuzzy_pairs(
+        corpus, new, key_col="title", id_col="doc_id", max_dist=2, q=3
+    ).orderBy("new_id", "existing_id")
