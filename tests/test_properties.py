@@ -356,9 +356,6 @@ def test_biff8_sst_continue_roundtrip_property(strings):
     """_parse_sst(_sst_records(xs)) == xs for arbitrary string tables —
     including tables big enough to split across CONTINUE records and
     strings mixing compressed and UTF-16 encodings."""
-    from vector_db_light_spark import registry  # noqa: F401 — populates the
-    # query registry first; importing queries.pipeline directly would hit
-    # the circular-import guard in registry._reorder
     from vector_db_light_spark.queries.pipeline import _sst_records
     from vector_db_light_spark.sources.ingest import _parse_sst
 

@@ -41,6 +41,50 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def _prune_hot_grams(
+    blocking: DataFrame, index: DataFrame, max_gram_df: int
+) -> DataFrame:
+    """Drop gram rows whose key appears in more than ``max_gram_df``
+    distinct INDEX strings (prefix-filter style — the documented recall
+    trade for corpora where stopword-grams dominate the join). Length
+    rows pass through untouched."""
+    rare = (
+        index.filter(F.col("kind") == "g")
+        .groupBy("key")
+        .agg(F.count_distinct("_fid").alias("_df"))
+        .filter(F.col("_df") <= max_gram_df)
+        .select("key")
+    )
+    return blocking.filter(F.col("kind") == "l").unionByName(
+        blocking.filter(F.col("kind") == "g").join(
+            F.broadcast(rare), "key", "left_semi"
+        )
+    )
+
+
+def _verify_pairs(
+    cands: DataFrame,
+    left_keys: DataFrame,
+    right_keys: DataFrame,
+    left_id: str,
+    right_id: str,
+    max_dist: int,
+) -> DataFrame:
+    """Exact-distance verification on candidates only (length window
+    first — a cheap codegen predicate that skips the DP for most false
+    drops)."""
+    return (
+        cands.join(left_keys, left_id)
+        .join(right_keys, right_id)
+        .filter(F.abs(F.length("_ka") - F.length("_kb")) <= max_dist)
+        .withColumn("dist", F.levenshtein("_ka", "_kb"))
+        .filter(F.col("dist") <= max_dist)
+        .select(
+            left_id, right_id, F.col("dist").cast("int").alias("dist")
+        )
+    )
+
+
 def fuzzy_self_join(
     df: DataFrame,
     key_col: str,
@@ -50,74 +94,38 @@ def fuzzy_self_join(
     max_gram_df: int | None = None,
 ) -> DataFrame:
     """(id_a, id_b, dist) for every pair with ``levenshtein <= max_dist``
-    (``id_a < id_b``). See module docstring for the blocking guarantee."""
+    (``id_a < id_b``). See module docstring for the blocking guarantee.
+
+    Candidates are one probe-vs-index equi-join over
+    :func:`fuzzy_blocking_keys` — the SAME tier construction the
+    incremental path uses (review r8: a hand-rolled copy here would let
+    the two paths' completeness-critical bounds drift apart)."""
     keyed = df.select(
         F.col(id_col).alias("_fid"), F.col(key_col).alias("_k")
     ).filter(F.col("_k").isNotNull())
 
-    gram_bound = q + q * max_dist          # gram tier admission
-    short_bound = gram_bound + max_dist    # short tier admission
-
-    # tier 1: q-gram blocking (complete for len >= gram_bound)
-    long_rows = keyed.filter(F.length("_k") >= gram_bound)
-    grams = F.transform(
-        F.sequence(F.lit(1), F.length("_k") - q + 1),
-        lambda i: F.col("_k").substr(i, F.lit(q)),
+    idx = fuzzy_blocking_keys(
+        keyed, "_k", "_fid", max_dist=max_dist, q=q, probe=False
     )
-    g = long_rows.select("_fid", F.explode(grams).alias("_g"))
+    prb = fuzzy_blocking_keys(
+        keyed, "_k", "_fid", max_dist=max_dist, q=q, probe=True
+    )
     if max_gram_df is not None:
-        # prefix-filter style pruning of hot grams (approximate: documented
-        # recall trade for corpora where stopword-grams dominate the join)
-        rare = (
-            g.groupBy("_g")
-            .agg(F.count_distinct("_fid").alias("_df"))
-            .filter(F.col("_df") <= max_gram_df)
-            .select("_g")
+        idx = _prune_hot_grams(idx, idx, max_gram_df)
+        prb = _prune_hot_grams(prb, idx, max_gram_df)
+    cands = (
+        prb.select(F.col("_fid").alias("id_a"), "kind", "key")
+        .join(
+            idx.select(F.col("_fid").alias("id_b"), "kind", "key"),
+            ["kind", "key"],
         )
-        g = g.join(F.broadcast(rare), "_g", "left_semi")
-    ga, gb = g.alias("a"), g.alias("b")
-    cand_gram = (
-        ga.join(gb, F.col("a._g") == F.col("b._g"))
-        .filter(F.col("a._fid") < F.col("b._fid"))
-        .select(
-            F.col("a._fid").alias("id_a"), F.col("b._fid").alias("id_b")
-        )
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
     )
-
-    # tier 2: length-bucket blocking for the short minority — each left
-    # row replicates to the 2k+1 partner lengths, equi-join on the bucket
-    shorts = keyed.filter(F.length("_k") < short_bound)
-    la = shorts.select(
-        "_fid",
-        F.explode(
-            F.sequence(
-                F.length("_k") - max_dist, F.length("_k") + max_dist
-            )
-        ).alias("_lb"),
-    )
-    lb = shorts.select(F.col("_fid").alias("_fid_b"), F.length("_k").alias("_lb"))
-    cand_short = (
-        la.join(lb, "_lb")
-        .filter(F.col("_fid") < F.col("_fid_b"))
-        .select(F.col("_fid").alias("id_a"), F.col("_fid_b").alias("id_b"))
-    )
-
-    cands = cand_gram.unionByName(cand_short).distinct()
-
-    # verify: exact distance on candidates only (length window first —
-    # a cheap codegen predicate that skips the DP for most false drops)
     ka = keyed.select(F.col("_fid").alias("id_a"), F.col("_k").alias("_ka"))
     kb = keyed.select(F.col("_fid").alias("id_b"), F.col("_k").alias("_kb"))
-    return (
-        cands.join(ka, "id_a")
-        .join(kb, "id_b")
-        .filter(
-            F.abs(F.length("_ka") - F.length("_kb")) <= max_dist
-        )
-        .withColumn("dist", F.levenshtein("_ka", "_kb"))
-        .filter(F.col("dist") <= max_dist)
-        .select("id_a", "id_b", F.col("dist").cast("int").alias("dist"))
-    )
+    return _verify_pairs(cands, ka, kb, "id_a", "id_b", max_dist)
 
 
 def fuzzy_blocking_keys(
@@ -186,16 +194,27 @@ def incremental_fuzzy_pairs(
     id_col: str,
     max_dist: int = 2,
     q: int = 3,
+    index: DataFrame | None = None,
 ) -> DataFrame:
     """(new_id, existing_id, dist) for every new-batch key within
     ``max_dist`` of a corpus key — the daily-ingest entity-resolution
     pass. Candidate generation joins the NEW batch's probe rows against
-    the corpus' (persistable) blocking index only, so per-batch cost
-    scales with the batch, never |corpus|^2 (the dedup_incremental_lsh
-    posture); verification computes the exact distance on candidates."""
-    idx = fuzzy_blocking_keys(
-        corpus, key_col, id_col, max_dist=max_dist, q=q, probe=False
-    ).select(F.col("_fid").alias("existing_id"), "kind", "key")
+    the corpus' blocking index only, so per-batch cost scales with the
+    batch, never |corpus|^2 (the dedup_incremental_lsh posture);
+    verification computes the exact distance on candidates.
+
+    Pass ``index`` — a PERSISTED :func:`fuzzy_blocking_keys`
+    (``probe=False``) table, built with the SAME (max_dist, q) — to skip
+    re-deriving it from the corpus: that is the whole point of the
+    incremental path at scale (review r8: without this parameter every
+    batch re-exploded q-grams over the entire corpus). The raw ``corpus``
+    frame is still needed for the candidate-only key lookup at verify
+    time (an id equi-join, not a corpus scan of the keys' grams)."""
+    if index is None:
+        index = fuzzy_blocking_keys(
+            corpus, key_col, id_col, max_dist=max_dist, q=q, probe=False
+        )
+    idx = index.select(F.col("_fid").alias("existing_id"), "kind", "key")
     probes = fuzzy_blocking_keys(
         new, key_col, id_col, max_dist=max_dist, q=q, probe=True
     ).select(F.col("_fid").alias("new_id"), "kind", "key")
@@ -203,16 +222,9 @@ def incremental_fuzzy_pairs(
         "new_id", "existing_id"
     ).distinct()
     kn = new.select(
-        F.col(id_col).alias("new_id"), F.col(key_col).alias("_kn")
+        F.col(id_col).alias("new_id"), F.col(key_col).alias("_ka")
     )
     ke = corpus.select(
-        F.col(id_col).alias("existing_id"), F.col(key_col).alias("_ke")
+        F.col(id_col).alias("existing_id"), F.col(key_col).alias("_kb")
     )
-    return (
-        cands.join(kn, "new_id")
-        .join(ke, "existing_id")
-        .filter(F.abs(F.length("_kn") - F.length("_ke")) <= max_dist)
-        .withColumn("dist", F.levenshtein("_kn", "_ke"))
-        .filter(F.col("dist") <= max_dist)
-        .select("new_id", "existing_id", F.col("dist").cast("int").alias("dist"))
-    )
+    return _verify_pairs(cands, kn, ke, "new_id", "existing_id", max_dist)

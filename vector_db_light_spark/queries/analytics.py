@@ -6,7 +6,7 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
-from ..registry import load, register
+from .._registry_core import load, register
 
 
 # ---------------------------------------------------------------------------

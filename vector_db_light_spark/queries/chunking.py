@@ -12,7 +12,7 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from ..operators import chunking as C
-from ..registry import load_docs, register
+from .._registry_core import load_docs, register
 
 CHUNK_SIZE = 120  # scaled to the ~300-char fixture docs (reference: 1200)
 OV_SIZE, OV_OVERLAP = 150, 50  # step 100 (reference: 1200/600 -> step 600)

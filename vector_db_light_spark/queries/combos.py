@@ -24,7 +24,7 @@ from pyspark.sql import functions as F
 from ..operators import knn as K
 from ..operators import textstats as T
 from ..operators.dedup import shingles_from_tokens, tokens_expr
-from ..registry import ORACLES, load, register
+from .._registry_core import ORACLES, load, register
 from ._sqlutil import QUERY_VEC
 
 # ---------------------------------------------------------------------------

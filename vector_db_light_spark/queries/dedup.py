@@ -14,7 +14,7 @@ from pyspark.sql.window import Window
 
 from ..operators import dedup as D
 from ..plans.spread import spread
-from ..registry import load, register
+from .._registry_core import load, register
 from ._sqlutil import dot_sql
 
 # --- shared corpus builders (Spark + SQL twins) ----------------------------

@@ -12,7 +12,7 @@ from pyspark.sql import functions as F
 
 from ..functions.embedding import embed_documents
 from ..operators.multimodal import attach_payload, extract_media_meta
-from ..registry import load, load_docs, register
+from .._registry_core import load, load_docs, register
 
 _TOKS_SQL = r"list_filter(regexp_split_to_array(trim(lower(text)), '\s+'), t -> t != '')"
 
@@ -369,10 +369,15 @@ def _build_cfb(streams: dict[str, bytes]) -> bytes:
         return bytes(e)
 
     # Root's child points at the first stream entry; streams chain as a
-    # degenerate right-sibling tree (a valid BST for the <=3 fixture
-    # streams) — review r8: a NOSTREAM child made real consumers see an
-    # empty container even though this repo's lenient reader ignored it.
-    n_streams = len(entries)
+    # degenerate right-sibling tree in CFB NAME ORDER (shorter names
+    # first, then case-insensitive — MS-CFB 2.6.4), which makes the chain
+    # a valid BST for ANY input order, not just pre-sorted callers
+    # (review r8 twice: first a NOSTREAM child made real consumers see an
+    # empty container; then an insertion-ordered chain violated BST order
+    # for unsorted names). Mini-stream starts are carried in the tuples,
+    # so sorting the DIRECTORY does not move stream bytes.
+    ordered = sorted(entries, key=lambda e: (len(e[0]), e[0].upper()))
+    n_streams = len(ordered)
     directory = dirent(
         "Root Entry", 5, 3, len(mini), child=(1 if n_streams else FREE)
     ) + b"".join(
@@ -380,7 +385,7 @@ def _build_cfb(streams: dict[str, bytes]) -> bytes:
             name, 2, s, sz,
             right=(k + 2 if k + 1 < n_streams else FREE),
         )
-        for k, (name, s, sz) in enumerate(entries)
+        for k, (name, s, sz) in enumerate(ordered)
     )
     if len(directory) > 512:
         raise ValueError("fixture CFB supports at most 3 streams")

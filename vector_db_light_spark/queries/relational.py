@@ -14,7 +14,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from ..operators import relational as R
-from ..registry import load, register
+from .._registry_core import load, register
 
 
 # ---------------------------------------------------------------------------

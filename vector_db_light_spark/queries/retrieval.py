@@ -12,7 +12,7 @@ from pyspark.sql.window import Window
 
 from ..functions import vector as V
 from ..operators import knn as K
-from ..registry import load, register
+from .._registry_core import load, register
 from ._sqlutil import QUERY_VEC, QUERY_VEC_SQL, clip01_sql, dot_sql, sumsq_sql
 
 K_DEFAULT = 6  # reference config.py:28 (contexts)

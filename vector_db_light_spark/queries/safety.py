@@ -12,7 +12,7 @@ from pyspark.sql import functions as F
 
 from ..operators.decontam import ngram_overlap
 from ..operators.pii import scrub
-from ..registry import load_docs, register
+from .._registry_core import load_docs, register
 from .dedup import _CORPUS_SQL, _corpus
 
 # ---------------------------------------------------------------------------

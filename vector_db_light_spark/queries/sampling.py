@@ -10,7 +10,7 @@ from pyspark.sql import functions as F
 
 from ..operators import sampling as SM
 from ..operators.dedup import tokens_expr
-from ..registry import load, register
+from .._registry_core import load, register
 
 # Downsample the dominant language, keep the tail — the canonical
 # rebalancing move before training-data mixing.

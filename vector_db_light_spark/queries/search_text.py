@@ -15,7 +15,7 @@ from ..functions.embedding import HashedFeatureEmbedder, embed_documents
 from ..functions.policy import prefixed_query
 from ..functions.vector import clip01, dot, vector_lit
 from ..operators import text_search as T
-from ..registry import load_docs, register
+from .._registry_core import load_docs, register
 from ._sqlutil import vec_sql
 
 QUERY_TEXT = "data batch stream query join"

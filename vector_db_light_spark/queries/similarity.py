@@ -7,7 +7,7 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from ..operators import similarity as S
-from ..registry import load, register
+from .._registry_core import load, register
 from ._sqlutil import QUERY_VEC, QUERY_VEC_SQL, dot_sql, vec_sql
 
 DIM = 64
