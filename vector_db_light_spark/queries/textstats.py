@@ -596,14 +596,13 @@ bg AS (
   SELECT a.w AS w1, b.w AS w2
   FROM toks a JOIN toks b ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
 ),
-c AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS c FROM bg GROUP BY 1, 2),
-lt AS (SELECT w1, CAST(sum(c) AS BIGINT) AS c_w1 FROM c GROUP BY 1),
-cont AS (SELECT w2, CAST(count(*) AS BIGINT) AS n_cont FROM c GROUP BY 1),
-fan AS (SELECT w1, CAST(count(*) AS BIGINT) AS n_fanout FROM c GROUP BY 1)
-SELECT c.w1, c.w2, c.c, lt.c_w1, cont.n_cont, fan.n_fanout
+c AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS c FROM bg GROUP BY 1, 2)
+SELECT w1, w2, c,
+       CAST(sum(c) OVER (PARTITION BY w1) AS BIGINT) AS c_w1,
+       CAST(count(*) OVER (PARTITION BY w2) AS BIGINT) AS n_cont,
+       CAST(count(*) OVER (PARTITION BY w1) AS BIGINT) AS n_fanout
 FROM c
-JOIN lt USING (w1) JOIN cont USING (w2) JOIN fan USING (w1)
-ORDER BY c.c DESC, c.w1, c.w2
+ORDER BY c DESC, w1, w2
 LIMIT 30
 """,
 )
@@ -611,9 +610,14 @@ def kn_bigram_stats(spark, sf_dir):
     """Top-30 corpus bigrams with the four Kneser-Ney count statistics.
     Scale shape: one narrow in-array zip for bigrams (no positional
     self-join — same strings as the oracle's), one (w1, w2) count shuffle,
-    then three VOCABULARY-sized aggregates of that table (not the corpus)
-    joined back — at 100 TB the count table is the only corpus-sized
-    shuffle and everything downstream is dictionary-scale."""
+    then TWO window passes over that vocabulary-sized table (the w1
+    window computes the left total AND the fan-out in one exchange; the
+    w2 window the continuation count) — at 100 TB the count table is the
+    only corpus-sized shuffle and everything downstream is
+    dictionary-scale. The initial join-back formulation cost 11 shuffles
+    (PLANS.md audit); windows cost 3."""
+    from pyspark.sql.window import Window
+
     from ..operators.dedup import tokens_expr
 
     docs = load_docs(spark, sf_dir)
@@ -632,14 +636,16 @@ def kn_bigram_stats(spark, sf_dir):
         ).alias("b")
     ).select("b.w1", "b.w2")
     c = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).cast("long").alias("c"))
-    lt = c.groupBy("w1").agg(F.sum("c").cast("long").alias("c_w1"))
-    cont = c.groupBy("w2").agg(F.count(F.lit(1)).cast("long").alias("n_cont"))
-    fan = c.groupBy("w1").agg(F.count(F.lit(1)).cast("long").alias("n_fanout"))
+    w1w, w2w = Window.partitionBy("w1"), Window.partitionBy("w2")
     return (
-        c.join(lt, "w1")
-        .join(cont, "w2")
-        .join(fan, "w1")
-        .select("w1", "w2", "c", "c_w1", "n_cont", "n_fanout")
+        c.select(
+            "w1",
+            "w2",
+            "c",
+            F.sum("c").over(w1w).cast("long").alias("c_w1"),
+            F.count(F.lit(1)).over(w2w).cast("long").alias("n_cont"),
+            F.count(F.lit(1)).over(w1w).cast("long").alias("n_fanout"),
+        )
         .orderBy(F.col("c").desc(), "w1", "w2")
         .limit(30)
     )
