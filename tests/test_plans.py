@@ -405,3 +405,40 @@ def test_fuzzy_self_join_has_no_cartesian_shapes(spark):
     plan = explain_string(fuzzy_self_join(docs, "title", "doc_id"))
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_filtered_ivf_pushes_both_predicates_to_the_scan(spark):
+    """Filtered ANN must PRE-filter: the metadata predicate and the probed
+    cluster IN-list both reach the parquet scan of one pass — no
+    post-top-k filter (which starves k under selective predicates) and no
+    second scan."""
+    import pyspark.sql.functions as F
+
+    from vector_db_light_spark.operators.similarity import (
+        ivf_centroids,
+        ivf_search,
+    )
+
+    emb = spark.read.parquet(f"{SF_ORACLE}/embeddings.parquet")
+    cents = ivf_centroids(emb, 64).persist()
+    cents.count()
+    try:
+        df = ivf_search(
+            emb.filter(F.col("vec_id") % 3 == 0),
+            Q,
+            nprobe=2,
+            k=10,
+            centroids=cents,
+        )
+        plan = explain_string(df)
+        scan_part = plan.split("Scan parquet")[-1]
+        pushed = [l for l in scan_part.splitlines() if "PushedFilters" in l]
+        assert pushed and "In(label" in pushed[0], plan
+        # the vec_id predicate sits in the same scan's filter stage (modulo
+        # isn't a pushable parquet predicate, but it must be BELOW top-k)
+        assert plan.index("vec_id#") < plan.index("TakeOrderedAndProject") or (
+            "(vec_id" in scan_part
+        )
+        assert "TakeOrderedAndProject" in plan
+    finally:
+        cents.unpersist()

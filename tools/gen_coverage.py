@@ -20,6 +20,7 @@ HEADER = "## Full registered-query index (authoritative, auto-generated)"
 
 # One-line notes shown next to a query entry (optional).
 ANNOTATIONS: dict[str, str] = {
+    "ann_ivf_filtered": "metadata predicate PRE-filtered into the same probed scan (no post-top-k k-starvation)",
     "ann_ivf_kmeans_recall": "trained-IVF recall@5 0.51 vs 0.35 label-IVF",
     "ann_ivfpq_recall": "IVF cluster prune x PQ/ADC stacked, recall@5",
     "ann_lsh_ndcg": "rank-discounted quality, literal discounts, no engine log()",

@@ -416,6 +416,47 @@ def ann_ivf_pruned(spark, sf_dir):
     return S.ivf_search(emb, QUERY_VEC, nprobe=2, k=10, centroids=cents)
 
 
+@register(
+    "ann_ivf_filtered",
+    f"""
+WITH cents AS (
+  SELECT label, [{_CENT_COLS_SQL}] AS centroid
+  FROM embeddings GROUP BY label
+),
+probe AS (
+  SELECT label FROM cents
+  ORDER BY 1.0 - {dot_sql('centroid')} ASC, label ASC
+  LIMIT 2
+)
+SELECT e.vec_id, e.label, 1.0 - {dot_sql('e.embedding')} AS distance
+FROM embeddings e
+WHERE e.label IN (SELECT label FROM probe)
+  AND e.vec_id % 3 = 0
+ORDER BY distance ASC, vec_id ASC
+LIMIT 10
+""",
+)
+def ann_ivf_filtered(spark, sf_dir):
+    """FILTERED vector search — the metadata-predicate-plus-ANN combination
+    every vector DB user eventually needs (tenant/source/type scoping).
+    Strategy here is PRE-filter: the predicate composes with the IVF
+    cluster pruning on the SAME scan (both reach the parquet reader:
+    cluster IN (...) as a partition filter on a partitioned layout, the
+    metadata predicate as a pushed row filter), so top-k runs over
+    already-filtered rows — no post-hoc k starvation where a selective
+    filter empties a post-filtered result. Centroids come from the FULL
+    corpus build artifact (the index is built once; filters are
+    query-time), which is exactly what the oracle replays."""
+    emb = load(spark, sf_dir, "embeddings")
+    cents = _CENTROID_ARTIFACTS.get(sf_dir)
+    if cents is None:
+        cents = S.ivf_centroids(emb, DIM).persist()
+        cents.count()
+        _CENTROID_ARTIFACTS[sf_dir] = cents
+    filtered = emb.filter(F.col("vec_id") % 3 == 0)
+    return S.ivf_search(filtered, QUERY_VEC, nprobe=2, k=10, centroids=cents)
+
+
 # ---------------------------------------------------------------------------
 # Product quantization (PQ/ADC): 64-dim vectors -> 8 subspaces x 16
 # codewords = 8 small-int codes per vector (32x scan-IO vs float32).
