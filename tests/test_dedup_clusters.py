@@ -311,3 +311,94 @@ def test_incremental_fuzzy_matches_self_join_on_union(spark):
     }
     assert got == want
     assert (101, 1) in got and (102, 3) in got and (103, 4) in got
+
+
+def test_fuzzy_prefix_filter_is_exact(spark):
+    """prefix_filter=True must return the identical pair set: one-sided
+    prefix soundness is pigeonhole (k edits destroy <= q*k positional
+    grams and shift survivors <= k positions, so one of any q*k + 1 probe
+    grams survives in the partner within the position window). Includes
+    repetitive strings ('aaaa…' has ONE distinct gram — the bag/positional
+    form must not collapse) and the boundary-length tiers."""
+    from vector_db_light_spark.operators.fuzzy import fuzzy_self_join
+
+    rows = [
+        (1, "the quick brown fox jumps over the dog"),
+        (2, "the quick brown fox jumps over the do"),
+        (3, "the quick brown fox jumpz over the dig"),
+        (4, "completely different sentence entirely"),
+        (5, "cat"), (6, "cut"), (7, "ba"),
+        (8, "abcdefgh"), (9, "abcdefghij"),
+        (10, "aaaaaaaaaaaaaaaa"), (11, "aaaaaaaaaaaaaaab"),
+        (12, "aaabaaaaaaaaaaaa"),
+    ]
+    df = spark.createDataFrame(rows, "id bigint, k string")
+    full = sorted(
+        map(tuple, fuzzy_self_join(df, "k", "id", max_dist=2).collect())
+    )
+    pref = sorted(
+        map(
+            tuple,
+            fuzzy_self_join(
+                df, "k", "id", max_dist=2, prefix_filter=True
+            ).collect(),
+        )
+    )
+    assert full == pref and (10, 11) in {(a, b) for a, b, _ in pref}
+
+
+def test_fuzzy_prefix_filter_random_mutation_sweep(spark):
+    """Seeded random corpus of base strings + typo mutations (substitute /
+    delete / insert / transpose-ish), prefix-filtered join vs a full
+    python brute force — one Spark call, dozens of adversarial pairs."""
+    import random
+
+    from vector_db_light_spark.operators.fuzzy import fuzzy_self_join
+
+    rng = random.Random(1234)
+    alpha = "abcdef gh"
+    bases = [
+        "".join(rng.choice(alpha) for _ in range(rng.randint(1, 30)))
+        for _ in range(40)
+    ]
+    rows = []
+    for i, b in enumerate(bases):
+        rows.append((i * 10, b))
+        m = list(b)
+        for _ in range(rng.randint(0, 2)):  # 0-2 random edits
+            op = rng.choice("sdi")
+            if op == "s" and m:
+                m[rng.randrange(len(m))] = rng.choice(alpha)
+            elif op == "d" and m:
+                del m[rng.randrange(len(m))]
+            else:
+                m.insert(rng.randrange(len(m) + 1), rng.choice(alpha))
+        rows.append((i * 10 + 1, "".join(m)))
+    df = spark.createDataFrame(rows, "id bigint, k string")
+    got = sorted(
+        map(
+            tuple,
+            fuzzy_self_join(
+                df, "k", "id", max_dist=2, prefix_filter=True
+            ).collect(),
+        )
+    )
+
+    def ed(a, b):
+        dp = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            prev, dp[0] = dp[0], i
+            for j, cb in enumerate(b, 1):
+                prev, dp[j] = dp[j], min(
+                    dp[j] + 1, dp[j - 1] + 1, prev + (ca != cb)
+                )
+        return dp[len(b)]
+
+    import itertools
+
+    want = sorted(
+        (a, b, ed(ka, kb))
+        for (a, ka), (b, kb) in itertools.combinations(rows, 2)
+        if ed(ka, kb) <= 2
+    )
+    assert got == want

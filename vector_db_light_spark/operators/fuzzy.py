@@ -85,6 +85,48 @@ def _verify_pairs(
     )
 
 
+def _positional_grams(keyed: DataFrame, q: int) -> DataFrame:
+    """(_fid, _g, _pos, _len) positional q-gram rows of pre-aliased
+    (_fid, _k) strings. Positions are 1-based."""
+    grams = F.transform(
+        F.sequence(F.lit(1), F.length("_k") - q + 1),
+        lambda i: F.struct(
+            F.col("_k").substr(i, F.lit(q)).alias("_g"), i.alias("_pos")
+        ),
+    )
+    return keyed.select(
+        "_fid",
+        F.length("_k").alias("_len"),
+        F.explode(grams).alias("_x"),
+    ).select("_fid", "_len", "_x._g", "_x._pos")
+
+
+def _prefix_probe_rows(
+    grams: DataFrame, gram_df: DataFrame, n_prefix: int
+) -> DataFrame:
+    """Each string's ``n_prefix`` RAREST positional grams (global
+    (df, gram, pos) order; unseen grams rank rarest via df 0) — the
+    one-sided prefix filter. Soundness is elementary pigeonhole, not a
+    both-side prefix lemma: k edits destroy at most q*k of a string's
+    positional grams and shift survivors by at most k positions, so ANY
+    q*k + 1 of its grams contain one that survives — in particular the
+    rarest ones, which keeps hot (stopword) grams out of the probe side
+    and turns their join cost linear-in-df instead of df^2."""
+    from pyspark.sql.window import Window
+
+    ranked = grams.join(gram_df, "_g", "left").withColumn(
+        "_rn",
+        F.row_number().over(
+            Window.partitionBy("_fid").orderBy(
+                F.coalesce(F.col("_gdf"), F.lit(0)), "_g", "_pos"
+            )
+        ),
+    )
+    return ranked.filter(F.col("_rn") <= n_prefix).select(
+        "_fid", "_len", "_g", "_pos"
+    )
+
+
 def fuzzy_self_join(
     df: DataFrame,
     key_col: str,
@@ -92,11 +134,24 @@ def fuzzy_self_join(
     max_dist: int = 2,
     q: int = 3,
     max_gram_df: int | None = None,
+    prefix_filter: bool = False,
 ) -> DataFrame:
     """(id_a, id_b, dist) for every pair with ``levenshtein <= max_dist``
     (``id_a < id_b``). See module docstring for the blocking guarantee.
 
-    Candidates are one probe-vs-index equi-join over
+    ``prefix_filter=True`` switches the gram tier to the EXACT one-sided
+    prefix filter (:func:`_prefix_probe_rows`): the probe side shrinks
+    from every gram to the ``q*max_dist + 1`` rarest per string, the
+    index side keeps all positional grams, and candidates additionally
+    need ``|pos_a - pos_b| <= max_dist`` (edits shift positions by at
+    most k). Same answer set — the completeness argument is pigeonhole
+    over EITHER direction of a pair, so each string probing the full
+    index suffices — at a fraction of the hot-gram join cost; prefer it
+    over ``max_gram_df`` (which trades recall) at scale. Default stays
+    the plain full-gram join (simplest plan; fine until stopword grams
+    dominate).
+
+    Candidates otherwise come from one probe-vs-index equi-join over
     :func:`fuzzy_blocking_keys` — the SAME tier construction the
     incremental path uses (review r8: a hand-rolled copy here would let
     the two paths' completeness-critical bounds drift apart)."""
@@ -104,25 +159,79 @@ def fuzzy_self_join(
         F.col(id_col).alias("_fid"), F.col(key_col).alias("_k")
     ).filter(F.col("_k").isNotNull())
 
-    idx = fuzzy_blocking_keys(
-        keyed, "_k", "_fid", max_dist=max_dist, q=q, probe=False
-    )
-    prb = fuzzy_blocking_keys(
-        keyed, "_k", "_fid", max_dist=max_dist, q=q, probe=True
-    )
-    if max_gram_df is not None:
-        idx = _prune_hot_grams(idx, idx, max_gram_df)
-        prb = _prune_hot_grams(prb, idx, max_gram_df)
-    cands = (
-        prb.select(F.col("_fid").alias("id_a"), "kind", "key")
-        .join(
-            idx.select(F.col("_fid").alias("id_b"), "kind", "key"),
-            ["kind", "key"],
+    if prefix_filter:
+        gram_bound = q + q * max_dist
+        short_bound = gram_bound + max_dist
+        longs = keyed.filter(F.length("_k") >= gram_bound)
+        grams = _positional_grams(longs, q)
+        gdf = grams.groupBy("_g").agg(
+            F.count_distinct("_fid").alias("_gdf")
         )
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b")
-        .distinct()
-    )
+        probe = _prefix_probe_rows(grams, gdf, q * max_dist + 1)
+        cand_gram = (
+            probe.select(
+                F.col("_fid").alias("id_a"),
+                F.col("_len").alias("_la"),
+                "_g",
+                F.col("_pos").alias("_pa"),
+            )
+            .join(
+                grams.select(
+                    F.col("_fid").alias("id_b"),
+                    F.col("_len").alias("_lb"),
+                    "_g",
+                    F.col("_pos").alias("_pb"),
+                ),
+                "_g",
+            )
+            .filter(
+                (F.col("id_a") != F.col("id_b"))
+                & (F.abs(F.col("_pa") - F.col("_pb")) <= max_dist)
+                & (F.abs(F.col("_la") - F.col("_lb")) <= max_dist)
+            )
+            .select(
+                F.least("id_a", "id_b").alias("id_a"),
+                F.greatest("id_a", "id_b").alias("id_b"),
+            )
+        )
+        shorts_idx = fuzzy_blocking_keys(
+            keyed.filter(F.length("_k") < short_bound),
+            "_k", "_fid", max_dist=max_dist, q=q, probe=False,
+        ).filter(F.col("kind") == "l")
+        shorts_prb = fuzzy_blocking_keys(
+            keyed.filter(F.length("_k") < short_bound),
+            "_k", "_fid", max_dist=max_dist, q=q, probe=True,
+        ).filter(F.col("kind") == "l")
+        cand_short = (
+            shorts_prb.select(F.col("_fid").alias("id_a"), "kind", "key")
+            .join(
+                shorts_idx.select(F.col("_fid").alias("id_b"), "kind", "key"),
+                ["kind", "key"],
+            )
+            .filter(F.col("id_a") < F.col("id_b"))
+            .select("id_a", "id_b")
+        )
+        cands = cand_gram.unionByName(cand_short).distinct()
+    else:
+        idx = fuzzy_blocking_keys(
+            keyed, "_k", "_fid", max_dist=max_dist, q=q, probe=False
+        )
+        prb = fuzzy_blocking_keys(
+            keyed, "_k", "_fid", max_dist=max_dist, q=q, probe=True
+        )
+        if max_gram_df is not None:
+            idx = _prune_hot_grams(idx, idx, max_gram_df)
+            prb = _prune_hot_grams(prb, idx, max_gram_df)
+        cands = (
+            prb.select(F.col("_fid").alias("id_a"), "kind", "key")
+            .join(
+                idx.select(F.col("_fid").alias("id_b"), "kind", "key"),
+                ["kind", "key"],
+            )
+            .filter(F.col("id_a") < F.col("id_b"))
+            .select("id_a", "id_b")
+            .distinct()
+        )
     ka = keyed.select(F.col("_fid").alias("id_a"), F.col("_k").alias("_ka"))
     kb = keyed.select(F.col("_fid").alias("id_b"), F.col("_k").alias("_kb"))
     return _verify_pairs(cands, ka, kb, "id_a", "id_b", max_dist)

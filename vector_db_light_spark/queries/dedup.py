@@ -1231,8 +1231,12 @@ def fuzzy_join_titles(spark, sf_dir):
     docs = load(spark, sf_dir, "documents").select(
         "doc_id", F.lower(F.expr("substring(text, 1, 40)")).alias("title")
     )
+    # prefix_filter: the exact one-sided prefix path (10x at sf0.1 — the
+    # full-gram join pays df^2 on hot grams; the rarest-(qk+1) probe pays
+    # df linearly and mostly avoids hot grams altogether)
     return fuzzy_self_join(
-        docs, key_col="title", id_col="doc_id", max_dist=2, q=3
+        docs, key_col="title", id_col="doc_id", max_dist=2, q=3,
+        prefix_filter=True,
     ).orderBy("id_a", "id_b")
 
 
