@@ -311,6 +311,14 @@ def test_incremental_fuzzy_matches_self_join_on_union(spark):
     }
     assert got == want
     assert (101, 1) in got and (102, 3) in got and (103, 4) in got
+    # the exact prefix-filtered probe must return the identical pair set
+    got_p = {
+        (r["new_id"], r["existing_id"]): r["dist"]
+        for r in incremental_fuzzy_pairs(
+            corpus, new, "k", "id", prefix_filter=True
+        ).collect()
+    }
+    assert got_p == want
 
 
 def test_fuzzy_prefix_filter_is_exact(spark):

@@ -1276,5 +1276,6 @@ def fuzzy_incremental_pairs(spark, sf_dir):
         F.lower(F.expr("substring(text, 1, 39)")).alias("title"),
     )
     return incremental_fuzzy_pairs(
-        corpus, new, key_col="title", id_col="doc_id", max_dist=2, q=3
+        corpus, new, key_col="title", id_col="doc_id", max_dist=2, q=3,
+        prefix_filter=True,
     ).orderBy("new_id", "existing_id")
