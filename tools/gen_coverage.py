@@ -54,8 +54,8 @@ ANNOTATIONS: dict[str, str] = {
     "events_robust_outliers": "3-MAD rule, median/MAD by exact rank selection",
     "ewma_per_user": "recurrence as bit-identical time-ordered fold",
     "forecast_revenue_q6": "Q6 scan-bound predicate-pushdown shape, BIGINT cents",
-    "fuzzy_incremental_pairs": "daily batch vs persisted gram/length index, new x corpus join only; quadratic truth oracle",
-    "fuzzy_join_titles": "edit-distance<=2 entity resolution; q-gram + length-bucket blocking vs a blocking-free O(n^2) truth oracle",
+    "fuzzy_incremental_pairs": "daily batch vs persisted positional gram/length index (prefix-filtered probes), new x corpus join only; quadratic truth oracle",
+    "fuzzy_join_titles": "edit-distance<=2 entity resolution; exact one-sided prefix filter (10x at sf0.1) vs a blocking-free O(n^2) truth oracle",
     "heavy_hitters_cms": "count-min estimates vs exact, bound pinned TRUE",
     "idle_customer_balance": "Q22 shape: scalar AVG + NOT EXISTS anti",
     "incremental_agg_state": "two-batch monoid merge hash-matches the single-pass answer",
