@@ -218,8 +218,11 @@ def test_multimodal_meta_real_png_decode(spark):
         extract_media_meta,
     )
 
-    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet").filter("doc_id < 12")
+    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet").filter("doc_id < 16")
     meta = {r["doc_id"]: r for r in extract_media_meta(attach_payload(docs)).collect()}
+    assert {r["media_type"] for r in meta.values()} == {
+        "image/png", "audio/wav", "video/mp4", "image/jpeg"
+    }
     for doc_id, r in meta.items():
         assert r["n_bytes"] > 0 and len(r["sha256"]) == 64
         if r["media_type"] == "image/png":
@@ -227,6 +230,12 @@ def test_multimodal_meta_real_png_decode(spark):
             assert r["decode_error"] is None
             assert r["width"] == 8 + doc_id % 9
             assert r["height"] == 8 + doc_id % 7
+        elif r["media_type"] == "image/jpeg":
+            # REAL dims parsed from a real SOF0 header via the full
+            # baseline Huffman+IDCT decode
+            assert r["decode_error"] is None
+            assert r["width"] == 8 * (1 + (doc_id // 4) % 2)
+            assert r["height"] == 8 * (1 + (doc_id // 4) % 3)
         else:
             assert r["width"] is None
 
@@ -267,6 +276,18 @@ def test_multimodal_resize_and_frame_sample(spark):
             w0, h0 = 8 + doc_id % 9, 8 + doc_id % 7
             sx, sy = (2 * w0) // 8, (3 * h0) // 4
             expect = hashlib.md5(f"{doc_id}:{sy}".encode()).digest()[sx]
+            assert out[3 * 8 + 2] == expect
+        elif r["media_type"] == "image/jpeg":
+            assert (r["width"], r["height"]) == (8, 4)
+            out = bytes(r["payload"])
+            assert len(out) == 8 * 4
+            # lossless constant-even-block island: spot-check (2, 3)
+            w0 = 8 * (1 + (doc_id // 4) % 2)
+            h0 = 8 * (1 + (doc_id // 4) % 3)
+            bx, by = ((2 * w0) // 8) // 8, ((3 * h0) // 4) // 8
+            expect = 2 * (
+                hashlib.md5(f"{doc_id}:{bx}:{by}".encode()).digest()[0] % 128
+            )
             assert out[3 * 8 + 2] == expect
         else:  # non-images pass through untouched
             assert r["width"] is None

@@ -69,7 +69,7 @@ ANNOTATIONS: dict[str, str] = {
     "lonely_late_suppliers": "Q21 shape, de-correlated EXISTS/NOT EXISTS",
     "multimodal_audio_features": "audio->windowed-energy fan-out, stub frontend",
     "multimodal_frame_sample": "video->frames fan-out, stub demuxer",
-    "multimodal_resize": "REAL stdlib PNG decode + integer nearest resize; oracle recomputes every output pixel",
+    "multimodal_resize": "REAL stdlib PNG + baseline-JPEG decode + integer nearest resize; oracle recomputes every output pixel",
     "null_safe_join_counts": "<=> vs IS NOT DISTINCT FROM",
     "pagerank_suppliers": "2-round integer-exact PageRank, top-20 suppliers",
     "priority_top_orders_csv": "ordered string_agg vs array_join(array_sort(collect_list))",

@@ -4,15 +4,17 @@ Image/audio/video payloads are ``BinaryType`` columns with a typed metadata
 struct; decode / feature-extract run as Arrow-batched ``mapInPandas`` so the
 payload bytes never round-trip through the driver.
 
-PNG decode is REAL (VERDICT r7 #2): ``functions/png.py`` is a pure-stdlib
-codec (zlib + the five filter predictors of the W3C PNG spec), so the
-image rows of :func:`attach_payload` carry genuine container bytes and the
-decode/resize stages parse them for real — IHDR dims, CRC checks, filter
-reconstruction, deterministic integer nearest-neighbour resampling the
-DuckDB oracle replays arithmetically. Only formats whose codecs genuinely
-aren't expressible with the stdlib stay stubbed: JPEG decode
-(``decode_image_stub`` / ``resize_image_stub``, entropy coding needs a
-real library) and the audio/video frontends.
+Image decode is REAL for both carried formats: ``functions/png.py`` is a
+pure-stdlib PNG codec (zlib + the five filter predictors of the W3C
+spec) and ``functions/jpeg.py`` a pure-stdlib baseline JPEG codec
+(Annex K tables, Huffman scan, DCT) — the image rows of
+:func:`attach_payload` carry genuine container bytes and the
+decode/resize stages parse them for real: header dims, CRC/marker
+checks, filter/Huffman reconstruction, deterministic integer
+nearest-neighbour resampling the DuckDB oracle replays arithmetically
+(JPEG fixtures sit on the lossless constant-even-block island, see
+functions/jpeg.py). Only the audio/video frontends remain stubbed
+(ffmpeg-class demux/resample has no stdlib expression).
 """
 
 from __future__ import annotations
@@ -33,6 +35,7 @@ from pyspark.sql.types import (
     StructType,
 )
 
+from ..functions.jpeg import JpegError, decode_jpeg, encode_jpeg
 from ..functions.png import PngError, decode_png, encode_png, resize_nearest
 
 MEDIA_META_SCHEMA = StructType(
@@ -46,6 +49,28 @@ MEDIA_META_SCHEMA = StructType(
         StructField("decode_error", StringType(), True),
     ]
 )
+
+
+def jpeg_fixture_payload(doc_id: int) -> bytes:
+    """REAL baseline-JPEG bytes for the synthetic media corpus: an 8-bit
+    grayscale image of CONSTANT 8x8 blocks whose (even) values are
+    md5-derived — the lossless island of the lossy codec (constant
+    blocks are DC-only; even values quantize exactly under the Annex K
+    table), so the DuckDB oracles recompute every DECODED pixel:
+    block (bx, by) value = 2 * (byte0(md5('<id>:<bx>:<by>')) % 128);
+    width = 8 * (1 + (id // 4) % 2), height = 8 * (1 + (id // 4) % 3)."""
+    w0 = 8 * (1 + (doc_id // 4) % 2)
+    h0 = 8 * (1 + (doc_id // 4) % 3)
+    px = bytearray(w0 * h0)
+    for by in range(h0 // 8):
+        for bx in range(w0 // 8):
+            v = 2 * (
+                hashlib.md5(f"{doc_id}:{bx}:{by}".encode()).digest()[0] % 128
+            )
+            for y in range(8):
+                for x in range(8):
+                    px[(by * 8 + y) * w0 + bx * 8 + x] = v
+    return encode_jpeg(bytes(px), w0, h0)
 
 
 def png_fixture_payload(doc_id: int) -> bytes:
@@ -68,17 +93,24 @@ def png_fixture_payload(doc_id: int) -> bytes:
 
 def attach_payload(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """Synthesise the media column the documents fixture lacks: image rows
-    (id % 3 == 0) carry REAL PNG container bytes (:func:`png_fixture_payload`,
-    built in an Arrow-batched stage); audio/video rows carry the utf-8 text
-    bytes their stub frontends window/demux."""
+    carry REAL container bytes — PNG for id % 4 == 0
+    (:func:`png_fixture_payload`) and baseline JPEG for id % 4 == 3
+    (:func:`jpeg_fixture_payload`), both built in Arrow-batched stages;
+    audio/video rows carry the utf-8 text bytes their stub frontends
+    window/demux."""
     media_type = (
-        F.when(F.col(id_col) % 3 == 0, "image/png")
-        .when(F.col(id_col) % 3 == 1, "audio/wav")
+        F.when(F.col(id_col) % 4 == 0, "image/png")
+        .when(F.col(id_col) % 4 == 1, "audio/wav")
+        .when(F.col(id_col) % 4 == 3, "image/jpeg")
         .otherwise("video/mp4")
     )
     @F.pandas_udf(BinaryType())
     def _png_udf(ids: pd.Series) -> pd.Series:
         return ids.map(lambda i: png_fixture_payload(int(i)))
+
+    @F.pandas_udf(BinaryType())
+    def _jpeg_udf(ids: pd.Series) -> pd.Series:
+        return ids.map(lambda i: jpeg_fixture_payload(int(i)))
 
     base = docs.select(
         F.col(id_col), media_type.alias("media_type"), F.col(text_col)
@@ -91,22 +123,17 @@ def attach_payload(docs: DataFrame, id_col: str = "doc_id", text_col: str = "tex
     img = base.filter(F.col("media_type") == "image/png").select(
         F.col(id_col), "media_type", _png_udf(F.col(id_col)).alias("payload")
     )
-    rest = base.filter(F.col("media_type") != "image/png").select(
+    jpg = base.filter(F.col("media_type") == "image/jpeg").select(
+        F.col(id_col), "media_type", _jpeg_udf(F.col(id_col)).alias("payload")
+    )
+    rest = base.filter(~F.col("media_type").startswith("image/")).select(
         F.col(id_col),
         "media_type",
         F.encode(F.col(text_col), "utf-8").alias("payload"),
     )
-    return img.unionByName(rest)
+    return img.unionByName(jpg).unionByName(rest)
 
 
-def decode_image_stub(payload: bytes) -> tuple[int, int]:
-    """STUB retained ONLY for JPEG (entropy decode genuinely needs a real
-    library): deterministic fake dimensions from the payload hash. Replace
-    the body with ``PIL.Image.open(io.BytesIO(payload)).size`` when the
-    lib is present. PNG rows never reach this — they go through the real
-    stdlib decoder."""
-    h = hashlib.md5(payload).hexdigest()
-    return 16 + int(h[0], 16), 16 + int(h[1], 16)
 
 
 def extract_media_meta(media: DataFrame) -> DataFrame:
@@ -128,8 +155,10 @@ def extract_media_meta(media: DataFrame) -> DataFrame:
                     if mt == "image/png":
                         width, height, _ch, _px = decode_png(b)
                     elif mt == "image/jpeg":
-                        width, height = decode_image_stub(b)
-                except (PngError, NotImplementedError) as ex:
+                        width, height, _px = decode_jpeg(b)
+                    elif mt and mt.startswith("image/"):
+                        raise NotImplementedError(f"no stdlib decoder: {mt}")
+                except (PngError, JpegError, NotImplementedError) as ex:
                     err = str(ex)
                 rows.append(
                     (
@@ -161,15 +190,6 @@ RESIZED_SCHEMA = StructType(
 )
 
 
-def resize_image_stub(payload: bytes, width: int, height: int) -> bytes:
-    """STUB retained ONLY for JPEG (see decode_image_stub): deterministic
-    fake output bytes — md5 of (payload, target dims) repeated to
-    width*height bytes, so output size actually tracks the target like a
-    real bitmap would. Replace the body with
-    ``PIL.Image.open(...).resize(...)`` when the lib is present."""
-    seed = hashlib.md5(payload + f"#{width}x{height}".encode()).digest()
-    n = width * height
-    return (seed * (n // len(seed) + 1))[:n]
 
 
 def resize_images(media: DataFrame, width: int, height: int) -> DataFrame:
@@ -184,11 +204,11 @@ def resize_images(media: DataFrame, width: int, height: int) -> DataFrame:
     bytes through the driver. Per-row failures land in ``resize_error``
     instead of poisoning the batch.
 
-    PNG rows are REALLY resized: stdlib decode (filters, CRCs) ->
-    deterministic integer nearest-neighbour resample -> the output payload
-    is the resampled PACKED BITMAP (the tensor a downstream featurizer
-    consumes; re-encoding to a container would only burn CPU to be decoded
-    again one stage later). JPEG rows use the retained stub."""
+    Both image formats are REALLY resized: stdlib decode (PNG filters +
+    CRCs, JPEG Huffman + IDCT) -> deterministic integer nearest-neighbour
+    resample -> the output payload is the resampled PACKED BITMAP (the
+    tensor a downstream featurizer consumes; re-encoding to a container
+    would only burn CPU to be decoded again one stage later)."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -202,9 +222,12 @@ def resize_images(media: DataFrame, width: int, height: int) -> DataFrame:
                 try:
                     if mt == "image/png":
                         w0, h0, ch, px = decode_png(b)
-                        b = resize_nearest(px, w0, h0, ch, width, height)
+                    elif mt == "image/jpeg":
+                        w0, h0, px = decode_jpeg(b)
+                        ch = 1
                     else:
-                        b = resize_image_stub(b, width, height)
+                        raise NotImplementedError(f"no stdlib decoder: {mt}")
+                    b = resize_nearest(px, w0, h0, ch, width, height)
                     w, h = width, height
                 except Exception as ex:  # noqa: BLE001 — row-level contract
                     err = f"{type(ex).__name__}: {ex}"

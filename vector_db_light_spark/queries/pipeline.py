@@ -164,12 +164,14 @@ def ingest_metadata(spark, sf_dir):
 
 # ---------------------------------------------------------------------------
 # Multimodal: binary payload column + Arrow-batched metadata extraction.
-# PNG rows carry REAL container bytes (functions/png.py stdlib codec) whose
-# DECODED facts — IHDR dims, per-pixel values — are pure integer/md5
-# functions of the id, so the oracle rebuilds them arithmetically. The
-# container bytes themselves (zlib stream, CRCs) are not SQL-expressible:
-# like the ingest fixtures' zip containers, byte-level fields use
-# sentinels for png rows while the DECODE facts carry the parity.
+# Image rows carry REAL container bytes — PNG (functions/png.py) and
+# baseline JPEG (functions/jpeg.py, block-constant fixtures on the lossy
+# codec's lossless even-value island) — whose DECODED facts (header dims,
+# per-pixel values) are pure integer/md5 functions of the id, so the
+# oracle rebuilds them arithmetically. The container bytes themselves
+# (zlib/Huffman streams, CRCs) are not SQL-expressible: like the ingest
+# fixtures' zip containers, byte-level fields use sentinels for image
+# rows while the DECODE facts carry the parity.
 # ---------------------------------------------------------------------------
 
 @register(
@@ -177,21 +179,28 @@ def ingest_metadata(spark, sf_dir):
     """
 WITH media AS (
   SELECT doc_id,
-         CASE WHEN doc_id % 3 = 0 THEN 'image/png'
-              WHEN doc_id % 3 = 1 THEN 'audio/wav'
+         CASE WHEN doc_id % 4 = 0 THEN 'image/png'
+              WHEN doc_id % 4 = 1 THEN 'audio/wav'
+              WHEN doc_id % 4 = 3 THEN 'image/jpeg'
               ELSE 'video/mp4' END AS media_type,
          text
   FROM documents
 )
 SELECT doc_id, media_type,
-       CASE WHEN media_type = 'image/png' THEN CAST(-1 AS BIGINT)
+       CASE WHEN media_type LIKE 'image/%' THEN CAST(-1 AS BIGINT)
             ELSE CAST(octet_length(encode(text)) AS BIGINT) END AS n_bytes,
-       CASE WHEN media_type = 'image/png' THEN ''
+       CASE WHEN media_type LIKE 'image/%' THEN ''
             ELSE sha256(text) END AS sha256,
        CASE WHEN media_type = 'image/png'
-            THEN CAST(8 + doc_id % 9 AS INT) ELSE -1 END AS width,
+            THEN CAST(8 + doc_id % 9 AS INT)
+            WHEN media_type = 'image/jpeg'
+            THEN CAST(8 * (1 + (doc_id // 4) % 2) AS INT)
+            ELSE -1 END AS width,
        CASE WHEN media_type = 'image/png'
-            THEN CAST(8 + doc_id % 7 AS INT) ELSE -1 END AS height
+            THEN CAST(8 + doc_id % 7 AS INT)
+            WHEN media_type = 'image/jpeg'
+            THEN CAST(8 * (1 + (doc_id // 4) % 3) AS INT)
+            ELSE -1 END AS height
 FROM media
 ORDER BY doc_id
 """,
@@ -205,14 +214,14 @@ def multimodal_meta(spark, sf_dir):
     docs = load(spark, sf_dir, "documents")
     media = attach_payload(docs)
     meta = extract_media_meta(media)
-    is_png = F.col("media_type") == "image/png"
+    is_img = F.col("media_type").startswith("image/")
     return meta.select(
         "doc_id",
         "media_type",
-        F.when(is_png, F.lit(-1).cast("bigint"))
+        F.when(is_img, F.lit(-1).cast("bigint"))
         .otherwise(F.col("n_bytes"))
         .alias("n_bytes"),
-        F.when(is_png, F.lit("")).otherwise(F.col("sha256")).alias("sha256"),
+        F.when(is_img, F.lit("")).otherwise(F.col("sha256")).alias("sha256"),
         F.coalesce(F.col("width"), F.lit(-1)).cast("int").alias("width"),
         F.coalesce(F.col("height"), F.lit(-1)).cast("int").alias("height"),
     ).orderBy("doc_id")
@@ -681,8 +690,9 @@ def ingest_parse_documents(spark, sf_dir):
     """
 WITH media AS (
   SELECT doc_id,
-         CASE WHEN doc_id % 3 = 0 THEN 'image/png'
-              WHEN doc_id % 3 = 1 THEN 'audio/wav'
+         CASE WHEN doc_id % 4 = 0 THEN 'image/png'
+              WHEN doc_id % 4 = 1 THEN 'audio/wav'
+              WHEN doc_id % 4 = 3 THEN 'image/jpeg'
               ELSE 'video/mp4' END AS media_type,
          text,
          8 + doc_id % 9 AS w0,
@@ -699,15 +709,37 @@ px AS (
   FROM media m, unnest(range(0, 4)) AS t(yy), unnest(range(0, 8)) AS s(xx)
   WHERE m.media_type = 'image/png'
   GROUP BY m.doc_id
+),
+jx AS (
+  -- jpeg fixtures are 8x8-block-constant on the lossless even-value
+  -- island: decoded pixel (sx, sy) = 2 * (byte0(md5(id:bx:by)) % 128)
+  -- with bx = sx // 8, by = sy // 8; the nearest resample picks
+  -- sx = (xx * w0) // 8, sy = (yy * h0) // 4
+  SELECT m.doc_id,
+         string_agg(
+           printf('%02x',
+             2 * (('0x' || substr(md5(
+                    CAST(m.doc_id AS VARCHAR) || ':' ||
+                    CAST(((xx * m.jw) // 8) // 8 AS VARCHAR) || ':' ||
+                    CAST(((yy * m.jh) // 4) // 8 AS VARCHAR)),
+                  1, 2))::INT % 128)),
+           '' ORDER BY yy, xx) AS pixels_hex
+  FROM (SELECT doc_id, media_type,
+               8 * (1 + (doc_id // 4) % 2) AS jw,
+               8 * (1 + (doc_id // 4) % 3) AS jh
+        FROM media) m,
+       unnest(range(0, 4)) AS t(yy), unnest(range(0, 8)) AS s(xx)
+  WHERE m.media_type = 'image/jpeg'
+  GROUP BY m.doc_id
 )
 SELECT m.doc_id, m.media_type,
-       CASE WHEN m.media_type = 'image/png' THEN CAST(32 AS BIGINT)
+       CASE WHEN m.media_type LIKE 'image/%' THEN CAST(32 AS BIGINT)
             ELSE CAST(octet_length(encode(m.text)) AS BIGINT)
             END AS out_bytes,
-       CASE WHEN m.media_type = 'image/png' THEN 8 ELSE -1 END AS width,
-       CASE WHEN m.media_type = 'image/png' THEN 4 ELSE -1 END AS height,
-       coalesce(p.pixels_hex, '') AS pixels_hex
-FROM media m LEFT JOIN px p USING (doc_id)
+       CASE WHEN m.media_type LIKE 'image/%' THEN 8 ELSE -1 END AS width,
+       CASE WHEN m.media_type LIKE 'image/%' THEN 4 ELSE -1 END AS height,
+       coalesce(p.pixels_hex, j.pixels_hex, '') AS pixels_hex
+FROM media m LEFT JOIN px p USING (doc_id) LEFT JOIN jx j USING (doc_id)
 ORDER BY m.doc_id
 """,
 )
@@ -727,7 +759,7 @@ def multimodal_resize(spark, sf_dir):
         F.coalesce(F.col("width"), F.lit(-1)).alias("width"),
         F.coalesce(F.col("height"), F.lit(-1)).alias("height"),
         F.when(
-            F.col("media_type") == "image/png",
+            F.col("media_type").startswith("image/"),
             F.lower(F.hex("payload")),
         )
         .otherwise("")
@@ -740,7 +772,7 @@ def multimodal_resize(spark, sf_dir):
     """
 WITH media AS (
   SELECT doc_id, text, octet_length(encode(text)) // 64 AS n_frames
-  FROM documents WHERE doc_id % 3 = 2
+  FROM documents WHERE doc_id % 4 = 2
 )
 SELECT doc_id,
        CAST(f / 10 AS INT) AS frame_idx,
@@ -774,7 +806,7 @@ def multimodal_frame_sample(spark, sf_dir):
 WITH media AS (
   SELECT doc_id, lower(hex(encode(text))) AS hx,
          CAST(octet_length(encode(text)) // 32 AS INT) AS n_windows
-  FROM documents WHERE doc_id % 3 = 1
+  FROM documents WHERE doc_id % 4 = 1
 )
 SELECT doc_id, n_windows,
        CAST(w AS INT) AS window_idx,
