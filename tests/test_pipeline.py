@@ -321,21 +321,22 @@ def test_multimodal_audio_features(spark):
     media = attach_payload(docs)
     feats = extract_audio_features(media, window=32).collect()
     assert feats, "audio rows in the first 12 docs should produce windows"
-    originals = {r["doc_id"]: bytes(r["payload"]) for r in media.collect()}
+    seen = set()
     for r in feats:
-        payload = originals[r["doc_id"]]
+        doc_id = r["doc_id"]
+        seen.add(doc_id)
         assert r["feature_error"] is None
-        assert r["n_windows"] == len(payload) // 32
-        i = r["window_idx"]
-        # energy = md5 of the window's lowercase-hex rendering (the
-        # SQL-expressible contract; see audio_energy_stub)
-        expected = int(
-            hashlib.md5(
-                payload[i * 32 : (i + 1) * 32].hex().encode()
-            ).hexdigest()[:6],
-            16,
+        n_samples = 32 * (2 + doc_id % 4)
+        assert r["n_windows"] == n_samples // 32
+        w = r["window_idx"]
+        # REAL decode contract: energy = exact sum of squares of the
+        # md5-derived 16-bit samples recovered from the WAV container
+        expected = sum(
+            (int(hashlib.md5(f"{doc_id}:{i}".encode()).hexdigest()[:4], 16) - 32768) ** 2
+            for i in range(w * 32, (w + 1) * 32)
         )
         assert r["energy"] == expected
+    assert seen == {1, 5, 9}
 
 
 def test_stream_ingest_incremental(spark, tmp_path):

@@ -67,7 +67,7 @@ ANNOTATIONS: dict[str, str] = {
     "line_dedup_boilerplate": "CCNet/RefinedWeb line-level boilerplate removal; also stage 0 of corpus_curation_pipeline",
     "line_dedup_incremental": "batch cleaned against CUMULATIVE line-df state (monoid merge); per-batch counts would admit the headers",
     "lonely_late_suppliers": "Q21 shape, de-correlated EXISTS/NOT EXISTS",
-    "multimodal_audio_features": "audio->windowed-energy fan-out, stub frontend",
+    "multimodal_audio_features": "REAL stdlib WAV PCM decode -> exact integer windowed energy; oracle recomputes every sample",
     "multimodal_frame_sample": "video->frames fan-out, stub demuxer",
     "multimodal_resize": "REAL stdlib PNG + baseline-JPEG decode + integer nearest resize; oracle recomputes every output pixel",
     "null_safe_join_counts": "<=> vs IS NOT DISTINCT FROM",

@@ -13,8 +13,11 @@ decode/resize stages parse them for real: header dims, CRC/marker
 checks, filter/Huffman reconstruction, deterministic integer
 nearest-neighbour resampling the DuckDB oracle replays arithmetically
 (JPEG fixtures sit on the lossless constant-even-block island, see
-functions/jpeg.py). Only the audio/video frontends remain stubbed
-(ffmpeg-class demux/resample has no stdlib expression).
+functions/jpeg.py). Audio decode is REAL too: ``functions/wav.py`` is a
+pure-stdlib RIFF/WAVE PCM codec, and the audio-feature stage computes
+exact integer windowed energy over genuinely decoded samples. Only the
+video frontend remains a stub (H.264-class entropy decode has no stdlib
+expression).
 """
 
 from __future__ import annotations
@@ -37,6 +40,7 @@ from pyspark.sql.types import (
 
 from ..functions.jpeg import JpegError, decode_jpeg, encode_jpeg
 from ..functions.png import PngError, decode_png, encode_png, resize_nearest
+from ..functions.wav import decode_wav, encode_wav, window_energy
 
 MEDIA_META_SCHEMA = StructType(
     [
@@ -91,13 +95,28 @@ def png_fixture_payload(doc_id: int) -> bytes:
     return encode_png(px, w0, h0, 1)
 
 
+def wav_fixture_payload(doc_id: int) -> bytes:
+    """REAL RIFF/WAVE PCM bytes for the synthetic media corpus: 16-bit
+    mono at 8 kHz, n_samples = 32 * (2 + id % 4), sample i =
+    ``('0x' || substr(md5('<id>:<i>'), 1, 4)) - 32768`` — a pure md5
+    function of the id, so the DuckDB oracle rebuilds every DECODED
+    sample arithmetically (container bytes, like PNG/zip, stay
+    sentinel-checked: total size IS arithmetic, 44 + 2 * n_samples)."""
+    n = 32 * (2 + doc_id % 4)
+    samples = [
+        int(hashlib.md5(f"{doc_id}:{i}".encode()).hexdigest()[:4], 16) - 32768
+        for i in range(n)
+    ]
+    return encode_wav(samples, sample_rate=8000)
+
+
 def attach_payload(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
-    """Synthesise the media column the documents fixture lacks: image rows
-    carry REAL container bytes — PNG for id % 4 == 0
-    (:func:`png_fixture_payload`) and baseline JPEG for id % 4 == 3
-    (:func:`jpeg_fixture_payload`), both built in Arrow-batched stages;
-    audio/video rows carry the utf-8 text bytes their stub frontends
-    window/demux."""
+    """Synthesise the media column the documents fixture lacks: image and
+    audio rows carry REAL container bytes — PNG for id % 4 == 0
+    (:func:`png_fixture_payload`), WAV PCM for id % 4 == 1
+    (:func:`wav_fixture_payload`), baseline JPEG for id % 4 == 3
+    (:func:`jpeg_fixture_payload`), all built in Arrow-batched stages;
+    video rows carry the utf-8 text bytes their stub demuxer samples."""
     media_type = (
         F.when(F.col(id_col) % 4 == 0, "image/png")
         .when(F.col(id_col) % 4 == 1, "audio/wav")
@@ -111,6 +130,10 @@ def attach_payload(docs: DataFrame, id_col: str = "doc_id", text_col: str = "tex
     @F.pandas_udf(BinaryType())
     def _jpeg_udf(ids: pd.Series) -> pd.Series:
         return ids.map(lambda i: jpeg_fixture_payload(int(i)))
+
+    @F.pandas_udf(BinaryType())
+    def _wav_udf(ids: pd.Series) -> pd.Series:
+        return ids.map(lambda i: wav_fixture_payload(int(i)))
 
     base = docs.select(
         F.col(id_col), media_type.alias("media_type"), F.col(text_col)
@@ -126,12 +149,15 @@ def attach_payload(docs: DataFrame, id_col: str = "doc_id", text_col: str = "tex
     jpg = base.filter(F.col("media_type") == "image/jpeg").select(
         F.col(id_col), "media_type", _jpeg_udf(F.col(id_col)).alias("payload")
     )
-    rest = base.filter(~F.col("media_type").startswith("image/")).select(
+    wav = base.filter(F.col("media_type") == "audio/wav").select(
+        F.col(id_col), "media_type", _wav_udf(F.col(id_col)).alias("payload")
+    )
+    rest = base.filter(F.col("media_type") == "video/mp4").select(
         F.col(id_col),
         "media_type",
         F.encode(F.col(text_col), "utf-8").alias("payload"),
     )
-    return img.unionByName(jpg).unionByName(rest)
+    return img.unionByName(jpg).unionByName(wav).unionByName(rest)
 
 
 
@@ -320,31 +346,19 @@ AUDIO_FEATURES_SCHEMA = StructType(
 )
 
 
-def audio_energy_stub(payload: bytes, window: int) -> list[int]:
-    """STUB for the real frontend (librosa/torchaudio not installed): treat
-    every ``window`` bytes as one analysis window and emit a deterministic
-    integer "energy" per window (first 6 hex digits of the hash of the
-    window's lowercase-hex rendering — hashing the HEX STRING rather than
-    the raw bytes keeps the oracle twin expressible in ANSI SQL for any
-    payload: DuckDB's md5 only takes VARCHAR, and hex-slicing windows
-    BYTE-addresses them regardless of the text's utf-8 widths). Replace
-    with an RMS/mel computation when the lib is present. Integer output is
-    deliberate: the oracle reproduces it exactly with no float-summation-
-    order concerns."""
-    out = []
-    for i in range(0, len(payload) // window):
-        hx = payload[i * window : (i + 1) * window].hex()
-        out.append(int(hashlib.md5(hx.encode()).hexdigest()[:6], 16))
-    return out
-
-
 def extract_audio_features(media: DataFrame, window: int = 32) -> DataFrame:
-    """Audio feature extraction: one audio row fans out to one row per
-    analysis window (long layout rather than array<float> columns — array
-    outputs don't survive the driver's canonicalizer, and long layout is
-    what the downstream aggregations want anyway). Runs Arrow-batched on
-    the executor holding the payload; non-audio rows are pruned by a
-    Catalyst predicate before the Arrow stage (see sample_frames)."""
+    """Audio feature extraction over REALLY decoded PCM: stdlib RIFF/WAVE
+    parse (``functions/wav.py``) -> exact integer sum-of-squares energy
+    per non-overlapping window of ``window`` SAMPLES. One audio row fans
+    out to one row per analysis window (long layout rather than
+    array<float> columns — array outputs don't survive the driver's
+    canonicalizer, and long layout is what the downstream aggregations
+    want anyway). Integer energy is deliberate: no float-summation-order
+    exposure, so the oracle reproduces it exactly from the fixture's md5
+    sample formula. Runs Arrow-batched on the executor holding the
+    payload; non-audio rows are pruned by a Catalyst predicate before the
+    Arrow stage (see sample_frames); malformed files land in
+    ``feature_error``, never poisoning a batch."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -355,7 +369,8 @@ def extract_audio_features(media: DataFrame, window: int = 32) -> DataFrame:
                 if mt != "audio/wav":
                     continue
                 try:
-                    feats = audio_energy_stub(bytes(payload), window)
+                    _sr, _ch, _bits, samples = decode_wav(bytes(payload))
+                    feats = window_energy(samples, window)
                     for i, e in enumerate(feats):
                         rows.append((int(doc_id), len(feats), i, e, None))
                 except Exception as ex:  # noqa: BLE001 — row-level contract

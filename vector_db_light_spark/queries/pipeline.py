@@ -164,14 +164,16 @@ def ingest_metadata(spark, sf_dir):
 
 # ---------------------------------------------------------------------------
 # Multimodal: binary payload column + Arrow-batched metadata extraction.
-# Image rows carry REAL container bytes — PNG (functions/png.py) and
+# Image and audio rows carry REAL container bytes — PNG (functions/png.py),
 # baseline JPEG (functions/jpeg.py, block-constant fixtures on the lossy
-# codec's lossless even-value island) — whose DECODED facts (header dims,
-# per-pixel values) are pure integer/md5 functions of the id, so the
-# oracle rebuilds them arithmetically. The container bytes themselves
-# (zlib/Huffman streams, CRCs) are not SQL-expressible: like the ingest
-# fixtures' zip containers, byte-level fields use sentinels for image
-# rows while the DECODE facts carry the parity.
+# codec's lossless even-value island) and RIFF/WAVE PCM (functions/wav.py)
+# — whose DECODED facts (header dims, per-pixel values, per-sample values)
+# are pure integer/md5 functions of the id, so the oracle rebuilds them
+# arithmetically. The container bytes themselves (zlib/Huffman streams,
+# CRCs) are not SQL-expressible: like the ingest fixtures' zip containers,
+# byte-level fields use sentinels for image rows while the DECODE facts
+# carry the parity; the WAV container's SIZE is arithmetic
+# (44 + 2 * n_samples) so audio n_bytes is checked for real.
 # ---------------------------------------------------------------------------
 
 @register(
@@ -188,9 +190,11 @@ WITH media AS (
 )
 SELECT doc_id, media_type,
        CASE WHEN media_type LIKE 'image/%' THEN CAST(-1 AS BIGINT)
+            WHEN media_type = 'audio/wav'
+            THEN CAST(44 + 64 * (2 + doc_id % 4) AS BIGINT)
             ELSE CAST(octet_length(encode(text)) AS BIGINT) END AS n_bytes,
-       CASE WHEN media_type LIKE 'image/%' THEN ''
-            ELSE sha256(text) END AS sha256,
+       CASE WHEN media_type LIKE 'image/%' OR media_type = 'audio/wav'
+            THEN '' ELSE sha256(text) END AS sha256,
        CASE WHEN media_type = 'image/png'
             THEN CAST(8 + doc_id % 9 AS INT)
             WHEN media_type = 'image/jpeg'
@@ -209,19 +213,24 @@ def multimodal_meta(spark, sf_dir):
     """Width/height for png rows come from the REAL stdlib decoder parsing
     real IHDR bytes; the oracle recomputes them from the fixture's dim
     formula — a hash match proves encoder, container and decoder agree.
-    Container-byte fields (n_bytes, sha256) are sentineled for png rows
-    (zlib bytes aren't SQL-reconstructable; ingest-zip precedent)."""
+    Container-byte fields (n_bytes, sha256) are sentineled for image rows
+    (zlib bytes aren't SQL-reconstructable; ingest-zip precedent); WAV
+    rows check n_bytes for real (the RIFF size is arithmetic) and
+    sentinel only the hash."""
     docs = load(spark, sf_dir, "documents")
     media = attach_payload(docs)
     meta = extract_media_meta(media)
     is_img = F.col("media_type").startswith("image/")
+    is_wav = F.col("media_type") == "audio/wav"
     return meta.select(
         "doc_id",
         "media_type",
         F.when(is_img, F.lit(-1).cast("bigint"))
         .otherwise(F.col("n_bytes"))
         .alias("n_bytes"),
-        F.when(is_img, F.lit("")).otherwise(F.col("sha256")).alias("sha256"),
+        F.when(is_img | is_wav, F.lit(""))
+        .otherwise(F.col("sha256"))
+        .alias("sha256"),
         F.coalesce(F.col("width"), F.lit(-1)).cast("int").alias("width"),
         F.coalesce(F.col("height"), F.lit(-1)).cast("int").alias("height"),
     ).orderBy("doc_id")
@@ -680,7 +689,9 @@ def ingest_parse_documents(spark, sf_dir):
 # rows are REAL container bytes decoded by the stdlib codec and resampled
 # with integer nearest-neighbour, so the oracle recomputes EVERY output
 # pixel arithmetically (src = (dst * src_dim) // dst_dim into the
-# md5-defined fixture pixels); audio/video stubs stay md5-derived. Binary
+# md5-defined fixture pixels); audio rows are real WAV containers that
+# pass through untouched (size checked arithmetically); the video stub
+# stays md5-derived. Binary
 # payloads are hex-projected for comparison (the driver canonicalizer
 # cannot sort raw binary columns).
 # ---------------------------------------------------------------------------
@@ -734,6 +745,8 @@ jx AS (
 )
 SELECT m.doc_id, m.media_type,
        CASE WHEN m.media_type LIKE 'image/%' THEN CAST(32 AS BIGINT)
+            WHEN m.media_type = 'audio/wav'
+            THEN CAST(44 + 64 * (2 + m.doc_id % 4) AS BIGINT)
             ELSE CAST(octet_length(encode(m.text)) AS BIGINT)
             END AS out_bytes,
        CASE WHEN m.media_type LIKE 'image/%' THEN 8 ELSE -1 END AS width,
@@ -799,24 +812,36 @@ def multimodal_frame_sample(spark, sf_dir):
 
 @register(
     "multimodal_audio_features",
-    # byte-addressed windows for ANY corpus: hex(encode(text)) renders the
-    # utf-8 BYTES, so slicing 64 hex chars = 32 payload bytes exactly —
-    # no char-vs-byte drift on non-ascii fixtures (ADVICE r5)
+    # REAL PCM parity: the oracle rebuilds every 16-bit sample the stdlib
+    # WAV decoder recovers — sample i of doc = md5-hex prefix minus the
+    # signed offset — and sums integer squares per 32-sample window.
+    # Integer energy has no float-summation-order exposure; the DuckDB
+    # integer SUM is HUGEINT, so CAST to BIGINT per the parity rules.
     """
-WITH media AS (
-  SELECT doc_id, lower(hex(encode(text))) AS hx,
-         CAST(octet_length(encode(text)) // 32 AS INT) AS n_windows
+WITH audio AS (
+  SELECT doc_id, CAST(32 * (2 + doc_id % 4) AS INT) AS n_samples
   FROM documents WHERE doc_id % 4 = 1
+),
+s AS (
+  SELECT doc_id,
+         CAST(n_samples // 32 AS INT) AS n_windows,
+         CAST(i // 32 AS INT) AS window_idx,
+         ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':' ||
+                             CAST(i AS VARCHAR)), 1, 4))::BIGINT - 32768 AS v
+  FROM audio, unnest(range(0, n_samples)) AS t(i)
 )
-SELECT doc_id, n_windows,
-       CAST(w AS INT) AS window_idx,
-       ('0x' || substr(md5(substr(hx, CAST(w AS INT) * 64 + 1, 64)), 1, 6))::BIGINT
-         AS energy
-FROM media, unnest(range(0, n_windows)) AS t(w)
+SELECT doc_id, n_windows, window_idx,
+       CAST(sum(v * v) AS BIGINT) AS energy
+FROM s
+GROUP BY doc_id, n_windows, window_idx
 ORDER BY doc_id, window_idx
 """,
 )
 def multimodal_audio_features(spark, sf_dir):
+    """Windowed sum-of-squares energy over REALLY decoded WAV PCM
+    (stdlib RIFF chunk walk + 16-bit LE samples); a hash match proves
+    the WAV encoder, container layout and decoder agree sample-exactly
+    with the fixture's md5 formula."""
     from ..operators.multimodal import attach_payload, extract_audio_features
 
     media = attach_payload(load(spark, sf_dir, "documents"))
