@@ -236,6 +236,11 @@ def test_multimodal_meta_real_png_decode(spark):
             assert r["decode_error"] is None
             assert r["width"] == 8 * (1 + (doc_id // 4) % 2)
             assert r["height"] == 8 * (1 + (doc_id // 4) % 3)
+        elif r["media_type"] == "video/mp4":
+            # REAL dims parsed from a real ISO BMFF tkhd box
+            assert r["decode_error"] is None
+            assert r["width"] == 16 * (1 + doc_id % 3)
+            assert r["height"] == 16 * (1 + doc_id % 5)
         else:
             assert r["width"] is None
 
@@ -295,6 +300,7 @@ def test_multimodal_resize_and_frame_sample(spark):
 
     frames = sample_frames(media, every_n=2).collect()
     assert frames, "videos in the first 12 docs should produce frames"
+    texts = {r["doc_id"]: r["text"] for r in docs.collect()}
     by_doc: dict[int, list] = {}
     for r in frames:
         assert r["frame_error"] is None and len(bytes(r["frame_payload"])) == 64
@@ -302,11 +308,13 @@ def test_multimodal_resize_and_frame_sample(spark):
     for doc_id, rows in by_doc.items():
         assert originals[doc_id]["media_type"] == "video/mp4"  # video-only fan-out
         assert [r["frame_idx"] for r in sorted(rows, key=lambda r: r["frame_idx"])] == list(range(len(rows)))
-        payload = bytes(originals[doc_id]["payload"])
-        n_frames = len(payload) // 64
+        # REAL demux: the sampled payloads are the exact byte ranges the
+        # sample tables point at — the fixture frames baked from the text
+        tb = texts[doc_id].encode("utf-8")
+        n_frames = len(tb) // 64
         assert len(rows) == len(range(0, n_frames, 2))
         first = min(rows, key=lambda r: r["frame_idx"])
-        assert bytes(first["frame_payload"])[:16] == hashlib.md5(payload + b"#frame0").digest()
+        assert bytes(first["frame_payload"]) == hashlib.md5(tb + b"#frame0").digest() * 4
 
 
 def test_multimodal_audio_features(spark):

@@ -68,7 +68,7 @@ ANNOTATIONS: dict[str, str] = {
     "line_dedup_incremental": "batch cleaned against CUMULATIVE line-df state (monoid merge); per-batch counts would admit the headers",
     "lonely_late_suppliers": "Q21 shape, de-correlated EXISTS/NOT EXISTS",
     "multimodal_audio_features": "REAL stdlib WAV PCM decode -> exact integer windowed energy; oracle recomputes every sample",
-    "multimodal_frame_sample": "video->frames fan-out, stub demuxer",
+    "multimodal_frame_sample": "video->frames fan-out via REAL ISO BMFF demux (stts/stsc/stsz/stco); codec payloads stay opaque",
     "multimodal_resize": "REAL stdlib PNG + baseline-JPEG decode + integer nearest resize; oracle recomputes every output pixel",
     "null_safe_join_counts": "<=> vs IS NOT DISTINCT FROM",
     "pagerank_suppliers": "2-round integer-exact PageRank, top-20 suppliers",

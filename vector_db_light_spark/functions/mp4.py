@@ -1,0 +1,250 @@
+"""Pure-stdlib ISO BMFF (MP4) muxer/demuxer, making the video frontend's
+CONTAINER layer real.
+
+An "ffmpeg demux" is two separable things: walking the ISO base media
+file format box tree (ISO/IEC 14496-12 — a public spec: length-tagged
+boxes, sample tables) and entropy-decoding the codec bitstream
+(H.264/H.265 — genuinely not stdlib-expressible). This module implements
+the first for real: ``ftyp``/``mdat``/``moov`` box walk, ``tkhd`` track
+dimensions (16.16 fixed point), and the full sample-table machinery —
+``stts`` (decode timestamps), ``stsc`` (sample-to-chunk runs), ``stsz``
+(sample sizes), ``stco``/``co64`` (chunk offsets) — reconstructing every
+sample's absolute byte range exactly the way a real demuxer does. The
+codec payloads stay opaque bytes; a real decoder call is the remaining
+seam.
+
+Non-goals (raise :class:`Mp4Error`, landing in the operator's per-row
+error column): fragmented MP4 (``moof``), encrypted tracks, multi-track
+selection beyond the first video track.
+"""
+
+from __future__ import annotations
+
+import struct
+
+
+class Mp4Error(ValueError):
+    """Malformed or unsupported MP4 input."""
+
+
+def _box(tag: bytes, body: bytes) -> bytes:
+    return struct.pack(">I", 8 + len(body)) + tag + body
+
+
+def _full(tag: bytes, version: int, flags: int, body: bytes) -> bytes:
+    return _box(tag, struct.pack(">I", (version << 24) | flags) + body)
+
+
+def encode_mp4(
+    frames: list[bytes],
+    width: int,
+    height: int,
+    timescale: int = 600,
+    sample_delta: int = 20,
+) -> bytes:
+    """Serialize opaque frame payloads into a minimal valid single-track
+    ISO BMFF file: ``[ftyp][mdat][moov]``. One sample per chunk, constant
+    sample duration. ``moov`` comes last so chunk offsets in ``stco``
+    never depend on the moov size. The total file size is an affine
+    function of the frame payloads (a constant header plus 8 bytes of
+    sample-table entries per frame plus the payload bytes), which is what
+    lets the DuckDB oracles check container sizes arithmetically."""
+    n = len(frames)
+    ftyp = _box(b"ftyp", b"isom" + struct.pack(">I", 0x200) + b"isomiso2mp41")
+    mdat = _box(b"mdat", b"".join(frames))
+
+    offsets = []
+    off = len(ftyp) + 8
+    for f in frames:
+        offsets.append(off)
+        off += len(f)
+
+    duration = n * sample_delta
+    mvhd = _full(
+        b"mvhd",
+        0,
+        0,
+        struct.pack(">IIII", 0, 0, timescale, duration)
+        + struct.pack(">IH", 0x00010000, 0x0100)  # rate 1.0, volume 1.0
+        + b"\x00" * 10
+        + struct.pack(">9I", 0x10000, 0, 0, 0, 0x10000, 0, 0, 0, 0x40000000)
+        + b"\x00" * 24
+        + struct.pack(">I", 2),  # next track id
+    )
+    tkhd = _full(
+        b"tkhd",
+        0,
+        7,  # enabled | in movie | in preview
+        struct.pack(">IIIII", 0, 0, 1, 0, duration)
+        + b"\x00" * 16
+        + struct.pack(">9I", 0x10000, 0, 0, 0, 0x10000, 0, 0, 0, 0x40000000)
+        + struct.pack(">II", width << 16, height << 16),  # 16.16 fixed
+    )
+    mdhd = _full(
+        b"mdhd",
+        0,
+        0,
+        struct.pack(">IIII", 0, 0, timescale, duration)
+        + struct.pack(">HH", 0x55C4, 0),  # language 'und'
+    )
+    hdlr = _full(
+        b"hdlr", 0, 0, struct.pack(">I", 0) + b"vide" + b"\x00" * 12 + b"\x00"
+    )
+    vmhd = _full(b"vmhd", 0, 1, b"\x00" * 8)
+    dref = _full(b"dref", 0, 0, struct.pack(">I", 1) + _full(b"url ", 0, 1, b""))
+    dinf = _box(b"dinf", dref)
+    # minimal visual sample entry; the codec payload format is opaque here
+    entry = _box(
+        b"mp4v",
+        b"\x00" * 6
+        + struct.pack(">H", 1)  # data reference index
+        + b"\x00" * 16
+        + struct.pack(">HH", width, height)
+        + struct.pack(">II", 0x480000, 0x480000)  # 72 dpi
+        + struct.pack(">I", 0)
+        + struct.pack(">H", 1)  # frame count per sample
+        + b"\x00" * 32  # compressor name
+        + struct.pack(">Hh", 24, -1),  # depth, pre_defined
+    )
+    stsd = _full(b"stsd", 0, 0, struct.pack(">I", 1) + entry)
+    # one run each, even for n = 0 (sample_count 0): keeps the file size
+    # affine in n — size = len(encode_mp4([], w, h)) + 8n + payload bytes —
+    # which is what lets oracles check container sizes arithmetically
+    stts = _full(b"stts", 0, 0, struct.pack(">III", 1, n, sample_delta))
+    stsc = _full(b"stsc", 0, 0, struct.pack(">IIII", 1, 1, 1, 1))
+    stsz = _full(
+        b"stsz",
+        0,
+        0,
+        struct.pack(">II", 0, n) + b"".join(struct.pack(">I", len(f)) for f in frames),
+    )
+    stco = _full(
+        b"stco",
+        0,
+        0,
+        struct.pack(">I", n) + b"".join(struct.pack(">I", o) for o in offsets),
+    )
+    stbl = _box(b"stbl", stsd + stts + stsc + stsz + stco)
+    minf = _box(b"minf", vmhd + dinf + stbl)
+    mdia = _box(b"mdia", mdhd + hdlr + minf)
+    trak = _box(b"trak", tkhd + mdia)
+    moov = _box(b"moov", mvhd + trak)
+    return ftyp + mdat + moov
+
+
+def _iter_boxes(data: bytes, start: int, end: int):
+    pos = start
+    while pos + 8 <= end:
+        (size,) = struct.unpack_from(">I", data, pos)
+        tag = data[pos + 4 : pos + 8]
+        body_off = pos + 8
+        if size == 1:  # 64-bit largesize
+            (size,) = struct.unpack_from(">Q", data, pos + 8)
+            body_off = pos + 16
+        elif size == 0:  # to end of enclosing scope
+            size = end - pos
+        if size < 8 or pos + size > end:
+            raise Mp4Error(f"bad box size {size} for {tag!r}")
+        yield tag, body_off, pos + size
+        pos += size
+
+
+def _find(data: bytes, start: int, end: int, tag: bytes) -> tuple[int, int]:
+    for t, b, e in _iter_boxes(data, start, end):
+        if t == tag:
+            return b, e
+    raise Mp4Error(f"missing {tag!r} box")
+
+
+def demux_mp4(data: bytes) -> tuple[int, int, list[bytes]]:
+    """(width, height, sample payloads in decode order) from ISO BMFF
+    bytes — the first ``trak``'s full sample-table walk: stsc runs expand
+    to per-sample chunk assignment, offsets accumulate within each chunk,
+    and every sample is sliced from the enclosing file by absolute byte
+    range (spec-correct even for multi-sample chunks and co64 files,
+    both of which exist in the wild even though :func:`encode_mp4` emits
+    one-sample chunks)."""
+    try:
+        return _demux_mp4(data)
+    except Mp4Error:
+        raise
+    except (struct.error, IndexError, ValueError) as ex:
+        raise Mp4Error(f"{type(ex).__name__}: {ex}") from ex
+
+
+def _demux_mp4(data: bytes) -> tuple[int, int, list[bytes]]:
+    if len(data) < 8:
+        raise Mp4Error("too short")
+    tags = {t for t, _b, _e in _iter_boxes(data, 0, len(data))}
+    if b"moov" not in tags:
+        raise Mp4Error("missing moov box")
+    if b"moof" in tags:
+        raise Mp4Error("fragmented MP4 unsupported")
+    moov_b, moov_e = _find(data, 0, len(data), b"moov")
+    trak_b, trak_e = _find(data, moov_b, moov_e, b"trak")
+    # width/height are the last 8 bytes of tkhd regardless of version
+    _tkhd_b, tk_end = _find(data, trak_b, trak_e, b"tkhd")
+    w_fixed, h_fixed = struct.unpack_from(">II", data, tk_end - 8)
+    width, height = w_fixed >> 16, h_fixed >> 16
+    mdia_b, mdia_e = _find(data, trak_b, trak_e, b"mdia")
+    minf_b, minf_e = _find(data, mdia_b, mdia_e, b"minf")
+    stbl_b, stbl_e = _find(data, minf_b, minf_e, b"stbl")
+
+    def full_body(tag: bytes) -> tuple[int, int]:
+        b, e = _find(data, stbl_b, stbl_e, tag)
+        return b + 4, e  # skip version/flags
+
+    sz_b, _ = full_body(b"stsz")
+    uniform_size, n_samples = struct.unpack_from(">II", data, sz_b)
+    if uniform_size:
+        sizes = [uniform_size] * n_samples
+    else:
+        sizes = list(struct.unpack_from(f">{n_samples}I", data, sz_b + 8))
+
+    try:
+        co_b, _ = full_body(b"stco")
+        (n_chunks,) = struct.unpack_from(">I", data, co_b)
+        chunk_offsets = list(struct.unpack_from(f">{n_chunks}I", data, co_b + 4))
+    except Mp4Error:
+        co_b, _ = full_body(b"co64")
+        (n_chunks,) = struct.unpack_from(">I", data, co_b)
+        chunk_offsets = list(struct.unpack_from(f">{n_chunks}Q", data, co_b + 4))
+
+    sc_b, _ = full_body(b"stsc")
+    (n_runs,) = struct.unpack_from(">I", data, sc_b)
+    runs = [
+        struct.unpack_from(">III", data, sc_b + 4 + 12 * i) for i in range(n_runs)
+    ]
+
+    # expand stsc runs: run i covers chunks [first_i, first_{i+1}) with
+    # samples_per_chunk each; the last run extends to n_chunks
+    frames: list[bytes] = []
+    sample = 0
+    for i, (first, per_chunk, _desc) in enumerate(runs):
+        last = runs[i + 1][0] - 1 if i + 1 < len(runs) else n_chunks
+        if first < 1 or last > n_chunks:
+            raise Mp4Error("stsc chunk run out of range")
+        for chunk in range(first - 1, last):
+            off = chunk_offsets[chunk]
+            for _ in range(per_chunk):
+                if sample >= n_samples:
+                    break
+                size = sizes[sample]
+                if off + size > len(data):
+                    raise Mp4Error("sample range beyond file end")
+                frames.append(data[off : off + size])
+                off += size
+                sample += 1
+    if sample != n_samples:
+        raise Mp4Error(f"sample tables cover {sample} of {n_samples} samples")
+    return width, height, frames
+
+
+def mp4_dimensions(data: bytes) -> tuple[int, int]:
+    """(width, height) from the first track's tkhd without touching the
+    sample tables."""
+    moov_b, moov_e = _find(data, 0, len(data), b"moov")
+    trak_b, trak_e = _find(data, moov_b, moov_e, b"trak")
+    _b, tk_end = _find(data, trak_b, trak_e, b"tkhd")
+    w_fixed, h_fixed = struct.unpack_from(">II", data, tk_end - 8)
+    return w_fixed >> 16, h_fixed >> 16

@@ -15,9 +15,13 @@ nearest-neighbour resampling the DuckDB oracle replays arithmetically
 (JPEG fixtures sit on the lossless constant-even-block island, see
 functions/jpeg.py). Audio decode is REAL too: ``functions/wav.py`` is a
 pure-stdlib RIFF/WAVE PCM codec, and the audio-feature stage computes
-exact integer windowed energy over genuinely decoded samples. Only the
-video frontend remains a stub (H.264-class entropy decode has no stdlib
-expression).
+exact integer windowed energy over genuinely decoded samples. Video
+DEMUX is real as well: ``functions/mp4.py`` walks the ISO BMFF box tree
+and reconstructs per-sample byte ranges from the full stts/stsc/stsz/
+stco sample tables, so frame sampling extracts genuine container
+samples. The only remaining seam is codec-level frame DECODE
+(H.264-class entropy coding has no stdlib expression) — the extracted
+frame payloads stay opaque bytes.
 """
 
 from __future__ import annotations
@@ -39,6 +43,7 @@ from pyspark.sql.types import (
 )
 
 from ..functions.jpeg import JpegError, decode_jpeg, encode_jpeg
+from ..functions.mp4 import Mp4Error, demux_mp4, encode_mp4, mp4_dimensions
 from ..functions.png import PngError, decode_png, encode_png, resize_nearest
 from ..functions.wav import decode_wav, encode_wav, window_energy
 
@@ -110,13 +115,29 @@ def wav_fixture_payload(doc_id: int) -> bytes:
     return encode_wav(samples, sample_rate=8000)
 
 
+def mp4_fixture_payload(doc_id: int, text: str) -> bytes:
+    """REAL ISO BMFF bytes for the synthetic media corpus: one video track
+    of ``octet_length(text) // 64`` opaque 64-byte frame payloads, frame i
+    = md5(text_bytes + '#frame<i>') digest x4 (the pre-container fixture
+    formula, kept so the frame-sample oracle is unchanged), track dims
+    width = 16 * (1 + id % 3), height = 16 * (1 + id % 5). Container size
+    is affine — 587 + 72 * n_frames (pinned by test_mp4) — so the oracles
+    check byte counts arithmetically."""
+    tb = text.encode("utf-8")
+    frames = [
+        hashlib.md5(tb + f"#frame{i}".encode()).digest() * 4
+        for i in range(len(tb) // 64)
+    ]
+    return encode_mp4(frames, 16 * (1 + doc_id % 3), 16 * (1 + doc_id % 5))
+
+
 def attach_payload(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
-    """Synthesise the media column the documents fixture lacks: image and
-    audio rows carry REAL container bytes — PNG for id % 4 == 0
+    """Synthesise the media column the documents fixture lacks: every row
+    carries REAL container bytes — PNG for id % 4 == 0
     (:func:`png_fixture_payload`), WAV PCM for id % 4 == 1
-    (:func:`wav_fixture_payload`), baseline JPEG for id % 4 == 3
-    (:func:`jpeg_fixture_payload`), all built in Arrow-batched stages;
-    video rows carry the utf-8 text bytes their stub demuxer samples."""
+    (:func:`wav_fixture_payload`), MP4 for id % 4 == 2
+    (:func:`mp4_fixture_payload`), baseline JPEG for id % 4 == 3
+    (:func:`jpeg_fixture_payload`), all built in Arrow-batched stages."""
     media_type = (
         F.when(F.col(id_col) % 4 == 0, "image/png")
         .when(F.col(id_col) % 4 == 1, "audio/wav")
@@ -135,6 +156,12 @@ def attach_payload(docs: DataFrame, id_col: str = "doc_id", text_col: str = "tex
     def _wav_udf(ids: pd.Series) -> pd.Series:
         return ids.map(lambda i: wav_fixture_payload(int(i)))
 
+    @F.pandas_udf(BinaryType())
+    def _mp4_udf(ids: pd.Series, texts: pd.Series) -> pd.Series:
+        return pd.Series(
+            [mp4_fixture_payload(int(i), t) for i, t in zip(ids, texts)]
+        )
+
     base = docs.select(
         F.col(id_col), media_type.alias("media_type"), F.col(text_col)
     )
@@ -152,21 +179,23 @@ def attach_payload(docs: DataFrame, id_col: str = "doc_id", text_col: str = "tex
     wav = base.filter(F.col("media_type") == "audio/wav").select(
         F.col(id_col), "media_type", _wav_udf(F.col(id_col)).alias("payload")
     )
-    rest = base.filter(F.col("media_type") == "video/mp4").select(
+    vid = base.filter(F.col("media_type") == "video/mp4").select(
         F.col(id_col),
         "media_type",
-        F.encode(F.col(text_col), "utf-8").alias("payload"),
+        _mp4_udf(F.col(id_col), F.col(text_col)).alias("payload"),
     )
-    return img.unionByName(jpg).unionByName(wav).unionByName(rest)
+    return img.unionByName(jpg).unionByName(wav).unionByName(vid)
 
 
 
 
 def extract_media_meta(media: DataFrame) -> DataFrame:
-    """Arrow-batched metadata/decode pass over the payload column. PNG
-    payloads are REALLY decoded (chunk CRCs verified, IDAT inflated,
-    filters reconstructed); malformed ones land their message in
-    ``decode_error`` instead of poisoning the batch."""
+    """Arrow-batched metadata/decode pass over the payload column. Image
+    payloads are REALLY decoded (PNG chunk CRCs verified + IDAT inflated
+    + filters reconstructed; JPEG Huffman + IDCT), video dims are REALLY
+    parsed from the MP4 track header (tkhd, 16.16 fixed point); malformed
+    payloads land their message in ``decode_error`` instead of poisoning
+    the batch."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -182,9 +211,11 @@ def extract_media_meta(media: DataFrame) -> DataFrame:
                         width, height, _ch, _px = decode_png(b)
                     elif mt == "image/jpeg":
                         width, height, _px = decode_jpeg(b)
+                    elif mt == "video/mp4":
+                        width, height = mp4_dimensions(b)
                     elif mt and mt.startswith("image/"):
                         raise NotImplementedError(f"no stdlib decoder: {mt}")
-                except (PngError, JpegError, NotImplementedError) as ex:
+                except (PngError, JpegError, Mp4Error, NotImplementedError) as ex:
                     err = str(ex)
                 rows.append(
                     (
@@ -285,16 +316,14 @@ FRAME_SCHEMA = StructType(
 )
 
 
-def sample_frames_stub(payload: bytes, every_n: int) -> list[bytes]:
-    """STUB for the real demuxer (ffmpeg not installed): pretend the video
-    has ``len(payload) // 64`` frames and emit every ``every_n``-th as a
-    64-byte md5-derived chunk. Replace with an ffmpeg/pyav frame iterator
-    when the lib is present."""
-    n_frames = len(payload) // 64
-    out = []
-    for i in range(0, n_frames, every_n):
-        out.append(hashlib.md5(payload + f"#frame{i}".encode()).digest() * 4)
-    return out
+def sample_every_nth_frame(payload: bytes, every_n: int) -> list[bytes]:
+    """REAL ISO BMFF demux (box-tree walk + stts/stsc/stsz/stco sample
+    tables, ``functions/mp4.py``), then every ``every_n``-th sample's
+    byte range. The extracted payloads stay codec-opaque — a real frame
+    DECODER (H.264-class, not stdlib-expressible) would drop in here
+    after the demux without touching the plan."""
+    _w, _h, frames = demux_mp4(payload)
+    return frames[::every_n]
 
 
 def sample_frames(media: DataFrame, every_n: int = 10) -> DataFrame:
@@ -319,7 +348,7 @@ def sample_frames(media: DataFrame, every_n: int = 10) -> DataFrame:
                     continue
                 try:
                     for i, frame in enumerate(
-                        sample_frames_stub(bytes(payload), every_n)
+                        sample_every_nth_frame(bytes(payload), every_n)
                     ):
                         rows.append((int(doc_id), i, frame, None))
                 except Exception as ex:  # noqa: BLE001 — row-level contract

@@ -189,48 +189,54 @@ WITH media AS (
   FROM documents
 )
 SELECT doc_id, media_type,
+       -- container sizes are arithmetic for the sized formats:
+       -- WAV = 44-byte header + 2 bytes/sample; MP4 = 587-byte skeleton
+       -- + 72 bytes/frame (8 table bytes + 64 payload; pinned by
+       -- test_mp4's affine-size test). Image containers (zlib/Huffman
+       -- streams) have no closed-form size -> sentinel.
        CASE WHEN media_type LIKE 'image/%' THEN CAST(-1 AS BIGINT)
             WHEN media_type = 'audio/wav'
             THEN CAST(44 + 64 * (2 + doc_id % 4) AS BIGINT)
-            ELSE CAST(octet_length(encode(text)) AS BIGINT) END AS n_bytes,
-       CASE WHEN media_type LIKE 'image/%' OR media_type = 'audio/wav'
-            THEN '' ELSE sha256(text) END AS sha256,
+            ELSE CAST(587 + 72 * (octet_length(encode(text)) // 64) AS BIGINT)
+            END AS n_bytes,
+       '' AS sha256,
        CASE WHEN media_type = 'image/png'
             THEN CAST(8 + doc_id % 9 AS INT)
             WHEN media_type = 'image/jpeg'
             THEN CAST(8 * (1 + (doc_id // 4) % 2) AS INT)
+            WHEN media_type = 'video/mp4'
+            THEN CAST(16 * (1 + doc_id % 3) AS INT)
             ELSE -1 END AS width,
        CASE WHEN media_type = 'image/png'
             THEN CAST(8 + doc_id % 7 AS INT)
             WHEN media_type = 'image/jpeg'
             THEN CAST(8 * (1 + (doc_id // 4) % 3) AS INT)
+            WHEN media_type = 'video/mp4'
+            THEN CAST(16 * (1 + doc_id % 5) AS INT)
             ELSE -1 END AS height
 FROM media
 ORDER BY doc_id
 """,
 )
 def multimodal_meta(spark, sf_dir):
-    """Width/height for png rows come from the REAL stdlib decoder parsing
-    real IHDR bytes; the oracle recomputes them from the fixture's dim
-    formula — a hash match proves encoder, container and decoder agree.
-    Container-byte fields (n_bytes, sha256) are sentineled for image rows
-    (zlib bytes aren't SQL-reconstructable; ingest-zip precedent); WAV
-    rows check n_bytes for real (the RIFF size is arithmetic) and
-    sentinel only the hash."""
+    """Width/height come from REAL decoders parsing real container bytes
+    (PNG IHDR, JPEG SOF0, MP4 tkhd); the oracle recomputes them from the
+    fixture dim formulas — a hash match proves encoder, container and
+    decoder agree. Byte counts are checked for real where the container
+    size has a closed form (WAV, MP4) and sentineled for images (zlib/
+    Huffman streams; ingest-zip precedent); sha256-of-container is never
+    SQL-reconstructable, so it is sentineled everywhere."""
     docs = load(spark, sf_dir, "documents")
     media = attach_payload(docs)
     meta = extract_media_meta(media)
     is_img = F.col("media_type").startswith("image/")
-    is_wav = F.col("media_type") == "audio/wav"
     return meta.select(
         "doc_id",
         "media_type",
         F.when(is_img, F.lit(-1).cast("bigint"))
         .otherwise(F.col("n_bytes"))
         .alias("n_bytes"),
-        F.when(is_img | is_wav, F.lit(""))
-        .otherwise(F.col("sha256"))
-        .alias("sha256"),
+        F.lit("").alias("sha256"),
         F.coalesce(F.col("width"), F.lit(-1)).cast("int").alias("width"),
         F.coalesce(F.col("height"), F.lit(-1)).cast("int").alias("height"),
     ).orderBy("doc_id")
@@ -689,9 +695,11 @@ def ingest_parse_documents(spark, sf_dir):
 # rows are REAL container bytes decoded by the stdlib codec and resampled
 # with integer nearest-neighbour, so the oracle recomputes EVERY output
 # pixel arithmetically (src = (dst * src_dim) // dst_dim into the
-# md5-defined fixture pixels); audio rows are real WAV containers that
-# pass through untouched (size checked arithmetically); the video stub
-# stays md5-derived. Binary
+# md5-defined fixture pixels); audio/video rows are real WAV/MP4
+# containers that pass through untouched (sizes checked arithmetically).
+# The frame-sample fan-out is a REAL ISO BMFF demux: box-tree walk +
+# stts/stsc/stsz/stco sample-table reconstruction recovers the opaque
+# 64-byte frame payloads whose md5 facts the oracle recomputes. Binary
 # payloads are hex-projected for comparison (the driver canonicalizer
 # cannot sort raw binary columns).
 # ---------------------------------------------------------------------------
@@ -747,7 +755,7 @@ SELECT m.doc_id, m.media_type,
        CASE WHEN m.media_type LIKE 'image/%' THEN CAST(32 AS BIGINT)
             WHEN m.media_type = 'audio/wav'
             THEN CAST(44 + 64 * (2 + m.doc_id % 4) AS BIGINT)
-            ELSE CAST(octet_length(encode(m.text)) AS BIGINT)
+            ELSE CAST(587 + 72 * (octet_length(encode(m.text)) // 64) AS BIGINT)
             END AS out_bytes,
        CASE WHEN m.media_type LIKE 'image/%' THEN 8 ELSE -1 END AS width,
        CASE WHEN m.media_type LIKE 'image/%' THEN 4 ELSE -1 END AS height,
