@@ -126,3 +126,39 @@ def test_pagerank_exact_hand_graph_and_invariants(spark):
         for r in pagerank_exact(edges.repartition(5), iters=2).collect()
     }
     assert ranks2 == ranks
+
+
+def test_count_triangles_hand_graphs(spark):
+    from vector_db_light_spark.operators.graph import count_triangles
+
+    # K4 on {1,2,3,4}: C(4,3) = 4 triangles, every node in exactly 3
+    k4 = [(a, b) for a in range(1, 5) for b in range(a + 1, 5)]
+    edges = spark.createDataFrame(k4, "u long, v long")
+    got = {r["node"]: r["n_triangles"] for r in
+           count_triangles(edges, src="u", dst="v").collect()}
+    assert got == {1: 3, 2: 3, 3: 3, 4: 3}
+
+    # a hub star plus one closing edge: star 0-{1..5} has no triangle;
+    # adding 1-2 closes exactly one, counted once per corner
+    star = [(0, i) for i in range(1, 6)] + [(1, 2)]
+    edges = spark.createDataFrame(star, "u long, v long")
+    got = {r["node"]: r["n_triangles"] for r in
+           count_triangles(edges, src="u", dst="v").collect()}
+    assert got == {0: 1, 1: 1, 2: 1}
+
+    # triangle-free bipartite square -> empty result
+    square = [(1, 3), (1, 4), (2, 3), (2, 4)]
+    edges = spark.createDataFrame(square, "u long, v long")
+    assert count_triangles(edges, src="u", dst="v").count() == 0
+
+    # partition-invariance of the deterministic orientation
+    edges = spark.createDataFrame(k4 + star, "u long, v long").distinct()
+    base = sorted(
+        (r["node"], r["n_triangles"])
+        for r in count_triangles(edges, src="u", dst="v").collect()
+    )
+    redo = sorted(
+        (r["node"], r["n_triangles"])
+        for r in count_triangles(edges.repartition(7), src="u", dst="v").collect()
+    )
+    assert base == redo

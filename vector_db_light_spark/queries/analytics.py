@@ -1104,6 +1104,76 @@ def events_robust_outliers(spark, sf_dir):
 
 
 @register(
+    "triangle_count_parts",
+    # degree-ordered orientation makes every triangle enumerable exactly
+    # once and bounds each node's wedge fan-out by its oriented
+    # out-degree; the (degree, id) tie-break keeps the orientation —
+    # hence the whole computation — bit-identical across engines
+    """
+WITH co AS (
+  SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+  FROM lineitem a JOIN lineitem b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+),
+deg AS (
+  SELECT node, CAST(count(*) AS BIGINT) AS d FROM (
+    SELECT u AS node FROM co UNION ALL SELECT v AS node FROM co
+  ) GROUP BY 1
+),
+oriented AS (
+  SELECT CASE WHEN du.d < dv.d OR (du.d = dv.d AND co.u < co.v)
+              THEN co.u ELSE co.v END AS s,
+         CASE WHEN du.d < dv.d OR (du.d = dv.d AND co.u < co.v)
+              THEN co.v ELSE co.u END AS t
+  FROM co JOIN deg du ON du.node = co.u JOIN deg dv ON dv.node = co.v
+),
+tri AS (
+  SELECT e1.s AS a, e1.t AS b, e2.t AS c
+  FROM oriented e1
+  JOIN oriented e2 ON e2.s = e1.t
+  JOIN oriented e3 ON e3.s = e1.s AND e3.t = e2.t
+),
+corners AS (
+  SELECT a AS node FROM tri
+  UNION ALL SELECT b FROM tri
+  UNION ALL SELECT c FROM tri
+)
+SELECT node, CAST(count(*) AS BIGINT) AS n_triangles
+FROM corners GROUP BY node
+ORDER BY n_triangles DESC, node ASC
+LIMIT 20
+""",
+)
+def triangle_count_parts(spark, sf_dir):
+    """Top-20 parts by triangle participation in the co-purchase graph
+    (parts appearing on the same order) — the local-clustering signal
+    behind community detection and catalog-quality scoring. The edge
+    build is a self-join of lineitem on its own key (co-located when the
+    table is bucketed by orderkey); the count itself is
+    operators/graph.py::count_triangles — degree-oriented, so hub parts
+    cannot explode the wedge join at 100 TB."""
+    from ..operators.graph import count_triangles
+
+    lineitem = load(spark, sf_dir, "lineitem")
+    a = lineitem.select(
+        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("u")
+    )
+    b = lineitem.select(
+        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("v")
+    )
+    co = (
+        a.join(b, "ok")
+        .filter(F.col("u") < F.col("v"))
+        .select("u", "v")
+        .distinct()
+    )
+    per_node = count_triangles(co, src="u", dst="v")
+    return per_node.orderBy(
+        F.desc("n_triangles"), F.asc("node")
+    ).limit(20)
+
+
+@register(
     "supplier_degree_histogram",
     """
 WITH pairs AS (
