@@ -1,0 +1,110 @@
+"""Streaming media curation: frame-level dedup against the persistent
+frame-hash index, across micro-batches and restarts, over REAL MP4
+containers demuxed by the stdlib ISO BMFF walker."""
+
+from __future__ import annotations
+
+import hashlib
+
+from vector_db_light_spark.functions.mp4 import encode_mp4
+from vector_db_light_spark.streaming.media import stream_media_curate
+
+
+def _frame(tag: str) -> bytes:
+    return hashlib.md5(tag.encode()).digest() * 4
+
+
+def _clip(*tags: str) -> bytes:
+    return encode_mp4([_frame(t) for t in tags], 32, 32)
+
+
+def test_stream_media_curate_frame_overlap(spark, tmp_path):
+    src = str(tmp_path / "incoming")
+    corpus = str(tmp_path / "curated")
+    frames = str(tmp_path / "frame_index")
+    ckpt = str(tmp_path / "ckpt")
+
+    def write(rows):
+        spark.createDataFrame(
+            rows, "doc_id bigint, media_type string, payload binary"
+        ).write.mode("append").parquet(src)
+
+    def drain():
+        stream = spark.readStream.schema(
+            spark.read.parquet(src).schema
+        ).parquet(src)
+        q = stream_media_curate(stream, corpus, frames, ckpt)
+        q.awaitTermination(180)
+
+    # batch 1: two distinct clips, an in-batch re-encode of clip 0 with an
+    # extra outro frame (containment 4/4 vs the smaller set), and a
+    # zero-frame clip (admitted: no overlap evidence)
+    write(
+        [
+            (0, "video/mp4", _clip("a", "b", "c", "d")),
+            (1, "video/mp4", _clip("w", "x", "y", "z")),
+            (2, "video/mp4", _clip("a", "b", "c", "d", "outro")),
+            (3, "video/mp4", _clip()),
+        ]
+    )
+    drain()
+    ids1 = {r["doc_id"] for r in spark.read.parquet(corpus).collect()}
+    assert ids1 == {0, 1, 3}  # min-id canonical kept within the batch
+
+    # batch 2 (restart drains from the checkpoint): an exact re-upload of
+    # clip 0 (dropped vs the index), a half-overlap clip (2/4 = 0.5 >=
+    # threshold -> dropped), a below-threshold clip (1/4 < 0.5 -> kept),
+    # and a fresh clip
+    write(
+        [
+            (10, "video/mp4", _clip("a", "b", "c", "d")),
+            (11, "video/mp4", _clip("a", "b", "p", "q")),
+            (12, "video/mp4", _clip("a", "m", "n", "o")),
+            (13, "video/mp4", _clip("e", "f", "g")),
+        ]
+    )
+    drain()
+    ids2 = {r["doc_id"] for r in spark.read.parquet(corpus).collect()}
+    assert ids2 == {0, 1, 3, 12, 13}
+
+    # batch 3: a clip overlapping doc 12's frames is DROPPED only if the
+    # index really accumulated batch 2's survivors; and a doomed doc's
+    # frames must NOT have entered the index (doc 11's unique frames p, q
+    # cannot doom a new clip built from them)
+    write(
+        [
+            (20, "video/mp4", _clip("m", "n", "o", "tail")),  # 3/4 vs doc 12
+            (21, "video/mp4", _clip("p", "q")),  # doc 11 never indexed
+        ]
+    )
+    drain()
+    ids3 = {r["doc_id"] for r in spark.read.parquet(corpus).collect()}
+    assert ids3 == {0, 1, 3, 12, 13, 21}
+
+    # the index holds exactly the admitted docs' frames
+    idx = spark.read.parquet(frames)
+    assert {r["doc_id"] for r in idx.select("doc_id").distinct().collect()} == {
+        0, 1, 12, 13, 21
+    }
+
+
+def test_stream_media_star_shape_cluster_canonical(spark, tmp_path):
+    # star: 0~1 and 0~2 overlap, 1~2 do not — cluster-canonical keeps ONLY
+    # the min id of the component (the text side's ADVICE-r7 policy)
+    src = str(tmp_path / "incoming")
+    corpus = str(tmp_path / "curated")
+    frames = str(tmp_path / "frame_index")
+    ckpt = str(tmp_path / "ckpt")
+
+    spark.createDataFrame(
+        [
+            (0, "video/mp4", _clip("a", "b", "c", "d")),
+            (1, "video/mp4", _clip("a", "b", "r", "s")),
+            (2, "video/mp4", _clip("c", "d", "t", "u")),
+        ],
+        "doc_id bigint, media_type string, payload binary",
+    ).write.parquet(src)
+    stream = spark.readStream.schema(spark.read.parquet(src).schema).parquet(src)
+    q = stream_media_curate(stream, corpus, frames, ckpt)
+    q.awaitTermination(180)
+    assert {r["doc_id"] for r in spark.read.parquet(corpus).collect()} == {0}

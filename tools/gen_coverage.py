@@ -69,6 +69,10 @@ ANNOTATIONS: dict[str, str] = {
     "lonely_late_suppliers": "Q21 shape, de-correlated EXISTS/NOT EXISTS",
     "multimodal_audio_features": "REAL stdlib WAV PCM decode -> exact integer windowed energy; oracle recomputes every sample",
     "multimodal_frame_sample": "video->frames fan-out via REAL ISO BMFF demux (stts/stsc/stsz/stco); codec payloads stay opaque",
+    "multimodal_frame_dedup": "cross-video exact frame dedup over really demuxed samples; shuffle carries (hash, doc_id) only",
+    "multimodal_audio_loudest_window": "per-doc peak-energy window over really decoded PCM, deterministic tie-break",
+    "multimodal_incremental_frame_dedup": "batch twin of streaming media curation: new x existing frame-key join only, overlap-vs-any-single-doc admission",
+    "triangle_count_parts": "degree-oriented triangle counting (Schank/Wagner) on the co-purchase graph; hub-safe wedge join",
     "multimodal_resize": "REAL stdlib PNG + baseline-JPEG decode + integer nearest resize; oracle recomputes every output pixel",
     "null_safe_join_counts": "<=> vs IS NOT DISTINCT FROM",
     "pagerank_suppliers": "2-round integer-exact PageRank, top-20 suppliers",

@@ -859,6 +859,215 @@ def multimodal_audio_features(spark, sf_dir):
     ).orderBy("doc_id", "window_idx")
 
 
+@register(
+    "multimodal_audio_loudest_window",
+    # per-doc argmax over the REAL decoded energies: rank by (energy DESC,
+    # window_idx ASC) — integer energies, deterministic tie-break — the
+    # materialize-then-first-match pattern from the parity rules
+    """
+WITH audio AS (
+  SELECT doc_id, CAST(32 * (2 + doc_id % 4) AS INT) AS n_samples
+  FROM documents WHERE doc_id % 4 = 1
+),
+s AS (
+  SELECT doc_id,
+         CAST(i // 32 AS INT) AS window_idx,
+         ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':' ||
+                             CAST(i AS VARCHAR)), 1, 4))::BIGINT - 32768 AS v
+  FROM audio, unnest(range(0, n_samples)) AS t(i)
+),
+e AS (
+  SELECT doc_id, window_idx, CAST(sum(v * v) AS BIGINT) AS energy
+  FROM s GROUP BY doc_id, window_idx
+)
+SELECT doc_id, window_idx, energy
+FROM e
+QUALIFY row_number() OVER (
+  PARTITION BY doc_id ORDER BY energy DESC, window_idx) = 1
+ORDER BY doc_id
+""",
+)
+def multimodal_audio_loudest_window(spark, sf_dir):
+    """Loudest analysis window per audio doc (peak-energy localization, a
+    standard audio-curation signal) over REALLY decoded PCM. The per-doc
+    window ranks only a handful of rows per key — at 100 TB this is one
+    key-partitioned window over the (tiny) feature table, never the
+    payloads."""
+    from pyspark.sql.window import Window
+
+    from ..operators.multimodal import attach_payload, extract_audio_features
+
+    media = attach_payload(load(spark, sf_dir, "documents"))
+    feats = extract_audio_features(media, window=32)
+    w = Window.partitionBy("doc_id").orderBy(
+        F.desc("energy"), F.asc("window_idx")
+    )
+    return (
+        feats.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("doc_id", "window_idx", "energy")
+        .orderBy("doc_id")
+    )
+
+
+@register(
+    "multimodal_frame_dedup",
+    # Cross-video duplicate detection at the FRAME level (re-uploads /
+    # re-encodes of the same clip share frame hashes): the corpus is
+    # dup-injected with the dedup-family's id+100000 convention (offset
+    # = 0 mod 4 keeps the video residue class), frames come from the REAL
+    # ISO BMFF demux, and the group key is the hex projection of the
+    # frame payload's md5-defined first 16 bytes — SQL-recomputable from
+    # the text while the Spark side hashes real demuxed bytes.
+    """
+WITH vids AS (
+  SELECT doc_id, text FROM documents WHERE doc_id % 4 = 2
+  UNION ALL
+  SELECT doc_id + 100000 AS doc_id, text FROM documents
+  WHERE doc_id % 4 = 2 AND doc_id % 20 = 2
+),
+media AS (
+  SELECT doc_id, text, octet_length(encode(text)) // 64 AS n_frames
+  FROM vids
+),
+fr AS (
+  SELECT doc_id, md5(text || '#frame' || CAST(f AS VARCHAR)) AS frame_md5
+  FROM media, unnest(range(0, n_frames)) AS t(f)
+)
+SELECT frame_md5,
+       CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+       CAST(count(*) AS BIGINT) AS n_occurrences,
+       min(doc_id) AS first_doc,
+       max(doc_id) AS last_doc
+FROM fr
+GROUP BY frame_md5
+HAVING count(DISTINCT doc_id) >= 2
+ORDER BY frame_md5
+""",
+)
+def multimodal_frame_dedup(spark, sf_dir):
+    """Exact frame-level dedup across videos: demux every sample (REAL
+    box-tree + sample-table walk), key each frame by content hash, one
+    hash-partitioned groupBy finds frames shared by >= 2 docs. At 100 TB
+    the shuffle carries only (hash, doc_id) pairs — the frame bytes stay
+    on their executors — and the same keyed layout feeds near-dup
+    (perceptual-hash) variants."""
+    from ..operators.multimodal import attach_payload, sample_frames
+
+    docs = load(spark, sf_dir, "documents")
+    vids = docs.filter(F.col("doc_id") % 4 == 2).select("doc_id", "text")
+    dup = (
+        vids.filter(F.col("doc_id") % 20 == 2)
+        .select((F.col("doc_id") + 100000).alias("doc_id"), "text")
+    )
+    media = attach_payload(vids.unionByName(dup))
+    frames = sample_frames(media, every_n=1)
+    keyed = frames.select(
+        "doc_id",
+        F.lower(F.hex(F.expr("substring(frame_payload, 1, 16)"))).alias(
+            "frame_md5"
+        ),
+    )
+    return (
+        keyed.groupBy("frame_md5")
+        .agg(
+            F.countDistinct("doc_id").alias("n_docs"),
+            F.count(F.lit(1)).alias("n_occurrences"),
+            F.min("doc_id").alias("first_doc"),
+            F.max("doc_id").alias("last_doc"),
+        )
+        .filter(F.col("n_docs") >= 2)
+        .orderBy("frame_md5")
+    )
+
+
+@register(
+    "multimodal_incremental_frame_dedup",
+    # Batch twin of streaming/media.py's vs-corpus stage: index = one
+    # residue class of video docs, batch = the other class plus injected
+    # re-uploads (id+100000, offset preserves the %4 media class). A batch
+    # doc is dropped when its frame overlap with ANY single index doc
+    # reaches half its own frame count. The engines key frames differently
+    # (Spark hashes the real demuxed bytes, the oracle the md5 formula) —
+    # both injective over the fixture, so overlap COUNTS and verdicts
+    # match exactly.
+    """
+WITH vids AS (
+  SELECT doc_id, text FROM documents WHERE doc_id % 4 = 2
+),
+idx AS (SELECT doc_id, text FROM vids WHERE doc_id % 8 = 2),
+batch AS (
+  SELECT doc_id, text FROM vids WHERE doc_id % 8 = 6
+  UNION ALL
+  SELECT doc_id + 100000 AS doc_id, text FROM vids WHERE doc_id % 40 = 2
+),
+bf AS (
+  SELECT b.doc_id, md5(b.text || '#frame' || CAST(f AS VARCHAR)) AS k
+  FROM (SELECT doc_id, text, octet_length(encode(text)) // 64 AS n
+        FROM batch) b,
+       unnest(range(0, n)) AS t(f)
+),
+xf AS (
+  SELECT i.doc_id, md5(i.text || '#frame' || CAST(f AS VARCHAR)) AS k
+  FROM (SELECT doc_id, text, octet_length(encode(text)) // 64 AS n
+        FROM idx) i,
+       unnest(range(0, n)) AS t(f)
+),
+nn AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_frames FROM bf GROUP BY 1),
+shared AS (
+  SELECT bf.doc_id, xf.doc_id AS eid, count(*) AS s
+  FROM bf JOIN xf ON xf.k = bf.k
+  GROUP BY 1, 2
+),
+doomed AS (
+  SELECT DISTINCT shared.doc_id
+  FROM shared JOIN nn ON nn.doc_id = shared.doc_id
+  WHERE s >= 0.5 * n_frames
+)
+SELECT b.doc_id,
+       coalesce(nn.n_frames, 0) AS n_frames,
+       CAST(CASE WHEN d.doc_id IS NULL THEN 1 ELSE 0 END AS INT) AS admitted
+FROM batch b
+LEFT JOIN nn ON nn.doc_id = b.doc_id
+LEFT JOIN doomed d ON d.doc_id = b.doc_id
+ORDER BY b.doc_id
+""",
+)
+def multimodal_incremental_frame_dedup(spark, sf_dir):
+    """Incremental frame-level admission over REAL demuxed MP4 containers
+    — the batch twin of streaming/media.py's vs-corpus stage (only
+    new x existing frames ever join; the |corpus|^2 half never runs).
+    Zero-frame docs carry no overlap evidence and are admitted."""
+    from ..operators.multimodal import attach_payload
+    from ..streaming.media import batch_frame_keys, overlap_doomed
+
+    docs = load(spark, sf_dir, "documents")
+    vids = docs.filter(F.col("doc_id") % 4 == 2).select("doc_id", "text")
+    idx_docs = vids.filter(F.col("doc_id") % 8 == 2)
+    batch_docs = vids.filter(F.col("doc_id") % 8 == 6).unionByName(
+        vids.filter(F.col("doc_id") % 40 == 2).select(
+            (F.col("doc_id") + 100000).alias("doc_id"), "text"
+        )
+    )
+    bf = batch_frame_keys(attach_payload(batch_docs))
+    xf = batch_frame_keys(attach_payload(idx_docs))
+    doomed = overlap_doomed(bf, xf, 0.5).withColumn("_doomed", F.lit(1))
+    nn = bf.groupBy("doc_id").agg(F.count(F.lit(1)).cast("long").alias("n_frames"))
+    return (
+        batch_docs.join(nn, "doc_id", "left")
+        .join(doomed, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_frames", F.lit(0).cast("long")).alias("n_frames"),
+            F.when(F.col("_doomed").isNull(), 1)
+            .otherwise(0)
+            .cast("int")
+            .alias("admitted"),
+        )
+        .orderBy("doc_id")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Capstone: the whole training-data curation pipeline in ONE lazy DAG —
 # dup-injected corpus -> exact dedup -> quality floor -> substring-level

@@ -1,0 +1,186 @@
+"""Streaming MEDIA curation: a video stream deduped at the FRAME level
+against a persistent frame-hash index, micro-batch by micro-batch.
+
+The multimodal analogue of :mod:`streaming.curation` (text): re-uploads
+and re-encodes of the same clip share frame content, so the curation
+signal is frame-set overlap, not document hashes. Per micro-batch:
+
+  1. demux every video payload with the REAL ISO BMFF demuxer
+     (operators/multimodal.py::sample_frames, every_n=1) and key each
+     frame by content hash — the shuffle from here on carries only
+     (frame_key, doc_id) pairs, never payload bytes
+  2. in-batch dedup: pairwise frame overlap >= ``overlap_threshold``
+     (measured against the SMALLER doc's frame count, i.e. containment)
+     forms edges; the verified pairs are transitively closed into
+     connected components with ONE survivor (the min id) per component —
+     the same cluster-canonical policy the text side applies (ADVICE r7:
+     per-pair dooming under-deletes star shapes)
+  3. vs-corpus dedup: batch frames join the PERSISTED frame index; a doc
+     whose overlap-vs-any-single-existing-doc >= threshold is dropped.
+     The |corpus|^2 half never runs — only new x existing frames join,
+     and only on equal frame keys
+  4. append the survivors' frames to the frame index FIRST, then the
+     survivors to the media corpus. Bands-first ordering made crash
+     recovery work on the text side and the same argument holds here: a
+     crash between the writes leaves the replayed docs out of the corpus
+     (so they re-run curation; their stale index rows self-pair and are
+     filtered by new_id != existing_id) instead of permanently missing
+     from the index. Survivors are ``localCheckpoint``-ed before the
+     first mutating write — a cached plan that reads a path is
+     RE-EXECUTED against the mutated directory on append (the
+     recache-by-path hazard found live on the text side).
+
+Zero-frame docs (empty or unparseable videos) have no overlap evidence
+and are admitted; parse failures never poison the batch (the demuxer's
+per-row error contract).
+
+At 100 TB the frame index is bucketed by frame_key so step 3 joins
+shuffle-free on the big side; batch-derived sides broadcast.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.streaming import StreamingQuery
+
+from ..operators.dedup import connected_components
+from ..operators.multimodal import sample_frames
+
+
+def _has_parquet(d: str) -> bool:
+    return os.path.isdir(d) and any(f.endswith(".parquet") for f in os.listdir(d))
+
+
+def batch_frame_keys(media: DataFrame) -> DataFrame:
+    """(doc_id, frame_key) per demuxed frame — distinct within doc, so
+    overlap counts are set semantics even if a clip repeats a frame."""
+    return (
+        sample_frames(media, every_n=1)
+        .filter(F.col("frame_error").isNull())
+        .select(
+            "doc_id",
+            F.lower(F.hex(F.md5("frame_payload"))).alias("frame_key"),
+        )
+        .distinct()
+    )
+
+
+def overlap_doomed(
+    new_frames: DataFrame,
+    existing_frames: DataFrame,
+    threshold: float,
+) -> DataFrame:
+    """doc_ids from ``new_frames`` whose frame overlap with ANY single
+    existing doc reaches ``threshold`` of the new doc's frame count.
+    One equi-join on frame_key + one (new, existing) group — never a
+    cross product."""
+    n_new = new_frames.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("_n_frames")
+    )
+    shared = (
+        new_frames.join(
+            # distinct: a crash-replayed batch leaves duplicate index rows
+            # (frames-first write ordering); they must not inflate overlap
+            existing_frames.select(
+                F.col("doc_id").alias("_existing_id"), "frame_key"
+            ).distinct(),
+            "frame_key",
+        )
+        .filter(F.col("doc_id") != F.col("_existing_id"))
+        .groupBy("doc_id", "_existing_id")
+        .agg(F.count(F.lit(1)).alias("_shared"))
+    )
+    return (
+        shared.join(n_new, "doc_id")
+        .filter(F.col("_shared") >= F.lit(threshold) * F.col("_n_frames"))
+        .select("doc_id")
+        .distinct()
+    )
+
+
+def _curate_media_batch(
+    batch_df: DataFrame,
+    corpus_dir: str,
+    frames_dir: str,
+    overlap_threshold: float,
+) -> None:
+    spark = batch_df.sparkSession
+    new = batch_df
+    frames = batch_frame_keys(new).localCheckpoint(eager=True)
+
+    # in-batch near-dup: containment against the SMALLER frame set makes a
+    # clip and its re-encode-with-extra-outro mutual duplicates; min-id
+    # canonical per connected component
+    n_by_doc = frames.groupBy("doc_id").agg(F.count(F.lit(1)).alias("_n"))
+    a = frames.select(F.col("doc_id").alias("id_a"), "frame_key")
+    b = frames.select(F.col("doc_id").alias("id_b"), "frame_key")
+    pair_shared = (
+        a.join(b, "frame_key")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("_shared"))
+    )
+    na = n_by_doc.select(F.col("doc_id").alias("id_a"), F.col("_n").alias("_na"))
+    nb = n_by_doc.select(F.col("doc_id").alias("id_b"), F.col("_n").alias("_nb"))
+    in_pairs = (
+        pair_shared.join(na, "id_a")
+        .join(nb, "id_b")
+        .filter(
+            F.col("_shared")
+            >= F.lit(overlap_threshold) * F.least(F.col("_na"), F.col("_nb"))
+        )
+        .select("id_a", "id_b")
+    )
+    in_doomed = (
+        connected_components(in_pairs)
+        .filter(F.col("id") != F.col("label"))
+        .select(F.col("id").alias("doc_id"))
+    )
+    new = new.join(F.broadcast(in_doomed), "doc_id", "left_anti")
+    frames = frames.join(F.broadcast(in_doomed), "doc_id", "left_anti")
+
+    if _has_parquet(frames_dir):
+        existing = spark.read.parquet(frames_dir)
+        doomed = overlap_doomed(frames, existing, overlap_threshold)
+        new = new.join(F.broadcast(doomed), "doc_id", "left_anti")
+        frames = frames.join(F.broadcast(doomed), "doc_id", "left_anti")
+
+    # cut lineage from frames_dir before mutating it (recache-by-path)
+    survivors = new.localCheckpoint(eager=True)
+    surviving_frames = frames.localCheckpoint(eager=True)
+    if survivors.isEmpty():
+        return
+    # frames FIRST, then corpus (crash between the writes -> replayed docs
+    # re-run curation; self-overlap rows are filtered by doc_id !=
+    # _existing_id, mirroring the text side's new_id != existing_id guard)
+    surviving_frames.write.mode("append").parquet(frames_dir)
+    survivors.write.mode("append").parquet(corpus_dir)
+
+
+def stream_media_curate(
+    media_stream: DataFrame,
+    corpus_dir: str,
+    frames_dir: str,
+    checkpoint_dir: str,
+    overlap_threshold: float = 0.5,
+) -> StreamingQuery:
+    """Curate ``media_stream`` (doc_id, media_type, payload) into
+    ``corpus_dir``; ``frames_dir`` holds the persistent frame-hash index.
+    Returns the running query (availableNow trigger — rerun to drain new
+    input)."""
+
+    def run(batch_df: DataFrame, batch_id: int) -> None:
+        if not batch_df.isEmpty():
+            _curate_media_batch(
+                batch_df, corpus_dir, frames_dir, overlap_threshold
+            )
+
+    return (
+        media_stream.writeStream.foreachBatch(run)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
