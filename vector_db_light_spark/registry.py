@@ -71,6 +71,12 @@ def _populate() -> None:
 # same-family representative in the window and stays driver_sim-checked.
 # Round-7 rotation (VERDICT r6 #6): thirteen never-driver-checked families
 # swapped in for thirteen slots that earned their external pass in r6.
+# Late-r8 swap: five families built THIS round (real-decode audio
+# features, frame dedup + its incremental twin, loudest-window,
+# triangle counting) replace five multi-green rows (citations_pages,
+# shipping_priority, tumbling_hourly_events, dedup_exact,
+# heavy_hitters_cms) so the new operators get an external pass in
+# CORRECTNESS_r08; the rotated-out rows stay driver_sim-checked.
 # Round-8 rotation (VERDICT r7 #1): the thirteen r7-rotated slots all went
 # green in CORRECTNESS_r07, so they rotate back out (staying registered and
 # driver_sim-checked) for the highest-value never-driver-checked families:
@@ -87,7 +93,6 @@ PRIORITY: tuple[str, ...] = (
     # retrieval / search surface
     "search_pipeline",      # V2-V4 + F1 + F2 + J1 + F6 flagship
     "doc_profile",          # F7/F8/X1/X6 + 4 textstats ops (combo)
-    "citations_pages",      # A2 + A3 (combo)
     "search_prf_expansion", # PRF expansion over BM25
     "hybrid_rrf_search",    # BM25 + vector reciprocal-rank fusion (keeps
                             # BM25 and the text-embed path in-window)
@@ -97,16 +102,13 @@ PRIORITY: tuple[str, ...] = (
     # chunking
     "chunk_overlap_pages",  # S3 + X5 (index_build_pipeline keeps stride)
     # relational: joins, aggregates, windows, set ops
-    "shipping_priority",
     "acctbal_rollup",
     "q4_priority_count",    # TPC-H Q4 exists-semi count (r8 rotation)
     "q20_excess_suppliers", # TPC-H Q20 nested correlated (r8 rotation)
     "trailing_7d_revenue",  # range-frame rolling window (r8 rotation)
     "asof_event_order",
     "sessionize_events",
-    "tumbling_hourly_events",
     # dedup tiers
-    "dedup_exact",
     "dedup_minhash_lsh",
     "dedup_incremental_lsh",
     "dedup_substring_spans",
@@ -121,6 +123,7 @@ PRIORITY: tuple[str, ...] = (
     "knn_batch_topk",
     "kmeans_lloyd",
     "pagerank_suppliers",
+    "triangle_count_parts",  # degree-oriented triangles (late-r8 swap)
     "knn_pq_adc_topk",
     "ann_ivf_pruned",
     "ann_lsh_recall",           # (r8 rotation) recall tier: each measures
@@ -133,6 +136,11 @@ PRIORITY: tuple[str, ...] = (
     "embed_random_projection",
     "multimodal_resize",    # real PNG decode + resize (r8 swap for
                             # multimodal_meta, green r6+r7)
+    "multimodal_audio_features",  # REAL WAV PCM decode (late-r8 swap:
+                            # the oracle now replays decoded samples)
+    "multimodal_frame_dedup",         # real-demux frame dedup (late-r8)
+    "multimodal_audio_loudest_window",  # peak-energy argmax (late-r8)
+    "multimodal_incremental_frame_dedup",  # streaming twin (late-r8)
     "corpus_curation_pipeline",
     "ingest_parse_documents",
     "zorder_layout_ranges", # Z-order layout pruning ranges (r8 rotation)
@@ -141,7 +149,6 @@ PRIORITY: tuple[str, ...] = (
     "price_quantiles_per_segment",
     "sample_mixture_temperature",
     "quota_per_source",
-    "heavy_hitters_cms",
     "bpe_train_merges",     # held in-window r8: merge representation
                             # changed (positional-merge ADVICE fix)
     # subqueries + null semantics
