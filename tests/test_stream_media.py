@@ -88,6 +88,28 @@ def test_stream_media_curate_frame_overlap(spark, tmp_path):
     }
 
 
+def test_media_batch_replay_is_idempotent(spark, tmp_path):
+    # a crash after BOTH writes but before the offset commit replays the
+    # batch; the corpus id anti-join must make the replay a no-op rather
+    # than duplicating docs (the frame index may legitimately hold
+    # duplicate rows — they are distinct-ed at join time)
+    from vector_db_light_spark.streaming.media import _curate_media_batch
+
+    corpus = str(tmp_path / "curated")
+    frames = str(tmp_path / "frame_index")
+    batch = spark.createDataFrame(
+        [
+            (0, "video/mp4", _clip("a", "b", "c", "d")),
+            (1, "video/mp4", _clip("w", "x", "y", "z")),
+        ],
+        "doc_id bigint, media_type string, payload binary",
+    )
+    _curate_media_batch(batch, corpus, frames, 0.5)
+    _curate_media_batch(batch, corpus, frames, 0.5)  # full replay
+    rows = spark.read.parquet(corpus).collect()
+    assert sorted(r["doc_id"] for r in rows) == [0, 1]  # no duplicates
+
+
 def test_stream_media_star_shape_cluster_canonical(spark, tmp_path):
     # star: 0~1 and 0~2 overlap, 1~2 do not — cluster-canonical keeps ONLY
     # the min id of the component (the text side's ADVICE-r7 policy)

@@ -109,6 +109,22 @@ def _curate_media_batch(
 ) -> None:
     spark = batch_df.sparkSession
     new = batch_df
+    # 0. replay idempotence: a crash AFTER both writes but BEFORE the
+    # streaming offset commit replays the whole batch, and the
+    # doc_id != _existing_id guard below would wave the replayed docs
+    # straight through (their only index hits are their own rows) —
+    # duplicating them in the corpus. The id anti-join makes a fully
+    # committed batch a no-op, mirroring the text side's content-sha
+    # anti-join; docs the crash left half-committed (frames written,
+    # corpus append lost) are NOT in the corpus yet, so they still re-run
+    # curation and complete. No broadcast hint: at 100 TB the corpus id
+    # side is large — bucket the corpus by doc_id and let AQE pick.
+    if _has_parquet(corpus_dir):
+        new = new.join(
+            spark.read.parquet(corpus_dir).select("doc_id"),
+            "doc_id",
+            "left_anti",
+        )
     frames = batch_frame_keys(new).localCheckpoint(eager=True)
 
     # in-batch near-dup: containment against the SMALLER frame set makes a
