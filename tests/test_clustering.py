@@ -162,3 +162,26 @@ def test_count_triangles_hand_graphs(spark):
         for r in count_triangles(edges.repartition(7), src="u", dst="v").collect()
     )
     assert base == redo
+
+
+def test_kcore_peel_hand_graph(spark):
+    from vector_db_light_spark.operators.graph import kcore_peel
+
+    # triangle {1,2,3} with a pendant chain 3-4-5: peeling k=2 removes 5
+    # (deg 1) in round 1, then 4 in round 2, then flattens on the triangle
+    edges = spark.createDataFrame(
+        [(1, 2), (1, 3), (2, 3), (3, 4), (4, 5)], "u long, v long"
+    )
+    traj = {
+        r["round"]: (r["n_nodes"], r["n_edges"])
+        for r in kcore_peel(edges, k=2, rounds=4, src="u", dst="v").collect()
+    }
+    assert traj == {0: (5, 5), 1: (4, 4), 2: (3, 3), 3: (3, 3), 4: (3, 3)}
+
+    # k above the max core empties the graph and STAYS empty (agg on an
+    # empty edge table must still emit a row per round)
+    traj = {
+        r["round"]: (r["n_nodes"], r["n_edges"])
+        for r in kcore_peel(edges, k=4, rounds=2, src="u", dst="v").collect()
+    }
+    assert traj == {0: (5, 5), 1: (0, 0), 2: (0, 0)}

@@ -442,3 +442,21 @@ def test_filtered_ivf_pushes_both_predicates_to_the_scan(spark):
         assert "TakeOrderedAndProject" in plan
     finally:
         cents.unpersist()
+
+
+def test_triangle_count_joins_are_equi_not_cartesian(spark):
+    """Both wedge joins must be hash/merge equi-joins on node keys; a
+    cartesian/nested-loop pairing of the (materialized) oriented edge
+    list with itself is the hub-explosion failure the degree orientation
+    exists to prevent."""
+    from vector_db_light_spark.operators.graph import count_triangles
+
+    edges = spark.createDataFrame(
+        [(a, b) for a in range(1, 30) for b in range(a + 1, 30) if (a * b) % 3],
+        "u long, v long",
+    )
+    plan = explain_string(count_triangles(edges, src="u", dst="v"))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    # post-checkpoint plan: the edge build must NOT re-run per wedge side
+    assert plan.count("ExistingRDD") >= 2 or "LocalTableScan" in plan

@@ -138,3 +138,61 @@ def count_triangles(edges: DataFrame, src: str = "src", dst: str = "dst") -> Dat
     return corners.groupBy("node").agg(
         F.count(F.lit(1)).cast("long").alias("n_triangles")
     )
+
+
+def kcore_peel(
+    edges: DataFrame,
+    k: int,
+    rounds: int,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """Iterative k-core peel over an undirected simple graph (distinct
+    ``src < dst`` pairs): each round drops every node whose current degree
+    is below ``k`` plus all incident edges, until the ``rounds`` budget is
+    spent. Returns the peel TRAJECTORY — one row (round, n_nodes,
+    n_edges) per round including round 0 — the shrinking-core curve
+    dense-subgraph mining and community pre-filtering read; the final
+    round's survivors are the k-core once the trajectory has flattened
+    (convergence is data-dependent, so the caller pins ``rounds``; the
+    all-integer trajectory makes an unrolled-CTE oracle replay exact).
+
+    Scale shape per round (the connected-components discipline): one
+    degree aggregation + two anti-joins, with the edge table
+    ``localCheckpoint``-ed every round — lineage stays flat and each
+    round reads the materialized previous state, never the whole chain.
+    Degrees shrink monotonically, so rounds get cheaper as they go; at
+    100 TB pre-partition the edge table by ``src`` once and the per-round
+    joins reuse the layout."""
+    e = edges.select(src, dst).localCheckpoint(eager=True)
+
+    def stats(r: int, ecur: DataFrame) -> DataFrame:
+        return (
+            ecur.select(
+                F.explode(F.array(F.col(src), F.col(dst))).alias("node")
+            )
+            .agg(
+                F.countDistinct("node").alias("n_nodes"),
+                F.expr("count(*) div 2").alias("n_edges"),
+            )
+            .select(
+                F.lit(r).cast("int").alias("round"), "n_nodes", "n_edges"
+            )
+        )
+
+    out = stats(0, e)
+    for r in range(1, rounds + 1):
+        deg = (
+            e.select(F.explode(F.array(F.col(src), F.col(dst))).alias("node"))
+            .groupBy("node")
+            .agg(F.count(F.lit(1)).alias("_d"))
+        )
+        bad = deg.filter(F.col("_d") < k).select("node")
+        e = (
+            e.join(bad.withColumnRenamed("node", src), src, "left_anti")
+            .join(bad.withColumnRenamed("node", dst), dst, "left_anti")
+            .select(src, dst)
+            .localCheckpoint(eager=True)
+        )
+        out = out.unionByName(stats(r, e))
+    return out

@@ -1103,6 +1103,87 @@ def events_robust_outliers(spark, sf_dir):
     )
 
 
+_KCORE_K, _KCORE_ROUNDS = 3, 10
+
+
+def _kcore_round_sql(r: int) -> str:
+    # AS MATERIALIZED is load-bearing: DuckDB inlines plain CTEs, and each
+    # round references the previous one ~4x — the unrolled chain would
+    # inline 4^rounds copies of the base scan (found live as "Too many
+    # open files" at rounds=10)
+    return f"""
+b{r} AS MATERIALIZED (
+  SELECT node
+  FROM (SELECT u AS node FROM e{r - 1} UNION ALL SELECT v FROM e{r - 1})
+  GROUP BY node HAVING count(*) < {_KCORE_K}
+),
+e{r} AS MATERIALIZED (
+  SELECT u, v FROM e{r - 1}
+  WHERE u NOT IN (SELECT node FROM b{r})
+    AND v NOT IN (SELECT node FROM b{r})
+),
+s{r} AS (
+  SELECT CAST({r} AS INT) AS round,
+         CAST(count(DISTINCT node) AS BIGINT) AS n_nodes,
+         CAST(count(*) // 2 AS BIGINT) AS n_edges
+  FROM (SELECT u AS node FROM e{r} UNION ALL SELECT v FROM e{r})
+)"""
+
+
+@register(
+    "kcore_peel_trajectory",
+    # iterative peel, replayed exactly: the trajectory is all-integer
+    # (node/edge counts), so the unrolled-CTE oracle matches every round
+    # bit-for-bit regardless of partitioning — the pagerank/kmeans
+    # fixed-point convention applied to subgraph mining
+    f"""
+WITH e0 AS MATERIALIZED (
+  SELECT u, v FROM (
+    SELECT a.l_partkey AS u, b.l_partkey AS v, count(*) AS support
+    FROM lineitem a JOIN lineitem b
+      ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    GROUP BY 1, 2
+  ) WHERE support >= 2
+),
+s0 AS (
+  SELECT CAST(0 AS INT) AS round,
+         CAST(count(DISTINCT node) AS BIGINT) AS n_nodes,
+         CAST(count(*) // 2 AS BIGINT) AS n_edges
+  FROM (SELECT u AS node FROM e0 UNION ALL SELECT v FROM e0)
+),
+{",".join(_kcore_round_sql(r) for r in range(1, _KCORE_ROUNDS + 1))}
+{" UNION ALL ".join(f"SELECT * FROM s{r}" for r in range(0, _KCORE_ROUNDS + 1))}
+ORDER BY round
+""",
+)
+def kcore_peel_trajectory(spark, sf_dir):
+    """Peel trajectory of the 3-core of the support->=2 co-purchase graph
+    (parts co-ordered at least twice): 10 peel rounds reach the fixpoint
+    on this fixture (the tail rows flatten), each round one degree
+    aggregation + two anti-joins over a per-round checkpointed edge
+    table — operators/graph.py::kcore_peel."""
+    from ..operators.graph import kcore_peel
+
+    lineitem = load(spark, sf_dir, "lineitem")
+    a = lineitem.select(
+        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("u")
+    )
+    b = lineitem.select(
+        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("v")
+    )
+    co = (
+        a.join(b, "ok")
+        .filter(F.col("u") < F.col("v"))
+        .groupBy("u", "v")
+        .agg(F.count(F.lit(1)).alias("support"))
+        .filter(F.col("support") >= 2)
+        .select("u", "v")
+    )
+    return kcore_peel(co, k=_KCORE_K, rounds=_KCORE_ROUNDS, src="u", dst="v").orderBy(
+        "round"
+    )
+
+
 @register(
     "triangle_count_parts",
     # degree-ordered orientation makes every triangle enumerable exactly
