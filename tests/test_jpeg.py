@@ -66,3 +66,12 @@ def test_decode_rejects_malformed_and_unsupported():
         decode_jpeg(encode_jpeg(bytes(64), 8, 8)[:20])
     with pytest.raises(JpegError):
         jpeg_dimensions(b"\xff\xd8\xff\xd9")
+
+
+def test_jpeg_dimensions_skips_standalone_markers():
+    from vector_db_light_spark.functions.jpeg import encode_jpeg, jpeg_dimensions
+
+    data = encode_jpeg(bytes(64), 8, 8)
+    # splice a standalone TEM marker (no length field) before the tables
+    spliced = data[:2] + b"\xff\x01" + data[2:]
+    assert jpeg_dimensions(spliced) == (8, 8)

@@ -135,3 +135,15 @@ def test_roundtrip_property(frames, w, h):
     w2, h2, out = demux_mp4(encode_mp4(frames, w, h))
     assert (w2, h2) == (w, h)
     assert out == frames
+
+
+def test_non_video_track_raises_not_silently_demuxes():
+    # real-world files often mux audio first; a non-'vide' handler must
+    # raise (-> the operator's per-row error column), never demux packets
+    # as frames with 0x0 dims
+    data = encode_mp4([b"pkt" * 10], 32, 32)
+    audio_only = data.replace(b"vide", b"soun", 1)
+    with pytest.raises(Mp4Error, match="no video track"):
+        demux_mp4(audio_only)
+    with pytest.raises(Mp4Error, match="no video track"):
+        mp4_dimensions(audio_only)

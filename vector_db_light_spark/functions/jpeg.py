@@ -429,8 +429,11 @@ def jpeg_dimensions(data: bytes) -> tuple[int, int]:
         if marker == 0xFFC0:
             _p, h, w = struct.unpack(">BHH", data[pos + 4 : pos + 9])
             return w, h
-        if marker == 0xFFD9 or (0xFFD0 <= marker <= 0xFFDA and marker == 0xFFDA):
+        if marker in (0xFFD9, 0xFFDA):  # EOI / SOS: no SOF0 seen
             break
+        if marker == 0xFF01 or 0xFFD0 <= marker <= 0xFFD8:
+            pos += 2  # standalone markers (TEM/RSTn/SOI) carry no length
+            continue
         (ln,) = struct.unpack(">H", data[pos + 2 : pos + 4])
         pos += 2 + ln
     raise JpegError("no SOF0 header")

@@ -156,6 +156,24 @@ def _find(data: bytes, start: int, end: int, tag: bytes) -> tuple[int, int]:
     raise Mp4Error(f"missing {tag!r} box")
 
 
+def _find_video_trak(data: bytes, moov_b: int, moov_e: int) -> tuple[int, int]:
+    """First trak whose mdia/hdlr handler is 'vide' — real-world files
+    often mux the audio track first, and blindly taking the first trak
+    would silently demux audio packets as frames with 0x0 dims."""
+    for t, b, e in _iter_boxes(data, moov_b, moov_e):
+        if t != b"trak":
+            continue
+        try:
+            mdia_b, mdia_e = _find(data, b, e, b"mdia")
+            hdlr_b, _ = _find(data, mdia_b, mdia_e, b"hdlr")
+        except Mp4Error:
+            continue
+        # FullBox header (4) + pre_defined (4), then the handler type
+        if data[hdlr_b + 8 : hdlr_b + 12] == b"vide":
+            return b, e
+    raise Mp4Error("no video track")
+
+
 def demux_mp4(data: bytes) -> tuple[int, int, list[bytes]]:
     """(width, height, sample payloads in decode order) from ISO BMFF
     bytes — the first ``trak``'s full sample-table walk: stsc runs expand
@@ -181,7 +199,7 @@ def _demux_mp4(data: bytes) -> tuple[int, int, list[bytes]]:
     if b"moof" in tags:
         raise Mp4Error("fragmented MP4 unsupported")
     moov_b, moov_e = _find(data, 0, len(data), b"moov")
-    trak_b, trak_e = _find(data, moov_b, moov_e, b"trak")
+    trak_b, trak_e = _find_video_trak(data, moov_b, moov_e)
     # width/height are the last 8 bytes of tkhd regardless of version
     _tkhd_b, tk_end = _find(data, trak_b, trak_e, b"tkhd")
     w_fixed, h_fixed = struct.unpack_from(">II", data, tk_end - 8)
@@ -241,10 +259,10 @@ def _demux_mp4(data: bytes) -> tuple[int, int, list[bytes]]:
 
 
 def mp4_dimensions(data: bytes) -> tuple[int, int]:
-    """(width, height) from the first track's tkhd without touching the
-    sample tables."""
+    """(width, height) from the first VIDEO track's tkhd without touching
+    the sample tables."""
     moov_b, moov_e = _find(data, 0, len(data), b"moov")
-    trak_b, trak_e = _find(data, moov_b, moov_e, b"trak")
+    trak_b, trak_e = _find_video_trak(data, moov_b, moov_e)
     _b, tk_end = _find(data, trak_b, trak_e, b"tkhd")
     w_fixed, h_fixed = struct.unpack_from(">II", data, tk_end - 8)
     return w_fixed >> 16, h_fixed >> 16

@@ -853,7 +853,11 @@ def multimodal_audio_features(spark, sf_dir):
     from ..operators.multimodal import attach_payload, extract_audio_features
 
     media = attach_payload(load(spark, sf_dir, "documents"))
-    feats = extract_audio_features(media, window=32)
+    # decode failures emit (0, -1, NULL) marker rows — reachable now that
+    # the decode is real — with no oracle counterpart; exclude them
+    feats = extract_audio_features(media, window=32).filter(
+        F.col("feature_error").isNull()
+    )
     return feats.select(
         "doc_id", "n_windows", "window_idx", "energy"
     ).orderBy("doc_id", "window_idx")
@@ -898,7 +902,10 @@ def multimodal_audio_loudest_window(spark, sf_dir):
     from ..operators.multimodal import attach_payload, extract_audio_features
 
     media = attach_payload(load(spark, sf_dir, "documents"))
-    feats = extract_audio_features(media, window=32)
+    # NULL-energy decode-failure marker rows must not enter the ranking
+    feats = extract_audio_features(media, window=32).filter(
+        F.col("feature_error").isNull()
+    )
     w = Window.partitionBy("doc_id").orderBy(
         F.desc("energy"), F.asc("window_idx")
     )
@@ -961,7 +968,11 @@ def multimodal_frame_dedup(spark, sf_dir):
         .select((F.col("doc_id") + 100000).alias("doc_id"), "text")
     )
     media = attach_payload(vids.unionByName(dup))
-    frames = sample_frames(media, every_n=1)
+    # demux-error rows carry a NULL payload — excluded, or they'd group on
+    # a NULL key with no oracle counterpart (nullable-group-key rule)
+    frames = sample_frames(media, every_n=1).filter(
+        F.col("frame_error").isNull()
+    )
     keyed = frames.select(
         "doc_id",
         F.lower(F.hex(F.expr("substring(frame_payload, 1, 16)"))).alias(
@@ -1049,7 +1060,12 @@ def multimodal_incremental_frame_dedup(spark, sf_dir):
             (F.col("doc_id") + 100000).alias("doc_id"), "text"
         )
     )
-    bf = batch_frame_keys(attach_payload(batch_docs))
+    # bf feeds overlap_doomed (twice: the n_new aggregate + the shared
+    # join) AND nn below — checkpoint the encode+demux Arrow chain once
+    # (CLAUDE.md rule 4; the streaming twin checkpoints the same subtree)
+    bf = batch_frame_keys(attach_payload(batch_docs)).localCheckpoint(
+        eager=True
+    )
     xf = batch_frame_keys(attach_payload(idx_docs))
     doomed = overlap_doomed(bf, xf, 0.5).withColumn("_doomed", F.lit(1))
     nn = bf.groupBy("doc_id").agg(F.count(F.lit(1)).cast("long").alias("n_frames"))

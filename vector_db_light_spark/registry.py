@@ -124,6 +124,8 @@ PRIORITY: tuple[str, ...] = (
     "kmeans_lloyd",
     "pagerank_suppliers",
     "triangle_count_parts",  # degree-oriented triangles (late-r8 swap)
+    "kcore_peel_trajectory",  # iterative 3-core peel (late-r8 swap for
+                            # sample_mixture_temperature, green r7)
     "knn_pq_adc_topk",
     "ann_ivf_pruned",
     "ann_lsh_recall",           # (r8 rotation) recall tier: each measures
@@ -147,7 +149,6 @@ PRIORITY: tuple[str, ...] = (
     # analytics / text stats / sampling
     "salted_hot_key_agg",
     "price_quantiles_per_segment",
-    "sample_mixture_temperature",
     "quota_per_source",
     "bpe_train_merges",     # held in-window r8: merge representation
                             # changed (positional-merge ADVICE fix)

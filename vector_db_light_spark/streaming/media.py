@@ -62,7 +62,10 @@ def batch_frame_keys(media: DataFrame) -> DataFrame:
         .filter(F.col("frame_error").isNull())
         .select(
             "doc_id",
-            F.lower(F.hex(F.md5("frame_payload"))).alias("frame_key"),
+            # md5() already returns a lowercase hex STRING — wrapping it
+            # in hex() would re-encode those ASCII bytes into a 64-char
+            # key, doubling the bytes every shuffle and index row carries
+            F.md5("frame_payload").alias("frame_key"),
         )
         .distinct()
     )
