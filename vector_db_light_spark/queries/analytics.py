@@ -1103,6 +1103,69 @@ def events_robust_outliers(spark, sf_dir):
     )
 
 
+@register(
+    "butterfly_supplier_pairs",
+    # bipartite clustering: butterflies (2x2 bicliques) are the bipartite
+    # analogue of triangles. Wedges are centered on the CUSTOMER side —
+    # the low-degree side of this graph — so the expansion is
+    # sum deg(c)^2 over ~10-70 suppliers/customer, never the supplier
+    # side's deg^2 over thousands of customers
+    """
+WITH pairs AS (
+  SELECT DISTINCT o.o_custkey AS c, l.l_suppkey AS s
+  FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+),
+wedge AS (
+  SELECT a.c, a.s AS s1, b.s AS s2
+  FROM pairs a JOIN pairs b ON a.c = b.c AND a.s < b.s
+),
+sp AS (
+  SELECT s1, s2, CAST(count(*) AS BIGINT) AS n_common
+  FROM wedge GROUP BY 1, 2
+)
+SELECT s1, s2, n_common,
+       CAST(n_common * (n_common - 1) // 2 AS BIGINT) AS n_butterflies
+FROM sp
+ORDER BY n_common DESC, s1 ASC, s2 ASC
+LIMIT 20
+""",
+)
+def butterfly_supplier_pairs(spark, sf_dir):
+    """Top supplier pairs by shared-customer count in the customer x
+    supplier bipartite graph, with each pair's butterfly (2x2-biclique)
+    count C(n_common, 2) — the bipartite cohesion signal behind
+    co-purchase affinity and recommender candidate generation. Wedges
+    pivot on the customer (low-degree) side; at 100 TB add a degree cap
+    or hash-sample hub customers before the self-join — the standard
+    exact-to-approximate butterfly degradation."""
+    orders = load(spark, sf_dir, "orders")
+    lineitem = load(spark, sf_dir, "lineitem")
+    pairs = (
+        orders.join(lineitem, orders.o_orderkey == lineitem.l_orderkey)
+        .select(F.col("o_custkey").alias("c"), F.col("l_suppkey").alias("s"))
+        .distinct()
+        .localCheckpoint(eager=True)  # consumed by both wedge sides
+    )
+    a = pairs.select("c", F.col("s").alias("s1"))
+    b = pairs.select("c", F.col("s").alias("s2"))
+    wedge = a.join(b, "c").filter(F.col("s1") < F.col("s2"))
+    sp = wedge.groupBy("s1", "s2").agg(
+        F.count(F.lit(1)).cast("long").alias("n_common")
+    )
+    return (
+        sp.select(
+            "s1",
+            "s2",
+            "n_common",
+            F.expr("n_common * (n_common - 1) div 2")
+            .cast("long")
+            .alias("n_butterflies"),
+        )
+        .orderBy(F.desc("n_common"), F.asc("s1"), F.asc("s2"))
+        .limit(20)
+    )
+
+
 _KCORE_K, _KCORE_ROUNDS = 3, 10
 
 
