@@ -1166,6 +1166,84 @@ def butterfly_supplier_pairs(spark, sf_dir):
     )
 
 
+@register(
+    "butterfly_sampled_quality",
+    # the exact-to-approximate degradation documented in SCALE.md, made
+    # measurable: hash-sample customers at rate 1/4 (deterministic md5
+    # bucket — engine-replayable, unlike rand()), count butterflies on
+    # the sample, scale by 1/p^2 = 16 (a butterfly survives iff BOTH its
+    # customers are sampled). All-integer outputs; the reader judges the
+    # estimator against the exact count in the same row.
+    """
+WITH pairs AS (
+  SELECT DISTINCT o.o_custkey AS c, l.l_suppkey AS s
+  FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+),
+sp AS (
+  SELECT a.s AS s1, b.s AS s2, CAST(count(*) AS BIGINT) AS n_common
+  FROM pairs a JOIN pairs b ON a.c = b.c AND a.s < b.s
+  GROUP BY 1, 2
+),
+spl AS (
+  SELECT a.s AS s1, b.s AS s2, CAST(count(*) AS BIGINT) AS n_common
+  FROM pairs a JOIN pairs b ON a.c = b.c AND a.s < b.s
+  WHERE ('0x' || substr(md5(CAST(a.c AS VARCHAR)), 1, 4))::BIGINT % 4 = 0
+  GROUP BY 1, 2
+)
+SELECT
+  (SELECT CAST(coalesce(sum(n_common * (n_common - 1) // 2), 0) AS BIGINT)
+   FROM sp) AS n_exact,
+  (SELECT CAST(coalesce(sum(n_common * (n_common - 1) // 2), 0) AS BIGINT)
+   FROM spl) AS n_sampled,
+  (SELECT CAST(16 * coalesce(sum(n_common * (n_common - 1) // 2), 0) AS BIGINT)
+   FROM spl) AS n_estimated
+""",
+)
+def butterfly_sampled_quality(spark, sf_dir):
+    """Quality audit of the sampled butterfly estimator: exact count vs
+    the 1/16-scaled count over a deterministic 1/4 customer hash-sample
+    — the knob SCALE.md prescribes when hub pivots make the exact wedge
+    expansion infeasible. Hash-bucket sampling (not rand()) keeps the
+    estimate bit-identical across engines and partitionings."""
+    orders = load(spark, sf_dir, "orders")
+    lineitem = load(spark, sf_dir, "lineitem")
+    pairs = (
+        orders.join(lineitem, orders.o_orderkey == lineitem.l_orderkey)
+        .select(F.col("o_custkey").alias("c"), F.col("l_suppkey").alias("s"))
+        .distinct()
+        .localCheckpoint(eager=True)  # wedge sides + sampled wedge sides
+    )
+
+    def total(p):
+        a = p.select("c", F.col("s").alias("s1"))
+        b = p.select("c", F.col("s").alias("s2"))
+        sp = (
+            a.join(b, "c")
+            .filter(F.col("s1") < F.col("s2"))
+            .groupBy("s1", "s2")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_common"))
+        )
+        return sp.agg(
+            F.coalesce(
+                F.sum(F.expr("n_common * (n_common - 1) div 2")), F.lit(0)
+            )
+            .cast("long")
+            .alias("n")
+        )
+
+    sampled = pairs.filter(
+        F.expr(
+            "cast(conv(substr(md5(cast(c as string)), 1, 4), 16, 10) as bigint) % 4 = 0"
+        )
+    )
+    exact = total(pairs).select(F.col("n").alias("n_exact"))
+    est = total(sampled).select(
+        F.col("n").alias("n_sampled"),
+        (F.lit(16) * F.col("n")).cast("long").alias("n_estimated"),
+    )
+    return exact.crossJoin(est)  # two 1-row aggregates
+
+
 _KCORE_K, _KCORE_ROUNDS = 3, 10
 
 
