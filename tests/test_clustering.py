@@ -185,3 +185,48 @@ def test_kcore_peel_hand_graph(spark):
         for r in kcore_peel(edges, k=4, rounds=2, src="u", dst="v").collect()
     }
     assert traj == {0: (5, 5), 1: (0, 0), 2: (0, 0)}
+
+
+def test_triangle_delta_equals_recount_difference(spark):
+    import random
+
+    from vector_db_light_spark.operators.graph import (
+        count_triangles,
+        triangle_delta,
+    )
+
+    rng = random.Random(8)
+    nodes = list(range(1, 26))
+    all_edges = sorted(
+        {(a, b) for a in nodes for b in nodes if a < b and rng.random() < 0.25}
+    )
+    old = [e for e in all_edges if rng.random() < 0.8]
+    new = [e for e in all_edges if e not in old]
+    assert new and old
+
+    old_df = spark.createDataFrame(old, "u long, v long")
+    new_df = spark.createDataFrame(new, "u long, v long")
+    union_df = spark.createDataFrame(all_edges, "u long, v long")
+
+    delta = {
+        r["node"]: r["n_new_triangles"]
+        for r in triangle_delta(old_df, new_df, src="u", dst="v").collect()
+    }
+    before = {
+        r["node"]: r["n_triangles"]
+        for r in count_triangles(old_df, src="u", dst="v").collect()
+    }
+    after = {
+        r["node"]: r["n_triangles"]
+        for r in count_triangles(union_df, src="u", dst="v").collect()
+    }
+    expected = {
+        n: after[n] - before.get(n, 0)
+        for n in after
+        if after[n] - before.get(n, 0) > 0
+    }
+    assert delta == expected
+
+    # no new edges -> empty delta
+    empty = spark.createDataFrame([], "u long, v long")
+    assert triangle_delta(old_df, empty, src="u", dst="v").count() == 0

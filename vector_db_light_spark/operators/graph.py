@@ -196,3 +196,86 @@ def kcore_peel(
         )
         out = out.unionByName(stats(r, e))
     return out
+
+
+def triangle_delta(
+    old_edges: DataFrame,
+    new_edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """Per-node counts of triangles CREATED by ``new_edges`` landing on a
+    graph that already holds ``old_edges`` (both as distinct ``src < dst``
+    pairs) — incremental triangle maintenance, the shape a persisted
+    100 TB graph needs: the old graph's triangles are never re-enumerated.
+
+    Enumeration is ANCHORED on the new edges: the union is degree-oriented
+    exactly like :func:`count_triangles`, then each of the three wedge
+    positions is probed with only the oriented NEW edges (three
+    delta-by-full joins, cost ~ |new| x oriented degree), and the three
+    anchored streams are distinct-ed on the oriented triple — a triangle
+    containing two or three new edges appears in multiple streams but
+    counts once. Equals count_triangles(old ∪ new) − count_triangles(old)
+    per node (test-pinned)."""
+    old_edges = old_edges.select(
+        F.col(src).alias("u"), F.col(dst).alias("v")
+    )
+    new_edges = new_edges.select(
+        F.col(src).alias("u"), F.col(dst).alias("v")
+    )
+    union = old_edges.unionByName(new_edges).distinct().localCheckpoint(
+        eager=True
+    )
+    both = union.select(F.col("u").alias("node")).unionAll(
+        union.select(F.col("v").alias("node"))
+    )
+    deg = both.groupBy("node").agg(F.count(F.lit(1)).alias("d"))
+    du = deg.select(F.col("node").alias("u"), F.col("d").alias("_du"))
+    dv = deg.select(F.col("node").alias("v"), F.col("d").alias("_dv"))
+    ed = union.join(du, "u").join(dv, "v")
+    u_first = (F.col("_du") < F.col("_dv")) | (
+        (F.col("_du") == F.col("_dv")) & (F.col("u") < F.col("v"))
+    )
+    oriented = ed.select(
+        F.when(u_first, F.col("u")).otherwise(F.col("v")).alias("s"),
+        F.when(u_first, F.col("v")).otherwise(F.col("u")).alias("t"),
+    ).localCheckpoint(eager=True)
+    # oriented new edges: an oriented edge is new iff its unordered pair
+    # is a new pair (orientation may flip the id order)
+    new_o = oriented.join(
+        new_edges.select(
+            F.col("u").alias("_lo"), F.col("v").alias("_hi")
+        ),
+        (F.least("s", "t") == F.col("_lo"))
+        & (F.greatest("s", "t") == F.col("_hi")),
+        "left_semi",
+    ).localCheckpoint(eager=True)
+
+    def wedge(e1, e2, e3):
+        return (
+            e1.alias("e1")
+            .join(e2.alias("e2"), F.col("e1.t") == F.col("e2.s"))
+            .join(
+                e3.alias("e3"),
+                (F.col("e3.s") == F.col("e1.s"))
+                & (F.col("e3.t") == F.col("e2.t")),
+            )
+            .select(
+                F.col("e1.s").alias("a"),
+                F.col("e1.t").alias("b"),
+                F.col("e2.t").alias("c"),
+            )
+        )
+
+    tri = (
+        wedge(new_o, oriented, oriented)
+        .unionByName(wedge(oriented, new_o, oriented))
+        .unionByName(wedge(oriented, oriented, new_o))
+        .distinct()
+    )
+    corners = tri.select(
+        F.explode(F.array(F.col("a"), F.col("b"), F.col("c"))).alias("node")
+    )
+    return corners.groupBy("node").agg(
+        F.count(F.lit(1)).cast("long").alias("n_new_triangles")
+    )

@@ -1167,6 +1167,94 @@ def butterfly_supplier_pairs(spark, sf_dir):
 
 
 @register(
+    "triangle_delta_incremental",
+    # incremental maintenance: the Spark side enumerates ONLY triangles
+    # touching a new edge (three delta-anchored wedge joins, distinct-ed
+    # on the oriented triple); the oracle takes the equivalent but
+    # fixture-affordable route — full enumeration filtered to any-new —
+    # so a hash match proves the anchored streams cover exactly the
+    # delta. "New" edges are pairs whose EVERY supporting order is in
+    # the new tranche (orderkey % 10 = 0): pall EXCEPT pold.
+    """
+WITH pall AS MATERIALIZED (
+  SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+  FROM lineitem a JOIN lineitem b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+),
+pold AS MATERIALIZED (
+  SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+  FROM lineitem a JOIN lineitem b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  WHERE a.l_orderkey % 10 != 0
+),
+delta AS MATERIALIZED (
+  SELECT u, v FROM pall EXCEPT SELECT u, v FROM pold
+),
+deg AS MATERIALIZED (
+  SELECT node, CAST(count(*) AS BIGINT) AS d
+  FROM (SELECT u AS node FROM pall UNION ALL SELECT v FROM pall)
+  GROUP BY 1
+),
+oriented AS MATERIALIZED (
+  SELECT CASE WHEN du.d < dv.d OR (du.d = dv.d AND p.u < p.v)
+              THEN p.u ELSE p.v END AS s,
+         CASE WHEN du.d < dv.d OR (du.d = dv.d AND p.u < p.v)
+              THEN p.v ELSE p.u END AS t
+  FROM pall p JOIN deg du ON du.node = p.u JOIN deg dv ON dv.node = p.v
+),
+tri_new AS MATERIALIZED (
+  SELECT t.a, t.b, t.c FROM (
+    SELECT e1.s AS a, e1.t AS b, e2.t AS c
+    FROM oriented e1
+    JOIN oriented e2 ON e2.s = e1.t
+    JOIN oriented e3 ON e3.s = e1.s AND e3.t = e2.t
+  ) t
+  WHERE EXISTS (SELECT 1 FROM delta d
+                WHERE d.u = LEAST(t.a, t.b) AND d.v = GREATEST(t.a, t.b))
+     OR EXISTS (SELECT 1 FROM delta d
+                WHERE d.u = LEAST(t.b, t.c) AND d.v = GREATEST(t.b, t.c))
+     OR EXISTS (SELECT 1 FROM delta d
+                WHERE d.u = LEAST(t.a, t.c) AND d.v = GREATEST(t.a, t.c))
+),
+corners AS (
+  SELECT a AS node FROM tri_new
+  UNION ALL SELECT b FROM tri_new
+  UNION ALL SELECT c FROM tri_new
+)
+SELECT node, CAST(count(*) AS BIGINT) AS n_new_triangles
+FROM corners GROUP BY node
+ORDER BY n_new_triangles DESC, node ASC
+LIMIT 20
+""",
+)
+def triangle_delta_incremental(spark, sf_dir):
+    """Top-20 parts by triangles CREATED by the newest order tranche's
+    co-purchase edges — operators/graph.py::triangle_delta, which probes
+    the graph only with the new edges (|delta| x degree work) instead of
+    re-enumerating the persisted graph's triangles; equals the full
+    recount difference (test-pinned on random graphs)."""
+    from ..operators.graph import triangle_delta
+
+    lineitem = load(spark, sf_dir, "lineitem")
+
+    def pairs(li):
+        a = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("u"))
+        b = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("v"))
+        return (
+            a.join(b, "ok").filter(F.col("u") < F.col("v")).select("u", "v").distinct()
+        )
+
+    pall = pairs(lineitem)
+    pold = pairs(lineitem.filter(F.col("l_orderkey") % 10 != 0))
+    delta = pall.subtract(pold)
+    return (
+        triangle_delta(pold, delta, src="u", dst="v")
+        .orderBy(F.desc("n_new_triangles"), F.asc("node"))
+        .limit(20)
+    )
+
+
+@register(
     "butterfly_sampled_quality",
     # the exact-to-approximate degradation documented in SCALE.md, made
     # measurable: hash-sample customers at rate 1/4 (deterministic md5
