@@ -77,6 +77,7 @@ ANNOTATIONS: dict[str, str] = {
     "butterfly_supplier_pairs": "bipartite 2x2-biclique counting, wedges pivoted on the low-degree side",
     "butterfly_sampled_quality": "deterministic hash-sampled butterfly estimator vs exact count (14% rel err at 1/4 sample on fixture)",
     "triangle_delta_incremental": "incremental triangle maintenance anchored on new edges (|delta| x degree work); oracle filters the full enumeration",
+    "graph_cohesion_summary": "one-row nodes/edges/wedges/triangles profile; integer columns, coefficient reader-side",
     "multimodal_resize": "REAL stdlib PNG + baseline-JPEG decode + integer nearest resize; oracle recomputes every output pixel",
     "null_safe_join_counts": "<=> vs IS NOT DISTINCT FROM",
     "pagerank_suppliers": "2-round integer-exact PageRank, top-20 suppliers",

@@ -1167,6 +1167,83 @@ def butterfly_supplier_pairs(spark, sf_dir):
 
 
 @register(
+    "graph_cohesion_summary",
+    # one-row structural profile of the co-purchase graph: node/edge
+    # counts, open wedges sum C(deg, 2), and the exact triangle total —
+    # the global clustering coefficient is 3*n_triangles / n_wedges,
+    # left as the two integer columns (a float ratio would re-open
+    # division-parity exposure for zero information gain)
+    """
+WITH co AS MATERIALIZED (
+  SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+  FROM lineitem a JOIN lineitem b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+),
+deg AS MATERIALIZED (
+  SELECT node, CAST(count(*) AS BIGINT) AS d
+  FROM (SELECT u AS node FROM co UNION ALL SELECT v FROM co)
+  GROUP BY 1
+),
+oriented AS MATERIALIZED (
+  SELECT CASE WHEN du.d < dv.d OR (du.d = dv.d AND co.u < co.v)
+              THEN co.u ELSE co.v END AS s,
+         CASE WHEN du.d < dv.d OR (du.d = dv.d AND co.u < co.v)
+              THEN co.v ELSE co.u END AS t
+  FROM co JOIN deg du ON du.node = co.u JOIN deg dv ON dv.node = co.v
+)
+SELECT
+  (SELECT CAST(count(*) AS BIGINT) FROM deg) AS n_nodes,
+  (SELECT CAST(count(*) AS BIGINT) FROM co) AS n_edges,
+  (SELECT CAST(coalesce(sum(d * (d - 1) // 2), 0) AS BIGINT) FROM deg)
+    AS n_wedges,
+  (SELECT CAST(count(*) AS BIGINT)
+   FROM oriented e1
+   JOIN oriented e2 ON e2.s = e1.t
+   JOIN oriented e3 ON e3.s = e1.s AND e3.t = e2.t) AS n_triangles
+""",
+)
+def graph_cohesion_summary(spark, sf_dir):
+    """Global cohesion profile of the co-purchase graph in one row —
+    nodes, edges, open wedges, exact triangles (clustering coefficient =
+    3*n_triangles/n_wedges, reader-side). Reuses the degree-oriented
+    enumeration, so the triangle term stays hub-safe at 100 TB."""
+    from ..operators.graph import count_triangles
+
+    lineitem = load(spark, sf_dir, "lineitem")
+    a = lineitem.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("u"))
+    b = lineitem.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("v"))
+    co = (
+        a.join(b, "ok")
+        .filter(F.col("u") < F.col("v"))
+        .select("u", "v")
+        .distinct()
+        .localCheckpoint(eager=True)  # degrees + edge count + triangles
+    )
+    deg = (
+        co.select(F.explode(F.array(F.col("u"), F.col("v"))).alias("node"))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).cast("long").alias("d"))
+    )
+    base = deg.agg(
+        F.count(F.lit(1)).cast("long").alias("n_nodes"),
+        F.coalesce(F.sum(F.expr("d * (d - 1) div 2")), F.lit(0))
+        .cast("long")
+        .alias("n_wedges"),
+    )
+    edges = co.agg(F.count(F.lit(1)).cast("long").alias("n_edges"))
+    tri = count_triangles(co, src="u", dst="v").agg(
+        F.coalesce(F.expr("sum(n_triangles) div 3"), F.lit(0))
+        .cast("long")
+        .alias("n_triangles")
+    )
+    return (
+        base.crossJoin(edges)  # three 1-row aggregates
+        .crossJoin(tri)
+        .select("n_nodes", "n_edges", "n_wedges", "n_triangles")
+    )
+
+
+@register(
     "triangle_delta_incremental",
     # incremental maintenance: the Spark side enumerates ONLY triangles
     # touching a new edge (three delta-anchored wedge joins, distinct-ed
