@@ -1,5 +1,9 @@
-"""Iterative graph algorithms beyond connected components
-(operators/dedup.py::connected_components): exact integer PageRank.
+"""Graph algorithms beyond connected components
+(operators/dedup.py::connected_components): exact integer PageRank,
+degree-oriented triangle counting, incremental triangle maintenance
+(:func:`triangle_delta`), and the iterative k-core peel
+(:func:`kcore_peel`). Bipartite butterfly counting lives in the query
+layer (queries/analytics.py) as composition of the same primitives.
 
 Training-data pipelines use link-graph centrality as a document-quality
 prior (the classic web-corpus weighting); entity graphs (customer <->
