@@ -78,6 +78,7 @@ ANNOTATIONS: dict[str, str] = {
     "butterfly_sampled_quality": "deterministic hash-sampled butterfly estimator vs exact count (14% rel err at 1/4 sample on fixture)",
     "triangle_delta_incremental": "incremental triangle maintenance anchored on new edges (|delta| x degree work); oracle filters the full enumeration",
     "graph_cohesion_summary": "one-row nodes/edges/wedges/triangles profile; integer columns, coefficient reader-side",
+    "media_curation_pipeline": "multimodal capstone: real-decode floors -> frame dedup -> per-type survivor stats in one DAG",
     "multimodal_resize": "REAL stdlib PNG + baseline-JPEG decode + integer nearest resize; oracle recomputes every output pixel",
     "null_safe_join_counts": "<=> vs IS NOT DISTINCT FROM",
     "pagerank_suppliers": "2-round integer-exact PageRank, top-20 suppliers",

@@ -1084,6 +1084,146 @@ def multimodal_incremental_frame_dedup(spark, sf_dir):
     )
 
 
+@register(
+    "media_curation_pipeline",
+    # the multimodal capstone: dup-injected media corpus -> REAL decode
+    # metadata -> per-type quality floors (computed from decoded facts:
+    # image pixel area; container-derived sample/frame counts) ->
+    # frame-level dedup of videos (smaller-id canonical; same-text clips
+    # share identical frame sets, so sharing-any-frame groups are
+    # cliques and pairwise dooming equals cluster-canonical) -> per-type
+    # survivor stats in type-native content units. Every stage reuses a
+    # shipped operator; the oracle rebuilds all four arithmetically.
+    """
+WITH base AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 100000 AS doc_id, text FROM documents
+  WHERE doc_id % 4 = 2 AND doc_id % 20 = 2
+),
+media AS (
+  SELECT doc_id, text,
+         CASE WHEN doc_id % 4 = 0 THEN 'image/png'
+              WHEN doc_id % 4 = 1 THEN 'audio/wav'
+              WHEN doc_id % 4 = 3 THEN 'image/jpeg'
+              ELSE 'video/mp4' END AS media_type,
+         CASE WHEN doc_id % 4 = 0 THEN (8 + doc_id % 9) * (8 + doc_id % 7)
+              WHEN doc_id % 4 = 3
+              THEN 64 * (1 + (doc_id // 4) % 2) * (1 + (doc_id // 4) % 3)
+              ELSE 0 END AS px_area,
+         CASE WHEN doc_id % 4 = 1 THEN 32 * (2 + doc_id % 4) ELSE 0
+              END AS n_samples,
+         CASE WHEN doc_id % 4 = 2 THEN octet_length(encode(text)) // 64
+              ELSE 0 END AS n_frames
+  FROM base
+),
+floored AS (
+  SELECT * FROM media
+  WHERE (media_type LIKE 'image/%' AND px_area >= 100)
+     OR (media_type = 'audio/wav' AND n_samples >= 64)
+     OR (media_type = 'video/mp4' AND n_frames >= 2)
+),
+doomed AS (
+  SELECT DISTINCT b.doc_id
+  FROM floored a JOIN floored b
+    ON a.media_type = 'video/mp4' AND b.media_type = 'video/mp4'
+   AND a.text = b.text AND a.doc_id < b.doc_id
+),
+survivors AS (
+  SELECT * FROM floored
+  WHERE doc_id NOT IN (SELECT doc_id FROM doomed)
+)
+SELECT media_type,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(px_area + n_samples + n_frames) AS BIGINT) AS content_units
+FROM survivors
+GROUP BY media_type
+ORDER BY media_type
+""",
+)
+def media_curation_pipeline(spark, sf_dir):
+    """Multimodal curation in one DAG over REAL containers: decode
+    metadata (Arrow stage), quality floors from decoded facts, video
+    frame-level dedup via really-demuxed frame keys, per-type stats. At
+    100 TB each stage keeps payload bytes on their executors — only
+    metadata rows and (frame_key, doc_id) pairs ever shuffle."""
+    from ..operators.multimodal import attach_payload, extract_media_meta, sample_frames
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    dup = (
+        docs.filter((F.col("doc_id") % 4 == 2) & (F.col("doc_id") % 20 == 2))
+        .select((F.col("doc_id") + 100000).alias("doc_id"), "text")
+    )
+    corpus = docs.unionByName(dup)
+    media = attach_payload(corpus)
+    meta = extract_media_meta(media)
+    # content units from DECODED facts: image px area from real dims;
+    # audio samples / video frames from the arithmetic container sizes
+    typed = meta.select(
+        "doc_id",
+        "media_type",
+        F.when(
+            F.col("media_type").startswith("image/"),
+            (F.col("width") * F.col("height")).cast("long"),
+        )
+        .otherwise(F.lit(0))
+        .alias("px_area"),
+        F.when(
+            F.col("media_type") == "audio/wav",
+            F.expr("(n_bytes - 44) div 2"),
+        )
+        .otherwise(F.lit(0))
+        .cast("long")
+        .alias("n_samples"),
+        F.when(
+            F.col("media_type") == "video/mp4",
+            F.expr("(n_bytes - 587) div 72"),
+        )
+        .otherwise(F.lit(0))
+        .cast("long")
+        .alias("n_frames"),
+    )
+    floored = typed.filter(
+        (F.col("media_type").startswith("image/") & (F.col("px_area") >= 100))
+        | ((F.col("media_type") == "audio/wav") & (F.col("n_samples") >= 64))
+        | ((F.col("media_type") == "video/mp4") & (F.col("n_frames") >= 2))
+    )
+    # frame-level dedup of surviving videos over REALLY demuxed keys
+    vids = media.join(
+        F.broadcast(
+            floored.filter(F.col("media_type") == "video/mp4").select("doc_id")
+        ),
+        "doc_id",
+        "left_semi",
+    )
+    keys = (
+        sample_frames(vids, every_n=1)
+        .filter(F.col("frame_error").isNull())
+        .select("doc_id", F.md5("frame_payload").alias("k"))
+        .distinct()
+    )
+    doomed = (
+        keys.alias("a")
+        .join(keys.alias("b"), F.col("a.k") == F.col("b.k"))
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(F.col("b.doc_id").alias("doc_id"))
+        .distinct()
+    )
+    survivors = floored.join(F.broadcast(doomed), "doc_id", "left_anti")
+    return (
+        survivors.groupBy("media_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum(
+                F.col("px_area") + F.col("n_samples") + F.col("n_frames")
+            )
+            .cast("long")
+            .alias("content_units"),
+        )
+        .orderBy("media_type")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Capstone: the whole training-data curation pipeline in ONE lazy DAG —
 # dup-injected corpus -> exact dedup -> quality floor -> substring-level
