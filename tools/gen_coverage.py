@@ -79,6 +79,7 @@ ANNOTATIONS: dict[str, str] = {
     "triangle_delta_incremental": "incremental triangle maintenance anchored on new edges (|delta| x degree work); oracle filters the full enumeration",
     "graph_cohesion_summary": "one-row nodes/edges/wedges/triangles profile; integer columns, coefficient reader-side",
     "media_curation_pipeline": "multimodal capstone: real-decode floors -> frame dedup -> per-type survivor stats in one DAG",
+    "collocations_pmi": "log-free PMI collocation ranking via exact integer micro-unit score (monotone in PMI)",
     "multimodal_resize": "REAL stdlib PNG + baseline-JPEG decode + integer nearest resize; oracle recomputes every output pixel",
     "null_safe_join_counts": "<=> vs IS NOT DISTINCT FROM",
     "pagerank_suppliers": "2-round integer-exact PageRank, top-20 suppliers",

@@ -585,6 +585,94 @@ def bpe_tokenize_counts(spark, sf_dir):
 # ---------------------------------------------------------------------------
 
 @register(
+    "collocations_pmi",
+    # log-free PMI ranking: PMI = log(c_ab*N / (c_a*c_b)) is monotone in
+    # the integer micro-unit score (c_ab*N*1e6) // (c_a*c_b), so the
+    # classic collocation ranking needs no engine log() (the parity
+    # rules ban transcendentals on data-dependent args); worst case
+    # c_ab*N*1e6 ~ 1e16 stays inside BIGINT
+    f"""
+WITH toks AS (
+  SELECT doc_id, unnest({_TOKS_SQL}) AS w,
+         generate_subscripts({_TOKS_SQL}, 1) AS pos
+  FROM documents
+),
+uni AS (SELECT w, CAST(count(*) AS BIGINT) AS cu FROM toks GROUP BY 1),
+n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM toks),
+bg AS (
+  SELECT a.w AS w1, b.w AS w2
+  FROM toks a JOIN toks b ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
+),
+c AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS c FROM bg GROUP BY 1, 2)
+SELECT w1, w2, c.c AS n_cooccur,
+       CAST((c.c * n.n * 1000000) // (ua.cu * ub.cu) AS BIGINT) AS pmi_u6
+FROM c, n
+JOIN uni ua ON ua.w = c.w1
+JOIN uni ub ON ub.w = c.w2
+WHERE c.c >= 5
+ORDER BY pmi_u6 DESC, w1, w2
+LIMIT 20
+""",
+)
+def collocations_pmi(spark, sf_dir):
+    """Top-20 collocations by pointwise mutual information, ranked with
+    an exact integer micro-unit score (PMI's log is order-preserving, so
+    the rank never needs it). Scale shape: the bigram count table is the
+    one corpus-sized shuffle (shared construction with kn_bigram_stats);
+    unigram counts and the 1-row token total are vocabulary-scale joins
+    downstream."""
+    from ..operators.dedup import tokens_expr
+
+    docs = load_docs(spark, sf_dir)
+    toks = docs.select("doc_id", tokens_expr("text").alias("toks"))
+    uni = (
+        toks.select(F.explode("toks").alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).cast("long").alias("cu"))
+    )
+    n = toks.select(F.explode("toks").alias("w")).agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    bg = (
+        toks.filter(F.size("toks") >= 2)
+        .select(
+            F.explode(
+                F.transform(
+                    F.slice(F.col("toks"), 1, F.size("toks") - 1),
+                    lambda t, i: F.struct(
+                        t.alias("w1"),
+                        F.element_at(F.col("toks"), i + 2).alias("w2"),
+                    ),
+                )
+            ).alias("b")
+        )
+        .select("b.w1", "b.w2")
+    )
+    c = (
+        bg.groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+        .filter(F.col("c") >= 5)
+    )
+    ua = uni.select(F.col("w").alias("w1"), F.col("cu").alias("ca"))
+    ub = uni.select(F.col("w").alias("w2"), F.col("cu").alias("cb"))
+    return (
+        c.join(ua, "w1")
+        .join(ub, "w2")
+        .crossJoin(n)  # 1-row token total
+        .select(
+            "w1",
+            "w2",
+            F.col("c").alias("n_cooccur"),
+            F.expr("(c * n * 1000000) div (ca * cb)")
+            .cast("long")
+            .alias("pmi_u6"),
+        )
+        .orderBy(F.desc("pmi_u6"), "w1", "w2")
+        .limit(20)
+    )
+
+
+@register(
     "kn_bigram_stats",
     f"""
 WITH toks AS (
