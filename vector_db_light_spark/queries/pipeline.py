@@ -1156,7 +1156,12 @@ def media_curation_pipeline(spark, sf_dir):
     )
     corpus = docs.unionByName(dup)
     media = attach_payload(corpus)
-    meta = extract_media_meta(media)
+    # meta is consumed by the floors AND the survivor aggregate; the
+    # frame keys self-join below. Checkpoint BOTH (small, payload-free
+    # rows — the honest 100 TB materialization points), never the
+    # payload-carrying media frame: at scale you persist decode FACTS
+    # and re-scan sources, not raw bytes (21 static Arrow stages -> 2)
+    meta = extract_media_meta(media).localCheckpoint(eager=True)
     # content units from DECODED facts: image px area from real dims;
     # audio samples / video frames from the arithmetic container sizes
     typed = meta.select(
@@ -1201,6 +1206,7 @@ def media_curation_pipeline(spark, sf_dir):
         .filter(F.col("frame_error").isNull())
         .select("doc_id", F.md5("frame_payload").alias("k"))
         .distinct()
+        .localCheckpoint(eager=True)  # self-joined below
     )
     doomed = (
         keys.alias("a")
