@@ -138,3 +138,72 @@ def test_dot_dimension_mismatch_yields_null_not_partial(spark):
     )
     row = df2.select(dot("v", "q", dim=3).alias("d")).collect()[0]
     assert row["d"] is None
+
+
+def test_trained_pq_codebooks_cut_reconstruction_error(spark):
+    """The point of training (VERDICT r8 #3): per-subspace fixed-point
+    Lloyd codebooks must reconstruct the corpus strictly better than the
+    deterministic literal codebooks at identical (m, ksub, subdim) — and
+    come back well-formed (m subspaces, <= ksub codewords each, subdim
+    floats per codeword, positional order stable)."""
+    import numpy as np
+
+    from vector_db_light_spark.operators.similarity import (
+        pq_codebooks,
+        train_pq_codebooks,
+    )
+    from vector_db_light_spark.registry import load
+
+    m, ksub, subdim = 8, 16, 8
+    emb = load(spark, SF_SMOKE, "embeddings")
+    trained = train_pq_codebooks(emb, m, ksub, subdim, iters=2)
+    literal = pq_codebooks(m, ksub, subdim)
+
+    assert len(trained) == m
+    for book in trained:
+        assert 1 <= len(book) <= ksub
+        assert all(len(cw) == subdim for cw in book)
+
+    X = np.array(
+        [r["embedding"] for r in emb.select("embedding").collect()],
+        dtype=np.float64,
+    )
+
+    def recon_err(books):
+        err = 0.0
+        for s in range(m):
+            sub = X[:, s * subdim : (s + 1) * subdim]
+            C = np.array(books[s])
+            d = ((sub[:, None, :] - C[None, :, :]) ** 2).sum(-1)
+            err += d.min(axis=1).sum()
+        return err / len(X)
+
+    assert recon_err(trained) < recon_err(literal)
+
+
+def test_build_pq_index_trained_sidecar(tmp_path, spark):
+    """api.build_pq_index(trained=True) writes k-means codebooks into the
+    sidecar (flagged), and ADC serving consumes them unchanged."""
+    import json
+    import os
+
+    from vector_db_light_spark.api import VectorDatabaseManager
+
+    db = VectorDatabaseManager(spark, str(tmp_path))
+    # build_pq_index reads only the embeddings table path — stage one
+    # directly rather than running the whole create_database pipeline
+    from vector_db_light_spark.registry import load
+
+    emb = load(spark, SF_SMOKE, "embeddings").selectExpr(
+        "CAST(vec_id AS STRING) AS chunk_id", "embedding"
+    )
+    emb.write.mode("overwrite").parquet(
+        os.path.join(str(tmp_path), "t", "embeddings")
+    )
+    db.build_pq_index("t", dim=64, m=8, ksub=16, trained=True, train_iters=2)
+    side = json.load(open(os.path.join(str(tmp_path), "t", "pq_codebooks.json")))
+    assert side["trained"] is True
+    assert len(side["codebooks"]) == 8
+    codes = spark.read.parquet(os.path.join(str(tmp_path), "t", "embeddings_pq"))
+    assert codes.count() == emb.count()
+    assert {f"code_{s}" for s in range(8)} <= set(codes.columns)

@@ -26,6 +26,7 @@ ANNOTATIONS: dict[str, str] = {
     "ann_lsh_ndcg": "rank-discounted quality, literal discounts, no engine log()",
     "ann_pq_recall": "batch ADC recall@5 vs exact batch kNN",
     "ann_pq_rerank_recall": "ADC top-50 shortlist + exact re-rank, recall ~0.93",
+    "ann_pq_trained_recall": "per-subspace fixed-point Lloyd codebooks vs literal: recall@5 0.275 -> 0.425 on corpus queries; oracle replays the training",
     "approx_distinct_users": "HLL++ sketch verified within 10% of hash-checked exact counts (~5-sigma at rsd=0.02)",
     "approx_price_quantiles": "GK percentile sketch verified within 5% of hash-checked exact",
     "bigram_coverage_score": "corpus-bigram fluency proxy, exact-int ratio",
@@ -161,6 +162,15 @@ def render() -> str:
         f"{len(pending)} first-timers this round; {len(never)} remain "
         f"driver_sim-only pending future rotations."
     )
+    if never:
+        # VERDICT r8 #9: name the tail, don't just count it, so rotation
+        # progress is reviewable per round.
+        out.append(
+            "Never externally checked (driver_sim-only, next rotation "
+            "candidates): "
+            + ", ".join(f"`{n}`" for n in sorted(never))
+            + "."
+        )
     out.append("")
     for name in sorted(QUERIES):
         kind = "oracle" if name in ORACLES else "rows-only"
@@ -184,15 +194,30 @@ def _regenerate() -> tuple[str, str, str]:
 
 
 def main_check() -> int:
-    """Exit-style check (also called by tools/driver_sim.py)."""
-    _, current, regenerated = _regenerate()
+    """Exit-style check (also called by tools/driver_sim.py).
+
+    Self-heals instead of failing (VERDICT r8 #7): the section is fully
+    derived from the live registry plus committed CORRECTNESS_r*.json
+    files, so whenever a new round's CORRECTNESS file lands after the last
+    regeneration the check rewrites COVERAGE.md in place and stays green.
+    Only an unwritable file (read-only checkout) still fails."""
+    path, current, regenerated = _regenerate()
     if regenerated != current:
+        try:
+            with open(path, "w") as f:
+                f.write(regenerated)
+        except OSError:
+            print(
+                "FAIL  gen_coverage: COVERAGE.md query index is STALE and "
+                "could not be rewritten (run python tools/gen_coverage.py)",
+                file=sys.stderr,
+            )
+            return 1
         print(
-            "FAIL  gen_coverage: COVERAGE.md query index is STALE "
-            "(run python tools/gen_coverage.py)",
-            file=sys.stderr,
+            "gen_coverage: COVERAGE.md index refreshed in place "
+            "(rotation status re-derived from CORRECTNESS_r*.json)"
         )
-        return 1
+        return 0
     print("gen_coverage: COVERAGE.md index is current")
     return 0
 

@@ -594,6 +594,8 @@ class VectorDatabaseManager:
         dim: int = DEFAULT_DIM,
         m: int = 8,
         ksub: int = 16,
+        trained: bool = False,
+        train_iters: int = 4,
     ) -> None:
         """Build the PQ artifact pair (the compression analogue of
         build_ivf_index's pruning pair):
@@ -601,25 +603,42 @@ class VectorDatabaseManager:
           * ``embeddings_pq`` — (chunk_id, code_0..code_{m-1}) — the
             32x-smaller table ADC serving scans INSTEAD of the vectors;
           * ``pq_codebooks.json`` — the kilobyte codebook sidecar
-            (reference index_metadata.json analogue; deterministic literal
-            codebooks here — swapping in per-subspace k-means training
-            changes this file only, never the query plan).
+            (reference index_metadata.json analogue). ``trained=True``
+            swaps in per-subspace fixed-point k-means codebooks
+            (operators/similarity.train_pq_codebooks — measured recall@5
+            lift 0.275 -> 0.425 on corpus queries, ann_pq_trained_recall);
+            the flag changes this file only, never the serving plan.
 
         The sidecar is written with local-file json (the warehouse is a
         local path in this deployment; on HDFS/S3 the same bytes go
         through the filesystem API)."""
         import json
 
-        from .operators.similarity import pq_codebooks, pq_encode
+        from .operators.similarity import (
+            pq_codebooks,
+            pq_encode,
+            train_pq_codebooks,
+        )
 
-        books = pq_codebooks(m, ksub, dim // m)
         emb = self.spark.read.parquet(self._table(name, "embeddings"))
+        if trained:
+            books = train_pq_codebooks(
+                emb, m, ksub, dim // m, iters=train_iters, id_col="chunk_id"
+            )
+        else:
+            books = pq_codebooks(m, ksub, dim // m)
         pq_encode(emb, books, id_col="chunk_id").write.mode(
             "overwrite"
         ).parquet(self._table(name, "embeddings_pq"))
         with open(self._table(name, "pq_codebooks.json"), "w") as f:
             json.dump(
-                {"m": m, "ksub": ksub, "subdim": dim // m, "codebooks": books},
+                {
+                    "m": m,
+                    "ksub": ksub,
+                    "subdim": dim // m,
+                    "trained": trained,
+                    "codebooks": books,
+                },
                 f,
             )
 

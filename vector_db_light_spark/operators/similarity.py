@@ -304,6 +304,106 @@ def pq_codebooks(
     ]
 
 
+def train_pq_codebooks(
+    corpus: DataFrame,
+    m: int,
+    ksub: int,
+    subdim: int,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vector_col: str = "embedding",
+) -> list[list[list[float]]]:
+    """Per-subspace k-means PQ training (Jegou et al. 2011 §III.A) —
+    the production replacement for the literal :func:`pq_codebooks`
+    (VERDICT r8 #3). Same fixed-point Lloyd discipline as
+    ``operators/clustering.py`` (integer micro-unit centroid updates,
+    unrolled-codegen squared-L2 assignment, smallest-cluster-id
+    tie-break), run over ALL m subspaces in ONE plan: vectors explode to
+    (id, s, subvector) rows and every round is one broadcast join + one
+    window + one grouped integer aggregate keyed by (s, cluster_id) —
+    not m driver-scheduled jobs.
+
+    Returns ``codebooks[s]`` ordered by surviving cluster_id, directly
+    consumable by :func:`pq_encode` / :func:`pq_adc_lut` (positional code
+    = rank of cluster_id — the oracle reproduces it with a row_number
+    over cluster_id). Empty clusters drop out identically on any engine
+    replaying the recipe, so the per-subspace codeword count is data-
+    determined but engine-independent.
+
+    100 TB posture: the collect is m x ksub centroid rows (kilobytes).
+    Train on a bounded sample (PQ codebooks converge on a few million
+    rows regardless of corpus size — same note as clustering.py's module
+    docstring); one full pq_encode pass then labels the corpus.
+    """
+    from .clustering import _OFFSET, _SCALE, _u6
+
+    v = F.col(vector_col).cast("array<double>")
+    slices = F.array(
+        *[F.slice(v, s * subdim + 1, subdim) for s in range(m)]
+    )
+    emb_s = corpus.select(
+        F.col(id_col).alias("_id"), F.posexplode(slices).alias("s", "sv")
+    )
+    h = F.md5(F.col("_id").cast("string"))
+    w_seed = Window.partitionBy("s").orderBy(h.asc(), F.col("_id").asc())
+    cents = (
+        emb_s.withColumn("_rn", F.row_number().over(w_seed))
+        .filter(F.col("_rn") <= ksub)
+        .select(
+            "s",
+            (F.col("_rn") - 1).alias("cluster_id"),
+            F.col("sv").alias("centroid"),
+        )
+    )
+    for _ in range(iters):
+        d = V.sum_of_squares_distance("_e.sv", "_c.centroid", dim=subdim)
+        scored = (
+            emb_s.alias("_e")
+            .join(F.broadcast(cents.alias("_c")), F.col("_e.s") == F.col("_c.s"))
+            .select(
+                F.col("_e._id").alias("_id"),
+                F.col("_e.s").alias("s"),
+                F.col("_e.sv").alias("sv"),
+                F.col("_c.cluster_id").alias("cluster_id"),
+                d.alias("d"),
+            )
+        )
+        w = Window.partitionBy("_id", "s").orderBy(
+            F.col("d").asc(), F.col("cluster_id").asc()
+        )
+        best = (
+            scored.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+        )
+        sums = [
+            F.sum(_u6(F.col("sv")[i].cast("double"))).alias(f"_s{i}")
+            for i in range(subdim)
+        ]
+        agg = best.groupBy("s", "cluster_id").agg(F.count("*").alias("n"), *sums)
+        els = [
+            (
+                (F.expr(f"_s{i} div n") - F.lit(_OFFSET * _SCALE)).cast("double")
+                / F.lit(float(_SCALE))
+            ).alias(f"_c{i}")
+            for i in range(subdim)
+        ]
+        per_el = agg.select("s", "cluster_id", *els)
+        cents = per_el.select(
+            "s",
+            "cluster_id",
+            F.array(*[F.col(f"_c{i}") for i in range(subdim)]).alias("centroid"),
+        )
+        # per-round lineage cut (house rule for iterative algorithms):
+        # keeps every round one flat job instead of a nested window/join
+        # chain whose analysis cost compounds with iters
+        cents = cents.localCheckpoint(eager=True)
+    rows = cents.orderBy("s", "cluster_id").collect()  # bounded: m x ksub
+    books: list[list[list[float]]] = [[] for _ in range(m)]
+    for r in rows:
+        books[r["s"]].append([float(x) for x in r["centroid"]])
+    return books
+
+
 def _subspace_sumsq(sub: Column, codeword: list[float]) -> Column:
     """Left-to-right double fold of (x - c)^2 — same IEEE op order as the
     oracle's list_reduce(list_transform(list_zip(...)))."""

@@ -48,22 +48,29 @@ def lang_id(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> 
     return scored.withColumn("predicted_lang", pred)
 
 
+_ASCII_LETTERS = "abcdefghijklmnopqrstuvwxyzABCDEFGHIJKLMNOPQRSTUVWXYZ"
+_ASCII_DIGITS = "0123456789"
+_WS_CHARS = " \t\n"
+
+
 def quality_metrics(text_col: str, toks: Column | None = None) -> dict[str, Column]:
     """Heuristic quality signals: char-class ratios + mean token length.
     Integer counts divided as doubles — engine-exact. Pass a materialized
-    token-array column for hot paths (else tokens re-derive per metric)."""
+    token-array column for hot paths (else tokens re-derive per metric).
+
+    Char-class counts use ``translate`` (single char-map scan) rather than
+    ``regexp_replace`` — same per-char delete count, no regex NFA per class
+    (VERDICT r8 watch #1: three regex passes per row dominated the query)."""
     n = F.length(text_col).cast("double")
     if toks is None:
         toks = tokens_expr(text_col)
 
-    def class_count(pattern: str) -> Column:
-        return F.length(text_col) - F.length(
-            F.regexp_replace(text_col, pattern, "")
-        )
+    def class_count(charset: str) -> Column:
+        return F.length(text_col) - F.length(F.translate(text_col, charset, ""))
 
-    alpha = class_count("[a-zA-Z]").cast("double")
-    digit = class_count("[0-9]").cast("double")
-    space = class_count("[ \\t\\n]").cast("double")
+    alpha = class_count(_ASCII_LETTERS).cast("double")
+    digit = class_count(_ASCII_DIGITS).cast("double")
+    space = class_count(_WS_CHARS).cast("double")
     tok_chars = F.aggregate(
         toks, F.lit(0), lambda acc, t: acc + F.length(t)
     ).cast("double")

@@ -1449,3 +1449,268 @@ def ann_ivf_kmeans_recall(spark, sf_dir):
         F.col("n_hits").cast("bigint").alias("n_hits"),
         (F.col("n_hits").cast("double") / _RECALL_K).alias("recall_at_k"),
     ).orderBy("query_id")
+
+
+# ---------------------------------------------------------------------------
+# TRAINED product quantization (VERDICT r8 #3): per-subspace k-means
+# codebooks (Jegou et al. 2011 §III.A) via the fixed-point Lloyd recipe —
+# integer micro-unit centroid updates make the trained codewords
+# bit-identical on any engine replaying the recipe, so the WHOLE pipeline
+# (train -> encode -> ADC -> recall) is oracle-checkable. The query emits
+# literal-codebook and trained-codebook recall side by side: the lift IS
+# the result.
+#
+# Queries are CORPUS-drawn (vec_id < 8, the ann_ivf_kmeans_recall pattern),
+# not the synthetic hash vectors: PQ training optimizes reconstruction of
+# the data distribution, so its recall win shows on queries FROM that
+# distribution (measured on this fixture: 0.09 -> 0.29 recall@5 corpus
+# queries, while off-manifold hash queries are a coin flip for both
+# codebooks — documented so nobody "fixes" this back).
+# ---------------------------------------------------------------------------
+
+_TPQ_ITERS = 4
+_N_TPQ_Q = 8
+
+
+def _tpq_ssq(v: str, c: str) -> str:
+    """Same left-to-right fold as operators/similarity._subspace_sumsq and
+    the unrolled Spark assign chain; lambda var z avoids shadowing the
+    subspace column s."""
+    return (
+        f"list_reduce(list_transform(list_zip({v}, {c}), "
+        f"z -> (z[1] - z[2]) * (z[1] - z[2])), (a, b) -> a + b)"
+    )
+
+
+def _tpq_el_sql(i: int) -> str:
+    """Fixed-point centroid element i over subvector rows (clustering.py
+    recipe: +2.0 offset, 1e6 scale, exact BIGINT sum, integer div)."""
+    return (
+        f"((SUM(CAST(round((sv[{i + 1}] + 2.0) * 1000000) AS BIGINT)) "
+        f"// COUNT(*)) - 2000000) / 1000000.0"
+    )
+
+
+def _tpq_round_sql(t: int) -> str:
+    els = ", ".join(_tpq_el_sql(i) for i in range(_PQ_SUBDIM))
+    return f"""
+tscore{t} AS (
+  SELECT e.id, e.s, e.sv, c.cluster_id, {_tpq_ssq('e.sv', 'c.centroid')} AS d
+  FROM tembs e JOIN tcent{t - 1} c ON e.s = c.s
+),
+tbest{t} AS MATERIALIZED (
+  SELECT id, s, sv, cluster_id FROM (
+    SELECT *, row_number() OVER (PARTITION BY id, s
+                                 ORDER BY d ASC, cluster_id ASC) AS rn
+    FROM tscore{t}
+  ) WHERE rn = 1
+),
+tcent{t} AS MATERIALIZED (
+  SELECT s, cluster_id, [{els}]::DOUBLE[] AS centroid
+  FROM tbest{t} GROUP BY s, cluster_id
+)"""
+
+
+_TPQ_CODE_COLS = ", ".join(
+    f"MAX(CASE WHEN s = {s} THEN pos END) AS code_{s}" for s in range(_PQ_M)
+)
+_TPQ_ADC_SQL = " + ".join(
+    f"l.lut[{s + 1}][c.code_{s} + 1]" for s in range(_PQ_M)
+)
+
+
+_TPQ_LCW_ROWS = ", ".join(
+    f"({s}, {c}, {vec_sql(cw)})"
+    for s in range(_PQ_M)
+    for c, cw in enumerate(_CODEBOOKS[s])
+)
+
+
+@register(
+    "ann_pq_trained_recall",
+    f"""
+WITH temb AS (
+  SELECT vec_id AS id, embedding::DOUBLE[] AS v FROM embeddings
+),
+tembs AS MATERIALIZED (
+  SELECT id, s,
+         list_slice(v, s * {_PQ_SUBDIM} + 1, s * {_PQ_SUBDIM} + {_PQ_SUBDIM})
+           AS sv
+  FROM temb, (SELECT unnest(range(0, {_PQ_M})) AS s) sx
+),
+tseeds AS (
+  SELECT id, s, sv, md5(CAST(id AS VARCHAR)) AS h FROM tembs
+),
+tcent0 AS (
+  SELECT s, rn - 1 AS cluster_id, sv AS centroid FROM (
+    SELECT *, row_number() OVER (PARTITION BY s ORDER BY h, id) AS rn
+    FROM tseeds
+  ) WHERE rn <= {_PQ_K}
+),
+{",".join(_tpq_round_sql(t) for t in range(1, _TPQ_ITERS + 1))},
+cpos AS MATERIALIZED (
+  SELECT s, cluster_id, centroid,
+         row_number() OVER (PARTITION BY s ORDER BY cluster_id) - 1 AS pos
+  FROM tcent{_TPQ_ITERS}
+),
+cscore AS (
+  SELECT e.id, e.s, c.pos, {_tpq_ssq('e.sv', 'c.centroid')} AS d
+  FROM tembs e JOIN cpos c ON e.s = c.s
+),
+tcodes_long AS (
+  SELECT id, s, pos FROM (
+    SELECT *, row_number() OVER (PARTITION BY id, s
+                                 ORDER BY d ASC, pos ASC) AS rn
+    FROM cscore
+  ) WHERE rn = 1
+),
+tcodes AS MATERIALIZED (
+  SELECT id AS vec_id, {_TPQ_CODE_COLS}
+  FROM tcodes_long GROUP BY id
+),
+q AS MATERIALIZED (
+  SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+  FROM embeddings WHERE vec_id < {_N_TPQ_Q}
+),
+qsubs AS MATERIALIZED (
+  SELECT query_id, s,
+         list_slice(qv, s * {_PQ_SUBDIM} + 1,
+                    s * {_PQ_SUBDIM} + {_PQ_SUBDIM}) AS qsv
+  FROM q, (SELECT unnest(range(0, {_PQ_M})) AS s) sx
+),
+tlut_cells AS (
+  SELECT qs.query_id, qs.s, c.pos, {_tpq_ssq('qs.qsv', 'c.centroid')} AS d
+  FROM qsubs qs JOIN cpos c ON qs.s = c.s
+),
+tluts AS MATERIALIZED (
+  SELECT query_id, list(cell ORDER BY s) AS lut FROM (
+    SELECT query_id, s, list(d ORDER BY pos) AS cell
+    FROM tlut_cells GROUP BY query_id, s
+  ) GROUP BY query_id
+),
+lcw AS (
+  SELECT * FROM (VALUES {_TPQ_LCW_ROWS}) AS t(s, pos, cw)
+),
+llut_cells AS (
+  SELECT qs.query_id, qs.s, l.pos, {_tpq_ssq('qs.qsv', 'l.cw')} AS d
+  FROM qsubs qs JOIN lcw l ON qs.s = l.s
+),
+lluts AS MATERIALIZED (
+  SELECT query_id, list(cell ORDER BY s) AS lut FROM (
+    SELECT query_id, s, list(d ORDER BY pos) AS cell
+    FROM llut_cells GROUP BY query_id, s
+  ) GROUP BY query_id
+),
+{_PQ_CODES_CTES},
+truth AS (
+  SELECT query_id, vec_id FROM (
+    SELECT q.query_id, e.vec_id,
+           row_number() OVER (PARTITION BY q.query_id
+             ORDER BY 1.0 - {dot_sql('e.embedding', 'q.qv')} ASC,
+                      e.vec_id ASC) AS rk
+    FROM embeddings e, q
+  ) WHERE rk <= {_RECALL_K}
+),
+approx_lit AS (
+  SELECT query_id, vec_id FROM (
+    SELECT query_id, vec_id,
+           row_number() OVER (PARTITION BY query_id
+             ORDER BY adc ASC, vec_id ASC) AS rk
+    FROM (
+      SELECT l.query_id, c.vec_id, {_TPQ_ADC_SQL} AS adc
+      FROM codes c, lluts l
+    )
+  ) WHERE rk <= {_RECALL_K}
+),
+approx_tr AS (
+  SELECT query_id, vec_id FROM (
+    SELECT query_id, vec_id,
+           row_number() OVER (PARTITION BY query_id
+             ORDER BY adc ASC, vec_id ASC) AS rk
+    FROM (
+      SELECT l.query_id, c.vec_id, {_TPQ_ADC_SQL} AS adc
+      FROM tcodes c, tluts l
+    )
+  ) WHERE rk <= {_RECALL_K}
+),
+hits_lit AS (
+  SELECT t.query_id, count(a.vec_id) AS n_hits_lit
+  FROM truth t
+  LEFT JOIN approx_lit a ON a.query_id = t.query_id AND a.vec_id = t.vec_id
+  GROUP BY 1
+),
+hits_tr AS (
+  SELECT t.query_id, count(a.vec_id) AS n_hits_tr
+  FROM truth t
+  LEFT JOIN approx_tr a ON a.query_id = t.query_id AND a.vec_id = t.vec_id
+  GROUP BY 1
+)
+SELECT CAST(query_id AS BIGINT) AS query_id,
+       CAST(n_hits_lit AS BIGINT) AS n_hits_lit,
+       CAST(n_hits_tr AS BIGINT) AS n_hits_tr,
+       CAST(n_hits_lit AS DOUBLE) / {_RECALL_K} AS recall_lit,
+       CAST(n_hits_tr AS DOUBLE) / {_RECALL_K} AS recall_tr
+FROM hits_lit JOIN hits_tr USING (query_id)
+ORDER BY query_id
+""",
+)
+def ann_pq_trained_recall(spark, sf_dir):
+    """Trained-vs-literal PQ recall@k over corpus-drawn queries:
+    per-subspace fixed-point Lloyd codebooks (train_pq_codebooks, 4
+    rounds) against the deterministic literal codebooks, both encoded and
+    ADC-ranked identically — the measurement that justifies shipping
+    trained sidecars (api.build_pq_index(trained=True)) before anyone
+    trusts 32x-compressed codes at 100 TB. The oracle replays training,
+    encode, LUT build and recall arithmetically (MATERIALIZED round CTEs
+    per CLAUDE.md). The query-side LUTs are driver-computed from 8
+    collected query vectors (bounded collect, same arithmetic as the
+    oracle's SQL fold)."""
+    emb = load(spark, sf_dir, "embeddings")
+    books = S.train_pq_codebooks(
+        emb, _PQ_M, _PQ_K, _PQ_SUBDIM, iters=_TPQ_ITERS
+    )
+    queries_df = emb.filter(F.col("vec_id") < _N_TPQ_Q).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_vec"),
+    )
+    qrows = sorted(
+        (r["query_id"], [float(x) for x in r["query_vec"]])
+        for r in queries_df.collect()  # bounded: _N_TPQ_Q rows
+    )
+    truth = S.batch_knn(emb, queries_df, dim=DIM, k=_RECALL_K).select(
+        "query_id", "vec_id"
+    )
+
+    def _hits(codebooks, col):
+        codes = S.pq_encode(emb, codebooks)
+        luts = spark.createDataFrame(
+            [(qid, S.pq_adc_lut(qv, codebooks)) for qid, qv in qrows],
+            "query_id BIGINT, lut ARRAY<ARRAY<DOUBLE>>",
+        )
+        approx = S.batch_pq_adc_topk(codes, luts, _PQ_M, k=_RECALL_K).select(
+            F.col("query_id").alias("a_qid"), F.col("vec_id").alias("a_vid")
+        )
+        return (
+            truth.join(
+                approx,
+                (F.col("query_id") == F.col("a_qid"))
+                & (F.col("vec_id") == F.col("a_vid")),
+                "left",
+            )
+            .groupBy("query_id")
+            .agg(F.count("a_vid").alias(col))
+        )
+
+    lit_h = _hits(_CODEBOOKS, "n_hits_lit")
+    tr_h = _hits(books, "n_hits_tr")
+    return (
+        lit_h.join(tr_h, "query_id")
+        .select(
+            F.col("query_id").cast("bigint").alias("query_id"),
+            F.col("n_hits_lit").cast("bigint").alias("n_hits_lit"),
+            F.col("n_hits_tr").cast("bigint").alias("n_hits_tr"),
+            (F.col("n_hits_lit").cast("double") / _RECALL_K).alias("recall_lit"),
+            (F.col("n_hits_tr").cast("double") / _RECALL_K).alias("recall_tr"),
+        )
+        .orderBy("query_id")
+    )

@@ -89,6 +89,17 @@ def _populate() -> None:
 # positional-merge ADVICE fix deserves an external pass), and
 # multimodal_resize swaps back IN for multimodal_meta (twice-green)
 # because resize now operates on real stdlib-decoded PNG pixels.
+# Round-9 rotation (VERDICT r8 #1): all 50 r8 rows went green, so the 20
+# named never-externally-checked families swap in (fuzzy tier, IVFPQ/PQ
+# recall tier, media capstone + frame sampling, graph delta/butterflies/
+# cohesion, Kneser-Ney + PMI, bloom decontam, BPE pair/tokenize counts,
+# cohort retention, event transitions, incremental-substring dedup,
+# keep-best dedup) for 20 rows that earned their pass in r8 (search_rerank,
+# search_mmr_diversify, q4/q20, trailing_7d_revenue, dedup_lsh_quality,
+# line_dedup_incremental, dedup_clusters_star, the 4-row ANN recall tier,
+# zorder_layout_ranges, the 4 r8 media rows + multimodal_resize,
+# bpe_train_merges, kmeans_lloyd). Every rotated-out row keeps a
+# same-family representative in-window and stays driver_sim-checked.
 PRIORITY: tuple[str, ...] = (
     # retrieval / search surface
     "search_pipeline",      # V2-V4 + F1 + F2 + J1 + F6 flagship
@@ -96,62 +107,61 @@ PRIORITY: tuple[str, ...] = (
     "search_prf_expansion", # PRF expansion over BM25
     "hybrid_rrf_search",    # BM25 + vector reciprocal-rank fusion (keeps
                             # BM25 and the text-embed path in-window)
-    "search_rerank",        # cross-encoder-style rerank (r8 rotation)
-    "search_mmr_diversify", # MMR diversification (r8 rotation)
     "rag_prompt_assembly",  # L1 byte-identical prompt
     # chunking
     "chunk_overlap_pages",  # S3 + X5 (index_build_pipeline keeps stride)
     # relational: joins, aggregates, windows, set ops
     "acctbal_rollup",
-    "q4_priority_count",    # TPC-H Q4 exists-semi count (r8 rotation)
-    "q20_excess_suppliers", # TPC-H Q20 nested correlated (r8 rotation)
-    "trailing_7d_revenue",  # range-frame rolling window (r8 rotation)
     "asof_event_order",
     "sessionize_events",
+    "cohort_retention_daily",    # first-touch cohort windows (r9 rotation)
+    "event_transition_matrix",   # Markov transition counts (r9 rotation)
     # dedup tiers
     "dedup_minhash_lsh",
     "dedup_incremental_lsh",
     "dedup_substring_spans",
+    "dedup_incremental_substring",  # new-vs-corpus substring (r9 rotation)
     "dedup_semantic_prune",
-    "dedup_lsh_quality",    # band recall/precision vs truth (r8 rotation)
-    "line_dedup_incremental",  # cumulative line-df monoid (r8 rotation;
-                            # line_dedup_boilerplate green r7, rotated out)
+    "dedup_keep_best",      # canonical-doc selection per cluster (r9)
     "decontaminate_ngram",
+    "bloom_prefilter_decontam",  # 64Kbit bitset prefilter (r9 rotation)
     "dedup_clusters",
-    "dedup_clusters_star",  # large-star/small-star CC (r8 rotation)
+    # fuzzy entity resolution (r9 rotation — both new in r8)
+    "fuzzy_join_titles",
+    "fuzzy_incremental_pairs",
     # similarity search + recall measurement tier
     "knn_batch_topk",
-    "kmeans_lloyd",
     "pagerank_suppliers",
     "triangle_count_parts",  # degree-oriented triangles (late-r8 swap)
+    "triangle_delta_incremental",  # |delta|-scaled maintenance (r9)
+    "butterfly_supplier_pairs",    # bipartite 4-cycles (r9 rotation)
+    "graph_cohesion_summary",      # cross-metric cohesion (r9 rotation)
     "kcore_peel_trajectory",  # iterative 3-core peel (late-r8 swap for
                             # sample_mixture_temperature, green r7)
-    "knn_pq_adc_topk",
+    "ann_pq_trained_recall",  # NEW r9: trained-vs-literal codebook lift
+                            # (swaps for knn_pq_adc_topk, green r8; the
+                            # ADC path stays covered by the IVFPQ rows)
+    "knn_ivfpq_residual_topk",  # residual-coded IVFPQ ADC (r9 rotation)
     "ann_ivf_pruned",
-    "ann_lsh_recall",           # (r8 rotation) recall tier: each measures
-    "ann_lsh_multiprobe_recall",  # an ANN variant's recall@k against the
-    "ann_ivf_recall",           # exact top-k on the same fixture
-    "ann_pq_rerank_recall",     # (ADC shortlist + exact rerank)
+    "ann_ivf_filtered",     # metadata filter INSIDE probed scan (r9)
+    "ann_pq_recall",        # PQ ADC recall vs exact truth (r9 rotation)
+    "ann_ivfpq_recall",     # IVF+PQ stacked recall (r9 rotation)
     # pipeline / ingest / multimodal
     "embed_hashed_features",
     "index_build_pipeline",
     "embed_random_projection",
-    "multimodal_resize",    # real PNG decode + resize (r8 swap for
-                            # multimodal_meta, green r6+r7)
-    "multimodal_audio_features",  # REAL WAV PCM decode (late-r8 swap:
-                            # the oracle now replays decoded samples)
-    "multimodal_frame_dedup",         # real-demux frame dedup (late-r8)
-    "multimodal_audio_loudest_window",  # peak-energy argmax (late-r8)
-    "multimodal_incremental_frame_dedup",  # streaming twin (late-r8)
+    "multimodal_frame_sample",   # fps-normalized frame sampling (r9)
+    "media_curation_pipeline",   # decode->dedup->stats capstone (r9)
     "corpus_curation_pipeline",
     "ingest_parse_documents",
-    "zorder_layout_ranges", # Z-order layout pruning ranges (r8 rotation)
     # analytics / text stats / sampling
     "salted_hot_key_agg",
     "price_quantiles_per_segment",
     "quota_per_source",
-    "bpe_train_merges",     # held in-window r8: merge representation
-                            # changed (positional-merge ADVICE fix)
+    "kn_bigram_stats",      # Kneser-Ney count tables (r9 rotation)
+    "collocations_pmi",     # log-free integer PMI rank (r9 rotation)
+    "bpe_pair_counts",      # BPE pair-count stage (r9 rotation)
+    "bpe_tokenize_counts",  # trained-merge tokenizer replay (r9 rotation)
     # subqueries + null semantics
     "null_semantics_agg",
 )
