@@ -83,6 +83,7 @@ ANNOTATIONS: dict[str, str] = {
     "collocations_pmi": "log-free PMI collocation ranking via exact integer micro-unit score (monotone in PMI)",
     "multimodal_resize": "REAL stdlib PNG + baseline-JPEG decode + integer nearest resize; oracle recomputes every output pixel",
     "null_safe_join_counts": "<=> vs IS NOT DISTINCT FROM",
+    "pagerank_directed_dangling": "directed c->s graph, per-round dangling-mass D div N redistribution, mass-conservation pinned",
     "pagerank_suppliers": "2-round integer-exact PageRank, top-20 suppliers",
     "priority_top_orders_csv": "ordered string_agg vs array_join(array_sort(collect_list))",
     "q17_small_quantity_revenue": "TPC-H Q17: correlated scalar avg per part, exact BIGINT cents",

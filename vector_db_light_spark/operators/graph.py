@@ -24,8 +24,10 @@ by src once (it is iteration-invariant — the join then reuses the
 layout), keep ranks as the small side where degree skew allows broadcast,
 and checkpoint every few rounds exactly as connected_components does to
 cut lineage. Dangling nodes are absent by construction when the caller
-symmetrizes the edge list (every node then has out-degree >= 1); with a
-directed list, add the standard dangling-mass redistribution first.
+symmetrizes the edge list (every node then has out-degree >= 1) —
+:func:`pagerank_exact` assumes that; :func:`pagerank_directed` handles a
+genuinely directed list with the standard dangling-mass redistribution
+(VERDICT r8 #5), still all-integer.
 """
 
 from __future__ import annotations
@@ -69,6 +71,75 @@ def pagerank_exact(
                     F.lit(TELEPORT_U6)
                     + F.expr(
                         f"({DAMP_NUM} * coalesce(_in, 0)) div {DAMP_DEN}"
+                    )
+                )
+                .cast("long")
+                .alias("rank_u6"),
+            )
+        )
+    return ranks
+
+
+def pagerank_directed(
+    edges: DataFrame,
+    iters: int = 2,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """PageRank over a genuinely DIRECTED (src, dst) edge list with the
+    standard dangling-mass redistribution (Page et al. 1999 §2.6): nodes
+    with out-degree 0 leak their rank nowhere, so each round their total
+    mass D is split ``D div N`` to every node before damping:
+
+        rank'(v) = 150000 + (85 * (incoming(v) + D div N)) div 100
+
+    All state stays in BIGINT micro-units (the module-docstring recipe),
+    so the directed variant is as oracle-replayable and partition-
+    independent as :func:`pagerank_exact`. Nodes are src UNION dst (a
+    sink-only node must still receive rank). The dangling sum is a 1-row
+    aggregate broadcast into the update — per round that adds one
+    anti-join-shaped scan of the rank table to the canonical two-shuffle
+    Pregel pair; N is a driver-side scalar computed once (iteration-
+    invariant node set)."""
+    deg = edges.groupBy(src).agg(F.count("*").alias("_out_deg"))
+    nodes = (
+        edges.select(F.col(src).alias("node"))
+        .union(edges.select(F.col(dst).alias("node")))
+        .distinct()
+    )
+    n_nodes = nodes.count()  # iteration-invariant scalar
+    ranks = nodes.withColumn("rank_u6", F.lit(1_000_000).cast("long"))
+    for _ in range(iters):
+        dangling = (
+            ranks.join(deg, ranks["node"] == deg[src], "left_anti")
+            .agg(
+                F.coalesce(F.sum("rank_u6"), F.lit(0))
+                .cast("long")
+                .alias("_dmass")
+            )
+        )
+        share = dangling.select(
+            F.expr(f"_dmass div {n_nodes}").cast("long").alias("_share")
+        )
+        contrib = (
+            edges.join(ranks, edges[src] == ranks["node"])
+            .join(deg, src)
+            .select(
+                F.col(dst).alias("_to"),
+                F.expr("rank_u6 div _out_deg").alias("_c"),
+            )
+        )
+        incoming = contrib.groupBy("_to").agg(F.sum("_c").alias("_in"))
+        ranks = (
+            nodes.join(incoming, nodes["node"] == incoming["_to"], "left")
+            .crossJoin(F.broadcast(share))  # 1-row stats side
+            .select(
+                "node",
+                (
+                    F.lit(TELEPORT_U6)
+                    + F.expr(
+                        f"({DAMP_NUM} * (coalesce(_in, 0) + _share))"
+                        f" div {DAMP_DEN}"
                     )
                 )
                 .cast("long")

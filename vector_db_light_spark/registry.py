@@ -131,7 +131,8 @@ PRIORITY: tuple[str, ...] = (
     "fuzzy_incremental_pairs",
     # similarity search + recall measurement tier
     "knn_batch_topk",
-    "pagerank_suppliers",
+    "pagerank_directed_dangling",  # NEW r9: dangling-mass redistribution
+                            # (swaps for pagerank_suppliers, green r8)
     "triangle_count_parts",  # degree-oriented triangles (late-r8 swap)
     "triangle_delta_incremental",  # |delta|-scaled maintenance (r9)
     "butterfly_supplier_pairs",    # bipartite 4-cycles (r9 rotation)
