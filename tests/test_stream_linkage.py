@@ -100,3 +100,71 @@ def test_stream_link_crash_replay_duplicates_but_never_loses(spark, tmp_path):
         for r in spark.read.parquet(pairs).distinct().collect()
     }
     assert got == {(1, 5): 1}
+
+
+def test_stream_link_mid_batch_crash_points(spark, tmp_path):
+    """VERDICT r8 #8: drive the batch through each partial-write crash
+    point (after pairs; after pairs+index) by snapshotting the state dirs
+    and restoring them to the crashed shape, then replaying. Links are
+    never lost, replay duplicates are exact (distinct() view unchanged),
+    and a LATER batch still finds corpus links against the possibly
+    index-duplicated record — duplicate index rows must not perturb the
+    candidate join or the prefix filter's rarity ranking."""
+    import shutil
+
+    keys, index, pairs, _ = _dirs(tmp_path)
+
+    def snap(d, name):
+        shutil.copytree(d, str(tmp_path / name))
+
+    def restore(d, name):
+        shutil.rmtree(d)
+        shutil.copytree(str(tmp_path / name), d)
+
+    b1 = spark.createDataFrame(
+        [(1, "the quick brown fox jumps over")], "id bigint, key string"
+    )
+    _link_batch(b1, keys, index, pairs, "key", "id", 2, 3)
+
+    # ---- crash point A: after 4a (pairs appended, index+keys not) ----
+    snap(keys, "keys_pre2")
+    snap(index, "index_pre2")
+    b2 = spark.createDataFrame(
+        [(5, "the quick brown fox jumps ove")], "id bigint, key string"
+    )
+    _link_batch(b2, keys, index, pairs, "key", "id", 2, 3)  # full run
+    restore(keys, "keys_pre2")   # crash: state appends never landed
+    restore(index, "index_pre2")
+    _link_batch(b2, keys, index, pairs, "key", "id", 2, 3)  # replay
+    got = {
+        (r["id_a"], r["id_b"]): r["dist"]
+        for r in spark.read.parquet(pairs).distinct().collect()
+    }
+    assert got == {(1, 5): 1}
+    assert spark.read.parquet(pairs).count() >= 2  # duplicate rows exist
+    assert {r["id"] for r in spark.read.parquet(keys).collect()} == {1, 5}
+
+    # ---- crash point B: after 4b (pairs + index appended, keys not) ----
+    snap(keys, "keys_pre3")
+    b3 = spark.createDataFrame(
+        [(7, "a totally different base string")], "id bigint, key string"
+    )
+    _link_batch(b3, keys, index, pairs, "key", "id", 2, 3)  # full run
+    restore(keys, "keys_pre3")   # crash between index and keys appends
+    _link_batch(b3, keys, index, pairs, "key", "id", 2, 3)  # replay
+    # id 7's blocking rows are now duplicated in the index
+    idx7 = spark.read.parquet(index).filter("_fid = 7")
+    assert idx7.count() == 2 * idx7.distinct().count()
+    assert {r["id"] for r in spark.read.parquet(keys).collect()} == {1, 5, 7}
+
+    # ---- a later batch still links correctly against the duplicated id --
+    b4 = spark.createDataFrame(
+        [(9, "a totally different base strin")],  # dist 1 to id 7
+        "id bigint, key string",
+    )
+    _link_batch(b4, keys, index, pairs, "key", "id", 2, 3)
+    got = {
+        (r["id_a"], r["id_b"]): r["dist"]
+        for r in spark.read.parquet(pairs).distinct().collect()
+    }
+    assert got == {(1, 5): 1, (7, 9): 1}

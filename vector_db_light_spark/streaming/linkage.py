@@ -23,6 +23,26 @@ The streaming twin of ``operators/fuzzy.py`` — the same pattern
        (state first) would silently lose the crashed batch's links
        forever, a worse failure than duplicates.
 
+Crash-ordering audit (VERDICT r8 #8), crash point by crash point — keys
+LAST is load-bearing because keys_dir is the replay guard:
+
+  * after 4a (pairs only): replay reprocesses (id absent from keys),
+    re-appending exact-duplicate pair rows and writing index+keys once —
+    nothing lost, consumers ``distinct()``.
+  * after 4b (pairs + index): replay reprocesses, duplicating pair rows
+    AND index rows. Duplicate index rows are HARMLESS by construction:
+    ``operators/fuzzy._candidate_join`` ends in ``distinct()`` before
+    exact verification, and both hot-gram pruning and the prefix
+    filter rank gram rarity with ``count_distinct(_fid)``, which
+    duplicated (_fid, key) rows cannot inflate — so future corpus links
+    are identical to the crash-free run (pinned by the restart test).
+  * after 4c: batch fully applied; replay is a no-op via the anti-join.
+
+The forbidden order is keys before index: a crash between them would
+leave the id replay-guarded but permanently missing from the blocking
+index — every future link to that record silently lost. This mirrors
+the bands-before-corpus ordering ``streaming/curation.py`` established.
+
 At 100 TB the key and index tables are bucketed by id / (kind, key) so
 step 3 joins shuffle-free on the corpus side; batch sides broadcast.
 """
