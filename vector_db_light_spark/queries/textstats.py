@@ -741,3 +741,116 @@ def kn_bigram_stats(spark, sf_dir):
         .orderBy(F.col("c").desc(), "w1", "w2")
         .limit(30)
     )
+
+
+# ---------------------------------------------------------------------------
+# Distributed model training, oracle-exact (operators/classifier.py): a
+# batch perceptron learns a PLANTED linear stopword-density rule over
+# integer token-count features. Labels y = +1 iff f_the + f_and >= f_of +
+# f_a are linearly separable IN the features (w = (2, 2, -2, -2), b = 1
+# separates with margin >= 1), and the features share a 0-8 scale, so the
+# aggregate-update batch perceptron reaches ZERO training errors in 7
+# rounds on the fixture (500 -> 88 -> ... -> 0). Feature conditioning is
+# part of the lesson: an early draft mixed 0-8 counts with a
+# hundreds-scale char count and the same algorithm oscillated forever
+# (mistake bound scales with R^2/margin^2). Every weight/count is a
+# BIGINT, so the whole curve hash-matches a DuckDB replay exactly: the
+# kmeans/pagerank fixed-point discipline applied to model training.
+# ---------------------------------------------------------------------------
+
+_PCT_FEATS = ["f_the", "f_of", "f_and", "f_a"]
+_PCT_ITERS = 7
+
+_PCT_FEATS_SQL = rf"""
+  SELECT doc_id,
+         CAST(len(list_filter({_TOKS_SQL}, t -> t = 'the')) AS BIGINT) AS f_the,
+         CAST(len(list_filter({_TOKS_SQL}, t -> t = 'of')) AS BIGINT) AS f_of,
+         CAST(len(list_filter({_TOKS_SQL}, t -> t = 'and')) AS BIGINT) AS f_and,
+         CAST(len(list_filter({_TOKS_SQL}, t -> t = 'a')) AS BIGINT) AS f_a
+  FROM documents
+"""
+
+
+def _pct_round_sql(t: int) -> str:
+    margin = "w.b + " + " + ".join(
+        f"w.w{j} * f.{c}" for j, c in enumerate(_PCT_FEATS)
+    )
+    upd = ",\n         ".join(
+        f"CAST(w.w{j} + SUM(CASE WHEN f.y * ({margin}) <= 0"
+        f" THEN f.y * f.{c} ELSE 0 END) AS BIGINT) AS w{j}"
+        for j, c in enumerate(_PCT_FEATS)
+    )
+    return f"""
+wt{t} AS MATERIALIZED (
+  SELECT {upd},
+         CAST(w.b + SUM(CASE WHEN f.y * ({margin}) <= 0 THEN f.y ELSE 0 END)
+              AS BIGINT) AS b,
+         CAST(SUM(CASE WHEN f.y * ({margin}) <= 0 THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_mis
+  FROM feats f, wt{t - 1} w
+  GROUP BY w.w0, w.w1, w.w2, w.w3, w.b
+)"""
+
+
+_PCT_ROUND_ROWS = "\nUNION ALL\n".join(
+    f"SELECT {t} AS round, n_mis, w0, w1, w2, w3, b FROM wt{t}"
+    for t in range(1, _PCT_ITERS + 1)
+)
+
+
+@register(
+    "perceptron_quality_train",
+    f"""
+WITH raw AS ({_PCT_FEATS_SQL}),
+feats AS MATERIALIZED (
+  SELECT doc_id, f_the, f_of, f_and, f_a,
+         CASE WHEN f_the + f_and >= f_of + f_a THEN 1 ELSE -1 END AS y
+  FROM raw
+),
+wt0 AS (SELECT CAST(0 AS BIGINT) AS w0, CAST(0 AS BIGINT) AS w1,
+               CAST(0 AS BIGINT) AS w2, CAST(0 AS BIGINT) AS w3,
+               CAST(0 AS BIGINT) AS b),
+{",".join(_pct_round_sql(t) for t in range(1, _PCT_ITERS + 1))}
+SELECT CAST(round AS INT) AS round, n_mis, w0, w1, w2, w3, b
+FROM ({_PCT_ROUND_ROWS})
+ORDER BY round
+""",
+)
+def perceptron_quality_train(spark, sf_dir):
+    """Train a stopword-density quality classifier ON the cluster: one
+    corpus scan + one tiny aggregate per round, weights broadcast back —
+    the (sample -> train -> broadcast-score) loop every training-data
+    pipeline runs, demonstrated with an all-integer batch perceptron whose
+    4-round training curve is bit-exact on any engine. At 100 TB: train
+    on a sample, score the corpus once with linear_score's literal
+    weights (a narrow no-shuffle map)."""
+    from ..operators.classifier import perceptron_train
+
+    docs = load_docs(spark, sf_dir).select(
+        "doc_id", "text", T.tokens_expr("text").alias("_toks")
+    )
+    cnt = lambda w: (  # noqa: E731 — local shorthand
+        F.size(F.filter(F.col("_toks"), lambda t: t == F.lit(w))).cast("long")
+    )
+    feats = docs.select(
+        "doc_id",
+        cnt("the").alias("f_the"),
+        cnt("of").alias("f_of"),
+        cnt("and").alias("f_and"),
+        cnt("a").alias("f_a"),
+    )
+    labeled = feats.withColumn(
+        "y",
+        F.when(
+            F.col("f_the") + F.col("f_and") >= F.col("f_of") + F.col("f_a"), 1
+        )
+        .otherwise(-1)
+        .cast("long"),
+    )
+    curve = perceptron_train(labeled, _PCT_FEATS, "y", iters=_PCT_ITERS)
+    return curve.select(
+        F.col("round").cast("int").alias("round"),
+        F.col("n_mis").cast("long").alias("n_mis"),
+        *[F.col(f"w{j}").cast("long").alias(f"w{j}") for j in range(4)],
+        F.col("b").cast("long").alias("b"),
+    ).orderBy("round")
