@@ -200,3 +200,48 @@ def test_incremental_line_df_merge_is_cumulative(spark):
     }
     assert own[10]["n_lines_kept"] == 2  # batch-local counts admit the header
     assert inc[10]["n_lines_kept"] == 1 and inc[10]["text"] == "body two 0"
+
+
+def test_two_level_prefix_sum_equals_window_and_is_partition_independent(spark):
+    """operators/packing.py: the scalable two-level prefix sum must equal
+    the naive global-order cumsum exactly, under any partitioning and any
+    chunk size (including chunk=1 and chunk >> N degenerate shapes)."""
+    from pyspark.sql import functions as F
+
+    from vector_db_light_spark.operators.packing import (
+        pack_spans,
+        prefix_sum_by_id,
+    )
+
+    rows = [(i, (i * 7) % 13) for i in range(50)]
+    df = spark.createDataFrame(rows, "doc_id bigint, n_tok bigint")
+    expect = {}
+    acc = 0
+    for i, n in rows:
+        expect[i] = acc
+        acc += n
+    for chunk in (1, 7, 64, 1000):
+        got = {
+            r["doc_id"]: r["tok_start"]
+            for r in prefix_sum_by_id(
+                df.repartition(9), "n_tok", chunk=chunk
+            ).collect()
+        }
+        assert got == expect, f"chunk={chunk}"
+
+    spans = {
+        r["doc_id"]: (r["first_bin"], r["last_bin"], r["n_bins"])
+        for r in pack_spans(df, budget=16, chunk=7).collect()
+    }
+    acc = 0
+    for i, n in rows:
+        first = acc // 16
+        last = max(first, (acc + n - 1) // 16)
+        assert spans[i] == (first, last, last - first + 1), i
+        acc += n
+    # zero-token doc: stays in its first bin, never an inverted span
+    z = spark.createDataFrame(
+        [(1, 5), (2, 0), (3, 5)], "doc_id bigint, n_tok bigint"
+    )
+    got = {r["doc_id"]: r for r in pack_spans(z, budget=4).collect()}
+    assert (got[2]["first_bin"], got[2]["n_bins"]) == (1, 1)

@@ -85,6 +85,7 @@ ANNOTATIONS: dict[str, str] = {
     "null_safe_join_counts": "<=> vs IS NOT DISTINCT FROM",
     "pagerank_directed_dangling": "directed c->s graph, per-round dangling-mass D div N redistribution, mass-conservation pinned",
     "pagerank_suppliers": "2-round integer-exact PageRank, top-20 suppliers",
+    "pack_training_sequences": "concat-and-chunk 256-token bins; scalable two-level prefix sum == the oracle's global-order cumsum",
     "perceptron_quality_train": "all-integer batch perceptron learns a planted stopword-density rule to ZERO errors in 7 rounds; whole training curve hash-exact",
     "priority_top_orders_csv": "ordered string_agg vs array_join(array_sort(collect_list))",
     "q17_small_quantity_revenue": "TPC-H Q17: correlated scalar avg per part, exact BIGINT cents",

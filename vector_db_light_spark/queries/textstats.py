@@ -854,3 +854,56 @@ def perceptron_quality_train(spark, sf_dir):
         *[F.col(f"w{j}").cast("long").alias(f"w{j}") for j in range(4)],
         F.col("b").cast("long").alias("b"),
     ).orderBy("round")
+
+
+# ---------------------------------------------------------------------------
+# Training-sequence packing (operators/packing.py): concat-and-chunk the
+# corpus into 256-token bins in deterministic doc_id order. The Spark side
+# computes the global token prefix sum with the scalable two-level scheme
+# (deterministic doc_id-div chunks; no single-partition window over the
+# corpus); the oracle checks the identical numbers with the plain
+# window cumsum — the equivalence IS the point.
+# ---------------------------------------------------------------------------
+
+_PACK_BUDGET = 256
+
+
+@register(
+    "pack_training_sequences",
+    rf"""
+WITH toks AS (
+  SELECT doc_id, CAST(len({_TOKS_SQL}) AS BIGINT) AS n_tok
+  FROM documents
+),
+pos AS (
+  SELECT doc_id, n_tok,
+         CAST(COALESCE(SUM(n_tok) OVER (ORDER BY doc_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+              AS BIGINT) AS tok_start
+  FROM toks
+)
+SELECT doc_id, n_tok, tok_start,
+       CAST(tok_start // {_PACK_BUDGET} AS BIGINT) AS first_bin,
+       CAST(greatest(tok_start // {_PACK_BUDGET},
+                     (tok_start + n_tok - 1) // {_PACK_BUDGET})
+            AS BIGINT) AS last_bin,
+       CAST(greatest(tok_start // {_PACK_BUDGET},
+                     (tok_start + n_tok - 1) // {_PACK_BUDGET})
+            - tok_start // {_PACK_BUDGET} + 1 AS BIGINT) AS n_bins
+FROM pos
+ORDER BY doc_id
+""",
+)
+def pack_training_sequences(spark, sf_dir):
+    """Per-doc packing layout for 256-token training sequences — which bin
+    each document starts/ends in when the corpus concatenates in doc_id
+    order. At 100 TB the two-level prefix sum replaces the unscalable
+    global-order window: chunk windows run in parallel, the top level is
+    corpus/chunk rows, and the layout is a pure function of the data
+    (partitioning-independent, hash-pinned here)."""
+    from ..operators.packing import pack_spans
+
+    docs = load_docs(spark, sf_dir).select(
+        "doc_id", F.size(T.tokens_expr("text")).cast("long").alias("n_tok")
+    )
+    return pack_spans(docs, _PACK_BUDGET).orderBy("doc_id")
