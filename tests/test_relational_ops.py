@@ -81,3 +81,45 @@ def test_sessionize_gap_boundary(spark):
     }
     # exactly 30 min -> same session; 31 min -> new session; per-user restart
     assert out == {0: 1, 1: 1, 2: 2, 3: 1}
+
+
+def test_scd2_merge_chained_versions(spark):
+    """scd2_merge applied twice: change, delete, re-add and no-op keys all
+    produce the textbook history — closed rows accumulate untouched, and
+    exactly one open row exists per live key."""
+    from pyspark.sql import functions as F
+
+    from vector_db_light_spark.operators.incremental import scd2_merge
+
+    OPEN = 99_999
+    v1 = spark.createDataFrame(
+        [(1, 100, 1, OPEN, 1), (2, 200, 1, OPEN, 1), (3, 300, 1, OPEN, 1)],
+        "k bigint, bal bigint, valid_from bigint, valid_to bigint, is_current int",
+    )
+    # v2: key 1 changes, key 2 deleted, key 4 added, key 3 unchanged
+    s2 = spark.createDataFrame(
+        [(1, 111), (3, 300), (4, 400)], "k bigint, bal bigint"
+    )
+    d2 = scd2_merge(v1, s2, "k", ["bal"], version=2, open_version=OPEN)
+    # v3: key 2 re-added, key 4 changes
+    s3 = spark.createDataFrame(
+        [(1, 111), (2, 222), (3, 300), (4, 444)], "k bigint, bal bigint"
+    )
+    d3 = scd2_merge(d2, s3, "k", ["bal"], version=3, open_version=OPEN)
+    rows = {
+        (r["k"], r["valid_from"]): (r["bal"], r["valid_to"], r["is_current"])
+        for r in d3.collect()
+    }
+    assert rows == {
+        (1, 1): (100, 2, 0),
+        (1, 2): (111, OPEN, 1),
+        (2, 1): (200, 2, 0),
+        (2, 3): (222, OPEN, 1),
+        (3, 1): (300, OPEN, 1),
+        (4, 2): (400, 3, 0),
+        (4, 3): (444, OPEN, 1),
+    }
+    open_per_key = (
+        d3.filter(F.col("valid_to") == OPEN).groupBy("k").count().collect()
+    )
+    assert all(r["count"] == 1 for r in open_per_key)

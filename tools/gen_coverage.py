@@ -102,6 +102,7 @@ ANNOTATIONS: dict[str, str] = {
     "search_mmr_diversify": "MMR greedy diversity re-rank, chained-CTE oracle",
     "search_prf_expansion": "two-pass PRF expansion, float-free term pick",
     "search_rerank": "two-stage retrieve->cross-rerank, candidates-only mapInPandas",
+    "scd2_customer_history": "type-2 dimension merge (survive/close/open via one full-outer join); integer versions, chained-merge test",
     "set_ops_all_labeled": "INTERSECT/EXCEPT ALL multiplicities",
     "table_profile_orders": "per-column null/distinct/min-max profiling, numeric-encoded extremes",
     "table_snapshot_diff": "CDC diff via full-outer hash compare",

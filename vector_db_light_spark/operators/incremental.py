@@ -74,3 +74,67 @@ def merge_agg_state(a: DataFrame, b: DataFrame, key: str) -> DataFrame:
         .cast("bigint")
         .alias("max_cents"),
     )
+
+
+def scd2_merge(
+    dim: DataFrame,
+    snapshot: DataFrame,
+    key_col: str,
+    attr_cols: list[str],
+    version: int,
+    open_version: int = 99_999,
+) -> DataFrame:
+    """Slowly-changing-dimension type-2 merge: apply ``snapshot`` (key +
+    attrs, stamped ``version``) to the versioned ``dim`` table (key +
+    attrs + valid_from/valid_to/is_current, ``open_version`` marking open
+    rows) and return the new history.
+
+    Semantics per key, derived from ONE full-outer join of the CURRENT
+    rows against the snapshot (closed history rows pass through
+    untouched):
+
+      * attrs unchanged      -> current row survives as-is;
+      * attrs changed        -> old row closes (valid_to = version),
+                                a new open row starts at ``version``;
+      * key absent from snap -> old row closes (a delete);
+      * key new in snap      -> a new open row starts.
+
+    Versions are INTEGER snapshot stamps, not timestamps — exact on every
+    engine (the CLAUDE.md timestamp-parity rules never engage), and
+    ``is_current`` is an INT 1/0 for the same reason. Attribute equality
+    is null-safe (``<=>``). Scale shape: bucket both sides by the key
+    and the join is co-located; history pass-through is a pure scan —
+    the standard SCD2 shape incremental dimension ETL runs nightly."""
+    cur = dim.filter(F.col("valid_to") == open_version)
+    closed = dim.filter(F.col("valid_to") != open_version)
+    c = cur.alias("c")
+    s = snapshot.alias("s")
+    j = c.join(s, F.col("c." + key_col) == F.col("s." + key_col), "full_outer")
+    same = F.lit(True)
+    for a in attr_cols:
+        same = same & F.col("c." + a).eqNullSafe(F.col("s." + a))
+    in_cur = F.col("c." + key_col).isNotNull()
+    in_snap = F.col("s." + key_col).isNotNull()
+
+    # surviving current rows (unchanged)
+    keep = j.filter(in_cur & in_snap & same).select(
+        *[F.col("c." + x) for x in [key_col, *attr_cols]],
+        F.col("c.valid_from").alias("valid_from"),
+        F.col("c.valid_to").alias("valid_to"),
+        F.col("c.is_current").alias("is_current"),
+    )
+    # closing rows: changed or deleted
+    close = j.filter(in_cur & (~in_snap | ~same)).select(
+        *[F.col("c." + x) for x in [key_col, *attr_cols]],
+        F.col("c.valid_from").alias("valid_from"),
+        F.lit(version).cast("long").alias("valid_to"),
+        F.lit(0).cast("int").alias("is_current"),
+    )
+    # opening rows: changed or brand new
+    opened = j.filter(in_snap & (~in_cur | ~same)).select(
+        *[F.col("s." + x) for x in [key_col, *attr_cols]],
+        F.lit(version).cast("long").alias("valid_from"),
+        F.lit(open_version).cast("long").alias("valid_to"),
+        F.lit(1).cast("int").alias("is_current"),
+    )
+    return closed.unionByName(keep).unionByName(close).unionByName(opened)

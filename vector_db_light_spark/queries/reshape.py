@@ -334,3 +334,113 @@ def dq_constraint_report(spark, sf_dir):
         "n_violations",
         (F.col("n_violations") == 0).cast("int").alias("passed"),
     ).orderBy("check_name")
+
+
+# ---------------------------------------------------------------------------
+# SCD2 dimension versioning (operators/incremental.scd2_merge): apply a
+# deterministic "day 2" customer snapshot (balance bump for key%7,
+# segment flip for key%11, delete key%31, insert key%53 clones) to the
+# version-1 dimension and emit the full history. Integer version stamps
+# and BIGINT cents keep every value engine-exact; the oracle replays the
+# same full-outer CASE split.
+# ---------------------------------------------------------------------------
+
+_SCD2_OPEN = 99_999
+
+
+@register(
+    "scd2_customer_history",
+    f"""
+WITH v1 AS (
+  SELECT c_custkey AS k,
+         CAST(round(c_acctbal * 100) AS BIGINT) AS acctbal_cents,
+         c_mktsegment AS segment,
+         CAST(1 AS BIGINT) AS valid_from,
+         CAST({_SCD2_OPEN} AS BIGINT) AS valid_to,
+         CAST(1 AS INT) AS is_current
+  FROM customer
+),
+snap AS (
+  SELECT c_custkey AS k,
+         CAST(round(c_acctbal * 100) AS BIGINT)
+           + CASE WHEN c_custkey % 7 = 0 THEN 12345 ELSE 0 END AS acctbal_cents,
+         CASE WHEN c_custkey % 11 = 0 THEN 'SEGX' ELSE c_mktsegment END
+           AS segment
+  FROM customer WHERE c_custkey % 31 != 0
+  UNION ALL
+  SELECT c_custkey + 900000 AS k,
+         CAST(round(c_acctbal * 100) AS BIGINT) AS acctbal_cents,
+         c_mktsegment AS segment
+  FROM customer WHERE c_custkey % 53 = 0
+),
+j AS (
+  SELECT v.k AS ck, v.acctbal_cents AS cb, v.segment AS cs,
+         v.valid_from AS cvf,
+         s.k AS sk, s.acctbal_cents AS sb, s.segment AS ss,
+         (v.acctbal_cents IS NOT DISTINCT FROM s.acctbal_cents
+          AND v.segment IS NOT DISTINCT FROM s.segment) AS same
+  FROM v1 v FULL OUTER JOIN snap s ON v.k = s.k
+),
+merged AS (
+  SELECT ck AS k, cb AS acctbal_cents, cs AS segment,
+         cvf AS valid_from, CAST({_SCD2_OPEN} AS BIGINT) AS valid_to,
+         CAST(1 AS INT) AS is_current
+  FROM j WHERE ck IS NOT NULL AND sk IS NOT NULL AND same
+  UNION ALL
+  SELECT ck, cb, cs, cvf, CAST(2 AS BIGINT), CAST(0 AS INT)
+  FROM j WHERE ck IS NOT NULL AND (sk IS NULL OR NOT same)
+  UNION ALL
+  SELECT sk, sb, ss, CAST(2 AS BIGINT), CAST({_SCD2_OPEN} AS BIGINT),
+         CAST(1 AS INT)
+  FROM j WHERE sk IS NOT NULL AND (ck IS NULL OR NOT same)
+)
+SELECT k, acctbal_cents, segment, valid_from, valid_to, is_current
+FROM merged
+ORDER BY k, valid_from
+""",
+)
+def scd2_customer_history(spark, sf_dir):
+    """Nightly dimension maintenance: one co-partitionable full-outer join
+    turns (current rows x snapshot) into survive/close/open row sets;
+    closed history passes through as a pure scan. Integer versions, INT
+    flags and BIGINT cents — no timestamp or float parity exposure."""
+    from ..operators.incremental import scd2_merge
+
+    cust = load(spark, sf_dir, "customer")
+    cents = F.round(F.col("c_acctbal") * 100, 0).cast("long")
+    v1 = cust.select(
+        F.col("c_custkey").alias("k"),
+        cents.alias("acctbal_cents"),
+        F.col("c_mktsegment").alias("segment"),
+        F.lit(1).cast("long").alias("valid_from"),
+        F.lit(_SCD2_OPEN).cast("long").alias("valid_to"),
+        F.lit(1).cast("int").alias("is_current"),
+    )
+    snap = (
+        cust.filter(F.col("c_custkey") % 31 != 0)
+        .select(
+            F.col("c_custkey").alias("k"),
+            (
+                cents
+                + F.when(F.col("c_custkey") % 7 == 0, 12345).otherwise(0)
+            ).alias("acctbal_cents"),
+            F.when(F.col("c_custkey") % 11 == 0, "SEGX")
+            .otherwise(F.col("c_mktsegment"))
+            .alias("segment"),
+        )
+        .unionByName(
+            cust.filter(F.col("c_custkey") % 53 == 0).select(
+                (F.col("c_custkey") + 900000).alias("k"),
+                cents.alias("acctbal_cents"),
+                F.col("c_mktsegment").alias("segment"),
+            )
+        )
+    )
+    out = scd2_merge(
+        v1, snap, "k", ["acctbal_cents", "segment"], version=2,
+        open_version=_SCD2_OPEN,
+    )
+    return out.select(
+        "k", "acctbal_cents", "segment", "valid_from", "valid_to",
+        "is_current",
+    ).orderBy("k", "valid_from")
