@@ -56,3 +56,35 @@ def test_bm25_idf_downweights_common_terms(spark):
 def test_bm25_score_py_is_finite_and_positive(spark):
     s = bm25_score_py(tf=2, df=3, n=100, dl=50, avgdl=40.0)
     assert s > 0 and math.isfinite(s)
+
+
+def test_phrase_match_chain_join_hand_cases(spark):
+    """Positional phrase search: overlapping matches, repeated phrase
+    terms, and phrase-absent docs — the chain join must count exactly the
+    start offsets a direct scan finds."""
+    from vector_db_light_spark.operators.text_search import (
+        phrase_match,
+        positional_postings,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a b a b a"),      # "a b a": overlapping at 0 and 2
+            (2, "x a b a y"),      # one match at 1
+            (3, "a b b a"),        # none
+            (4, "a a a a"),        # "a a a" would overlap; not our phrase
+        ],
+        "doc_id bigint, text string",
+    )
+    postings = positional_postings(docs)
+    got = {
+        r["doc_id"]: (r["n_matches"], r["first_pos"])
+        for r in phrase_match(postings, ["a", "b", "a"]).collect()
+    }
+    assert got == {1: (2, 0), 2: (1, 1)}
+    # single-term phrase degenerates to the posting list itself
+    one = {
+        r["doc_id"]: r["n_matches"]
+        for r in phrase_match(postings, ["a"]).collect()
+    }
+    assert one == {1: 3, 2: 2, 3: 2, 4: 4}

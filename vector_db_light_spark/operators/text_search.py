@@ -282,3 +282,46 @@ def prf_expansion_terms(
         [(t,) for t in seeds], "term string"
     )
     return seed_df.unionByName(fb_terms).distinct()
+
+
+def positional_postings(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """(id, term, pos): the POSITIONAL inverted index (0-based token
+    offsets) that phrase and proximity queries need beyond bag-of-words
+    BM25. One tokenize + one posexplode — at cluster scale this table is
+    written once, partitioned/bucketed by term, and a phrase query reads
+    only its terms' partitions."""
+    toks = docs.select(F.col(id_col), tokens_expr(text_col).alias("_toks"))
+    return toks.select(
+        F.col(id_col), F.posexplode("_toks").alias("pos", "term")
+    ).select(id_col, "term", "pos")
+
+
+def phrase_match(
+    postings: DataFrame,
+    phrase: list[str],
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(id, n_matches, first_pos) for documents containing the exact token
+    ``phrase``: the classic positional-index chain join — the first term's
+    postings equi-join each later term's on (id, pos + offset). Every join
+    side is pre-filtered to ONE term (partition-pruned at the index scan),
+    so work is proportional to the phrase terms' posting lists, never the
+    corpus. Duplicate phrase terms are handled naturally: the join is on
+    positions, not terms."""
+    if not phrase:
+        raise ValueError("empty phrase")
+    terms = [t.lower() for t in phrase]
+    base = postings.filter(F.col("term") == terms[0]).select(
+        F.col(id_col), F.col("pos").alias("_p0")
+    )
+    for i, t in enumerate(terms[1:], start=1):
+        nxt = postings.filter(F.col("term") == t).select(
+            F.col(id_col), (F.col("pos") - i).alias("_p0")
+        )
+        base = base.join(nxt, [id_col, "_p0"])
+    return base.groupBy(id_col).agg(
+        F.count(F.lit(1)).cast("long").alias("n_matches"),
+        F.min("_p0").cast("long").alias("first_pos"),
+    )

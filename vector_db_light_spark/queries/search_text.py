@@ -541,3 +541,50 @@ def search_prf_expansion(spark, sf_dir):
     docs = load_docs(spark, sf_dir)
     expanded = T.prf_expansion_terms(docs, list(BM25_TERMS))
     return T.bm25_topk_terms_df(docs, expanded, k=10)
+
+
+# ---------------------------------------------------------------------------
+# Positional phrase search (operators/text_search.positional_postings +
+# phrase_match): the exact-phrase capability bag-of-words BM25 cannot
+# express. The oracle finds the same matches scanning token positions
+# per document directly — the chain-join == direct-scan equivalence is
+# the check.
+# ---------------------------------------------------------------------------
+
+_PHRASE = ["slow", "hash", "batch"]
+
+
+@register(
+    "phrase_search_positions",
+    rf"""
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
+                     t -> t != '') AS t
+  FROM documents
+),
+hits AS (
+  SELECT doc_id,
+         unnest(list_filter(range(1, len(t) - 1),
+                i -> t[i] = '{_PHRASE[0]}' AND t[i + 1] = '{_PHRASE[1]}'
+                     AND t[i + 2] = '{_PHRASE[2]}')) AS p
+  FROM toks WHERE len(t) >= 3
+)
+SELECT doc_id,
+       CAST(count(*) AS BIGINT) AS n_matches,
+       CAST(min(p) - 1 AS BIGINT) AS first_pos
+FROM hits
+GROUP BY doc_id
+ORDER BY doc_id
+""",
+)
+def phrase_search_positions(spark, sf_dir):
+    """Exact 3-token phrase over the positional inverted index: each
+    phrase term's postings are a partition-pruned read, the chain join is
+    (id, pos+offset)-keyed, and the result carries match counts + first
+    offset — proportional to posting-list sizes, never the corpus."""
+    from ..operators.text_search import phrase_match, positional_postings
+
+    docs = load_docs(spark, sf_dir)
+    postings = positional_postings(docs)
+    return phrase_match(postings, _PHRASE).orderBy("doc_id")
