@@ -711,3 +711,36 @@ def test_parse_xls_sst_continue_records():
     for pad in range(8206, 8216):
         case = ["a" * pad, "bb", "é" * 2]
         assert _parse_sst(_sst_records(case)) == case, pad
+
+
+def test_parse_pdf_hex_show_strings():
+    """PDF hex show operators (<hex> Tj, hex entries inside TJ arrays):
+    whitespace and odd-length padding per spec 7.3.4.3; CID-looking
+    binary hex (mostly unprintable) is discarded by the printability
+    gate instead of emitting mojibake."""
+    import zlib
+
+    from vector_db_light_spark.sources.ingest import _parse_pdf
+
+    def pdf(body: bytes) -> bytes:
+        return b"%PDF-1.4\nstream\n" + body + b"\nendstream\ntrailer"
+
+    assert _parse_pdf(pdf(b"BT <48656C6C6F> Tj ET")) == "[[page1]]Hello"
+    assert _parse_pdf(pdf(b"BT <48 69> Tj ET")) == "[[page1]]Hi"
+    assert (
+        _parse_pdf(pdf(b"BT [(We) -10 <2068657821>] TJ ET"))
+        == "[[page1]]We  hex!"
+    )
+    # odd-length hex pads a trailing zero nibble: <48656C6C6F2> -> 'Hello '
+    assert _parse_pdf(pdf(b"BT <48656C6C6F2> Tj ET")) == "[[page1]]Hello "
+    z = zlib.compress(b"BT <5A6970> Tj ET")
+    assert (
+        _parse_pdf(b"%PDF-1.4\nstream\n" + z + b"\nendstream")
+        == "[[page1]]Zip"
+    )
+    # 2-byte-CID-style hex decodes to unprintable bytes -> whole file is
+    # "no extractable text", not garbage text
+    import pytest
+
+    with pytest.raises(ValueError):
+        _parse_pdf(pdf(b"BT <00010002000300040005> Tj ET"))

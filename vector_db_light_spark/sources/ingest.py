@@ -350,9 +350,12 @@ def _parse_enex(content: bytes) -> str:
 _PDF_STREAM_RE = re.compile(rb"stream\r?\n(.*?)endstream", re.DOTALL)
 _PDF_TEXT_RE = re.compile(
     rb"\((?P<lit>(?:\\.|[^\\()])*)\)\s*(?:Tj|')"  # (..) Tj / (..) '
-    rb"|\[(?P<arr>(?:\\.|[^\]])*)\]\s*TJ"         # [(..) -12 (..)] TJ
+    rb"|<(?P<hex>[0-9A-Fa-f\s]*)>\s*(?:Tj|')"     # <hex> Tj / <hex> '
+    rb"|\[(?P<arr>(?:\\.|[^\]])*)\]\s*TJ"         # [(..) -12 <hex>] TJ
 )
-_PDF_LIT_RE = re.compile(rb"\((?:\\.|[^\\()])*\)")
+_PDF_LIT_RE = re.compile(
+    rb"\((?:\\.|[^\\()])*\)|<[0-9A-Fa-f\s]*>"
+)
 _PDF_ESC = {
     b"n": b"\n", b"r": b"\r", b"t": b"\t", b"b": b"\b", b"f": b"\f",
     b"(": b"(", b")": b")", b"\\": b"\\",
@@ -384,6 +387,26 @@ def _pdf_unescape(lit: bytes) -> bytes:
     return bytes(out)
 
 
+def _pdf_hex_text(hx: bytes) -> str:
+    """Decode a PDF hex show string (<48656C6C6F>): whitespace allowed
+    inside, odd length pads a trailing 0 (PDF spec 7.3.4.3). Assumes the
+    simple byte-mapped-font case like the literal path; 2-byte CID hex
+    (CMap fonts) decodes to mostly-unprintable bytes, which the caller's
+    printability gate discards instead of emitting mojibake."""
+    h = b"".join(hx.split())
+    if len(h) % 2:
+        h += b"0"
+    try:
+        raw = bytes.fromhex(h.decode("ascii"))
+    except ValueError:
+        return ""
+    txt = raw.decode("latin-1", "replace")
+    if not txt:
+        return ""
+    printable = sum(1 for ch in txt if ch.isprintable() or ch in "\n\t\r")
+    return txt if printable * 5 >= len(txt) * 4 else ""  # >= 80% printable
+
+
 def _parse_pdf(content: bytes) -> str:
     """BASIC stdlib PDF text extraction: every content stream is tried raw
     and Flate-decompressed (zlib is stdlib), literal-string show operators
@@ -413,11 +436,22 @@ def _parse_pdf(content: bytes) -> str:
                     text_parts.append(
                         _pdf_unescape(tm.group("lit")).decode("latin-1", "replace")
                     )
+                elif tm.group("hex") is not None:
+                    h = _pdf_hex_text(tm.group("hex"))
+                    if h:
+                        text_parts.append(h)
                 else:
                     for lit in _PDF_LIT_RE.findall(tm.group("arr")):
-                        text_parts.append(
-                            _pdf_unescape(lit[1:-1]).decode("latin-1", "replace")
-                        )
+                        if lit.startswith(b"<"):
+                            h = _pdf_hex_text(lit[1:-1])
+                            if h:
+                                text_parts.append(h)
+                        else:
+                            text_parts.append(
+                                _pdf_unescape(lit[1:-1]).decode(
+                                    "latin-1", "replace"
+                                )
+                            )
             if text_parts:
                 break  # the decodable variant won; don't double-extract
         if text_parts:
