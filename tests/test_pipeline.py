@@ -744,3 +744,70 @@ def test_parse_pdf_hex_show_strings():
 
     with pytest.raises(ValueError):
         _parse_pdf(pdf(b"BT <00010002000300040005> Tj ET"))
+
+
+def _lzw_encode_earlychange(data: bytes) -> bytes:
+    """Minimal PDF-convention LZW encoder (EarlyChange=1: code width grows
+    one code early) — test twin for sources/ingest._pdf_lzw."""
+    table = {bytes([i]): i for i in range(256)}
+    nxt, width = 258, 9
+    acc, nbits = 0, 0
+
+    def emit(code):
+        nonlocal acc, nbits
+        acc = (acc << width) | code
+        nbits += width
+
+    emit(256)
+    w = b""
+    for ch in data:
+        c = bytes([ch])
+        if w + c in table:
+            w += c
+            continue
+        emit(table[w])
+        table[w + c] = nxt
+        nxt += 1
+        if nxt + 1 >= (1 << width) and width < 12:
+            width += 1
+        w = c
+    if w:
+        emit(table[w])
+    emit(257)
+    if nbits % 8:
+        pad = 8 - nbits % 8
+        acc <<= pad
+        nbits += pad
+    return acc.to_bytes(nbits // 8, "big")
+
+
+def test_parse_pdf_filter_chain_a85_hex_lzw():
+    """ASCII85 (+Flate), ASCIIHex, and LZW-encoded content streams all
+    extract; the LZW roundtrip crosses the 9->10 bit width boundary
+    (early-change convention), which a short input never exercises."""
+    import base64
+    import zlib
+
+    from vector_db_light_spark.sources.ingest import _parse_pdf, _pdf_lzw
+
+    def pdf(body: bytes) -> bytes:
+        return b"%PDF-1.4\nstream\n" + body + b"\nendstream\ntrailer"
+
+    content = b"BT (Filters!) Tj ET"
+    assert _parse_pdf(pdf(base64.a85encode(content) + b"~>")) == "[[page1]]Filters!"
+    assert (
+        _parse_pdf(pdf(base64.a85encode(zlib.compress(content)) + b"~>"))
+        == "[[page1]]Filters!"
+    )
+    assert _parse_pdf(pdf(content.hex().encode() + b">")) == "[[page1]]Filters!"
+    assert _parse_pdf(pdf(_lzw_encode_earlychange(content))) == "[[page1]]Filters!"
+
+    # long LZW payloads: cross the 9->10 and 10->11 bit width boundaries
+    # (the decoder must widen one entry EARLIER than naive — the
+    # early-change convention plus the decoder's one-entry lag)
+    long = b" ".join(b"tok%d" % (i * 7919 % 1000) for i in range(600))
+    assert _pdf_lzw(_lzw_encode_earlychange(long)) == long
+    longer = b",".join(b"w%d" % (i * 31 % 2000) for i in range(1800))
+    assert _pdf_lzw(_lzw_encode_earlychange(longer)) == longer
+    body = b"BT (" + long[:40] + b") Tj ET" + long  # operators + bulk
+    assert _parse_pdf(pdf(_lzw_encode_earlychange(body))).startswith("[[page1]]")

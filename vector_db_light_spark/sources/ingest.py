@@ -407,6 +407,79 @@ def _pdf_hex_text(hx: bytes) -> str:
     return txt if printable * 5 >= len(txt) * 4 else ""  # >= 80% printable
 
 
+def _pdf_a85(data: bytes) -> bytes | None:
+    """ASCII85Decode (PDF 7.4.3): stdlib a85decode with the PDF `~>` EOD
+    marker tolerated; None when the payload is not a85."""
+    import base64
+
+    body = data.split(b"~>")[0].strip()
+    if not body:
+        return None
+    try:
+        return base64.a85decode(body)  # default ignorechars covers ws
+    except Exception:
+        # not a85 — candidate chain falls through (a spurious successful
+        # decode of a non-a85 stream is harmless: garbage bytes contain
+        # no show operators, so the caller's first-match loop skips it)
+        return None
+
+
+def _pdf_asciihex(data: bytes) -> bytes | None:
+    """ASCIIHexDecode (PDF 7.4.2): hex pairs, whitespace ignored, `>` EOD,
+    odd length pads a zero nibble; None when non-hex bytes appear."""
+    body = b"".join(data.split(b">")[0].split())
+    if not body:
+        return None
+    try:
+        if len(body) % 2:
+            body += b"0"
+        return bytes.fromhex(body.decode("ascii"))
+    except (ValueError, UnicodeDecodeError):
+        return None
+
+
+def _pdf_lzw(data: bytes) -> bytes | None:
+    """LZWDecode (PDF 7.4.4 — the TIFF/GIF variable-code-width variant,
+    MSB-first, codes start at 9 bits, 256 = clear, 257 = EOD). Returns
+    None on any malformed code so the candidate chain falls through."""
+    out = bytearray()
+    table = [bytes([i]) for i in range(256)] + [b"", b""]
+    width, acc, nbits = 9, 0, 0
+    prev: bytes | None = None
+    for byte in data:
+        acc = (acc << 8) | byte
+        nbits += 8
+        while nbits >= width:
+            code = (acc >> (nbits - width)) & ((1 << width) - 1)
+            nbits -= width
+            if code == 256:
+                table = table[:258]
+                width, prev = 9, None
+                continue
+            if code == 257:
+                return bytes(out) if out else None
+            if prev is None:
+                if code > 255:
+                    return None
+                entry = table[code]
+            elif code < len(table):
+                entry = table[code]
+                table.append(prev + entry[:1])
+            elif code == len(table):
+                entry = prev + prev[:1]
+                table.append(entry)
+            else:
+                return None
+            out += entry
+            prev = entry
+            # early-change (PDF default) + the decoder's one-entry lag:
+            # the encoder widens after assigning entry (2^w - 2), and the
+            # decoder has appended one entry fewer when it must follow
+            if len(table) + 2 >= (1 << width) and width < 12:
+                width += 1
+    return bytes(out) if out else None
+
+
 def _parse_pdf(content: bytes) -> str:
     """BASIC stdlib PDF text extraction: every content stream is tried raw
     and Flate-decompressed (zlib is stdlib), literal-string show operators
@@ -424,11 +497,27 @@ def _parse_pdf(content: bytes) -> str:
     pages = []
     for m in _PDF_STREAM_RE.finditer(content):
         raw = m.group(1)
-        candidates = [raw]
+        # Decode-candidate chain, best-first: Flate, ASCII85(+Flate),
+        # ASCIIHex(+Flate), LZW, then the raw bytes. Each try is guarded —
+        # the first variant yielding show operators wins below.
+        candidates = []
+        stripped = raw.strip(b"\r\n")
         try:
-            candidates.insert(0, zlib.decompress(raw.strip(b"\r\n")))
+            candidates.append(zlib.decompress(stripped))
         except Exception:
             pass
+        for decoded in (_pdf_a85(stripped), _pdf_asciihex(stripped)):
+            if decoded is None:
+                continue
+            try:
+                candidates.append(zlib.decompress(decoded))
+            except Exception:
+                pass
+            candidates.append(decoded)
+        lzw = _pdf_lzw(stripped)
+        if lzw is not None:
+            candidates.append(lzw)
+        candidates.append(raw)
         text_parts: list[str] = []
         for data in candidates:
             for tm in _PDF_TEXT_RE.finditer(data):
