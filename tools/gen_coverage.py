@@ -35,6 +35,7 @@ ANNOTATIONS: dict[str, str] = {
     "bpe_tokenize_counts": "apply learned merges corpus-wide; per-doc token budget",
     "bpe_train_merges": "N-merge iterative BPE trainer, unrolled-CTE oracle (kmeans_lloyd pattern)",
     "corpus_curation_pipeline": "capstone: dedup -> quality -> substring decontam -> sample in one DAG",
+    "covisitation_topk": "session co-occurrence top-k per item; bounded pair fan-out, WindowGroupLimit per anchor",
     "cross_nation_volume": "Q7 shape, exact BIGINT-cents volume",
     "cohort_retention_daily": "first-active-day cohorts x day offset; integer day buckets, exact-operand retention division",
     "customer_order_histogram": "Q13 shape: left join w/ join-side predicate + double aggregation",

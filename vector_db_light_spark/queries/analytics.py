@@ -1674,3 +1674,95 @@ def supplier_degree_histogram(spark, sf_dir):
         .agg(F.count(F.lit(1)).cast("long").alias("n_suppliers"))
         .orderBy("degree")
     )
+
+
+# ---------------------------------------------------------------------------
+# Co-visitation matrix (session-based co-occurrence): the recsys / corpus-
+# linking primitive — for every item, the top-k items sharing a (user,
+# hour) session, ranked by distinct-session co-count. The item is the
+# integer `k` in the events props JSON (extracted with the same regexp on
+# both engines); the session key is an integer epoch-hour bucket
+# (epoch_us // 3.6e9 — the CLAUDE.md timestamp rule). Scale shape: pair
+# fan-out is bounded per session (distinct items per user-hour is small;
+# cap with a per-session WindowGroupLimit at 100 TB), the (a, b) count is
+# one shuffle, and the per-anchor top-k is WindowGroupLimit-reduced.
+# ---------------------------------------------------------------------------
+
+_COVIS_K = 5
+_HOUR_US = 3_600_000_000
+
+
+@register(
+    "covisitation_topk",
+    f"""
+WITH ev AS (
+  SELECT user_id,
+         epoch_us(CAST(ts AS TIMESTAMP)) // {_HOUR_US} AS hour_bucket,
+         CAST(NULLIF(regexp_extract(props, '"k": (\\d+)', 1), '') AS BIGINT)
+           AS item
+  FROM events
+),
+session_items AS (
+  SELECT DISTINCT user_id, hour_bucket, item FROM ev WHERE item IS NOT NULL
+),
+pairs AS (
+  SELECT a.item AS k_a, b.item AS k_b,
+         CAST(count(*) AS BIGINT) AS n_sessions
+  FROM session_items a
+  JOIN session_items b
+    ON a.user_id = b.user_id AND a.hour_bucket = b.hour_bucket
+   AND a.item != b.item
+  GROUP BY 1, 2
+),
+ranked AS (
+  SELECT k_a, k_b, n_sessions,
+         row_number() OVER (PARTITION BY k_a
+                            ORDER BY n_sessions DESC, k_b ASC) AS rk
+  FROM pairs
+)
+SELECT k_a, k_b, n_sessions, CAST(rk AS INT) AS rk
+FROM ranked WHERE rk <= {_COVIS_K}
+ORDER BY k_a, rk
+""",
+)
+def covisitation_topk(spark, sf_dir):
+    """'Users who touched X in a session also touched Y': distinct items
+    per (user, epoch-hour) session, within-session pair counts over
+    distinct sessions, top-{_COVIS_K} neighbors per anchor item."""
+    from pyspark.sql.window import Window
+
+    from .._registry_core import load_events
+
+    ev = load_events(spark, sf_dir).select(
+        "user_id",
+        F.expr(f"unix_micros(cast(ts as timestamp)) div {_HOUR_US}").alias(
+            "hour_bucket"
+        ),
+        # nullif guards ANSI: a props row without "k" must yield NULL
+        # (filtered below), not a cast error
+        F.expr(r"""CAST(nullif(regexp_extract(props, '"k": (\\d+)', 1), '')
+                   AS BIGINT)""").alias("item"),
+    )
+    si = ev.filter(F.col("item").isNotNull()).distinct()
+    a = si.alias("a")
+    b = si.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.user_id") == F.col("b.user_id"))
+            & (F.col("a.hour_bucket") == F.col("b.hour_bucket"))
+            & (F.col("a.item") != F.col("b.item")),
+        )
+        .groupBy(
+            F.col("a.item").alias("k_a"), F.col("b.item").alias("k_b")
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("n_sessions"))
+    )
+    w = Window.partitionBy("k_a").orderBy(
+        F.col("n_sessions").desc(), F.col("k_b").asc()
+    )
+    return (
+        pairs.withColumn("rk", F.row_number().over(w).cast("int"))
+        .filter(F.col("rk") <= _COVIS_K)
+        .orderBy("k_a", "rk")
+    )
