@@ -279,3 +279,31 @@ def test_pagerank_directed_dangling_mass_conservation(spark):
         for r in pagerank_directed(edges.repartition(5), iters=2).collect()
     }
     assert ranks2 == ranks
+
+
+def test_label_propagation_hand_graph(spark):
+    """Two triangles joined by one bridge edge: deterministic sync LPA
+    with the smallest-label tie-break keeps the two dense regions in
+    separate communities (min-label CC would flood them into one), and
+    the trajectory is partition-independent."""
+    from vector_db_light_spark.operators.graph import label_propagation
+
+    tris = [("a", "b"), ("b", "c"), ("a", "c"),
+            ("x", "y"), ("y", "z"), ("x", "z"),
+            ("c", "x")]  # bridge
+    rows = tris + [(b, a) for a, b in tris]
+    edges = spark.createDataFrame(rows, "src string, dst string")
+    labels = {
+        r["node"]: r["label"]
+        for r in label_propagation(edges, iters=2).collect()
+    }
+    # round 1: every node takes its smallest neighbor label; round 2 the
+    # triangle regions agree internally but the two regions never merge
+    left = {labels[n] for n in "abc"}
+    right = {labels[n] for n in "xyz"}
+    assert left.isdisjoint(right)
+    labels2 = {
+        r["node"]: r["label"]
+        for r in label_propagation(edges.repartition(5), iters=2).collect()
+    }
+    assert labels2 == labels

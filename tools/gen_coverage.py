@@ -69,6 +69,7 @@ ANNOTATIONS: dict[str, str] = {
     "line_dedup_boilerplate": "CCNet/RefinedWeb line-level boilerplate removal; also stage 0 of corpus_curation_pipeline",
     "line_dedup_incremental": "batch cleaned against CUMULATIVE line-df state (monoid merge); per-batch counts would admit the headers",
     "lonely_late_suppliers": "Q21 shape, de-correlated EXISTS/NOT EXISTS",
+    "lpa_communities": "deterministic sync LPA (mode-of-neighbors, smallest-label ties); dense regions stay separate where CC floods",
     "multimodal_audio_features": "REAL stdlib WAV PCM decode -> exact integer windowed energy; oracle recomputes every sample",
     "multimodal_frame_sample": "video->frames fan-out via REAL ISO BMFF demux (stts/stsc/stsz/stco); codec payloads stay opaque",
     "multimodal_frame_dedup": "cross-video exact frame dedup over really demuxed samples; shuffle carries (hash, doc_id) only",

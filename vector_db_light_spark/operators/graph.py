@@ -354,3 +354,47 @@ def triangle_delta(
     return corners.groupBy("node").agg(
         F.count(F.lit(1)).cast("long").alias("n_new_triangles")
     )
+
+
+def label_propagation(
+    edges: DataFrame,
+    iters: int = 2,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """Synchronous label propagation (Raghavan et al. 2007) with a total
+    deterministic update: each round every node adopts the MOST FREQUENT
+    label among its neighbors, ties broken by the smallest label — so the
+    trajectory is a pure function of the graph (no randomized visit order;
+    the classic async LPA is irreproducible by design, useless under an
+    oracle). Labels start as the node's own id. Expects a SYMMETRIZED edge
+    list (contributions flow src -> dst; symmetric input makes the update
+    undirected); isolated nodes never appear in an edge list by
+    construction.
+
+    Unlike min-label connected components (operators/dedup.py), the mode
+    update segments DENSE regions into communities instead of flooding
+    whole components with one label. Per round: one join shuffle keyed on
+    src + one (dst, label) count + one per-dst argmax window — the Pregel
+    pair plus a group-limit; per-round ``localCheckpoint`` cuts lineage
+    (house rule for iterative algorithms)."""
+    nodes = edges.select(F.col(src).alias("node")).distinct()
+    labels = nodes.withColumn("label", F.col("node"))
+    from pyspark.sql.window import Window
+
+    for _ in range(iters):
+        counts = (
+            edges.join(labels, edges[src] == labels["node"])
+            .groupBy(F.col(dst).alias("_n"), "label")
+            .agg(F.count(F.lit(1)).alias("_c"))
+        )
+        w = Window.partitionBy("_n").orderBy(
+            F.col("_c").desc(), F.col("label").asc()
+        )
+        labels = (
+            counts.withColumn("_rk", F.row_number().over(w))
+            .filter(F.col("_rk") == 1)
+            .select(F.col("_n").alias("node"), "label")
+            .localCheckpoint(eager=True)
+        )
+    return labels

@@ -1766,3 +1766,81 @@ def covisitation_topk(spark, sf_dir):
         .filter(F.col("rk") <= _COVIS_K)
         .orderBy("k_a", "rk")
     )
+
+
+# ---------------------------------------------------------------------------
+# Label-propagation communities (operators/graph.label_propagation):
+# synchronous LPA with the smallest-label tie-break over the symmetrized
+# customer<->supplier graph — the deterministic variant of the classic
+# community detector, unrolled per round in the oracle exactly like
+# pagerank_suppliers. Output: community sizes after 2 rounds.
+# ---------------------------------------------------------------------------
+
+def _lpa_round_sql(t: int) -> str:
+    return f"""
+c{t} AS (
+  SELECT e.dst AS n, l.label, count(*) AS c
+  FROM edges e JOIN l{t - 1} l ON l.node = e.src
+  GROUP BY 1, 2
+),
+l{t} AS MATERIALIZED (
+  SELECT n AS node, label FROM (
+    SELECT n, label,
+           row_number() OVER (PARTITION BY n
+                              ORDER BY c DESC, label ASC) AS rk
+    FROM c{t}
+  ) WHERE rk = 1
+)"""
+
+
+@register(
+    "lpa_communities",
+    f"""
+WITH pairs AS (
+  SELECT DISTINCT 'c' || CAST(o.o_custkey AS VARCHAR) AS c,
+                  's' || CAST(l.l_suppkey AS VARCHAR) AS s
+  FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+),
+edges AS (
+  SELECT c AS src, s AS dst FROM pairs
+  UNION ALL
+  SELECT s AS src, c AS dst FROM pairs
+),
+nodes AS (SELECT DISTINCT src AS node FROM edges),
+l0 AS (SELECT node, node AS label FROM nodes),
+{_lpa_round_sql(1)},
+{_lpa_round_sql(2)}
+SELECT label, CAST(count(*) AS BIGINT) AS n_members
+FROM l2
+GROUP BY label
+ORDER BY n_members DESC, label ASC
+LIMIT 20
+""",
+)
+def lpa_communities(spark, sf_dir):
+    """Top-20 communities by size after 2 deterministic LPA rounds on the
+    transaction graph — the community structure a curation pipeline uses
+    to cap per-community sampling (the graph analogue of per-source
+    quotas)."""
+    from ..operators.graph import label_propagation
+
+    orders = load(spark, sf_dir, "orders")
+    lineitem = load(spark, sf_dir, "lineitem")
+    pairs = (
+        orders.join(lineitem, orders.o_orderkey == lineitem.l_orderkey)
+        .select(
+            F.concat(F.lit("c"), F.col("o_custkey").cast("string")).alias("c"),
+            F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias("s"),
+        )
+        .distinct()
+    )
+    edges = pairs.select(F.col("c").alias("src"), F.col("s").alias("dst")).unionAll(
+        pairs.select(F.col("s").alias("src"), F.col("c").alias("dst"))
+    )
+    labels = label_propagation(edges, iters=2)
+    return (
+        labels.groupBy("label")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_members"))
+        .orderBy(F.col("n_members").desc(), F.col("label").asc())
+        .limit(20)
+    )
