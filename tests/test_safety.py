@@ -86,3 +86,31 @@ def test_pii_ssn_phone_do_not_cross_match(spark):
     rows = {r["doc_id"]: r for r in scrub(df).collect()}
     assert (rows[1]["n_phone"], rows[1]["n_ssn"]) == (1, 0)
     assert (rows[2]["n_phone"], rows[2]["n_ssn"]) == (0, 1)
+
+
+def test_luhn_valid_hand_cases(spark):
+    """ISO 7812 checksum: known-valid test numbers pass, off-by-one check
+    digits fail, and validation composes inside the higher-order filter."""
+    from pyspark.sql import functions as F
+
+    from vector_db_light_spark.operators.pii import cc_detection, luhn_valid
+
+    cases = [
+        ("4532-0151-1283-0366", True),   # computed check digit
+        ("4532-0151-1283-0367", False),  # broken check digit
+        ("4111-1111-1111-1111", True),   # classic Visa test number
+        ("1234-5678-9012-3456", False),
+    ]
+    df = spark.createDataFrame(cases, "card string, expect boolean")
+    got = df.select("expect", luhn_valid(F.col("card")).alias("got")).collect()
+    assert all(r["expect"] == r["got"] for r in got)
+
+    text_df = spark.createDataFrame(
+        [(1, "pay 4111-1111-1111-1111 or ref 1234-5678-9012-3456 ok")],
+        "doc_id bigint, text string",
+    )
+    d = cc_detection("text")
+    row = text_df.select(
+        d["n_cc_candidates"].alias("c"), d["n_cc_valid"].alias("v")
+    ).collect()[0]
+    assert (row["c"], row["v"]) == (2, 1)

@@ -37,6 +37,7 @@ ANNOTATIONS: dict[str, str] = {
     "corpus_curation_pipeline": "capstone: dedup -> quality -> substring decontam -> sample in one DAG",
     "covisitation_topk": "session co-occurrence top-k per item; bounded pair fan-out, WindowGroupLimit per anchor",
     "cross_nation_volume": "Q7 shape, exact BIGINT-cents volume",
+    "cc_luhn_detection": "ISO 7812 Luhn checksum as an unrolled integer lambda; candidates vs validated cards per doc",
     "cohort_retention_daily": "first-active-day cohorts x day offset; integer day buckets, exact-operand retention division",
     "customer_order_histogram": "Q13 shape: left join w/ join-side predicate + double aggregation",
     "dedup_clusters_star": "large-star/small-star CC, same recursive-CTE oracle",

@@ -59,3 +59,40 @@ def scrub(
         F.when(total > 0, 1).otherwise(0).alias("has_pii"),
         redact_expr(text_col).alias("redacted"),
     )
+
+
+CC_CANDIDATE_PATTERN = r"\b\d{4}-\d{4}-\d{4}-\d{4}\b"
+
+
+def luhn_valid(card: Column) -> Column:
+    """Luhn checksum (ISO/IEC 7812) for a 16-digit card string in
+    dddd-dddd-dddd-dddd form — the validation step that separates real
+    card numbers from random 16-digit ids (a regex alone false-positives
+    on order/tracking numbers). Fully unrolled integer expression: from
+    the RIGHT, every second digit doubles (minus 9 when >9); valid iff
+    the total is divisible by 10. Pure codegen arithmetic — engine-exact,
+    usable inside higher-order lambdas on both engines."""
+    digits = F.translate(card, "-", "")
+    total = None
+    for j in range(1, 17):  # 1-indexed from the left; 16 digits
+        d = F.substring(digits, j, 1).cast("int")
+        if j % 2 == 1:  # odd-from-left == even-from-right for length 16
+            dd = d * 2
+            term = F.when(dd > 9, dd - 9).otherwise(dd)
+        else:
+            term = d
+        total = term if total is None else total + term
+    return total % 10 == 0
+
+
+def cc_detection(text_col: str) -> dict[str, Column]:
+    """(n_cc_candidates, n_cc_valid): regex candidates vs Luhn-validated
+    matches. The candidate list is materialized once; validation is a
+    higher-order filter over it — no second regex pass."""
+    cands = F.regexp_extract_all(
+        F.col(text_col), F.lit(CC_CANDIDATE_PATTERN), F.lit(0)
+    )
+    return {
+        "n_cc_candidates": F.size(cands),
+        "n_cc_valid": F.size(F.filter(cands, luhn_valid)),
+    }

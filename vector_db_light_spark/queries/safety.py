@@ -305,3 +305,81 @@ def bloom_prefilter_decontam(spark, sf_dir):
         )
         .orderBy("doc_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# Luhn-validated credit-card detection (operators/pii.cc_detection): the
+# candidate regex alone false-positives on any 16-digit id; the ISO 7812
+# checksum — an unrolled pure-integer expression usable inside
+# higher-order lambdas on both engines — separates real card numbers.
+# Fixture: docs get a VALID card appended for doc_id%10==0 and an
+# off-by-one INVALID candidate for doc_id%10==5.
+# ---------------------------------------------------------------------------
+
+_CC_VALID = "4532-0151-1283-0366"    # Luhn-valid (check digit computed)
+_CC_INVALID = "4532-0151-1283-0367"  # same prefix, broken check digit
+
+# DuckDB lambdas forbid subqueries, so the digit source inlines per term
+_D = "replace(x, '-', '')"
+_LUHN_SQL_TERMS = " + ".join(
+    (
+        f"(CASE WHEN 2 * (substr({_D}, {j}, 1)::INT) > 9 "
+        f"THEN 2 * (substr({_D}, {j}, 1)::INT) - 9 "
+        f"ELSE 2 * (substr({_D}, {j}, 1)::INT) END)"
+        if j % 2 == 1
+        else f"(substr({_D}, {j}, 1)::INT)"
+    )
+    for j in range(1, 17)
+)
+_LUHN_SQL = "x -> (" + _LUHN_SQL_TERMS + ") % 10 = 0"
+
+
+@register(
+    "cc_luhn_detection",
+    f"""
+WITH corpus AS (
+  SELECT doc_id,
+         text || CASE WHEN doc_id % 10 = 0 THEN ' pay: {_CC_VALID}'
+                      WHEN doc_id % 10 = 5 THEN ' ref: {_CC_INVALID}'
+                      ELSE '' END AS text
+  FROM documents
+),
+hits AS (
+  SELECT doc_id,
+         regexp_extract_all(text, '\\b\\d{{4}}-\\d{{4}}-\\d{{4}}-\\d{{4}}\\b')
+           AS cands
+  FROM corpus
+)
+SELECT doc_id,
+       CAST(len(cands) AS BIGINT) AS n_cc_candidates,
+       CAST(len(list_filter(cands, {_LUHN_SQL})) AS BIGINT) AS n_cc_valid
+FROM hits
+WHERE len(cands) > 0
+ORDER BY doc_id
+""",
+)
+def cc_luhn_detection(spark, sf_dir):
+    """Candidates vs Luhn-valid card counts per doc over the injected
+    corpus — the scrub decision a pipeline makes before redacting (valid
+    cards redact; random 16-digit ids survive). Narrow no-shuffle map."""
+    from ..operators.pii import cc_detection
+
+    docs = load_docs(spark, sf_dir).select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.when(F.col("doc_id") % 10 == 0, f" pay: {_CC_VALID}")
+            .when(F.col("doc_id") % 10 == 5, f" ref: {_CC_INVALID}")
+            .otherwise(""),
+        ).alias("text"),
+    )
+    d = cc_detection("text")
+    return (
+        docs.select(
+            "doc_id",
+            d["n_cc_candidates"].cast("long").alias("n_cc_candidates"),
+            d["n_cc_valid"].cast("long").alias("n_cc_valid"),
+        )
+        .filter(F.col("n_cc_candidates") > 0)
+        .orderBy("doc_id")
+    )
