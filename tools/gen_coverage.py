@@ -66,6 +66,7 @@ ANNOTATIONS: dict[str, str] = {
     "kmeans_lloyd": "2-round Lloyd's, fixed-point centroids, exact inertia",
     "knn_ivfpq_residual_topk": "residual IVFPQ: per-probe LUTs, codes-only scan",
     "knn_pq_adc_topk": "PQ encode + ADC top-k, codes-only scan",
+    "knn_pq_filtered_topk": "metadata predicate filters the codes scan BEFORE ADC ranking (ann_ivf_filtered strategy on the PQ artifact)",
     "large_volume_orders": "Q18 shape: HAVING pre-aggregate joined back",
     "line_dedup_boilerplate": "CCNet/RefinedWeb line-level boilerplate removal; also stage 0 of corpus_curation_pipeline",
     "line_dedup_incremental": "batch cleaned against CUMULATIVE line-df state (monoid merge); per-batch counts would admit the headers",

@@ -1714,3 +1714,33 @@ def ann_pq_trained_recall(spark, sf_dir):
         )
         .orderBy("query_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# FILTERED PQ serving: the metadata-scoped ADC search (ann_ivf_filtered's
+# pre-filter strategy applied to the codes table). The label predicate is
+# a stored column ON the codes table, so it pushes into the codes scan —
+# the 32x-smaller artifact — and ADC ranks already-filtered rows; no
+# post-top-k starvation, and the raw vectors are never touched.
+# ---------------------------------------------------------------------------
+
+@register(
+    "knn_pq_filtered_topk",
+    f"""
+WITH {_pq_codes_ctes(", label")}
+SELECT vec_id, {_PQ_ADC_SQL} AS adc
+FROM codes
+WHERE label % 3 = 0
+ORDER BY adc ASC, vec_id ASC
+LIMIT 10
+""",
+)
+def knn_pq_filtered_topk(spark, sf_dir):
+    """Metadata-filtered ADC top-k: pq_encode carries the label column
+    into the codes artifact (keep_cols), the query-time predicate filters
+    the codes scan BEFORE ranking, and the top-k is
+    TakeOrderedAndProject over filtered codes only."""
+    emb = load(spark, sf_dir, "embeddings")
+    codes = S.pq_encode(emb, _CODEBOOKS, keep_cols=["label"])
+    filtered = codes.filter(F.col("label") % 3 == 0).drop("label")
+    return S.pq_adc_topk(filtered, _PQ_LUT, k=10)
