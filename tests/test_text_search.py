@@ -88,3 +88,28 @@ def test_phrase_match_chain_join_hand_cases(spark):
         for r in phrase_match(postings, ["a"]).collect()
     }
     assert one == {1: 3, 2: 2, 3: 2, 4: 4}
+
+
+def test_proximity_match_hand_cases(spark):
+    """NEAR/slop: either order, per-doc fan-out bounded by posting lists,
+    min_span is the tightest pair."""
+    from vector_db_light_spark.operators.text_search import (
+        positional_postings,
+        proximity_match,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha x x beta"),        # span 3
+            (2, "beta alpha"),            # reversed, span 1
+            (3, "alpha x x x x x beta"),  # span 6 > slop
+            (4, "alpha beta x alpha"),    # spans 1 and 2 (two alphas)
+        ],
+        "doc_id bigint, text string",
+    )
+    postings = positional_postings(docs)
+    got = {
+        r["doc_id"]: (r["n_matches"], r["min_span"])
+        for r in proximity_match(postings, "alpha", "beta", slop=4).collect()
+    }
+    assert got == {1: (1, 3), 2: (1, 1), 4: (2, 1)}

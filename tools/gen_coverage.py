@@ -92,6 +92,7 @@ ANNOTATIONS: dict[str, str] = {
     "pack_training_sequences": "concat-and-chunk 256-token bins; scalable two-level prefix sum == the oracle's global-order cumsum",
     "perceptron_quality_train": "all-integer batch perceptron learns a planted stopword-density rule to ZERO errors in 7 rounds; whole training curve hash-exact",
     "phrase_search_positions": "positional-index chain join == direct position scan; work bounded by posting lists",
+    "proximity_search_near": "NEAR/slop either-order proximity over the positional index; per-doc |pa|x|pb| fan-out",
     "priority_top_orders_csv": "ordered string_agg vs array_join(array_sort(collect_list))",
     "q17_small_quantity_revenue": "TPC-H Q17: correlated scalar avg per part, exact BIGINT cents",
     "q20_excess_suppliers": "TPC-H Q20: nested semi-join chain, pre-aggregated HAVING",

@@ -325,3 +325,34 @@ def phrase_match(
         F.count(F.lit(1)).cast("long").alias("n_matches"),
         F.min("_p0").cast("long").alias("first_pos"),
     )
+
+
+def proximity_match(
+    postings: DataFrame,
+    term_a: str,
+    term_b: str,
+    slop: int,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(id, n_matches, min_span) for documents where ``term_a`` and
+    ``term_b`` occur within ``slop`` token positions of each other in
+    either order (the NEAR/n operator). One equi-join on the doc id with
+    the |pos diff| window as a join residual; both sides are one-term
+    posting lists, so the doc-id join fans out as |pa| x |pb| PER DOC —
+    bounded by per-doc term frequency, never the corpus."""
+    a = postings.filter(F.col("term") == term_a.lower()).select(
+        F.col(id_col), F.col("pos").alias("_pa")
+    )
+    b = postings.filter(F.col("term") == term_b.lower()).select(
+        F.col(id_col), F.col("pos").alias("_pb")
+    )
+    span = F.abs(F.col("_pa") - F.col("_pb"))
+    return (
+        a.join(b, id_col)
+        .filter(span <= slop)
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_matches"),
+            F.min(span).cast("long").alias("min_span"),
+        )
+    )

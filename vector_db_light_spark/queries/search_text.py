@@ -588,3 +588,47 @@ def phrase_search_positions(spark, sf_dir):
     docs = load_docs(spark, sf_dir)
     postings = positional_postings(docs)
     return phrase_match(postings, _PHRASE).orderBy("doc_id")
+
+
+_NEAR_A, _NEAR_B, _NEAR_SLOP = "slow", "batch", 4
+
+
+@register(
+    "proximity_search_near",
+    rf"""
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
+                     t -> t != '') AS t
+  FROM documents
+),
+pa AS (
+  SELECT doc_id, unnest(list_filter(range(1, len(t) + 1),
+                        i -> t[i] = '{_NEAR_A}')) AS p
+  FROM toks
+),
+pb AS (
+  SELECT doc_id, unnest(list_filter(range(1, len(t) + 1),
+                        i -> t[i] = '{_NEAR_B}')) AS p
+  FROM toks
+)
+SELECT pa.doc_id,
+       CAST(count(*) AS BIGINT) AS n_matches,
+       CAST(min(abs(pa.p - pb.p)) AS BIGINT) AS min_span
+FROM pa JOIN pb ON pa.doc_id = pb.doc_id
+WHERE abs(pa.p - pb.p) <= {_NEAR_SLOP}
+GROUP BY pa.doc_id
+ORDER BY pa.doc_id
+""",
+)
+def proximity_search_near(spark, sf_dir):
+    """NEAR/{_NEAR_SLOP} over the positional index: '{_NEAR_A}' within
+    {_NEAR_SLOP} tokens of '{_NEAR_B}' in either order — match counts and
+    the tightest span per doc. Work bounded by the two posting lists."""
+    from ..operators.text_search import positional_postings, proximity_match
+
+    docs = load_docs(spark, sf_dir)
+    postings = positional_postings(docs)
+    return proximity_match(
+        postings, _NEAR_A, _NEAR_B, _NEAR_SLOP
+    ).orderBy("doc_id")
