@@ -360,3 +360,130 @@ def test_biff8_sst_continue_roundtrip_property(strings):
     from vector_db_light_spark.sources.ingest import _parse_sst
 
     assert _parse_sst(_sst_records(strings)) == strings
+
+
+# --- round-9 operators: LZW, prefix sum, Luhn -------------------------------
+
+def _lzw_encode(data: bytes) -> bytes:
+    """Early-change PDF-convention LZW encoder (test twin of
+    sources/ingest._pdf_lzw; duplicated from test_pipeline to keep this
+    module import-light)."""
+    table = {bytes([i]): i for i in range(256)}
+    nxt, width = 258, 9
+    acc, nbits = 0, 0
+
+    def emit(code):
+        nonlocal acc, nbits
+        acc = (acc << width) | code
+        nbits += width
+
+    emit(256)
+    w = b""
+    for ch in data:
+        c = bytes([ch])
+        if w + c in table:
+            w += c
+            continue
+        emit(table[w])
+        table[w + c] = nxt
+        nxt += 1
+        if nxt + 1 >= (1 << width) and width < 12:
+            width += 1
+        w = c
+    if w:
+        emit(table[w])
+    emit(257)
+    if nbits % 8:
+        pad = 8 - nbits % 8
+        acc <<= pad
+        nbits += pad
+    return acc.to_bytes(nbits // 8, "big")
+
+
+@given(st.binary(min_size=1, max_size=4000))
+@settings(max_examples=60, deadline=None)
+def test_pdf_lzw_roundtrip_arbitrary_bytes(data):
+    from vector_db_light_spark.sources.ingest import _pdf_lzw
+
+    assert _pdf_lzw(_lzw_encode(data)) == data
+
+
+@given(st.binary(min_size=0, max_size=300))
+@settings(max_examples=60, deadline=None)
+def test_pdf_lzw_total_on_garbage(data):
+    """The decoder must return bytes-or-None on arbitrary input, never
+    raise (it sits in the parse candidate chain)."""
+    from vector_db_light_spark.sources.ingest import _pdf_lzw
+
+    out = _pdf_lzw(data)
+    assert out is None or isinstance(out, bytes)
+
+
+@given(st.text(alphabet="0123456789", min_size=15, max_size=15))
+@settings(max_examples=40, deadline=None)
+def test_luhn_detects_every_single_digit_corruption(prefix15):
+    """Appending the computed check digit always validates; corrupting any
+    single digit always invalidates (the Luhn guarantee)."""
+    def check_digit(p15: str) -> int:
+        total = 0
+        for i, ch in enumerate(reversed(p15)):
+            d = int(ch)
+            if i % 2 == 0:
+                d *= 2
+                if d > 9:
+                    d -= 9
+            total += d
+        return (10 - total % 10) % 10
+
+    def luhn_ok(c16: str) -> bool:
+        total = 0
+        for i, ch in enumerate(reversed(c16)):
+            d = int(ch)
+            if i % 2 == 1:
+                d *= 2
+                if d > 9:
+                    d -= 9
+            total += d
+        return total % 10 == 0
+
+    card = prefix15 + str(check_digit(prefix15))
+    assert luhn_ok(card)
+    for pos in range(16):
+        for repl in "0123456789":
+            if repl == card[pos]:
+                continue
+            corrupted = card[:pos] + repl + card[pos + 1 :]
+            assert not luhn_ok(corrupted)
+
+
+def test_luhn_spark_matches_python_model(spark):
+    """The unrolled Spark Luhn expression agrees with the Python model on
+    a deterministic spread of 16-digit strings."""
+    from pyspark.sql import functions as F
+
+    from vector_db_light_spark.operators.pii import luhn_valid
+
+    def luhn_ok(c16: str) -> bool:
+        total = 0
+        for i, ch in enumerate(reversed(c16)):
+            d = int(ch)
+            if i % 2 == 1:
+                d *= 2
+                if d > 9:
+                    d -= 9
+            total += d
+        return total % 10 == 0
+
+    import hashlib
+
+    cards = [
+        "".join(
+            str(int(hashlib.md5(f"{i}:{j}".encode()).hexdigest()[:2], 16) % 10)
+            for j in range(16)
+        )
+        for i in range(50)
+    ]
+    fmt = lambda c: f"{c[:4]}-{c[4:8]}-{c[8:12]}-{c[12:]}"  # noqa: E731
+    df = spark.createDataFrame([(fmt(c),) for c in cards], "card string")
+    got = [r["v"] for r in df.select(luhn_valid(F.col("card")).alias("v")).collect()]
+    assert got == [luhn_ok(c) for c in cards]
