@@ -138,3 +138,77 @@ def scd2_merge(
         F.lit(1).cast("int").alias("is_current"),
     )
     return closed.unionByName(keep).unionByName(close).unionByName(opened)
+
+
+def scd2_upsert(
+    dim: DataFrame,
+    changes: DataFrame,
+    key_col: str,
+    attr_cols: list[str],
+    version: int,
+    open_version: int = 99_999,
+    delete_col: str | None = None,
+) -> DataFrame:
+    """CDC-upsert variant of :func:`scd2_merge` for STREAMING dimension
+    maintenance: ``changes`` is a partial batch (upserts, plus optional
+    tombstone rows flagged by ``delete_col``), so keys ABSENT from the
+    batch survive untouched — absence means "no news", not "deleted"
+    (full-snapshot delete detection is :func:`scd2_merge`'s job).
+
+      * key not in batch        -> current row survives;
+      * attrs unchanged         -> current row survives;
+      * attrs changed           -> old closes at ``version``, new opens;
+      * new key                 -> new open row;
+      * tombstone               -> old closes, nothing opens.
+
+    Same shape: one key-join of current rows against the batch (LEFT from
+    current + anti-joined batch-only inserts), closed history passes
+    through as a scan."""
+    cur = dim.filter(F.col("valid_to") == open_version)
+    closed = dim.filter(F.col("valid_to") != open_version)
+    is_del = (
+        F.col("s." + delete_col) if delete_col else F.lit(False)
+    )
+    c = cur.alias("c")
+    s = changes.alias("s")
+    j = c.join(s, F.col("c." + key_col) == F.col("s." + key_col), "left")
+    same = F.lit(True)
+    for a in attr_cols:
+        same = same & F.col("c." + a).eqNullSafe(F.col("s." + a))
+    in_batch = F.col("s." + key_col).isNotNull()
+
+    keep = j.filter(~in_batch | (same & ~F.coalesce(is_del, F.lit(False)))).select(
+        *[F.col("c." + x) for x in [key_col, *attr_cols]],
+        F.col("c.valid_from").alias("valid_from"),
+        F.col("c.valid_to").alias("valid_to"),
+        F.col("c.is_current").alias("is_current"),
+    )
+    touched = in_batch & (~same | F.coalesce(is_del, F.lit(False)))
+    close = j.filter(touched).select(
+        *[F.col("c." + x) for x in [key_col, *attr_cols]],
+        F.col("c.valid_from").alias("valid_from"),
+        F.lit(version).cast("long").alias("valid_to"),
+        F.lit(0).cast("int").alias("is_current"),
+    )
+    reopen = j.filter(touched & ~F.coalesce(is_del, F.lit(False))).select(
+        *[F.col("s." + x) for x in [key_col, *attr_cols]],
+        F.lit(version).cast("long").alias("valid_from"),
+        F.lit(open_version).cast("long").alias("valid_to"),
+        F.lit(1).cast("int").alias("is_current"),
+    )
+    inserts = (
+        s.join(c, F.col("s." + key_col) == F.col("c." + key_col), "left_anti")
+        .filter(~F.coalesce(is_del, F.lit(False)))
+        .select(
+            *[F.col("s." + x) for x in [key_col, *attr_cols]],
+            F.lit(version).cast("long").alias("valid_from"),
+            F.lit(open_version).cast("long").alias("valid_to"),
+            F.lit(1).cast("int").alias("is_current"),
+        )
+    )
+    return (
+        closed.unionByName(keep)
+        .unionByName(close)
+        .unionByName(reopen)
+        .unionByName(inserts)
+    )
