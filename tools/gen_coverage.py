@@ -38,6 +38,7 @@ ANNOTATIONS: dict[str, str] = {
     "covisitation_topk": "session co-occurrence top-k per item; bounded pair fan-out, WindowGroupLimit per anchor",
     "cross_nation_volume": "Q7 shape, exact BIGINT-cents volume",
     "cc_luhn_detection": "ISO 7812 Luhn checksum as an unrolled integer lambda; candidates vs validated cards per doc",
+    "classifier_curation_pipeline": "train (7 integer rounds) -> broadcast-score the corpus -> survivor split vs planted truth, one DAG",
     "cohort_retention_daily": "first-active-day cohorts x day offset; integer day buckets, exact-operand retention division",
     "customer_order_histogram": "Q13 shape: left join w/ join-side predicate + double aggregation",
     "dedup_clusters_star": "large-star/small-star CC, same recursive-CTE oracle",

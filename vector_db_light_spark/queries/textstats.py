@@ -907,3 +907,95 @@ def pack_training_sequences(spark, sf_dir):
         "doc_id", F.size(T.tokens_expr("text")).cast("long").alias("n_tok")
     )
     return pack_spans(docs, _PACK_BUDGET).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# Classifier-curation capstone: train the quality perceptron (7 integer
+# rounds), score the WHOLE corpus with the trained weights, and report the
+# survivor split vs the planted truth — the (sample -> train -> broadcast-
+# score -> filter) loop a production quality-filter pipeline runs, in one
+# DAG. The oracle replays training AND scoring arithmetically; with the
+# fixture separable and 7 rounds reaching zero errors, pred == y on every
+# row — and the oracle would catch any divergence if it ever stopped
+# being true.
+# ---------------------------------------------------------------------------
+
+@register(
+    "classifier_curation_pipeline",
+    f"""
+WITH raw AS ({_PCT_FEATS_SQL}),
+feats AS MATERIALIZED (
+  SELECT doc_id, f_the, f_of, f_and, f_a,
+         CASE WHEN f_the + f_and >= f_of + f_a THEN 1 ELSE -1 END AS y
+  FROM raw
+),
+wt0 AS (SELECT CAST(0 AS BIGINT) AS w0, CAST(0 AS BIGINT) AS w1,
+               CAST(0 AS BIGINT) AS w2, CAST(0 AS BIGINT) AS w3,
+               CAST(0 AS BIGINT) AS b),
+{",".join(_pct_round_sql(t) for t in range(1, _PCT_ITERS + 1))},
+scored AS (
+  SELECT f.doc_id, f.y,
+         CASE WHEN w.b + w.w0 * f.f_the + w.w1 * f.f_of
+                   + w.w2 * f.f_and + w.w3 * f.f_a > 0
+              THEN 1 ELSE -1 END AS pred
+  FROM feats f, wt{_PCT_ITERS} w
+)
+SELECT CAST(pred AS INT) AS pred,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(SUM(CASE WHEN y = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_label_pos,
+       CAST(SUM(CASE WHEN y = pred THEN 1 ELSE 0 END) AS BIGINT) AS n_agree
+FROM scored
+GROUP BY pred
+ORDER BY pred
+""",
+)
+def classifier_curation_pipeline(spark, sf_dir):
+    """Train (7 rounds, bounded collect of d+1 BIGINTs) -> broadcast-score
+    the corpus (linear_score: a narrow no-shuffle map with the model as
+    plan literals) -> survivor split vs the planted truth. The serving
+    path is the 100 TB shape: the model leaves the cluster ONCE as
+    kilobytes of weights, and scoring is one scan."""
+    from ..operators.classifier import linear_score, perceptron_train
+
+    docs = load_docs(spark, sf_dir).select(
+        "doc_id", "text", T.tokens_expr("text").alias("_toks")
+    )
+    cnt = lambda w: (  # noqa: E731
+        F.size(F.filter(F.col("_toks"), lambda t: t == F.lit(w))).cast("long")
+    )
+    feats = docs.select(
+        "doc_id",
+        cnt("the").alias("f_the"),
+        cnt("of").alias("f_of"),
+        cnt("and").alias("f_and"),
+        cnt("a").alias("f_a"),
+    )
+    labeled = feats.withColumn(
+        "y",
+        F.when(
+            F.col("f_the") + F.col("f_and") >= F.col("f_of") + F.col("f_a"), 1
+        )
+        .otherwise(-1)
+        .cast("long"),
+    )
+    curve = perceptron_train(labeled, _PCT_FEATS, "y", iters=_PCT_ITERS)
+    final = curve.filter(F.col("round") == _PCT_ITERS).collect()[0]  # 1 row
+    scored = linear_score(
+        labeled,
+        [final[f"w{j}"] for j in range(len(_PCT_FEATS))],
+        final["b"],
+        _PCT_FEATS,
+    )
+    return (
+        scored.groupBy(F.col("pred").cast("int").alias("pred"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum(F.when(F.col("y") == 1, 1).otherwise(0))
+            .cast("long")
+            .alias("n_label_pos"),
+            F.sum(F.when(F.col("y") == F.col("pred"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_agree"),
+        )
+        .orderBy("pred")
+    )
