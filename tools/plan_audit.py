@@ -90,6 +90,20 @@ AUDIT = [
     "graph_cohesion_summary",
     "media_curation_pipeline",
     "collocations_pmi",
+    # round 9
+    "ann_pq_trained_recall",
+    "pagerank_directed_dangling",
+    "perceptron_quality_train",
+    "classifier_curation_pipeline",
+    "pack_training_sequences",
+    "scd2_customer_history",
+    "phrase_search_positions",
+    "proximity_search_near",
+    "covisitation_topk",
+    "lpa_communities",
+    "cc_luhn_detection",
+    "knn_pq_filtered_topk",
+    "multimodal_frame_sample",
 ]
 
 

@@ -110,6 +110,10 @@ def pagerank_directed(
     n_nodes = nodes.count()  # iteration-invariant scalar
     ranks = nodes.withColumn("rank_u6", F.lit(1_000_000).cast("long"))
     for _ in range(iters):
+        # each round consumes `ranks` TWICE (dangling agg + contribution
+        # join) — cut lineage per round (house rule) or the duplicated
+        # subplan doubles every previous round's shuffles
+        ranks = ranks.localCheckpoint(eager=True)
         dangling = (
             ranks.join(deg, ranks["node"] == deg[src], "left_anti")
             .agg(

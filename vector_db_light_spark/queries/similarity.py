@@ -1692,7 +1692,7 @@ def ann_pq_trained_recall(spark, sf_dir):
         )
         return (
             truth.join(
-                approx,
+                F.broadcast(approx),  # k x n_queries rows
                 (F.col("query_id") == F.col("a_qid"))
                 & (F.col("vec_id") == F.col("a_vid")),
                 "left",
@@ -1704,7 +1704,7 @@ def ann_pq_trained_recall(spark, sf_dir):
     lit_h = _hits(_CODEBOOKS, "n_hits_lit")
     tr_h = _hits(books, "n_hits_tr")
     return (
-        lit_h.join(tr_h, "query_id")
+        lit_h.join(F.broadcast(tr_h), "query_id")
         .select(
             F.col("query_id").cast("bigint").alias("query_id"),
             F.col("n_hits_lit").cast("bigint").alias("n_hits_lit"),
