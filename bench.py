@@ -59,6 +59,12 @@ HEADLINE = [
     "dedup_exact",
     "dedup_minhash_lsh",
     "text_quality_score",
+    # round-9 additions (baseline entries recorded at round 9 — see
+    # BENCH_BASELINE.json metric note)
+    "pack_training_sequences",
+    "covisitation_topk",
+    "classifier_curation_pipeline",
+    "media_curation_pipeline",
 ]
 
 
