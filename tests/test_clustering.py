@@ -307,3 +307,28 @@ def test_label_propagation_hand_graph(spark):
         for r in label_propagation(edges.repartition(5), iters=2).collect()
     }
     assert labels2 == labels
+
+
+def test_pagerank_weighted_hand_graph(spark):
+    """Weight-proportional split: a hub h with edges to a (w=3) and b
+    (w=1) sends a 3:1 rank split; uniform pagerank_exact would send 1:1.
+    Partition-independent like the unweighted variants."""
+    from vector_db_light_spark.operators.graph import pagerank_weighted
+
+    pairs = [("h", "a", 3), ("h", "b", 1)]
+    rows = pairs + [(b, a, w) for a, b, w in pairs]
+    edges = spark.createDataFrame(rows, "src string, dst string, w long")
+    ranks = {
+        r["node"]: r["rank_u6"]
+        for r in pagerank_weighted(edges, iters=1).collect()
+    }
+    # round 1: h's W_out = 4 -> a gets 1000000*3//4 = 750000, b 250000;
+    # a and b each send their full rank to h (single edge)
+    assert ranks["a"] == 150_000 + 85 * 750_000 // 100
+    assert ranks["b"] == 150_000 + 85 * 250_000 // 100
+    assert ranks["h"] == 150_000 + 85 * 2_000_000 // 100
+    ranks2 = {
+        r["node"]: r["rank_u6"]
+        for r in pagerank_weighted(edges.repartition(5), iters=1).collect()
+    }
+    assert ranks2 == ranks

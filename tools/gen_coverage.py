@@ -90,6 +90,7 @@ ANNOTATIONS: dict[str, str] = {
     "null_safe_join_counts": "<=> vs IS NOT DISTINCT FROM",
     "pagerank_directed_dangling": "directed c->s graph, per-round dangling-mass D div N redistribution, mass-conservation pinned",
     "pagerank_suppliers": "2-round integer-exact PageRank, top-20 suppliers",
+    "pagerank_weighted_suppliers": "rank splits (rank*w) div W_out by distinct-order edge weights; 3:1 hand split pinned",
     "pack_training_sequences": "concat-and-chunk 256-token bins; scalable two-level prefix sum == the oracle's global-order cumsum",
     "perceptron_quality_train": "all-integer batch perceptron learns a planted stopword-density rule to ZERO errors in 7 rounds; whole training curve hash-exact",
     "phrase_search_positions": "positional-index chain join == direct position scan; work bounded by posting lists",

@@ -1844,3 +1844,83 @@ def lpa_communities(spark, sf_dir):
         .orderBy(F.col("n_members").desc(), F.col("label").asc())
         .limit(20)
     )
+
+
+# ---------------------------------------------------------------------------
+# WEIGHTED PageRank (operators/graph.pagerank_weighted): rank splits
+# proportionally to integer edge weights (distinct-order counts between a
+# customer and a supplier) instead of uniformly — purchase INTENSITY
+# drives centrality. Same integer recipe; contribution is
+# (rank * w) div W_out(src).
+# ---------------------------------------------------------------------------
+
+def _prw_round_sql(t: int) -> str:
+    return f"""
+wi{t} AS (
+  SELECT e.dst AS node,
+         CAST(SUM((r.rank_u6 * e.w) // wt.w_out) AS BIGINT) AS inc
+  FROM edges e
+  JOIN wr{t - 1} r ON r.node = e.src
+  JOIN wtot wt ON wt.src = e.src
+  GROUP BY 1
+),
+wr{t} AS MATERIALIZED (
+  SELECT n.node,
+         CAST(150000 + (85 * COALESCE(i.inc, 0)) // 100 AS BIGINT) AS rank_u6
+  FROM nodes n LEFT JOIN wi{t} i ON i.node = n.node
+)"""
+
+
+@register(
+    "pagerank_weighted_suppliers",
+    f"""
+WITH pairs AS (
+  SELECT 'c' || CAST(o.o_custkey AS VARCHAR) AS c,
+         's' || CAST(l.l_suppkey AS VARCHAR) AS s,
+         CAST(count(DISTINCT o.o_orderkey) AS BIGINT) AS w
+  FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+  GROUP BY 1, 2
+),
+edges AS (
+  SELECT c AS src, s AS dst, w FROM pairs
+  UNION ALL
+  SELECT s AS src, c AS dst, w FROM pairs
+),
+wtot AS (SELECT src, CAST(SUM(w) AS BIGINT) AS w_out FROM edges GROUP BY 1),
+nodes AS (SELECT DISTINCT src AS node FROM edges),
+wr0 AS (SELECT node, CAST(1000000 AS BIGINT) AS rank_u6 FROM nodes),
+{_prw_round_sql(1)},
+{_prw_round_sql(2)}
+SELECT node, rank_u6 FROM wr2
+WHERE node LIKE 's%'
+ORDER BY rank_u6 DESC, node ASC
+LIMIT 20
+""",
+)
+def pagerank_weighted_suppliers(spark, sf_dir):
+    """Top-20 suppliers by purchase-intensity-weighted centrality: edge
+    weight = distinct orders between the pair, rank splits as
+    (rank * w) div W_out — all BIGINT, bit-exact replay."""
+    from ..operators.graph import pagerank_weighted
+
+    orders = load(spark, sf_dir, "orders")
+    lineitem = load(spark, sf_dir, "lineitem")
+    pairs = (
+        orders.join(lineitem, orders.o_orderkey == lineitem.l_orderkey)
+        .groupBy(
+            F.concat(F.lit("c"), F.col("o_custkey").cast("string")).alias("c"),
+            F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias("s"),
+        )
+        .agg(F.count_distinct("o_orderkey").cast("long").alias("w"))
+    )
+    edges = pairs.select(
+        F.col("c").alias("src"), F.col("s").alias("dst"), "w"
+    ).unionAll(
+        pairs.select(F.col("s").alias("src"), F.col("c").alias("dst"), "w")
+    )
+    ranks = pagerank_weighted(edges, iters=2)
+    return (
+        ranks.filter(F.col("node").startswith("s"))
+        .orderBy(F.col("rank_u6").desc(), F.col("node").asc())
+        .limit(20)
+    )
