@@ -104,6 +104,7 @@ AUDIT = [
     "cc_luhn_detection",
     "knn_pq_filtered_topk",
     "multimodal_frame_sample",
+    "pagerank_weighted_suppliers",
 ]
 
 
