@@ -54,6 +54,10 @@ def pagerank_exact(
     nodes = edges.select(F.col(src).alias("node")).distinct()
     ranks = nodes.withColumn("rank_u6", F.lit(1_000_000).cast("long"))
     for _ in range(iters):
+        # per-round lineage cut: without it round t's static plan nests
+        # round t-1's entirely (pagerank_directed measured 22 -> 10
+        # shuffles from this one line)
+        ranks = ranks.localCheckpoint(eager=True)
         contrib = (
             edges.join(ranks, edges[src] == ranks["node"])
             .join(deg, src)
@@ -425,6 +429,7 @@ def pagerank_weighted(
     nodes = edges.select(F.col(src).alias("node")).distinct()
     ranks = nodes.withColumn("rank_u6", F.lit(1_000_000).cast("long"))
     for _ in range(iters):
+        ranks = ranks.localCheckpoint(eager=True)  # per-round lineage cut
         contrib = (
             edges.join(ranks, edges[src] == ranks["node"])
             .join(wtot, src)
