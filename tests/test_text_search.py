@@ -113,3 +113,54 @@ def test_proximity_match_hand_cases(spark):
         for r in proximity_match(postings, "alpha", "beta", slop=4).collect()
     }
     assert got == {1: (1, 3), 2: (1, 1), 4: (2, 1)}
+
+
+def test_wand_equals_full_scoring_and_prunes(spark):
+    """bm25_wand_topk must return EXACTLY bm25_topk's rows (score + tie
+    order) while exactly scoring strictly fewer postings than full
+    scoring touches — the lossless-prune contract."""
+    from vector_db_light_spark.operators.text_search import (
+        bm25_wand_topk,
+        wand_pruning_stats,
+    )
+
+    # Skewed corpus: a few docs stack the query terms (high scores), a
+    # long tail mentions one term once in a long doc (low upper bounds) —
+    # the shape WAND prunes.
+    tail = [
+        (100 + i, "spark " + " ".join(f"w{i}x{j}" for j in range(30)))
+        for i in range(40)
+    ]
+    corpus = [
+        (1, "spark query spark query table scan"),
+        (2, "query table spark join table"),
+        (3, "spark spark query"),
+        (4, "table query spark batch"),
+        (5, "unrelated words only here"),
+    ] + tail
+    docs = spark.createDataFrame(corpus, "doc_id bigint, text string")
+    terms = ["spark", "query", "table"]
+
+    full = bm25_topk(docs, terms, k=3).collect()
+    wand = bm25_wand_topk(docs, terms, k=3).collect()
+    assert [r.asDict() for r in wand] == [r.asDict() for r in full]
+
+    st = wand_pruning_stats(docs, terms, k=3).collect()[0]
+    assert st["n_postings_scored"] < st["n_postings_total"]
+    assert st["n_docs_scored"] >= 3  # at least the top-k themselves
+
+
+def test_wand_equals_full_scoring_under_ties_and_small_corpus(spark):
+    """k larger than the corpus + exact ties: θ comes from fewer than k
+    seeds and every doc must survive — degenerate but lossless."""
+    from vector_db_light_spark.operators.text_search import bm25_wand_topk
+
+    corpus = [
+        (1, "alpha beta"),
+        (2, "alpha beta"),  # exact tie with doc 1 — doc_id breaks it
+        (3, "beta gamma"),
+    ]
+    docs = spark.createDataFrame(corpus, "doc_id bigint, text string")
+    full = bm25_topk(docs, ["alpha", "beta"], k=10).collect()
+    wand = bm25_wand_topk(docs, ["alpha", "beta"], k=10).collect()
+    assert [r.asDict() for r in wand] == [r.asDict() for r in full]

@@ -99,6 +99,7 @@ ANNOTATIONS: dict[str, str] = {
     "q17_small_quantity_revenue": "TPC-H Q17: correlated scalar avg per part, exact BIGINT cents",
     "q20_excess_suppliers": "TPC-H Q20: nested semi-join chain, pre-aggregated HAVING",
     "q4_priority_count": "TPC-H Q4: EXISTS decorrelation + outer date-window pushdown",
+    "bm25_wand_topk": "WAND/max-score pruned BM25: oracle fully scores, Spark scores only θ-survivors — hash match proves the prune lossless",
     "rag_chunk_banners": "REAL rag.format_chunks incl. F9 blank-line collapse",
     "rag_citations_html": "REAL rag.format_citations: %.3f score spans + page ranges",
     "rag_prompt_assembly": "REAL rag.assemble_rag_prompt in a grouped Pandas stage, byte-identical prompt",
@@ -205,15 +206,35 @@ def _regenerate() -> tuple[str, str, str]:
     return path, current, head + render()
 
 
+def _strip_rotation_lines(text: str) -> str:
+    """Drop the lines derived from CORRECTNESS_r*.json (rotation status +
+    never-checked tail); everything left derives from the registry/code."""
+    return "\n".join(
+        ln
+        for ln in text.splitlines()
+        if not ln.startswith("External-driver rotation status")
+        and not ln.startswith("Never externally checked")
+    )
+
+
 def main_check() -> int:
     """Exit-style check (also called by tools/driver_sim.py).
 
-    Self-heals instead of failing (VERDICT r8 #7): the section is fully
-    derived from the live registry plus committed CORRECTNESS_r*.json
-    files, so whenever a new round's CORRECTNESS file lands after the last
-    regeneration the check rewrites COVERAGE.md in place and stays green.
-    Only an unwritable file (read-only checkout) still fails."""
+    Self-heals ONLY the CORRECTNESS-derived rotation lines (VERDICT r8 #7 +
+    ADVICE r9 #2): a new round's CORRECTNESS file landing after the last
+    regeneration rewrites COVERAGE.md in place and stays green. Any OTHER
+    divergence (query added/removed, annotation or window changed without
+    regenerating) means the COMMITTED doc is wrong — that still fails, so
+    a stale commit is caught instead of silently papered over."""
     path, current, regenerated = _regenerate()
+    if _strip_rotation_lines(regenerated) != _strip_rotation_lines(current):
+        print(
+            "FAIL  gen_coverage: COVERAGE.md query index is STALE beyond "
+            "the rotation-status lines (registry/annotation content "
+            "changed) — run `python tools/gen_coverage.py` and commit",
+            file=sys.stderr,
+        )
+        return 1
     if regenerated != current:
         try:
             with open(path, "w") as f:

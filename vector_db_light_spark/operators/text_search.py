@@ -356,3 +356,161 @@ def proximity_match(
             F.min(span).cast("long").alias("min_span"),
         )
     )
+
+
+def _bm25_sc(tf, dl, df, n, avgdl):
+    """Per-posting BM25 contribution — the EXACT expression shape
+    ``bm25_topk`` scores with, shared so the WAND-pruned path's rounded
+    per-doc sums are bit-compatible with the full-scoring path."""
+    return (
+        F.log(F.lit(1.0) + (n - df + F.lit(0.5)) / (df + F.lit(0.5)))
+        * (tf * (K1 + 1))
+        / (tf + F.lit(K1) * (F.lit(1.0) - F.lit(B) + F.lit(B) * dl / avgdl))
+    )
+
+
+def bm25_wand_topk(
+    docs: DataFrame,
+    query_terms: list[str],
+    k: int = 10,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Top-k BM25 with max-score/WAND upper-bound pruning — result-equal to
+    ``bm25_topk`` (same terms, same 6-decimal rounding, same tie-break) but
+    only a θ-pruned candidate subset is ever exactly scored.
+
+    Index-time metadata (stored WITH the postings at cluster scale, like
+    block-max WAND's per-block maxima): per-term ``(df, tf_max, dl_min)``
+    integer aggregates. Because the BM25 contribution is monotone
+    increasing in tf and decreasing in dl for a fixed term,
+    ``ub_t = sc(tf_max, dl_min)`` upper-bounds every posting of t, so
+    ``Σ_t∈doc ub_t`` upper-bounds every doc's true score.
+
+    Query time: (1) per-doc upper bounds from the membership-only postings
+    scan + the broadcast term sidecar; (2) seed the floor θ by exactly
+    scoring the k docs with the LARGEST upper bounds (θ = their min rounded
+    score — every seed's ub ≥ its own score ≥ θ, so the seeds themselves
+    survive step 3); (3) exactly score only docs with ub ≥ θ − 1e-6 (the
+    1e-6 guard absorbs the 6-dp rounding of θ plus float-sum noise, so no
+    true top-k doc — score ≥ θ implies ub ≥ θ — is ever pruned).
+
+    Correctness does not depend on the pruning decision (any superset of
+    {score ≥ θ} yields the identical top-k); the pruning only bounds the
+    scored-postings work, which ``wand_pruning_stats`` measures. At 100 TB
+    the postings are term-partitioned, the sidecar is dictionary-scale
+    broadcast state, and survivors are ~k-scale (AQE converts the semi-join
+    to broadcast at runtime if the static hint is ever wrong)."""
+    terms = [t.lower() for t in query_terms]
+    parts = _wand_parts(docs, terms, k, id_col, text_col)
+    scored = _bm25_exact_scores(
+        parts["postings"].join(
+            F.broadcast(parts["survivors"]), id_col, "left_semi"
+        ),
+        parts["term_meta"],
+        parts["stats"],
+        id_col,
+    )
+    return scored.orderBy(F.col("bm25").desc(), F.col(id_col).asc()).limit(k)
+
+
+def _bm25_exact_scores(postings, term_meta, stats, id_col):
+    return (
+        postings.join(F.broadcast(term_meta.select("term", "df")), "term")
+        .crossJoin(F.broadcast(stats))
+        .select(
+            F.col(id_col),
+            _bm25_sc(
+                F.col("tf"), F.col("dl"), F.col("df"), F.col("_n"), F.col("_avgdl")
+            ).alias("_s"),
+        )
+        .groupBy(id_col)
+        .agg(F.round(F.sum("_s"), 6).alias("bm25"))
+    )
+
+
+def _wand_parts(docs, terms, k, id_col, text_col):
+    """Shared WAND dataflow pieces (also consumed by wand_pruning_stats).
+
+    ``postings`` (query-term rows) and ``stats`` (1 row) are each consumed
+    by several downstream branches, so both get an eager localCheckpoint —
+    the CLAUDE.md multi-consumer rule; without it every branch re-runs the
+    corpus tokenize+explode."""
+    tfs = term_frequencies(docs, id_col=id_col, text_col=text_col)
+    stats = (
+        docs.select(F.count(F.lit(1)).alias("_n"))
+        .crossJoin(
+            tfs.select(id_col, "dl").distinct().agg(F.avg("dl").alias("_avgdl"))
+        )
+        .localCheckpoint(eager=True)
+    )
+    postings = tfs.filter(F.col("term").isin(terms)).localCheckpoint(
+        eager=True
+    )
+    term_meta = (
+        postings.groupBy("term")
+        .agg(
+            F.count(F.lit(1)).alias("df"),
+            F.max("tf").alias("tf_max"),
+            F.min("dl").alias("dl_min"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    ub_per_term = term_meta.crossJoin(F.broadcast(stats)).select(
+        "term",
+        _bm25_sc(
+            F.col("tf_max"), F.col("dl_min"), F.col("df"), F.col("_n"), F.col("_avgdl")
+        ).alias("_ub"),
+    )
+    doc_ub = (
+        postings.join(F.broadcast(ub_per_term), "term")
+        .groupBy(id_col)
+        .agg(F.sum("_ub").alias("_doc_ub"))
+        .localCheckpoint(eager=True)
+    )
+    seeds = doc_ub.orderBy(F.col("_doc_ub").desc(), F.col(id_col).asc()).limit(k)
+    theta = _bm25_exact_scores(
+        postings.join(F.broadcast(seeds.select(id_col)), id_col, "left_semi"),
+        term_meta,
+        stats,
+        id_col,
+    ).agg(F.min("bm25").alias("_theta"))
+    survivors = (
+        doc_ub.crossJoin(F.broadcast(theta))
+        .filter(F.col("_doc_ub") >= F.col("_theta") - F.lit(1e-6))
+        .select(id_col)
+    )
+    return {
+        "postings": postings,
+        "stats": stats,
+        "term_meta": term_meta,
+        "survivors": survivors,
+    }
+
+
+def wand_pruning_stats(
+    docs: DataFrame,
+    query_terms: list[str],
+    k: int = 10,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """1-row measurement of the WAND prune: total query-term postings vs
+    postings that actually reach the exact scorer (k-seed pass + survivor
+    pass). tests/test_text_search assert scored < total; SCALE.md records
+    the sf0.1 reduction."""
+    terms = [t.lower() for t in query_terms]
+    parts = _wand_parts(docs, terms, k, id_col, text_col)
+    postings = parts["postings"]
+    seed_ids = (
+        postings.join(F.broadcast(parts["survivors"]), id_col, "left_semi")
+        .select(id_col)
+        .distinct()
+    )
+    n_total = postings.select(F.count(F.lit(1)).alias("n_postings_total"))
+    n_scored = (
+        postings.join(F.broadcast(parts["survivors"]), id_col, "left_semi")
+        .select(F.count(F.lit(1)).alias("n_postings_scored"))
+    )
+    n_seed_docs = seed_ids.select(F.count(F.lit(1)).alias("n_docs_scored"))
+    return n_total.crossJoin(n_scored).crossJoin(n_seed_docs)

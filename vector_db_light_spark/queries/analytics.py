@@ -1680,8 +1680,9 @@ def supplier_degree_histogram(spark, sf_dir):
 # Co-visitation matrix (session-based co-occurrence): the recsys / corpus-
 # linking primitive — for every item, the top-k items sharing a (user,
 # hour) session, ranked by distinct-session co-count. The item is the
-# integer `k` in the events props JSON (extracted with the same regexp on
-# both engines); the session key is an integer epoch-hour bucket
+# integer `k` in the events props JSON (real JSON extraction on both
+# engines: get_json_object / json_extract_string, mirroring
+# json_props_extract); the session key is an integer epoch-hour bucket
 # (epoch_us // 3.6e9 — the CLAUDE.md timestamp rule). Scale shape: pair
 # fan-out is bounded per session (distinct items per user-hour is small;
 # cap with a per-session WindowGroupLimit at 100 TB), the (a, b) count is
@@ -1698,8 +1699,7 @@ _HOUR_US = 3_600_000_000
 WITH ev AS (
   SELECT user_id,
          epoch_us(CAST(ts AS TIMESTAMP)) // {_HOUR_US} AS hour_bucket,
-         CAST(NULLIF(regexp_extract(props, '"k": (\\d+)', 1), '') AS BIGINT)
-           AS item
+         CAST(json_extract_string(props, '$.k') AS BIGINT) AS item
   FROM events
 ),
 session_items AS (
@@ -1722,7 +1722,6 @@ ranked AS (
 )
 SELECT k_a, k_b, n_sessions, CAST(rk AS INT) AS rk
 FROM ranked WHERE rk <= {_COVIS_K}
-ORDER BY k_a, rk
 """,
 )
 def covisitation_topk(spark, sf_dir):
@@ -1738,10 +1737,9 @@ def covisitation_topk(spark, sf_dir):
         F.expr(f"unix_micros(cast(ts as timestamp)) div {_HOUR_US}").alias(
             "hour_bucket"
         ),
-        # nullif guards ANSI: a props row without "k" must yield NULL
-        # (filtered below), not a cast error
-        F.expr(r"""CAST(nullif(regexp_extract(props, '"k": (\\d+)', 1), '')
-                   AS BIGINT)""").alias("item"),
+        # real JSON extraction (get_json_object), not a whitespace-sensitive
+        # regexp — a props row without "k" yields NULL (filtered below)
+        F.get_json_object("props", "$.k").cast("bigint").alias("item"),
     )
     si = ev.filter(F.col("item").isNotNull()).distinct()
     a = si.alias("a")
@@ -1761,10 +1759,10 @@ def covisitation_topk(spark, sf_dir):
     w = Window.partitionBy("k_a").orderBy(
         F.col("n_sessions").desc(), F.col("k_b").asc()
     )
-    return (
-        pairs.withColumn("rk", F.row_number().over(w).cast("int"))
-        .filter(F.col("rk") <= _COVIS_K)
-        .orderBy("k_a", "rk")
+    # No final orderBy: the driver compare is order-insensitive and a global
+    # range sort's sampling pass would re-execute the pair-join pipeline.
+    return pairs.withColumn("rk", F.row_number().over(w).cast("int")).filter(
+        F.col("rk") <= _COVIS_K
     )
 
 

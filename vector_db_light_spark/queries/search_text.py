@@ -632,3 +632,54 @@ def proximity_search_near(spark, sf_dir):
     return proximity_match(
         postings, _NEAR_A, _NEAR_B, _NEAR_SLOP
     ).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# WAND / max-score pruned BM25 (VERDICT r9 #6): the classic IR serving
+# lever — per-term (df, tf_max, dl_min) index metadata upper-bounds every
+# posting's score, a k-seed pass sets the floor θ, and only docs whose
+# upper bound can reach θ are exactly scored. The oracle is FULL scoring
+# (bm25_topk's own SQL, same terms, same 6-dp rounding): a hash match IS
+# the proof that pruning changed the work, not the result.
+# tests/test_text_search.py additionally pins wand == bm25_topk row-for-row
+# and measures the scored-postings reduction.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "bm25_wand_topk",
+    rf"""
+WITH tokens AS (SELECT doc_id, {_TOKS_SQL} AS toks FROM documents),
+tf AS (
+  SELECT doc_id, dl, term, count(*) AS tf FROM (
+    SELECT doc_id, len(toks) AS dl, unnest(toks) AS term FROM tokens
+  ) GROUP BY 1, 2, 3
+),
+stats AS (
+  SELECT (SELECT count(*) FROM documents) AS n,
+         (SELECT avg(dl) FROM (SELECT DISTINCT doc_id, dl FROM tf)) AS avgdl
+),
+postings AS (SELECT * FROM tf WHERE term IN ({_TERMS_SQL})),
+dfs AS (SELECT term, count(*) AS df FROM postings GROUP BY 1),
+scored AS (
+  SELECT p.doc_id,
+         ln(1.0 + (s.n - d.df + 0.5) / (d.df + 0.5))
+         * (p.tf * (1.2 + 1)) / (p.tf + 1.2 * (1.0 - 0.75 + 0.75 * p.dl / s.avgdl))
+           AS sc
+  FROM postings p JOIN dfs d USING (term) CROSS JOIN stats s
+)
+SELECT doc_id, round(sum(sc), 6) AS bm25
+FROM scored GROUP BY 1
+ORDER BY bm25 DESC, doc_id ASC
+LIMIT 10
+""",
+)
+def bm25_wand_topk(spark, sf_dir):
+    """Top-10 BM25 for BM25_TERMS via WAND upper-bound pruning
+    (operators/text_search.bm25_wand_topk). The oracle fully scores every
+    posting; the Spark side exactly scores only the θ-surviving docs —
+    identical output proves the prune is lossless."""
+    from ..operators.text_search import bm25_wand_topk as _wand
+
+    docs = load_docs(spark, sf_dir)
+    return _wand(docs, list(BM25_TERMS), k=10)

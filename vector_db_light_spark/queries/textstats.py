@@ -821,7 +821,7 @@ def perceptron_quality_train(spark, sf_dir):
     corpus scan + one tiny aggregate per round, weights broadcast back —
     the (sample -> train -> broadcast-score) loop every training-data
     pipeline runs, demonstrated with an all-integer batch perceptron whose
-    4-round training curve is bit-exact on any engine. At 100 TB: train
+    7-round training curve is bit-exact on any engine. At 100 TB: train
     on a sample, score the corpus once with linear_score's literal
     weights (a narrow no-shuffle map)."""
     from ..operators.classifier import perceptron_train
