@@ -245,3 +245,74 @@ def test_two_level_prefix_sum_equals_window_and_is_partition_independent(spark):
     )
     got = {r["doc_id"]: r for r in pack_spans(z, budget=4).collect()}
     assert (got[2]["first_bin"], got[2]["n_bins"]) == (1, 1)
+
+
+def test_kn_fluency_scores_hand_case(spark):
+    """KN micro-unit probabilities verified against a hand computation on
+    a 2-doc corpus, plus the OOV-backoff branches."""
+    from pyspark.sql import functions as F
+
+    from vector_db_light_spark.operators.textstats import kn_fluency_scores
+
+    # training corpus ('orig'): doc1 = a b a b, doc2 = a b c
+    # bigram counts: (a,b)=3 (a,b)x2 in doc1 + 1 in doc2; (b,a)=1; (b,c)=1
+    # w1 stats: a -> c_w1=3, fanout=1 ; b -> c_w1=2, fanout=2
+    # w2 stats: b -> n_cont=1 ; a -> 1 ; c -> 1 ; n_types=3
+    rows = [
+        (1, "orig", ["a", "b", "a", "b"]),
+        (2, "orig", ["a", "b", "c"]),
+        # probe doc: one seen bigram, one unseen-w2, one unseen-w1
+        (3, "probe", ["a", "b", "zz", "c"]),
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id bigint, variant string, toks array<string>"
+    )
+    got = {
+        (r["doc_id"], r["variant"]): (r["n_bigrams"], r["fluency_u6"])
+        for r in kn_fluency_scores(df).collect()
+    }
+
+    def p(c_ab, c_w1, fanout, n_cont, n_types=3):
+        if c_w1:
+            t1 = max(4 * c_ab - 3, 0) * 1_000_000 // (4 * c_w1)
+            lam = 3 * fanout * 1_000_000 // (4 * c_w1)
+        else:
+            t1, lam = 0, 1_000_000
+        return t1 + lam * (n_cont * 1_000_000 // n_types) // 1_000_000
+
+    # probe bigrams: (a,b) seen; (b,zz) unseen w2 (n_cont 0);
+    # (zz,c) unseen w1 -> pure continuation
+    want = [
+        p(3, 3, 1, 1),      # (a,b)
+        p(0, 2, 2, 0),      # (b,zz)
+        p(0, 0, 0, 1),      # (zz,c)
+    ]
+    assert got[(3, "probe")] == (3, sum(want) // 3)
+    # originals score themselves fluently: every doc-1 bigram is seen
+    assert got[(1, "orig")][1] > got[(3, "probe")][1]
+
+
+def test_kn_fluency_separates_planted_corruption(spark):
+    """The registered query's plant on a synthetic corpus: OOV'ing every
+    3rd token must drop the score for every doc."""
+    from pyspark.sql import functions as F
+
+    from vector_db_light_spark.operators.textstats import kn_fluency_scores
+
+    base = [
+        (i, ("alpha beta gamma delta " * 5).split()) for i in range(1, 9)
+    ]
+    docs = spark.createDataFrame(base, "doc_id bigint, toks array<string>")
+    corrupt = F.transform(
+        F.col("toks"),
+        lambda t, i: F.when((i + 1) % 3 == 0, F.concat(F.lit("zq"), t)).otherwise(t),
+    )
+    variants = docs.select(
+        "doc_id", F.lit("orig").alias("variant"), "toks"
+    ).unionByName(
+        docs.select("doc_id", F.lit("corrupt").alias("variant"), corrupt.alias("toks"))
+    )
+    per = kn_fluency_scores(variants).collect()
+    flu = {(r["doc_id"], r["variant"]): r["fluency_u6"] for r in per}
+    for i in range(1, 9):
+        assert flu[(i, "orig")] > flu[(i, "corrupt")], i
