@@ -88,3 +88,52 @@ def test_stream_scd2_replay_is_idempotent_by_semantics(spark, tmp_path):
         F.col("valid_to") == OPEN_VERSION
     )
     assert {r["k"] for r in open_rows.collect()} == {1, 3}
+
+
+def test_stream_scd2_rejects_cross_batch_late_data(spark, tmp_path):
+    """Last-writer-wins by SOURCE seq across batches (module docstring
+    rule): a change with a LOWER seq arriving in a LATER batch is late
+    data and must be dropped, not applied as if newer — including a stale
+    resurrection of a tombstoned key."""
+    dim = str(tmp_path / "dim")
+
+    def apply(rows, bid):
+        _apply_change_batch(
+            spark.createDataFrame(rows, _SCHEMA),
+            dim, "k", ["bal"], "seq", "is_delete", bid,
+        )
+
+    def snap():
+        return {
+            (r["k"], r["valid_from"]): (
+                r["bal"], r["valid_to"], r["is_current"], r["src_seq"]
+            )
+            for r in spark.read.parquet(dim).collect()
+        }
+
+    # batch 0: initial; batch 1: key 1 updated (seq 5), key 2 tombstoned
+    # (seq 5)
+    apply([(1, 100, 1, False), (2, 200, 1, False)], 0)
+    apply([(1, 150, 5, False), (2, 0, 5, True)], 1)
+    want = {
+        (1, 2): (100, 3, 0, 1),
+        (1, 3): (150, OPEN_VERSION, 1, 5),
+        (2, 2): (200, 3, 0, 5),  # tombstone re-stamps the closed row
+    }
+    assert snap() == want
+
+    # batch 2 is ALL late data: an older update for key 1 (seq 3 < 5), a
+    # stale resurrection of tombstoned key 2 (seq 2 < 5) -> no-op,
+    # including no version churn
+    apply([(1, 120, 3, False), (2, 222, 2, False)], 2)
+    assert snap() == want
+
+    # batch 3 mixes late and fresh: key 1 stale (seq 4), key 2 genuinely
+    # resurrected (seq 7 > the tombstone's 5)
+    apply([(1, 130, 4, False), (2, 250, 7, False)], 3)
+    assert snap() == {
+        (1, 2): (100, 3, 0, 1),
+        (1, 3): (150, OPEN_VERSION, 1, 5),
+        (2, 2): (200, 3, 0, 5),
+        (2, 5): (250, OPEN_VERSION, 1, 7),
+    }

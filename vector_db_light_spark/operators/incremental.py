@@ -148,6 +148,8 @@ def scd2_upsert(
     version: int,
     open_version: int = 99_999,
     delete_col: str | None = None,
+    seq_col: str | None = None,
+    seq_state_col: str = "src_seq",
 ) -> DataFrame:
     """CDC-upsert variant of :func:`scd2_merge` for STREAMING dimension
     maintenance: ``changes`` is a partial batch (upserts, plus optional
@@ -160,6 +162,15 @@ def scd2_upsert(
       * attrs changed           -> old closes at ``version``, new opens;
       * new key                 -> new open row;
       * tombstone               -> old closes, nothing opens.
+
+    When ``seq_col`` is given, the dimension additionally carries
+    ``seq_state_col`` — the source sequence of the change each row was
+    last written by. Opened/inserted rows stamp the batch row's seq; a
+    tombstone close re-stamps the closed row with the TOMBSTONE's seq (so
+    the per-key max over the whole table is always the latest applied
+    change, even when nothing stays open). The staleness DECISION lives in
+    the streaming layer (streaming/dimensions.py pre-filters the batch
+    against that per-key max); this function only maintains the ledger.
 
     Same shape: one key-join of current rows against the batch (LEFT from
     current + anti-joined batch-only inserts), closed history passes
@@ -177,11 +188,16 @@ def scd2_upsert(
         same = same & F.col("c." + a).eqNullSafe(F.col("s." + a))
     in_batch = F.col("s." + key_col).isNotNull()
 
+    def _seq(*exprs):
+        """Optional seq_state_col projections (empty when untracked)."""
+        return list(exprs) if seq_col else []
+
     keep = j.filter(~in_batch | (same & ~F.coalesce(is_del, F.lit(False)))).select(
         *[F.col("c." + x) for x in [key_col, *attr_cols]],
         F.col("c.valid_from").alias("valid_from"),
         F.col("c.valid_to").alias("valid_to"),
         F.col("c.is_current").alias("is_current"),
+        *_seq(F.col("c." + seq_state_col) if seq_col else None),
     )
     touched = in_batch & (~same | F.coalesce(is_del, F.lit(False)))
     close = j.filter(touched).select(
@@ -189,12 +205,22 @@ def scd2_upsert(
         F.col("c.valid_from").alias("valid_from"),
         F.lit(version).cast("long").alias("valid_to"),
         F.lit(0).cast("int").alias("is_current"),
+        *_seq(
+            F.when(
+                F.coalesce(is_del, F.lit(False)), F.col("s." + seq_col)
+            ).otherwise(F.col("c." + seq_state_col)).alias(seq_state_col)
+            if seq_col
+            else None
+        ),
     )
     reopen = j.filter(touched & ~F.coalesce(is_del, F.lit(False))).select(
         *[F.col("s." + x) for x in [key_col, *attr_cols]],
         F.lit(version).cast("long").alias("valid_from"),
         F.lit(open_version).cast("long").alias("valid_to"),
         F.lit(1).cast("int").alias("is_current"),
+        *_seq(
+            F.col("s." + seq_col).alias(seq_state_col) if seq_col else None
+        ),
     )
     inserts = (
         s.join(c, F.col("s." + key_col) == F.col("c." + key_col), "left_anti")
@@ -204,6 +230,7 @@ def scd2_upsert(
             F.lit(version).cast("long").alias("valid_from"),
             F.lit(open_version).cast("long").alias("valid_to"),
             F.lit(1).cast("int").alias("is_current"),
+            *_seq(F.col(seq_col).alias(seq_state_col) if seq_col else None),
         )
     )
     return (
