@@ -100,71 +100,76 @@ def _populate() -> None:
 # zorder_layout_ranges, the 4 r8 media rows + multimodal_resize,
 # bpe_train_merges, kmeans_lloyd). Every rotated-out row keeps a
 # same-family representative in-window and stays driver_sim-checked.
+# Round-10 rotation (VERDICT r9 #1, taken further): all 50 r9 rows went
+# green, so the ENTIRE never-externally-passed tail — 46 families, verified
+# against CORRECTNESS_r1..r9 — swaps in at once, plus the two operators
+# built this round (bm25_wand_topk, kn_fluency_score). driver_sim mirrors
+# the driver's dtype-sensitive hash exactly (191/191 green before this
+# rotation), so first-timer risk is the same at 48 slots as at 24, and
+# full 190-family external coverage completes THIS round instead of r11.
+# Two anchor slots keep longitudinal continuity: the retrieval flagship
+# and the heaviest capstone. Every rotated-out row keeps its registration
+# and stays driver_sim-checked.
 PRIORITY: tuple[str, ...] = (
-    # retrieval / search surface
+    # anchors (multi-green, longitudinal continuity)
     "search_pipeline",      # V2-V4 + F1 + F2 + J1 + F6 flagship
-    "doc_profile",          # F7/F8/X1/X6 + 4 textstats ops (combo)
-    "search_prf_expansion", # PRF expansion over BM25
-    "hybrid_rrf_search",    # BM25 + vector reciprocal-rank fusion (keeps
-                            # BM25 and the text-embed path in-window)
-    "rag_prompt_assembly",  # L1 byte-identical prompt
-    # chunking
-    "chunk_overlap_pages",  # S3 + X5 (index_build_pipeline keeps stride)
-    # relational: joins, aggregates, windows, set ops
-    "acctbal_rollup",
-    "asof_event_order",
-    "sessionize_events",
-    "cohort_retention_daily",    # first-touch cohort windows (r9 rotation)
-    "event_transition_matrix",   # Markov transition counts (r9 rotation)
-    # dedup tiers
-    "dedup_minhash_lsh",
-    "dedup_incremental_lsh",
-    "dedup_substring_spans",
-    "dedup_incremental_substring",  # new-vs-corpus substring (r9 rotation)
-    "dedup_semantic_prune",
-    "dedup_keep_best",      # canonical-doc selection per cluster (r9)
-    "decontaminate_ngram",
-    "bloom_prefilter_decontam",  # 64Kbit bitset prefilter (r9 rotation)
-    "dedup_clusters",
-    # fuzzy entity resolution (r9 rotation — both new in r8)
-    "fuzzy_join_titles",
-    "fuzzy_incremental_pairs",
-    # similarity search + recall measurement tier
-    "knn_batch_topk",
-    "pagerank_directed_dangling",  # NEW r9: dangling-mass redistribution
-                            # (swaps for pagerank_suppliers, green r8)
-    "triangle_count_parts",  # degree-oriented triangles (late-r8 swap)
-    "triangle_delta_incremental",  # |delta|-scaled maintenance (r9)
-    "butterfly_supplier_pairs",    # bipartite 4-cycles (r9 rotation)
-    "graph_cohesion_summary",      # cross-metric cohesion (r9 rotation)
-    "kcore_peel_trajectory",  # iterative 3-core peel (late-r8 swap for
-                            # sample_mixture_temperature, green r7)
-    "ann_pq_trained_recall",  # NEW r9: trained-vs-literal codebook lift
-                            # (swaps for knn_pq_adc_topk, green r8; the
-                            # ADC path stays covered by the IVFPQ rows)
-    "knn_ivfpq_residual_topk",  # residual-coded IVFPQ ADC (r9 rotation)
-    "ann_ivf_pruned",
-    "ann_ivf_filtered",     # metadata filter INSIDE probed scan (r9)
-    "ann_pq_recall",        # PQ ADC recall vs exact truth (r9 rotation)
-    "ann_ivfpq_recall",     # IVF+PQ stacked recall (r9 rotation)
-    # pipeline / ingest / multimodal
-    "embed_hashed_features",
-    "index_build_pipeline",
-    "embed_random_projection",
-    "multimodal_frame_sample",   # fps-normalized frame sampling (r9)
-    "media_curation_pipeline",   # decode->dedup->stats capstone (r9)
-    "corpus_curation_pipeline",
-    "ingest_parse_documents",
-    # analytics / text stats / sampling
-    "salted_hot_key_agg",
-    "price_quantiles_per_segment",
-    "quota_per_source",
-    "kn_bigram_stats",      # Kneser-Ney count tables (r9 rotation)
-    "collocations_pmi",     # log-free integer PMI rank (r9 rotation)
-    "bpe_pair_counts",      # BPE pair-count stage (r9 rotation)
-    "bpe_tokenize_counts",  # trained-merge tokenizer replay (r9 rotation)
-    # subqueries + null semantics
-    "null_semantics_agg",
+    "media_curation_pipeline",  # decode->dedup->stats capstone
+    # round-10 operators (straight into the window, r9-newcomer pattern)
+    "bm25_wand_topk",       # WAND prune vs full-scoring oracle
+    "kn_fluency_score",     # KN fluency vs planted OOV twin
+    # retrieval / search tail (never externally passed before this round)
+    "citations_agg",        # A2 — the r1 canonicalizer FAIL, fixed since;
+                            # this closes the repo's oldest open loop
+    "rag_chunk_banners",    # L4 + F9 real formatter
+    "vocab_top_terms",      # corpus vocabulary profile
+    "phrase_search_positions",   # positional chain join (r9 op)
+    "proximity_search_near",     # NEAR/slop (r9 op)
+    "knn_pq_filtered_topk",      # predicate BEFORE ADC scan (r9 op)
+    "ann_ivf_kmeans_recall",     # trained-IVF recall measurement
+    "ann_lsh_ndcg",              # graded-relevance NDCG of LSH
+    "fuzzy_source_pairs",        # blocked fuzzy self-join variant
+    # graph tail
+    "lpa_communities",           # deterministic LPA (r9 op)
+    "pagerank_weighted_suppliers",  # purchase-intensity weights (r9 op)
+    "supplier_degree_histogram",
+    "butterfly_sampled_quality",
+    # training-data pipeline tail
+    "perceptron_quality_train",     # oracle-exact distributed training
+    "classifier_curation_pipeline", # train->score->split capstone
+    "pack_training_sequences",      # two-level prefix-sum packing
+    "covisitation_topk",            # session co-occurrence (+ r10 JSON fix)
+    "scd2_customer_history",        # type-2 dimension merge
+    "cc_luhn_detection",            # integer Luhn PII validation
+    "bigram_coverage_score",
+    # events / streaming-twin analytics tail
+    "events_resample_hourly",
+    "events_robust_outliers",
+    "sliding_hourly_events",
+    "user_funnel_stages",
+    # approx / profiling tail
+    "approx_distinct_users",
+    "approx_price_quantiles",
+    "table_profile_orders",
+    "rank_functions_per_segment",
+    "set_ops_all_labeled",
+    "order_value_deciles",
+    "price_histogram",
+    "customer_order_histogram",
+    # TPC-H-shape relational tail
+    "cross_nation_volume",
+    "disjunctive_revenue",
+    "idle_customer_balance",
+    "large_volume_orders",
+    "lonely_late_suppliers",
+    "nation_market_share",
+    "priority_top_orders_csv",
+    "promo_revenue_share",
+    "returned_item_customers",
+    "revenue_by_nation",
+    "revenue_by_supplier_nation_year",
+    "small_quantity_orders",
+    "top_supplier_revenue",
+    "urgent_lines_by_flag",
 )
 
 
