@@ -65,6 +65,9 @@ HEADLINE = [
     "covisitation_topk",
     "classifier_curation_pipeline",
     "media_curation_pipeline",
+    # round-10 additions
+    "bm25_wand_topk",
+    "kn_fluency_score",
 ]
 
 

@@ -1,0 +1,95 @@
+"""Record BENCH_BASELINE.json v3: per-query medians across N fresh-process
+invocations of the FULL bench (all headline queries, in headline order, one
+process each) — exactly the shape of the per-round artifact, so baseline
+and round are like-for-like.
+
+Why v3 (VERDICT r9 #2 root cause): the v2 15-query medians were recorded in
+processes that did NOT run the four heavy round-9 headliners, while the
+per-round bench runs all queries in one process. The heavy capstones'
+JVM/GC/JIT session pressure inflates the small queries 15-21% — which is
+real in-process state the canary cannot normalize (it tracks machine load,
+not session state). Recording the baseline from full-set in-process runs
+removes the mismatch; per-query numbers then compare same-shape runs.
+
+Usage: python tools/record_baseline.py [n_invocations=3]
+Writes BENCH_BASELINE.json (previous file preserved as *_v2.json once).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import statistics
+import subprocess
+import sys
+
+HERE = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def main() -> int:
+    n = int(sys.argv[1]) if len(sys.argv) > 1 else 3
+    runs: list[dict] = []
+    for i in range(n):
+        print(f"record_baseline: bench invocation {i + 1}/{n} ...", flush=True)
+        proc = subprocess.run(
+            [sys.executable, os.path.join(HERE, "bench.py")],
+            capture_output=True,
+            text=True,
+            cwd=HERE,
+            env={**os.environ, "SPARK_GRAFT_BENCH_RUNS": "5"},
+        )
+        line = next(
+            (
+                ln
+                for ln in proc.stdout.splitlines()
+                if ln.startswith("{") and '"queries"' in ln
+            ),
+            None,
+        )
+        if line is None:
+            print(proc.stdout[-2000:], file=sys.stderr)
+            print(proc.stderr[-2000:], file=sys.stderr)
+            raise SystemExit("bench produced no JSON line")
+        runs.append(json.loads(line))
+        print(
+            f"  total={runs[-1]['value']}s canary={runs[-1]['canary_sec']}s",
+            flush=True,
+        )
+
+    names = list(runs[0]["queries"])
+    queries = {
+        q: round(statistics.median([r["queries"][q] for r in runs]), 3)
+        for q in names
+    }
+    canary = round(statistics.median([r["canary_sec"] for r in runs]), 3)
+    out = {
+        "metric": (
+            f"per-query medians across {n} fresh-process invocations of the "
+            f"FULL {len(names)}-query bench (each invocation = warm-up + "
+            "median-of-5 in-process, headline order) - baseline v3, "
+            "recorded at round 10: full-set in-process runs make baseline "
+            "and per-round artifact like-for-like (v2's 15-query medians "
+            "were recorded without the heavy capstones in-process, which "
+            "made six small queries read 1.15-1.21x on pure JVM session "
+            "state; see BASELINE.md). v2 kept as BENCH_BASELINE_v2.json"
+        ),
+        "value": round(sum(queries.values()), 3),
+        "unit": "sec",
+        "queries": queries,
+        "canary_sec": canary,
+        "sf": runs[0]["sf"],
+    }
+    dst = os.path.join(HERE, "BENCH_BASELINE.json")
+    v2 = os.path.join(HERE, "BENCH_BASELINE_v2.json")
+    if os.path.exists(dst) and not os.path.exists(v2):
+        shutil.copy(dst, v2)
+    with open(dst, "w") as f:
+        json.dump(out, f, indent=1)
+        f.write("\n")
+    print(f"record_baseline: wrote {dst} (total {out['value']}s, canary {canary}s)")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -435,7 +435,12 @@ def _wand_parts(docs, terms, k, id_col, text_col):
     ``postings`` (query-term rows) and ``stats`` (1 row) are each consumed
     by several downstream branches, so both get an eager localCheckpoint —
     the CLAUDE.md multi-consumer rule; without it every branch re-runs the
-    corpus tokenize+explode."""
+    corpus tokenize+explode. The full TF table is deliberately NOT
+    materialized: it is scanned twice (stats, postings) but checkpointing
+    the corpus-sized table costs more than the second scan (measured
+    1.9 s -> 2.5 s at sf0.1). At cluster scale neither scan exists —
+    ``term_frequencies`` IS the stored term-partitioned index and avgdl/N
+    live in its build-time stats sidecar."""
     tfs = term_frequencies(docs, id_col=id_col, text_col=text_col)
     stats = (
         docs.select(F.count(F.lit(1)).alias("_n"))
