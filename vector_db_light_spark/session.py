@@ -32,6 +32,15 @@ def get_spark(
     builder = (
         SparkSession.builder.appName(app_name)
         .master(master)
+        # local[N] runs every "executor" thread in ONE JVM whose default
+        # heap is 1g — fine at sf0.1, but the round-10 sf1 scale check hit
+        # UNABLE_TO_ACQUIRE_MEMORY in a 32-thread hash aggregation at 10x
+        # data. Size the single JVM like the sum of executors it stands in
+        # for (the machine has 128 GiB). Applies only when THIS process
+        # creates the JVM; a pre-existing session keeps its heap.
+        .config(
+            "spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g")
+        )
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
