@@ -389,18 +389,31 @@ def bm25_wand_topk(
 
     Query time: (1) per-doc upper bounds from the membership-only postings
     scan + the broadcast term sidecar; (2) seed the floor θ by exactly
-    scoring the k docs with the LARGEST upper bounds (θ = their min rounded
-    score — every seed's ub ≥ its own score ≥ θ, so the seeds themselves
-    survive step 3); (3) exactly score only docs with ub ≥ θ − 1e-6 (the
-    1e-6 guard absorbs the 6-dp rounding of θ plus float-sum noise, so no
-    true top-k doc — score ≥ θ implies ub ≥ θ — is ever pruned).
+    scoring a SEED POOL of ``max(8k, 64)`` docs with the largest upper
+    bounds — θ = the k-th best rounded seed score. The pool is bigger than
+    k on purpose: per-doc ub is Σ of per-TERM constants, so every doc
+    containing the same query-term subset ties in ub, and the top-k-by-ub
+    pick inside the tie group is arbitrary — k seeds then give a weak θ
+    (measured: 13% posting prune vs the 45%-of-candidate-docs ideal at
+    sf0.1). A 8k-sized pool of exactly-scored seeds pushes θ to ~the true
+    floor for the cost of scoring 8k docs. (3) exactly score only docs
+    with ub ≥ θ − 1e-6 (the guard absorbs the 6-dp rounding of θ plus
+    float-sum noise, so no true top-k doc — score ≥ θ implies ub ≥ θ — is
+    ever pruned).
 
     Correctness does not depend on the pruning decision (any superset of
     {score ≥ θ} yields the identical top-k); the pruning only bounds the
-    scored-postings work, which ``wand_pruning_stats`` measures. At 100 TB
-    the postings are term-partitioned, the sidecar is dictionary-scale
-    broadcast state, and survivors are ~k-scale (AQE converts the semi-join
-    to broadcast at runtime if the static hint is ever wrong)."""
+    scored-postings work, which ``wand_pruning_stats`` measures. Prune
+    DEPTH is corpus-dependent: term-level WAND can only drop docs whose
+    query-term SUBSET bounds them under θ, so on the uniform word-salad
+    fixture the ceiling is exactly the docs missing ≥1 term (~45% of
+    candidates; block-max per-(term, doc-block) maxima were measured and
+    move that ceiling only at block size ~4 on this corpus), while on
+    skewed corpora (the unit test's shape) it prunes the long tail. At
+    100 TB the postings are term-partitioned, the sidecar is
+    dictionary-scale broadcast state, and survivors are ~k-scale (AQE
+    converts the semi-join to broadcast at runtime if the static hint is
+    ever wrong)."""
     terms = [t.lower() for t in query_terms]
     parts = _wand_parts(docs, terms, k, id_col, text_col)
     scored = _bm25_exact_scores(
@@ -473,13 +486,26 @@ def _wand_parts(docs, terms, k, id_col, text_col):
         .agg(F.sum("_ub").alias("_doc_ub"))
         .localCheckpoint(eager=True)
     )
-    seeds = doc_ub.orderBy(F.col("_doc_ub").desc(), F.col(id_col).asc()).limit(k)
-    theta = _bm25_exact_scores(
-        postings.join(F.broadcast(seeds.select(id_col)), id_col, "left_semi"),
-        term_meta,
-        stats,
-        id_col,
-    ).agg(F.min("bm25").alias("_theta"))
+    # seed POOL larger than k (operator docstring: per-doc ubs tie within
+    # same-term-subset groups, so k seeds give a weak θ); θ = k-th best
+    # exactly-scored seed = min over the top-k of the pool's scores
+    pool = max(8 * k, 64)
+    seeds = doc_ub.orderBy(F.col("_doc_ub").desc(), F.col(id_col).asc()).limit(
+        pool
+    )
+    theta = (
+        _bm25_exact_scores(
+            postings.join(
+                F.broadcast(seeds.select(id_col)), id_col, "left_semi"
+            ),
+            term_meta,
+            stats,
+            id_col,
+        )
+        .orderBy(F.col("bm25").desc(), F.col(id_col).asc())
+        .limit(k)
+        .agg(F.min("bm25").alias("_theta"))
+    )
     survivors = (
         doc_ub.crossJoin(F.broadcast(theta))
         .filter(F.col("_doc_ub") >= F.col("_theta") - F.lit(1e-6))
