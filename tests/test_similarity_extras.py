@@ -207,3 +207,41 @@ def test_build_pq_index_trained_sidecar(tmp_path, spark):
     codes = spark.read.parquet(os.path.join(str(tmp_path), "t", "embeddings_pq"))
     assert codes.count() == emb.count()
     assert {f"code_{s}" for s in range(8)} <= set(codes.columns)
+
+
+def test_triplet_semihard_hand_case(spark):
+    """Picks verified by hand: nearest positive, hardest negative, and the
+    FaceNet semi-hard band (closest negative farther than the positive);
+    sentinel when every negative is closer than the positive."""
+    from vector_db_light_spark.operators.similarity import (
+        triplet_semihard_mining,
+    )
+
+    # 1-d embeddings (dim arg omitted -> HOF fold), distances = 1 - a*b
+    rows = [
+        # anchor 0, label 0 at 1.0
+        (0, [1.0], 0),
+        (1, [0.9], 0),    # positive, d = 1 - 0.9 = 0.1
+        (2, [0.95], 1),   # negative, d = 0.05  (hardest, CLOSER than pos)
+        (3, [0.5], 1),    # negative, d = 0.5   (semi-hard: > 0.1, minimal)
+        (4, [0.2], 2),    # negative, d = 0.8
+    ]
+    df = spark.createDataFrame(rows, "vec_id bigint, embedding array<double>, label int")
+    got = {r["anchor_id"]: r for r in triplet_semihard_mining(df, 1).collect()}
+    r = got[0]
+    assert (r["pos_id"], r["neg_id"], r["semi_neg_id"]) == (1, 2, 3)
+    assert r["pos_dist"] == pytest.approx(0.1)
+    assert r["neg_dist"] == pytest.approx(0.05)
+    assert r["semi_neg_dist"] == pytest.approx(0.5)
+
+    # all negatives closer than the positive -> semi-hard sentinel
+    rows2 = [
+        (0, [1.0], 0),
+        (1, [0.1], 0),    # positive, d = 0.9
+        (2, [0.95], 1),   # negative, d = 0.05
+        (3, [0.9], 1),    # negative, d = 0.1
+    ]
+    df2 = spark.createDataFrame(rows2, "vec_id bigint, embedding array<double>, label int")
+    r2 = triplet_semihard_mining(df2, 1).collect()[0]
+    assert (r2["semi_neg_id"], r2["semi_neg_dist"]) == (-1, 999.0)
+    assert r2["neg_id"] == 2

@@ -101,6 +101,7 @@ ANNOTATIONS: dict[str, str] = {
     "q4_priority_count": "TPC-H Q4: EXISTS decorrelation + outer date-window pushdown",
     "bm25_wand_topk": "WAND/max-score pruned BM25: oracle fully scores, Spark scores only θ-survivors — hash match proves the prune lossless",
     "kn_fluency_score": "integer micro-unit KN bigram fluency vs a planted OOV-corrupted twin; pooled-median threshold separates the classes 100%/0% at sf0.01",
+    "triplet_semihard_mining": "contrastive-training triplets: nearest positive, hardest negative, FaceNet semi-hard band; bit-exact dots, sentineled empty band",
     "rag_chunk_banners": "REAL rag.format_chunks incl. F9 blank-line collapse",
     "rag_citations_html": "REAL rag.format_citations: %.3f score spans + page ranges",
     "rag_prompt_assembly": "REAL rag.assemble_rag_prompt in a grouped Pandas stage, byte-identical prompt",

@@ -995,3 +995,89 @@ def ivf_pq_residual_topk(
         .orderBy(F.col("adc").asc(), F.col(id_col).asc())
         .limit(k)
     )
+
+
+def triplet_semihard_mining(
+    emb: DataFrame,
+    n_anchors: int,
+    id_col: str = "vec_id",
+    vector_col: str = "embedding",
+    label_col: str = "label",
+    dim: int | None = None,
+) -> DataFrame:
+    """Triplet mining for contrastive/metric training data: for each
+    anchor (the first ``n_anchors`` ids), the NEAREST POSITIVE (same
+    label), the HARDEST NEGATIVE (different label, minimal distance), and
+    the SEMI-HARD NEGATIVE — FaceNet's selection rule (Schroff et al.,
+    CVPR'15): the closest negative that is still FARTHER than the
+    positive, ``argmin{d(a,n) : d(a,n) > d(a,p)}`` — the band that trains
+    stably where hardest-negative mining collapses.
+
+    Shape: one corpus scan x broadcast anchors (batch_knn's layout, same
+    bit-exact unrolled dot), positive/hardest picks are WindowGroupLimit
+    reductions, and the semi-hard pick joins the negatives against the
+    per-anchor 1-row positive distance (broadcast) before its own
+    group-limit. Anchors without a positive drop (inner join); anchors
+    whose negatives are ALL closer than the positive emit the -1/999.0
+    sentinels (CLAUDE.md nullable-output rule). At 100 TB the exact scan
+    swaps for an ANN candidate set (ivf_search/batch_lsh_topk) with the
+    same picks downstream — mining never needs exact global argmins to
+    produce useful triplets, but the EXACT path here is what the oracle
+    can replay."""
+    a = emb.filter(F.col(id_col) < n_anchors).select(
+        F.col(id_col).alias("_aid"),
+        F.col(label_col).alias("_albl"),
+        F.col(vector_col).cast("array<double>").alias("_qv"),
+    )
+    scored = (
+        emb.join(F.broadcast(a))
+        .filter(F.col(id_col) != F.col("_aid"))
+        .select(
+            F.col("_aid"),
+            F.col("_albl"),
+            F.col(id_col),
+            F.col(label_col),
+            (F.lit(1.0) - V.dot(vector_col, "_qv", dim=dim)).alias("_d"),
+        )
+        .localCheckpoint(eager=True)  # consumed by pos, hard-neg and semi
+    )
+    w = Window.partitionBy("_aid").orderBy(F.col("_d").asc(), F.col(id_col).asc())
+
+    def pick(df):
+        return df.withColumn("_rk", F.row_number().over(w)).filter(
+            F.col("_rk") == 1
+        )
+
+    pos = pick(scored.filter(F.col(label_col) == F.col("_albl"))).select(
+        F.col("_aid").alias("anchor_id"),
+        F.col(id_col).alias("pos_id"),
+        F.col("_d").alias("pos_dist"),
+    )
+    negs = scored.filter(F.col(label_col) != F.col("_albl"))
+    hard = pick(negs).select(
+        F.col("_aid").alias("anchor_id"),
+        F.col(id_col).alias("neg_id"),
+        F.col("_d").alias("neg_dist"),
+    )
+    semi = pick(
+        negs.join(F.broadcast(pos), negs["_aid"] == pos["anchor_id"]).filter(
+            F.col("_d") > F.col("pos_dist")
+        )
+    ).select(
+        F.col("_aid").alias("anchor_id"),
+        F.col(id_col).alias("semi_neg_id"),
+        F.col("_d").alias("semi_neg_dist"),
+    )
+    return (
+        pos.join(hard, "anchor_id")
+        .join(semi, "anchor_id", "left")
+        .select(
+            "anchor_id",
+            "pos_id",
+            "pos_dist",
+            "neg_id",
+            "neg_dist",
+            F.coalesce("semi_neg_id", F.lit(-1)).cast("long").alias("semi_neg_id"),
+            F.coalesce("semi_neg_dist", F.lit(999.0)).alias("semi_neg_dist"),
+        )
+    )

@@ -1744,3 +1744,70 @@ def knn_pq_filtered_topk(spark, sf_dir):
     codes = S.pq_encode(emb, _CODEBOOKS, keep_cols=["label"])
     filtered = codes.filter(F.col("label") % 3 == 0).drop("label")
     return S.pq_adc_topk(filtered, _PQ_LUT, k=10)
+
+
+# ---------------------------------------------------------------------------
+# Triplet mining for contrastive training data (round 10): per anchor, the
+# nearest positive (same label), the hardest negative (different label)
+# and FaceNet's SEMI-HARD negative (closest negative still farther than
+# the positive). Distances are the bit-exact unrolled cosine dots, picks
+# are (distance, id)-tie-broken, so the whole mining table hash-matches.
+# Anchors whose negatives are all closer than the positive emit the
+# -1/999.0 sentinels on both sides (nullable-output rule).
+# ---------------------------------------------------------------------------
+
+_N_TRIPLET_ANCHORS = 24
+
+
+@register(
+    "triplet_semihard_mining",
+    f"""
+WITH a AS (
+  SELECT vec_id AS anchor_id, label AS albl, embedding AS qv
+  FROM embeddings WHERE vec_id < {_N_TRIPLET_ANCHORS}
+),
+scored AS (
+  SELECT a.anchor_id, a.albl, e.vec_id, e.label,
+         1.0 - {dot_sql('e.embedding', 'a.qv::DOUBLE[]')} AS d
+  FROM embeddings e, a
+  WHERE e.vec_id != a.anchor_id
+),
+pos AS (
+  SELECT anchor_id, vec_id AS pos_id, d AS pos_dist FROM (
+    SELECT *, row_number() OVER (PARTITION BY anchor_id
+                                 ORDER BY d ASC, vec_id ASC) AS rk
+    FROM scored WHERE label = albl
+  ) WHERE rk = 1
+),
+neg AS (
+  SELECT anchor_id, vec_id AS neg_id, d AS neg_dist FROM (
+    SELECT *, row_number() OVER (PARTITION BY anchor_id
+                                 ORDER BY d ASC, vec_id ASC) AS rk
+    FROM scored WHERE label != albl
+  ) WHERE rk = 1
+),
+sh AS (
+  SELECT anchor_id, vec_id AS semi_neg_id, d AS semi_neg_dist FROM (
+    SELECT s.anchor_id, s.vec_id, s.d,
+           row_number() OVER (PARTITION BY s.anchor_id
+                              ORDER BY s.d ASC, s.vec_id ASC) AS rk
+    FROM scored s JOIN pos p USING (anchor_id)
+    WHERE s.label != s.albl AND s.d > p.pos_dist
+  ) WHERE rk = 1
+)
+SELECT p.anchor_id, p.pos_id, p.pos_dist, n.neg_id, n.neg_dist,
+       CAST(COALESCE(sm.semi_neg_id, -1) AS BIGINT) AS semi_neg_id,
+       COALESCE(sm.semi_neg_dist, '999.0'::DOUBLE) AS semi_neg_dist
+FROM pos p
+JOIN neg n USING (anchor_id)
+LEFT JOIN sh sm USING (anchor_id)
+""",
+)
+def triplet_semihard_mining(spark, sf_dir):
+    """Contrastive-training triplet table over the labeled embeddings
+    (operators/similarity.triplet_semihard_mining): one corpus scan x
+    broadcast anchors, WindowGroupLimit picks, semi-hard band via the
+    per-anchor positive-distance join — the mining pass an embedding-model
+    trainer runs over its labeled pool."""
+    emb = load(spark, sf_dir, "embeddings")
+    return S.triplet_semihard_mining(emb, _N_TRIPLET_ANCHORS, dim=DIM)

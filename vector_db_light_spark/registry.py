@@ -111,12 +111,12 @@ def _populate() -> None:
 # and the heaviest capstone. Every rotated-out row keeps its registration
 # and stays driver_sim-checked.
 PRIORITY: tuple[str, ...] = (
-    # anchors (multi-green, longitudinal continuity)
+    # anchor (multi-green, longitudinal continuity)
     "search_pipeline",      # V2-V4 + F1 + F2 + J1 + F6 flagship
-    "media_curation_pipeline",  # decode->dedup->stats capstone
     # round-10 operators (straight into the window, r9-newcomer pattern)
     "bm25_wand_topk",       # WAND prune vs full-scoring oracle
     "kn_fluency_score",     # KN fluency vs planted OOV twin
+    "triplet_semihard_mining",  # contrastive-training mining table
     # retrieval / search tail (never externally passed before this round)
     "citations_agg",        # A2 — the r1 canonicalizer FAIL, fixed since;
                             # this closes the repo's oldest open loop
