@@ -105,6 +105,10 @@ AUDIT = [
     "knn_pq_filtered_topk",
     "multimodal_frame_sample",
     "pagerank_weighted_suppliers",
+    # round 10
+    "bm25_wand_topk",
+    "kn_fluency_score",
+    "triplet_semihard_mining",
 ]
 
 

@@ -1068,9 +1068,12 @@ def triplet_semihard_mining(
         F.col(id_col).alias("semi_neg_id"),
         F.col("_d").alias("semi_neg_dist"),
     )
+    # the three pick tables are <= n_anchors rows each — broadcast the
+    # assembly joins (unhinted they come out SMJ: post-window sizes are
+    # unknown to the optimizer)
     return (
-        pos.join(hard, "anchor_id")
-        .join(semi, "anchor_id", "left")
+        pos.join(F.broadcast(hard), "anchor_id")
+        .join(F.broadcast(semi), "anchor_id", "left")
         .select(
             "anchor_id",
             "pos_id",
