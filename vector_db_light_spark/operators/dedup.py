@@ -25,6 +25,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 NUM_HASHES = 12
 NUM_BANDS = 4  # 3 rows per band
@@ -994,3 +995,93 @@ def remove_boilerplate_lines(
         F.count(F.lit(1)).cast("long").alias("n_lines_total"),
     )
     return per_doc
+
+
+def cdc_chunk_stats(
+    docs: DataFrame,
+    window: int = 16,
+    mask: int = 64,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Content-defined chunking dedup — the STORAGE-tier dedup
+    (LBFS/rsync/backup-dedup family) the token/shingle tiers don't cover:
+    chunk boundaries are declared wherever the hash of the ``window``-char
+    substring starting at a position is ``0 mod mask``, so boundaries
+    depend only on LOCAL content. A prefix edit re-synchronizes at the
+    next boundary and every later chunk is byte-identical again — the
+    property fixed-stride chunking fundamentally lacks (one inserted byte
+    shifts every downstream chunk). Expected chunk length ~= mask chars.
+
+    This is the "unbounded" CDC variant (no min/max chunk clamps) so both
+    engines can state the boundary rule identically: the hash is the first
+    48 bits of md5 of the window (the CLAUDE.md portable-integer-hash
+    pattern), positions are 1-based, position 1 always starts a chunk, and
+    positions past ``len - window + 1`` cannot open one (the tail folds
+    into the last chunk).
+
+    Returns per-doc stats: ``n_chunks``, ``n_dup_chunks`` / ``dup_bytes``
+    (chunk occurrences whose (chunk-hash) was already seen at a smaller
+    (doc_id, start) — the dedup-store "already have this block" test) and
+    ``dedup_ratio_u6`` (integer micro-units of dup_bytes / total bytes).
+
+    Scale shape: the position explode is ~len(text) rows per doc (the
+    corpus-sized stage, embarrassingly parallel, no shuffle), boundary ->
+    chunk assembly is one per-doc window pass, and the global first-owner
+    pass is ONE shuffle of (chunk_md5, doc, start) triples — the chunk
+    fingerprint table a dedup store persists. At 100 TB the fingerprint
+    table is the index; a new batch joins its chunk hashes against it
+    (incremental-dedup pattern) instead of re-ranking the corpus."""
+    d = docs.select(F.col(id_col), F.col(text_col))
+    # candidate boundary positions: 1-based starts of full windows
+    cand = d.select(
+        id_col,
+        text_col,
+        F.explode(
+            F.expr(
+                f"sequence(1, greatest(length({text_col}) - {window - 1}, 1))"
+            )
+        ).alias("pos"),
+    )
+    h48 = F.expr(
+        f"cast(conv(substr(md5(substring({text_col}, pos, {window})), 1, 12),"
+        " 16, 10) as bigint)"
+    )
+    bounds = cand.filter(
+        (F.col("pos") == 1) | (h48 % mask == 0)
+    ).select(id_col, text_col, "pos")
+    w = Window.partitionBy(id_col).orderBy("pos")
+    chunks = bounds.select(
+        id_col,
+        "pos",
+        F.md5(
+            F.expr(
+                f"substring({text_col}, pos, "
+                f"coalesce(lead(pos) over (partition by {id_col} order by pos),"
+                f" length({text_col}) + 1) - pos)"
+            )
+        ).alias("chunk_md5"),
+        F.expr(
+            f"coalesce(lead(pos) over (partition by {id_col} order by pos),"
+            f" length({text_col}) + 1) - pos"
+        ).cast("long").alias("chunk_len"),
+    )
+    occ = chunks.withColumn(
+        "_rk",
+        F.row_number().over(
+            Window.partitionBy("chunk_md5").orderBy(id_col, "pos")
+        ),
+    )
+    return occ.groupBy(id_col).agg(
+        F.count(F.lit(1)).cast("long").alias("n_chunks"),
+        F.sum((F.col("_rk") > 1).cast("long")).cast("long").alias("n_dup_chunks"),
+        F.sum(F.when(F.col("_rk") > 1, F.col("chunk_len")).otherwise(0))
+        .cast("long")
+        .alias("dup_bytes"),
+        # greatest(...,1): an all-empty doc must yield ratio 0, not a
+        # divide-by-zero under ANSI
+        F.expr("(sum(case when _rk > 1 then chunk_len else 0 end) * 1000000)"
+               " div greatest(sum(chunk_len), 1)")
+        .cast("long")
+        .alias("dedup_ratio_u6"),
+    )

@@ -1279,3 +1279,68 @@ def fuzzy_incremental_pairs(spark, sf_dir):
         corpus, new, key_col="title", id_col="doc_id", max_dist=2, q=3,
         prefix_filter=True,
     ).orderBy("new_id", "existing_id")
+
+
+# ---------------------------------------------------------------------------
+# Content-defined chunking dedup (round 10): the STORAGE-tier dedup
+# (LBFS/rsync family). Boundaries where the 48-bit md5 of the 16-char
+# window is 0 mod 64 — local content only, so the fixture's 20-char
+# prefix-trimmed near-copies RE-SYNCHRONIZE at the first surviving
+# boundary and every later chunk deduplicates against the original (the
+# property fixed-stride chunking lacks). All-integer outputs; the chunk
+# hash is md5 (portable), first-owner rank is (doc_id, start)-ordered.
+# ---------------------------------------------------------------------------
+
+_CDC_W, _CDC_MASK = 16, 64
+
+
+@register(
+    "dedup_cdc_chunks",
+    f"""
+WITH corpus AS ({_CORPUS_SQL}),
+cand AS (
+  SELECT doc_id, text, unnest(range(1, greatest(length(text) - {_CDC_W - 1}, 1) + 1)) AS pos
+  FROM corpus
+),
+bounds AS (
+  SELECT doc_id, text, pos FROM cand
+  WHERE pos = 1
+     OR ('0x' || substr(md5(substr(text, pos, {_CDC_W})), 1, 12))::BIGINT % {_CDC_MASK} = 0
+),
+chunks AS (
+  SELECT doc_id, pos,
+         md5(substr(text, pos,
+             coalesce(lead(pos) OVER (PARTITION BY doc_id ORDER BY pos),
+                      length(text) + 1) - pos)) AS chunk_md5,
+         CAST(coalesce(lead(pos) OVER (PARTITION BY doc_id ORDER BY pos),
+                       length(text) + 1) - pos AS BIGINT) AS chunk_len
+  FROM bounds
+),
+occ AS (
+  SELECT doc_id, chunk_len,
+         row_number() OVER (PARTITION BY chunk_md5
+                            ORDER BY doc_id, pos) AS rk
+  FROM chunks
+)
+SELECT doc_id,
+       CAST(count(*) AS BIGINT) AS n_chunks,
+       CAST(sum(CASE WHEN rk > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_chunks,
+       CAST(sum(CASE WHEN rk > 1 THEN chunk_len ELSE 0 END) AS BIGINT) AS dup_bytes,
+       CAST(sum(CASE WHEN rk > 1 THEN chunk_len ELSE 0 END) * 1000000
+            // greatest(CAST(sum(chunk_len) AS BIGINT), 1) AS BIGINT) AS dedup_ratio_u6
+FROM occ
+GROUP BY doc_id
+""",
+)
+def dedup_cdc_chunks(spark, sf_dir):
+    """Per-doc CDC chunk-dedup stats over the dup-injected corpus
+    (operators/dedup.cdc_chunk_stats): exact copies dedup every chunk
+    against their original; the prefix-trimmed near-copies dedup every
+    chunk AFTER their first content-defined boundary — the
+    shift-tolerance demonstration. Measured at sf0.01: exact copies
+    dedup_ratio_u6 = 1000000 for 72/72, near copies average 690759
+    (everything past the re-sync boundary), base docs ~29000 incidental.
+    One corpus-parallel boundary scan, one per-doc window pass, one
+    (chunk_md5) shuffle."""
+    corpus = _corpus(spark, sf_dir)
+    return D.cdc_chunk_stats(corpus, window=_CDC_W, mask=_CDC_MASK)
