@@ -123,3 +123,22 @@ def test_scd2_merge_chained_versions(spark):
         d3.filter(F.col("valid_to") == OPEN).groupBy("k").count().collect()
     )
     assert all(r["count"] == 1 for r in open_per_key)
+
+
+def test_key_skew_stats_hand_case(spark):
+    """Gini/top-share verified by hand: key a x6, b x2, c x1, d x1."""
+    from vector_db_light_spark.operators.relational import key_skew_stats
+
+    rows = [("a",)] * 6 + [("b",)] * 2 + [("c",)] + [("d",)]
+    df = spark.createDataFrame(rows, "k string")
+    r = key_skew_stats(df, "k", "t.k").collect()[0]
+    assert (r["key_name"], r["n_rows"], r["n_keys"]) == ("t.k", 10, 4)
+    assert r["top1_share_u6"] == 600_000
+    assert r["top10_share_u6"] == 1_000_000  # only 4 keys
+    # counts ascending: c=1,1,2,6 -> sum(i*c) = 1+2+6+24 = 33
+    # gini = (2*33 - 5*10) / (4*10) = 16/40 = 0.4
+    assert r["gini_u6"] == 400_000
+
+    # uniform distribution -> gini 0
+    u = spark.createDataFrame([("x",), ("y",), ("z",)], "k string")
+    assert key_skew_stats(u, "k", "u.k").collect()[0]["gini_u6"] == 0

@@ -103,6 +103,7 @@ ANNOTATIONS: dict[str, str] = {
     "kn_fluency_score": "integer micro-unit KN bigram fluency vs a planted OOV-corrupted twin; pooled-median threshold separates the classes 100%/0% at sf0.01",
     "triplet_semihard_mining": "contrastive-training triplets: nearest positive, hardest negative, FaceNet semi-hard band; bit-exact dots, sentineled empty band",
     "dedup_cdc_chunks": "content-defined chunking (storage-tier dedup): prefix-trimmed near copies re-sync at the next boundary (ratio ~0.69) while exact copies dedup 1.0",
+    "key_skew_diagnostics": "pre-shuffle skew profile per fact-table key: top-1/top-10 shares + all-BIGINT Gini — the salting decision input",
     "rag_chunk_banners": "REAL rag.format_chunks incl. F9 blank-line collapse",
     "rag_citations_html": "REAL rag.format_citations: %.3f score spans + page ranges",
     "rag_prompt_assembly": "REAL rag.assemble_rag_prompt in a grouped Pandas stage, byte-identical prompt",

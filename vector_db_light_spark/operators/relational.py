@@ -238,3 +238,49 @@ def ewma_per_key(
         F.element_at(vals, F.size(vals)).alias("last_value"),
         ewma.alias("ewma"),
     )
+
+
+def key_skew_stats(df: DataFrame, key_col: str, label: str) -> DataFrame:
+    """1-row skew diagnostic for a join/aggregation key — the number that
+    decides whether a 100 TB shuffle on this key needs salting or AQE skew
+    handling BEFORE the job runs, not after it straggles:
+
+      * ``top1_share_u6`` / ``top10_share_u6`` — integer micro-unit share
+        of the hottest key(s): the single-partition ceiling a shuffle on
+        this key cannot beat;
+      * ``gini_u6`` — Gini coefficient of the key-count distribution in
+        micro-units, all-BIGINT: with counts ranked ascending,
+        ``gini = (2*Σ rank*c - (K+1)*T) / (K*T)`` — Σ rank*c is invariant
+        under permutation of tied counts, so the statistic is
+        deterministic with no tie-break subtleties.
+
+    Shape: one (key) count shuffle, then window/aggregate passes over the
+    KEY-cardinality table (dictionary-scale; the two rank windows are
+    single-partition over keys, acceptable up to ~1e8 distinct keys —
+    beyond that, bucket the rank with the two-level prefix-sum pattern
+    from operators/packing.py). BIGINT headroom: Σ rank*c <= K*T, safe
+    while keys x rows < 9.2e18. This is the profiling pass a pipeline
+    runs once per fact table and caches with its stats."""
+    counts = df.groupBy(F.col(key_col).alias("_k")).agg(
+        F.count(F.lit(1)).cast("long").alias("_c")
+    )
+    w_rank = Window.orderBy(F.col("_c").asc(), F.col("_k").asc())
+    w_desc = Window.orderBy(F.col("_c").desc(), F.col("_k").asc())
+    ranked = counts.select(
+        "_c",
+        F.row_number().over(w_rank).cast("long").alias("_i"),
+        F.row_number().over(w_desc).cast("long").alias("_rd"),
+    )
+    return ranked.agg(
+        F.lit(label).alias("key_name"),
+        F.sum("_c").cast("long").alias("n_rows"),
+        F.count(F.lit(1)).cast("long").alias("n_keys"),
+        F.expr("(max(case when _rd = 1 then _c else 0 end) * 1000000)"
+               " div sum(_c)").cast("long").alias("top1_share_u6"),
+        F.expr("(sum(case when _rd <= 10 then _c else 0 end) * 1000000)"
+               " div sum(_c)").cast("long").alias("top10_share_u6"),
+        F.expr(
+            "((2 * sum(_i * _c) - (count(*) + 1) * sum(_c)) * 1000000)"
+            " div (count(*) * sum(_c))"
+        ).cast("long").alias("gini_u6"),
+    )

@@ -1922,3 +1922,60 @@ def pagerank_weighted_suppliers(spark, sf_dir):
         .orderBy(F.col("rank_u6").desc(), F.col("node").asc())
         .limit(20)
     )
+
+
+# ---------------------------------------------------------------------------
+# Key-skew diagnostics (round 10): the pre-shuffle profiling pass that
+# decides salting/AQE-skew handling — hottest-key shares (the
+# single-partition ceiling of a shuffle on that key) and an all-BIGINT
+# Gini of the key-count distribution (rank-weighted sum is invariant
+# under tied-count permutations, so no tie-break subtleties). One row per
+# audited fact-table key.
+# ---------------------------------------------------------------------------
+
+def _skew_sql(table: str, key: str, label: str) -> str:
+    return f"""
+  SELECT '{label}' AS key_name,
+         CAST(sum(c) AS BIGINT) AS n_rows,
+         CAST(count(*) AS BIGINT) AS n_keys,
+         CAST(max(CASE WHEN rd = 1 THEN c ELSE 0 END) * 1000000
+              // sum(c) AS BIGINT) AS top1_share_u6,
+         CAST(sum(CASE WHEN rd <= 10 THEN c ELSE 0 END) * 1000000
+              // sum(c) AS BIGINT) AS top10_share_u6,
+         CAST((2 * sum(i * c) - (count(*) + 1) * sum(c)) * 1000000
+              // (count(*) * sum(c)) AS BIGINT) AS gini_u6
+  FROM (
+    SELECT c,
+           row_number() OVER (ORDER BY c ASC, k ASC) AS i,
+           row_number() OVER (ORDER BY c DESC, k ASC) AS rd
+    FROM (SELECT {key} AS k, CAST(count(*) AS BIGINT) AS c
+          FROM {table} GROUP BY 1)
+  )"""
+
+
+_SKEW_KEYS = (
+    ("events", "user_id", "events.user_id"),
+    ("lineitem", "l_suppkey", "lineitem.l_suppkey"),
+    ("lineitem", "l_partkey", "lineitem.l_partkey"),
+    ("orders", "o_custkey", "orders.o_custkey"),
+)
+
+
+@register(
+    "key_skew_diagnostics",
+    "\nUNION ALL\n".join(_skew_sql(t, k, lbl) for t, k, lbl in _SKEW_KEYS),
+)
+def key_skew_diagnostics(spark, sf_dir):
+    """Skew profile of the four hottest shuffle keys in the schema
+    (operators/relational.key_skew_stats): per key, row/key counts, top-1
+    and top-10 key shares, and the Gini of the count distribution — the
+    numbers that justify salted_hot_key_agg's existence before a job
+    straggles. Each key costs one count shuffle + dictionary-scale rank
+    passes; the four 1-row results union."""
+    from ..operators.relational import key_skew_stats
+
+    out = None
+    for table, key, label in _SKEW_KEYS:
+        d = key_skew_stats(load(spark, sf_dir, table), key, label)
+        out = d if out is None else out.unionByName(d)
+    return out
