@@ -997,6 +997,53 @@ def remove_boilerplate_lines(
     return per_doc
 
 
+def cdc_chunks(
+    docs: DataFrame,
+    window: int = 16,
+    mask: int = 64,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(id, pos, chunk_md5, chunk_len): the content-defined chunk table —
+    boundary rule in :func:`cdc_chunk_stats`'s docstring. Exposed
+    separately so the streaming block-dedup ingest
+    (streaming/blocks.py) can fingerprint each micro-batch with the
+    IDENTICAL chunking as the batch operator."""
+    d = docs.select(F.col(id_col), F.col(text_col))
+    # candidate boundary positions: 1-based starts of full windows
+    cand = d.select(
+        id_col,
+        text_col,
+        F.explode(
+            F.expr(
+                f"sequence(1, greatest(length({text_col}) - {window - 1}, 1))"
+            )
+        ).alias("pos"),
+    )
+    h48 = F.expr(
+        f"cast(conv(substr(md5(substring({text_col}, pos, {window})), 1, 12),"
+        " 16, 10) as bigint)"
+    )
+    bounds = cand.filter(
+        (F.col("pos") == 1) | (h48 % mask == 0)
+    ).select(id_col, text_col, "pos")
+    return bounds.select(
+        id_col,
+        "pos",
+        F.md5(
+            F.expr(
+                f"substring({text_col}, pos, "
+                f"coalesce(lead(pos) over (partition by {id_col} order by pos),"
+                f" length({text_col}) + 1) - pos)"
+            )
+        ).alias("chunk_md5"),
+        F.expr(
+            f"coalesce(lead(pos) over (partition by {id_col} order by pos),"
+            f" length({text_col}) + 1) - pos"
+        ).cast("long").alias("chunk_len"),
+    )
+
+
 def cdc_chunk_stats(
     docs: DataFrame,
     window: int = 16,
@@ -1032,39 +1079,8 @@ def cdc_chunk_stats(
     fingerprint table a dedup store persists. At 100 TB the fingerprint
     table is the index; a new batch joins its chunk hashes against it
     (incremental-dedup pattern) instead of re-ranking the corpus."""
-    d = docs.select(F.col(id_col), F.col(text_col))
-    # candidate boundary positions: 1-based starts of full windows
-    cand = d.select(
-        id_col,
-        text_col,
-        F.explode(
-            F.expr(
-                f"sequence(1, greatest(length({text_col}) - {window - 1}, 1))"
-            )
-        ).alias("pos"),
-    )
-    h48 = F.expr(
-        f"cast(conv(substr(md5(substring({text_col}, pos, {window})), 1, 12),"
-        " 16, 10) as bigint)"
-    )
-    bounds = cand.filter(
-        (F.col("pos") == 1) | (h48 % mask == 0)
-    ).select(id_col, text_col, "pos")
-    w = Window.partitionBy(id_col).orderBy("pos")
-    chunks = bounds.select(
-        id_col,
-        "pos",
-        F.md5(
-            F.expr(
-                f"substring({text_col}, pos, "
-                f"coalesce(lead(pos) over (partition by {id_col} order by pos),"
-                f" length({text_col}) + 1) - pos)"
-            )
-        ).alias("chunk_md5"),
-        F.expr(
-            f"coalesce(lead(pos) over (partition by {id_col} order by pos),"
-            f" length({text_col}) + 1) - pos"
-        ).cast("long").alias("chunk_len"),
+    chunks = cdc_chunks(
+        docs, window=window, mask=mask, id_col=id_col, text_col=text_col
     )
     occ = chunks.withColumn(
         "_rk",
