@@ -487,3 +487,65 @@ def test_luhn_spark_matches_python_model(spark):
     df = spark.createDataFrame([(fmt(c),) for c in cards], "card string")
     got = [r["v"] for r in df.select(luhn_valid(F.col("card")).alias("v")).collect()]
     assert got == [luhn_ok(c) for c in cards]
+
+
+def _model_cdc_chunks(text: str, window: int = 16, mask: int = 64):
+    """Scalar reference model of operators/dedup.cdc_chunks."""
+    import hashlib
+
+    bounds = []
+    for pos in range(1, max(len(text) - window + 1, 1) + 1):
+        w = text[pos - 1 : pos - 1 + window]
+        h = int(hashlib.md5(w.encode()).hexdigest()[:12], 16)
+        if pos == 1 or h % mask == 0:
+            bounds.append(pos)
+    out = []
+    for i, b in enumerate(bounds):
+        end = bounds[i + 1] if i + 1 < len(bounds) else len(text) + 1
+        out.append((b, text[b - 1 : end - 1]))
+    return out
+
+
+@settings(max_examples=12, deadline=None, derandomize=True,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(texts=st.lists(
+    st.text(alphabet=st.sampled_from(list("abcdef gh ")), min_size=1,
+            max_size=200),
+    min_size=1, max_size=8,
+))
+def test_cdc_chunks_match_model_and_tile(spark, texts):
+    """CDC chunks equal the scalar model, tile the document exactly
+    (concatenation reconstructs the text), and a prefix edit never
+    changes any chunk that starts at/after the first boundary past the
+    edit (the shift-tolerance invariant)."""
+    import hashlib
+
+    from vector_db_light_spark.operators.dedup import cdc_chunks
+
+    docs = spark.createDataFrame(
+        list(enumerate(texts)), "doc_id bigint, text string"
+    )
+    got = {}
+    for r in cdc_chunks(docs, mask=16).collect():
+        got.setdefault(r["doc_id"], []).append(
+            (r["pos"], r["chunk_md5"], r["chunk_len"])
+        )
+    for i, t in enumerate(texts):
+        want = [
+            (pos, hashlib.md5(c.encode()).hexdigest(), len(c))
+            for pos, c in _model_cdc_chunks(t, mask=16)
+        ]
+        assert sorted(got[i]) == sorted(want), (i, t)
+        # tiling: lengths sum to len(text), starts are prefix sums
+        chunks = sorted(_model_cdc_chunks(t, mask=16))
+        assert "".join(c for _, c in chunks) == t
+        # shift tolerance (model level): chunks of "X" + t re-sync — the
+        # chunk multiset of the edited doc shares every chunk of t that
+        # starts at/after the first boundary of t past position window
+        edited = _model_cdc_chunks("X" + t, mask=16)
+        orig_keys = {c for _, c in chunks}
+        shared = sum(1 for _, c in edited if c in orig_keys)
+        # boundaries past the edit are content-defined: identical windows,
+        # shifted by one -> all but the head chunk(s) re-align
+        tail_bounds = [p for p, _ in edited if p > 17]
+        assert shared >= max(0, len(tail_bounds) - 1)
