@@ -5,15 +5,24 @@ should scale ~10x or better (better: fixed per-query overheads — session,
 broadcast dims, tiny aggregates — amortize); anything clearly super-linear
 is a finding.
 
-The sf1 documents table is SYNTHESIZED into /tmp (the real fixture dirs
-are read-only and ship no sf1): 50,000 rows drawn from the sf0.1 table's
-own marginals — its exact 31-token vocabulary with empirical unigram
-weights, 10-100 token lengths, the same 20 sources / 5 langs — seeded
-md5-deterministically. That is valid for a SCALING measurement (row counts
-and cardinalities grow 10x with the same distribution shape); correctness
-is the sf0.01 oracle gate's job, not this tool's.
+The sf1 tables are SYNTHESIZED into /tmp (the real fixture dirs are
+read-only and ship no sf1):
 
-Usage: python tools/scale_check.py [query ...]   (default: top-5 heaviest)
+  * documents — 50,000 rows drawn from the sf0.1 table's own marginals
+    (its exact 31-token vocabulary with empirical unigram weights, 10-100
+    token lengths, the same 20 sources / 5 langs), md5-seeded;
+  * orders/lineitem/customer/supplier/part/events/embeddings — 10x
+    replicas of sf0.1 with per-replica KEY OFFSETS, so key cardinalities
+    grow 10x alongside row counts (TPC-H's own sf scaling shape) and
+    every join stays consistent (lineitem orderkeys shift with orders');
+  * nation/region — fixed dimensions, copied.
+
+That is valid for a SCALING measurement (row counts and cardinalities
+grow 10x with the same distribution shape); correctness is the sf0.01
+oracle gate's job, not this tool's.
+
+Usage: python tools/scale_check.py [query ...]   (default: the full bench
+headline set)
 """
 
 from __future__ import annotations
@@ -28,13 +37,49 @@ sys.path.insert(0, HERE)
 
 SF01 = "/root/testdata/sf0.1"
 SF1 = "/tmp/vdl_sf1"
-DEFAULT = [
-    "media_curation_pipeline",
-    "classifier_curation_pipeline",
-    "kn_fluency_score",
-    "bm25_wand_topk",
-    "dedup_minhash_lsh",
-]
+
+# per-replica key offsets, all > the corresponding sf0.1 maxima
+_OFF = {
+    "o_orderkey": 1_000_000,
+    "l_orderkey": 1_000_000,
+    "o_custkey": 100_000,
+    "c_custkey": 100_000,
+    "l_partkey": 100_000,
+    "p_partkey": 100_000,
+    "l_suppkey": 10_000,
+    "s_suppkey": 10_000,
+    "event_id": 1_000_000,
+    "user_id": 10_000,
+    "vec_id": 10_000,
+}
+
+
+def _replicate(spark, table: str, reps: int = 10) -> None:
+    dst = f"{SF1}/{table}.parquet"
+    if os.path.exists(dst):
+        return
+    df = spark.read.parquet(f"{SF01}/{table}.parquet")
+    from pyspark.sql import functions as F
+
+    parts = []
+    for r in range(reps):
+        rep = df
+        for col in df.columns:
+            if col in _OFF:
+                rep = rep.withColumn(col, F.col(col) + F.lit(r * _OFF[col]))
+        parts.append(rep)
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    out.write.mode("overwrite").parquet(dst)
+
+
+def _copy(spark, table: str) -> None:
+    dst = f"{SF1}/{table}.parquet"
+    if not os.path.exists(dst):
+        spark.read.parquet(f"{SF01}/{table}.parquet").write.mode(
+            "overwrite"
+        ).parquet(dst)
 
 
 def _synth_sf1(spark) -> None:
@@ -96,13 +141,20 @@ def _synth_sf1(spark) -> None:
 
 
 def main() -> int:
-    names = sys.argv[1:] or DEFAULT
+    from bench import HEADLINE
+
+    names = sys.argv[1:] or list(HEADLINE)
     from vector_db_light_spark.registry import QUERIES
     from vector_db_light_spark.session import get_spark
 
     spark = get_spark(app_name="vdl-scale-check")
     spark.sparkContext.setLogLevel("ERROR")
     _synth_sf1(spark)
+    for t in ("orders", "lineitem", "customer", "supplier", "part",
+              "events", "embeddings"):
+        _replicate(spark, t)
+    for t in ("nation", "region"):
+        _copy(spark, t)
     spark.range(64).repartition(32).mapInPandas(
         lambda it: it, schema="id long"
     ).write.mode("overwrite").format("noop").save()
