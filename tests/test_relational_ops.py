@@ -142,3 +142,54 @@ def test_key_skew_stats_hand_case(spark):
     # uniform distribution -> gini 0
     u = spark.createDataFrame([("x",), ("y",), ("z",)], "k string")
     assert key_skew_stats(u, "k", "u.k").collect()[0]["gini_u6"] == 0
+
+
+def test_multi_touch_attribution_invariants(spark):
+    """Hand-verified credits + the conservation invariant: every purchase
+    distributes exactly 1e6 micro-units under BOTH models."""
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    from vector_db_light_spark.operators.relational import (
+        multi_touch_attribution,
+    )
+
+    t0 = dt.datetime(2024, 1, 1, 12, 0, 0)
+
+    def ev(eid, mins, user, typ, k=None):
+        props = f'{{"k": {k}}}' if k is not None else "{}"
+        return (eid, t0 + dt.timedelta(minutes=mins), user, typ, props)
+
+    rows = [
+        # user 1: three touches then a purchase -> n=3 U-shape 40/20/40
+        ev(1, 0, 1, "click", 7),
+        ev(2, 10, 1, "view", 8),
+        ev(3, 20, 1, "click", 9),
+        ev(4, 30, 1, "purchase"),
+        # user 2: one touch -> 100%
+        ev(10, 0, 2, "view", 7),
+        ev(11, 5, 2, "purchase"),
+        # user 3: touch OUTSIDE the window -> unattributed purchase
+        ev(20, 0, 3, "click", 7),
+        ev(21, 60 * 30, 3, "purchase"),
+        # user 4: touch AFTER the purchase -> no credit
+        ev(30, 10, 4, "purchase"),
+        ev(31, 20, 4, "click", 7),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id bigint, ts timestamp, user_id bigint, "
+        "event_type string, props string"
+    )
+    got = {
+        r["item"]: (r["n_touches"], r["linear_u6"], r["ushape_u6"])
+        for r in multi_touch_attribution(df).collect()
+    }
+    # user 1 linear: 333333, 333333, 333334 (remainder to last);
+    # U-shape n=3: first 400000, middle 200000, last 400000
+    assert got[7] == (2, 333_333 + 1_000_000, 400_000 + 1_000_000)
+    assert got[8] == (1, 333_333, 200_000)
+    assert got[9] == (1, 333_334, 400_000)
+    # conservation: 2 attributed purchases x 1e6 under both models
+    assert sum(v[1] for v in got.values()) == 2_000_000
+    assert sum(v[2] for v in got.values()) == 2_000_000

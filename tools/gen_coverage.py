@@ -104,6 +104,7 @@ ANNOTATIONS: dict[str, str] = {
     "triplet_semihard_mining": "contrastive-training triplets: nearest positive, hardest negative, FaceNet semi-hard band; bit-exact dots, sentineled empty band",
     "dedup_cdc_chunks": "content-defined chunking (storage-tier dedup): prefix-trimmed near copies re-sync at the next boundary (ratio ~0.69) while exact copies dedup 1.0",
     "key_skew_diagnostics": "pre-shuffle skew profile per fact-table key: top-1/top-10 shares + all-BIGINT Gini — the salting decision input",
+    "attribution_multi_touch": "linear + U-shaped multi-touch conversion credit, exact integer accounting (Σ = 1e6 per purchase); bucketed window join vs the oracle's theta-join truth",
     "rag_chunk_banners": "REAL rag.format_chunks incl. F9 blank-line collapse",
     "rag_citations_html": "REAL rag.format_citations: %.3f score spans + page ranges",
     "rag_prompt_assembly": "REAL rag.assemble_rag_prompt in a grouped Pandas stage, byte-identical prompt",

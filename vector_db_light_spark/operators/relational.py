@@ -284,3 +284,83 @@ def key_skew_stats(df: DataFrame, key_col: str, label: str) -> DataFrame:
             " div (count(*) * sum(_c))"
         ).cast("long").alias("gini_u6"),
     )
+
+
+def multi_touch_attribution(
+    events: DataFrame,
+    window_seconds: int = 86_400,
+    purchase_type: str = "purchase",
+    touch_types: tuple[str, ...] = ("click", "view"),
+    item_expr: str = "coalesce(cast(get_json_object(props, '$.k') as bigint), -1)",
+) -> DataFrame:
+    """Multi-touch conversion attribution with EXACT integer credit
+    accounting: every ``purchase_type`` event distributes exactly
+    1,000,000 credit micro-units over that user's ``touch_types`` events
+    in the preceding ``window_seconds``, under two standard models:
+
+      * linear    — equal split, remainder to the LAST touch;
+      * U-shaped  — 40% first touch, 40% last, 20% split over the middle
+                    (n=1 -> 100%; n=2 -> 50/50), middle remainder to the
+                    last touch.
+
+    The remainder rules make every purchase's credits sum to exactly 1e6,
+    so the global invariant Σcredit = 1e6 x attributed-purchases holds in
+    BIGINTs on any engine and partitioning (pinned by test). Touch order
+    is (ts, event_id) with strict precedence over the purchase (ties on
+    ts break by event_id), so ranking is total.
+
+    Dataflow: the purchase->touch window join is an equi-join on (user,
+    time bucket) with each purchase probing its own bucket and the
+    previous one (bucket width == window; the range_self_join pattern),
+    then the exact predicate — a hash join at any scale, never a theta
+    join. Credit arithmetic is one per-purchase window pass; the output
+    aggregate is per touched item. Returns (item, n_touches, linear_u6,
+    ushape_u6)."""
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    w_us = window_seconds * 1_000_000
+    p = events.filter(F.col("event_type") == purchase_type).select(
+        F.col("user_id").alias("_u"),
+        us.alias("_pus"),
+        F.col("event_id").alias("_pid"),
+        F.floor(us / w_us).cast("long").alias("_bucket"),
+        F.explode(F.array(F.lit(0), F.lit(-1))).alias("_probe"),
+    ).withColumn("_bucket", F.col("_bucket") + F.col("_probe"))
+    t = events.filter(F.col("event_type").isin(list(touch_types))).select(
+        F.col("user_id").alias("_u"),
+        us.alias("_tus"),
+        F.col("event_id").alias("_tid"),
+        F.expr(item_expr).alias("item"),
+        F.floor(us / w_us).cast("long").alias("_bucket"),
+    )
+    pairs = p.join(t, ["_u", "_bucket"]).filter(
+        (F.col("_tus") >= F.col("_pus") - w_us)
+        & (
+            (F.col("_tus") < F.col("_pus"))
+            | ((F.col("_tus") == F.col("_pus")) & (F.col("_tid") < F.col("_pid")))
+        )
+    )
+    w = Window.partitionBy("_pid").orderBy(F.col("_tus").asc(), F.col("_tid").asc())
+    ranked = pairs.select(
+        "item",
+        F.col("_pid"),
+        F.row_number().over(w).cast("long").alias("_rk"),
+        F.count(F.lit(1)).over(Window.partitionBy("_pid")).cast("long").alias("_n"),
+    )
+    linear = F.expr(
+        "case when _rk < _n then 1000000 div _n"
+        " else 1000000 - (1000000 div _n) * (_n - 1) end"
+    )
+    ushape = F.expr(
+        """case
+             when _n = 1 then 1000000
+             when _n = 2 then 500000
+             when _rk = 1 then 400000
+             when _rk = _n then 400000 + 200000 - (200000 div (_n - 2)) * (_n - 2)
+             else 200000 div (_n - 2)
+           end"""
+    )
+    return ranked.groupBy("item").agg(
+        F.count(F.lit(1)).cast("long").alias("n_touches"),
+        F.sum(linear).cast("long").alias("linear_u6"),
+        F.sum(ushape).cast("long").alias("ushape_u6"),
+    )

@@ -1979,3 +1979,71 @@ def key_skew_diagnostics(spark, sf_dir):
         d = key_skew_stats(load(spark, sf_dir, table), key, label)
         out = d if out is None else out.unionByName(d)
     return out
+
+
+# ---------------------------------------------------------------------------
+# Multi-touch attribution (round 10): each purchase distributes EXACTLY
+# 1e6 credit micro-units over the user's click/view touches in the prior
+# 24h — linear and U-shaped (40/20/40) models with remainder-to-last
+# rules, so Σcredit == 1e6 x attributed purchases in BIGINTs on any
+# engine/partitioning. The Spark side runs the bucketed (user, time-
+# bucket) equi-join (range_self_join pattern); the oracle runs the
+# blocking-free theta join — the fuzzy-tier "truth oracle validates the
+# blocking" discipline.
+# ---------------------------------------------------------------------------
+
+_ATTR_W_US = 86_400 * 1_000_000
+
+
+@register(
+    "attribution_multi_touch",
+    f"""
+WITH e AS (
+  SELECT user_id, event_id, event_type, props,
+         epoch_us(CAST(ts AS TIMESTAMP)) AS us
+  FROM events
+),
+p AS (SELECT user_id, us AS pus, event_id AS pid
+      FROM e WHERE event_type = 'purchase'),
+t AS (SELECT user_id, us AS tus, event_id AS tid,
+             COALESCE(CAST(json_extract_string(props, '$.k') AS BIGINT), -1)
+               AS item
+      FROM e WHERE event_type IN ('click', 'view')),
+pairs AS (
+  SELECT p.pid, t.item, t.tus, t.tid
+  FROM p JOIN t ON t.user_id = p.user_id
+   AND t.tus >= p.pus - {_ATTR_W_US}
+   AND (t.tus < p.pus OR (t.tus = p.pus AND t.tid < p.pid))
+),
+ranked AS (
+  SELECT item, pid,
+         row_number() OVER (PARTITION BY pid ORDER BY tus, tid) AS rk,
+         count(*) OVER (PARTITION BY pid) AS n
+  FROM pairs
+)
+SELECT item,
+       CAST(count(*) AS BIGINT) AS n_touches,
+       CAST(sum(CASE WHEN rk < n THEN 1000000 // n
+                     ELSE 1000000 - (1000000 // n) * (n - 1) END)
+            AS BIGINT) AS linear_u6,
+       CAST(sum(CASE WHEN n = 1 THEN 1000000
+                     WHEN n = 2 THEN 500000
+                     WHEN rk = 1 THEN 400000
+                     WHEN rk = n
+                       THEN 400000 + 200000 - (200000 // (n - 2)) * (n - 2)
+                     ELSE 200000 // (n - 2) END)
+            AS BIGINT) AS ushape_u6
+FROM ranked
+GROUP BY item
+""",
+)
+def attribution_multi_touch(spark, sf_dir):
+    """Per-item conversion credit under linear and U-shaped multi-touch
+    models (operators/relational.multi_touch_attribution): the
+    'which items drive purchases' table a recommendation/ads pipeline
+    feeds back into training-data weighting."""
+    from ..operators.relational import multi_touch_attribution
+
+    from .._registry_core import load_events
+
+    return multi_touch_attribution(load_events(spark, sf_dir))
