@@ -109,6 +109,9 @@ AUDIT = [
     "bm25_wand_topk",
     "kn_fluency_score",
     "triplet_semihard_mining",
+    "dedup_cdc_chunks",
+    "key_skew_diagnostics",
+    "attribution_multi_touch",
 ]
 
 
