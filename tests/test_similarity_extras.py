@@ -245,3 +245,37 @@ def test_triplet_semihard_hand_case(spark):
     r2 = triplet_semihard_mining(df2, 1).collect()[0]
     assert (r2["semi_neg_id"], r2["semi_neg_dist"]) == (-1, 999.0)
     assert r2["neg_id"] == 2
+
+
+def test_matryoshka_prefix_ranking(spark):
+    """Prefix-cosine ranks by the truncated, renormalized vectors: with
+    signal concentrated in the first dims, the prefix finds the true
+    neighbor; a zero prefix scores distance 1.0 (sentinel branch)."""
+    from vector_db_light_spark.operators.similarity import (
+        matryoshka_prefix_topk,
+    )
+
+    corpus = [
+        (0, [1.0, 0.0, 9.0, -9.0]),   # prefix [1,0] == query direction
+        (1, [0.7, 0.7, 0.0, 0.0]),    # prefix 45 degrees off
+        (2, [0.0, 0.0, 5.0, 5.0]),    # ZERO prefix -> distance 1.0
+        (3, [-1.0, 0.0, 0.0, 0.0]),   # opposite
+    ]
+    emb = spark.createDataFrame(corpus, "vec_id bigint, embedding array<double>")
+    q = spark.createDataFrame(
+        [(100, [1.0, 0.0, 0.0, 0.0])], "query_id bigint, query_vec array<double>"
+    )
+    got = [
+        r["vec_id"]
+        for r in matryoshka_prefix_topk(emb, q, prefix_dim=2, k=4)
+        .orderBy("vec_id")
+        .collect()
+    ]
+    assert set(got) == {0, 1, 2, 3}
+    ranked = [
+        r["vec_id"]
+        for r in matryoshka_prefix_topk(emb, q, prefix_dim=2, k=4).collect()
+    ]
+    # renormalized prefix order: exact match, 45-deg, zero-prefix (1.0),
+    # opposite (2.0)
+    assert ranked == [0, 1, 2, 3]

