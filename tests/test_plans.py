@@ -460,3 +460,60 @@ def test_triangle_count_joins_are_equi_not_cartesian(spark):
     assert "BroadcastNestedLoopJoin" not in plan
     # post-checkpoint plan: the edge build must NOT re-run per wedge side
     assert plan.count("ExistingRDD") >= 2 or "LocalTableScan" in plan
+
+
+def test_wand_survivor_scoring_joins_are_broadcast(spark):
+    """bm25_wand_topk's exact scorer must see broadcast semi/hash joins
+    only (survivors, term sidecar, 1-row stats) and finish with the
+    TakeOrderedAndProject top-k — never a sort-merge join or global
+    sort."""
+    from vector_db_light_spark.operators.text_search import bm25_wand_topk
+
+    docs = spark.read.parquet(f"{SF_ORACLE}/documents.parquet")
+    df = bm25_wand_topk(docs, ["spark", "table", "query"], k=10)
+    plan = explain_string(df)
+    assert "TakeOrderedAndProject" in plan
+    assert "SortMergeJoin" not in plan
+    assert "BroadcastHashJoin" in plan
+
+
+def test_triplet_mining_has_no_smj_and_prereduced_windows(spark):
+    """triplet_semihard_mining: pick-assembly joins broadcast (the audit
+    caught SMJs here — post-window sizes are opaque to the optimizer) and
+    every row_number pick is WindowGroupLimit-prereduced."""
+    from vector_db_light_spark.operators.similarity import (
+        triplet_semihard_mining,
+    )
+
+    emb = spark.read.parquet(f"{SF_ORACLE}/embeddings.parquet")
+    df = triplet_semihard_mining(emb, 24, dim=64)
+    plan = explain_string(df)
+    assert "SortMergeJoin" not in plan
+    assert "WindowGroupLimit" in plan
+
+
+def test_attribution_window_join_is_hash_not_theta(spark):
+    """multi_touch_attribution's purchase->touch range predicate must ride
+    a (user, bucket) equi-join — a hash join with the exact predicate as
+    residual — never a cartesian/theta join."""
+    from vector_db_light_spark.operators.relational import (
+        multi_touch_attribution,
+    )
+    from vector_db_light_spark.registry import load_events
+
+    df = multi_touch_attribution(load_events(spark, SF_ORACLE))
+    plan = explain_string(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_cdc_chunks_boundary_scan_has_no_shuffle_before_window(spark):
+    """cdc_chunks is embarrassingly parallel until the per-doc window: the
+    boundary explode+filter must not introduce a join or extra exchange
+    (one hash exchange for the doc window is the plan's only shuffle)."""
+    from vector_db_light_spark.operators.dedup import cdc_chunks
+
+    docs = spark.read.parquet(f"{SF_ORACLE}/documents.parquet")
+    plan = explain_string(cdc_chunks(docs))
+    assert "Join" not in plan
+    assert plan.count("Arguments: hashpartitioning") == 1
