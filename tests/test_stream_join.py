@@ -109,3 +109,53 @@ def test_stream_search_matches_batch(spark, tmp_path):
         for r in batch_ivf_topk(emb, queries, cents, nprobe=2, k=3).collect()
     }
     assert got == want and len(got) == 6 * 3
+
+
+def test_stream_lexical_search_matches_single_query_bm25(spark, tmp_path):
+    """Streaming lexical serving: two micro-batches of keyword queries
+    against the static docs corpus — every query's streamed answer is
+    bit-identical to the single-query bm25_topk for its own terms (batch
+    amortization must not leak one query's terms into another's df/stats)."""
+    from vector_db_light_spark.operators.text_search import bm25_topk
+    from vector_db_light_spark.registry import load_docs
+    from vector_db_light_spark.streaming.serving import stream_lexical_search
+
+    docs = load_docs(spark, SF_SMOKE)
+    qdefs = {
+        1: "spark query",
+        2: "table scan batch",
+        3: "merge sort",
+        4: "window",
+    }
+    qsrc = str(tmp_path / "qsrc")
+    out_dir = str(tmp_path / "hits")
+
+    def write(ids):
+        spark.createDataFrame(
+            [(i, qdefs[i]) for i in ids], "query_id bigint, terms string"
+        ).write.mode("append").parquet(qsrc)
+
+    def drain():
+        stream = spark.readStream.schema(
+            spark.read.parquet(qsrc).schema
+        ).parquet(qsrc)
+        stream_lexical_search(
+            stream, docs, out_dir, str(tmp_path / "ckpt"), k=5
+        ).awaitTermination(120)
+
+    write([1, 2])
+    drain()
+    write([3, 4])
+    drain()
+
+    got = {}
+    for r in spark.read.parquet(out_dir).collect():
+        got.setdefault(r["query_id"], []).append(
+            (r["rk"], r["doc_id"], r["bm25"])
+        )
+    for qid, terms in qdefs.items():
+        want = [
+            (i + 1, r["doc_id"], r["bm25"])
+            for i, r in enumerate(bm25_topk(docs, terms.split(), k=5).collect())
+        ]
+        assert sorted(got[qid]) == want, qid

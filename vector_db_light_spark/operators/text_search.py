@@ -17,6 +17,7 @@ import math
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from .dedup import tokens_expr
 
@@ -545,3 +546,56 @@ def wand_pruning_stats(
     )
     n_seed_docs = seed_ids.select(F.count(F.lit(1)).alias("n_docs_scored"))
     return n_total.crossJoin(n_scored).crossJoin(n_seed_docs)
+
+
+def batch_bm25_topk(
+    docs: DataFrame,
+    query_terms: DataFrame,
+    k: int = 10,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    query_id_col: str = "query_id",
+    term_col: str = "term",
+) -> DataFrame:
+    """Multi-query BM25 top-k: a batch of B queries — (query_id, term)
+    rows — answered with ONE pass over the postings, not B. The postings
+    filter is the UNION of the batch's terms (a broadcast semi-join that
+    at cluster scale is a partition-pruned read of the term-partitioned
+    index), per-term df / corpus stats are query-independent, and the
+    per-(query, doc) score re-joins the filtered postings against the
+    broadcast query-term table. Per query the rounded scores and tie
+    order are EXACTLY ``bm25_topk``'s for that query's terms (df/avgdl/N
+    are global statistics, unaffected by what else is in the batch) —
+    pinned by test_stream_serving_lexical. Top-k per query is the
+    WindowGroupLimit shape."""
+    terms = query_terms.select(
+        F.col(query_id_col), F.lower(F.col(term_col)).alias("term")
+    )
+    tfs = term_frequencies(docs, id_col=id_col, text_col=text_col)
+    stats = docs.select(F.count(F.lit(1)).alias("_n")).crossJoin(
+        tfs.select(id_col, "dl").distinct().agg(F.avg("dl").alias("_avgdl"))
+    )
+    postings = tfs.join(
+        F.broadcast(terms.select("term").distinct()), "term", "left_semi"
+    ).localCheckpoint(eager=True)  # consumed by df-count and scoring
+    df_per_term = postings.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    scored = (
+        postings.join(F.broadcast(df_per_term), "term")
+        .join(F.broadcast(terms), "term")
+        .crossJoin(F.broadcast(stats))
+        .select(
+            F.col(query_id_col),
+            F.col(id_col),
+            _bm25_sc(
+                F.col("tf"), F.col("dl"), F.col("df"), F.col("_n"), F.col("_avgdl")
+            ).alias("_s"),
+        )
+        .groupBy(query_id_col, id_col)
+        .agg(F.round(F.sum("_s"), 6).alias("bm25"))
+    )
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col("bm25").desc(), F.col(id_col).asc()
+    )
+    return scored.withColumn("rk", F.row_number().over(w)).filter(
+        F.col("rk") <= k
+    )

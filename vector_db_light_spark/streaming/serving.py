@@ -70,3 +70,47 @@ def stream_search(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def stream_lexical_search(
+    query_stream: DataFrame,
+    docs: DataFrame,
+    output_dir: str,
+    checkpoint_dir: str,
+    k: int = 10,
+    query_id_col: str = "query_id",
+    terms_col: str = "terms",
+) -> StreamingQuery:
+    """Lexical twin of :func:`stream_search`: a stream of keyword queries
+    (``query_id``, space-separated ``terms``) answered against the static
+    corpus with the BATCHED BM25 plan
+    (operators/text_search.batch_bm25_topk) — a micro-batch of B queries
+    costs ONE pass over the union of their posting lists, not B, and each
+    query's answer is bit-identical to the single-query ``bm25_topk``
+    (per-term df and corpus stats are query-independent; pinned by
+    test_stream_serving). Same foreachBatch rationale as the ANN server:
+    the per-query rank window needs a plain batch plan. At 100 TB the
+    postings are the persisted term-partitioned index and a batch reads
+    only its terms' partitions; per-batch WAND pruning composes per query
+    on top when posting lists are long (bm25_wand_topk), but the batch
+    amortization is the bigger serving lever."""
+    from pyspark.sql import functions as F
+
+    from ..operators.text_search import batch_bm25_topk
+
+    def answer(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        qterms = batch_df.select(
+            query_id_col,
+            F.explode(F.split(F.col(terms_col), r"\s+")).alias("term"),
+        ).filter(F.col("term") != "")
+        hits = batch_bm25_topk(docs, qterms, k=k, query_id_col=query_id_col)
+        hits.write.mode("append").parquet(output_dir)
+
+    return (
+        query_stream.writeStream.foreachBatch(answer)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
