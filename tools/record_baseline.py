@@ -67,12 +67,13 @@ def main() -> int:
         "metric": (
             f"per-query medians across {n} fresh-process invocations of the "
             f"FULL {len(names)}-query bench (each invocation = warm-up + "
-            "median-of-5 in-process, headline order) - baseline v3, "
-            "recorded at round 10: full-set in-process runs make baseline "
-            "and per-round artifact like-for-like (v2's 15-query medians "
-            "were recorded without the heavy capstones in-process, which "
-            "made six small queries read 1.15-1.21x on pure JVM session "
-            "state; see BASELINE.md). v2 kept as BENCH_BASELINE_v2.json"
+            "MIN-of-5 in-process, headline order) - baseline v4, recorded "
+            "at round 10: v3 made baseline and round same-shape (full-set "
+            "in-process runs; see BASELINE.md for the session-state root "
+            "cause), v4 additionally switches the per-query statistic from "
+            "median to min-of-5 because additive timing noise still "
+            "scattered sub-second medians 1.2-1.4x run-to-run on unchanged "
+            "plans. v2 kept as BENCH_BASELINE_v2.json"
         ),
         "value": round(sum(queries.values()), 3),
         "unit": "sec",
