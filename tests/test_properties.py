@@ -549,3 +549,25 @@ def test_cdc_chunks_match_model_and_tile(spark, texts):
         # shifted by one -> all but the head chunk(s) re-align
         tail_bounds = [p for p, _ in edited if p > 17]
         assert shared >= max(0, len(tail_bounds) - 1)
+
+
+@settings(max_examples=8, deadline=None, derandomize=True,
+          suppress_health_check=list(HealthCheck))
+@given(texts=st.lists(_doc_text, min_size=2, max_size=10),
+       k=st.integers(min_value=1, max_value=6))
+def test_wand_prune_is_lossless_on_random_corpora(spark, texts, k):
+    """The WAND invariant, property-tested: for ANY corpus and k, the
+    pruned path returns exactly bm25_topk's rows (scores + tie order) —
+    the upper bound can never cost a true top-k doc."""
+    from vector_db_light_spark.operators.text_search import (
+        bm25_topk,
+        bm25_wand_topk,
+    )
+
+    docs = spark.createDataFrame(
+        list(enumerate(texts)), "doc_id bigint, text string"
+    )
+    terms = ["alpha", "gamma", "epsilon"]
+    full = [r.asDict() for r in bm25_topk(docs, terms, k=k).collect()]
+    wand = [r.asDict() for r in bm25_wand_topk(docs, terms, k=k).collect()]
+    assert wand == full
