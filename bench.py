@@ -21,8 +21,9 @@ canary-normalized ratios instead of raw wall-clock across runs taken under
 different load.
 
 Regression guard: each query is compared against the recorded baseline
-(BENCH_BASELINE.json — per-query medians of >=3 runs with the baseline
-canary stored; falls back to BENCH_r01.json with no canary). Ratios are
+(BENCH_BASELINE.json — per-query min-of-N floors recorded under the same
+statistic over >=3 fresh-process runs, with the baseline canary stored;
+falls back to BENCH_r01.json with no canary). Ratios are
 divided by ``canary_now / canary_baseline`` (clamped >= 1), so a loaded
 machine does not read as a regression while a genuine uniform slowdown
 (bad session conf etc.) still trips it — unlike median-self-normalization,
@@ -130,7 +131,7 @@ def main() -> int:
     # comparison same-shape.
     n_runs = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "5")))
 
-    def run_median(name: str) -> float:
+    def run_min(name: str) -> float:
         run_once(name)  # untimed warm-up (discarded)
         return min(run_once(name) for _ in range(n_runs))
 
@@ -139,7 +140,7 @@ def main() -> int:
     errors: dict[str, str] = {}
     for i, name in enumerate(HEADLINE):
         try:
-            timings[name] = run_median(name)
+            timings[name] = run_min(name)
         except Exception as exc:  # noqa: BLE001 — one red query must not
             # erase the whole round's bench record (BENCH_r04 parsed:null).
             errors[name] = _errmsg(exc)
@@ -231,7 +232,8 @@ def _canary_once(spark, sf_dir: str) -> float:
 
 def _load_baseline(sf: float) -> tuple[dict[str, float], float | None]:
     """(per-query baseline seconds, baseline canary seconds or None).
-    Prefers BENCH_BASELINE.json (medians of >=3 runs, canary included);
+    Prefers BENCH_BASELINE.json (min-of-N floors, best of >=3 fresh-process
+    runs, canary included);
     falls back to the round-1 driver record, which has no canary."""
     here = os.path.dirname(os.path.abspath(__file__))
     for fname in ("BENCH_BASELINE.json", "BENCH_r01.json"):

@@ -137,3 +137,48 @@ def test_stream_scd2_rejects_cross_batch_late_data(spark, tmp_path):
         (2, 2): (200, 3, 0, 5),
         (2, 5): (250, OPEN_VERSION, 1, 7),
     }
+
+
+def test_stream_scd2_tombstone_ghost_rows_block_stale_resurrection(
+    spark, tmp_path
+):
+    """A tombstone for a key with NO row yet (first-ever change is a
+    delete, or a delete in a non-initial batch for a never-seen key) must
+    still advance the applied-seq ledger — via a zero-width closed ghost
+    row — so a later batch's STALE resurrection is rejected (ADVICE r10)."""
+    dim = str(tmp_path / "dim")
+
+    def apply(rows, bid):
+        _apply_change_batch(
+            spark.createDataFrame(rows, _SCHEMA),
+            dim, "k", ["bal"], "seq", "is_delete", bid,
+        )
+
+    def open_rows():
+        return {
+            r["k"]: (r["bal"], r["src_seq"])
+            for r in spark.read.parquet(dim)
+            .filter(F.col("valid_to") == OPEN_VERSION)
+            .collect()
+        }
+
+    # batch 0 (initial load): key 1 inserts; key 2's FIRST-EVER change is
+    # a tombstone at seq 5 -> ghost ledger row, nothing open
+    apply([(1, 100, 1, False), (2, 0, 5, True)], 0)
+    assert open_rows() == {1: (100, 1)}
+    ghost = [
+        (r["valid_from"], r["valid_to"], r["is_current"], r["src_seq"])
+        for r in spark.read.parquet(dim).filter(F.col("k") == 2).collect()
+    ]
+    assert ghost == [(2, 2, 0, 5)]
+
+    # batch 1: stale resurrection of key 2 (seq 3 < the ghost's 5) is
+    # rejected; key 3's first-ever change is a tombstone in a NON-initial
+    # batch (seq 9) -> ghost via scd2_upsert
+    apply([(2, 333, 3, False), (3, 0, 9, True)], 1)
+    assert open_rows() == {1: (100, 1)}
+
+    # batch 2: stale resurrection of key 3 rejected (seq 8 < 9); fresh
+    # resurrection of key 2 applied (seq 7 > 5)
+    apply([(2, 444, 7, False), (3, 300, 8, False)], 2)
+    assert open_rows() == {1: (100, 1), 2: (444, 7)}

@@ -126,10 +126,12 @@ def test_wand_equals_full_scoring_and_prunes(spark):
 
     # Skewed corpus: a few docs stack the query terms (high scores), a
     # long tail mentions one term once in a long doc (low upper bounds) —
-    # the shape WAND prunes.
+    # the shape WAND prunes. The tail must exceed the seed POOL
+    # (max(8k, 64) exactly-scored docs, now honestly counted in the
+    # stats — ADVICE r10) for a strict prune to be observable.
     tail = [
         (100 + i, "spark " + " ".join(f"w{i}x{j}" for j in range(30)))
-        for i in range(40)
+        for i in range(200)
     ]
     corpus = [
         (1, "spark query spark query table scan"),

@@ -233,9 +233,31 @@ def scd2_upsert(
             *_seq(F.col(seq_col).alias(seq_state_col) if seq_col else None),
         )
     )
-    return (
+    merged = (
         closed.unionByName(keep)
         .unionByName(close)
         .unionByName(reopen)
         .unionByName(inserts)
     )
+    if seq_col and delete_col:
+        # Ledger rule (ADVICE r10): a tombstone whose key has NO current
+        # row (never seen, or already tombstoned) still advances the
+        # per-key applied-seq ledger — otherwise a LATER batch carrying a
+        # STALE resurrection (lower source seq) finds no applied seq and
+        # is applied as fresh. Record it as a zero-width closed "ghost"
+        # row (valid_from == valid_to, never current) carrying the
+        # tombstone's seq; the streaming pre-filter then rejects anything
+        # at or below it.
+        ghosts = (
+            s.join(c, F.col("s." + key_col) == F.col("c." + key_col), "left_anti")
+            .filter(F.coalesce(F.col("s." + delete_col), F.lit(False)))
+            .select(
+                *[F.col("s." + x) for x in [key_col, *attr_cols]],
+                F.lit(version).cast("long").alias("valid_from"),
+                F.lit(version).cast("long").alias("valid_to"),
+                F.lit(0).cast("int").alias("is_current"),
+                F.col("s." + seq_col).cast("long").alias(seq_state_col),
+            )
+        )
+        merged = merged.unionByName(ghosts)
+    return merged

@@ -258,9 +258,13 @@ def key_skew_stats(df: DataFrame, key_col: str, label: str) -> DataFrame:
     KEY-cardinality table (dictionary-scale; the two rank windows are
     single-partition over keys, acceptable up to ~1e8 distinct keys —
     beyond that, bucket the rank with the two-level prefix-sum pattern
-    from operators/packing.py). BIGINT headroom: Σ rank*c <= K*T, safe
-    while keys x rows < 9.2e18. This is the profiling pass a pipeline
-    runs once per fact table and caches with its stats."""
+    from operators/packing.py). BIGINT headroom: Σ rank*c <= K*T caps the
+    accumulators at keys x rows < 9.2e18; the Gini scaling divides by
+    T BEFORE multiplying by 1e6 (nested-floor identity
+    ``floor(a/(K*T)) == floor(floor(a/T)/K)``), so the scaled terms stay
+    under 2^63 while rows < 9.2e12 regardless of key count. This is the
+    profiling pass a pipeline runs once per fact table and caches with
+    its stats."""
     counts = df.groupBy(F.col(key_col).alias("_k")).agg(
         F.count(F.lit(1)).cast("long").alias("_c")
     )
@@ -279,9 +283,14 @@ def key_skew_stats(df: DataFrame, key_col: str, label: str) -> DataFrame:
                " div sum(_c)").cast("long").alias("top1_share_u6"),
         F.expr("(sum(case when _rd <= 10 then _c else 0 end) * 1000000)"
                " div sum(_c)").cast("long").alias("top10_share_u6"),
+        # num*1e6 div (K*T) rewritten via the nested-floor identity so no
+        # intermediate exceeds max(num, rows*1e6): num div T is <= K, and
+        # (num % T)*1e6 < rows*1e6.
         F.expr(
-            "((2 * sum(_i * _c) - (count(*) + 1) * sum(_c)) * 1000000)"
-            " div (count(*) * sum(_c))"
+            "(((2 * sum(_i * _c) - (count(*) + 1) * sum(_c)) div sum(_c))"
+            " * 1000000"
+            " + (((2 * sum(_i * _c) - (count(*) + 1) * sum(_c)) % sum(_c))"
+            " * 1000000) div sum(_c)) div count(*)"
         ).cast("long").alias("gini_u6"),
     )
 

@@ -516,6 +516,7 @@ def _wand_parts(docs, terms, k, id_col, text_col):
         "postings": postings,
         "stats": stats,
         "term_meta": term_meta,
+        "seed_pool": seeds.select(id_col),
         "survivors": survivors,
     }
 
@@ -528,24 +529,28 @@ def wand_pruning_stats(
     text_col: str = "text",
 ) -> DataFrame:
     """1-row measurement of the WAND prune: total query-term postings vs
-    postings that actually reach the exact scorer (k-seed pass + survivor
-    pass). tests/test_text_search assert scored < total; SCALE.md records
-    the sf0.1 reduction."""
+    postings that actually reach the exact scorer. The exactly-scored set
+    is the UNION of the seed pool (scored to establish θ, even when a seed
+    is then pruned by θ) and the θ-survivors — counting only survivors
+    would under-report the work the operator really does (ADVICE r10).
+    tests/test_text_search assert scored < total; SCALE.md records the
+    sf0.1 reduction."""
     terms = [t.lower() for t in query_terms]
     parts = _wand_parts(docs, terms, k, id_col, text_col)
     postings = parts["postings"]
-    seed_ids = (
-        postings.join(F.broadcast(parts["survivors"]), id_col, "left_semi")
-        .select(id_col)
+    scored_ids = (
+        parts["seed_pool"]
+        .unionByName(parts["survivors"])
         .distinct()
+        .localCheckpoint(eager=True)
     )
     n_total = postings.select(F.count(F.lit(1)).alias("n_postings_total"))
     n_scored = (
-        postings.join(F.broadcast(parts["survivors"]), id_col, "left_semi")
+        postings.join(F.broadcast(scored_ids), id_col, "left_semi")
         .select(F.count(F.lit(1)).alias("n_postings_scored"))
     )
-    n_seed_docs = seed_ids.select(F.count(F.lit(1)).alias("n_docs_scored"))
-    return n_total.crossJoin(n_scored).crossJoin(n_seed_docs)
+    n_docs = scored_ids.select(F.count(F.lit(1)).alias("n_docs_scored"))
+    return n_total.crossJoin(n_scored).crossJoin(n_docs)
 
 
 def batch_bm25_topk(

@@ -1942,8 +1942,10 @@ def _skew_sql(table: str, key: str, label: str) -> str:
               // sum(c) AS BIGINT) AS top1_share_u6,
          CAST(sum(CASE WHEN rd <= 10 THEN c ELSE 0 END) * 1000000
               // sum(c) AS BIGINT) AS top10_share_u6,
-         CAST((2 * sum(i * c) - (count(*) + 1) * sum(c)) * 1000000
-              // (count(*) * sum(c)) AS BIGINT) AS gini_u6
+         CAST((((2 * sum(i * c) - (count(*) + 1) * sum(c)) // sum(c))
+               * 1000000
+               + (((2 * sum(i * c) - (count(*) + 1) * sum(c)) % sum(c))
+               * 1000000) // sum(c)) // count(*) AS BIGINT) AS gini_u6
   FROM (
     SELECT c,
            row_number() OVER (ORDER BY c ASC, k ASC) AS i,

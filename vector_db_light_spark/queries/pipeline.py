@@ -31,15 +31,41 @@ _TOKS_SQL = r"list_filter(regexp_split_to_array(trim(lower(text)), '\s+'), t -> 
 _MEDIA_CACHE_VERSION = 1  # bump when any *_fixture_payload format changes
 
 
+def _docs_fingerprint(sf_dir: str) -> str:
+    """Content fingerprint of the source documents fixture (ADVICE r10):
+    sizes + mtimes of every parquet part under documents.parquet, hashed.
+    Folded into the cache path so a regenerated/re-shipped fixture under
+    the SAME sf_dir misses the cache instead of silently serving a media
+    corpus synthesized from the old documents table (while the DuckDB
+    oracle recomputes from the new one)."""
+    import hashlib
+
+    root = os.path.join(sf_dir, "documents.parquet")
+    parts = []
+    if os.path.isdir(root):
+        for dirpath, _dirs, files in os.walk(root):
+            for f in sorted(files):
+                p = os.path.join(dirpath, f)
+                st = os.stat(p)
+                parts.append(f"{os.path.relpath(p, root)}:{st.st_size}:{st.st_mtime_ns}")
+    elif os.path.isfile(root):
+        st = os.stat(root)
+        parts.append(f"file:{st.st_size}:{st.st_mtime_ns}")
+    return hashlib.md5("|".join(parts).encode()).hexdigest()[:16]
+
+
 def _media_fixture(spark, sf_dir: str, variant: str, build):
     """Read the cached media corpus for (sf_dir, variant), building it
-    once on miss. Concurrency-safe: built under a pid-suffixed temp dir,
+    once on miss. The cache key carries a content fingerprint of the
+    source documents fixture, so a changed fixture rebuilds automatically.
+    Concurrency-safe: built under a pid-suffixed temp dir,
     atomically renamed into place; a lost race falls back to the winner's
     copy. A torn cache (dir without _SUCCESS) is rebuilt."""
     import shutil
 
     key = sf_dir.strip("/").replace("/", "_")
-    dst = f"/tmp/vdl_media_fixture/v{_MEDIA_CACHE_VERSION}/{key}/{variant}"
+    fp = _docs_fingerprint(sf_dir)
+    dst = f"/tmp/vdl_media_fixture/v{_MEDIA_CACHE_VERSION}/{key}-{fp}/{variant}"
     if not os.path.exists(os.path.join(dst, "_SUCCESS")):
         tmp = f"{dst}.tmp.{os.getpid()}"
         build().write.mode("overwrite").parquet(tmp)

@@ -25,8 +25,13 @@ so the merge keeps). The ledger is ``src_seq`` on every dimension row —
 opened rows stamp their change's seq, a tombstone re-stamps the row it
 closes — so the per-key max over the WHOLE table (closed rows included)
 is the last applied change, and a stale RESURRECTION of a tombstoned key
-is rejected by the same comparison. Replayed batches are a no-op under
-this rule too (every row's seq <= its own recorded application).
+is rejected by the same comparison. A tombstone whose key has NO row yet
+(first-ever change is a delete, or a re-delete of an already-tombstoned
+key) still writes its seq into the ledger as a zero-width closed GHOST
+row (valid_from == valid_to, never current) — without it a later stale
+resurrection would find no applied seq and be applied as fresh (ADVICE
+r10). Replayed batches are a no-op under this rule too (every row's
+seq <= its own recorded application).
 
 Per-batch shape: dedupe the batch per key (latest ``seq_col`` wins,
 deterministically), anti-filter stale rows against the per-key applied-seq
@@ -81,7 +86,23 @@ def _apply_change_batch(
             F.lit(1).cast("int").alias("is_current"),
             F.col(seq_col).cast("long").alias("src_seq"),
         )
-        first.localCheckpoint(eager=True).write.mode("overwrite").parquet(dim_dir)
+        # A first-batch tombstone for a never-seen key still writes its
+        # seq into the ledger as a zero-width closed ghost row (ADVICE
+        # r10) — otherwise a later batch's STALE resurrection (lower seq)
+        # finds no applied seq for the key and is applied as fresh.
+        ghosts = latest.filter(
+            F.coalesce(F.col(delete_col), F.lit(False))
+        ).select(
+            key_col,
+            *attr_cols,
+            F.lit(batch_id + 2).cast("long").alias("valid_from"),
+            F.lit(batch_id + 2).cast("long").alias("valid_to"),
+            F.lit(0).cast("int").alias("is_current"),
+            F.col(seq_col).cast("long").alias("src_seq"),
+        )
+        first.unionByName(ghosts).localCheckpoint(eager=True).write.mode(
+            "overwrite"
+        ).parquet(dim_dir)
         return
     # Cross-batch late-data rejection (module docstring): drop batch rows
     # whose seq is <= the key's last APPLIED seq — the per-key max of
