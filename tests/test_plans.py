@@ -508,12 +508,18 @@ def test_attribution_window_join_is_hash_not_theta(spark):
 
 
 def test_cdc_chunks_boundary_scan_has_no_shuffle_before_window(spark):
-    """cdc_chunks is embarrassingly parallel until the per-doc window: the
-    boundary explode+filter must not introduce a join or extra exchange
-    (one hash exchange for the doc window is the plan's only shuffle)."""
-    from vector_db_light_spark.operators.dedup import cdc_chunks
+    """cdc_chunks is ONE embarrassingly-parallel Arrow pass: scan ->
+    mapInPandas, no join and ZERO exchanges (boundaries leave the pass
+    sorted per doc, so no per-doc window is needed). The SQL cross-check
+    variant keeps exactly one exchange (its per-doc chunk-assembly
+    window)."""
+    from vector_db_light_spark.operators.dedup import cdc_chunks, cdc_chunks_sql
 
     docs = spark.read.parquet(f"{SF_ORACLE}/documents.parquet")
     plan = explain_string(cdc_chunks(docs))
     assert "Join" not in plan
-    assert plan.count("Arguments: hashpartitioning") == 1
+    assert "Exchange" not in plan
+    assert "MapInPandas" in plan
+    sql_plan = explain_string(cdc_chunks_sql(docs))
+    assert "Join" not in sql_plan
+    assert sql_plan.count("Arguments: hashpartitioning") == 1

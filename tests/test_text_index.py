@@ -1,0 +1,205 @@
+"""Persisted lexical index (VERDICT r10 #2): build / serve / append /
+streaming — every serving path must be bit-identical to the corpus path,
+and incremental append must equal a full rebuild."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from vector_db_light_spark.operators.text_search import (
+    batch_bm25_topk,
+    batch_bm25_topk_from_index,
+    bm25_topk,
+    bm25_topk_from_index,
+    bm25_wand_topk,
+    bm25_wand_topk_from_index,
+    build_text_index_tables,
+)
+
+TERMS = ["spark", "data", "alpha"]
+
+
+@pytest.fixture()
+def docs(spark):
+    rows = [
+        (1, "spark data engine spark"),
+        (2, "data alpha beta gamma data data"),
+        (3, "spark alpha"),
+        (4, "unrelated words entirely"),
+        (5, "alpha alpha alpha spark data"),
+        (6, ""),
+        (7, "data spark data spark data"),
+    ]
+    return spark.createDataFrame(rows, "doc_id bigint, text string")
+
+
+def _persist(df_trio, spark, root):
+    postings, term_meta, stats = df_trio
+    postings.write.partitionBy("term_bucket").mode("overwrite").parquet(
+        f"{root}/postings"
+    )
+    term_meta.write.mode("overwrite").parquet(f"{root}/terms")
+    stats.write.mode("overwrite").parquet(f"{root}/stats")
+    return (
+        spark.read.parquet(f"{root}/postings"),
+        spark.read.parquet(f"{root}/terms"),
+        spark.read.parquet(f"{root}/stats"),
+    )
+
+
+def test_index_serving_equals_corpus_paths(spark, docs, tmp_path):
+    """bm25 / WAND / batched serving from the persisted artifact are all
+    bit-identical to their corpus-tokenizing twins."""
+    idx = _persist(build_text_index_tables(docs), spark, str(tmp_path))
+    for k in (2, 5, 50):
+        corpus = [r.asDict() for r in bm25_topk(docs, TERMS, k=k).collect()]
+        served = [
+            r.asDict()
+            for r in bm25_topk_from_index(*idx, TERMS, k=k).collect()
+        ]
+        assert served == corpus, k
+        wand = [
+            r.asDict()
+            for r in bm25_wand_topk_from_index(*idx, TERMS, k=k).collect()
+        ]
+        assert wand == corpus, k
+    qterms = spark.createDataFrame(
+        [("q1", "spark"), ("q1", "data"), ("q2", "alpha")],
+        "query_id string, term string",
+    )
+    batch_corpus = sorted(
+        map(tuple, batch_bm25_topk(docs, qterms, k=3).collect())
+    )
+    batch_idx = sorted(
+        map(tuple, batch_bm25_topk_from_index(*idx, qterms, k=3).collect())
+    )
+    assert batch_idx == batch_corpus
+
+
+def test_incremental_append_equals_rebuild(spark, docs, tmp_path):
+    """Append-then-merge == full rebuild for all three tables (the
+    term_meta merge is a commutative monoid; stats adds componentwise)."""
+    first = docs.filter(F.col("doc_id") <= 4)
+    second = docs.filter(F.col("doc_id") > 4)
+    p1, m1, s1 = build_text_index_tables(first)
+    p2, m2, s2 = build_text_index_tables(second)
+    merged_m = (
+        m1.unionByName(m2)
+        .groupBy("term")
+        .agg(
+            F.sum("df").cast("long").alias("df"),
+            F.max("tf_max").cast("long").alias("tf_max"),
+            F.min("dl_min").cast("long").alias("dl_min"),
+        )
+    )
+    merged_s = s1.unionByName(s2).agg(
+        F.sum("n_docs").cast("long").alias("n_docs"),
+        F.sum("sum_dl").cast("long").alias("sum_dl"),
+        F.sum("n_dl").cast("long").alias("n_dl"),
+    )
+    pf, mf, sf = build_text_index_tables(docs)
+    assert sorted(map(tuple, p1.unionByName(p2).collect())) == sorted(
+        map(tuple, pf.collect())
+    )
+    assert sorted(map(tuple, merged_m.collect())) == sorted(
+        map(tuple, mf.collect())
+    )
+    assert merged_s.collect() == sf.collect()
+
+
+def test_api_text_index_lifecycle(spark, tmp_path):
+    """api.build_text_index -> search_bm25 serves from the artifact with
+    identical rows; add_documents appends incrementally (== rebuild);
+    delete_documents rebuilds."""
+    from vector_db_light_spark.api import VectorDatabaseManager
+
+    src = tmp_path / "docs"
+    src.mkdir()
+    (src / "a.txt").write_text("spark query engine for big data " * 30)
+    (src / "b.txt").write_text("analytical database for fast query " * 30)
+    mgr = VectorDatabaseManager(spark, str(tmp_path / "dbs"))
+    mgr.create_database("kb", str(src), chunk_size=120, chunk_overlap=40)
+
+    before = [r.asDict() for r in mgr.search_bm25("kb", "query data").collect()]
+    mgr.build_text_index("kb")
+    assert mgr._has_text_index("kb")
+    served = [r.asDict() for r in mgr.search_bm25("kb", "query data").collect()]
+    assert served == before
+
+    # incremental ingest: append path == rebuild
+    more = tmp_path / "more"
+    more.mkdir()
+    (more / "c.txt").write_text("streaming data pipelines query spark " * 30)
+    assert mgr.add_documents("kb", str(more)) == 1
+    p, m, s = mgr._read_text_index("kb")
+    emb = spark.read.parquet(mgr._table("kb", "embeddings"))
+    pf, mf, sf = build_text_index_tables(
+        emb, id_col="chunk_id", text_col="chunk_text"
+    )
+    assert sorted(map(tuple, m.collect())) == sorted(map(tuple, mf.collect()))
+    assert s.collect() == sf.collect()
+    assert sorted(map(tuple, p.drop("term_bucket").collect())) == sorted(
+        map(tuple, pf.drop("term_bucket").collect())
+    )
+
+    # delete rebuilds; the served ranking matches a fresh corpus ranking
+    assert mgr.delete_documents("kb", ["b.txt"]) == 1
+    emb2 = spark.read.parquet(mgr._table("kb", "embeddings"))
+    fresh = [
+        r.asDict()
+        for r in bm25_topk(
+            emb2, ["query", "data"], k=4, id_col="chunk_id",
+            text_col="chunk_text",
+        ).collect()
+    ]
+    got = [
+        (r["chunk_id"], r["bm25"])
+        for r in mgr.search_bm25("kb", "query data", k=4).collect()
+    ]
+    assert got == [(r["chunk_id"], r["bm25"]) for r in fresh]
+
+
+def test_index_postings_scan_is_partition_pruned(spark, docs, tmp_path):
+    """The serving plan must carry the md5-bucket PartitionFilters — the
+    ~terms/256 pruned read is the artifact's whole point at scale."""
+    idx = _persist(build_text_index_tables(docs), spark, str(tmp_path))
+    plan = (
+        bm25_topk_from_index(*idx, TERMS, k=3)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "PartitionFilters: [term_bucket" in plan
+
+
+def test_stream_lexical_search_from_index(spark, docs, tmp_path):
+    """Streaming lexical serving from the artifact: answers bit-identical
+    to the corpus-backed stream and to single-query bm25_topk."""
+    from vector_db_light_spark.streaming.serving import stream_lexical_search
+
+    idx = _persist(build_text_index_tables(docs), spark, str(tmp_path / "ix"))
+    qdir = tmp_path / "queries"
+    qdir.mkdir()
+    spark.createDataFrame(
+        [("q1", "spark data"), ("q2", "alpha")],
+        "query_id string, terms string",
+    ).write.mode("append").parquet(str(qdir))
+    stream = spark.readStream.schema("query_id string, terms string").parquet(
+        str(qdir)
+    )
+    out = str(tmp_path / "out")
+    stream_lexical_search(
+        stream, docs, out, str(tmp_path / "ckpt"), k=3, index=idx
+    ).awaitTermination(180)
+    got = {}
+    for r in spark.read.parquet(out).collect():
+        got.setdefault(r["query_id"], []).append(
+            (r["rk"], r["doc_id"], r["bm25"])
+        )
+    single = [
+        (i + 1, r["doc_id"], r["bm25"])
+        for i, r in enumerate(bm25_topk(docs, ["spark", "data"], k=3).collect())
+    ]
+    assert sorted(got["q1"]) == single
+    assert len(got["q2"]) == 3

@@ -261,6 +261,8 @@ class VectorDatabaseManager:
             self._refresh_ivf_partitions(name, emb_table, dim)
         if os.path.exists(self._table(name, "pq_codebooks.json")):
             self._append_pq_codes(name, emb_table)
+        if self._has_text_index(name):
+            self._append_text_index(name, emb_table)
         fresh.write.mode("append").parquet(self._table(name, "documents"))
         emb_table.unpersist()
         fresh.unpersist()
@@ -376,6 +378,15 @@ class VectorDatabaseManager:
             os.rename(pq_path, pq_path + ".old")
             os.rename(pq_path + ".tmp", pq_path)
             shutil.rmtree(pq_path + ".old")
+        if self._has_text_index(name):
+            # Deletions don't merge: df decrements compose, but tf_max /
+            # dl_min are not invertible aggregates. The bounded-delta
+            # alternative (recompute meta only for the deleted docs'
+            # terms from the post-delete postings, partition-pruned by
+            # their buckets) is the 100 TB path; at this table's scale
+            # the straight rebuild from the post-delete corpus is
+            # simpler and always correct.
+            self.build_text_index(name)
         doomed.unpersist()
         return n_del
 
@@ -690,6 +701,87 @@ class VectorDatabaseManager:
             .limit(k)
         )
 
+    # -- lexical index: build / append / serve -------------------------------
+    def build_text_index(self, name: str) -> None:
+        """Persist the lexical index artifact trio (VERDICT r10 #2 — the
+        lexical twin of :meth:`build_ivf_index`): ``text_index`` (the
+        postings of operators/text_search.term_frequencies, parquet-
+        partitioned by the 256-way md5-prefix ``term_bucket`` so a query
+        is a partition-pruned scan), ``text_index_terms`` (per-term df +
+        WAND's (tf_max, dl_min) upper-bound inputs), and
+        ``text_index_stats`` (one row of monoid components n_docs/sum_dl/
+        n_dl). After this, :meth:`search_bm25` and the streaming lexical
+        server never re-tokenize the corpus."""
+        from .operators.text_search import build_text_index_tables
+
+        if self.registry.get(name) is None:
+            raise ValueError(f"unknown database {name!r}")
+        emb = self.spark.read.parquet(self._table(name, "embeddings"))
+        postings, term_meta, stats = build_text_index_tables(
+            emb, id_col="chunk_id", text_col="chunk_text"
+        )
+        postings.write.partitionBy("term_bucket").mode("overwrite").parquet(
+            self._table(name, "text_index")
+        )
+        term_meta.write.mode("overwrite").parquet(
+            self._table(name, "text_index_terms")
+        )
+        stats.write.mode("overwrite").parquet(
+            self._table(name, "text_index_stats")
+        )
+
+    def _has_text_index(self, name: str) -> bool:
+        return os.path.isdir(self._table(name, "text_index"))
+
+    def _read_text_index(self, name: str):
+        return (
+            self.spark.read.parquet(self._table(name, "text_index")),
+            self.spark.read.parquet(self._table(name, "text_index_terms")),
+            self.spark.read.parquet(self._table(name, "text_index_stats")),
+        )
+
+    def _append_text_index(self, name: str, new_rows) -> None:
+        """Incremental index maintenance on ingest: the NEW chunks'
+        postings append to their term_bucket partitions; term_meta merges
+        by the (sum df, max tf_max, min dl_min) monoid; stats adds
+        componentwise — append-then-merge == rebuild bit-for-bit (the
+        merge is commutative/associative; pinned by test_text_index).
+        Both merged sidecars are localCheckpoint'ed BEFORE overwriting the
+        path their plan reads (CLAUDE.md recache-by-path rule)."""
+        from .operators.text_search import build_text_index_tables
+
+        postings, term_meta, stats = build_text_index_tables(
+            new_rows, id_col="chunk_id", text_col="chunk_text"
+        )
+        postings.write.partitionBy("term_bucket").mode("append").parquet(
+            self._table(name, "text_index")
+        )
+        terms_path = self._table(name, "text_index_terms")
+        merged_terms = (
+            self.spark.read.parquet(terms_path)
+            .unionByName(term_meta)
+            .groupBy("term")
+            .agg(
+                F.sum("df").cast("long").alias("df"),
+                F.max("tf_max").cast("long").alias("tf_max"),
+                F.min("dl_min").cast("long").alias("dl_min"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        merged_terms.write.mode("overwrite").parquet(terms_path)
+        stats_path = self._table(name, "text_index_stats")
+        merged_stats = (
+            self.spark.read.parquet(stats_path)
+            .unionByName(stats)
+            .agg(
+                F.sum("n_docs").cast("long").alias("n_docs"),
+                F.sum("sum_dl").cast("long").alias("sum_dl"),
+                F.sum("n_dl").cast("long").alias("n_dl"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        merged_stats.write.mode("overwrite").parquet(stats_path)
+
     # -- maintenance: compaction / clustering rewrite ------------------------
     def optimize_table(
         self,
@@ -803,16 +895,24 @@ class VectorDatabaseManager:
     ) -> DataFrame:
         """Lexical BM25 ranking over the chunk table (beyond-reference: the
         keyword complement to vector search). Query terms are the
-        whitespace tokens of ``query``."""
-        from .operators.text_search import bm25_topk
+        whitespace tokens of ``query``. When :meth:`build_text_index` has
+        run, the ranking is served from the persisted index (partition-
+        pruned postings read + sidecar stats — no corpus tokenize);
+        results are bit-identical either way (pinned by test_text_index)."""
+        from .operators.text_search import bm25_topk, bm25_topk_from_index
 
         if self.registry.get(name) is None:
             raise ValueError(f"unknown database {name!r}")
         emb = self.spark.read.parquet(self._table(name, "embeddings"))
         terms = [t for t in query.lower().split() if t]
-        ranked = bm25_topk(
-            emb, terms, k=k, id_col="chunk_id", text_col="chunk_text"
-        )
+        if self._has_text_index(name):
+            ranked = bm25_topk_from_index(
+                *self._read_text_index(name), terms, k=k, id_col="chunk_id"
+            )
+        else:
+            ranked = bm25_topk(
+                emb, terms, k=k, id_col="chunk_id", text_col="chunk_text"
+            )
         return (
             emb.select("chunk_id", "doc_id", "chunk_text", "file_name")
             .join(F.broadcast(ranked), "chunk_id")

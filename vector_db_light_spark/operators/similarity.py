@@ -1133,3 +1133,87 @@ def matryoshka_prefix_topk(
         .filter(F.col("rk") <= k)
         .select(query_id_col, id_col)
     )
+
+
+def knn_graph(
+    corpus: DataFrame,
+    planes: list[list[float]],
+    k: int = 5,
+    id_col: str = "vec_id",
+    vector_col: str = "embedding",
+    probe_hamming: int = 0,
+) -> DataFrame:
+    """Blocked k-NN GRAPH construction (round 11, VERDICT r10 #6): per
+    node, its k nearest neighbors among nodes sharing its LSH sign bucket
+    — the SemDeDup/graph-ANN precursor table. Returns
+    (src, dst, rk, distance) with rk 1..k per src by (distance asc,
+    dst asc), distance = 1 - cosine (left-to-right double fold, oracle
+    bit-parity).
+
+    Blocking = hyperplane sign bucket (embedding_near_dup_lsh's key):
+    candidate volume is Σ|bucket|² not |corpus|², and at cluster scale the
+    bucket becomes a partition column so each block's self-join is
+    partition-local with zero cross-partition shuffle. The per-node top-k
+    is the WindowGroupLimit shape (rank pushed into the shuffle), so
+    nothing materializes the full within-block pair list beyond the
+    running k per node. Nodes isolated in their bucket yield no rows —
+    recall vs the exact graph is measured by the knn_graph_recall query.
+
+    ``probe_hamming=1`` turns on MULTI-PROBE (Lv et al. 2007's idea in
+    sign-LSH form): each node additionally probes every bucket at Hamming
+    distance 1 from its own (flip one sign bit), so boundary pairs split
+    by a single hyperplane are recovered. The src side explodes to
+    1+len(planes) probe keys; each dst still lives in exactly ONE bucket,
+    so no candidate pair is generated twice (no dedup pass needed).
+    Candidate volume multiplies by ~(1+planes) — the measured recall
+    lift is knn_graph_recall's probed columns."""
+    # planes=[] -> one global block: the EXACT graph (the truth side of
+    # knn_graph_recall) through the identical code path
+    bucket = (
+        lsh_bucket_expr(vector_col, planes) if planes else F.lit("")
+    )
+    bucketed = corpus.select(
+        F.col(id_col),
+        F.col(vector_col),
+        bucket.alias("_bucket"),
+    )
+    a = bucketed.select(
+        F.col(id_col).alias("src"),
+        F.col(vector_col).alias("_emb_a"),
+        "_bucket",
+    )
+    if probe_hamming >= 1 and planes:
+        flips = [
+            F.concat(
+                F.substring("_bucket", 1, i),
+                F.when(
+                    F.substring("_bucket", i + 1, 1) == "1", "0"
+                ).otherwise("1"),
+                F.substring("_bucket", i + 2, len(planes) - i - 1),
+            )
+            for i in range(len(planes))
+        ]
+        a = a.select(
+            "src",
+            "_emb_a",
+            F.explode(F.array(F.col("_bucket"), *flips)).alias("_bucket"),
+        )
+    b = bucketed.select(
+        F.col(id_col).alias("dst"),
+        F.col(vector_col).alias("_emb_b"),
+        "_bucket",
+    )
+    dist = F.lit(1.0) - V.dot(
+        F.col("_emb_a"), F.col("_emb_b").cast("array<double>")
+    )
+    pairs = (
+        a.join(b, "_bucket")
+        .filter(F.col("src") != F.col("dst"))
+        .select("src", "dst", dist.alias("distance"))
+    )
+    w = Window.partitionBy("src").orderBy(
+        F.col("distance").asc(), F.col("dst").asc()
+    )
+    return pairs.withColumn("rk", F.row_number().over(w)).filter(
+        F.col("rk") <= k
+    ).select("src", "dst", "rk", "distance")

@@ -376,10 +376,16 @@ def bm25_wand_topk(
     k: int = 10,
     id_col: str = "doc_id",
     text_col: str = "text",
+    block_size: int | None = None,
 ) -> DataFrame:
     """Top-k BM25 with max-score/WAND upper-bound pruning — result-equal to
     ``bm25_topk`` (same terms, same 6-decimal rounding, same tie-break) but
     only a θ-pruned candidate subset is ever exactly scored.
+    ``block_size`` switches the upper bounds to BLOCK-MAX (per-(term,
+    id-div-block) maxima, _wand_parts_from docstring) — still lossless for
+    any block size; tightness requires blocks smaller than the heavy-doc
+    spacing (measured: 5.7x fewer exactly-scored docs on the skewed
+    corpus at block 8, no change at 64).
 
     Index-time metadata (stored WITH the postings at cluster scale, like
     block-max WAND's per-block maxima): per-term ``(df, tf_max, dl_min)``
@@ -416,7 +422,10 @@ def bm25_wand_topk(
     converts the semi-join to broadcast at runtime if the static hint is
     ever wrong)."""
     terms = [t.lower() for t in query_terms]
-    parts = _wand_parts(docs, terms, k, id_col, text_col)
+    blk = (
+        F.expr(f"{id_col} div {int(block_size)}") if block_size else None
+    )
+    parts = _wand_parts(docs, terms, k, id_col, text_col, block_expr=blk)
     scored = _bm25_exact_scores(
         parts["postings"].join(
             F.broadcast(parts["survivors"]), id_col, "left_semi"
@@ -443,7 +452,7 @@ def _bm25_exact_scores(postings, term_meta, stats, id_col):
     )
 
 
-def _wand_parts(docs, terms, k, id_col, text_col):
+def _wand_parts(docs, terms, k, id_col, text_col, block_expr=None):
     """Shared WAND dataflow pieces (also consumed by wand_pruning_stats).
 
     ``postings`` (query-term rows) and ``stats`` (1 row) are each consumed
@@ -475,14 +484,57 @@ def _wand_parts(docs, terms, k, id_col, text_col):
         )
         .localCheckpoint(eager=True)
     )
-    ub_per_term = term_meta.crossJoin(F.broadcast(stats)).select(
-        "term",
-        _bm25_sc(
-            F.col("tf_max"), F.col("dl_min"), F.col("df"), F.col("_n"), F.col("_avgdl")
-        ).alias("_ub"),
+    return _wand_parts_from(
+        postings, term_meta, stats, k, id_col, block_expr=block_expr
+    )
+
+
+def _wand_parts_from(postings, term_meta, stats, k, id_col, block_expr=None):
+    """WAND dataflow from prebuilt (postings, term_meta, stats) — the
+    index-backed entry point: when the three tables come from a persisted
+    text index (:func:`build_text_index_tables`), no corpus tokenize runs
+    at query time at all. ``postings`` must already be filtered to the
+    query's terms; ``term_meta`` per-term (df, tf_max, dl_min) over those
+    terms (the index stores exactly this — query-filtering a global meta
+    table yields the same rows the corpus path computes); ``stats`` one
+    row (_n, _avgdl).
+
+    ``block_expr`` (BLOCK-MAX WAND, round 11): when given, upper bounds
+    use per-(term, block) maxima — ``max(tf)`` / ``min(dl)`` within each
+    doc block — instead of the term-global pair. Still a valid upper
+    bound per posting (every posting's (tf, dl) is dominated by its own
+    block's extrema), so the prune stays lossless for ANY block
+    assignment; tightness is what the assignment buys. Measured on the
+    short-heavy/long-tail skewed corpus at sf0.1: 3180 exactly-scored
+    docs term-level -> 558 with doc_id-div-8 blocks (5.7x), while blocks
+    of 64 prune NOTHING there because every 64-wide block contains one of
+    the every-50th heavy docs and inherits its extrema — block size must
+    undercut the heavy-doc spacing, the classic BM-WAND sizing rule. At
+    cluster scale the (term, block) table is the block-meta sidecar of
+    the persisted index (one row per posting block, built once)."""
+    if block_expr is None:
+        ub_meta = term_meta.select(
+            "term", F.lit(0).alias("_blk"), "tf_max", "dl_min"
+        )
+        p_blk = postings.withColumn("_blk", F.lit(0))
+    else:
+        p_blk = postings.withColumn("_blk", block_expr)
+        ub_meta = p_blk.groupBy("term", "_blk").agg(
+            F.max("tf").alias("tf_max"), F.min("dl").alias("dl_min")
+        )
+    ub_per_term = (
+        ub_meta.join(F.broadcast(term_meta.select("term", "df")), "term")
+        .crossJoin(F.broadcast(stats))
+        .select(
+            "term",
+            "_blk",
+            _bm25_sc(
+                F.col("tf_max"), F.col("dl_min"), F.col("df"), F.col("_n"), F.col("_avgdl")
+            ).alias("_ub"),
+        )
     )
     doc_ub = (
-        postings.join(F.broadcast(ub_per_term), "term")
+        p_blk.join(F.broadcast(ub_per_term), ["term", "_blk"])
         .groupBy(id_col)
         .agg(F.sum("_ub").alias("_doc_ub"))
         .localCheckpoint(eager=True)
@@ -527,6 +579,7 @@ def wand_pruning_stats(
     k: int = 10,
     id_col: str = "doc_id",
     text_col: str = "text",
+    block_size: int | None = None,
 ) -> DataFrame:
     """1-row measurement of the WAND prune: total query-term postings vs
     postings that actually reach the exact scorer. The exactly-scored set
@@ -534,9 +587,12 @@ def wand_pruning_stats(
     is then pruned by θ) and the θ-survivors — counting only survivors
     would under-report the work the operator really does (ADVICE r10).
     tests/test_text_search assert scored < total; SCALE.md records the
-    sf0.1 reduction."""
+    sf0.1 reduction. ``block_size`` measures the BLOCK-MAX variant."""
     terms = [t.lower() for t in query_terms]
-    parts = _wand_parts(docs, terms, k, id_col, text_col)
+    blk = (
+        F.expr(f"{id_col} div {int(block_size)}") if block_size else None
+    )
+    parts = _wand_parts(docs, terms, k, id_col, text_col, block_expr=blk)
     postings = parts["postings"]
     scored_ids = (
         parts["seed_pool"]
@@ -588,6 +644,182 @@ def batch_bm25_topk(
         postings.join(F.broadcast(df_per_term), "term")
         .join(F.broadcast(terms), "term")
         .crossJoin(F.broadcast(stats))
+        .select(
+            F.col(query_id_col),
+            F.col(id_col),
+            _bm25_sc(
+                F.col("tf"), F.col("dl"), F.col("df"), F.col("_n"), F.col("_avgdl")
+            ).alias("_s"),
+        )
+        .groupBy(query_id_col, id_col)
+        .agg(F.round(F.sum("_s"), 6).alias("bm25"))
+    )
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col("bm25").desc(), F.col(id_col).asc()
+    )
+    return scored.withColumn("rk", F.row_number().over(w)).filter(
+        F.col("rk") <= k
+    )
+
+
+# ---------------------------------------------------------------------------
+# Persisted lexical index (VERDICT r10 #2): the lexical twin of
+# api.build_ivf_index. Three tables, together the whole serving state —
+# nothing at query time re-touches the corpus:
+#
+#   * postings  — term_frequencies(docs) + a ``term_bucket`` partition key
+#     (first 2 hex chars of md5(term): 256 parquet partitions). A query
+#     computes its terms' buckets DRIVER-SIDE and filters on the partition
+#     column, so the scan is partition-pruned to ~terms/256 of the index.
+#   * term_meta — per-term (df, tf_max, dl_min): df for idf, the
+#     (tf_max, dl_min) pair is exactly WAND's upper-bound input.
+#   * stats     — ONE row of MONOID components (n_docs, sum_dl, n_dl)
+#     rather than the derived avgdl, so an incremental append merges
+#     exactly: n' = n + n_new componentwise, and avgdl = sum_dl / n_dl is
+#     re-derived at read (same IEEE division both paths — bit-identical
+#     to the corpus path's avg(dl), which Spark also computes as exact
+#     long sum / count).
+#
+# Incremental append contract (api.append rebuild-free path): postings of
+# the NEW docs append to their partitions; term_meta merges by
+# (sum df, max tf_max, min dl_min) — a commutative monoid, so
+# append-then-merge == full rebuild bit-for-bit (pinned by
+# test_text_index); stats adds componentwise. Deletions are NOT
+# monoid-mergeable (max/min don't invert), so api.delete_documents
+# rebuilds — the bounded-delta alternative (recompute meta only for the
+# deleted docs' terms) is documented there.
+# ---------------------------------------------------------------------------
+
+
+def term_bucket_expr(term_col) -> "F.Column":
+    """Partition key of the persisted postings: md5-prefix bucket (256)."""
+    return F.substring(F.md5(term_col), 1, 2)
+
+
+def term_bucket_py(term: str) -> str:
+    """Driver-side twin of :func:`term_bucket_expr` for pruning literals."""
+    import hashlib
+
+    return hashlib.md5(term.encode()).hexdigest()[:2]
+
+
+def build_text_index_tables(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+):
+    """(postings, term_meta, stats) — the three persistable index tables.
+    One tokenize pass; term_meta/stats are dictionary- and 1-row-scale."""
+    tfs = term_frequencies(docs, id_col=id_col, text_col=text_col)
+    postings = tfs.withColumn("term_bucket", term_bucket_expr(F.col("term")))
+    term_meta = tfs.groupBy("term").agg(
+        F.count(F.lit(1)).cast("long").alias("df"),
+        F.max("tf").cast("long").alias("tf_max"),
+        F.min("dl").cast("long").alias("dl_min"),
+    )
+    stats = docs.select(F.count(F.lit(1)).cast("long").alias("n_docs")).crossJoin(
+        tfs.select(id_col, "dl")
+        .distinct()
+        .agg(
+            F.sum("dl").cast("long").alias("sum_dl"),
+            F.count(F.lit(1)).cast("long").alias("n_dl"),
+        )
+    )
+    return postings, term_meta, stats
+
+
+def _index_stats_view(stats: DataFrame) -> DataFrame:
+    """Scoring-shape (_n, _avgdl) view of the monoid stats row."""
+    return stats.select(
+        F.col("n_docs").alias("_n"),
+        (F.col("sum_dl") / F.col("n_dl")).alias("_avgdl"),
+    )
+
+
+def _index_postings_for(postings: DataFrame, terms: list[str]) -> DataFrame:
+    """Query-term postings with the partition-pruning bucket filter first
+    (driver-computed literals -> PartitionFilters in the parquet scan)."""
+    buckets = sorted({term_bucket_py(t) for t in terms})
+    return postings.filter(
+        F.col("term_bucket").isin(buckets) & F.col("term").isin(terms)
+    )
+
+
+def bm25_topk_from_index(
+    postings: DataFrame,
+    term_meta: DataFrame,
+    stats: DataFrame,
+    query_terms: list[str],
+    k: int = 10,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """BM25 top-k served from the persisted index: bit-identical rows to
+    :func:`bm25_topk` on the indexed corpus (pinned by test_text_index),
+    but the query plan reads ~terms/256 of the postings and never touches
+    the corpus text."""
+    terms = [t.lower() for t in query_terms]
+    p = _index_postings_for(postings, terms)
+    scored = _bm25_exact_scores(
+        p, term_meta.filter(F.col("term").isin(terms)), _index_stats_view(stats), id_col
+    )
+    return scored.orderBy(F.col("bm25").desc(), F.col(id_col).asc()).limit(k)
+
+
+def bm25_wand_topk_from_index(
+    postings: DataFrame,
+    term_meta: DataFrame,
+    stats: DataFrame,
+    query_terms: list[str],
+    k: int = 10,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """WAND-pruned BM25 from the persisted index — the sidecar's
+    (df, tf_max, dl_min) feed the upper bounds directly, so the θ pass
+    costs only the seed pool's postings."""
+    terms = [t.lower() for t in query_terms]
+    p = _index_postings_for(postings, terms).localCheckpoint(eager=True)
+    meta = term_meta.filter(F.col("term").isin(terms)).localCheckpoint(
+        eager=True
+    )
+    st = _index_stats_view(stats).localCheckpoint(eager=True)
+    parts = _wand_parts_from(p, meta, st, k, id_col)
+    scored = _bm25_exact_scores(
+        parts["postings"].join(
+            F.broadcast(parts["survivors"]), id_col, "left_semi"
+        ),
+        parts["term_meta"],
+        parts["stats"],
+        id_col,
+    )
+    return scored.orderBy(F.col("bm25").desc(), F.col(id_col).asc()).limit(k)
+
+
+def batch_bm25_topk_from_index(
+    postings: DataFrame,
+    term_meta: DataFrame,
+    stats: DataFrame,
+    query_terms: DataFrame,
+    k: int = 10,
+    id_col: str = "doc_id",
+    query_id_col: str = "query_id",
+    term_col: str = "term",
+) -> DataFrame:
+    """Index-backed twin of :func:`batch_bm25_topk` (streaming lexical
+    serving): the batch's union-of-terms semi-join carries the bucket key
+    too, so dynamic partition pruning can restrict the postings scan to
+    the batch's buckets; df comes from the sidecar, not a postings
+    re-count. Per query bit-identical to ``bm25_topk`` on the indexed
+    corpus."""
+    terms = query_terms.select(
+        F.col(query_id_col), F.lower(F.col(term_col)).alias("term")
+    ).withColumn("term_bucket", term_bucket_expr(F.col("term")))
+    p = postings.join(
+        F.broadcast(terms.select("term_bucket", "term").distinct()),
+        ["term_bucket", "term"],
+        "left_semi",
+    )
+    scored = (
+        p.join(F.broadcast(term_meta.select("term", "df")), "term")
+        .join(F.broadcast(terms.select(query_id_col, "term")), "term")
+        .crossJoin(F.broadcast(_index_stats_view(stats)))
         .select(
             F.col(query_id_col),
             F.col(id_col),

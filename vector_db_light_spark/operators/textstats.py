@@ -515,3 +515,109 @@ def kn_fluency_scores(
         F.count(F.lit(1)).cast("long").alias("n_bigrams"),
         F.expr("sum(p_u6) div count(*)").cast("long").alias("fluency_u6"),
     )
+
+
+def trigram_structs(toks: Column) -> Column:
+    """Adjacent (w1, w2, w3) struct array from a materialized token-array
+    column (the :func:`bigram_structs` construction, one order up)."""
+    return F.transform(
+        F.slice(toks, 1, F.size(toks) - 2),
+        lambda t, i: F.struct(
+            t.alias("w1"),
+            F.element_at(toks, i + 2).alias("w2"),
+            F.element_at(toks, i + 3).alias("w3"),
+        ),
+    )
+
+
+# Trigram interpolated KN (round 11, VERDICT r10 #7): one more backoff
+# level on top of _KN_P_U6_SQL — the trigram term discounts regular
+# trigram counts by the exact rational 3/4 and interpolates into the
+# WHOLE bigram score (which itself interpolates into the KN continuation
+# unigram), so the recursion is the textbook interpolated-KN chain with
+# regular counts at the two upper levels and continuation counts at the
+# unigram (the all-BIGINT-expressible variant; continuation counts at the
+# middle level would add one more dictionary table but no new machinery).
+# Unseen (w1,w2) history -> full backoff to the bigram score.
+_KN3_P_U6_SQL = f"""
+CASE WHEN c_w12 IS NOT NULL
+     THEN (greatest(4 * coalesce(c_abc, CAST(0 AS BIGINT)) - 3,
+                    CAST(0 AS BIGINT)) * 1000000) div (4 * c_w12)
+     ELSE CAST(0 AS BIGINT) END
++ ((CASE WHEN c_w12 IS NOT NULL
+        THEN (3 * n_fanout12 * 1000000) div (4 * c_w12)
+        ELSE CAST(1000000 AS BIGINT) END)
+   * ({_KN_P_U6_SQL}))
+  div 1000000
+"""
+
+
+def kn_trigram_fluency_scores(
+    variants: DataFrame,
+    train_variant: str = "orig",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-(doc, variant) TRIGRAM interpolated-KN fluency — the
+    :func:`kn_fluency_scores` chain lifted one order (VERDICT r10 #7):
+
+        p3_u6 = (max(4*c(w1w2w3) - 3, 0) * 1e6) div (4*c(w1w2))   # seen
+                + lambda12_u6 * p2_u6 div 1e6
+        lambda12_u6 = (3 * fanout(w1w2) * 1e6) div (4*c(w1w2))
+        (unseen (w1,w2): full backoff, lambda12_u6 = 1e6, first term 0)
+
+    with p2_u6 exactly the bigram formula on (w2, w3). All state BIGINT
+    micro-units, so scores are bit-identical across engines and
+    partitionings; the count tables (trigram, (w1,w2) history, bigram,
+    w-marginals) are one more groupBy level each and stay dictionary-
+    scale broadcast joins (persisted LM artifact at 100 TB). One
+    corpus-sized trigram shuffle, same shape as the bigram scorer."""
+    tg = (
+        variants.select(
+            F.col(id_col),
+            "variant",
+            F.explode(trigram_structs(F.col("toks"))).alias("t"),
+        )
+        .select(id_col, "variant", "t.w1", "t.w2", "t.w3")
+        .localCheckpoint(eager=True)
+    )
+    c3 = (
+        tg.filter(F.col("variant") == train_variant)
+        .groupBy("w1", "w2", "w3")
+        .agg(F.count(F.lit(1)).cast("long").alias("c_abc"))
+        .localCheckpoint(eager=True)
+    )
+    c12 = c3.groupBy("w1", "w2").agg(
+        F.sum("c_abc").cast("long").alias("c_w12"),
+        F.count(F.lit(1)).cast("long").alias("n_fanout12"),
+    )
+    # bigram model tables over (w2, w3) — trained on the SAME corpus; the
+    # column aliases (c_ab, c_w1, n_fanout, n_cont, n_types) are exactly
+    # what _KN_P_U6_SQL references, with w1:=w2, w2:=w3
+    cb = (
+        c3.groupBy("w2", "w3")
+        .agg(F.sum("c_abc").cast("long").alias("c_ab"))
+        .localCheckpoint(eager=True)
+    )
+    w1s = cb.groupBy("w2").agg(
+        F.sum("c_ab").cast("long").alias("c_w1"),
+        F.count(F.lit(1)).cast("long").alias("n_fanout"),
+    )
+    w2s = cb.groupBy("w3").agg(F.count(F.lit(1)).cast("long").alias("n_cont"))
+    nt = cb.agg(F.count(F.lit(1)).cast("long").alias("n_types"))
+    scored = (
+        tg.join(F.broadcast(c3), ["w1", "w2", "w3"], "left")
+        .join(F.broadcast(c12), ["w1", "w2"], "left")
+        .join(F.broadcast(cb), ["w2", "w3"], "left")
+        .join(F.broadcast(w1s), "w2", "left")
+        .join(F.broadcast(w2s), "w3", "left")
+        .crossJoin(F.broadcast(nt))
+        .select(
+            F.col(id_col),
+            "variant",
+            F.expr(_KN3_P_U6_SQL).cast("long").alias("p_u6"),
+        )
+    )
+    return scored.groupBy(id_col, "variant").agg(
+        F.count(F.lit(1)).cast("long").alias("n_trigrams"),
+        F.expr("sum(p_u6) div count(*)").cast("long").alias("fluency_u6"),
+    )

