@@ -245,6 +245,20 @@ def _load_baseline(sf: float) -> tuple[dict[str, float], float | None]:
         data = data.get("parsed", data)  # driver records wrap the JSON line
         if float(data.get("sf", -1)) != sf:
             continue
+        # Long-horizon anchor gate (VERDICT r10 #5): a baseline re-record
+        # resets the per-round 2x bar, so the recorded artifact carries its
+        # own drift ratio against the ORIGINAL v1 baseline's common query
+        # subset — and bench REFUSES to compare against a baseline that has
+        # silently absorbed >=1.5x cumulative drift.
+        anchor = data.get("v1_anchor")
+        if anchor and float(anchor.get("ratio", 0.0)) >= 1.5:
+            print(
+                f"BASELINE-DRIFT: {fname} v1-anchor ratio "
+                f"{anchor['ratio']}x >= 1.5x — the baseline has absorbed "
+                "cumulative drift; investigate before re-recording",
+                file=sys.stderr,
+            )
+            raise SystemExit(1)
         queries = {k: float(v) for k, v in data.get("queries", {}).items()}
         canary = data.get("canary_sec")
         return queries, (float(canary) if canary else None)

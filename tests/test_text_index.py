@@ -14,6 +14,7 @@ from vector_db_light_spark.operators.text_search import (
     bm25_topk_from_index,
     bm25_wand_topk,
     bm25_wand_topk_from_index,
+    build_text_block_meta,
     build_text_index_tables,
 )
 
@@ -64,6 +65,15 @@ def test_index_serving_equals_corpus_paths(spark, docs, tmp_path):
             for r in bm25_wand_topk_from_index(*idx, TERMS, k=k).collect()
         ]
         assert wand == corpus, k
+        # persisted BLOCK-MAX sidecar: still lossless
+        blocks = build_text_block_meta(idx[0], block_size=2)
+        bmx = [
+            r.asDict()
+            for r in bm25_wand_topk_from_index(
+                *idx, TERMS, k=k, block_meta=blocks
+            ).collect()
+        ]
+        assert bmx == corpus, k
     qterms = spark.createDataFrame(
         [("q1", "spark"), ("q1", "data"), ("q2", "alpha")],
         "query_id string, term string",
@@ -106,6 +116,20 @@ def test_incremental_append_equals_rebuild(spark, docs, tmp_path):
         map(tuple, mf.collect())
     )
     assert merged_s.collect() == sf.collect()
+    # block sidecar merges by the (max, min) monoid per (term, block)
+    merged_b = (
+        build_text_block_meta(p1, block_size=2)
+        .unionByName(build_text_block_meta(p2, block_size=2))
+        .groupBy("term", "term_bucket", "_blk")
+        .agg(
+            F.max("tf_max").alias("tf_max"),
+            F.min("dl_min").alias("dl_min"),
+            F.max("block_size").alias("block_size"),
+        )
+    )
+    assert sorted(map(tuple, merged_b.collect())) == sorted(
+        map(tuple, build_text_block_meta(pf, block_size=2).collect())
+    )
 
 
 def test_api_text_index_lifecycle(spark, tmp_path):
@@ -126,6 +150,11 @@ def test_api_text_index_lifecycle(spark, tmp_path):
     assert mgr._has_text_index("kb")
     served = [r.asDict() for r in mgr.search_bm25("kb", "query data").collect()]
     assert served == before
+    pruned = [
+        r.asDict()
+        for r in mgr.search_bm25("kb", "query data", prune=True).collect()
+    ]
+    assert pruned == before  # WAND + block sidecar is lossless
 
     # incremental ingest: append path == rebuild
     more = tmp_path / "more"

@@ -63,6 +63,32 @@ def main() -> int:
         for q in names
     }
     canary = round(statistics.median([r["canary_sec"] for r in runs]), 3)
+    # Long-horizon anchor (VERDICT r10 #5): every re-record states its
+    # drift against the ORIGINAL v1 baseline on the common query subset —
+    # re-records reset the per-round 2x bar by design, so without this
+    # ratio a slow cumulative slowdown could hide behind successive
+    # re-records. bench.py refuses a baseline whose anchor ratio >= 1.5.
+    anchor = None
+    v1_path = os.path.join(HERE, "BENCH_BASELINE_v1.json")
+    try:
+        with open(v1_path) as f:
+            v1 = json.load(f)
+        common = sorted(set(v1["queries"]) & set(queries))
+        if common:
+            anchor = {
+                "n_queries": len(common),
+                "v1_total": round(sum(v1["queries"][q] for q in common), 3),
+                "total": round(sum(queries[q] for q in common), 3),
+            }
+            anchor["ratio"] = round(anchor["total"] / anchor["v1_total"], 3)
+            print(
+                f"record_baseline: v1-anchor common-{len(common)} subset "
+                f"{anchor['total']}s vs v1 {anchor['v1_total']}s = "
+                f"{anchor['ratio']}x (bench.py gate: < 1.5x)",
+                flush=True,
+            )
+    except (OSError, ValueError, KeyError):
+        print("record_baseline: no v1 anchor available", flush=True)
     out = {
         "metric": (
             f"per-query medians across {n} fresh-process invocations of the "
@@ -81,6 +107,8 @@ def main() -> int:
         "canary_sec": canary,
         "sf": runs[0]["sf"],
     }
+    if anchor is not None:
+        out["v1_anchor"] = anchor
     dst = os.path.join(HERE, "BENCH_BASELINE.json")
     v2 = os.path.join(HERE, "BENCH_BASELINE_v2.json")
     if os.path.exists(dst) and not os.path.exists(v2):

@@ -710,9 +710,14 @@ class VectorDatabaseManager:
         is a partition-pruned scan), ``text_index_terms`` (per-term df +
         WAND's (tf_max, dl_min) upper-bound inputs), and
         ``text_index_stats`` (one row of monoid components n_docs/sum_dl/
-        n_dl). After this, :meth:`search_bm25` and the streaming lexical
-        server never re-tokenize the corpus."""
-        from .operators.text_search import build_text_index_tables
+        n_dl), and ``text_index_blocks`` (the BLOCK-MAX per-(term,
+        id-block) extrema sidecar — WAND serving reads its bounds from
+        the artifact). After this, :meth:`search_bm25` and the streaming
+        lexical server never re-tokenize the corpus."""
+        from .operators.text_search import (
+            build_text_block_meta,
+            build_text_index_tables,
+        )
 
         if self.registry.get(name) is None:
             raise ValueError(f"unknown database {name!r}")
@@ -720,6 +725,7 @@ class VectorDatabaseManager:
         postings, term_meta, stats = build_text_index_tables(
             emb, id_col="chunk_id", text_col="chunk_text"
         )
+        postings = postings.localCheckpoint(eager=True)  # feeds block meta too
         postings.write.partitionBy("term_bucket").mode("overwrite").parquet(
             self._table(name, "text_index")
         )
@@ -729,6 +735,9 @@ class VectorDatabaseManager:
         stats.write.mode("overwrite").parquet(
             self._table(name, "text_index_stats")
         )
+        build_text_block_meta(postings, id_col="chunk_id").write.partitionBy(
+            "term_bucket"
+        ).mode("overwrite").parquet(self._table(name, "text_index_blocks"))
 
     def _has_text_index(self, name: str) -> bool:
         return os.path.isdir(self._table(name, "text_index"))
@@ -748,14 +757,34 @@ class VectorDatabaseManager:
         merge is commutative/associative; pinned by test_text_index).
         Both merged sidecars are localCheckpoint'ed BEFORE overwriting the
         path their plan reads (CLAUDE.md recache-by-path rule)."""
-        from .operators.text_search import build_text_index_tables
+        from .operators.text_search import (
+            build_text_block_meta,
+            build_text_index_tables,
+        )
 
         postings, term_meta, stats = build_text_index_tables(
             new_rows, id_col="chunk_id", text_col="chunk_text"
         )
+        postings = postings.localCheckpoint(eager=True)  # feeds block meta too
         postings.write.partitionBy("term_bucket").mode("append").parquet(
             self._table(name, "text_index")
         )
+        blocks_path = self._table(name, "text_index_blocks")
+        if os.path.isdir(blocks_path):
+            merged_blocks = (
+                self.spark.read.parquet(blocks_path)
+                .unionByName(build_text_block_meta(postings, id_col="chunk_id"))
+                .groupBy("term", "term_bucket", "_blk")
+                .agg(
+                    F.max("tf_max").alias("tf_max"),
+                    F.min("dl_min").alias("dl_min"),
+                    F.max("block_size").alias("block_size"),
+                )
+                .localCheckpoint(eager=True)
+            )
+            merged_blocks.write.partitionBy("term_bucket").mode(
+                "overwrite"
+            ).parquet(blocks_path)
         terms_path = self._table(name, "text_index_terms")
         merged_terms = (
             self.spark.read.parquet(terms_path)
@@ -892,23 +921,46 @@ class VectorDatabaseManager:
         name: str,
         query: str,
         k: int = DEFAULT_CONTEXTS,
+        prune: bool = False,
     ) -> DataFrame:
         """Lexical BM25 ranking over the chunk table (beyond-reference: the
         keyword complement to vector search). Query terms are the
         whitespace tokens of ``query``. When :meth:`build_text_index` has
         run, the ranking is served from the persisted index (partition-
         pruned postings read + sidecar stats — no corpus tokenize);
-        results are bit-identical either way (pinned by test_text_index)."""
-        from .operators.text_search import bm25_topk, bm25_topk_from_index
+        results are bit-identical either way (pinned by test_text_index).
+        ``prune=True`` additionally applies WAND upper-bound pruning with
+        the persisted BLOCK-MAX sidecar when available (index-backed only;
+        lossless, so still bit-identical)."""
+        from .operators.text_search import (
+            bm25_topk,
+            bm25_topk_from_index,
+            bm25_wand_topk_from_index,
+        )
 
         if self.registry.get(name) is None:
             raise ValueError(f"unknown database {name!r}")
         emb = self.spark.read.parquet(self._table(name, "embeddings"))
         terms = [t for t in query.lower().split() if t]
         if self._has_text_index(name):
-            ranked = bm25_topk_from_index(
-                *self._read_text_index(name), terms, k=k, id_col="chunk_id"
-            )
+            if prune:
+                blocks_path = self._table(name, "text_index_blocks")
+                bm = (
+                    self.spark.read.parquet(blocks_path)
+                    if os.path.isdir(blocks_path)
+                    else None
+                )
+                ranked = bm25_wand_topk_from_index(
+                    *self._read_text_index(name),
+                    terms,
+                    k=k,
+                    id_col="chunk_id",
+                    block_meta=bm,
+                )
+            else:
+                ranked = bm25_topk_from_index(
+                    *self._read_text_index(name), terms, k=k, id_col="chunk_id"
+                )
         else:
             ranked = bm25_topk(
                 emb, terms, k=k, id_col="chunk_id", text_col="chunk_text"

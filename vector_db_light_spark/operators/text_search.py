@@ -489,7 +489,9 @@ def _wand_parts(docs, terms, k, id_col, text_col, block_expr=None):
     )
 
 
-def _wand_parts_from(postings, term_meta, stats, k, id_col, block_expr=None):
+def _wand_parts_from(
+    postings, term_meta, stats, k, id_col, block_expr=None, block_meta=None
+):
     """WAND dataflow from prebuilt (postings, term_meta, stats) — the
     index-backed entry point: when the three tables come from a persisted
     text index (:func:`build_text_index_tables`), no corpus tokenize runs
@@ -517,6 +519,11 @@ def _wand_parts_from(postings, term_meta, stats, k, id_col, block_expr=None):
             "term", F.lit(0).alias("_blk"), "tf_max", "dl_min"
         )
         p_blk = postings.withColumn("_blk", F.lit(0))
+    elif block_meta is not None:
+        # persisted block sidecar (build_text_block_meta): extrema come
+        # from the artifact, zero query-time extrema computation
+        p_blk = postings.withColumn("_blk", block_expr)
+        ub_meta = block_meta
     else:
         p_blk = postings.withColumn("_blk", block_expr)
         ub_meta = p_blk.groupBy("term", "_blk").agg(
@@ -763,6 +770,33 @@ def bm25_topk_from_index(
     return scored.orderBy(F.col("bm25").desc(), F.col(id_col).asc()).limit(k)
 
 
+TEXT_INDEX_BLOCK_SIZE = 8
+
+
+def build_text_block_meta(
+    postings: DataFrame,
+    id_col: str = "doc_id",
+    block_size: int = TEXT_INDEX_BLOCK_SIZE,
+) -> DataFrame:
+    """(term, term_bucket, _blk, tf_max, dl_min, block_size): the
+    BLOCK-MAX sidecar of the persisted text index — per-(term, id-block)
+    extrema, one row per posting block. (max, min) are a commutative
+    monoid per (term, _blk), so an incremental append merges exactly
+    (api._append_text_index). ``block_size`` rides along as a column so
+    readers derive the matching block expression without a separate meta
+    file; blocks must undercut the corpus' heavy-doc spacing to buy any
+    prune (the measured BM-WAND sizing rule, SCALE.md)."""
+    return postings.groupBy(
+        "term",
+        "term_bucket",
+        F.expr(f"{id_col} div {int(block_size)}").alias("_blk"),
+    ).agg(
+        F.max("tf").alias("tf_max"),
+        F.min("dl").alias("dl_min"),
+        F.lit(int(block_size)).alias("block_size"),
+    )
+
+
 def bm25_wand_topk_from_index(
     postings: DataFrame,
     term_meta: DataFrame,
@@ -770,17 +804,40 @@ def bm25_wand_topk_from_index(
     query_terms: list[str],
     k: int = 10,
     id_col: str = "doc_id",
+    block_meta: DataFrame | None = None,
 ) -> DataFrame:
     """WAND-pruned BM25 from the persisted index — the sidecar's
     (df, tf_max, dl_min) feed the upper bounds directly, so the θ pass
-    costs only the seed pool's postings."""
+    costs only the seed pool's postings. Pass the persisted
+    ``block_meta`` sidecar (:func:`build_text_block_meta`) and the upper
+    bounds tighten to BLOCK-MAX per-(term, id-block) extrema — no
+    query-time extrema computation at all; the sidecar row count is
+    postings/block_size, read pruned by the same term buckets."""
     terms = [t.lower() for t in query_terms]
     p = _index_postings_for(postings, terms).localCheckpoint(eager=True)
     meta = term_meta.filter(F.col("term").isin(terms)).localCheckpoint(
         eager=True
     )
     st = _index_stats_view(stats).localCheckpoint(eager=True)
-    parts = _wand_parts_from(p, meta, st, k, id_col)
+    if block_meta is not None:
+        buckets = sorted({term_bucket_py(t) for t in terms})
+        bm = (
+            block_meta.filter(
+                F.col("term_bucket").isin(buckets) & F.col("term").isin(terms)
+            )
+            .select("term", "_blk", "tf_max", "dl_min", "block_size")
+            .localCheckpoint(eager=True)
+        )
+        bsize = [r["block_size"] for r in bm.select("block_size").limit(1).collect()]
+        blk_expr = (
+            F.expr(f"{id_col} div {int(bsize[0])}") if bsize else F.lit(0)
+        )
+        parts = _wand_parts_from(
+            p, meta, st, k, id_col, block_expr=blk_expr,
+            block_meta=bm.drop("block_size"),
+        )
+    else:
+        parts = _wand_parts_from(p, meta, st, k, id_col)
     scored = _bm25_exact_scores(
         parts["postings"].join(
             F.broadcast(parts["survivors"]), id_col, "left_semi"

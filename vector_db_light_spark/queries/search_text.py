@@ -697,7 +697,7 @@ def bm25_wand_topk(spark, sf_dir):
 BM25_IDX_TERMS = ("data", "model", "search", "index")
 _IDX_TERMS_SQL = ", ".join(f"'{t}'" for t in BM25_IDX_TERMS)
 
-_TEXT_INDEX_CACHE_VERSION = 1
+_TEXT_INDEX_CACHE_VERSION = 2  # v2: + blocks sidecar
 
 
 def _text_index(spark, sf_dir: str):
@@ -715,15 +715,21 @@ def _text_index(spark, sf_dir: str):
     fp = _docs_fingerprint(sf_dir)
     dst = f"/tmp/vdl_text_index/v{_TEXT_INDEX_CACHE_VERSION}/{key}-{fp}"
     if not os.path.exists(os.path.join(dst, "_SUCCESS")):
+        from ..operators.text_search import build_text_block_meta
+
         tmp = f"{dst}.tmp.{os.getpid()}"
         postings, term_meta, stats = build_text_index_tables(
             load_docs(spark, sf_dir)
         )
+        postings = postings.localCheckpoint(eager=True)
         postings.write.partitionBy("term_bucket").mode("overwrite").parquet(
             f"{tmp}/postings"
         )
         term_meta.write.mode("overwrite").parquet(f"{tmp}/terms")
         stats.write.mode("overwrite").parquet(f"{tmp}/stats")
+        build_text_block_meta(postings).write.partitionBy(
+            "term_bucket"
+        ).mode("overwrite").parquet(f"{tmp}/blocks")
         open(os.path.join(tmp, "_SUCCESS"), "w").close()
         if os.path.isdir(dst) and not os.path.exists(
             os.path.join(dst, "_SUCCESS")
@@ -738,6 +744,7 @@ def _text_index(spark, sf_dir: str):
         spark.read.parquet(f"{dst}/postings"),
         spark.read.parquet(f"{dst}/terms"),
         spark.read.parquet(f"{dst}/stats"),
+        spark.read.parquet(f"{dst}/blocks"),
     )
 
 
@@ -778,9 +785,54 @@ def bm25_index_topk(spark, sf_dir):
     from the raw documents table — hash match == artifact fidelity."""
     from ..operators.text_search import bm25_topk_from_index
 
-    postings, term_meta, stats = _text_index(spark, sf_dir)
+    postings, term_meta, stats, _blocks = _text_index(spark, sf_dir)
     return bm25_topk_from_index(
         postings, term_meta, stats, list(BM25_IDX_TERMS), k=12
+    )
+
+
+@register(
+    "bm25_index_wand_topk",
+    rf"""
+WITH tokens AS (SELECT doc_id, {_TOKS_SQL} AS toks FROM documents),
+tf AS (
+  SELECT doc_id, dl, term, count(*) AS tf FROM (
+    SELECT doc_id, len(toks) AS dl, unnest(toks) AS term FROM tokens
+  ) GROUP BY 1, 2, 3
+),
+stats AS (
+  SELECT (SELECT count(*) FROM documents) AS n,
+         (SELECT avg(dl) FROM (SELECT DISTINCT doc_id, dl FROM tf)) AS avgdl
+),
+postings AS (SELECT * FROM tf WHERE term IN ({_IDX_TERMS_SQL})),
+dfs AS (SELECT term, count(*) AS df FROM postings GROUP BY 1),
+scored AS (
+  SELECT p.doc_id,
+         ln(1.0 + (s.n - d.df + 0.5) / (d.df + 0.5))
+         * (p.tf * (1.2 + 1)) / (p.tf + 1.2 * (1.0 - 0.75 + 0.75 * p.dl / s.avgdl))
+           AS sc
+  FROM postings p JOIN dfs d USING (term) CROSS JOIN stats s
+)
+SELECT doc_id, round(sum(sc), 6) AS bm25
+FROM scored GROUP BY 1
+ORDER BY bm25 DESC, doc_id ASC
+LIMIT 8
+""",
+)
+def bm25_index_wand_topk(spark, sf_dir):
+    """Top-8 BM25 served ENTIRELY from the persisted index artifacts:
+    postings partition-pruned by term bucket, per-term upper bounds from
+    the term sidecar, BLOCK-MAX extrema from the persisted block sidecar
+    (operators/text_search.bm25_wand_topk_from_index + the
+    build_text_block_meta table) — zero corpus tokenization AND zero
+    query-time extrema computation. The oracle fully scores from raw
+    documents; hash match == (artifact fidelity AND lossless prune)."""
+    from ..operators.text_search import bm25_wand_topk_from_index
+
+    postings, term_meta, stats, blocks = _text_index(spark, sf_dir)
+    return bm25_wand_topk_from_index(
+        postings, term_meta, stats, list(BM25_IDX_TERMS), k=8,
+        block_meta=blocks,
     )
 
 
