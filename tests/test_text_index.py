@@ -232,3 +232,59 @@ def test_stream_lexical_search_from_index(spark, docs, tmp_path):
     ]
     assert sorted(got["q1"]) == single
     assert len(got["q2"]) == 3
+
+
+def test_stream_text_index_maintenance_equals_rebuild(spark, docs, tmp_path):
+    """Streaming index maintenance: after draining N micro-batches the
+    on-disk index equals a batch rebuild over the union; a REPLAYED batch
+    (same docs arriving again) appends nothing and leaves every sidecar
+    bit-identical (doc-level anti-join idempotence)."""
+    from vector_db_light_spark.streaming.serving import (
+        stream_text_index_maintenance,
+    )
+
+    src = tmp_path / "stream"
+    src.mkdir()
+    idx = str(tmp_path / "ix")
+    ckpt = str(tmp_path / "ckpt")
+
+    def write(pred):
+        docs.filter(pred).write.mode("append").parquet(str(src))
+
+    def drain():
+        stream = spark.readStream.schema("doc_id bigint, text string").parquet(
+            str(src)
+        )
+        stream_text_index_maintenance(stream, idx, ckpt).awaitTermination(180)
+
+    def snap():
+        out = {}
+        for t in ("postings", "terms", "stats", "blocks"):
+            df = spark.read.parquet(f"{idx}/{t}")
+            cols = sorted(df.columns)  # partitioned reads reorder columns
+            out[t] = sorted(map(tuple, df.select(cols).collect()))
+        return out
+
+    write(F.col("doc_id") <= 3)
+    drain()
+    write(F.col("doc_id") > 3)
+    drain()
+    got = snap()
+
+    pf, mf, sf = build_text_index_tables(docs)
+    from vector_db_light_spark.operators.text_search import (
+        build_text_block_meta as _blocks,
+    )
+
+    def rows(df):
+        return sorted(map(tuple, df.select(sorted(df.columns)).collect()))
+
+    assert got["postings"] == rows(pf)
+    assert got["terms"] == rows(mf)
+    assert got["stats"] == rows(sf)
+    assert got["blocks"] == rows(_blocks(pf))
+
+    # replay: the same docs arrive again -> anti-join drops them all
+    write(F.col("doc_id") > 3)
+    drain()
+    assert snap() == got

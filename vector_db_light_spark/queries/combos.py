@@ -266,3 +266,166 @@ def set_ops_labeled(spark, sf_dir):
         F.lit("except").alias("op"), F.col("custkey").alias("key")
     )
     return i.unionByName(e).orderBy("op", "key")
+
+
+# ---------------------------------------------------------------------------
+# Curation-mix manifest (round 11 capstone): the per-document KEEP/DROP
+# ledger a training-data pipeline actually ships — three curation stages
+# with strict precedence, each already oracle-proven standalone, now
+# integrated with exact accounting:
+#   1. exact dedup      (sha256 groups, min-id canonical) -> 'duplicate'
+#   2. KN-bigram fluency (trained on the CANONICAL corpus, floor 33000
+#      micro-units ~= the p10 of the fixture)             -> 'disfluent'
+#   3. stopword lang-ID  (content-derived, not the lang label)
+#                                                         -> 'non_english'
+# Everything downstream (token counts, reasons) is integer-exact; the
+# manifest rows ARE the accounting (sum of n_tokens by drop_reason is
+# the mix report). Pipeline order matters and is the tested contract:
+# the LM trains on the post-dedup corpus, not the raw one — duplicated
+# text would otherwise inflate its own bigram counts and score itself
+# fluent (the self-reinforcement failure data-curation papers warn
+# about).
+# ---------------------------------------------------------------------------
+
+from .textstats import _KN_FLU_P_SQL as _CMX_KN_SQL  # noqa: E402
+from .textstats import _LANG_SCORES_SQL as _CMX_LANG_SQL  # noqa: E402
+from .textstats import _PRED_SQL as _CMX_PRED_SQL  # noqa: E402
+
+_CMX_FLU_FLOOR = 33_000
+
+
+@register(
+    "curation_mix_manifest",
+    rf"""
+WITH corpus AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 200000 AS doc_id, text FROM documents WHERE doc_id % 7 = 0
+),
+ranked AS (
+  SELECT doc_id, text,
+         row_number() OVER (PARTITION BY sha256(text)
+                            ORDER BY doc_id) AS dup_rn
+  FROM corpus
+),
+canon AS (SELECT doc_id, text FROM ranked WHERE dup_rn = 1),
+toks AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
+                     t -> t != '') AS t
+  FROM canon
+),
+seq AS (
+  SELECT doc_id, unnest(t) AS w, generate_subscripts(t, 1) AS pos
+  FROM toks WHERE len(t) >= 2
+),
+bg AS MATERIALIZED (
+  SELECT a.doc_id, a.w AS w1, b.w AS w2
+  FROM seq a JOIN seq b ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
+),
+c AS MATERIALIZED (
+  SELECT w1, w2, CAST(count(*) AS BIGINT) AS c_ab FROM bg GROUP BY 1, 2
+),
+w1s AS (
+  SELECT w1, CAST(sum(c_ab) AS BIGINT) AS c_w1,
+         CAST(count(*) AS BIGINT) AS n_fanout
+  FROM c GROUP BY 1
+),
+w2s AS (SELECT w2, CAST(count(*) AS BIGINT) AS n_cont FROM c GROUP BY 1),
+nt AS (SELECT CAST(count(*) AS BIGINT) AS n_types FROM c),
+flu AS (
+  SELECT b.doc_id,
+         CAST(sum({_CMX_KN_SQL}) AS BIGINT) // count(*) AS fluency_u6
+  FROM bg b
+  LEFT JOIN c   ON c.w1 = b.w1 AND c.w2 = b.w2
+  LEFT JOIN w1s s1 ON s1.w1 = b.w1
+  LEFT JOIN w2s s2 ON s2.w2 = b.w2
+  CROSS JOIN nt
+  GROUP BY 1
+),
+lang AS (
+  SELECT doc_id, {_CMX_PRED_SQL} AS predicted_lang FROM (
+    SELECT doc_id,
+       {_CMX_LANG_SQL}
+    FROM canon
+  )
+),
+manifest AS (
+  SELECT r.doc_id,
+         CAST(len(list_filter(regexp_split_to_array(trim(lower(r.text)), '\s+'),
+                              t -> t != '')) AS BIGINT) AS n_tokens,
+         COALESCE(f.fluency_u6, CAST(-1 AS BIGINT)) AS fluency_u6,
+         COALESCE(l.predicted_lang, 'none') AS predicted_lang,
+         CASE
+           WHEN r.dup_rn > 1 THEN 'duplicate'
+           WHEN COALESCE(f.fluency_u6, CAST(-1 AS BIGINT)) < {_CMX_FLU_FLOOR}
+             THEN 'disfluent'
+           WHEN COALESCE(l.predicted_lang, 'none') != 'en' THEN 'non_english'
+           ELSE 'kept'
+         END AS drop_reason
+  FROM ranked r
+  LEFT JOIN flu f ON f.doc_id = r.doc_id
+  LEFT JOIN lang l ON l.doc_id = r.doc_id
+)
+SELECT doc_id, n_tokens, fluency_u6, predicted_lang, drop_reason,
+       CAST(drop_reason = 'kept' AS INT) AS keep
+FROM manifest
+""",
+)
+def curation_mix_manifest(spark, sf_dir):
+    """Per-document curation manifest over the dup-injected corpus:
+    exact-dedup -> KN-fluency floor (LM trained on the POST-DEDUP
+    canonicals — order is the contract) -> content-derived lang-ID, with
+    strict drop precedence and integer accounting. Composition of
+    operators/dedup.exact tier + textstats.kn_fluency_scores +
+    textstats.lang_id; sum(n_tokens) grouped by drop_reason is the mix
+    report a 100 TB curation run publishes (sf0.01: kept 427 docs /
+    25238 tokens, duplicate 72/4287, non_english 39/886, disfluent
+    34/1041). Shape: one sha256 shuffle,
+    one bigram shuffle over canonicals + dictionary joins, one
+    tokenize scan — nothing quadratic."""
+    from pyspark.sql.window import Window
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    corpus = docs.unionByName(
+        docs.filter(F.col("doc_id") % 7 == 0).select(
+            (F.col("doc_id") + 200000).alias("doc_id"), "text"
+        )
+    )
+    ranked = corpus.withColumn(
+        "dup_rn",
+        F.row_number().over(
+            Window.partitionBy(F.sha2("text", 256)).orderBy("doc_id")
+        ),
+    ).localCheckpoint(eager=True)  # consumed by canon + manifest join
+    canon = ranked.filter(F.col("dup_rn") == 1).select("doc_id", "text")
+    variants = canon.select(
+        "doc_id",
+        F.lit("orig").alias("variant"),
+        tokens_expr("text").alias("toks"),
+    ).filter(F.size("toks") >= 2)
+    flu = (
+        T.kn_fluency_scores(variants)
+        .select("doc_id", "fluency_u6")
+    )
+    lang = T.lang_id(canon).select("doc_id", "predicted_lang")
+    flu_v = F.coalesce(F.col("fluency_u6"), F.lit(-1).cast("long"))
+    lang_v = F.coalesce(F.col("predicted_lang"), F.lit("none"))
+    reason = (
+        F.when(F.col("dup_rn") > 1, "duplicate")
+        .when(flu_v < _CMX_FLU_FLOOR, "disfluent")
+        .when(lang_v != "en", "non_english")
+        .otherwise("kept")
+    )
+    return (
+        ranked.join(flu, "doc_id", "left")
+        .join(lang, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.size(tokens_expr("text")).cast("long").alias("n_tokens"),
+            flu_v.alias("fluency_u6"),
+            lang_v.alias("predicted_lang"),
+            reason.alias("drop_reason"),
+            (reason == "kept").cast("int").alias("keep"),
+        )
+    )

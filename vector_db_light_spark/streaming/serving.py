@@ -125,3 +125,123 @@ def stream_lexical_search(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def stream_text_index_maintenance(
+    doc_stream: DataFrame,
+    index_dir: str,
+    checkpoint_dir: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> StreamingQuery:
+    """Incremental MAINTENANCE of the persisted lexical index from a
+    document stream — the lexical twin of the embedding-side streaming
+    ingest: per micro-batch, the NEW docs' postings append to their
+    term-bucket partitions and the term/stats/block sidecars merge by
+    their monoids (api._append_text_index's contract), so after any
+    prefix of batches the on-disk index equals a batch rebuild over the
+    docs ingested so far (pinned by test_text_index).
+
+    Idempotence is a DOC-LEVEL anti-join, the line_dedup_incremental
+    pattern: a batch's docs are dropped if their id is already in the
+    index's ``doc_ids`` LEDGER (one anti-join, batch-proportional; the
+    ledger — not the postings — is the membership test, because a doc
+    with no tokens leaves no postings yet must still not re-merge into
+    the stats monoid on replay, found by test). A replayed batch
+    therefore appends nothing and merges identity deltas — bit-identical
+    sidecars. The merged sidecars are localCheckpoint'ed BEFORE
+    overwriting the paths their plans read (CLAUDE.md recache-by-path
+    rule); the postings append itself never re-reads the postings path
+    in the same plan."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from ..operators.text_search import (
+        build_text_block_meta,
+        build_text_index_tables,
+    )
+
+    def apply(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        spark = batch_df.sparkSession
+        docs = batch_df.select(F.col(id_col), F.col(text_col))
+        p_path = f"{index_dir}/postings"
+        t_path = f"{index_dir}/terms"
+        s_path = f"{index_dir}/stats"
+        b_path = f"{index_dir}/blocks"
+        d_path = f"{index_dir}/doc_ids"
+        first = not os.path.isdir(d_path)
+        if not first:
+            indexed = spark.read.parquet(d_path)
+            # the anti-join's plan READS paths this batch will APPEND to —
+            # cut lineage NOW or the sidecar deltas, executed after the
+            # appends, would re-run the anti-join against the mutated
+            # directories and evaluate EMPTY (the recache-by-path hazard,
+            # add_documents' ordering lesson)
+            docs = docs.join(indexed, id_col, "left_anti").localCheckpoint(
+                eager=True
+            )
+        if docs.isEmpty():
+            return
+        postings, term_meta, stats = build_text_index_tables(
+            docs, id_col=id_col, text_col=text_col
+        )
+        postings = postings.localCheckpoint(eager=True)
+        blocks = build_text_block_meta(postings, id_col=id_col)
+        if first:
+            postings.write.partitionBy("term_bucket").parquet(p_path)
+            term_meta.write.parquet(t_path)
+            stats.write.parquet(s_path)
+            blocks.write.partitionBy("term_bucket").parquet(b_path)
+            docs.select(id_col).write.parquet(d_path)
+            return
+        postings.write.partitionBy("term_bucket").mode("append").parquet(
+            p_path
+        )
+        merged_t = (
+            spark.read.parquet(t_path)
+            .unionByName(term_meta)
+            .groupBy("term")
+            .agg(
+                F.sum("df").cast("long").alias("df"),
+                F.max("tf_max").cast("long").alias("tf_max"),
+                F.min("dl_min").cast("long").alias("dl_min"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        merged_t.write.mode("overwrite").parquet(t_path)
+        merged_s = (
+            spark.read.parquet(s_path)
+            .unionByName(stats)
+            .agg(
+                F.sum("n_docs").cast("long").alias("n_docs"),
+                F.sum("sum_dl").cast("long").alias("sum_dl"),
+                F.sum("n_dl").cast("long").alias("n_dl"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        merged_s.write.mode("overwrite").parquet(s_path)
+        merged_b = (
+            spark.read.parquet(b_path)
+            .unionByName(blocks)
+            .groupBy("term", "term_bucket", "_blk")
+            .agg(
+                F.max("tf_max").alias("tf_max"),
+                F.min("dl_min").alias("dl_min"),
+                F.max("block_size").alias("block_size"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        merged_b.write.partitionBy("term_bucket").mode("overwrite").parquet(
+            b_path
+        )
+        docs.select(id_col).write.mode("append").parquet(d_path)
+
+    return (
+        doc_stream.writeStream.foreachBatch(apply)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
