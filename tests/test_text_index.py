@@ -156,6 +156,29 @@ def test_api_text_index_lifecycle(spark, tmp_path):
     ]
     assert pruned == before  # WAND + block sidecar is lossless
 
+    # positional artifact: phrase search from the index == corpus-derived
+    from vector_db_light_spark.operators.text_search import (
+        phrase_match,
+        positional_postings,
+    )
+
+    emb0 = spark.read.parquet(mgr._table("kb", "embeddings"))
+    want_phrase = sorted(
+        map(
+            tuple,
+            phrase_match(
+                positional_postings(emb0, id_col="chunk_id", text_col="chunk_text"),
+                ["query", "engine"],
+                id_col="chunk_id",
+            ).collect(),
+        )
+    )
+    got_phrase = sorted(
+        (r["chunk_id"], r["n_matches"], r["first_pos"])
+        for r in mgr.search_phrase("kb", "query engine").collect()
+    )
+    assert got_phrase == want_phrase and got_phrase
+
     # incremental ingest: append path == rebuild
     more = tmp_path / "more"
     more.mkdir()
@@ -170,6 +193,16 @@ def test_api_text_index_lifecycle(spark, tmp_path):
     assert s.collect() == sf.collect()
     assert sorted(map(tuple, p.drop("term_bucket").collect())) == sorted(
         map(tuple, pf.drop("term_bucket").collect())
+    )
+    # positions appended == rebuild
+    px = spark.read.parquet(mgr._table("kb", "text_index_positions"))
+    assert sorted(map(tuple, px.drop("term_bucket").collect())) == sorted(
+        map(
+            tuple,
+            positional_postings(
+                emb, id_col="chunk_id", text_col="chunk_text"
+            ).collect(),
+        )
     )
 
     # delete rebuilds; the served ranking matches a fresh corpus ranking
@@ -259,7 +292,7 @@ def test_stream_text_index_maintenance_equals_rebuild(spark, docs, tmp_path):
 
     def snap():
         out = {}
-        for t in ("postings", "terms", "stats", "blocks"):
+        for t in ("postings", "terms", "stats", "blocks", "positions"):
             df = spark.read.parquet(f"{idx}/{t}")
             cols = sorted(df.columns)  # partitioned reads reorder columns
             out[t] = sorted(map(tuple, df.select(cols).collect()))
@@ -283,6 +316,11 @@ def test_stream_text_index_maintenance_equals_rebuild(spark, docs, tmp_path):
     assert got["terms"] == rows(mf)
     assert got["stats"] == rows(sf)
     assert got["blocks"] == rows(_blocks(pf))
+    from vector_db_light_spark.operators.text_search import (
+        build_text_positions as _pos,
+    )
+
+    assert got["positions"] == rows(_pos(docs))
 
     # replay: the same docs arrive again -> anti-join drops them all
     write(F.col("doc_id") > 3)

@@ -717,6 +717,7 @@ class VectorDatabaseManager:
         from .operators.text_search import (
             build_text_block_meta,
             build_text_index_tables,
+            build_text_positions,
         )
 
         if self.registry.get(name) is None:
@@ -738,6 +739,11 @@ class VectorDatabaseManager:
         build_text_block_meta(postings, id_col="chunk_id").write.partitionBy(
             "term_bucket"
         ).mode("overwrite").parquet(self._table(name, "text_index_blocks"))
+        build_text_positions(
+            emb, id_col="chunk_id", text_col="chunk_text"
+        ).write.partitionBy("term_bucket").mode("overwrite").parquet(
+            self._table(name, "text_index_positions")
+        )
 
     def _has_text_index(self, name: str) -> bool:
         return os.path.isdir(self._table(name, "text_index"))
@@ -760,6 +766,7 @@ class VectorDatabaseManager:
         from .operators.text_search import (
             build_text_block_meta,
             build_text_index_tables,
+            build_text_positions,
         )
 
         postings, term_meta, stats = build_text_index_tables(
@@ -769,6 +776,12 @@ class VectorDatabaseManager:
         postings.write.partitionBy("term_bucket").mode("append").parquet(
             self._table(name, "text_index")
         )
+        pos_path = self._table(name, "text_index_positions")
+        if os.path.isdir(pos_path):
+            # per-doc rows, no merge: new docs' positions just append
+            build_text_positions(
+                new_rows, id_col="chunk_id", text_col="chunk_text"
+            ).write.partitionBy("term_bucket").mode("append").parquet(pos_path)
         blocks_path = self._table(name, "text_index_blocks")
         if os.path.isdir(blocks_path):
             merged_blocks = (
@@ -810,6 +823,42 @@ class VectorDatabaseManager:
             .localCheckpoint(eager=True)
         )
         merged_stats.write.mode("overwrite").parquet(stats_path)
+
+    def search_phrase(self, name: str, phrase: str) -> DataFrame:
+        """Exact-phrase search over the chunk table via the positional
+        chain join (operators/text_search.phrase_match). With a built
+        text index the positional postings come from the persisted
+        ``text_index_positions`` artifact (partition-pruned to the
+        phrase's term buckets); otherwise they derive from the corpus.
+        Returns (chunk_id, doc_id, file_name, chunk_text, n_matches,
+        first_pos) ordered by (n_matches desc, chunk_id)."""
+        from .operators.text_search import (
+            phrase_match,
+            positional_postings,
+            positions_for_terms,
+        )
+
+        if self.registry.get(name) is None:
+            raise ValueError(f"unknown database {name!r}")
+        terms = [t for t in phrase.lower().split() if t]
+        if not terms:
+            raise ValueError("empty phrase")
+        emb = self.spark.read.parquet(self._table(name, "embeddings"))
+        pos_path = self._table(name, "text_index_positions")
+        if os.path.isdir(pos_path):
+            postings = positions_for_terms(
+                self.spark.read.parquet(pos_path), terms
+            )
+        else:
+            postings = positional_postings(
+                emb, id_col="chunk_id", text_col="chunk_text"
+            )
+        hits = phrase_match(postings, terms, id_col="chunk_id")
+        return (
+            emb.select("chunk_id", "doc_id", "chunk_text", "file_name")
+            .join(F.broadcast(hits), "chunk_id")
+            .orderBy(F.col("n_matches").desc(), F.col("chunk_id").asc())
+        )
 
     # -- maintenance: compaction / clustering rewrite ------------------------
     def optimize_table(

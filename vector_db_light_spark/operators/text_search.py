@@ -299,6 +299,29 @@ def positional_postings(
     ).select(id_col, "term", "pos")
 
 
+def build_text_positions(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Persistable positional index: :func:`positional_postings` plus the
+    ``term_bucket`` partition key (same 256-way md5 bucket as the TF
+    index), so phrase/NEAR queries read only their terms' partitions.
+    Pure per-doc rows — incremental append needs NO merge (api and the
+    streaming maintenance just append the new docs' positions)."""
+    return positional_postings(docs, id_col=id_col, text_col=text_col).withColumn(
+        "term_bucket", term_bucket_expr(F.col("term"))
+    )
+
+
+def positions_for_terms(positions: DataFrame, terms: list[str]) -> DataFrame:
+    """Query-term positional postings with the driver-computed bucket
+    filter first (PartitionFilters in the artifact scan)."""
+    lowered = [t.lower() for t in terms]
+    buckets = sorted({term_bucket_py(t) for t in lowered})
+    return positions.filter(
+        F.col("term_bucket").isin(buckets) & F.col("term").isin(lowered)
+    ).select(*[c for c in positions.columns if c != "term_bucket"])
+
+
 def phrase_match(
     postings: DataFrame,
     phrase: list[str],

@@ -697,7 +697,7 @@ def bm25_wand_topk(spark, sf_dir):
 BM25_IDX_TERMS = ("data", "model", "search", "index")
 _IDX_TERMS_SQL = ", ".join(f"'{t}'" for t in BM25_IDX_TERMS)
 
-_TEXT_INDEX_CACHE_VERSION = 2  # v2: + blocks sidecar
+_TEXT_INDEX_CACHE_VERSION = 3  # v2: + blocks sidecar; v3: + positions
 
 
 def _text_index(spark, sf_dir: str):
@@ -715,12 +715,14 @@ def _text_index(spark, sf_dir: str):
     fp = _docs_fingerprint(sf_dir)
     dst = f"/tmp/vdl_text_index/v{_TEXT_INDEX_CACHE_VERSION}/{key}-{fp}"
     if not os.path.exists(os.path.join(dst, "_SUCCESS")):
-        from ..operators.text_search import build_text_block_meta
+        from ..operators.text_search import (
+            build_text_block_meta,
+            build_text_positions,
+        )
 
         tmp = f"{dst}.tmp.{os.getpid()}"
-        postings, term_meta, stats = build_text_index_tables(
-            load_docs(spark, sf_dir)
-        )
+        docs = load_docs(spark, sf_dir)
+        postings, term_meta, stats = build_text_index_tables(docs)
         postings = postings.localCheckpoint(eager=True)
         postings.write.partitionBy("term_bucket").mode("overwrite").parquet(
             f"{tmp}/postings"
@@ -730,6 +732,9 @@ def _text_index(spark, sf_dir: str):
         build_text_block_meta(postings).write.partitionBy(
             "term_bucket"
         ).mode("overwrite").parquet(f"{tmp}/blocks")
+        build_text_positions(docs).write.partitionBy(
+            "term_bucket"
+        ).mode("overwrite").parquet(f"{tmp}/positions")
         open(os.path.join(tmp, "_SUCCESS"), "w").close()
         if os.path.isdir(dst) and not os.path.exists(
             os.path.join(dst, "_SUCCESS")
@@ -745,6 +750,7 @@ def _text_index(spark, sf_dir: str):
         spark.read.parquet(f"{dst}/terms"),
         spark.read.parquet(f"{dst}/stats"),
         spark.read.parquet(f"{dst}/blocks"),
+        spark.read.parquet(f"{dst}/positions"),
     )
 
 
@@ -785,7 +791,7 @@ def bm25_index_topk(spark, sf_dir):
     from the raw documents table — hash match == artifact fidelity."""
     from ..operators.text_search import bm25_topk_from_index
 
-    postings, term_meta, stats, _blocks = _text_index(spark, sf_dir)
+    postings, term_meta, stats = _text_index(spark, sf_dir)[:3]
     return bm25_topk_from_index(
         postings, term_meta, stats, list(BM25_IDX_TERMS), k=12
     )
@@ -829,7 +835,7 @@ def bm25_index_wand_topk(spark, sf_dir):
     documents; hash match == (artifact fidelity AND lossless prune)."""
     from ..operators.text_search import bm25_wand_topk_from_index
 
-    postings, term_meta, stats, blocks = _text_index(spark, sf_dir)
+    postings, term_meta, stats, blocks = _text_index(spark, sf_dir)[:4]
     return bm25_wand_topk_from_index(
         postings, term_meta, stats, list(BM25_IDX_TERMS), k=8,
         block_meta=blocks,
@@ -908,3 +914,52 @@ def bm25_blockmax_skewed_topk(spark, sf_dir):
         .alias("text"),
     )
     return _wand(skew, list(BM25_TERMS), k=10, block_size=_BMX_BLOCK)
+
+
+# ---------------------------------------------------------------------------
+# Positional index serving (round 11): phrase search answered from the
+# PERSISTED positional artifact (text_index_positions — per-doc
+# (term, pos) rows bucketed by md5(term), pure-append maintenance), not a
+# per-query corpus re-tokenize. The oracle recomputes from raw
+# documents: hash match == positional-artifact fidelity.
+# ---------------------------------------------------------------------------
+
+_IDX_PHRASE = ("window", "fast", "query")
+
+
+@register(
+    "phrase_search_indexed",
+    rf"""
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
+                     t -> t != '') AS t
+  FROM documents
+),
+hits AS (
+  SELECT doc_id,
+         unnest(list_filter(range(1, len(t) - 1),
+                i -> t[i] = '{_IDX_PHRASE[0]}' AND t[i + 1] = '{_IDX_PHRASE[1]}'
+                     AND t[i + 2] = '{_IDX_PHRASE[2]}')) AS p
+  FROM toks WHERE len(t) >= 3
+)
+SELECT doc_id,
+       CAST(count(*) AS BIGINT) AS n_matches,
+       CAST(min(p) - 1 AS BIGINT) AS first_pos
+FROM hits
+GROUP BY doc_id
+""",
+)
+def phrase_search_indexed(spark, sf_dir):
+    """Exact 3-token phrase served from the persisted positional index
+    (operators/text_search.build_text_positions + positions_for_terms +
+    phrase_match): the postings scan is partition-pruned to the phrase
+    terms' buckets and the chain join touches only their posting lists —
+    zero corpus tokenization at query time. Oracle recomputes from raw
+    documents; hash match == artifact fidelity for the positional tier."""
+    from ..operators.text_search import phrase_match, positions_for_terms
+
+    positions = _text_index(spark, sf_dir)[4]
+    return phrase_match(
+        positions_for_terms(positions, list(_IDX_PHRASE)), list(_IDX_PHRASE)
+    )

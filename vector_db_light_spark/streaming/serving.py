@@ -160,6 +160,7 @@ def stream_text_index_maintenance(
     from ..operators.text_search import (
         build_text_block_meta,
         build_text_index_tables,
+        build_text_positions,
     )
 
     def apply(batch_df: DataFrame, batch_id: int) -> None:
@@ -190,11 +191,14 @@ def stream_text_index_maintenance(
         )
         postings = postings.localCheckpoint(eager=True)
         blocks = build_text_block_meta(postings, id_col=id_col)
+        positions = build_text_positions(docs, id_col=id_col, text_col=text_col)
+        x_path = f"{index_dir}/positions"
         if first:
             postings.write.partitionBy("term_bucket").parquet(p_path)
             term_meta.write.parquet(t_path)
             stats.write.parquet(s_path)
             blocks.write.partitionBy("term_bucket").parquet(b_path)
+            positions.write.partitionBy("term_bucket").parquet(x_path)
             docs.select(id_col).write.parquet(d_path)
             return
         postings.write.partitionBy("term_bucket").mode("append").parquet(
@@ -236,6 +240,9 @@ def stream_text_index_maintenance(
         )
         merged_b.write.partitionBy("term_bucket").mode("overwrite").parquet(
             b_path
+        )
+        positions.write.partitionBy("term_bucket").mode("append").parquet(
+            x_path
         )
         docs.select(id_col).write.mode("append").parquet(d_path)
 
