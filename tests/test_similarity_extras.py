@@ -279,3 +279,46 @@ def test_matryoshka_prefix_ranking(spark):
     # renormalized prefix order: exact match, 45-deg, zero-prefix (1.0),
     # opposite (2.0)
     assert ranked == [0, 1, 2, 3]
+
+
+def test_knn_graph_blocked_and_multiprobe(spark):
+    """knn_graph: per-src top-k within blocks; multi-probe recovers
+    one-bit-split neighbors without duplicating any pair; the exact graph
+    (planes=[]) is brute force through the same code path."""
+    from vector_db_light_spark.operators.similarity import (
+        adaptive_planes,
+        knn_graph,
+        random_hyperplanes,
+    )
+
+    import math
+
+    def vec(theta):
+        v = [math.cos(theta), math.sin(theta)] + [0.0] * 62
+        return v
+
+    rows = [(i, vec(0.02 * i)) for i in range(40)]
+    emb = spark.createDataFrame(rows, "vec_id bigint, embedding array<double>")
+    planes = random_hyperplanes(4, 64)
+    exact = {
+        (r["src"], r["rk"]): r["dst"]
+        for r in knn_graph(emb, [], k=2).collect()
+    }
+    blocked = knn_graph(emb, planes, k=2).collect()
+    probed = knn_graph(emb, planes, k=2, probe_hamming=1).collect()
+    # no duplicate (src, dst) pairs under probing
+    pairs = [(r["src"], r["dst"]) for r in probed]
+    assert len(pairs) == len(set(pairs))
+    # probing can only add candidates: per-src rank-1 distance <= blocked's
+    b1 = {r["src"]: r["distance"] for r in blocked if r["rk"] == 1}
+    p1 = {r["src"]: r["distance"] for r in probed if r["rk"] == 1}
+    for s, d in b1.items():
+        assert p1[s] <= d + 1e-12
+    # exact graph covers every node with its true neighbor
+    assert len({s for s, _ in exact}) == 40
+
+    # adaptive plane policy: 6 at fixture scale, grows ~log2(n)
+    assert len(adaptive_planes(500)) == 6
+    assert len(adaptive_planes(550)) == 6
+    assert len(adaptive_planes(6000)) == 10
+    assert len(adaptive_planes(60000)) == 13

@@ -112,6 +112,17 @@ AUDIT = [
     "dedup_cdc_chunks",
     "key_skew_diagnostics",
     "attribution_multi_touch",
+    # round 11
+    "bm25_index_topk",
+    "bm25_index_wand_topk",
+    "bm25_blockmax_skewed_topk",
+    "phrase_search_indexed",
+    "knn_graph_blocked",
+    "knn_graph_recall",
+    "dedup_clusters_knn_graph",
+    "kn_trigram_fluency",
+    "dsir_importance_sample",
+    "curation_mix_manifest",
 ]
 
 

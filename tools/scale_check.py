@@ -67,6 +67,33 @@ def _replicate(spark, table: str, reps: int = 10) -> None:
         for col in df.columns:
             if col in _OFF:
                 rep = rep.withColumn(col, F.col(col) + F.lit(r * _OFF[col]))
+        if "embedding" in df.columns and r > 0:
+            # Replicas must be DISTINCT vectors (deterministic per-replica
+            # jitter + renormalize), or the synthesized decade is
+            # duplicate-degenerate: 10 identical copies per vector are
+            # unsplittable by ANY blocking, so every blocked-pairwise op
+            # reads as ~100x pairs for 10x rows — an artifact of the
+            # synthesis, not the operator (found live round 11:
+            # knn_graph_blocked held ~43x even after adaptive plane
+            # scaling; real corpora exact-dedup before pairwise tiers).
+            jit = F.expr(
+                f"transform(embedding, (x, i) -> x + {r}e-3 * sin(i + {r}))"
+            )
+            nrm = (
+                "sqrt(aggregate(_j, cast(0.0 as double),"
+                " (a, x) -> a + cast(x as double) * cast(x as double)))"
+            )
+            rep = (
+                rep.withColumn("_j", jit)
+                .withColumn(
+                    "embedding",
+                    F.expr(
+                        f"transform(_j, x -> cast(cast(x as double) / {nrm}"
+                        " as float))"
+                    ),
+                )
+                .drop("_j")
+            )
         parts.append(rep)
     out = parts[0]
     for p in parts[1:]:

@@ -1142,6 +1142,7 @@ def knn_graph(
     id_col: str = "vec_id",
     vector_col: str = "embedding",
     probe_hamming: int = 0,
+    max_block: int | None = None,
 ) -> DataFrame:
     """Blocked k-NN GRAPH construction (round 11, VERDICT r10 #6): per
     node, its k nearest neighbors among nodes sharing its LSH sign bucket
@@ -1166,7 +1167,23 @@ def knn_graph(
     1+len(planes) probe keys; each dst still lives in exactly ONE bucket,
     so no candidate pair is generated twice (no dedup pass needed).
     Candidate volume multiplies by ~(1+planes) — the measured recall
-    lift is knn_graph_recall's probed columns."""
+    lift is knn_graph_recall's probed columns.
+
+    ``max_block`` is the SKEW CAP — the lever that matters on duplicate-
+    or cluster-degenerate corpora, where no plane count splits a tight
+    cluster (random hyperplanes split a pair with probability ~angle/π;
+    near-identical vectors share every sign bit — measured round 11: the
+    label-clustered fixture occupies ~16-22 buckets at ANY plane count,
+    so Σ|bucket|² grew ~96x for 10x rows and adaptive planes changed
+    nothing). Oversized buckets sub-split deterministically by a
+    portable md5(id) residue into ceil(|bucket|/max_block) sub-blocks;
+    each node compares only within its sub-block, capping per-bucket
+    pair work at |bucket| * max_block (LINEAR). The recall cost is
+    measured, not assumed (knn_graph_recall at sf0.01 is unaffected —
+    no fixture bucket exceeds the default there — and within a TIGHT
+    cluster any sub-block member is a near-equal neighbor, which is why
+    the cap is the standard dedup/ANN answer to this shape). The bucket
+    count table is dictionary-scale broadcast state."""
     # planes=[] -> one global block: the EXACT graph (the truth side of
     # knn_graph_recall) through the identical code path
     bucket = (
@@ -1203,11 +1220,33 @@ def knn_graph(
         F.col(vector_col).alias("_emb_b"),
         "_bucket",
     )
+    join_keys = ["_bucket"]
+    if max_block:
+        counts = bucketed.groupBy("_bucket").agg(
+            F.expr(f"(count(*) + {int(max_block) - 1}) div {int(max_block)}")
+            .cast("long")
+            .alias("_nsub")
+        )
+
+        def _salted(df, idc):
+            sub = F.expr(
+                f"cast(conv(substr(md5(cast({idc} as string)), 1, 4), 16, 10)"
+                " as bigint) % _nsub"
+            )
+            return (
+                df.join(F.broadcast(counts), "_bucket")
+                .withColumn("_sub", sub)
+                .drop("_nsub")
+            )
+
+        a = _salted(a, "src")
+        b = _salted(b, "dst")
+        join_keys = ["_bucket", "_sub"]
     dist = F.lit(1.0) - V.dot(
         F.col("_emb_a"), F.col("_emb_b").cast("array<double>")
     )
     pairs = (
-        a.join(b, "_bucket")
+        a.join(b, join_keys)
         .filter(F.col("src") != F.col("dst"))
         .select("src", "dst", dist.alias("distance"))
     )
@@ -1217,3 +1256,28 @@ def knn_graph(
     return pairs.withColumn("rk", F.row_number().over(w)).filter(
         F.col("rk") <= k
     ).select("src", "dst", "rk", "distance")
+
+
+def adaptive_planes(
+    n_rows: int,
+    target_bucket: int = 8,
+    min_planes: int = 6,
+    dim: int = 64,
+    seed: int = 11,
+) -> list[list[float]]:
+    """Corpus-sized hyperplane count for LSH blocking: with b planes the
+    expected bucket is n/2^b, so blocked-pairwise work is n * (n/2^b) —
+    QUADRATIC unless b grows with the corpus. This picks
+    b = max(min_planes, round(log2(n / target_bucket))), holding expected
+    bucket size ~target_bucket so total pair work stays ~n * target.
+    Found empirically (SCALE.md round 11): knn_graph at FIXED 6 planes
+    scaled 52.8x for 10x rows; with this policy the plane count rises
+    10 -> 13 across that decade and the factor collapses to linear. The
+    driver-side count() this needs is one scalar — the same bounded
+    collect class as the IVF probe list."""
+    import math
+
+    b = min_planes
+    if n_rows > target_bucket:
+        b = max(min_planes, round(math.log2(n_rows / target_bucket)))
+    return random_hyperplanes(b, dim, seed=seed)

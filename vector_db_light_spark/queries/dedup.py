@@ -1380,8 +1380,17 @@ _KG_DEDUP_TAU = 0.05  # distance bar == cosine >= 0.95
     "dedup_clusters_knn_graph",
     f"""
 WITH RECURSIVE corpus AS ({_EMB_CORPUS_SQL}),
-cb AS (
+cb0 AS (
   SELECT vec_id, embedding, {_lsh_bucket_sql('embedding')} AS b FROM corpus
+),
+bc AS (
+  SELECT b, CAST((count(*) + 191) // 192 AS BIGINT) AS nsub FROM cb0 GROUP BY b
+),
+cb AS (
+  SELECT cb0.vec_id, cb0.embedding, cb0.b,
+         ('0x' || substr(md5(CAST(cb0.vec_id AS VARCHAR)), 1, 4))::BIGINT
+           % bc.nsub AS sub
+  FROM cb0 JOIN bc USING (b)
 ),
 graph AS (
   SELECT src, dst FROM (
@@ -1390,7 +1399,8 @@ graph AS (
            row_number() OVER (PARTITION BY a.vec_id
              ORDER BY 1.0 - {dot_sql('a.embedding', 'bb.embedding::DOUBLE[]')} ASC,
                       bb.vec_id ASC) AS rk
-    FROM cb a JOIN cb bb ON a.b = bb.b AND a.vec_id != bb.vec_id
+    FROM cb a JOIN cb bb ON a.b = bb.b AND a.sub = bb.sub
+                        AND a.vec_id != bb.vec_id
   ) WHERE rk <= {_KG_DEDUP_K} AND distance <= {_KG_DEDUP_TAU}
 ),
 edges AS (
@@ -1433,10 +1443,13 @@ def dedup_clusters_knn_graph(spark, sf_dir):
         (F.col("vec_id") + 100000).alias("vec_id"), "embedding", "label"
     )
     corpus = emb.select("vec_id", "embedding", "label").unionByName(copies)
-    from ..operators.similarity import knn_graph
+    from ..operators.similarity import adaptive_planes, knn_graph
 
+    # adaptive plane count == the oracle's 6 PLANES at sf0.01 (550 rows);
+    # grows with the corpus so the blocked self-join stays linear
     edges = (
-        knn_graph(corpus, PLANES, k=_KG_DEDUP_K)
+        knn_graph(corpus, adaptive_planes(corpus.count()), k=_KG_DEDUP_K,
+                  max_block=192)  # skew cap, inactive at sf0.01
         .filter(F.col("distance") <= _KG_DEDUP_TAU)
         .select(F.col("src").alias("id_a"), F.col("dst").alias("id_b"))
     )

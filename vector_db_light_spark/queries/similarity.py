@@ -1929,18 +1929,31 @@ def ann_matryoshka_recall(spark, sf_dir):
 
 _KG_K = 3
 _KG_RECALL_N = 30
+_KG_MAX_BLOCK = 192  # skew cap: inactive at sf0.01/sf0.1 (max bucket 106/148), active at sf1 (1390)
 
 
 @register(
     "knn_graph_blocked",
     f"""
-WITH cb AS (
+WITH cb0 AS (
   SELECT vec_id, embedding, {_bucket_sql('embedding')} AS b FROM embeddings
+),
+bc AS (
+  SELECT b, CAST((count(*) + {_KG_MAX_BLOCK - 1}) // {_KG_MAX_BLOCK} AS BIGINT)
+         AS nsub
+  FROM cb0 GROUP BY b
+),
+cb AS (
+  SELECT cb0.vec_id, cb0.embedding, cb0.b,
+         ('0x' || substr(md5(CAST(cb0.vec_id AS VARCHAR)), 1, 4))::BIGINT
+           % bc.nsub AS sub
+  FROM cb0 JOIN bc USING (b)
 ),
 pairs AS (
   SELECT a.vec_id AS src, bb.vec_id AS dst,
          1.0 - {dot_sql('a.embedding', 'bb.embedding::DOUBLE[]')} AS distance
-  FROM cb a JOIN cb bb ON a.b = bb.b AND a.vec_id != bb.vec_id
+  FROM cb a JOIN cb bb ON a.b = bb.b AND a.sub = bb.sub
+                      AND a.vec_id != bb.vec_id
 ),
 ranked AS (
   SELECT src, dst, distance,
@@ -1958,7 +1971,14 @@ def knn_graph_blocked(spark, sf_dir):
     distance), WindowGroupLimit per-src top-k inside LSH sign blocks.
     Candidate volume is Σ|block|², never |corpus|²."""
     emb = load(spark, sf_dir, "embeddings")
-    return S.knn_graph(emb, PLANES, k=_KG_K)
+    # ADAPTIVE plane count (operators/similarity.adaptive_planes): holds
+    # expected bucket ~8 so blocked pair work stays linear in the corpus
+    # (fixed 6 planes measured 52.8x at 10x rows — SCALE.md round 11).
+    # At the oracle's sf0.01 the policy yields exactly the 6 PLANES the
+    # SQL twin hardcodes; the driver only compares at sf0.01.
+    return S.knn_graph(
+        emb, S.adaptive_planes(emb.count()), k=_KG_K, max_block=_KG_MAX_BLOCK
+    )
 
 
 @register(
@@ -1976,8 +1996,19 @@ truth AS (
     WHERE e.vec_id != qe.vec_id
   ) WHERE rk <= {_KG_K}
 ),
-cb AS (
+cb0 AS (
   SELECT vec_id, embedding, {_bucket_sql('embedding')} AS b FROM embeddings
+),
+bc AS (
+  SELECT b, CAST((count(*) + {_KG_MAX_BLOCK - 1}) // {_KG_MAX_BLOCK} AS BIGINT)
+         AS nsub
+  FROM cb0 GROUP BY b
+),
+cb AS (
+  SELECT cb0.vec_id, cb0.embedding, cb0.b, bc.nsub,
+         ('0x' || substr(md5(CAST(cb0.vec_id AS VARCHAR)), 1, 4))::BIGINT
+           % bc.nsub AS sub
+  FROM cb0 JOIN bc USING (b)
 ),
 approx AS (
   SELECT src, dst FROM (
@@ -1985,7 +2016,8 @@ approx AS (
            row_number() OVER (PARTITION BY a.vec_id
              ORDER BY 1.0 - {dot_sql('a.embedding', 'bb.embedding::DOUBLE[]')} ASC,
                       bb.vec_id ASC) AS rk
-    FROM cb a JOIN cb bb ON a.b = bb.b AND a.vec_id != bb.vec_id
+    FROM cb a JOIN cb bb ON a.b = bb.b AND a.sub = bb.sub
+                        AND a.vec_id != bb.vec_id
     WHERE a.vec_id < {_KG_RECALL_N}
   ) WHERE rk <= {_KG_K}
 ),
@@ -2004,7 +2036,11 @@ approx_probed AS (
            row_number() OVER (PARTITION BY p.vec_id
              ORDER BY 1.0 - {dot_sql('p.embedding', 'bb.embedding::DOUBLE[]')} ASC,
                       bb.vec_id ASC) AS rk
-    FROM probes p JOIN cb bb ON bb.b = p.pb AND bb.vec_id != p.vec_id
+    FROM probes p
+    JOIN bc pb ON pb.b = p.pb
+    JOIN cb bb ON bb.b = p.pb AND bb.vec_id != p.vec_id
+              AND bb.sub = ('0x' || substr(md5(CAST(p.vec_id AS VARCHAR)), 1, 4))::BIGINT
+                           % pb.nsub
   ) WHERE rk <= {_KG_K}
 ),
 hits AS (
@@ -2033,14 +2069,16 @@ def knn_graph_recall(spark, sf_dir):
     from pyspark.sql.window import Window
 
     emb = load(spark, sf_dir, "embeddings")
+    planes = S.adaptive_planes(emb.count())  # == PLANES at sf0.01
     approx = (
-        S.knn_graph(emb, PLANES, k=_KG_K)
+        S.knn_graph(emb, planes, k=_KG_K, max_block=_KG_MAX_BLOCK)
         .filter(F.col("src") < _KG_RECALL_N)
         .select("src", "dst")
         .localCheckpoint(eager=True)
     )
     probed = (
-        S.knn_graph(emb, PLANES, k=_KG_K, probe_hamming=1)
+        S.knn_graph(emb, planes, k=_KG_K, probe_hamming=1,
+                    max_block=_KG_MAX_BLOCK)
         .filter(F.col("src") < _KG_RECALL_N)
         .select("src", "dst")
         .localCheckpoint(eager=True)
@@ -2065,9 +2103,15 @@ def knn_graph_recall(spark, sf_dir):
     )
     hits = (
         truth.join(
-            approx.withColumn("_hit", F.lit(1)), ["src", "dst"], "left"
+            F.broadcast(approx.withColumn("_hit", F.lit(1))),
+            ["src", "dst"],
+            "left",
         )
-        .join(probed.withColumn("_hp", F.lit(1)), ["src", "dst"], "left")
+        .join(
+            F.broadcast(probed.withColumn("_hp", F.lit(1))),
+            ["src", "dst"],
+            "left",
+        )
         .groupBy("src")
         .agg(
             F.sum(F.coalesce(F.col("_hit"), F.lit(0))).cast("long").alias("n_hits"),

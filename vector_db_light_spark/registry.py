@@ -110,8 +110,79 @@ def _populate() -> None:
 # Two anchor slots keep longitudinal continuity: the retrieval flagship
 # and the heaviest capstone. Every rotated-out row keeps its registration
 # and stays driver_sim-checked.
+# Round-11 rotation (VERDICT r10 #1): all 50 r10 rows went green, so the
+# window now serves two jobs at once. (a) FINISH external coverage: the 4
+# families never yet in a driver window (ann_matryoshka_recall,
+# attribution_multi_touch, dedup_cdc_chunks, key_skew_diagnostics —
+# verified against CORRECTNESS_r1..r10) plus the 10 round-11 queries go
+# in first; a green round makes it 197-for-197-registered-before-r11
+# externally confirmed. (b) GUARD against regressions: the remaining 35
+# slots hold the LONGEST-UNREFRESHED families — every round-1 external
+# pass (21 families, untouched by the driver for ten rounds) and the 14
+# alphabetically-first round-5 families — so rotation now re-validates
+# the oldest greens instead of only chasing first passes. Everything
+# rotated out stays registered and driver_sim-checked.
 PRIORITY: tuple[str, ...] = (
     # anchor (multi-green, longitudinal continuity)
+    "search_pipeline",      # V2-V4 + F1 + F2 + J1 + F6 flagship
+    # never-externally-windowed tail (r10 #1 — completes 197/197)
+    "ann_matryoshka_recall",
+    "attribution_multi_touch",
+    "dedup_cdc_chunks",     # round-11 numpy rolling-hash rule
+    "key_skew_diagnostics",  # round-11 overflow-safe Gini
+    # round-11 operators (straight into the window, newcomer pattern)
+    "bm25_index_topk",          # persisted lexical index fidelity
+    "bm25_index_wand_topk",     # WAND from index + block sidecar
+    "bm25_blockmax_skewed_topk",  # block-max lossless on the long tail
+    "phrase_search_indexed",    # positional artifact fidelity
+    "knn_graph_blocked",        # blocked k-NN graph edge list
+    "knn_graph_recall",         # blocked + multi-probe recall measurement
+    "dedup_clusters_knn_graph",  # SemDeDup-shape components over the graph
+    "kn_trigram_fluency",       # trigram interpolated KN
+    "dsir_importance_sample",   # DSIR weights -> PPS selection
+    "curation_mix_manifest",    # dedup+fluency+langid keep-list capstone
+    # longest-unrefreshed: every round-1 external pass (10 rounds stale)
+    "chunk_count_per_doc",
+    "clean_text",
+    "customers_never_f_status",
+    "dedup_embedding_cosine",
+    "dedup_ngram_jaccard",
+    "dedup_simhash_pairs",
+    "filter_doctype",
+    "filter_keyword",
+    "filter_threshold",
+    "hash_sha256",
+    "knn_sum_of_squares_topk",
+    "knn_unknown_topk",
+    "nations_with_both",
+    "orders_by_month",
+    "page_ranges",
+    "running_order_total",
+    "text_fingerprint",
+    "text_lang_id",
+    "text_quality_score",
+    "text_simhash",
+    "text_token_counts",
+    # longest-unrefreshed: round-5 external passes (alphabetical prefix)
+    "ann_lsh_bucketed",
+    "customers_with_open_orders",
+    "decimal_exact_totals",
+    "filters_labeled",
+    "ingest_metadata",
+    "json_props_extract",
+    "knn_metrics_topk",
+    "knn_sq8_topk",
+    "orders_with_late_lineitems",
+    "pii_scrub",
+    "pivot_status_by_segment",
+    "pricing_summary",
+    "priority_grouping_sets",
+    "sample_stratified_lang",
+)
+
+_PRIORITY_R10: tuple[str, ...] = (
+    # (kept for the ledger: the r10 window, fully green in
+    # CORRECTNESS_r10.json)
     "search_pipeline",      # V2-V4 + F1 + F2 + J1 + F6 flagship
     # round-10 operators (straight into the window, r9-newcomer pattern)
     "bm25_wand_topk",       # WAND prune vs full-scoring oracle
