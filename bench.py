@@ -72,6 +72,12 @@ HEADLINE = [
     # round-10 additions
     "bm25_wand_topk",
     "kn_fluency_score",
+    # round-11 additions: index-backed serving (the persisted-artifact
+    # lever; its one-time index build runs in the per-query untimed
+    # warm-up, like ann_ivf_pruned's centroid artifact) and the
+    # dedup+fluency+langid curation capstone
+    "bm25_index_wand_topk",
+    "curation_mix_manifest",
 ]
 
 

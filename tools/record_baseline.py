@@ -93,13 +93,15 @@ def main() -> int:
         "metric": (
             f"per-query medians across {n} fresh-process invocations of the "
             f"FULL {len(names)}-query bench (each invocation = warm-up + "
-            "MIN-of-5 in-process, headline order) - baseline v4, recorded "
-            "at round 10: v3 made baseline and round same-shape (full-set "
-            "in-process runs; see BASELINE.md for the session-state root "
-            "cause), v4 additionally switches the per-query statistic from "
-            "median to min-of-5 because additive timing noise still "
-            "scattered sub-second medians 1.2-1.4x run-to-run on unchanged "
-            "plans. v2 kept as BENCH_BASELINE_v2.json"
+            "MIN-of-5 in-process, headline order) - baseline v5, recorded "
+            "at round 11 (headline 21 -> 23: + bm25_index_wand_topk, "
+            "curation_mix_manifest). Lineage: v3 made baseline and round "
+            "same-shape (full-set in-process runs; session-state root "
+            "cause in BASELINE.md), v4 switched the per-query statistic "
+            "to min-of-5 (additive noise scattered sub-second medians "
+            "1.2-1.4x on unchanged plans), v5 embeds the v1_anchor drift "
+            "ratio bench.py gates at < 1.5x. v2 kept as "
+            "BENCH_BASELINE_v2.json"
         ),
         "value": round(sum(queries.values()), 3),
         "unit": "sec",
