@@ -125,3 +125,38 @@ def test_pps_systematic_sample_weights_and_determinism(spark):
     ids = {r["doc_id"] for r in rows}
     kept2 = pps_systematic_sample(docs.repartition(7), "n_chars", 60, "doc_id")
     assert {r["doc_id"] for r in kept2.collect()} == ids
+
+
+def test_dsir_bucket_ratios_and_weights(spark):
+    """DSIR pieces: add-one smoothing gives every bucket a finite ratio
+    (absent buckets included), per-doc weights are occurrence means
+    clamped >= 1, and in-domain docs outweigh off-domain ones on a
+    planted split."""
+    from vector_db_light_spark.operators.sampling import (
+        dsir_bucket_ratios,
+        dsir_doc_weights,
+        dsir_feature_rows,
+    )
+
+    src_rows = [
+        (1, "alpha beta alpha beta gamma"),
+        (2, "delta epsilon zeta delta"),
+        (3, "alpha beta gamma alpha beta"),
+    ]
+    src = spark.createDataFrame(src_rows, "doc_id bigint, text string")
+    tgt = spark.createDataFrame(
+        [(9, "alpha beta alpha beta alpha beta")], "doc_id bigint, text string"
+    )
+    sfeat = dsir_feature_rows(src).localCheckpoint()
+    ratios = dsir_bucket_ratios(sfeat, dsir_feature_rows(tgt))
+    rows = {r["bucket"]: r["r_u6"] for r in ratios.collect()}
+    assert len(rows) == 64  # every bucket present, smoothing floor for absent
+    assert all(v >= 0 for v in rows.values())
+    w = {r["doc_id"]: r["weight_u6"] for r in dsir_doc_weights(sfeat, ratios).collect()}
+    # docs 1/3 share the target's alpha-beta bigrams; doc 2 shares nothing
+    assert w[1] > w[2] and w[3] > w[2]
+    assert all(v >= 1 for v in w.values())
+
+    # single-token doc: no bigrams, unigram features only — no crash
+    one = spark.createDataFrame([(5, "alpha")], "doc_id bigint, text string")
+    assert dsir_feature_rows(one).count() == 1

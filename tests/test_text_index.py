@@ -179,6 +179,23 @@ def test_api_text_index_lifecycle(spark, tmp_path):
     )
     assert got_phrase == want_phrase and got_phrase
 
+    from vector_db_light_spark.operators.text_search import proximity_match
+
+    want_near = sorted(
+        map(
+            tuple,
+            proximity_match(
+                positional_postings(emb0, id_col="chunk_id", text_col="chunk_text"),
+                "spark", "data", 4, id_col="chunk_id",
+            ).collect(),
+        )
+    )
+    got_near = sorted(
+        (r["chunk_id"], r["n_matches"], r["min_span"])
+        for r in mgr.search_near("kb", "spark", "data", slop=4).collect()
+    )
+    assert got_near == want_near and got_near
+
     # incremental ingest: append path == rebuild
     more = tmp_path / "more"
     more.mkdir()

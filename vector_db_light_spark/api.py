@@ -860,6 +860,39 @@ class VectorDatabaseManager:
             .orderBy(F.col("n_matches").desc(), F.col("chunk_id").asc())
         )
 
+    def search_near(
+        self, name: str, term_a: str, term_b: str, slop: int = 4
+    ) -> DataFrame:
+        """NEAR/slop proximity search over the chunk table
+        (operators/text_search.proximity_match), served from the persisted
+        positional artifact when built (partition-pruned to the two terms'
+        buckets), else corpus-derived. Returns chunk rows with
+        (n_matches, min_span), ordered by (min_span asc, chunk_id)."""
+        from .operators.text_search import (
+            positional_postings,
+            positions_for_terms,
+            proximity_match,
+        )
+
+        if self.registry.get(name) is None:
+            raise ValueError(f"unknown database {name!r}")
+        emb = self.spark.read.parquet(self._table(name, "embeddings"))
+        pos_path = self._table(name, "text_index_positions")
+        if os.path.isdir(pos_path):
+            postings = positions_for_terms(
+                self.spark.read.parquet(pos_path), [term_a, term_b]
+            )
+        else:
+            postings = positional_postings(
+                emb, id_col="chunk_id", text_col="chunk_text"
+            )
+        hits = proximity_match(postings, term_a, term_b, slop, id_col="chunk_id")
+        return (
+            emb.select("chunk_id", "doc_id", "chunk_text", "file_name")
+            .join(F.broadcast(hits), "chunk_id")
+            .orderBy(F.col("min_span").asc(), F.col("chunk_id").asc())
+        )
+
     # -- maintenance: compaction / clustering rewrite ------------------------
     def optimize_table(
         self,
