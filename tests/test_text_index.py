@@ -343,3 +343,33 @@ def test_stream_text_index_maintenance_equals_rebuild(spark, docs, tmp_path):
     write(F.col("doc_id") > 3)
     drain()
     assert snap() == got
+
+
+def test_api_build_knn_graph_artifact(spark, tmp_path):
+    """build_knn_graph persists the per-chunk neighbor table; rows equal a
+    fresh operator run with the same policy, and every src has <= k
+    neighbors ranked 1..rk."""
+    from vector_db_light_spark.api import VectorDatabaseManager
+    from vector_db_light_spark.operators.similarity import (
+        adaptive_planes,
+        knn_graph,
+    )
+
+    src = tmp_path / "docs"
+    src.mkdir()
+    (src / "a.txt").write_text("spark query engine for big data " * 40)
+    (src / "b.txt").write_text("analytical database for fast query " * 40)
+    mgr = VectorDatabaseManager(spark, str(tmp_path / "dbs"))
+    mgr.create_database("kb", str(src), chunk_size=100, chunk_overlap=30)
+    mgr.build_knn_graph("kb", k=2)
+    got = spark.read.parquet(mgr._table("kb", "knn_graph"))
+    emb = spark.read.parquet(mgr._table("kb", "embeddings"))
+    want = knn_graph(
+        emb, adaptive_planes(emb.count()), k=2, id_col="chunk_id",
+        vector_col="embedding", max_block=192,
+    )
+    assert sorted(
+        map(tuple, got.select("src", "dst", "rk", "distance").collect())
+    ) == sorted(map(tuple, want.collect()))
+    per_src = got.groupBy("src").count().collect()
+    assert per_src and all(r["count"] <= 2 for r in per_src)

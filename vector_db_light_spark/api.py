@@ -893,6 +893,28 @@ class VectorDatabaseManager:
             .orderBy(F.col("min_span").asc(), F.col("chunk_id").asc())
         )
 
+    def build_knn_graph(self, name: str, k: int = 5) -> None:
+        """Persist the chunk-embedding k-NN GRAPH artifact
+        (operators/similarity.knn_graph with the adaptive plane policy +
+        skew cap): (src, dst, rk, distance) per chunk — the reusable
+        precursor for SemDeDup-style pruning, duplicate clustering and
+        graph-ANN bootstrap, built once instead of per consumer. Written
+        partitioned by src bucket (pmod 64) so per-node neighbor lookups
+        prune."""
+        from .operators.similarity import adaptive_planes, knn_graph
+
+        if self.registry.get(name) is None:
+            raise ValueError(f"unknown database {name!r}")
+        emb = self.spark.read.parquet(self._table(name, "embeddings"))
+        planes = adaptive_planes(emb.count())
+        g = knn_graph(
+            emb, planes, k=k, id_col="chunk_id", vector_col="embedding",
+            max_block=192,
+        ).withColumn("src_bucket", F.pmod(F.col("src"), F.lit(64)))
+        g.write.partitionBy("src_bucket").mode("overwrite").parquet(
+            self._table(name, "knn_graph")
+        )
+
     # -- maintenance: compaction / clustering rewrite ------------------------
     def optimize_table(
         self,
