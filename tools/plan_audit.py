@@ -123,6 +123,7 @@ AUDIT = [
     "kn_trigram_fluency",
     "dsir_importance_sample",
     "curation_mix_manifest",
+    "knn_graph_kmeans_recall",
 ]
 
 

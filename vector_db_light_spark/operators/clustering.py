@@ -114,6 +114,39 @@ def kmeans_assign(
     )
 
 
+def kmeans_assign_topn(
+    emb: DataFrame,
+    centroids: DataFrame,
+    n: int = 2,
+    id_col: str = "_id",
+    vector_col: str = "_v",
+    dim: int | None = None,
+) -> DataFrame:
+    """Top-``n`` nearest-centroid assignments per row (+ ``probe_rank``
+    1..n) — the IVF probe set on the DATA side: a row participates in its
+    ``n`` nearest cells. Same deterministic scoring/tie-break as
+    :func:`kmeans_assign` (that function is the n=1 special case); used
+    by the kmeans-blocked k-NN graph's probed variant, where the src side
+    probes 2 cells exactly like a query probes nprobe partitions."""
+    e = emb.alias("_e")
+    c = centroids.alias("_c")
+    d = V.sum_of_squares_distance(
+        f"_e.{vector_col}", "_c.centroid", dim=dim
+    )
+    scored = e.crossJoin(F.broadcast(c)).select(
+        F.col("_e.*"),
+        F.col("_c.cluster_id").alias("cluster_id"),
+        d.alias("distance"),
+    )
+    w = Window.partitionBy(id_col).orderBy(
+        F.col("distance").asc(), F.col("cluster_id").asc()
+    )
+    return (
+        scored.withColumn("probe_rank", F.row_number().over(w))
+        .filter(F.col("probe_rank") <= n)
+    )
+
+
 def kmeans_update(
     assigned: DataFrame, dim: int, vector_col: str = "_v"
 ) -> DataFrame:

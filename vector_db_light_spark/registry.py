@@ -141,6 +141,7 @@ PRIORITY: tuple[str, ...] = (
     "kn_trigram_fluency",       # trigram interpolated KN
     "dsir_importance_sample",   # DSIR weights -> PPS selection
     "curation_mix_manifest",    # dedup+fluency+langid keep-list capstone
+    "knn_graph_kmeans_recall",  # trained-cell blocking vs LSH, probed
     # longest-unrefreshed: every round-1 external pass (10 rounds stale)
     "chunk_count_per_doc",
     "clean_text",
@@ -177,7 +178,6 @@ PRIORITY: tuple[str, ...] = (
     "pivot_status_by_segment",
     "pricing_summary",
     "priority_grouping_sets",
-    "sample_stratified_lang",
 )
 
 _PRIORITY_R10: tuple[str, ...] = (
