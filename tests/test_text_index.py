@@ -347,25 +347,34 @@ def test_stream_text_index_maintenance_equals_rebuild(spark, docs, tmp_path):
 
 def test_api_build_knn_graph_artifact(spark, tmp_path):
     """build_knn_graph persists the per-chunk neighbor table; rows equal a
-    fresh operator run with the same policy, and every src has <= k
-    neighbors ranked 1..rk."""
+    fresh operator run with the same policy AT THE STORED DIM, every src
+    has <= k neighbors ranked 1..rk, and — the ADVICE r11 regression pin —
+    the LSH blocking is non-degenerate on the 16-dim database embeddings
+    (dim-64 default planes used to NULL every plane dot and collapse the
+    corpus into one bucket)."""
+    import pyspark.sql.functions as F
+
     from vector_db_light_spark.api import VectorDatabaseManager
+    from vector_db_light_spark.functions.embedding import DEFAULT_DIM
     from vector_db_light_spark.operators.similarity import (
         adaptive_planes,
         knn_graph,
+        lsh_bucket_expr,
     )
 
     src = tmp_path / "docs"
     src.mkdir()
     (src / "a.txt").write_text("spark query engine for big data " * 40)
     (src / "b.txt").write_text("analytical database for fast query " * 40)
+    (src / "c.txt").write_text("image resize thumbnail pixel decode " * 40)
     mgr = VectorDatabaseManager(spark, str(tmp_path / "dbs"))
     mgr.create_database("kb", str(src), chunk_size=100, chunk_overlap=30)
     mgr.build_knn_graph("kb", k=2)
     got = spark.read.parquet(mgr._table("kb", "knn_graph"))
     emb = spark.read.parquet(mgr._table("kb", "embeddings"))
+    planes = adaptive_planes(emb.count(), dim=DEFAULT_DIM)
     want = knn_graph(
-        emb, adaptive_planes(emb.count()), k=2, id_col="chunk_id",
+        emb, planes, k=2, id_col="chunk_id",
         vector_col="embedding", max_block=192,
     )
     assert sorted(
@@ -373,3 +382,10 @@ def test_api_build_knn_graph_artifact(spark, tmp_path):
     ) == sorted(map(tuple, want.collect()))
     per_src = got.groupBy("src").count().collect()
     assert per_src and all(r["count"] <= 2 for r in per_src)
+    # non-degeneracy: the planes actually split the 16-dim corpus (>1
+    # bucket, no NULL buckets from a dim mismatch)
+    buckets = emb.select(
+        lsh_bucket_expr("embedding", planes).alias("b")
+    ).collect()
+    assert all(r["b"] is not None for r in buckets)
+    assert len({r["b"] for r in buckets}) > 1

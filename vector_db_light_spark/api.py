@@ -906,7 +906,24 @@ class VectorDatabaseManager:
         if self.registry.get(name) is None:
             raise ValueError(f"unknown database {name!r}")
         emb = self.spark.read.parquet(self._table(name, "embeddings"))
-        planes = adaptive_planes(emb.count())
+        # ADVICE r11 (high): the planes MUST match the stored embedding
+        # dimension — V.dot's size guard NULLs every plane dot on mismatch,
+        # every sign bit renders '0', and the whole corpus collapses into
+        # one bucket (the artifact then silently holds md5-residue
+        # sub-block neighbors, not LSH-block neighbors). Read the actual
+        # dim from the table (one bounded scalar agg, same class as the
+        # adaptive-planes count) instead of trusting a default.
+        stats = emb.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min(F.size("embedding")).alias("dmin"),
+            F.max(F.size("embedding")).alias("dmax"),
+        ).first()
+        if stats["dmin"] != stats["dmax"]:
+            raise ValueError(
+                f"mixed embedding dimensions in {name!r}: "
+                f"{stats['dmin']}..{stats['dmax']}"
+            )
+        planes = adaptive_planes(stats["n"], dim=stats["dmin"])
         g = knn_graph(
             emb, planes, k=k, id_col="chunk_id", vector_col="embedding",
             max_block=192,
