@@ -345,6 +345,95 @@ def test_stream_text_index_maintenance_equals_rebuild(spark, docs, tmp_path):
     assert snap() == got
 
 
+def test_index_block_size_invariant(spark, docs, tmp_path):
+    """block_size is an index-level invariant (ADVICE r11 medium): a
+    mixed-size sidecar makes the WAND serving path raise instead of
+    silently computing _blk with an arbitrary row's size (which drops the
+    other size's postings from the (term, _blk) join and turns the
+    'lossless' prune lossy)."""
+    from vector_db_light_spark.operators.text_search import index_block_size
+
+    idx = _persist(build_text_index_tables(docs), spark, str(tmp_path))
+    uniform = build_text_block_meta(idx[0], block_size=8)
+    assert index_block_size(uniform) == 8
+    mixed = uniform.unionByName(build_text_block_meta(idx[0], block_size=4))
+    with pytest.raises(ValueError, match="mixed block_size"):
+        index_block_size(mixed)
+    with pytest.raises(ValueError, match="mixed block_size"):
+        bm25_wand_topk_from_index(
+            *idx, TERMS, k=3, block_meta=mixed
+        ).collect()
+    # empty sidecar (terms absent) falls back to the default, no raise
+    empty = uniform.filter(F.lit(False))
+    from vector_db_light_spark.operators.text_search import (
+        TEXT_INDEX_BLOCK_SIZE,
+    )
+
+    assert index_block_size(empty) == TEXT_INDEX_BLOCK_SIZE
+
+
+def test_append_adopts_existing_block_size(spark, tmp_path):
+    """_append_text_index builds its block-meta delta with the EXISTING
+    sidecar's block_size, so an append after a default change cannot mix
+    sizes (the merge would otherwise silently tolerate it)."""
+    from vector_db_light_spark.api import VectorDatabaseManager
+
+    src = tmp_path / "docs"
+    src.mkdir()
+    (src / "a.txt").write_text("spark data engine for queries " * 30)
+    mgr = VectorDatabaseManager(spark, str(tmp_path / "dbs"))
+    mgr.create_database("bz", str(src), chunk_size=80, chunk_overlap=20)
+    mgr.build_text_index("bz")
+    # rewrite the sidecar at a NON-default size from the persisted postings
+    blocks_path = mgr._table("bz", "text_index_blocks")
+    postings = spark.read.parquet(mgr._table("bz", "text_index"))
+    rebuilt = build_text_block_meta(
+        postings, id_col="chunk_id", block_size=4
+    ).localCheckpoint(eager=True)
+    rebuilt.write.partitionBy("term_bucket").mode("overwrite").parquet(
+        blocks_path
+    )
+    (src / "b.txt").write_text("alpha beta gamma spark data " * 30)
+    mgr.add_documents("bz", str(src / "b.txt"))
+    sizes = [
+        r[0]
+        for r in spark.read.parquet(blocks_path)
+        .select("block_size")
+        .distinct()
+        .collect()
+    ]
+    assert sizes == [4]
+
+
+def test_stream_maintenance_torn_batch_detection(spark, docs, tmp_path):
+    """A stale _inflight marker (a prior batch crashed between its first
+    index write and its ledger append) makes the next micro-batch RAISE
+    instead of double-merging the partial delta (ADVICE r11 low)."""
+    from vector_db_light_spark.streaming.serving import (
+        stream_text_index_maintenance,
+    )
+
+    src = tmp_path / "stream"
+    src.mkdir()
+    idx = str(tmp_path / "ix")
+    ckpt = str(tmp_path / "ckpt")
+    docs.filter(F.col("doc_id") <= 3).write.mode("append").parquet(str(src))
+    stream = spark.readStream.schema("doc_id bigint, text string").parquet(
+        str(src)
+    )
+    stream_text_index_maintenance(stream, idx, ckpt).awaitTermination(180)
+    # simulate a torn batch: the marker survived
+    with open(f"{idx}/_inflight", "w") as fh:
+        fh.write("99")
+    docs.filter(F.col("doc_id") > 3).write.mode("append").parquet(str(src))
+    stream2 = spark.readStream.schema("doc_id bigint, text string").parquet(
+        str(src)
+    )
+    q = stream_text_index_maintenance(stream2, idx, str(tmp_path / "ckpt2"))
+    with pytest.raises(Exception, match="torn micro-batch"):
+        q.awaitTermination(180)
+
+
 def test_api_build_knn_graph_artifact(spark, tmp_path):
     """build_knn_graph persists the per-chunk neighbor table; rows equal a
     fresh operator run with the same policy AT THE STORED DIM, every src

@@ -767,6 +767,7 @@ class VectorDatabaseManager:
             build_text_block_meta,
             build_text_index_tables,
             build_text_positions,
+            index_block_size,
         )
 
         postings, term_meta, stats = build_text_index_tables(
@@ -784,9 +785,19 @@ class VectorDatabaseManager:
             ).write.partitionBy("term_bucket").mode("append").parquet(pos_path)
         blocks_path = self._table(name, "text_index_blocks")
         if os.path.isdir(blocks_path):
+            # block_size is an index-level invariant (ADVICE r11): the new
+            # delta adopts the EXISTING sidecar's size (index_block_size
+            # raises on a mixed sidecar) so an append after a
+            # TEXT_INDEX_BLOCK_SIZE default change can't mix sizes
+            existing_blocks = self.spark.read.parquet(blocks_path)
+            bsize = index_block_size(existing_blocks)
             merged_blocks = (
-                self.spark.read.parquet(blocks_path)
-                .unionByName(build_text_block_meta(postings, id_col="chunk_id"))
+                existing_blocks
+                .unionByName(
+                    build_text_block_meta(
+                        postings, id_col="chunk_id", block_size=bsize
+                    )
+                )
                 .groupBy("term", "term_bucket", "_blk")
                 .agg(
                     F.max("tf_max").alias("tf_max"),

@@ -820,6 +820,27 @@ def build_text_block_meta(
     )
 
 
+def index_block_size(block_meta: DataFrame) -> int:
+    """The block-max sidecar's ``block_size`` is a single INDEX-LEVEL
+    invariant (ADVICE r11 medium): postings get their ``_blk`` computed
+    query-side with ONE size, so a sidecar holding rows built with two
+    different sizes would silently drop the mismatched postings from the
+    (term, _blk) join, shrink the per-doc upper bounds, and turn the
+    'lossless' WAND prune lossy. Assert uniformity at read time and fail
+    loudly instead of picking an arbitrary row. One-int-column distinct —
+    map-side combined, dictionary-scale result. Empty sidecar falls back
+    to the build default (nothing to mismatch)."""
+    sizes = sorted(
+        r[0] for r in block_meta.select("block_size").distinct().collect()
+    )
+    if len(sizes) > 1:
+        raise ValueError(
+            f"mixed block_size in block-max sidecar: {sizes}; "
+            "rebuild the text index with one size"
+        )
+    return int(sizes[0]) if sizes else TEXT_INDEX_BLOCK_SIZE
+
+
 def bm25_wand_topk_from_index(
     postings: DataFrame,
     term_meta: DataFrame,
@@ -851,10 +872,10 @@ def bm25_wand_topk_from_index(
             .select("term", "_blk", "tf_max", "dl_min", "block_size")
             .localCheckpoint(eager=True)
         )
-        bsize = [r["block_size"] for r in bm.select("block_size").limit(1).collect()]
-        blk_expr = (
-            F.expr(f"{id_col} div {int(bsize[0])}") if bsize else F.lit(0)
-        )
+        # index_block_size raises on a mixed-size sidecar (ADVICE r11:
+        # a limit(1) pick would silently compute _blk with one size and
+        # drop postings whose sidecar rows used another)
+        blk_expr = F.expr(f"{id_col} div {index_block_size(bm)}")
         parts = _wand_parts_from(
             p, meta, st, k, id_col, block_expr=blk_expr,
             block_meta=bm.drop("block_size"),

@@ -147,12 +147,18 @@ def stream_text_index_maintenance(
     index's ``doc_ids`` LEDGER (one anti-join, batch-proportional; the
     ledger — not the postings — is the membership test, because a doc
     with no tokens leaves no postings yet must still not re-merge into
-    the stats monoid on replay, found by test). A replayed batch
-    therefore appends nothing and merges identity deltas — bit-identical
-    sidecars. The merged sidecars are localCheckpoint'ed BEFORE
-    overwriting the paths their plans read (CLAUDE.md recache-by-path
-    rule); the postings append itself never re-reads the postings path
-    in the same plan."""
+    the stats monoid on replay, found by test). A batch that COMPLETED
+    replays as a no-op: it appends nothing and merges identity deltas —
+    bit-identical sidecars. A batch that TORE mid-write (foreachBatch is
+    at-least-once; the ledger lands last) is NOT silently absorbable —
+    its postings are partially appended and the monoids partially
+    merged — so each batch brackets its writes with an ``_inflight``
+    intent marker (written before the first mutation, removed after the
+    ledger append): a replay that finds a stale marker RAISES with a
+    rebuild instruction instead of double-merging (ADVICE r11). The
+    merged sidecars are localCheckpoint'ed BEFORE overwriting the paths
+    their plans read (CLAUDE.md recache-by-path rule); the postings
+    append itself never re-reads the postings path in the same plan."""
     import os
 
     from pyspark.sql import functions as F
@@ -161,6 +167,7 @@ def stream_text_index_maintenance(
         build_text_block_meta,
         build_text_index_tables,
         build_text_positions,
+        index_block_size,
     )
 
     def apply(batch_df: DataFrame, batch_id: int) -> None:
@@ -186,21 +193,46 @@ def stream_text_index_maintenance(
             )
         if docs.isEmpty():
             return
+        m_path = f"{index_dir}/_inflight"
+        if os.path.exists(m_path):
+            raise RuntimeError(
+                f"torn micro-batch detected ({m_path} exists): a prior "
+                "batch crashed between its first index write and its "
+                "ledger append, so the postings/sidecars hold a partial "
+                "delta that a replay cannot safely re-apply. Rebuild the "
+                "index from the source docs, then remove the marker."
+            )
         postings, term_meta, stats = build_text_index_tables(
             docs, id_col=id_col, text_col=text_col
         )
         postings = postings.localCheckpoint(eager=True)
-        blocks = build_text_block_meta(postings, id_col=id_col)
         positions = build_text_positions(docs, id_col=id_col, text_col=text_col)
         x_path = f"{index_dir}/positions"
+
+        def _mark() -> None:
+            os.makedirs(index_dir, exist_ok=True)
+            with open(m_path, "w") as fh:
+                fh.write(str(batch_id))
+
         if first:
+            blocks = build_text_block_meta(postings, id_col=id_col)
+            _mark()
             postings.write.partitionBy("term_bucket").parquet(p_path)
             term_meta.write.parquet(t_path)
             stats.write.parquet(s_path)
             blocks.write.partitionBy("term_bucket").parquet(b_path)
             positions.write.partitionBy("term_bucket").parquet(x_path)
             docs.select(id_col).write.parquet(d_path)
+            os.remove(m_path)
             return
+        # block_size is an index-level invariant: the delta adopts the
+        # existing sidecar's size (raises on a mixed sidecar) so a
+        # default change between build and maintenance can't mix sizes
+        existing_b = spark.read.parquet(b_path)
+        blocks = build_text_block_meta(
+            postings, id_col=id_col, block_size=index_block_size(existing_b)
+        )
+        _mark()
         postings.write.partitionBy("term_bucket").mode("append").parquet(
             p_path
         )
@@ -228,7 +260,7 @@ def stream_text_index_maintenance(
         )
         merged_s.write.mode("overwrite").parquet(s_path)
         merged_b = (
-            spark.read.parquet(b_path)
+            existing_b
             .unionByName(blocks)
             .groupBy("term", "term_bucket", "_blk")
             .agg(
@@ -245,6 +277,7 @@ def stream_text_index_maintenance(
             x_path
         )
         docs.select(id_col).write.mode("append").parquet(d_path)
+        os.remove(m_path)
 
     return (
         doc_stream.writeStream.foreachBatch(apply)
