@@ -434,6 +434,96 @@ def test_stream_maintenance_torn_batch_detection(spark, docs, tmp_path):
         q.awaitTermination(180)
 
 
+def test_knn_graph_incremental_maintenance(spark, tmp_path):
+    """add_documents / delete_documents keep the persisted k-NN graph
+    fresh BUCKET-LOCALLY (only buckets whose membership changed are
+    recomputed), and the result is bit-identical to an operator rebuild
+    with the pinned build-time planes — the artifact's incremental
+    contract (VERDICT r11 #1)."""
+    import json
+
+    from vector_db_light_spark.api import VectorDatabaseManager
+    from vector_db_light_spark.operators.similarity import knn_graph
+
+    src = tmp_path / "docs"
+    src.mkdir()
+    (src / "a.txt").write_text("spark query engine for big data " * 40)
+    (src / "b.txt").write_text("analytical database for fast query " * 40)
+    (src / "c.txt").write_text("image resize thumbnail pixel decode " * 40)
+    mgr = VectorDatabaseManager(spark, str(tmp_path / "dbs"))
+    mgr.create_database("kg", str(src), chunk_size=100, chunk_overlap=30)
+    mgr.build_knn_graph("kg", k=2)
+    with open(mgr._table("kg", "knn_graph_meta.json")) as fh:
+        meta = json.load(fh)
+
+    def rebuild():
+        emb = spark.read.parquet(mgr._table("kg", "embeddings"))
+        return sorted(
+            map(
+                tuple,
+                knn_graph(
+                    emb, meta["planes"], k=meta["k"], id_col="chunk_id",
+                    vector_col="embedding", max_block=meta["max_block"],
+                ).collect(),
+            )
+        )
+
+    def artifact():
+        return sorted(
+            map(
+                tuple,
+                spark.read.parquet(mgr._table("kg", "knn_graph"))
+                .select("src", "dst", "rk", "distance")
+                .collect(),
+            )
+        )
+
+    more = tmp_path / "more"
+    more.mkdir()
+    (more / "d.txt").write_text("streaming watermark stateful window " * 40)
+    (more / "e.txt").write_text("spark query engine for big data too " * 40)
+    assert mgr.add_documents("kg", str(more)) == 2
+    assert artifact() == rebuild()
+
+    victim = (
+        spark.read.parquet(mgr._table("kg", "documents"))
+        .select("file_name")
+        .first()["file_name"]
+    )
+    assert mgr.delete_documents("kg", [victim]) == 1
+    assert artifact() == rebuild()
+
+
+def test_api_duplicate_clusters_from_graph(spark, tmp_path):
+    """duplicate_clusters / semantic_prune serve SemDeDup clusters from
+    the persisted graph: two byte-identical docs chunk to identical
+    embeddings (distance 0 edges), land in one cluster with the min
+    chunk_id canonical, and semantic_prune returns exactly the
+    non-canonical members."""
+    from vector_db_light_spark.api import VectorDatabaseManager
+
+    src = tmp_path / "docs"
+    src.mkdir()
+    body = "spark query engine for big data analytics " * 40
+    (src / "orig.txt").write_text(body)
+    (src / "copy.txt").write_text(body + " tail")  # same leading chunks
+    (src / "other.txt").write_text("unrelated words entirely here " * 40)
+    mgr = VectorDatabaseManager(spark, str(tmp_path / "dbs"))
+    mgr.create_database("sd", str(src), chunk_size=100, chunk_overlap=30)
+    clusters = mgr.duplicate_clusters("sd", tau=0.001)  # builds on demand
+    rows = clusters.collect()
+    emb_n = spark.read.parquet(mgr._table("sd", "embeddings")).count()
+    assert len(rows) == emb_n  # every chunk labeled
+    multi = [r for r in rows if r["cluster_size"] > 1]
+    assert multi, "identical chunks must cluster"
+    for r in rows:
+        assert r["is_canonical"] == (1 if r["chunk_id"] == r["cluster_id"] else 0)
+    pruned = {r["chunk_id"] for r in mgr.semantic_prune("sd", tau=0.001).collect()}
+    assert pruned == {
+        r["chunk_id"] for r in rows if r["cluster_size"] > 1 and not r["is_canonical"]
+    }
+
+
 def test_api_build_knn_graph_artifact(spark, tmp_path):
     """build_knn_graph persists the per-chunk neighbor table; rows equal a
     fresh operator run with the same policy AT THE STORED DIM, every src

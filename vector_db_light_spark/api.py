@@ -263,6 +263,23 @@ class VectorDatabaseManager:
             self._append_pq_codes(name, emb_table)
         if self._has_text_index(name):
             self._append_text_index(name, emb_table)
+        if self._has_knn_graph(name):
+            # bucket-local graph refresh: only the buckets the new chunks
+            # land in changed membership. Buckets computed from the
+            # in-memory delta with the PINNED build planes (emb_table is
+            # persisted, so this never re-reads the just-appended path).
+            from .operators.similarity import lsh_bucket_expr
+
+            with open(self._table(name, "knn_graph_meta.json")) as fh:
+                planes = json.load(fh)["planes"]
+            affected = (
+                emb_table.select(
+                    lsh_bucket_expr("embedding", planes).alias("bucket")
+                )
+                .distinct()
+                .localCheckpoint(eager=True)
+            )
+            self._refresh_knn_graph(name, affected)
         fresh.write.mode("append").parquet(self._table(name, "documents"))
         emb_table.unpersist()
         fresh.unpersist()
@@ -323,6 +340,29 @@ class VectorDatabaseManager:
         shutil.rmtree(docs_path)
         os.rename(docs_path + ".tmp", docs_path)
 
+        graph_affected = None
+        if self._has_knn_graph(name):
+            # the doomed chunks' LSH buckets must come from the PRE-delete
+            # embeddings (their vectors are about to be rewritten away);
+            # checkpoint cuts the lineage on the soon-to-mutate path. A
+            # doomed node can be graph-invisible (alone in its skew-cap
+            # sub-block), so the buckets derive from the embeddings, not
+            # from the graph's own rows.
+            from .operators.similarity import lsh_bucket_expr
+
+            with open(self._table(name, "knn_graph_meta.json")) as fh:
+                g_planes = json.load(fh)["planes"]
+            graph_affected = (
+                _semi_join_doomed(
+                    self.spark.read.parquet(self._table(name, "embeddings")),
+                    doomed,
+                    broadcast_ok,
+                )
+                .select(lsh_bucket_expr("embedding", g_planes).alias("bucket"))
+                .distinct()
+                .localCheckpoint(eager=True)
+            )
+
         prev = self.spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
         self.spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
         try:
@@ -364,8 +404,6 @@ class VectorDatabaseManager:
             # beats threading chunk-level anti-joins through one more
             # artifact. (On Delta/Iceberg this is a metadata-level DELETE
             # keyed on chunk_id instead.)
-            import json
-
             from .operators.similarity import pq_encode
 
             with open(self._table(name, "pq_codebooks.json")) as f:
@@ -387,6 +425,8 @@ class VectorDatabaseManager:
             # the straight rebuild from the post-delete corpus is
             # simpler and always correct.
             self.build_text_index(name)
+        if graph_affected is not None:
+            self._refresh_knn_graph(name, graph_affected)
         doomed.unpersist()
         return n_del
 
@@ -904,15 +944,26 @@ class VectorDatabaseManager:
             .orderBy(F.col("min_span").asc(), F.col("chunk_id").asc())
         )
 
+    KNN_GRAPH_MAX_BLOCK = 192
+
     def build_knn_graph(self, name: str, k: int = 5) -> None:
         """Persist the chunk-embedding k-NN GRAPH artifact
         (operators/similarity.knn_graph with the adaptive plane policy +
-        skew cap): (src, dst, rk, distance) per chunk — the reusable
-        precursor for SemDeDup-style pruning, duplicate clustering and
-        graph-ANN bootstrap, built once instead of per consumer. Written
-        partitioned by src bucket (pmod 64) so per-node neighbor lookups
-        prune."""
-        from .operators.similarity import adaptive_planes, knn_graph
+        skew cap): (src, dst, rk, distance, bucket) per chunk — the
+        reusable precursor for SemDeDup-style pruning
+        (:meth:`duplicate_clusters` / :meth:`semantic_prune` serve from
+        it), duplicate clustering and graph-ANN bootstrap, built once
+        instead of per consumer. Written partitioned by src bucket
+        (pmod 64) so per-node neighbor lookups prune; each src row also
+        carries its LSH ``bucket`` string, which is what makes the
+        incremental refresh bucket-local (add/delete recompute ONLY the
+        buckets whose membership changed — a node's neighbor set is a
+        pure function of its bucket's members, so untouched buckets'
+        rows are bit-identical to a rebuild). The build-time planes are
+        pinned in a ``knn_graph_meta.json`` sidecar (like the PQ
+        codebooks: re-train = rebuild); the adaptive-planes policy only
+        picks the count at BUILD time."""
+        from .operators.similarity import adaptive_planes
 
         if self.registry.get(name) is None:
             raise ValueError(f"unknown database {name!r}")
@@ -935,12 +986,142 @@ class VectorDatabaseManager:
                 f"{stats['dmin']}..{stats['dmax']}"
             )
         planes = adaptive_planes(stats["n"], dim=stats["dmin"])
-        g = knn_graph(
-            emb, planes, k=k, id_col="chunk_id", vector_col="embedding",
-            max_block=192,
-        ).withColumn("src_bucket", F.pmod(F.col("src"), F.lit(64)))
+        g = self._knn_graph_for_buckets(name, planes, k, buckets=None)
         g.write.partitionBy("src_bucket").mode("overwrite").parquet(
             self._table(name, "knn_graph")
+        )
+        with open(self._table(name, "knn_graph_meta.json"), "w") as fh:
+            json.dump(
+                {"planes": planes, "k": k,
+                 "max_block": self.KNN_GRAPH_MAX_BLOCK},
+                fh,
+            )
+
+    def _knn_graph_for_buckets(
+        self,
+        name: str,
+        planes: list[list[float]],
+        k: int,
+        buckets: DataFrame | None,
+    ) -> DataFrame:
+        """The graph rows for the nodes in ``buckets`` (a one-column
+        ``bucket`` frame; None = all buckets), computed from the CURRENT
+        embeddings table with the pinned planes. Restricting to a bucket
+        subset is exact, not approximate: candidates only ever come from
+        a node's own bucket (probe 0 at build), and the skew-cap sub-split
+        counts derive from per-bucket membership, so a bucket-closed node
+        subset reproduces the full build's rows for those buckets
+        bit-for-bit."""
+        from .operators.similarity import knn_graph_by, lsh_bucket_expr
+
+        emb = self.spark.read.parquet(self._table(name, "embeddings"))
+        # consumed 3x (pair sides + the src->bucket join-back); checkpoint
+        # so the wide unrolled plane chain evaluates once per row
+        # (CLAUDE.md rule 4)
+        bucketed = emb.select(
+            "chunk_id",
+            "embedding",
+            lsh_bucket_expr("embedding", planes).alias("_b"),
+        ).localCheckpoint(eager=True)
+        if buckets is not None:
+            bucketed = bucketed.join(
+                F.broadcast(buckets.withColumnRenamed("bucket", "_b")),
+                "_b",
+                "left_semi",
+            )
+        g = knn_graph_by(
+            bucketed, "_b", k=k, id_col="chunk_id",
+            vector_col="embedding", max_block=self.KNN_GRAPH_MAX_BLOCK,
+        )
+        return g.join(
+            bucketed.select(
+                F.col("chunk_id").alias("src"), F.col("_b").alias("bucket")
+            ),
+            "src",
+        ).withColumn("src_bucket", F.pmod(F.col("src"), F.lit(64)))
+
+    def _refresh_knn_graph(self, name: str, affected: DataFrame) -> None:
+        """Bucket-local incremental refresh of the persisted k-NN graph:
+        rows whose bucket membership changed (``affected``: one-column
+        ``bucket`` frame, localCheckpoint'ed by the caller if its lineage
+        reads a table this method's recompute also reads) are recomputed
+        from the current embeddings; every other row is carried over
+        untouched. Kept ∪ recomputed is checkpointed, then swapped in via
+        write-audit-rename (the graph is k rows/node — the write is the
+        artifact's own size, the COMPUTE is only the affected buckets'
+        pair work)."""
+        meta_path = self._table(name, "knn_graph_meta.json")
+        with open(meta_path) as fh:
+            meta = json.load(fh)
+        graph_path = self._table(name, "knn_graph")
+        old = self.spark.read.parquet(graph_path)
+        kept = old.join(F.broadcast(affected), "bucket", "left_anti")
+        sub = self._knn_graph_for_buckets(
+            name, meta["planes"], meta["k"], buckets=affected
+        )
+        merged = kept.select(sub.columns).unionByName(sub).localCheckpoint(
+            eager=True
+        )
+        merged.write.partitionBy("src_bucket").mode("overwrite").parquet(
+            graph_path + ".tmp"
+        )
+        os.rename(graph_path, graph_path + ".old")
+        os.rename(graph_path + ".tmp", graph_path)
+        shutil.rmtree(graph_path + ".old")
+
+    def _has_knn_graph(self, name: str) -> bool:
+        return os.path.exists(self._table(name, "knn_graph_meta.json"))
+
+    def duplicate_clusters(self, name: str, tau: float = 0.05) -> DataFrame:
+        """SemDeDup-style duplicate clusters served FROM the persisted
+        k-NN graph artifact (the lexical index's serve-vs-rebuild contract
+        applied to the vector side): near-dup edges (distance <= tau) are
+        read from the partition-pruned parquet — no pairwise stage runs —
+        and transitively closed into clusters (label = min chunk_id).
+        Returns (chunk_id, cluster_id, cluster_size, is_canonical) for
+        every chunk. Builds the graph on demand if absent."""
+        from .operators.dedup import connected_components
+
+        if self.registry.get(name) is None:
+            raise ValueError(f"unknown database {name!r}")
+        if not self._has_knn_graph(name):
+            self.build_knn_graph(name)
+        edges = (
+            self.spark.read.parquet(self._table(name, "knn_graph"))
+            .filter(F.col("distance") <= tau)
+            .select(F.col("src").alias("id_a"), F.col("dst").alias("id_b"))
+        )
+        labels = connected_components(edges).withColumnRenamed(
+            "id", "chunk_id"
+        )
+        chunks = self.spark.read.parquet(
+            self._table(name, "embeddings")
+        ).select("chunk_id")
+        labeled = chunks.join(labels, "chunk_id", "left").select(
+            "chunk_id",
+            F.coalesce("label", F.col("chunk_id")).alias("cluster_id"),
+        )
+        sizes = labeled.groupBy("cluster_id").agg(
+            F.count(F.lit(1)).alias("cluster_size")
+        )
+        return labeled.join(sizes, "cluster_id").select(
+            "chunk_id",
+            "cluster_id",
+            F.col("cluster_size").cast("bigint").alias("cluster_size"),
+            (F.col("chunk_id") == F.col("cluster_id"))
+            .cast("int")
+            .alias("is_canonical"),
+        )
+
+    def semantic_prune(self, name: str, tau: float = 0.05) -> DataFrame:
+        """The chunk ids a SemDeDup pass would DROP: every non-canonical
+        member of a near-dup cluster (keep = min chunk_id per cluster).
+        Pure consumer of :meth:`duplicate_clusters` — served from the
+        persisted graph, no pairwise work."""
+        return (
+            self.duplicate_clusters(name, tau)
+            .filter(F.col("is_canonical") == 0)
+            .select("chunk_id", "cluster_id")
         )
 
     # -- maintenance: compaction / clustering rewrite ------------------------

@@ -1375,10 +1375,13 @@ def dedup_cdc_chunks(spark, sf_dir):
 _KG_DEDUP_K = 3
 _KG_DEDUP_TAU = 0.05  # distance bar == cosine >= 0.95
 
-
-@register(
-    "dedup_clusters_knn_graph",
-    f"""
+# Shared by dedup_clusters_knn_graph (inline graph) and
+# dedup_clusters_graph_artifact (graph persisted to parquet, then served):
+# the oracle recomputes everything from the raw embeddings either way, so
+# a hash match on the artifact variant proves persist-then-serve ==
+# compute-from-corpus — the same contract bm25_index_topk pins for the
+# lexical index.
+_KG_CLUSTERS_ORACLE = f"""
 WITH RECURSIVE corpus AS ({_EMB_CORPUS_SQL}),
 cb0 AS (
   SELECT vec_id, embedding, {_lsh_bucket_sql('embedding')} AS b FROM corpus
@@ -1425,8 +1428,10 @@ SELECT l.vec_id, l.cluster_id,
        CAST(s.cluster_size AS BIGINT) AS cluster_size,
        CAST(l.vec_id = l.cluster_id AS INT) AS is_canonical
 FROM labeled l JOIN csize s USING (cluster_id)
-""",
-)
+"""
+
+
+@register("dedup_clusters_knn_graph", _KG_CLUSTERS_ORACLE)
 def dedup_clusters_knn_graph(spark, sf_dir):
     """Embedding dedup clusters built FROM the k-NN graph
     (operators/similarity.knn_graph -> near-dup edge filter ->
@@ -1447,10 +1452,18 @@ def dedup_clusters_knn_graph(spark, sf_dir):
 
     # adaptive plane count == the oracle's 6 PLANES at sf0.01 (550 rows);
     # grows with the corpus so the blocked self-join stays linear
+    graph = knn_graph(corpus, adaptive_planes(corpus.count()),
+                      k=_KG_DEDUP_K,
+                      max_block=192)  # skew cap, inactive at sf0.01
+    return _kg_cluster_labels(corpus, graph)
+
+
+def _kg_cluster_labels(corpus, graph):
+    """near-dup edge filter -> connected components -> per-chunk cluster
+    labeling — the serving half shared by the inline and persisted-graph
+    cluster queries."""
     edges = (
-        knn_graph(corpus, adaptive_planes(corpus.count()), k=_KG_DEDUP_K,
-                  max_block=192)  # skew cap, inactive at sf0.01
-        .filter(F.col("distance") <= _KG_DEDUP_TAU)
+        graph.filter(F.col("distance") <= _KG_DEDUP_TAU)
         .select(F.col("src").alias("id_a"), F.col("dst").alias("id_b"))
     )
     labels = (
@@ -1470,3 +1483,79 @@ def dedup_clusters_knn_graph(spark, sf_dir):
         F.col("cluster_size").cast("bigint").alias("cluster_size"),
         (F.col("vec_id") == F.col("cluster_id")).cast("int").alias("is_canonical"),
     )
+
+
+def _graph_artifact(spark, sf_dir: str):
+    """The dup-injected corpus' k-NN graph PERSISTED to a /tmp parquet
+    artifact (fingerprint-keyed like _text_index: pid-tempdir + atomic
+    rename, torn caches rebuilt) and read back — so the query downstream
+    serves from parquet exactly the way api.duplicate_clusters serves
+    from api.build_knn_graph's table, instead of re-deriving the graph
+    inline."""
+    import os
+    import shutil
+
+    from ..operators.similarity import adaptive_planes, knn_graph
+
+    key = sf_dir.strip("/").replace("/", "_")
+    root = os.path.join(sf_dir, "embeddings.parquet")
+    parts = []
+    if os.path.isdir(root):
+        for dirpath, _dirs, files in os.walk(root):
+            for f in sorted(files):
+                p = os.path.join(dirpath, f)
+                st = os.stat(p)
+                parts.append(
+                    f"{os.path.relpath(p, root)}:{st.st_size}:{st.st_mtime_ns}"
+                )
+    elif os.path.isfile(root):
+        st = os.stat(root)
+        parts.append(f"file:{st.st_size}:{st.st_mtime_ns}")
+    import hashlib
+
+    fp = hashlib.md5("|".join(parts).encode()).hexdigest()[:16]
+    dst = f"/tmp/vdl_knn_graph/v1/{key}-{fp}"
+    if not os.path.exists(os.path.join(dst, "_SUCCESS")):
+        tmp = f"{dst}.tmp.{os.getpid()}"
+        corpus = _kg_corpus(spark, sf_dir)
+        g = knn_graph(
+            corpus, adaptive_planes(corpus.count()), k=_KG_DEDUP_K,
+            max_block=192,
+        ).withColumn("src_bucket", F.pmod(F.col("src"), F.lit(64)))
+        g.write.partitionBy("src_bucket").mode("overwrite").parquet(tmp)
+        open(os.path.join(tmp, "_SUCCESS"), "w").close()
+        if os.path.isdir(dst) and not os.path.exists(
+            os.path.join(dst, "_SUCCESS")
+        ):
+            shutil.rmtree(dst, ignore_errors=True)
+        os.makedirs(os.path.dirname(dst), exist_ok=True)
+        try:
+            os.rename(tmp, dst)
+        except OSError:
+            shutil.rmtree(tmp, ignore_errors=True)  # lost the race
+    return spark.read.parquet(dst)
+
+
+def _kg_corpus(spark, sf_dir: str):
+    """The dup-injected embedding corpus both graph cluster queries run
+    on (matches _EMB_CORPUS_SQL)."""
+    emb = load(spark, sf_dir, "embeddings")
+    copies = emb.filter(F.col("vec_id") % 10 == 0).select(
+        (F.col("vec_id") + 100000).alias("vec_id"), "embedding", "label"
+    )
+    return emb.select("vec_id", "embedding", "label").unionByName(copies)
+
+
+@register("dedup_clusters_graph_artifact", _KG_CLUSTERS_ORACLE)
+def dedup_clusters_graph_artifact(spark, sf_dir):
+    """SemDeDup clusters served FROM the PERSISTED k-NN graph artifact
+    (round 12, VERDICT r11 #1): the graph is built once into a parquet
+    artifact (partitioned by src bucket, the api.build_knn_graph layout)
+    and this query only READS it — edge filter, transitive closure,
+    labeling — while the oracle recomputes everything from the raw
+    embeddings table. The hash match is the persist-then-serve fidelity
+    proof for the vector-side artifact, the same contract bm25_index_topk
+    pins for the lexical index. api.duplicate_clusters is the database-
+    facing twin of this serving path."""
+    graph = _graph_artifact(spark, sf_dir)
+    return _kg_cluster_labels(_kg_corpus(spark, sf_dir), graph)
