@@ -135,7 +135,8 @@ def test_incremental_append_equals_rebuild(spark, docs, tmp_path):
 def test_api_text_index_lifecycle(spark, tmp_path):
     """api.build_text_index -> search_bm25 serves from the artifact with
     identical rows; add_documents appends incrementally (== rebuild);
-    delete_documents rebuilds."""
+    delete_documents applies a BOUNDED DELTA (affected terms/buckets only)
+    that equals a rebuild bit-for-bit."""
     from vector_db_light_spark.api import VectorDatabaseManager
 
     src = tmp_path / "docs"
@@ -222,9 +223,37 @@ def test_api_text_index_lifecycle(spark, tmp_path):
         )
     )
 
-    # delete rebuilds; the served ranking matches a fresh corpus ranking
+    # bounded-delta delete == full rebuild bit-for-bit on ALL FIVE tables
     assert mgr.delete_documents("kb", ["b.txt"]) == 1
     emb2 = spark.read.parquet(mgr._table("kb", "embeddings"))
+    p2, m2, s2 = mgr._read_text_index("kb")
+    pf2, mf2, sf2 = build_text_index_tables(
+        emb2, id_col="chunk_id", text_col="chunk_text"
+    )
+    assert sorted(map(tuple, m2.collect())) == sorted(map(tuple, mf2.collect()))
+    assert s2.collect() == sf2.collect()
+    assert sorted(map(tuple, p2.drop("term_bucket").collect())) == sorted(
+        map(tuple, pf2.drop("term_bucket").collect())
+    )
+    from vector_db_light_spark.operators.text_search import (
+        build_text_block_meta as _blocks2,
+    )
+
+    b2 = spark.read.parquet(mgr._table("kb", "text_index_blocks"))
+    bf2 = _blocks2(pf2, id_col="chunk_id")
+    assert sorted(
+        map(tuple, b2.select(sorted(b2.columns)).collect())
+    ) == sorted(map(tuple, bf2.select(sorted(bf2.columns)).collect()))
+    x2 = spark.read.parquet(mgr._table("kb", "text_index_positions"))
+    assert sorted(map(tuple, x2.drop("term_bucket").collect())) == sorted(
+        map(
+            tuple,
+            positional_postings(
+                emb2, id_col="chunk_id", text_col="chunk_text"
+            ).collect(),
+        )
+    )
+    # the served ranking matches a fresh corpus ranking
     fresh = [
         r.asDict()
         for r in bm25_topk(
@@ -237,6 +266,11 @@ def test_api_text_index_lifecycle(spark, tmp_path):
         for r in mgr.search_bm25("kb", "query data", k=4).collect()
     ]
     assert got == [(r["chunk_id"], r["bm25"]) for r in fresh]
+    pruned2 = [
+        (r["chunk_id"], r["bm25"])
+        for r in mgr.search_bm25("kb", "query data", k=4, prune=True).collect()
+    ]
+    assert pruned2 == got  # WAND from the delta-maintained sidecar, lossless
 
 
 def test_index_postings_scan_is_partition_pruned(spark, docs, tmp_path):

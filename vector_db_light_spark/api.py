@@ -340,6 +340,20 @@ class VectorDatabaseManager:
         shutil.rmtree(docs_path)
         os.rename(docs_path + ".tmp", docs_path)
 
+        text_doomed = None
+        if self._has_text_index(name):
+            # the doomed chunks' text must come from the PRE-delete
+            # embeddings (the bounded-delta index delete re-derives their
+            # postings from it); checkpoint before the table mutates
+            text_doomed = (
+                _semi_join_doomed(
+                    self.spark.read.parquet(self._table(name, "embeddings")),
+                    doomed,
+                    broadcast_ok,
+                )
+                .select("chunk_id", "chunk_text")
+                .localCheckpoint(eager=True)
+            )
         graph_affected = None
         if self._has_knn_graph(name):
             # the doomed chunks' LSH buckets must come from the PRE-delete
@@ -416,15 +430,8 @@ class VectorDatabaseManager:
             os.rename(pq_path, pq_path + ".old")
             os.rename(pq_path + ".tmp", pq_path)
             shutil.rmtree(pq_path + ".old")
-        if self._has_text_index(name):
-            # Deletions don't merge: df decrements compose, but tf_max /
-            # dl_min are not invertible aggregates. The bounded-delta
-            # alternative (recompute meta only for the deleted docs'
-            # terms from the post-delete postings, partition-pruned by
-            # their buckets) is the 100 TB path; at this table's scale
-            # the straight rebuild from the post-delete corpus is
-            # simpler and always correct.
-            self.build_text_index(name)
+        if text_doomed is not None:
+            self._delete_from_text_index(name, text_doomed)
         if graph_affected is not None:
             self._refresh_knn_graph(name, graph_affected)
         doomed.unpersist()
@@ -870,6 +877,167 @@ class VectorDatabaseManager:
                 F.sum("n_docs").cast("long").alias("n_docs"),
                 F.sum("sum_dl").cast("long").alias("sum_dl"),
                 F.sum("n_dl").cast("long").alias("n_dl"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        merged_stats.write.mode("overwrite").parquet(stats_path)
+
+    def _delete_from_text_index(self, name: str, doomed_rows: DataFrame) -> None:
+        """Bounded-delta text-index DELETE (VERDICT r11 #5 — the path the
+        old full-rebuild comment only designed): cost is O(deleted docs'
+        postings + their term buckets), not O(corpus).
+
+        ``doomed_rows`` = (chunk_id, chunk_text) of the deleted chunks,
+        checkpointed by the caller from the PRE-delete embeddings. Their
+        postings delta is re-derived by the same tokenizer that produced
+        the original appends, which gives the affected term set WITHOUT
+        scanning the postings table. Then, per sidecar:
+
+        * postings / positions: doomed chunks' rows anti-joined out, only
+          the affected term-bucket partitions rewritten (dynamic
+          overwrite; emptied buckets removed explicitly).
+        * stats: all components are sums — subtract the delta EXACTLY.
+        * term_meta / blocks: df would decrement, but tf_max / dl_min are
+          not invertible — recompute rows for the AFFECTED TERMS ONLY
+          from the post-delete postings (scan pruned to the affected
+          buckets), carry every other row over untouched. Terms whose
+          postings emptied drop out, exactly as a rebuild would drop
+          them.
+
+        Delta-delete == full rebuild bit-for-bit (pinned by test)."""
+        from .operators.text_search import (
+            build_text_block_meta,
+            build_text_index_tables,
+            index_block_size,
+        )
+
+        del_postings, _del_terms, del_stats = build_text_index_tables(
+            doomed_rows, id_col="chunk_id", text_col="chunk_text"
+        )
+        del_postings = del_postings.localCheckpoint(eager=True)
+        affected_terms = (
+            del_postings.select("term", "term_bucket")
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+        touched = [
+            r["term_bucket"]
+            for r in affected_terms.select("term_bucket").distinct().collect()
+        ]
+        doomed_ids = doomed_rows.select("chunk_id")
+
+        def _drop_doomed_rows(path: str) -> None:
+            """Anti-join doomed chunks out of the touched term-bucket
+            partitions of a per-chunk table (postings / positions)."""
+            table = self.spark.read.parquet(path)
+            kept = (
+                table.filter(F.col("term_bucket").isin(touched))
+                .join(F.broadcast(doomed_ids), "chunk_id", "left_anti")
+                .persist()
+            )
+            kept.count()
+            survivors = {
+                r["term_bucket"]
+                for r in kept.select("term_bucket").distinct().collect()
+            }
+            if survivors:
+                kept.write.partitionBy("term_bucket").mode(
+                    "overwrite"
+                ).parquet(path)
+            kept.unpersist()
+            for val in set(touched) - survivors:
+                shutil.rmtree(
+                    os.path.join(path, f"term_bucket={val}"),
+                    ignore_errors=True,
+                )
+
+        prev = self.spark.conf.get(
+            "spark.sql.sources.partitionOverwriteMode", "static"
+        )
+        self.spark.conf.set(
+            "spark.sql.sources.partitionOverwriteMode", "dynamic"
+        )
+        try:
+            if touched:
+                _drop_doomed_rows(self._table(name, "text_index"))
+                pos_path = self._table(name, "text_index_positions")
+                if os.path.isdir(pos_path):
+                    _drop_doomed_rows(pos_path)
+        finally:
+            self.spark.conf.set(
+                "spark.sql.sources.partitionOverwriteMode", prev
+            )
+
+        if touched:
+            # post-delete postings for the affected terms, scan pruned to
+            # their buckets (PartitionFilters)
+            post = (
+                self.spark.read.parquet(self._table(name, "text_index"))
+                .filter(F.col("term_bucket").isin(touched))
+                .join(
+                    F.broadcast(affected_terms.select("term")),
+                    "term",
+                    "left_semi",
+                )
+                .localCheckpoint(eager=True)  # feeds term_meta AND blocks
+            )
+            terms_path = self._table(name, "text_index_terms")
+            recomputed_terms = post.groupBy("term").agg(
+                F.count(F.lit(1)).cast("long").alias("df"),
+                F.max("tf").cast("long").alias("tf_max"),
+                F.min("dl").cast("long").alias("dl_min"),
+            )
+            merged_terms = (
+                self.spark.read.parquet(terms_path)
+                .join(
+                    F.broadcast(affected_terms.select("term")),
+                    "term",
+                    "left_anti",
+                )
+                .unionByName(recomputed_terms)
+                .localCheckpoint(eager=True)
+            )
+            merged_terms.write.mode("overwrite").parquet(terms_path)
+            blocks_path = self._table(name, "text_index_blocks")
+            if os.path.isdir(blocks_path):
+                old_blocks = self.spark.read.parquet(blocks_path)
+                recomputed_blocks = build_text_block_meta(
+                    post,
+                    id_col="chunk_id",
+                    block_size=index_block_size(old_blocks),
+                )
+                merged_blocks = (
+                    old_blocks.join(
+                        F.broadcast(affected_terms.select("term")),
+                        "term",
+                        "left_anti",
+                    )
+                    .select(recomputed_blocks.columns)
+                    .unionByName(recomputed_blocks)
+                    .localCheckpoint(eager=True)
+                )
+                merged_blocks.write.partitionBy("term_bucket").mode(
+                    "overwrite"
+                ).parquet(blocks_path)
+        # stats last: pure sums, subtract the delta exactly — this runs
+        # even when the deleted docs had zero tokens (they still counted
+        # into n_docs)
+        stats_path = self._table(name, "text_index_stats")
+        old_stats = self.spark.read.parquet(stats_path)
+        merged_stats = (
+            old_stats.crossJoin(
+                del_stats.select(
+                    F.col("n_docs").alias("_dn"),
+                    # all-tokenless doomed set: the delta's dl-sum aggregates
+                    # over zero rows and returns NULL, not 0
+                    F.coalesce(F.col("sum_dl"), F.lit(0)).alias("_ds"),
+                    F.col("n_dl").alias("_dd"),
+                )
+            )
+            .select(
+                (F.col("n_docs") - F.col("_dn")).cast("long").alias("n_docs"),
+                (F.col("sum_dl") - F.col("_ds")).cast("long").alias("sum_dl"),
+                (F.col("n_dl") - F.col("_dd")).cast("long").alias("n_dl"),
             )
             .localCheckpoint(eager=True)
         )
