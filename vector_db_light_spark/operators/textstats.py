@@ -494,6 +494,37 @@ def kn_fluency_scores(
         .agg(F.count(F.lit(1)).cast("long").alias("c_ab"))
         .localCheckpoint(eager=True)
     )
+    return kn_score_bigrams(bg, c, id_col=id_col)
+
+
+def kn_bigram_counts(
+    docs: DataFrame, id_col: str = "doc_id", toks_col: str = "toks"
+) -> DataFrame:
+    """The bigram-KN LM's ONE persistable table: (w1, w2, c_ab) raw
+    adjacent-pair counts over a tokenized corpus. A pure SUM monoid —
+    incremental append unions + re-sums, delete SUBTRACTS exactly (counts
+    invert, unlike the text index's tf_max/dl_min), so maintained ==
+    rebuilt bit-for-bit. Every other KN table (history marginals, fanout,
+    continuation counts, type total) derives from it in dictionary-scale
+    aggregations at scoring time (:func:`kn_score_bigrams`), which is why
+    the artifact persists ONLY this one (api.build_lm)."""
+    return (
+        docs.select(
+            F.col(id_col), F.explode(bigram_structs(F.col(toks_col))).alias("b")
+        )
+        .groupBy(F.col("b.w1").alias("w1"), F.col("b.w2").alias("w2"))
+        .agg(F.count(F.lit(1)).cast("long").alias("c_ab"))
+    )
+
+
+def kn_score_bigrams(
+    bg: DataFrame, c: DataFrame, id_col: str = "doc_id"
+) -> DataFrame:
+    """Score a (id, variant, w1, w2) bigram table against a trained
+    (w1, w2, c_ab) count table — the serving half of
+    :func:`kn_fluency_scores`, split out so a PERSISTED count artifact
+    (api.build_lm) scores new text without re-deriving the LM from the
+    corpus. Derived tables are dictionary-scale broadcast joins."""
     w1s = c.groupBy("w1").agg(
         F.sum("c_ab").cast("long").alias("c_w1"),
         F.count(F.lit(1)).cast("long").alias("n_fanout"),
@@ -586,6 +617,36 @@ def kn_trigram_fluency_scores(
         .agg(F.count(F.lit(1)).cast("long").alias("c_abc"))
         .localCheckpoint(eager=True)
     )
+    return kn_score_trigrams(tg, c3, id_col=id_col)
+
+
+def kn_trigram_counts(
+    docs: DataFrame, id_col: str = "doc_id", toks_col: str = "toks"
+) -> DataFrame:
+    """(w1, w2, w3, c_abc) raw adjacent-triple counts — the trigram LM's
+    one persistable table (sum monoid; every backoff table derives from
+    it at scoring time, :func:`kn_score_trigrams`)."""
+    return (
+        docs.select(
+            F.col(id_col),
+            F.explode(trigram_structs(F.col(toks_col))).alias("t"),
+        )
+        .groupBy(
+            F.col("t.w1").alias("w1"),
+            F.col("t.w2").alias("w2"),
+            F.col("t.w3").alias("w3"),
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("c_abc"))
+    )
+
+
+def kn_score_trigrams(
+    tg: DataFrame, c3: DataFrame, id_col: str = "doc_id"
+) -> DataFrame:
+    """Score a (id, variant, w1, w2, w3) trigram table against a trained
+    (w1, w2, w3, c_abc) count table — the serving half of
+    :func:`kn_trigram_fluency_scores` (persisted-artifact twin of
+    :func:`kn_score_bigrams`)."""
     c12 = c3.groupBy("w1", "w2").agg(
         F.sum("c_abc").cast("long").alias("c_w12"),
         F.count(F.lit(1)).cast("long").alias("n_fanout12"),

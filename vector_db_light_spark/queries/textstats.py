@@ -769,7 +769,7 @@ CASE WHEN s1.c_w1 IS NOT NULL
 
 @register(
     "kn_fluency_score",
-    rf"""
+    _KN_FLU_ORACLE := rf"""
 WITH toks AS (
   SELECT doc_id, {_TOKS_SQL} AS t FROM documents
 ),
@@ -849,6 +849,10 @@ def kn_fluency_score(spark, sf_dir):
         docs.select("doc_id", F.lit("corrupt").alias("variant"), corrupt.alias("toks"))
     )
     per = T.kn_fluency_scores(variants)
+    return _kn_variant_pivot(per)
+
+
+def _kn_variant_pivot(per):
     flu = lambda v, c: F.max(  # noqa: E731 — 1-row-per-variant pivot
         F.when(F.col("variant") == v, F.col(c))
     )
@@ -857,6 +861,86 @@ def kn_fluency_score(spark, sf_dir):
         flu("orig", "fluency_u6").alias("fluency_u6"),
         flu("corrupt", "fluency_u6").alias("fluency_corrupt_u6"),
     )
+
+
+def _kn_variants(spark, sf_dir):
+    """The (doc_id, variant, toks) frame kn_fluency_score and its
+    artifact-serving twin both score (orig + every-3rd-token-OOV twin)."""
+    docs = load_docs(spark, sf_dir).select(
+        "doc_id", T.tokens_expr("text").alias("toks")
+    ).filter(F.size("toks") >= 2)
+    corrupt = F.transform(
+        F.col("toks"),
+        lambda t, i: F.when(
+            (i + 1) % 3 == 0, F.concat(F.lit("zq"), t)
+        ).otherwise(t),
+    )
+    return docs.select(
+        "doc_id", F.lit("orig").alias("variant"), "toks"
+    ).unionByName(
+        docs.select(
+            "doc_id", F.lit("corrupt").alias("variant"), corrupt.alias("toks")
+        )
+    )
+
+
+def _lm_count_artifact(spark, sf_dir: str):
+    """The bigram-KN count table PERSISTED to a /tmp parquet artifact
+    (fingerprint-keyed, pid-tempdir + atomic rename — the _text_index
+    pattern) and read back, so the downstream query scores from parquet
+    exactly the way api.score_fluency serves from api.build_lm's table."""
+    import os
+    import shutil
+
+    from ..operators.textstats import kn_bigram_counts
+    from .pipeline import _docs_fingerprint
+
+    key = sf_dir.strip("/").replace("/", "_")
+    fp = _docs_fingerprint(sf_dir)
+    dst = f"/tmp/vdl_lm_counts/v1/{key}-{fp}"
+    if not os.path.exists(os.path.join(dst, "_SUCCESS")):
+        tmp = f"{dst}.tmp.{os.getpid()}"
+        train = load_docs(spark, sf_dir).select(
+            "doc_id", T.tokens_expr("text").alias("toks")
+        ).filter(F.size("toks") >= 2)
+        kn_bigram_counts(train).write.mode("overwrite").parquet(tmp)
+        open(os.path.join(tmp, "_SUCCESS"), "w").close()
+        if os.path.isdir(dst) and not os.path.exists(
+            os.path.join(dst, "_SUCCESS")
+        ):
+            shutil.rmtree(dst, ignore_errors=True)
+        os.makedirs(os.path.dirname(dst), exist_ok=True)
+        try:
+            os.rename(tmp, dst)
+        except OSError:
+            shutil.rmtree(tmp, ignore_errors=True)  # lost the race
+    return spark.read.parquet(dst)
+
+
+@register("kn_fluency_from_artifact", _KN_FLU_ORACLE)
+def kn_fluency_from_artifact(spark, sf_dir):
+    """kn_fluency_score SERVED FROM THE PERSISTED LM ARTIFACT (round 12,
+    VERDICT r11 #7): the bigram count table — the one persistable piece
+    of the KN model, a sum monoid that api.build_lm/_merge_lm maintain
+    incrementally in both directions — is written to parquet once and
+    this query only READS it; every backoff table derives from the read
+    counts at scoring time (operators/textstats.kn_score_bigrams). The
+    oracle retrains from the raw documents, so the hash match proves
+    persist-then-serve == train-from-corpus — the LM's bm25_index_topk
+    contract. api.score_fluency is the database-facing twin."""
+    from ..operators.textstats import bigram_structs, kn_score_bigrams
+
+    counts = _lm_count_artifact(spark, sf_dir)
+    bg = (
+        _kn_variants(spark, sf_dir)
+        .select(
+            "doc_id",
+            "variant",
+            F.explode(bigram_structs(F.col("toks"))).alias("b"),
+        )
+        .select("doc_id", "variant", "b.w1", "b.w2")
+    )
+    return _kn_variant_pivot(kn_score_bigrams(bg, counts))
 
 
 # ---------------------------------------------------------------------------
