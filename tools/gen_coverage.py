@@ -7,6 +7,8 @@ never in COVERAGE.md.
 Usage:
   python tools/gen_coverage.py           # rewrite the section in place
   python tools/gen_coverage.py --check   # exit 1 if COVERAGE.md is stale
+  python tools/gen_coverage.py --window  # print the NEXT rotation window
+                                         # (mechanical, VERDICT r11 #10)
 """
 
 from __future__ import annotations
@@ -154,6 +156,123 @@ def _ever_driver_checked() -> set[str]:
     return seen
 
 
+def _last_pass_round() -> dict[str, int]:
+    """name -> LATEST round with a recorded external-driver pass.
+
+    Same pass rule as :func:`_ever_driver_checked`; used by --window to
+    order the regression-guard slots oldest-external-pass-first."""
+    import glob
+    import json
+    import re
+
+    here = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    latest: dict[str, int] = {}
+    for path in glob.glob(os.path.join(here, "CORRECTNESS_r*.json")):
+        m = re.search(r"CORRECTNESS_r(\d+)\.json$", path)
+        if not m:
+            continue
+        rnd = int(m.group(1))
+        try:
+            with open(path) as f:
+                rec = json.load(f)
+        except (OSError, ValueError):
+            continue
+        for name, row in rec.items():
+            if (
+                isinstance(row, dict)
+                and row.get("rows_match")
+                and row.get("hash_match") is not False
+            ):
+                latest[name] = max(latest.get(name, 0), rnd)
+    return latest
+
+
+# Longitudinal anchors: always-in-window rows that give the driver ledger
+# round-over-round continuity (the flagship retrieval DAG and the heaviest
+# capstone). Everything else in the window is derived mechanically.
+WINDOW_ANCHORS: tuple[str, ...] = ("search_pipeline", "media_curation_pipeline")
+WINDOW_SIZE = 50
+
+# Queries whose OUTPUT changed this round (schema or semantics) without
+# being newcomers — they re-enter the window right after the newcomers
+# (their last-pass round no longer certifies the current code). Update
+# per round; the derivation handles everything else mechanically.
+CHANGED_THIS_ROUND: tuple[str, ...] = (
+    "curation_mix_manifest",  # r12: DSIR weight + domain-sample columns
+)
+
+
+def next_window(size: int = WINDOW_SIZE) -> list[str]:
+    """Derive the next driver window mechanically (VERDICT r11 #10).
+
+    Priority order, with external coverage complete (208/208 as of r11),
+    the window's only remaining job is regression guarding:
+      1. anchors (longitudinal continuity),
+      2. NEWCOMERS — registered queries with no external pass in any
+         CORRECTNESS_r*.json (new operators land here automatically),
+      3. CHANGED_THIS_ROUND — existing queries whose output changed,
+      4. the rest, LONGEST-UNREFRESHED first (ascending last-pass round,
+         name as the deterministic tie-break).
+    Only oracle-backed queries are eligible: a rows-only slot spends an
+    external check on a weaker signal than driver_sim already gives.
+    """
+    from vector_db_light_spark.registry import ORACLES, QUERIES
+
+    latest = _last_pass_round()
+    eligible = [n for n in QUERIES if n in ORACLES]
+    newcomers = sorted(n for n in eligible if n not in latest)
+    changed = [
+        n
+        for n in CHANGED_THIS_ROUND
+        if n in eligible and n in latest and n not in WINDOW_ANCHORS
+    ]
+    rest = sorted(
+        (
+            n
+            for n in eligible
+            if n in latest and n not in WINDOW_ANCHORS and n not in changed
+        ),
+        key=lambda n: (latest[n], n),
+    )
+    window = [a for a in WINDOW_ANCHORS if a in QUERIES]
+    for name in newcomers + changed + rest:
+        if len(window) >= size:
+            break
+        if name not in window:
+            window.append(name)
+    return window
+
+
+def main_window() -> int:
+    from vector_db_light_spark.registry import PRIORITY
+
+    latest = _last_pass_round()
+    window = next_window()
+    print("# Mechanical next-window derivation (oldest-external-pass-first)")
+    print("# paste into registry.PRIORITY; anchors first, then newcomers,")
+    print("# then longest-unrefreshed:")
+    print("PRIORITY: tuple[str, ...] = (")
+    for name in window:
+        if name in WINDOW_ANCHORS:
+            tag = "anchor"
+        elif name not in latest:
+            tag = "NEWCOMER"
+        elif name in CHANGED_THIS_ROUND:
+            tag = f"CHANGED this round (last pass r{latest[name]})"
+        else:
+            tag = f"last pass r{latest[name]}"
+        print(f'    "{name}",  # {tag}')
+    print(")")
+    current = list(PRIORITY)
+    if current == window:
+        print("# registry.PRIORITY already matches this derivation")
+    else:
+        drop = [n for n in current if n not in window]
+        add = [n for n in window if n not in current]
+        print(f"# differs from current PRIORITY: -{len(drop)} +{len(add)}")
+    return 0
+
+
 def render() -> str:
     from vector_db_light_spark.registry import ORACLES, PRIORITY, QUERIES
 
@@ -262,6 +381,8 @@ def main_check() -> int:
 
 
 def main() -> int:
+    if "--window" in sys.argv:
+        return main_window()
     if "--check" in sys.argv:
         return main_check()
     path, _, regenerated = _regenerate()

@@ -122,62 +122,65 @@ def _populate() -> None:
 # alphabetically-first round-5 families — so rotation now re-validates
 # the oldest greens instead of only chasing first passes. Everything
 # rotated out stays registered and driver_sim-checked.
+# Round-12 rotation (VERDICT r11 #10): external coverage is COMPLETE
+# (208/208 across r1-r11), so the window is now derived MECHANICALLY by
+# `python tools/gen_coverage.py --window`: two longitudinal anchors, then
+# newcomers (this round's artifact-serving queries), then queries whose
+# output changed this round (curation_mix_manifest grew DSIR columns),
+# then the longest-unrefreshed families ascending by last external pass
+# (r5/r6/r7/r8 greens). This block is that tool's verbatim output — edit
+# gen_coverage.WINDOW_ANCHORS / CHANGED_THIS_ROUND, not this list.
 PRIORITY: tuple[str, ...] = (
-    # anchor (multi-green, longitudinal continuity)
-    "search_pipeline",      # V2-V4 + F1 + F2 + J1 + F6 flagship
-    # never-externally-windowed tail (r10 #1 — completes 197/197)
-    "ann_matryoshka_recall",
-    "attribution_multi_touch",
-    "dedup_cdc_chunks",     # round-11 numpy rolling-hash rule
-    "key_skew_diagnostics",  # round-11 overflow-safe Gini
-    # round-11 operators (straight into the window, newcomer pattern)
-    "bm25_index_topk",          # persisted lexical index fidelity
-    "bm25_index_wand_topk",     # WAND from index + block sidecar
-    "bm25_blockmax_skewed_topk",  # block-max lossless on the long tail
-    "phrase_search_indexed",    # positional artifact fidelity
-    "knn_graph_blocked",        # blocked k-NN graph edge list
-    "knn_graph_recall",         # blocked + multi-probe recall measurement
-    "dedup_clusters_knn_graph",  # SemDeDup-shape components over the graph
-    "kn_trigram_fluency",       # trigram interpolated KN
-    "dsir_importance_sample",   # DSIR weights -> PPS selection
-    "curation_mix_manifest",    # dedup+fluency+langid keep-list capstone
-    "knn_graph_kmeans_recall",  # trained-cell blocking vs LSH, probed
-    # longest-unrefreshed: every round-1 external pass (10 rounds stale)
-    "chunk_count_per_doc",
-    "clean_text",
-    "customers_never_f_status",
-    "dedup_embedding_cosine",
-    "dedup_ngram_jaccard",
-    "dedup_simhash_pairs",
-    "filter_doctype",
-    "filter_keyword",
-    "filter_threshold",
-    "hash_sha256",
-    "knn_sum_of_squares_topk",
-    "knn_unknown_topk",
-    "nations_with_both",
-    "orders_by_month",
-    "page_ranges",
-    "running_order_total",
-    "text_fingerprint",
-    "text_lang_id",
-    "text_quality_score",
-    "text_simhash",
-    "text_token_counts",
-    # longest-unrefreshed: round-5 external passes (alphabetical prefix)
-    "ann_lsh_bucketed",
-    "customers_with_open_orders",
-    "decimal_exact_totals",
-    "filters_labeled",
-    "ingest_metadata",
-    "json_props_extract",
-    "knn_metrics_topk",
-    "knn_sq8_topk",
-    "orders_with_late_lineitems",
-    "pii_scrub",
-    "pivot_status_by_segment",
-    "pricing_summary",
-    "priority_grouping_sets",
+    "search_pipeline",  # anchor
+    "media_curation_pipeline",  # anchor
+    "dedup_clusters_graph_artifact",  # NEWCOMER
+    "kn_fluency_from_artifact",  # NEWCOMER
+    "curation_mix_manifest",  # CHANGED this round (last pass r11)
+    "sample_stratified_lang",  # last pass r5
+    "segment_status_cube",  # last pass r5
+    "session_window_native",  # last pass r5
+    "split_train_val_test",  # last pass r5
+    "unpivot_lineitem_measures",  # last pass r5
+    "bm25_topk",  # last pass r6
+    "chunk_fixed_stride",  # last pass r6
+    "customers_without_big_orders",  # last pass r6
+    "dedup_embedding_lsh",  # last pass r6
+    "dedup_simhash_hamming",  # last pass r6
+    "event_pairs_5min",  # last pass r6
+    "knn_cosine_topk",  # last pass r6
+    "knn_inner_product_topk",  # last pass r6
+    "knn_l2_topk",  # last pass r6
+    "pack_sequences_bins",  # last pass r6
+    "search_by_text",  # last pass r6
+    "set_ops_labeled",  # last pass r6
+    "top_customers_per_segment",  # last pass r6
+    "citations_pages",  # last pass r7
+    "dedup_containment_pairs",  # last pass r7
+    "dedup_exact",  # last pass r7
+    "dq_constraint_report",  # last pass r7
+    "ewma_per_user",  # last pass r7
+    "forecast_revenue_q6",  # last pass r7
+    "heavy_hitters_cms",  # last pass r7
+    "incremental_agg_state",  # last pass r7
+    "line_dedup_boilerplate",  # last pass r7
+    "multimodal_meta",  # last pass r7
+    "null_safe_join_counts",  # last pass r7
+    "q17_small_quantity_revenue",  # last pass r7
+    "rag_citations_html",  # last pass r7
+    "sample_mixture_temperature",  # last pass r7
+    "sample_weighted_pps",  # last pass r7
+    "shipping_priority",  # last pass r7
+    "table_snapshot_diff",  # last pass r7
+    "text_repetition",  # last pass r7
+    "tumbling_hourly_events",  # last pass r7
+    "union_schema_evolution",  # last pass r7
+    "ann_ivf_recall",  # last pass r8
+    "ann_lsh_multiprobe_recall",  # last pass r8
+    "ann_lsh_recall",  # last pass r8
+    "ann_pq_rerank_recall",  # last pass r8
+    "bpe_train_merges",  # last pass r8
+    "dedup_clusters_star",  # last pass r8
+    "dedup_lsh_quality",  # last pass r8
 )
 
 _PRIORITY_R10: tuple[str, ...] = (
