@@ -602,3 +602,83 @@ def test_api_build_knn_graph_artifact(spark, tmp_path):
     ).collect()
     assert all(r["b"] is not None for r in buckets)
     assert len({r["b"] for r in buckets}) > 1
+
+
+def test_api_knn_graph_kmeans_blocked(spark, tmp_path):
+    """With a TRAINED IVF sidecar present, build_knn_graph auto-selects
+    kmeans blocking (VERDICT r11 #2 — the budget-matched winner: recall@3
+    0.61 vs Hamming-1 LSH's 0.52 at ~150 candidates/node, SCALE.md), pins
+    the centroids + probe count in the meta sidecar, and the probe-closure
+    incremental refresh stays bit-identical to a rebuild through add AND
+    delete."""
+    import json
+
+    from vector_db_light_spark.api import VectorDatabaseManager
+
+    src = tmp_path / "docs"
+    src.mkdir()
+    (src / "a.txt").write_text("spark query engine for big data " * 40)
+    (src / "b.txt").write_text("analytical database for fast query " * 40)
+    (src / "c.txt").write_text("image resize thumbnail pixel decode " * 40)
+    mgr = VectorDatabaseManager(spark, str(tmp_path / "dbs"))
+    mgr.create_database("km", str(src), chunk_size=100, chunk_overlap=30)
+    mgr.build_ivf_index("km", dim=16, method="kmeans", n_clusters=4)
+    mgr.build_knn_graph("km", k=2, probes=2)
+    with open(mgr._table("km", "knn_graph_meta.json")) as fh:
+        meta = json.load(fh)
+    assert meta["method"] == "kmeans" and meta["probes"] == 2
+    assert len(meta["centroids"]) == 4
+    # blocking is the trained assignment: >1 distinct bucket on the fixture
+    got = spark.read.parquet(mgr._table("km", "knn_graph"))
+    assert got.select("bucket").distinct().count() > 1
+
+    def rebuild():
+        return sorted(
+            map(
+                tuple,
+                mgr._knn_graph_for_srcs("km", meta, srcs=None)
+                .select("src", "dst", "rk", "distance")
+                .collect(),
+            )
+        )
+
+    def artifact():
+        return sorted(
+            map(
+                tuple,
+                spark.read.parquet(mgr._table("km", "knn_graph"))
+                .select("src", "dst", "rk", "distance")
+                .collect(),
+            )
+        )
+
+    assert artifact() == rebuild()
+    more = tmp_path / "more"
+    more.mkdir()
+    (more / "d.txt").write_text("streaming watermark stateful window " * 40)
+    (more / "e.txt").write_text("spark query engine for big data too " * 40)
+    assert mgr.add_documents("km", str(more)) == 2
+    assert artifact() == rebuild()
+    victim = (
+        spark.read.parquet(mgr._table("km", "documents"))
+        .select("file_name")
+        .first()["file_name"]
+    )
+    assert mgr.delete_documents("km", [victim]) == 1
+    assert artifact() == rebuild()
+
+
+def test_api_knn_graph_method_kmeans_requires_centroids(spark, tmp_path):
+    """Forcing method='kmeans' without a trained sidecar fails loudly
+    instead of silently falling back to LSH."""
+    import pytest as _pytest
+
+    from vector_db_light_spark.api import VectorDatabaseManager
+
+    src = tmp_path / "docs"
+    src.mkdir()
+    (src / "a.txt").write_text("spark query engine for big data " * 40)
+    mgr = VectorDatabaseManager(spark, str(tmp_path / "dbs"))
+    mgr.create_database("nk", str(src), chunk_size=100, chunk_overlap=30)
+    with _pytest.raises(ValueError, match="trained centroids"):
+        mgr.build_knn_graph("nk", method="kmeans")

@@ -267,18 +267,17 @@ class VectorDatabaseManager:
             name, emb_table.select("chunk_id", "chunk_text"), +1
         )  # no-op when no LM artifact exists
         if self._has_knn_graph(name):
-            # bucket-local graph refresh: only the buckets the new chunks
-            # land in changed membership. Buckets computed from the
-            # in-memory delta with the PINNED build planes (emb_table is
+            # probe-closure graph refresh: only the RANK-1 buckets the new
+            # chunks land in changed membership (dst candidacy is rank-1
+            # only, even under kmeans probing). Buckets computed from the
+            # in-memory delta with the PINNED blocking (emb_table is
             # persisted, so this never re-reads the just-appended path).
-            from .operators.similarity import lsh_bucket_expr
-
             with open(self._table(name, "knn_graph_meta.json")) as fh:
-                planes = json.load(fh)["planes"]
+                g_meta = json.load(fh)
             affected = (
-                emb_table.select(
-                    lsh_bucket_expr("embedding", planes).alias("bucket")
-                )
+                self._graph_probe_frame(name, g_meta, emb=emb_table)
+                .filter(F.col("probe_rank") == 1)
+                .select(F.col("_b").alias("bucket"))
                 .distinct()
                 .localCheckpoint(eager=True)
             )
@@ -363,23 +362,30 @@ class VectorDatabaseManager:
             )
         graph_affected = None
         if self._has_knn_graph(name):
-            # the doomed chunks' LSH buckets must come from the PRE-delete
-            # embeddings (their vectors are about to be rewritten away);
-            # checkpoint cuts the lineage on the soon-to-mutate path. A
-            # doomed node can be graph-invisible (alone in its skew-cap
-            # sub-block), so the buckets derive from the embeddings, not
-            # from the graph's own rows.
-            from .operators.similarity import lsh_bucket_expr
-
+            # the doomed chunks' RANK-1 buckets must come from the
+            # PRE-delete embeddings (their vectors are about to be
+            # rewritten away); checkpoint cuts the lineage on the
+            # soon-to-mutate path. A doomed node can be graph-invisible
+            # (alone in its skew-cap sub-block), so the buckets derive
+            # from the embeddings, not from the graph's own rows — and
+            # the refresh's bucket anti-join is what evicts the doomed
+            # srcs' rows (their own bucket is always in this set).
             with open(self._table(name, "knn_graph_meta.json")) as fh:
-                g_planes = json.load(fh)["planes"]
+                g_meta = json.load(fh)
             graph_affected = (
-                _semi_join_doomed(
-                    self.spark.read.parquet(self._table(name, "embeddings")),
-                    doomed,
-                    broadcast_ok,
+                self._graph_probe_frame(
+                    name,
+                    g_meta,
+                    emb=_semi_join_doomed(
+                        self.spark.read.parquet(
+                            self._table(name, "embeddings")
+                        ),
+                        doomed,
+                        broadcast_ok,
+                    ),
                 )
-                .select(lsh_bucket_expr("embedding", g_planes).alias("bucket"))
+                .filter(F.col("probe_rank") == 1)
+                .select(F.col("_b").alias("bucket"))
                 .distinct()
                 .localCheckpoint(eager=True)
             )
@@ -531,6 +537,18 @@ class VectorDatabaseManager:
                 "cluster_id",
                 F.concat(F.lit("b"), lsh_bucket_expr("embedding", planes)),
             )
+        # Align the delta to the EXISTING table's physical schema before
+        # appending: id_bucket is a partition column of `embeddings` (so it
+        # reads back as int) but a DATA column here — the in-memory delta
+        # carries it as bigint, and mixed INT32/INT64 pages in one column
+        # fail the whole table's read (found live by the kmeans-blocked
+        # graph test: PARQUET_COLUMN_DATA_TYPE_MISMATCH).
+        target = self.spark.read.parquet(
+            self._table(name, "embeddings_ivf")
+        ).schema
+        clustered = clustered.select(
+            [F.col(f.name).cast(f.dataType) for f in target.fields]
+        )
         clustered.write.partitionBy("cluster_id").mode("append").parquet(
             self._table(name, "embeddings_ivf")
         )
@@ -1232,23 +1250,36 @@ class VectorDatabaseManager:
 
     KNN_GRAPH_MAX_BLOCK = 192
 
-    def build_knn_graph(self, name: str, k: int = 5) -> None:
-        """Persist the chunk-embedding k-NN GRAPH artifact
-        (operators/similarity.knn_graph with the adaptive plane policy +
-        skew cap): (src, dst, rk, distance, bucket) per chunk — the
-        reusable precursor for SemDeDup-style pruning
-        (:meth:`duplicate_clusters` / :meth:`semantic_prune` serve from
-        it), duplicate clustering and graph-ANN bootstrap, built once
-        instead of per consumer. Written partitioned by src bucket
-        (pmod 64) so per-node neighbor lookups prune; each src row also
-        carries its LSH ``bucket`` string, which is what makes the
-        incremental refresh bucket-local (add/delete recompute ONLY the
-        buckets whose membership changed — a node's neighbor set is a
-        pure function of its bucket's members, so untouched buckets'
-        rows are bit-identical to a rebuild). The build-time planes are
-        pinned in a ``knn_graph_meta.json`` sidecar (like the PQ
-        codebooks: re-train = rebuild); the adaptive-planes policy only
-        picks the count at BUILD time."""
+    def build_knn_graph(
+        self, name: str, k: int = 5, method: str = "auto", probes: int = 3
+    ) -> None:
+        """Persist the chunk-embedding k-NN GRAPH artifact:
+        (src, dst, rk, distance, bucket) per chunk — the reusable
+        precursor for SemDeDup-style pruning (:meth:`duplicate_clusters`
+        / :meth:`semantic_prune` serve from it), duplicate clustering and
+        graph-ANN bootstrap, built once instead of per consumer. Written
+        partitioned by src bucket (pmod 64) so per-node neighbor lookups
+        prune.
+
+        BLOCKING is picked from data (VERDICT r11 #2, budget-matched at
+        sf0.01, table in SCALE.md): when a TRAINED IVF sidecar exists
+        (``build_ivf_index(method="kmeans")``'s 'k'-prefixed centroids),
+        the graph blocks by nearest trained cell with the src side
+        probing its ``probes`` nearest cells — at the ~150-candidate/node
+        budget Hamming-1 LSH spends, 3-probe kmeans reads recall@3 0.61
+        vs LSH's 0.52, and trained cells also split the tight clusters
+        that collapse sign-LSH (the round-11 sf1 finding). Without
+        trained centroids it falls back to adaptive-plane LSH (rank-1).
+        ``method`` forces 'lsh'/'kmeans' explicitly.
+
+        The blocking function is PINNED in ``knn_graph_meta.json``
+        (planes, or the trained centroids + probe count — re-train =
+        rebuild, like the PQ codebooks), which is what keeps the
+        incremental refresh exact: a node's neighbor set is a pure
+        function of its PROBE SET's buckets' members, so add/delete
+        recompute exactly the srcs whose probe set intersects a
+        membership-changed bucket (rank-1 LSH: the bucket's own members),
+        and untouched rows are bit-identical to a rebuild."""
         from .operators.similarity import adaptive_planes
 
         if self.registry.get(name) is None:
@@ -1271,80 +1302,167 @@ class VectorDatabaseManager:
                 f"mixed embedding dimensions in {name!r}: "
                 f"{stats['dmin']}..{stats['dmax']}"
             )
-        planes = adaptive_planes(stats["n"], dim=stats["dmin"])
-        g = self._knn_graph_for_buckets(name, planes, k, buckets=None)
+        cents = self._trained_centroids(name) if method != "lsh" else None
+        if method == "kmeans" and cents is None:
+            raise ValueError(
+                f"build_knn_graph(method='kmeans') needs trained centroids"
+                f" — run build_ivf_index({name!r}, method='kmeans') first"
+            )
+        if cents is not None:
+            meta = {
+                "method": "kmeans",
+                "centroids": cents,
+                "probes": int(probes),
+                "k": k,
+                "max_block": self.KNN_GRAPH_MAX_BLOCK,
+            }
+        else:
+            meta = {
+                "method": "lsh",
+                "planes": adaptive_planes(stats["n"], dim=stats["dmin"]),
+                "k": k,
+                "max_block": self.KNN_GRAPH_MAX_BLOCK,
+            }
+        g = self._knn_graph_for_srcs(name, meta, srcs=None)
         g.write.partitionBy("src_bucket").mode("overwrite").parquet(
             self._table(name, "knn_graph")
         )
         with open(self._table(name, "knn_graph_meta.json"), "w") as fh:
-            json.dump(
-                {"planes": planes, "k": k,
-                 "max_block": self.KNN_GRAPH_MAX_BLOCK},
-                fh,
+            json.dump(meta, fh)
+
+    def _trained_centroids(self, name: str) -> list | None:
+        """The trained ('k'-prefixed) IVF centroids as a plain list of
+        [cluster_id, centroid] pairs, or None when the sidecar is absent
+        or holds LSH sign-bucket means ('b' prefix — bucket means are not
+        trained cells and block no better than the signs themselves).
+        k x dim doubles — the same dictionary scale the meta pins planes
+        at."""
+        path = self._table(name, "ivf_centroids")
+        if not os.path.isdir(path):
+            return None
+        rows = self.spark.read.parquet(path).collect()
+        if not rows or not str(rows[0]["cluster_id"]).startswith("k"):
+            return None
+        return [
+            [r["cluster_id"], [float(x) for x in r["centroid"]]]
+            for r in sorted(rows, key=lambda r: r["cluster_id"])
+        ]
+
+    def _graph_probe_frame(self, name: str, meta: dict, emb=None) -> DataFrame:
+        """(chunk_id, embedding, _b, probe_rank) under the artifact's
+        PINNED blocking. probe_rank==1 is the node's rank-1 bucket — the
+        membership/dst-side truth (each node is a CANDIDATE in exactly one
+        bucket, so no pair generates twice); kmeans adds src-side probe
+        rows up to meta['probes']; LSH is rank-1 only."""
+        if emb is None:
+            emb = self.spark.read.parquet(self._table(name, "embeddings"))
+        if meta.get("method", "lsh") == "kmeans":
+            from .operators.clustering import kmeans_assign_topn
+
+            cents = self.spark.createDataFrame(
+                [(cid, vec) for cid, vec in meta["centroids"]],
+                schema="cluster_id string, centroid array<double>",
             )
+            return kmeans_assign_topn(
+                emb.select("chunk_id", "embedding"),
+                cents,
+                n=int(meta.get("probes", 1)),
+                id_col="chunk_id",
+                vector_col="embedding",
+            ).select(
+                "chunk_id",
+                "embedding",
+                F.col("cluster_id").alias("_b"),
+                "probe_rank",
+            )
+        from .operators.similarity import lsh_bucket_expr
 
-    def _knn_graph_for_buckets(
-        self,
-        name: str,
-        planes: list[list[float]],
-        k: int,
-        buckets: DataFrame | None,
-    ) -> DataFrame:
-        """The graph rows for the nodes in ``buckets`` (a one-column
-        ``bucket`` frame; None = all buckets), computed from the CURRENT
-        embeddings table with the pinned planes. Restricting to a bucket
-        subset is exact, not approximate: candidates only ever come from
-        a node's own bucket (probe 0 at build), and the skew-cap sub-split
-        counts derive from per-bucket membership, so a bucket-closed node
-        subset reproduces the full build's rows for those buckets
-        bit-for-bit."""
-        from .operators.similarity import knn_graph_by, lsh_bucket_expr
-
-        emb = self.spark.read.parquet(self._table(name, "embeddings"))
-        # consumed 3x (pair sides + the src->bucket join-back); checkpoint
-        # so the wide unrolled plane chain evaluates once per row
-        # (CLAUDE.md rule 4)
-        bucketed = emb.select(
+        return emb.select(
             "chunk_id",
             "embedding",
-            lsh_bucket_expr("embedding", planes).alias("_b"),
-        ).localCheckpoint(eager=True)
-        if buckets is not None:
-            bucketed = bucketed.join(
-                F.broadcast(buckets.withColumnRenamed("bucket", "_b")),
-                "_b",
-                "left_semi",
-            )
-        g = knn_graph_by(
-            bucketed, "_b", k=k, id_col="chunk_id",
-            vector_col="embedding", max_block=self.KNN_GRAPH_MAX_BLOCK,
+            lsh_bucket_expr("embedding", meta["planes"]).alias("_b"),
+            F.lit(1).alias("probe_rank"),
         )
+
+    def _knn_graph_for_srcs(
+        self, name: str, meta: dict, srcs: DataFrame | None
+    ) -> DataFrame:
+        """The graph rows for the src nodes in ``srcs`` (a one-column
+        ``chunk_id`` frame; None = all nodes), computed from the CURRENT
+        embeddings table with the pinned blocking. Restricting to a src
+        subset is exact, not approximate: a src's neighbor set is a pure
+        function of its probe set's buckets' MEMBERS (rank-1 assignments),
+        and the skew-cap sub-split counts derive from full per-bucket
+        membership, so a src-closed subset reproduces the full build's
+        rows for those srcs bit-for-bit."""
+        from .operators.similarity import _blocked_topk
+
+        # consumed 3x (pair sides + the src->bucket join-back); checkpoint
+        # so the wide assignment chain evaluates once per row (rule 4)
+        probes = self._graph_probe_frame(name, meta).localCheckpoint(
+            eager=True
+        )
+        rank1 = probes.filter(F.col("probe_rank") == 1)
+        bucketed = rank1.select("chunk_id", F.col("_b").alias("_bucket"))
+        a = probes.select(
+            F.col("chunk_id").alias("src"),
+            F.col("embedding").alias("_emb_a"),
+            F.col("_b").alias("_bucket"),
+        )
+        if srcs is not None:
+            a = a.join(
+                srcs.withColumnRenamed("chunk_id", "src"), "src", "left_semi"
+            )
+        b = rank1.select(
+            F.col("chunk_id").alias("dst"),
+            F.col("embedding").alias("_emb_b"),
+            F.col("_b").alias("_bucket"),
+        )
+        g = _blocked_topk(a, b, bucketed, meta["k"], meta["max_block"])
         return g.join(
-            bucketed.select(
+            rank1.select(
                 F.col("chunk_id").alias("src"), F.col("_b").alias("bucket")
             ),
             "src",
         ).withColumn("src_bucket", F.pmod(F.col("src"), F.lit(64)))
 
     def _refresh_knn_graph(self, name: str, affected: DataFrame) -> None:
-        """Bucket-local incremental refresh of the persisted k-NN graph:
-        rows whose bucket membership changed (``affected``: one-column
-        ``bucket`` frame, localCheckpoint'ed by the caller if its lineage
-        reads a table this method's recompute also reads) are recomputed
-        from the current embeddings; every other row is carried over
-        untouched. Kept ∪ recomputed is checkpointed, then swapped in via
+        """Probe-closure incremental refresh of the persisted k-NN graph.
+        ``affected`` is the one-column ``bucket`` frame of buckets whose
+        MEMBERSHIP changed (the rank-1 buckets of added/deleted nodes;
+        localCheckpoint'ed by the caller if its lineage reads a table this
+        method's recompute also reads). Exactly the srcs whose probe set
+        intersects an affected bucket are recomputed (rank-1 LSH: the
+        bucket's own members — the round-11 bucket-local case); every
+        other row is carried over untouched, so incremental == rebuild
+        bit-for-bit. Deleted srcs are caught by the bucket anti-join
+        (their own rank-1 bucket is in ``affected`` by construction).
+        Kept ∪ recomputed is checkpointed, then swapped in via
         write-audit-rename (the graph is k rows/node — the write is the
-        artifact's own size, the COMPUTE is only the affected buckets'
-        pair work)."""
+        artifact's own size, the COMPUTE is only the affected srcs' pair
+        work, bounded by probe degree x bucket size)."""
         meta_path = self._table(name, "knn_graph_meta.json")
         with open(meta_path) as fh:
             meta = json.load(fh)
         graph_path = self._table(name, "knn_graph")
-        old = self.spark.read.parquet(graph_path)
-        kept = old.join(F.broadcast(affected), "bucket", "left_anti")
-        sub = self._knn_graph_for_buckets(
-            name, meta["planes"], meta["k"], buckets=affected
+        affected_srcs = (
+            self._graph_probe_frame(name, meta)
+            .join(
+                F.broadcast(affected.withColumnRenamed("bucket", "_b")),
+                "_b",
+                "left_semi",
+            )
+            .select("chunk_id")
+            .distinct()
+            .localCheckpoint(eager=True)
         )
+        old = self.spark.read.parquet(graph_path)
+        kept = old.join(F.broadcast(affected), "bucket", "left_anti").join(
+            affected_srcs.withColumnRenamed("chunk_id", "src"),
+            "src",
+            "left_anti",
+        )
+        sub = self._knn_graph_for_srcs(name, meta, srcs=affected_srcs)
         merged = kept.select(sub.columns).unionByName(sub).localCheckpoint(
             eager=True
         )
