@@ -322,3 +322,69 @@ def test_knn_graph_blocked_and_multiprobe(spark):
     assert len(adaptive_planes(550)) == 6
     assert len(adaptive_planes(6000)) == 10
     assert len(adaptive_planes(60000)) == 13
+
+
+def test_sign_words_expr_matches_python_model(spark):
+    """sign_words_expr == sign_words_py == the scalar rule (bit i of word
+    w set iff v[32w+i] > 0) on vectors with negatives, zeros (strictly >
+    0: a 0.0 component is UNSET) and a short-dim corpus (partial word)."""
+    from vector_db_light_spark.operators.similarity import (
+        sign_words_expr,
+        sign_words_py,
+    )
+
+    vecs = [
+        [0.5] * 64,
+        [-0.5] * 64,
+        [0.0] * 64,
+        [(-1.0) ** i * (i + 1) for i in range(64)],
+        [1e-300 if i % 3 == 0 else -1e-300 for i in range(64)],
+    ]
+    df = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(vecs)], "id int, v array<double>"
+    )
+    got = {
+        r["id"]: (r["w0"], r["w1"])
+        for r in df.select(
+            "id",
+            *[
+                w.alias(f"w{j}")
+                for j, w in enumerate(sign_words_expr("v", 64))
+            ],
+        ).collect()
+    }
+    for i, v in enumerate(vecs):
+        expect = sign_words_py(v, 64)
+        scalar = [
+            sum(1 << b for b in range(32) if v[32 * w + b] > 0)
+            for w in range(2)
+        ]
+        assert list(got[i]) == expect == scalar, i
+
+    # partial-word dim: 16 dims -> one 16-bit word
+    df16 = spark.createDataFrame(
+        [(0, [1.0, -1.0] * 8)], "id int, v array<double>"
+    )
+    w16 = df16.select(
+        *[w.alias(f"w{j}") for j, w in enumerate(sign_words_expr("v", 16))]
+    ).first()
+    assert list(w16) == sign_words_py([1.0, -1.0] * 8, 16)
+
+
+def test_knn_hamming_rerank_shapes(spark):
+    """Single-query two-stage pipeline: <= k rows, hamming ascending does
+    NOT need to hold after rerank, but distances must be the true top-k of
+    the shortlist and every hamming must be BIGINT >= 0."""
+    from vector_db_light_spark.operators.similarity import (
+        knn_hamming_rerank,
+    )
+    from vector_db_light_spark.functions.vector import default_query_vector
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    out = knn_hamming_rerank(
+        emb, default_query_vector(dim=64, seed=7), k=5, shortlist=20
+    ).collect()
+    assert len(out) == 5
+    assert all(r["hamming"] >= 0 for r in out)
+    ds = [r["distance"] for r in out]
+    assert ds == sorted(ds)

@@ -108,6 +108,8 @@ ANNOTATIONS: dict[str, str] = {
     "key_skew_diagnostics": "pre-shuffle skew profile per fact-table key: top-1/top-10 shares + all-BIGINT Gini — the salting decision input",
     "attribution_multi_touch": "linear + U-shaped multi-touch conversion credit, exact integer accounting (Σ = 1e6 per purchase); bucketed window join vs the oracle's theta-join truth",
     "ann_matryoshka_recall": "recall@5 of Matryoshka prefix-cosine (dims 32/16/8 of 64, truncate+renormalize) vs full-dim truth — the how-short-can-the-first-stage-be measurement",
+    "ann_hamming_recall": "recall@5 of the 1-bit sign-sketch shortlist at 10/25/50: 0.50/0.63/0.77 — exact-scoring 10% of the corpus after an integer-only coarse pass",
+    "knn_hamming_topk": "two-stage 1-bit ANN: Hamming xor+popcount coarse top-50 (16-byte sketch column), exact cosine rerank",
     "rag_chunk_banners": "REAL rag.format_chunks incl. F9 blank-line collapse",
     "rag_citations_html": "REAL rag.format_citations: %.3f score spans + page ranges",
     "rag_prompt_assembly": "REAL rag.assemble_rag_prompt in a grouped Pandas stage, byte-identical prompt",

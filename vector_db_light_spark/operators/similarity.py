@@ -282,6 +282,139 @@ def knn_sq8(
     )
 
 
+def sign_words_expr(vec_col: str, dim: int = 64) -> list[Column]:
+    """1-BIT sign quantization of an embedding column as 32-bit words in
+    BIGINT: word ``w`` bit ``i`` is set iff ``vec[32w+i] > 0`` — 64x
+    compression, and Hamming distance between two sign sketches
+    approximates angular distance (Charikar 2002's simhash bound applied
+    to the raw vector instead of token features). Each word is ONE
+    F.expr string of 32 CASE terms (CLAUDE.md rule 4: per-term Column
+    loops pay ~4 ms x dim in Py4J construction) and stays strictly below
+    2^32, so all the downstream xor/bit_count arithmetic is overflow-free
+    BIGINT on both engines (the sketches.py 32-bit-word rule — 1<<63
+    would overflow BIGINT on both)."""
+    words = []
+    for w in range(0, dim, 32):
+        terms = " + ".join(
+            f"(CASE WHEN get({vec_col}, {w + i}) > 0 THEN {1 << i}L"
+            f" ELSE 0L END)"
+            for i in range(min(32, dim - w))
+        )
+        words.append(F.expr(terms))
+    return words
+
+
+def sign_words_py(vec, dim: int = 64) -> list[int]:
+    """Driver-side twin of :func:`sign_words_expr` for a literal query
+    vector (same strict ``> 0`` rule; index past the vector's end counts
+    as unset, matching get()'s NULL-> CASE-else-0)."""
+    words = []
+    for w in range(0, dim, 32):
+        word = 0
+        for i in range(min(32, dim - w)):
+            if w + i < len(vec) and vec[w + i] > 0:
+                word |= 1 << i
+        words.append(word)
+    return words
+
+
+def knn_hamming_rerank(
+    corpus: DataFrame,
+    query_vector: list[float],
+    k: int = 10,
+    shortlist: int = 50,
+    id_col: str = "vec_id",
+    vector_col: str = "embedding",
+    dim: int = 64,
+) -> DataFrame:
+    """Two-stage 1-bit ANN: coarse top-``shortlist`` by HAMMING distance
+    between sign sketches (integer xor+popcount — at scale the sketch is
+    a persisted 16-byte column, so the coarse pass scans 64x less data
+    than the float vectors and never touches the embedding column:
+    column pruning does the work), then exact cosine rerank of the
+    shortlist only. Returns (id, hamming, distance) for the final top-k;
+    both stages tie-break on id so the pipeline is deterministic
+    cross-engine. The recall/shortlist trade-off is measured, not
+    assumed (ann_hamming_recall)."""
+    q_words = sign_words_py(query_vector, dim)
+    words = sign_words_expr(vector_col, dim)
+    hd = None
+    for wexpr, qw in zip(words, q_words):
+        term = F.bit_count(wexpr.bitwiseXOR(F.lit(int(qw))))
+        hd = term if hd is None else hd + term
+    coarse = (
+        corpus.select(F.col(id_col), F.col(vector_col))
+        .withColumn("hamming", hd.cast("bigint"))
+        .orderBy(F.col("hamming").asc(), F.col(id_col).asc())
+        .limit(shortlist)
+    )
+    d = (F.lit(1.0) - V.dot(vector_col, list(query_vector))).alias("distance")
+    return (
+        coarse.select(F.col(id_col), F.col("hamming"), d)
+        .orderBy(F.col("distance").asc(), F.col(id_col).asc())
+        .limit(k)
+    )
+
+
+def batch_hamming_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    shortlist: int = 50,
+    id_col: str = "vec_id",
+    vector_col: str = "embedding",
+    query_id_col: str = "query_id",
+    query_vec_col: str = "query_vec",
+    dim: int = 64,
+) -> DataFrame:
+    """Batch form of :func:`knn_hamming_rerank` for recall measurement:
+    per query, Hamming-coarse top-``shortlist`` then exact top-``k``
+    rerank. The corpus side computes its sign words once; the query side
+    is broadcast with ITS words; the coarse stage is integer-only per
+    pair, and only shortlist survivors evaluate the 64-term exact dot —
+    at 100 TB that is the entire point of the sketch (the coarse pass
+    reads the 16-byte words column, not the 256-byte vectors)."""
+    c_words = sign_words_expr(vector_col, dim)
+    c = corpus.select(
+        F.col(id_col),
+        F.col(vector_col).alias("_cv"),
+        *[wx.alias(f"_cw{j}") for j, wx in enumerate(c_words)],
+    )
+    q_words = sign_words_expr(query_vec_col, dim)
+    q = queries.select(
+        F.col(query_id_col),
+        F.col(query_vec_col).alias("_qv"),
+        *[wx.alias(f"_qw{j}") for j, wx in enumerate(q_words)],
+    )
+    hd = None
+    for j in range(len(c_words)):
+        term = F.bit_count(
+            F.col(f"_cw{j}").bitwiseXOR(F.col(f"_qw{j}"))
+        )
+        hd = term if hd is None else hd + term
+    w_coarse = Window.partitionBy(query_id_col).orderBy(
+        F.col("hamming").asc(), F.col(id_col).asc()
+    )
+    coarse = (
+        c.crossJoin(F.broadcast(q))
+        .withColumn("hamming", hd.cast("bigint"))
+        .withColumn("_crk", F.row_number().over(w_coarse))
+        .filter(F.col("_crk") <= shortlist)
+    )
+    d = F.lit(1.0) - V.dot("_cv", "_qv", dim=dim)
+    w_exact = Window.partitionBy(query_id_col).orderBy(
+        F.col("distance").asc(), F.col(id_col).asc()
+    )
+    return (
+        coarse.select(
+            F.col(query_id_col), F.col(id_col), F.col("hamming"),
+            d.alias("distance"),
+        )
+        .withColumn("rk", F.row_number().over(w_exact))
+        .filter(F.col("rk") <= k)
+    )
+
+
 def pq_codebooks(
     m: int, ksub: int, subdim: int, seed: int = 5, scale: float = 0.15
 ) -> list[list[list[float]]]:

@@ -133,8 +133,10 @@ def _populate() -> None:
 PRIORITY: tuple[str, ...] = (
     "search_pipeline",  # anchor
     "media_curation_pipeline",  # anchor
+    "ann_hamming_recall",  # NEWCOMER
     "dedup_clusters_graph_artifact",  # NEWCOMER
     "kn_fluency_from_artifact",  # NEWCOMER
+    "knn_hamming_topk",  # NEWCOMER
     "curation_mix_manifest",  # CHANGED this round (last pass r11)
     "sample_stratified_lang",  # last pass r5
     "segment_status_cube",  # last pass r5
@@ -179,8 +181,6 @@ PRIORITY: tuple[str, ...] = (
     "ann_lsh_recall",  # last pass r8
     "ann_pq_rerank_recall",  # last pass r8
     "bpe_train_merges",  # last pass r8
-    "dedup_clusters_star",  # last pass r8
-    "dedup_lsh_quality",  # last pass r8
 )
 
 _PRIORITY_R10: tuple[str, ...] = (
