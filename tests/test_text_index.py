@@ -682,3 +682,86 @@ def test_api_knn_graph_method_kmeans_requires_centroids(spark, tmp_path):
     mgr.create_database("nk", str(src), chunk_size=100, chunk_overlap=30)
     with _pytest.raises(ValueError, match="trained centroids"):
         mgr.build_knn_graph("nk", method="kmeans")
+
+
+def test_api_sign_sketch_lifecycle(spark, tmp_path):
+    """build_sign_sketch persists the 1-bit words table; search_hamming
+    with shortlist >= corpus equals brute-force top-k; add/delete keep the
+    sketch bit-identical to a rebuild (append-only / rewrite-whole — the
+    sketch is a pure per-row function of the embedding)."""
+    from vector_db_light_spark.api import VectorDatabaseManager
+
+    src = tmp_path / "docs"
+    src.mkdir()
+    (src / "a.txt").write_text("spark query engine for big data " * 40)
+    (src / "b.txt").write_text("analytical database for fast query " * 40)
+    (src / "c.txt").write_text("image resize thumbnail pixel decode " * 40)
+    mgr = VectorDatabaseManager(spark, str(tmp_path / "dbs"))
+    mgr.create_database("sg", str(src), chunk_size=100, chunk_overlap=30)
+    mgr.build_sign_sketch("sg")
+
+    def sketch():
+        return sorted(
+            map(
+                tuple,
+                spark.read.parquet(mgr._table("sg", "embeddings_sign"))
+                .select(sorted(
+                    spark.read.parquet(
+                        mgr._table("sg", "embeddings_sign")
+                    ).columns
+                ))
+                .collect(),
+            )
+        )
+
+    def rebuilt():
+        emb = spark.read.parquet(mgr._table("sg", "embeddings"))
+        df = mgr._sign_rows(emb, 16)
+        return sorted(map(tuple, df.select(sorted(df.columns)).collect()))
+
+    assert sketch() == rebuilt()
+
+    # serving: shortlist >= corpus makes the coarse pass a no-op filter,
+    # so the result must equal brute-force exact top-k
+    n = spark.read.parquet(mgr._table("sg", "embeddings")).count()
+    got = mgr.search_hamming("sg", "fast analytical query", k=3, shortlist=n)
+    rows = got.collect()
+    assert len(rows) == 3
+    ds = [r["distance"] for r in rows]
+    assert ds == sorted(ds)
+    import pyspark.sql.functions as F
+
+    from vector_db_light_spark.functions.embedding import (
+        HashedFeatureEmbedder,
+    )
+    from vector_db_light_spark.functions.policy import prefixed_query
+    from vector_db_light_spark.functions.vector import dot
+
+    info = mgr.registry.get("sg")
+    qv = HashedFeatureEmbedder().encode_one(
+        prefixed_query(info.model, "fast analytical query")
+    )
+    emb = spark.read.parquet(mgr._table("sg", "embeddings"))
+    exact = (
+        emb.select(
+            "chunk_id",
+            (F.lit(1.0) - dot("embedding", list(qv))).alias("distance"),
+        )
+        .orderBy(F.col("distance").asc(), F.col("chunk_id").asc())
+        .limit(3)
+        .collect()
+    )
+    assert [r["chunk_id"] for r in rows] == [r["chunk_id"] for r in exact]
+
+    more = tmp_path / "more"
+    more.mkdir()
+    (more / "d.txt").write_text("streaming watermark stateful window " * 40)
+    assert mgr.add_documents("sg", str(more)) == 1
+    assert sketch() == rebuilt()
+    victim = (
+        spark.read.parquet(mgr._table("sg", "documents"))
+        .select("file_name")
+        .first()["file_name"]
+    )
+    assert mgr.delete_documents("sg", [victim]) == 1
+    assert sketch() == rebuilt()

@@ -261,6 +261,13 @@ class VectorDatabaseManager:
             self._refresh_ivf_partitions(name, emb_table, dim)
         if os.path.exists(self._table(name, "pq_codebooks.json")):
             self._append_pq_codes(name, emb_table)
+        if self._has_sign_sketch(name):
+            # the sketch of a vector is a pure per-row function: append-only
+            with open(self._table(name, "sign_sketch_meta.json")) as fh:
+                _sdim = json.load(fh)["dim"]
+            self._sign_rows(emb_table, _sdim).write.mode("append").parquet(
+                self._table(name, "embeddings_sign")
+            )
         if self._has_text_index(name):
             self._append_text_index(name, emb_table)
         self._merge_lm(
@@ -443,6 +450,21 @@ class VectorDatabaseManager:
             os.rename(pq_path, pq_path + ".old")
             os.rename(pq_path + ".tmp", pq_path)
             shutil.rmtree(pq_path + ".old")
+        if self._has_sign_sketch(name):
+            # same treatment as the PQ codes: at 16 bytes/row the whole
+            # rewrite is a rounding error next to the partition rewrites
+            with open(self._table(name, "sign_sketch_meta.json")) as fh:
+                _sdim = json.load(fh)["dim"]
+            sp = self._table(name, "embeddings_sign")
+            remaining_s = self.spark.read.parquet(
+                self._table(name, "embeddings")
+            )
+            self._sign_rows(remaining_s, _sdim).write.mode(
+                "overwrite"
+            ).parquet(sp + ".tmp")
+            os.rename(sp, sp + ".old")
+            os.rename(sp + ".tmp", sp)
+            shutil.rmtree(sp + ".old")
         if text_doomed is not None and self._has_text_index(name):
             self._delete_from_text_index(name, text_doomed)
         if text_doomed is not None:
@@ -771,6 +793,99 @@ class VectorDatabaseManager:
         return (
             emb.join(F.broadcast(short.select("chunk_id")), "chunk_id")
             .select(F.col("chunk_id"), F.col("chunk_text"), d)
+            .orderBy(F.col("distance").asc(), F.col("chunk_id").asc())
+            .limit(k)
+        )
+
+    def build_sign_sketch(self, name: str) -> None:
+        """Persist the 1-BIT SIGN SKETCH artifact: (chunk_id, w0..wN) —
+        each w a 32-bit sign word of the embedding
+        (operators/similarity.sign_words_expr), 64x smaller than the
+        float vectors. :meth:`search_hamming`'s coarse pass scans ONLY
+        this table with integer xor+popcount; the sketch of a vector is a
+        pure per-row function, so the incremental story is trivial:
+        append on add, rewrite-whole on delete (the table is 16 bytes a
+        row — the PQ-codes treatment). Dim is pinned in a json sidecar
+        (read from the table like build_knn_graph: a dim-mismatched
+        sketch would be silently all-zero words past the vector's
+        end)."""
+        if self.registry.get(name) is None:
+            raise ValueError(f"unknown database {name!r}")
+        emb = self.spark.read.parquet(self._table(name, "embeddings"))
+        dims = emb.agg(
+            F.min(F.size("embedding")).alias("dmin"),
+            F.max(F.size("embedding")).alias("dmax"),
+        ).first()
+        if dims["dmin"] != dims["dmax"]:
+            raise ValueError(
+                f"mixed embedding dimensions in {name!r}: "
+                f"{dims['dmin']}..{dims['dmax']}"
+            )
+        dim = int(dims["dmin"])
+        self._sign_rows(emb, dim).write.mode("overwrite").parquet(
+            self._table(name, "embeddings_sign")
+        )
+        with open(self._table(name, "sign_sketch_meta.json"), "w") as fh:
+            json.dump({"dim": dim}, fh)
+
+    @staticmethod
+    def _sign_rows(emb, dim: int):
+        from .operators.similarity import sign_words_expr
+
+        return emb.select(
+            "chunk_id",
+            *[
+                wx.cast("bigint").alias(f"w{j}")
+                for j, wx in enumerate(sign_words_expr("embedding", dim))
+            ],
+        )
+
+    def _has_sign_sketch(self, name: str) -> bool:
+        return os.path.exists(self._table(name, "sign_sketch_meta.json"))
+
+    def search_hamming(
+        self,
+        name: str,
+        query: str,
+        k: int = DEFAULT_CONTEXTS,
+        shortlist: int = 50,
+    ) -> DataFrame:
+        """Two-stage 1-bit ANN over the persisted sketch: coarse
+        top-``shortlist`` by Hamming distance reading ONLY the 16-byte
+        sketch table (integer xor+popcount per row, id tie-break), then
+        exact cosine rerank of the shortlist against the raw vectors — a
+        broadcast shortlist-row semi-join, never a vector scan. The
+        recall/shortlist trade-off is the ann_hamming_recall measurement
+        (0.50/0.63/0.77 at 10/25/50 on the sf0.01 fixture)."""
+        from .functions.embedding import HashedFeatureEmbedder
+        from .functions.policy import prefixed_query
+        from .functions.vector import dot
+        from .operators.similarity import sign_words_py
+
+        info = self.registry.get(name)
+        if info is None:
+            raise ValueError(f"unknown database {name!r}")
+        with open(self._table(name, "sign_sketch_meta.json")) as fh:
+            dim = json.load(fh)["dim"]
+        qvec = HashedFeatureEmbedder().encode_one(
+            prefixed_query(info.model, query)
+        )
+        q_words = sign_words_py(list(qvec), dim)
+        sk = self.spark.read.parquet(self._table(name, "embeddings_sign"))
+        hd = None
+        for j, qw in enumerate(q_words):
+            term = F.bit_count(F.col(f"w{j}").bitwiseXOR(F.lit(int(qw))))
+            hd = term if hd is None else hd + term
+        short = (
+            sk.select("chunk_id", hd.cast("bigint").alias("hamming"))
+            .orderBy(F.col("hamming").asc(), F.col("chunk_id").asc())
+            .limit(shortlist)
+        )
+        emb = self.spark.read.parquet(self._table(name, "embeddings"))
+        d = (F.lit(1.0) - dot("embedding", list(qvec))).alias("distance")
+        return (
+            emb.join(F.broadcast(short), "chunk_id")
+            .select(F.col("chunk_id"), F.col("chunk_text"), F.col("hamming"), d)
             .orderBy(F.col("distance").asc(), F.col("chunk_id").asc())
             .limit(k)
         )
