@@ -41,7 +41,9 @@ ANNOTATIONS: dict[str, str] = {
     "cross_nation_volume": "Q7 shape, exact BIGINT-cents volume",
     "cc_luhn_detection": "ISO 7812 Luhn checksum as an unrolled integer lambda; candidates vs validated cards per doc",
     "classifier_curation_pipeline": "train (7 integer rounds) -> broadcast-score the corpus -> survivor split vs planted truth, one DAG",
+    "ccnet_perplexity_buckets": "CCNet LM bucketing: KN-fluency rank terciles head/middle/tail + per-bucket md5 sampling (166/75/23 kept of 500)",
     "cohort_retention_daily": "first-active-day cohorts x day offset; integer day buckets, exact-operand retention division",
+    "gopher_quality_battery": "Gopher doc-level rule battery, all-integer permille thresholds, planted violator per rule (kept 307 of 500)",
     "customer_order_histogram": "Q13 shape: left join w/ join-side predicate + double aggregation",
     "dedup_clusters_star": "large-star/small-star CC, same recursive-CTE oracle",
     "dedup_lsh_quality": "band recall 0.988 / precision 0.977 vs exact all-pairs Jaccard truth",

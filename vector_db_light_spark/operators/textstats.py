@@ -682,3 +682,117 @@ def kn_score_trigrams(
         F.count(F.lit(1)).cast("long").alias("n_trigrams"),
         F.expr("sum(p_u6) div count(*)").cast("long").alias("fluency_u6"),
     )
+
+
+# Gopher doc-level quality rules (Rae et al. 2021, table A1): the English
+# stop set of the "contains at least 2 of" rule.
+GOPHER_STOPWORDS = ("the", "be", "to", "of", "and", "that", "have", "with")
+
+
+def gopher_rules(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_words: int = 10,
+    max_words: int = 100_000,
+    min_mean_len: int = 3,
+    max_mean_len: int = 10,
+    max_symbol_permille: int = 100,
+    min_alpha_permille: int = 800,
+    min_stopwords: int = 2,
+) -> DataFrame:
+    """Gopher DOC-level quality battery (Rae et al. 2021, table A1 — the
+    word-level rules; the line-level rules degenerate on the fixture's
+    single-line docs, same caveat as repetition_metrics). EVERY rule is
+    evaluated in exact integer arithmetic — ratio thresholds as
+    cross-multiplied permille comparisons (``symbols * 1000 <= max_pm *
+    n_words``), never a float division — so the bits are engine-exact by
+    construction:
+
+      * rule_words      — min_words <= n_words <= max_words;
+      * rule_mean_len   — mean token length in [min_mean_len,
+        max_mean_len], tested as ``min*n <= chars <= max*n``;
+      * rule_symbol     — symbol-to-word ratio ('#' chars + '...'
+        occurrences) <= max_symbol_permille;
+      * rule_alpha      — >= min_alpha_permille of words contain an
+        alphabetic char;
+      * rule_stop       — >= min_stopwords DISTINCT members of the Gopher
+        stop set appear.
+
+    Returns the integer evidence columns + one bit per rule + ``keep`` +
+    ``drop_reason`` (first failing rule in the order above — the
+    precedence is part of the contract). One narrow projection, zero
+    shuffles: the battery composes into any curation pipeline as a
+    map-side stage."""
+    from .dedup import tokens_expr
+
+    stop_arr = F.array(*[F.lit(w) for w in GOPHER_STOPWORDS])
+    # token array materialized once (CLAUDE.md rule 4: HOFs defeat CSE)
+    t = docs.select(
+        F.col(id_col), F.col(text_col), tokens_expr(text_col).alias("_toks")
+    )
+    n_words = F.size("_toks").cast("long")
+    tok_chars = F.aggregate(
+        F.col("_toks"), F.lit(0).cast("long"), lambda a, x: a + F.length(x)
+    )
+    hash_chars = (
+        F.length(text_col) - F.length(F.translate(text_col, "#", ""))
+    ).cast("long")
+    ellipses = F.expr(
+        f"(length({text_col}) - length(replace({text_col}, '...', '')))"
+        f" div 3"
+    ).cast("long")
+    n_symbols = hash_chars + ellipses
+    n_alpha = F.size(
+        F.filter(F.col("_toks"), lambda w: w.rlike("[a-z]"))
+    ).cast("long")
+    n_stop = F.size(
+        F.array_intersect(F.array_distinct(F.col("_toks")), stop_arr)
+    ).cast("long")
+    m = t.select(
+        F.col(id_col),
+        n_words.alias("n_words"),
+        tok_chars.alias("tok_chars"),
+        n_symbols.alias("n_symbols"),
+        n_alpha.alias("n_alpha_words"),
+        n_stop.alias("n_stopwords"),
+    )
+    r_words = (F.col("n_words") >= min_words) & (
+        F.col("n_words") <= max_words
+    )
+    r_mean = (
+        F.col("tok_chars") >= F.lit(min_mean_len) * F.col("n_words")
+    ) & (F.col("tok_chars") <= F.lit(max_mean_len) * F.col("n_words"))
+    r_sym = F.col("n_symbols") * 1000 <= F.lit(max_symbol_permille) * F.col(
+        "n_words"
+    )
+    r_alpha = F.col("n_alpha_words") * 1000 >= F.lit(
+        min_alpha_permille
+    ) * F.col("n_words")
+    r_stop = F.col("n_stopwords") >= min_stopwords
+    out = m.select(
+        "*",
+        r_words.cast("int").alias("rule_words"),
+        r_mean.cast("int").alias("rule_mean_len"),
+        r_sym.cast("int").alias("rule_symbol"),
+        r_alpha.cast("int").alias("rule_alpha"),
+        r_stop.cast("int").alias("rule_stop"),
+    )
+    keep = (
+        (F.col("rule_words") == 1)
+        & (F.col("rule_mean_len") == 1)
+        & (F.col("rule_symbol") == 1)
+        & (F.col("rule_alpha") == 1)
+        & (F.col("rule_stop") == 1)
+    )
+    reason = (
+        F.when(F.col("rule_words") == 0, F.lit("words"))
+        .when(F.col("rule_mean_len") == 0, F.lit("mean_len"))
+        .when(F.col("rule_symbol") == 0, F.lit("symbol"))
+        .when(F.col("rule_alpha") == 0, F.lit("alpha"))
+        .when(F.col("rule_stop") == 0, F.lit("stop"))
+        .otherwise(F.lit("kept"))
+    )
+    return out.select(
+        "*", keep.cast("int").alias("keep"), reason.alias("drop_reason")
+    )

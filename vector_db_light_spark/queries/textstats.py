@@ -1324,3 +1324,239 @@ def kn_trigram_fluency(spark, sf_dir):
         flu("orig", "fluency_u6").alias("fluency_u6"),
         flu("corrupt", "fluency_u6").alias("fluency_corrupt_u6"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Gopher doc-level quality battery (round 12): every rule an exact integer
+# comparison (cross-multiplied permille, never a float division), planted
+# violators per rule, natural stop-word split.
+# ---------------------------------------------------------------------------
+
+_GOPHER_LONG = "pneumonoultramicroscopicsilicovolcanoconiosis"
+
+
+def _gopher_corpus_sql() -> str:
+    return f"""
+corpus AS (
+  SELECT doc_id, text FROM documents
+  WHERE doc_id % 13 != 0 AND doc_id % 17 != 0
+    AND doc_id % 19 != 0 AND doc_id % 23 != 0
+  UNION ALL
+  SELECT doc_id, text || repeat(' x#', 30) FROM documents
+  WHERE doc_id % 13 = 0
+  UNION ALL
+  SELECT doc_id, substr(text, 1, 30) FROM documents
+  WHERE doc_id % 17 = 0 AND doc_id % 13 != 0
+  UNION ALL
+  SELECT doc_id, regexp_replace(text, '[a-z]+', '123', 'g') FROM documents
+  WHERE doc_id % 19 = 0 AND doc_id % 13 != 0 AND doc_id % 17 != 0
+  UNION ALL
+  SELECT doc_id, text || repeat(' {_GOPHER_LONG}', 12) FROM documents
+  WHERE doc_id % 23 = 0 AND doc_id % 13 != 0 AND doc_id % 17 != 0
+    AND doc_id % 19 != 0
+)"""
+
+
+@register(
+    "gopher_quality_battery",
+    f"""
+WITH {_gopher_corpus_sql()},
+t AS (SELECT doc_id, text, {_TOKS_SQL} AS toks FROM corpus),
+m AS (
+  SELECT doc_id,
+         CAST(len(toks) AS BIGINT) AS n_words,
+         CAST(coalesce(list_reduce(
+             list_transform(toks, w -> CAST(length(w) AS BIGINT)),
+             (a, b) -> a + b), 0) AS BIGINT) AS tok_chars,
+         CAST(length(text) - length(replace(text, '#', ''))
+              + (length(text) - length(replace(text, '...', ''))) // 3
+              AS BIGINT) AS n_symbols,
+         CAST(len(list_filter(toks, w -> regexp_matches(w, '[a-z]')))
+              AS BIGINT) AS n_alpha_words,
+         CAST(len(list_intersect(list_distinct(toks),
+              ['the','be','to','of','and','that','have','with']))
+              AS BIGINT) AS n_stopwords
+  FROM t
+),
+r AS (
+  SELECT *,
+    CAST(n_words >= 10 AND n_words <= 100000 AS INT) AS rule_words,
+    CAST(tok_chars >= 3 * n_words AND tok_chars <= 10 * n_words AS INT)
+      AS rule_mean_len,
+    CAST(n_symbols * 1000 <= 100 * n_words AS INT) AS rule_symbol,
+    CAST(n_alpha_words * 1000 >= 800 * n_words AS INT) AS rule_alpha,
+    CAST(n_stopwords >= 1 AS INT) AS rule_stop
+  FROM m
+)
+SELECT *,
+       CAST(rule_words = 1 AND rule_mean_len = 1 AND rule_symbol = 1
+            AND rule_alpha = 1 AND rule_stop = 1 AS INT) AS keep,
+       CASE WHEN rule_words = 0 THEN 'words'
+            WHEN rule_mean_len = 0 THEN 'mean_len'
+            WHEN rule_symbol = 0 THEN 'symbol'
+            WHEN rule_alpha = 0 THEN 'alpha'
+            WHEN rule_stop = 0 THEN 'stop'
+            ELSE 'kept' END AS drop_reason
+FROM r
+""",
+)
+def gopher_quality_battery(spark, sf_dir):
+    """Gopher doc-level quality battery (Rae et al. 2021 table A1,
+    operators/textstats.gopher_rules) with one planted violator class per
+    rule — symbol (' x#' * 30 appended, doc_id % 13), word-count floor
+    (truncation to ~5 words, % 17), alphabetic-word floor (every word
+    digitized, % 19), mean-token-length ceiling (12 45-char words
+    appended, % 23) — plus the fixture's NATURAL stop-word split
+    (min_stopwords=1: 382 of 500 docs contain a Gopher stop word). Every
+    rule bit is an exact integer comparison on both engines; sf0.01
+    funnel: kept 307, stop 91, symbol 32, words 27, alpha 23,
+    mean_len 20. drop_reason precedence (words > mean_len > symbol >
+    alpha > stop) is part of the contract."""
+    docs = load_docs(spark, sf_dir)
+    base = docs.filter(
+        (F.col("doc_id") % 13 != 0)
+        & (F.col("doc_id") % 17 != 0)
+        & (F.col("doc_id") % 19 != 0)
+        & (F.col("doc_id") % 23 != 0)
+    ).select("doc_id", "text")
+    c13 = docs.filter(F.col("doc_id") % 13 == 0).select(
+        "doc_id", F.concat("text", F.expr("repeat(' x#', 30)")).alias("text")
+    )
+    c17 = docs.filter(
+        (F.col("doc_id") % 17 == 0) & (F.col("doc_id") % 13 != 0)
+    ).select("doc_id", F.substring("text", 1, 30).alias("text"))
+    c19 = docs.filter(
+        (F.col("doc_id") % 19 == 0)
+        & (F.col("doc_id") % 13 != 0)
+        & (F.col("doc_id") % 17 != 0)
+    ).select(
+        "doc_id", F.regexp_replace("text", "[a-z]+", "123").alias("text")
+    )
+    c23 = docs.filter(
+        (F.col("doc_id") % 23 == 0)
+        & (F.col("doc_id") % 13 != 0)
+        & (F.col("doc_id") % 17 != 0)
+        & (F.col("doc_id") % 19 != 0)
+    ).select(
+        "doc_id",
+        F.concat("text", F.expr(f"repeat(' {_GOPHER_LONG}', 12)")).alias(
+            "text"
+        ),
+    )
+    corpus = base.unionByName(c13).unionByName(c17).unionByName(c19).unionByName(c23)
+    return T.gopher_rules(corpus, min_stopwords=1)
+
+
+# ---------------------------------------------------------------------------
+# CCNet-style perplexity bucketing (round 12): LM-score the corpus, split
+# into head/middle/tail by exact rank terciles, sample per bucket.
+# ---------------------------------------------------------------------------
+
+@register(
+    "ccnet_perplexity_buckets",
+    rf"""
+WITH toks AS (
+  SELECT doc_id, {_TOKS_SQL} AS t FROM documents
+),
+seq AS (
+  SELECT doc_id, unnest(t) AS w, generate_subscripts(t, 1) AS pos
+  FROM toks WHERE len(t) >= 2
+),
+bg AS MATERIALIZED (
+  SELECT a.doc_id, a.w AS w1, b.w AS w2
+  FROM seq a JOIN seq b ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
+),
+c AS MATERIALIZED (
+  SELECT w1, w2, CAST(count(*) AS BIGINT) AS c_ab FROM bg GROUP BY 1, 2
+),
+w1s AS (
+  SELECT w1, CAST(sum(c_ab) AS BIGINT) AS c_w1,
+         CAST(count(*) AS BIGINT) AS n_fanout
+  FROM c GROUP BY 1
+),
+w2s AS (SELECT w2, CAST(count(*) AS BIGINT) AS n_cont FROM c GROUP BY 1),
+nt AS (SELECT CAST(count(*) AS BIGINT) AS n_types FROM c),
+scored AS (
+  SELECT b.doc_id, ({_KN_FLU_P_SQL}) AS p_u6
+  FROM bg b
+  LEFT JOIN c   ON c.w1 = b.w1 AND c.w2 = b.w2
+  LEFT JOIN w1s s1 ON s1.w1 = b.w1
+  LEFT JOIN w2s s2 ON s2.w2 = b.w2
+  CROSS JOIN nt
+),
+per AS (
+  SELECT doc_id, CAST(sum(p_u6) AS BIGINT) // count(*) AS fluency_u6
+  FROM scored GROUP BY 1
+),
+tot AS (SELECT CAST(count(*) AS BIGINT) AS n FROM per),
+ranked AS (
+  SELECT doc_id, fluency_u6,
+         row_number() OVER (ORDER BY fluency_u6 DESC, doc_id ASC) AS rk
+  FROM per
+)
+SELECT doc_id, fluency_u6,
+       CASE WHEN rk * 3 <= n THEN 'head'
+            WHEN rk * 3 <= 2 * n THEN 'middle'
+            ELSE 'tail' END AS bucket,
+       CAST(CASE WHEN rk * 3 <= n THEN 1
+            WHEN rk * 3 <= 2 * n
+              THEN CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4))::BIGINT % 2 = 0 AS INT)
+            ELSE
+              CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4))::BIGINT % 8 = 0 AS INT)
+            END AS INT) AS keep
+FROM ranked CROSS JOIN tot
+""",
+)
+def ccnet_perplexity_buckets(spark, sf_dir):
+    """CCNet's LM-quality bucketing (Wenzek et al. 2019): score every doc
+    with the corpus bigram KN LM (integer micro-unit fluency — monotone
+    in perplexity, chosen over perplexity itself because log() on
+    data-dependent args is banned by the parity rules), cut the corpus
+    into head/middle/tail at EXACT rank terciles (rk*3 <= n / <= 2n —
+    integer cuts, fluency-desc + doc_id tie-break), then sample per
+    bucket at CCNet's decreasing rates (head keep all, middle 1/2 by
+    md5 residue % 2, tail 1/8 by residue % 8 — the portable-hash
+    sampling rule). The global rank window is fixture-scale
+    bookkeeping; at 100 TB the tercile THRESHOLDS come from the
+    two-level rank/quantile pass (the packing pattern) and bucket
+    assignment becomes a broadcast compare — the per-doc rule is
+    already map-side. sf0.01 funnel: head 166/166 kept, middle 75/167,
+    tail 23/167."""
+    from pyspark.sql.window import Window
+
+    orig = (
+        load_docs(spark, sf_dir)
+        .select("doc_id", T.tokens_expr("text").alias("toks"))
+        .filter(F.size("toks") >= 2)
+        .select("doc_id", F.lit("orig").alias("variant"), "toks")
+    )
+    per = T.kn_fluency_scores(orig).select("doc_id", "fluency_u6")
+    cnt = per.agg(F.count(F.lit(1)).cast("long").alias("_n"))
+    w = Window.orderBy(F.col("fluency_u6").desc(), F.col("doc_id").asc())
+    ranked = (
+        per.withColumn("rk", F.row_number().over(w))
+        .crossJoin(F.broadcast(cnt))
+    )
+    res = F.expr(
+        "cast(conv(substr(md5(cast(doc_id as string)), 1, 4), 16, 10)"
+        " as bigint)"
+    )
+    bucket = (
+        F.when(F.col("rk") * 3 <= F.col("_n"), F.lit("head"))
+        .when(F.col("rk") * 3 <= 2 * F.col("_n"), F.lit("middle"))
+        .otherwise(F.lit("tail"))
+    )
+    keep = (
+        F.when(F.col("rk") * 3 <= F.col("_n"), F.lit(1))
+        .when(
+            F.col("rk") * 3 <= 2 * F.col("_n"),
+            (res % 2 == 0).cast("int"),
+        )
+        .otherwise((res % 8 == 0).cast("int"))
+    )
+    return ranked.select(
+        "doc_id",
+        "fluency_u6",
+        bucket.alias("bucket"),
+        keep.cast("int").alias("keep"),
+    )

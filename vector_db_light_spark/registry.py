@@ -134,7 +134,9 @@ PRIORITY: tuple[str, ...] = (
     "search_pipeline",  # anchor
     "media_curation_pipeline",  # anchor
     "ann_hamming_recall",  # NEWCOMER
+    "ccnet_perplexity_buckets",  # NEWCOMER
     "dedup_clusters_graph_artifact",  # NEWCOMER
+    "gopher_quality_battery",  # NEWCOMER
     "kn_fluency_from_artifact",  # NEWCOMER
     "knn_hamming_topk",  # NEWCOMER
     "curation_mix_manifest",  # CHANGED this round (last pass r11)
@@ -179,8 +181,6 @@ PRIORITY: tuple[str, ...] = (
     "ann_ivf_recall",  # last pass r8
     "ann_lsh_multiprobe_recall",  # last pass r8
     "ann_lsh_recall",  # last pass r8
-    "ann_pq_rerank_recall",  # last pass r8
-    "bpe_train_merges",  # last pass r8
 )
 
 _PRIORITY_R10: tuple[str, ...] = (
