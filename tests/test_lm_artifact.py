@@ -80,3 +80,59 @@ def test_lm_incremental_maintenance_equals_rebuild(spark, tmp_path):
         assert got == _rebuilt(spark, mgr, order) and got
     # trigram scoring from the maintained artifact still serves
     assert mgr.score_fluency("lm", order=3).count() > 0
+
+
+def test_api_tokenizer_artifact(spark, tmp_path):
+    """build_tokenizer persists the frozen merge table; tokenize_counts
+    serves from it and equals an inline train+apply; the artifact does
+    NOT drift on add_documents (pinned-tokenizer contract: new chunks
+    tokenize under the old merges)."""
+    import json
+
+    from vector_db_light_spark.api import VectorDatabaseManager
+    from vector_db_light_spark.operators.textstats import (
+        bpe_tokenize_counts,
+        bpe_train,
+    )
+    import pyspark.sql.functions as F
+
+    src = tmp_path / "docs"
+    src.mkdir()
+    (src / "a.txt").write_text("the cat sat on the mat " * 30)
+    (src / "b.txt").write_text("the cart art and the chart " * 30)
+    mgr = VectorDatabaseManager(spark, str(tmp_path / "dbs"))
+    mgr.create_database("tk", str(src), chunk_size=80, chunk_overlap=20)
+    mgr.build_tokenizer("tk", n_merges=4)
+    with open(mgr._table("tk", "tokenizer.json")) as fh:
+        side = json.load(fh)
+    assert len(side["merges"]) == 4
+    frozen = [m["pair"] for m in side["merges"]]
+
+    emb = spark.read.parquet(mgr._table("tk", "embeddings")).select(
+        F.col("chunk_id"), F.col("chunk_text").alias("text")
+    )
+    inline_merges = [
+        r["pair"]
+        for r in bpe_train(emb, n_merges=4).orderBy("merge_round").collect()
+    ]
+    assert frozen == inline_merges
+    served = sorted(
+        map(tuple, mgr.tokenize_counts("tk").collect())
+    )
+    inline = sorted(
+        map(
+            tuple,
+            bpe_tokenize_counts(emb, frozen, id_col="chunk_id").collect(),
+        )
+    )
+    assert served == inline
+
+    more = tmp_path / "more"
+    more.mkdir()
+    (more / "c.txt").write_text("completely different words here " * 30)
+    mgr.add_documents("tk", str(more))
+    with open(mgr._table("tk", "tokenizer.json")) as fh:
+        assert [m["pair"] for m in json.load(fh)["merges"]] == frozen
+    # new chunks are tokenized under the FROZEN merges
+    n_chunks = spark.read.parquet(mgr._table("tk", "embeddings")).count()
+    assert mgr.tokenize_counts("tk").count() == n_chunks

@@ -36,12 +36,14 @@ ANNOTATIONS: dict[str, str] = {
     "bpe_pair_counts": "BPE inner-loop pair frequencies, top-20 merges",
     "bpe_tokenize_counts": "apply learned merges corpus-wide; per-doc token budget",
     "bpe_train_merges": "N-merge iterative BPE trainer, unrolled-CTE oracle (kmeans_lloyd pattern)",
+    "bpe_tokenize_from_artifact": "tokenize from the FROZEN persisted merge table; oracle retrains — frozen serving == train-then-tokenize",
     "corpus_curation_pipeline": "capstone: dedup -> quality -> substring decontam -> sample in one DAG",
     "covisitation_topk": "session co-occurrence top-k per item; bounded pair fan-out, WindowGroupLimit per anchor",
     "cross_nation_volume": "Q7 shape, exact BIGINT-cents volume",
     "cc_luhn_detection": "ISO 7812 Luhn checksum as an unrolled integer lambda; candidates vs validated cards per doc",
     "classifier_curation_pipeline": "train (7 integer rounds) -> broadcast-score the corpus -> survivor split vs planted truth, one DAG",
     "ccnet_perplexity_buckets": "CCNet LM bucketing: KN-fluency rank terciles head/middle/tail + per-bucket md5 sampling (166/75/23 kept of 500)",
+    "curation_gopher_ccnet": "Gopher battery then CCNet buckets on survivors, LM trained post-filter; 500 -> 307 -> 169 kept",
     "cohort_retention_daily": "first-active-day cohorts x day offset; integer day buckets, exact-operand retention division",
     "gopher_quality_battery": "Gopher doc-level rule battery, all-integer permille thresholds, planted violator per rule (kept 307 of 500)",
     "customer_order_histogram": "Q13 shape: left join w/ join-side predicate + double aggregation",

@@ -1294,6 +1294,57 @@ class VectorDatabaseManager:
             "variant"
         )
 
+    # -- tokenizer artifact: train once, apply forever ------------------------
+    def build_tokenizer(self, name: str, n_merges: int = 8) -> None:
+        """Persist the BPE TOKENIZER artifact: the ordered merge table
+        (merge_round, pair, cnt) trained on the chunk corpus
+        (operators/textstats.bpe_train — the fixed-point-exact Sennrich
+        loop), written to a ``tokenizer.json`` sidecar like the PQ
+        codebooks. Deliberately NO incremental maintenance: a tokenizer
+        is pinned once trained — retokenizing a corpus under a drifting
+        merge table silently changes every downstream token budget, so
+        new documents are tokenized with the FROZEN merges (exactly how
+        production pipelines version tokenizers) and retrain = rebuild =
+        a new artifact version."""
+        from .operators.textstats import bpe_train
+
+        if self.registry.get(name) is None:
+            raise ValueError(f"unknown database {name!r}")
+        docs = self.spark.read.parquet(
+            self._table(name, "embeddings")
+        ).select(F.col("chunk_text").alias("text"))
+        rows = sorted(
+            (
+                (int(r["merge_round"]), r["pair"], int(r["cnt"]))
+                for r in bpe_train(docs, n_merges=n_merges).collect()
+            )
+        )
+        with open(self._table(name, "tokenizer.json"), "w") as fh:
+            json.dump(
+                {"n_merges": n_merges,
+                 "merges": [{"round": r, "pair": p, "cnt": c}
+                            for r, p, c in rows]},
+                fh,
+            )
+
+    def tokenize_counts(self, name: str) -> DataFrame:
+        """Per-chunk token budget under the PERSISTED tokenizer: apply
+        the frozen merge table to every chunk and report symbol counts
+        before/after — the corpus token-budget estimate served from the
+        artifact, never retraining. Builds the tokenizer on demand if
+        absent."""
+        from .operators.textstats import bpe_tokenize_counts
+
+        path = self._table(name, "tokenizer.json")
+        if not os.path.exists(path):
+            self.build_tokenizer(name)
+        with open(path) as fh:
+            merges = [m["pair"] for m in json.load(fh)["merges"]]
+        docs = self.spark.read.parquet(
+            self._table(name, "embeddings")
+        ).select(F.col("chunk_id"), F.col("chunk_text").alias("text"))
+        return bpe_tokenize_counts(docs, merges, id_col="chunk_id")
+
     def search_phrase(self, name: str, phrase: str) -> DataFrame:
         """Exact-phrase search over the chunk table via the positional
         chain join (operators/text_search.phrase_match). With a built

@@ -1412,38 +1412,28 @@ def gopher_quality_battery(spark, sf_dir):
     funnel: kept 307, stop 91, symbol 32, words 27, alpha 23,
     mean_len 20. drop_reason precedence (words > mean_len > symbol >
     alpha > stop) is part of the contract."""
+    # planted mutations as ONE CASE projection over a single scan (a
+    # union of filtered branches replays the loader's spread shuffle per
+    # branch — 5 exchanges for what is one map; found by plan_audit).
+    # CASE precedence 13 > 17 > 19 > 23 mirrors the oracle's exclusions.
     docs = load_docs(spark, sf_dir)
-    base = docs.filter(
-        (F.col("doc_id") % 13 != 0)
-        & (F.col("doc_id") % 17 != 0)
-        & (F.col("doc_id") % 19 != 0)
-        & (F.col("doc_id") % 23 != 0)
-    ).select("doc_id", "text")
-    c13 = docs.filter(F.col("doc_id") % 13 == 0).select(
-        "doc_id", F.concat("text", F.expr("repeat(' x#', 30)")).alias("text")
+    mutated = (
+        F.when(
+            F.col("doc_id") % 13 == 0,
+            F.concat("text", F.expr("repeat(' x#', 30)")),
+        )
+        .when(F.col("doc_id") % 17 == 0, F.substring("text", 1, 30))
+        .when(
+            F.col("doc_id") % 19 == 0,
+            F.regexp_replace("text", "[a-z]+", "123"),
+        )
+        .when(
+            F.col("doc_id") % 23 == 0,
+            F.concat("text", F.expr(f"repeat(' {_GOPHER_LONG}', 12)")),
+        )
+        .otherwise(F.col("text"))
     )
-    c17 = docs.filter(
-        (F.col("doc_id") % 17 == 0) & (F.col("doc_id") % 13 != 0)
-    ).select("doc_id", F.substring("text", 1, 30).alias("text"))
-    c19 = docs.filter(
-        (F.col("doc_id") % 19 == 0)
-        & (F.col("doc_id") % 13 != 0)
-        & (F.col("doc_id") % 17 != 0)
-    ).select(
-        "doc_id", F.regexp_replace("text", "[a-z]+", "123").alias("text")
-    )
-    c23 = docs.filter(
-        (F.col("doc_id") % 23 == 0)
-        & (F.col("doc_id") % 13 != 0)
-        & (F.col("doc_id") % 17 != 0)
-        & (F.col("doc_id") % 19 != 0)
-    ).select(
-        "doc_id",
-        F.concat("text", F.expr(f"repeat(' {_GOPHER_LONG}', 12)")).alias(
-            "text"
-        ),
-    )
-    corpus = base.unionByName(c13).unionByName(c17).unionByName(c19).unionByName(c23)
+    corpus = docs.select("doc_id", mutated.alias("text"))
     return T.gopher_rules(corpus, min_stopwords=1)
 
 
@@ -1559,4 +1549,252 @@ def ccnet_perplexity_buckets(spark, sf_dir):
         "fluency_u6",
         bucket.alias("bucket"),
         keep.cast("int").alias("keep"),
+    )
+
+
+def _bpe_merges_artifact(spark, sf_dir: str) -> list[str]:
+    """The trained BPE merge table PERSISTED to a /tmp json artifact
+    (fingerprint-keyed, pid-tempfile + atomic rename — the
+    _lm_count_artifact pattern) and read back, so the downstream query
+    tokenizes from the frozen artifact exactly the way
+    api.tokenize_counts serves from api.build_tokenizer's sidecar."""
+    import json
+    import os
+
+    from .pipeline import _docs_fingerprint
+
+    key = sf_dir.strip("/").replace("/", "_")
+    fp = _docs_fingerprint(sf_dir)
+    dst = f"/tmp/vdl_bpe_merges/v1/{key}-{fp}.json"
+    if not os.path.exists(dst):
+        docs = load_docs(spark, sf_dir)
+        rows = sorted(
+            (int(r["merge_round"]), r["pair"])
+            for r in T.bpe_train(docs, n_merges=_BPE_MERGES).collect()
+        )
+        os.makedirs(os.path.dirname(dst), exist_ok=True)
+        tmp = f"{dst}.tmp.{os.getpid()}"
+        with open(tmp, "w") as fh:
+            json.dump([{"round": r, "pair": p} for r, p in rows], fh)
+        os.replace(tmp, dst)  # atomic; last writer wins with equal bytes
+    with open(dst) as fh:
+        return [m["pair"] for m in json.load(fh)]
+
+
+@register("bpe_tokenize_from_artifact", _bpe_tokenize_oracle_sql(_BPE_MERGES))
+def bpe_tokenize_from_artifact(spark, sf_dir):
+    """bpe_tokenize_counts SERVED FROM THE PERSISTED TOKENIZER ARTIFACT
+    (round 12): the ordered merge table is trained once, frozen to disk,
+    and this query only READS it before the narrow chained-replace apply.
+    The oracle retrains from the raw documents, so the hash match proves
+    frozen-tokenizer serving == train-then-tokenize — the LM/text-index
+    serving contract applied to the tokenizer (api.build_tokenizer /
+    api.tokenize_counts are the database-facing twins; production
+    pipelines pin tokenizers exactly this way because a drifting merge
+    table silently changes every downstream token budget)."""
+    merges = _bpe_merges_artifact(spark, sf_dir)
+    docs = load_docs(spark, sf_dir)
+    out = T.bpe_tokenize_counts(docs, merges)
+    return out.select(
+        "doc_id",
+        "n_symbols_before",
+        "n_tokens_after",
+        (F.col("n_tokens_after").cast("double") / F.col("n_symbols_before")).alias(
+            "compression"
+        ),
+    ).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# Composite curation (round 12): Gopher rule battery first, CCNet LM
+# bucketing on the survivors — the LM trains on post-filter docs only
+# (training the quality LM on unfiltered text would let the violators
+# shape the fluency scale; order is the contract, like the capstone's
+# dedup-then-LM).
+# ---------------------------------------------------------------------------
+
+@register(
+    "curation_gopher_ccnet",
+    rf"""
+WITH {_gopher_corpus_sql()},
+gt AS (SELECT doc_id, text, {_TOKS_SQL} AS toks FROM corpus),
+gm AS (
+  SELECT doc_id, text, toks,
+         CAST(len(toks) AS BIGINT) AS n_words,
+         CAST(coalesce(list_reduce(
+             list_transform(toks, w -> CAST(length(w) AS BIGINT)),
+             (a, b) -> a + b), 0) AS BIGINT) AS tok_chars,
+         CAST(length(text) - length(replace(text, '#', ''))
+              + (length(text) - length(replace(text, '...', ''))) // 3
+              AS BIGINT) AS n_symbols,
+         CAST(len(list_filter(toks, w -> regexp_matches(w, '[a-z]')))
+              AS BIGINT) AS n_alpha_words,
+         CAST(len(list_intersect(list_distinct(toks),
+              ['the','be','to','of','and','that','have','with']))
+              AS BIGINT) AS n_stopwords
+  FROM gt
+),
+gr AS (
+  SELECT doc_id, toks,
+    CASE WHEN NOT (n_words >= 10 AND n_words <= 100000) THEN 'words'
+         WHEN NOT (tok_chars >= 3 * n_words AND tok_chars <= 10 * n_words)
+           THEN 'mean_len'
+         WHEN NOT (n_symbols * 1000 <= 100 * n_words) THEN 'symbol'
+         WHEN NOT (n_alpha_words * 1000 >= 800 * n_words) THEN 'alpha'
+         WHEN NOT (n_stopwords >= 1) THEN 'stop'
+         ELSE 'kept' END AS g_reason
+  FROM gm
+),
+surv AS (SELECT doc_id, toks FROM gr WHERE g_reason = 'kept' AND len(toks) >= 2),
+seq AS (
+  SELECT doc_id, unnest(toks) AS w, generate_subscripts(toks, 1) AS pos
+  FROM surv
+),
+bg AS MATERIALIZED (
+  SELECT a.doc_id, a.w AS w1, b.w AS w2
+  FROM seq a JOIN seq b ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
+),
+c AS MATERIALIZED (
+  SELECT w1, w2, CAST(count(*) AS BIGINT) AS c_ab FROM bg GROUP BY 1, 2
+),
+w1s AS (
+  SELECT w1, CAST(sum(c_ab) AS BIGINT) AS c_w1,
+         CAST(count(*) AS BIGINT) AS n_fanout
+  FROM c GROUP BY 1
+),
+w2s AS (SELECT w2, CAST(count(*) AS BIGINT) AS n_cont FROM c GROUP BY 1),
+nt AS (SELECT CAST(count(*) AS BIGINT) AS n_types FROM c),
+scored AS (
+  SELECT b.doc_id, ({_KN_FLU_P_SQL}) AS p_u6
+  FROM bg b
+  LEFT JOIN c   ON c.w1 = b.w1 AND c.w2 = b.w2
+  LEFT JOIN w1s s1 ON s1.w1 = b.w1
+  LEFT JOIN w2s s2 ON s2.w2 = b.w2
+  CROSS JOIN nt
+),
+per AS (
+  SELECT doc_id, CAST(sum(p_u6) AS BIGINT) // count(*) AS fluency_u6
+  FROM scored GROUP BY 1
+),
+tot AS (SELECT CAST(count(*) AS BIGINT) AS n FROM per),
+ranked AS (
+  SELECT doc_id, fluency_u6,
+         row_number() OVER (ORDER BY fluency_u6 DESC, doc_id ASC) AS rk
+  FROM per
+),
+cc AS (
+  SELECT doc_id, fluency_u6,
+         CASE WHEN rk * 3 <= n THEN 'head'
+              WHEN rk * 3 <= 2 * n THEN 'middle'
+              ELSE 'tail' END AS bucket,
+         CASE WHEN rk * 3 <= n THEN 1
+              WHEN rk * 3 <= 2 * n THEN
+                CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4))::BIGINT % 2 = 0 AS INT)
+              ELSE
+                CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4))::BIGINT % 8 = 0 AS INT)
+              END AS cc_keep
+  FROM ranked CROSS JOIN tot
+)
+SELECT g.doc_id,
+       COALESCE(cc.fluency_u6, CAST(-1 AS BIGINT)) AS fluency_u6,
+       COALESCE(cc.bucket, 'dropped') AS bucket,
+       CASE WHEN g.g_reason != 'kept' THEN 'gopher:' || g.g_reason
+            WHEN cc.doc_id IS NULL THEN 'gopher:short'
+            WHEN cc.cc_keep = 0 THEN 'ppl_sample'
+            ELSE 'kept' END AS drop_reason,
+       CAST(CASE WHEN g.g_reason = 'kept' AND cc.cc_keep = 1
+                 THEN 1 ELSE 0 END AS INT) AS keep
+FROM gr g
+LEFT JOIN cc ON cc.doc_id = g.doc_id
+""",
+)
+def curation_gopher_ccnet(spark, sf_dir):
+    """Composite curation: the Gopher rule battery drops first, then the
+    CCNet LM bucketing runs on the SURVIVORS — the bigram KN LM trains on
+    post-filter docs only (training the quality LM on unfiltered text
+    would let the planted violators shape the fluency scale; order is the
+    contract, same as curation_mix_manifest's dedup-then-LM). Per-doc
+    manifest: fluency (sentinel -1 for dropped docs), tercile bucket
+    ('dropped' sentinel), precedence-ordered drop_reason
+    ('gopher:<rule>' > 'ppl_sample' > 'kept') and the final keep bit.
+    Same planted corpus as gopher_quality_battery. sf0.01 funnel: 500 ->
+    gopher drops 193 (words 27 / mean_len 20 / symbol 32 / alpha 23 /
+    stop 91) -> 307 survivors scored -> tercile sampling keeps 169,
+    ppl_sample drops 138."""
+    from pyspark.sql.window import Window
+
+    docs = load_docs(spark, sf_dir)
+    mutated = (
+        F.when(
+            F.col("doc_id") % 13 == 0,
+            F.concat("text", F.expr("repeat(' x#', 30)")),
+        )
+        .when(F.col("doc_id") % 17 == 0, F.substring("text", 1, 30))
+        .when(
+            F.col("doc_id") % 19 == 0,
+            F.regexp_replace("text", "[a-z]+", "123"),
+        )
+        .when(
+            F.col("doc_id") % 23 == 0,
+            F.concat("text", F.expr(f"repeat(' {_GOPHER_LONG}', 12)")),
+        )
+        .otherwise(F.col("text"))
+    )
+    corpus = docs.select("doc_id", mutated.alias("text"))
+    g = T.gopher_rules(corpus, min_stopwords=1).select(
+        "doc_id", "drop_reason"
+    ).withColumnRenamed("drop_reason", "g_reason")
+    surv = (
+        corpus.join(
+            g.filter(F.col("g_reason") == "kept").select("doc_id"),
+            "doc_id",
+            "left_semi",
+        )
+        .select("doc_id", T.tokens_expr("text").alias("toks"))
+        .filter(F.size("toks") >= 2)
+        .select("doc_id", F.lit("orig").alias("variant"), "toks")
+    )
+    per = T.kn_fluency_scores(surv).select("doc_id", "fluency_u6")
+    cnt = per.agg(F.count(F.lit(1)).cast("long").alias("_n"))
+    w = Window.orderBy(F.col("fluency_u6").desc(), F.col("doc_id").asc())
+    ranked = per.withColumn("rk", F.row_number().over(w)).crossJoin(
+        F.broadcast(cnt)
+    )
+    res = F.expr(
+        "cast(conv(substr(md5(cast(doc_id as string)), 1, 4), 16, 10)"
+        " as bigint)"
+    )
+    cc = ranked.select(
+        "doc_id",
+        "fluency_u6",
+        F.when(F.col("rk") * 3 <= F.col("_n"), F.lit("head"))
+        .when(F.col("rk") * 3 <= 2 * F.col("_n"), F.lit("middle"))
+        .otherwise(F.lit("tail"))
+        .alias("bucket"),
+        F.when(F.col("rk") * 3 <= F.col("_n"), F.lit(1))
+        .when(F.col("rk") * 3 <= 2 * F.col("_n"), (res % 2 == 0).cast("int"))
+        .otherwise((res % 8 == 0).cast("int"))
+        .alias("cc_keep"),
+    )
+    out = g.join(cc, "doc_id", "left")
+    reason = (
+        F.when(
+            F.col("g_reason") != "kept",
+            F.concat(F.lit("gopher:"), F.col("g_reason")),
+        )
+        .when(F.col("bucket").isNull(), F.lit("gopher:short"))
+        .when(F.col("cc_keep") == 0, F.lit("ppl_sample"))
+        .otherwise(F.lit("kept"))
+    )
+    return out.select(
+        "doc_id",
+        F.coalesce("fluency_u6", F.lit(-1).cast("long")).alias("fluency_u6"),
+        F.coalesce("bucket", F.lit("dropped")).alias("bucket"),
+        reason.alias("drop_reason"),
+        (
+            (F.col("g_reason") == "kept")
+            & (F.coalesce("cc_keep", F.lit(0)) == 1)
+        )
+        .cast("int")
+        .alias("keep"),
     )

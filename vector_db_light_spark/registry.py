@@ -134,7 +134,9 @@ PRIORITY: tuple[str, ...] = (
     "search_pipeline",  # anchor
     "media_curation_pipeline",  # anchor
     "ann_hamming_recall",  # NEWCOMER
+    "bpe_tokenize_from_artifact",  # NEWCOMER
     "ccnet_perplexity_buckets",  # NEWCOMER
+    "curation_gopher_ccnet",  # NEWCOMER
     "dedup_clusters_graph_artifact",  # NEWCOMER
     "gopher_quality_battery",  # NEWCOMER
     "kn_fluency_from_artifact",  # NEWCOMER
@@ -179,8 +181,6 @@ PRIORITY: tuple[str, ...] = (
     "tumbling_hourly_events",  # last pass r7
     "union_schema_evolution",  # last pass r7
     "ann_ivf_recall",  # last pass r8
-    "ann_lsh_multiprobe_recall",  # last pass r8
-    "ann_lsh_recall",  # last pass r8
 )
 
 _PRIORITY_R10: tuple[str, ...] = (
