@@ -765,3 +765,62 @@ def test_api_sign_sketch_lifecycle(spark, tmp_path):
     )
     assert mgr.delete_documents("sg", [victim]) == 1
     assert sketch() == rebuilt()
+
+
+def test_stream_sign_sketch_maintenance_equals_rebuild(spark, tmp_path):
+    """Streaming sketch maintenance: after draining N micro-batches the
+    on-disk sketch table equals a batch build over the union; a REPLAYED
+    batch appends nothing (the table is its own membership ledger)."""
+    import pyspark.sql.functions as F
+
+    from vector_db_light_spark.operators.similarity import sign_words_expr
+    from vector_db_light_spark.streaming.serving import (
+        stream_sign_sketch_maintenance,
+    )
+
+    emb = (
+        spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+        .select(F.col("vec_id").alias("chunk_id"), "embedding")
+        .limit(40)
+        .localCheckpoint(eager=True)
+    )
+    src = tmp_path / "stream"
+    src.mkdir()
+    sk = str(tmp_path / "sk")
+
+    def drain(tag):
+        stream = spark.readStream.schema(
+            "chunk_id bigint, embedding array<float>"
+        ).parquet(str(src))
+        stream_sign_sketch_maintenance(
+            stream, sk, str(tmp_path / f"ckpt_{tag}"), dim=64
+        ).awaitTermination(180)
+
+    def snap():
+        df = spark.read.parquet(sk)
+        return sorted(map(tuple, df.select(sorted(df.columns)).collect()))
+
+    def rebuild(frame):
+        df = frame.select(
+            "chunk_id",
+            *[
+                w.cast("bigint").alias(f"w{j}")
+                for j, w in enumerate(sign_words_expr("embedding", 64))
+            ],
+        )
+        return sorted(map(tuple, df.select(sorted(df.columns)).collect()))
+
+    first = emb.filter(F.col("chunk_id") < 20)
+    first.write.mode("append").parquet(str(src))
+    drain("a")
+    assert snap() == rebuild(first)
+
+    emb.filter(F.col("chunk_id") >= 20).write.mode("append").parquet(str(src))
+    drain("b")
+    assert snap() == rebuild(emb)
+
+    # replay: the same rows arrive again under a FRESH checkpoint — the
+    # anti-join admits nothing and the table stays bit-identical
+    emb.filter(F.col("chunk_id") < 20).write.mode("append").parquet(str(src))
+    drain("c")
+    assert snap() == rebuild(emb)

@@ -285,3 +285,64 @@ def stream_text_index_maintenance(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def stream_sign_sketch_maintenance(
+    emb_stream: DataFrame,
+    sketch_dir: str,
+    checkpoint_dir: str,
+    id_col: str = "chunk_id",
+    vector_col: str = "embedding",
+    dim: int = 16,
+) -> StreamingQuery:
+    """Incremental MAINTENANCE of the persisted 1-bit sign sketch
+    (api.build_sign_sketch's table) from an embedding stream: per
+    micro-batch, the new vectors' 32-bit sign words append — the sketch
+    is a pure per-row function of the embedding, so after any prefix of
+    batches the table equals a batch rebuild over the vectors ingested
+    so far.
+
+    Replay idempotence needs NO separate ledger and NO torn-batch
+    marker, unlike the text index: (a) every row with an embedding
+    produces exactly one sketch row, so the table is its own complete
+    membership ledger (the empty-doc re-admit hazard structurally cannot
+    occur); (b) the batch performs ONE mutation — a single parquet
+    append whose task-file commit is the atomic point — so a crash
+    leaves either nothing visible or the complete delta, never a partial
+    multi-table merge. The anti-join's plan reads the path the batch
+    appends to, so it is localCheckpoint'ed first (recache-by-path
+    rule)."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from ..operators.similarity import sign_words_expr
+
+    def apply(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        spark = batch_df.sparkSession
+        rows = batch_df.select(
+            F.col(id_col),
+            *[
+                wx.cast("bigint").alias(f"w{j}")
+                for j, wx in enumerate(sign_words_expr(vector_col, dim))
+            ],
+        )
+        if os.path.isdir(sketch_dir):
+            existing = spark.read.parquet(sketch_dir).select(id_col)
+            rows = rows.join(existing, id_col, "left_anti").localCheckpoint(
+                eager=True
+            )
+            if rows.isEmpty():
+                return
+            rows.write.mode("append").parquet(sketch_dir)
+        else:
+            rows.write.parquet(sketch_dir)
+
+    return (
+        emb_stream.writeStream.foreachBatch(apply)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
