@@ -124,6 +124,12 @@ AUDIT = [
     "dsir_importance_sample",
     "curation_mix_manifest",
     "knn_graph_kmeans_recall",
+    # round 12
+    "knn_hamming_topk",
+    "ann_hamming_recall",
+    "gopher_quality_battery",
+    "ccnet_perplexity_buckets",
+    "bpe_tokenize_from_artifact",
 ]
 
 
