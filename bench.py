@@ -78,6 +78,10 @@ HEADLINE = [
     # dedup+fluency+langid curation capstone
     "bm25_index_wand_topk",
     "curation_mix_manifest",
+    # round-12 additions: the 1-bit ANN serving tier (integer coarse pass
+    # + shortlist rerank) and the all-integer Gopher rule battery
+    "knn_hamming_topk",
+    "gopher_quality_battery",
 ]
 
 

@@ -413,3 +413,79 @@ def extract_audio_features(media: DataFrame, window: int = 32) -> DataFrame:
     return media.filter(F.col("media_type") == "audio/wav").mapInPandas(
         run, schema=AUDIO_FEATURES_SCHEMA
     )
+
+
+def dhash_words_expr(hex_col: str, w: int = 9, h: int = 8) -> list:
+    """dHash (difference hash) of a decoded ``w x h`` grayscale thumbnail
+    whose pixel bytes arrive as a HEX string column (the resize stage's
+    packed bitmap, hex-projected — binary payloads never leave the Arrow
+    stage raw; CLAUDE.md binary-output rule): bit (x, y) is set iff
+    pixel(x+1, y) > pixel(x, y), giving (w-1) x h bits packed into
+    32-bit words held in BIGINT (the overflow-free xor/bit_count form the
+    sign-sketch tier established). Each word is ONE F.expr string — 32
+    comparisons of conv()-parsed hex pairs — so the whole hash stays
+    inside whole-stage codegen. Perceptual contract: the hash depends
+    only on the DECODED thumbnail, so any container re-encode or exact
+    2x nearest upscale of the source (floor((x*2w)/9)//2 == floor(x*w/9),
+    the nested-floor identity) produces the identical hash."""
+    from pyspark.sql import functions as F
+
+    nbits = (w - 1) * h
+
+    def px(x: int, y: int) -> str:
+        off = 2 * (y * w + x) + 1
+        return f"cast(conv(substr({hex_col}, {off}, 2), 16, 10) as bigint)"
+
+    words = []
+    for base in range(0, nbits, 32):
+        terms = []
+        for j in range(min(32, nbits - base)):
+            i = base + j
+            y, x = divmod(i, w - 1)
+            terms.append(
+                f"(CASE WHEN {px(x + 1, y)} > {px(x, y)}"
+                f" THEN {1 << j}L ELSE 0L END)"
+            )
+        words.append(F.expr(" + ".join(terms)))
+    return words
+
+
+def dhash_variant_payload(vid: int) -> bytes:
+    """PNG payload for dHash-dedup image variant ``vid = doc_id*4 + k``:
+    k=0 the fixture image (png_fixture_payload's pixel law), k=1 a 2x
+    nearest-upscaled RE-ENCODE of the same pixels (identical 9x8
+    thumbnail by the nested-floor identity — the exact perceptual twin),
+    k=2 the fixture pixels with px(0,0) shifted +128 mod 256 (flips <= 3
+    dHash bits after resampling)."""
+    from ..functions.png import encode_png
+
+    d, k = divmod(int(vid), 4)
+    w0, h0 = 8 + d % 9, 8 + d % 7
+    rows = [
+        bytearray(hashlib.md5(f"{d}:{y}".encode()).digest()[:w0])
+        for y in range(h0)
+    ]
+    if k == 2:
+        rows[0][0] = (rows[0][0] + 128) % 256
+    if k == 1:
+        up = [
+            bytes(rows[y2 // 2][x2 // 2] for x2 in range(2 * w0))
+            for y2 in range(2 * h0)
+        ]
+        return encode_png(b"".join(up), 2 * w0, 2 * h0, 1)
+    return encode_png(b"".join(bytes(r) for r in rows), w0, h0, 1)
+
+
+def attach_dhash_variants(vids: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Arrow-batched payload synthesis for the dHash variant corpus
+    (:func:`dhash_variant_payload` per synthetic image id)."""
+
+    @F.pandas_udf(BinaryType())
+    def _udf(ids: pd.Series) -> pd.Series:
+        return ids.map(lambda v: dhash_variant_payload(int(v)))
+
+    return vids.select(
+        F.col(id_col),
+        F.lit("image/png").alias("media_type"),
+        _udf(F.col(id_col)).alias("payload"),
+    )

@@ -1491,3 +1491,205 @@ def corpus_curation_pipeline(spark, sf_dir):
         )
         .orderBy("source")
     )
+
+
+# ---------------------------------------------------------------------------
+# Perceptual image dedup (round 12): dHash over REALLY decoded thumbnails,
+# banded Hamming candidate generation, exact <=3-bit verification. The
+# multimodal x dedup crossover: the hash depends only on decoded pixels,
+# so a 2x nearest-upscaled re-encode of the same source is an EXACT twin
+# (nested-floor identity) and a one-pixel perturbation flips <= 3 bits
+# (pigeonhole over 4 16-bit bands guarantees candidate recall for r <= 3).
+# ---------------------------------------------------------------------------
+
+def _dhash_variant_corpus(spark, sf_dir: str):
+    """(img_id = doc_id*4 + k, payload) for every PNG doc: k=0 the
+    fixture image, k=1 a 2x nearest-upscaled re-encode (identical 9x8
+    thumbnail by floor((x*2w)//9)//2 == floor(x*w//9)), k=2 the fixture
+    pixels with px(0,0) shifted by +128 mod 256. Cached like the other
+    media fixtures (encode cost is per-process, not per-query)."""
+    from ..operators.multimodal import attach_dhash_variants
+
+    def build():
+        pngs = load(spark, sf_dir, "documents").filter(
+            F.col("doc_id") % 4 == 0
+        )
+        vids = pngs.select(
+            F.explode(
+                F.array(*[(F.col("doc_id") * 4 + k) for k in range(3)])
+            ).alias("doc_id")
+        )
+        return attach_dhash_variants(vids)
+
+    return _media_fixture(spark, sf_dir, "dhash_variants", build)
+
+
+_DHASH_VARIANT_SQL = (
+    "CASE CAST({c} % 4 AS INT) WHEN 0 THEN 'orig' WHEN 1 THEN 'scaled'"
+    " ELSE 'perturb' END"
+)
+
+
+@register(
+    "image_dhash_neardup",
+    f"""
+WITH imgs AS (
+  SELECT doc_id * 4 + k AS img_id, doc_id AS d, k,
+         8 + doc_id % 9 AS w0, 8 + doc_id % 7 AS h0
+  FROM documents, unnest([0, 1, 2]) AS t(k)
+  WHERE doc_id % 4 = 0
+),
+thumb AS (
+  SELECT img_id, d, k, x, y,
+         CASE WHEN k = 1 THEN ((x * 2 * w0) // 9) // 2
+              ELSE (x * w0) // 9 END AS sx,
+         CASE WHEN k = 1 THEN ((y * 2 * h0) // 8) // 2
+              ELSE (y * h0) // 8 END AS sy
+  FROM imgs, unnest(range(0, 9)) AS tx(x), unnest(range(0, 8)) AS ty(y)
+),
+pix AS (
+  SELECT img_id, x, y,
+         CASE WHEN k = 2 AND sx = 0 AND sy = 0 THEN (v + 128) % 256
+              ELSE v END AS p
+  FROM (
+    SELECT *,
+           ('0x' || substr(md5(CAST(d AS VARCHAR) || ':' ||
+                               CAST(sy AS VARCHAR)), 2 * sx + 1, 2))::INT AS v
+    FROM thumb
+  )
+),
+bits AS (
+  SELECT a.img_id, (a.y * 8 + a.x) AS i,
+         CASE WHEN b.p > a.p THEN 1 ELSE 0 END AS bit
+  FROM pix a
+  JOIN pix b ON b.img_id = a.img_id AND b.y = a.y AND b.x = a.x + 1
+  WHERE a.x < 8
+),
+words AS (
+  SELECT img_id,
+         CAST(sum(CASE WHEN i < 32
+                       THEN bit * (CAST(1 AS BIGINT) << i)
+                       ELSE 0 END) AS BIGINT) AS w0,
+         CAST(sum(CASE WHEN i >= 32
+                       THEN bit * (CAST(1 AS BIGINT) << (i - 32))
+                       ELSE 0 END) AS BIGINT) AS w1
+  FROM bits GROUP BY 1
+),
+banded AS (
+  SELECT img_id, w0, w1,
+         w0 % 65536 AS b0, w0 // 65536 AS b1,
+         w1 % 65536 AS b2, w1 // 65536 AS b3
+  FROM words
+),
+cands AS (
+  SELECT a.img_id AS ia, b.img_id AS ib
+  FROM banded a JOIN banded b ON a.b0 = b.b0 AND a.img_id < b.img_id
+  UNION
+  SELECT a.img_id, b.img_id
+  FROM banded a JOIN banded b ON a.b1 = b.b1 AND a.img_id < b.img_id
+  UNION
+  SELECT a.img_id, b.img_id
+  FROM banded a JOIN banded b ON a.b2 = b.b2 AND a.img_id < b.img_id
+  UNION
+  SELECT a.img_id, b.img_id
+  FROM banded a JOIN banded b ON a.b3 = b.b3 AND a.img_id < b.img_id
+)
+SELECT CAST(c.ia // 4 AS BIGINT) AS doc_a,
+       {_DHASH_VARIANT_SQL.format(c='c.ia')} AS variant_a,
+       CAST(c.ib // 4 AS BIGINT) AS doc_b,
+       {_DHASH_VARIANT_SQL.format(c='c.ib')} AS variant_b,
+       CAST(bit_count(xor(wa.w0, wb.w0))
+            + bit_count(xor(wa.w1, wb.w1)) AS BIGINT) AS hamming
+FROM cands c
+JOIN banded wa ON wa.img_id = c.ia
+JOIN banded wb ON wb.img_id = c.ib
+WHERE bit_count(xor(wa.w0, wb.w0)) + bit_count(xor(wa.w1, wb.w1)) <= 3
+""",
+)
+def image_dhash_neardup(spark, sf_dir):
+    """Perceptual near-duplicate image detection over REALLY decoded
+    pixels: every PNG doc ships three container-level variants (the
+    fixture image, a 2x nearest-upscaled re-encode, a one-pixel
+    perturbation), each is stdlib-decoded and nearest-resampled to a 9x8
+    thumbnail (operators/multimodal.resize_images — the real PNG filter
+    reconstruction path), hashed with dHash into two 32-bit words, and
+    near-dup pairs (Hamming <= 3) come from a 4x16-bit BAND equi-join —
+    never an all-pairs scan — with exact popcount verification after.
+    The pigeonhole bound makes banding LOSSLESS here: <= 3 flipped bits
+    cannot touch all 4 bands. The oracle recomputes every decoded
+    thumbnail pixel arithmetically from the md5 fixture definition —
+    including the upscale twin through its own nested-floor path — so
+    the hash match proves decode -> resample -> hash -> band -> verify
+    end-to-end. The scaled twin pairs with its original at Hamming 0
+    (scale invariance, measured not assumed); at 100 TB the words/bands
+    are a persisted 16-byte sketch column and each band join is
+    shuffle-partitioned by band value (the MinHash-LSH shape)."""
+    from ..operators.multimodal import dhash_words_expr, resize_images
+
+    media = _dhash_variant_corpus(spark, sf_dir)
+    thumbs = resize_images(media, 9, 8).filter(
+        F.col("resize_error").isNull()
+    )
+    hx = thumbs.select(
+        F.col("doc_id").alias("img_id"),
+        F.lower(F.hex("payload")).alias("hx"),
+    )
+    w0x, w1x = dhash_words_expr("hx", 9, 8)
+    banded = hx.select(
+        "img_id",
+        w0x.alias("w0"),
+        w1x.alias("w1"),
+    ).select(
+        "img_id",
+        "w0",
+        "w1",
+        (F.col("w0") % 65536).alias("b0"),
+        F.expr("w0 div 65536").alias("b1"),
+        (F.col("w1") % 65536).alias("b2"),
+        F.expr("w1 div 65536").alias("b3"),
+    ).localCheckpoint(eager=True)
+    cands = None
+    for bk in ("b0", "b1", "b2", "b3"):
+        a = banded.select(
+            F.col("img_id").alias("ia"), F.col(bk).alias("_b")
+        )
+        b = banded.select(
+            F.col("img_id").alias("ib"), F.col(bk).alias("_b")
+        )
+        pairs = a.join(b, "_b").filter(F.col("ia") < F.col("ib")).select(
+            "ia", "ib"
+        )
+        cands = pairs if cands is None else cands.unionByName(pairs)
+    cands = cands.distinct()
+    wa = banded.select(
+        F.col("img_id").alias("ia"),
+        F.col("w0").alias("wa0"),
+        F.col("w1").alias("wa1"),
+    )
+    wb = banded.select(
+        F.col("img_id").alias("ib"),
+        F.col("w0").alias("wb0"),
+        F.col("w1").alias("wb1"),
+    )
+    hd = (
+        F.bit_count(F.col("wa0").bitwiseXOR(F.col("wb0")))
+        + F.bit_count(F.col("wa1").bitwiseXOR(F.col("wb1")))
+    ).cast("bigint")
+    variant = lambda c: (  # noqa: E731
+        F.when(F.col(c) % 4 == 0, "orig")
+        .when(F.col(c) % 4 == 1, "scaled")
+        .otherwise("perturb")
+    )
+    return (
+        cands.join(wa, "ia")
+        .join(wb, "ib")
+        .withColumn("hamming", hd)
+        .filter(F.col("hamming") <= 3)
+        .select(
+            F.expr("ia div 4").cast("bigint").alias("doc_a"),
+            variant("ia").alias("variant_a"),
+            F.expr("ib div 4").cast("bigint").alias("doc_b"),
+            variant("ib").alias("variant_b"),
+            "hamming",
+        )
+    )

@@ -139,6 +139,7 @@ PRIORITY: tuple[str, ...] = (
     "curation_gopher_ccnet",  # NEWCOMER
     "dedup_clusters_graph_artifact",  # NEWCOMER
     "gopher_quality_battery",  # NEWCOMER
+    "image_dhash_neardup",  # NEWCOMER
     "kn_fluency_from_artifact",  # NEWCOMER
     "knn_hamming_topk",  # NEWCOMER
     "curation_mix_manifest",  # CHANGED this round (last pass r11)
@@ -180,7 +181,6 @@ PRIORITY: tuple[str, ...] = (
     "text_repetition",  # last pass r7
     "tumbling_hourly_events",  # last pass r7
     "union_schema_evolution",  # last pass r7
-    "ann_ivf_recall",  # last pass r8
 )
 
 _PRIORITY_R10: tuple[str, ...] = (
