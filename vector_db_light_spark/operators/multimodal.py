@@ -489,3 +489,40 @@ def attach_dhash_variants(vids: DataFrame, id_col: str = "doc_id") -> DataFrame:
         F.lit("image/png").alias("media_type"),
         _udf(F.col(id_col)).alias("payload"),
     )
+
+
+def audio_variant_payload(vid: int) -> bytes:
+    """RIFF/WAVE payload for audio-fingerprint variant ``vid = doc_id*4
+    + k``: k=0 the fixture audio (wav_fixture_payload's sample law), k=1
+    the same samples with 32 zero samples APPENDED (trailing-content
+    change — the leading fingerprint is identical), k=2 sample 0
+    replaced by ``abs(s0) % 1000`` (one energy window moves, flipping at
+    most 1 delta bit)."""
+    from ..functions.wav import encode_wav
+
+    d, k = divmod(int(vid), 4)
+    n = 32 * (2 + d % 4)
+    samples = [
+        int(hashlib.md5(f"{d}:{i}".encode()).hexdigest()[:4], 16) - 32768
+        for i in range(n)
+    ]
+    if k == 2:
+        samples[0] = abs(samples[0]) % 1000
+    if k == 1:
+        samples = samples + [0] * 32
+    return encode_wav(samples, sample_rate=8000)
+
+
+def attach_audio_variants(vids: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Arrow-batched payload synthesis for the audio-fingerprint variant
+    corpus (:func:`audio_variant_payload` per synthetic id)."""
+
+    @F.pandas_udf(BinaryType())
+    def _udf(ids: pd.Series) -> pd.Series:
+        return ids.map(lambda v: audio_variant_payload(int(v)))
+
+    return vids.select(
+        F.col(id_col),
+        F.lit("audio/wav").alias("media_type"),
+        _udf(F.col(id_col)).alias("payload"),
+    )

@@ -1693,3 +1693,178 @@ def image_dhash_neardup(spark, sf_dir):
             "hamming",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Perceptual AUDIO near-dup (round 12): energy-delta fingerprint over
+# REALLY decoded PCM — the audio leg of the dHash family. Bit i of the
+# 31-bit fingerprint is set iff window-energy E[i+1] > E[i] over the first
+# 64 samples (32 two-sample windows), so the hash is invariant to
+# trailing-content changes and robust to small edits; banding (11/10/10
+# bits) is lossless for Hamming <= 2 by pigeonhole.
+# ---------------------------------------------------------------------------
+
+_AFP_VARIANT_SQL = (
+    "CASE CAST({c} % 4 AS INT) WHEN 0 THEN 'orig' WHEN 1 THEN 'appended'"
+    " ELSE 'perturb' END"
+)
+
+
+@register(
+    "audio_fingerprint_neardup",
+    f"""
+WITH adocs AS (
+  SELECT doc_id AS d, doc_id * 4 + k AS vid, k
+  FROM documents, unnest([0, 1, 2]) AS t(k)
+  WHERE doc_id % 4 = 1
+),
+s AS (
+  SELECT vid, j,
+         CASE WHEN k = 2 AND j = 0 THEN abs(v) % 1000 ELSE v END AS s
+  FROM (
+    SELECT *,
+           ('0x' || substr(md5(CAST(d AS VARCHAR) || ':' ||
+                               CAST(j AS VARCHAR)), 1, 4))::INT - 32768 AS v
+    FROM adocs, unnest(range(0, 64)) AS tj(j)
+  )
+),
+e AS (
+  SELECT vid, j // 2 AS i,
+         CAST(sum(CAST(s AS BIGINT) * CAST(s AS BIGINT)) AS BIGINT) AS e
+  FROM s GROUP BY 1, 2
+),
+bits AS (
+  SELECT a.vid, a.i, CASE WHEN b.e > a.e THEN 1 ELSE 0 END AS bit
+  FROM e a JOIN e b ON b.vid = a.vid AND b.i = a.i + 1
+  WHERE a.i < 31
+),
+words AS (
+  SELECT vid,
+         CAST(sum(bit * (CAST(1 AS BIGINT) << CAST(i AS INT))) AS BIGINT)
+           AS w
+  FROM bits GROUP BY 1
+),
+banded AS (
+  SELECT vid, w, w % 2048 AS b0, (w // 2048) % 1024 AS b1,
+         w // 2097152 AS b2
+  FROM words
+),
+cands AS (
+  SELECT a.vid AS ia, b.vid AS ib
+  FROM banded a JOIN banded b ON a.b0 = b.b0 AND a.vid < b.vid
+  UNION
+  SELECT a.vid, b.vid
+  FROM banded a JOIN banded b ON a.b1 = b.b1 AND a.vid < b.vid
+  UNION
+  SELECT a.vid, b.vid
+  FROM banded a JOIN banded b ON a.b2 = b.b2 AND a.vid < b.vid
+)
+SELECT CAST(c.ia // 4 AS BIGINT) AS doc_a,
+       {_AFP_VARIANT_SQL.format(c='c.ia')} AS variant_a,
+       CAST(c.ib // 4 AS BIGINT) AS doc_b,
+       {_AFP_VARIANT_SQL.format(c='c.ib')} AS variant_b,
+       CAST(bit_count(xor(wa.w, wb.w)) AS BIGINT) AS hamming
+FROM cands c
+JOIN banded wa ON wa.vid = c.ia
+JOIN banded wb ON wb.vid = c.ib
+WHERE bit_count(xor(wa.w, wb.w)) <= 2
+""",
+)
+def audio_fingerprint_neardup(spark, sf_dir):
+    """Perceptual near-duplicate AUDIO detection over really decoded PCM:
+    every WAV doc ships three variants (the fixture audio, a
+    trailing-32-zero-samples append, a one-sample perturbation), each is
+    stdlib-RIFF-decoded and reduced to exact integer two-sample window
+    energies (operators/multimodal.extract_audio_features), the first 32
+    windows' deltas pack into a 31-bit fingerprint (bit i = E[i+1] >
+    E[i]), and near-dup pairs (Hamming <= 2) come from an 11/10/10-bit
+    band equi-join with exact popcount verification — lossless by
+    pigeonhole, the image dHash recipe on the audio axis. The oracle
+    recomputes every decoded sample arithmetically from the fixture's
+    md5 law. The appended twin pairs with its original at Hamming 0
+    (trailing-content invariance); the perturbed twin flips at most the
+    one delta bit its window touches. sf0.01: exactly 375 pairs = 3 per
+    WAV doc — all 125 orig-appended at Hamming 0, perturb pairs at 0
+    (101) or 1 (24), zero cross-doc band noise after the exact
+    verify."""
+    from ..operators.multimodal import (
+        attach_audio_variants,
+        extract_audio_features,
+    )
+
+    def build():
+        wavs = load(spark, sf_dir, "documents").filter(
+            F.col("doc_id") % 4 == 1
+        )
+        vids = wavs.select(
+            F.explode(
+                F.array(*[(F.col("doc_id") * 4 + k) for k in range(3)])
+            ).alias("doc_id")
+        )
+        return attach_audio_variants(vids)
+
+    media = _media_fixture(spark, sf_dir, "audio_fp_variants", build)
+    feats = extract_audio_features(media, window=2).filter(
+        F.col("feature_error").isNull()
+    )
+    a = feats.select(
+        F.col("doc_id").alias("vid"),
+        F.col("window_idx").alias("i"),
+        F.col("energy").alias("e1"),
+    ).filter(F.col("i") < 31)
+    b = feats.select(
+        F.col("doc_id").alias("vid"),
+        (F.col("window_idx") - 1).alias("i"),
+        F.col("energy").alias("e2"),
+    ).filter((F.col("i") >= 0) & (F.col("i") < 31))
+    words = (
+        a.join(b, ["vid", "i"])
+        .groupBy("vid")
+        .agg(
+            F.sum(
+                F.when(
+                    F.col("e2") > F.col("e1"),
+                    F.expr("shiftleft(1L, cast(i as int))"),
+                ).otherwise(F.lit(0).cast("long"))
+            )
+            .cast("long")
+            .alias("w")
+        )
+    )
+    banded = words.select(
+        "vid",
+        "w",
+        (F.col("w") % 2048).alias("b0"),
+        (F.expr("w div 2048") % 1024).alias("b1"),
+        F.expr("w div 2097152").alias("b2"),
+    ).localCheckpoint(eager=True)
+    cands = None
+    for bk in ("b0", "b1", "b2"):
+        pa = banded.select(F.col("vid").alias("ia"), F.col(bk).alias("_b"))
+        pb = banded.select(F.col("vid").alias("ib"), F.col(bk).alias("_b"))
+        p = pa.join(pb, "_b").filter(F.col("ia") < F.col("ib")).select(
+            "ia", "ib"
+        )
+        cands = p if cands is None else cands.unionByName(p)
+    cands = cands.distinct()
+    wa = banded.select(F.col("vid").alias("ia"), F.col("w").alias("wa"))
+    wb = banded.select(F.col("vid").alias("ib"), F.col("w").alias("wb"))
+    hd = F.bit_count(F.col("wa").bitwiseXOR(F.col("wb"))).cast("bigint")
+    variant = lambda c: (  # noqa: E731
+        F.when(F.col(c) % 4 == 0, "orig")
+        .when(F.col(c) % 4 == 1, "appended")
+        .otherwise("perturb")
+    )
+    return (
+        cands.join(wa, "ia")
+        .join(wb, "ib")
+        .withColumn("hamming", hd)
+        .filter(F.col("hamming") <= 2)
+        .select(
+            F.expr("ia div 4").cast("bigint").alias("doc_a"),
+            variant("ia").alias("variant_a"),
+            F.expr("ib div 4").cast("bigint").alias("doc_b"),
+            variant("ib").alias("variant_b"),
+            "hamming",
+        )
+    )

@@ -134,6 +134,7 @@ PRIORITY: tuple[str, ...] = (
     "search_pipeline",  # anchor
     "media_curation_pipeline",  # anchor
     "ann_hamming_recall",  # NEWCOMER
+    "audio_fingerprint_neardup",  # NEWCOMER
     "bpe_tokenize_from_artifact",  # NEWCOMER
     "ccnet_perplexity_buckets",  # NEWCOMER
     "curation_gopher_ccnet",  # NEWCOMER
@@ -180,7 +181,6 @@ PRIORITY: tuple[str, ...] = (
     "table_snapshot_diff",  # last pass r7
     "text_repetition",  # last pass r7
     "tumbling_hourly_events",  # last pass r7
-    "union_schema_evolution",  # last pass r7
 )
 
 _PRIORITY_R10: tuple[str, ...] = (
