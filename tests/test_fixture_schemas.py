@@ -185,3 +185,44 @@ def test_priority_window_is_exactly_50_registered_names():
     assert list(QUERIES)[:50] == list(PRIORITY)
     missing_oracles = [n for n in PRIORITY if n not in ORACLES]
     assert not missing_oracles
+
+
+def test_mechanical_window_derivation_invariants():
+    """gen_coverage.next_window (VERDICT r11 #10) is the authority for
+    registry.PRIORITY: exactly WINDOW_SIZE names, anchors first, every
+    never-externally-passed ORACLE query (newcomer) present, CHANGED
+    queries ahead of the longest-unrefreshed tail, and the committed
+    PRIORITY matches the derivation verbatim."""
+    import importlib
+    import os
+    import sys
+
+    here = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    sys.path.insert(0, os.path.join(here, "tools"))
+    gc = importlib.import_module("gen_coverage")
+    from vector_db_light_spark.registry import ORACLES, PRIORITY, QUERIES
+
+    window = gc.next_window()
+    assert len(window) == gc.WINDOW_SIZE == 50
+    assert list(PRIORITY) == window, (
+        "registry.PRIORITY drifted from the mechanical derivation — "
+        "run `python tools/gen_coverage.py --window` and paste"
+    )
+    for i, a in enumerate(gc.WINDOW_ANCHORS):
+        assert window[i] == a
+    latest = gc._last_pass_round(gc.WINDOW_DERIVED_AT)
+    newcomers = {
+        n for n in QUERIES if n in ORACLES and n not in latest
+    }
+    assert newcomers <= set(window), "a newcomer missed the window"
+    # newcomers and CHANGED rows precede every mechanically-rotated row
+    tail_rounds = [
+        latest[n]
+        for n in window
+        if n in latest
+        and n not in gc.WINDOW_ANCHORS
+        and n not in gc.CHANGED_THIS_ROUND
+    ]
+    assert tail_rounds == sorted(tail_rounds), (
+        "regression-guard slots must be oldest-external-pass-first"
+    )

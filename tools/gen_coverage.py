@@ -164,8 +164,16 @@ def _ever_driver_checked() -> set[str]:
     return seen
 
 
-def _last_pass_round() -> dict[str, int]:
-    """name -> LATEST round with a recorded external-driver pass.
+# The CORRECTNESS ledger snapshot the committed PRIORITY was derived
+# from: the driver lands CORRECTNESS_r{N}.json AFTER the round's last
+# commit, so the derivation (and its pytest invariant) must be pinned to
+# the rounds that existed at derivation time — bump when re-deriving.
+WINDOW_DERIVED_AT = 11
+
+
+def _last_pass_round(max_round: int | None = None) -> dict[str, int]:
+    """name -> LATEST round with a recorded external-driver pass, over
+    rounds <= ``max_round`` (None = all).
 
     Same pass rule as :func:`_ever_driver_checked`; used by --window to
     order the regression-guard slots oldest-external-pass-first."""
@@ -180,6 +188,8 @@ def _last_pass_round() -> dict[str, int]:
         if not m:
             continue
         rnd = int(m.group(1))
+        if max_round is not None and rnd > max_round:
+            continue
         try:
             with open(path) as f:
                 rec = json.load(f)
@@ -226,7 +236,7 @@ def next_window(size: int = WINDOW_SIZE) -> list[str]:
     """
     from vector_db_light_spark.registry import ORACLES, QUERIES
 
-    latest = _last_pass_round()
+    latest = _last_pass_round(WINDOW_DERIVED_AT)
     eligible = [n for n in QUERIES if n in ORACLES]
     newcomers = sorted(n for n in eligible if n not in latest)
     changed = [
@@ -254,7 +264,7 @@ def next_window(size: int = WINDOW_SIZE) -> list[str]:
 def main_window() -> int:
     from vector_db_light_spark.registry import PRIORITY
 
-    latest = _last_pass_round()
+    latest = _last_pass_round(WINDOW_DERIVED_AT)
     window = next_window()
     print("# Mechanical next-window derivation (oldest-external-pass-first)")
     print("# paste into registry.PRIORITY; anchors first, then newcomers,")
