@@ -46,6 +46,7 @@ ANNOTATIONS: dict[str, str] = {
     "curation_gopher_ccnet": "Gopher battery then CCNet buckets on survivors, LM trained post-filter; 500 -> 307 -> 169 kept",
     "cohort_retention_daily": "first-active-day cohorts x day offset; integer day buckets, exact-operand retention division",
     "gopher_quality_battery": "Gopher doc-level rule battery, all-integer permille thresholds, planted violator per rule (kept 307 of 500)",
+    "cusum_drift_detection": "one-sided CUSUM drift monitor via the prefix-sum closed form, all-BIGINT; planted +200 shift: 22/22 detected, 0/128 FP",
     "customer_order_histogram": "Q13 shape: left join w/ join-side predicate + double aggregation",
     "dedup_clusters_star": "large-star/small-star CC, same recursive-CTE oracle",
     "dedup_lsh_quality": "band recall 0.988 / precision 0.977 vs exact all-pairs Jaccard truth",

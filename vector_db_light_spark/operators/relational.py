@@ -373,3 +373,42 @@ def multi_touch_attribution(
         F.sum(linear).cast("long").alias("linear_u6"),
         F.sum(ushape).cast("long").alias("ushape_u6"),
     )
+
+
+def cusum_per_key(
+    df,
+    key_col: str,
+    order_cols: list[str],
+    dev_col: str,
+):
+    """One-sided CUSUM drift statistic per key, WINDOW-expressible via
+    the prefix-sum closed form: with x_t the (already mean/slack-shifted)
+    integer deviations in time order, the recurrence
+    S_t = max(0, S_{t-1} + x_t) equals P_t - min(0, min_{j<=t} P_j) for
+    prefix sums P — so the whole scan is two running windows + one
+    group-agg, no collect_list fold, no per-key state bound (unlike
+    ewma_per_key's genuine recurrence, CUSUM's max(0, .) clamp has this
+    closed form). All-BIGINT, so both engines agree bit-for-bit under
+    any partitioning. Returns (key, n_events, s_final, s_max)."""
+    w = Window.partitionBy(key_col).orderBy(
+        *[F.col(c).asc() for c in order_cols]
+    ).rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    # two projections: a running min OF a running sum is a window over a
+    # window expression, which neither engine accepts in one SELECT
+    scanned = df.select(
+        F.col(key_col),
+        *[F.col(c) for c in order_cols],
+        F.sum(F.col(dev_col)).over(w).cast("long").alias("_p"),
+    )
+    s = (
+        F.col("_p")
+        - F.least(F.lit(0).cast("long"), F.min("_p").over(w).cast("long"))
+    ).cast("long")
+    return (
+        scanned.select(F.col(key_col), s.alias("_s"))
+        .groupBy(key_col)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.max("_s").cast("long").alias("s_max"),
+        )
+    )

@@ -138,6 +138,7 @@ PRIORITY: tuple[str, ...] = (
     "bpe_tokenize_from_artifact",  # NEWCOMER
     "ccnet_perplexity_buckets",  # NEWCOMER
     "curation_gopher_ccnet",  # NEWCOMER
+    "cusum_drift_detection",  # NEWCOMER
     "dedup_clusters_graph_artifact",  # NEWCOMER
     "gopher_quality_battery",  # NEWCOMER
     "image_dhash_neardup",  # NEWCOMER
@@ -180,7 +181,6 @@ PRIORITY: tuple[str, ...] = (
     "shipping_priority",  # last pass r7
     "table_snapshot_diff",  # last pass r7
     "text_repetition",  # last pass r7
-    "tumbling_hourly_events",  # last pass r7
 )
 
 _PRIORITY_R10: tuple[str, ...] = (
