@@ -130,6 +130,10 @@ AUDIT = [
     "gopher_quality_battery",
     "ccnet_perplexity_buckets",
     "bpe_tokenize_from_artifact",
+    "curation_gopher_ccnet",
+    "image_dhash_neardup",
+    "audio_fingerprint_neardup",
+    "cusum_drift_detection",
 ]
 
 
