@@ -526,3 +526,45 @@ def attach_audio_variants(vids: DataFrame, id_col: str = "doc_id") -> DataFrame:
         F.lit("audio/wav").alias("media_type"),
         _udf(F.col(id_col)).alias("payload"),
     )
+
+
+def video_variant_payload(vid: int, text: str) -> bytes:
+    """ISO BMFF payload for video near-dup variant ``vid = doc_id*4 +
+    k``: k=0 the fixture video (mp4_fixture_payload's frame law), k=1
+    the same frames plus ONE appended frame (digest of '#frame<n>' — a
+    re-edit with extra footage), k=2 frame 0 replaced by the '#alt'
+    digest (a retitled opening). Frame payloads stay the md5 x4 fixture
+    form, so the oracle recomputes every frame hash arithmetically."""
+    from ..functions.mp4 import encode_mp4
+
+    d, k = divmod(int(vid), 4)
+    tb = text.encode("utf-8")
+    n = len(tb) // 64
+    frames = [
+        hashlib.md5(tb + f"#frame{i}".encode()).digest() * 4
+        for i in range(n)
+    ]
+    if k == 1:
+        frames = frames + [hashlib.md5(tb + f"#frame{n}".encode()).digest() * 4]
+    if k == 2 and frames:
+        frames[0] = hashlib.md5(tb + b"#alt").digest() * 4
+    return encode_mp4(frames, 16 * (1 + d % 3), 16 * (1 + d % 5))
+
+
+def attach_video_variants(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Arrow-batched payload synthesis for the video near-dup variant
+    corpus (:func:`video_variant_payload` per synthetic id + text)."""
+
+    @F.pandas_udf(BinaryType())
+    def _udf(ids: pd.Series, texts: pd.Series) -> pd.Series:
+        return pd.Series(
+            [video_variant_payload(int(i), t) for i, t in zip(ids, texts)]
+        )
+
+    return docs.select(
+        F.col(id_col),
+        F.lit("video/mp4").alias("media_type"),
+        _udf(F.col(id_col), F.col(text_col)).alias("payload"),
+    )

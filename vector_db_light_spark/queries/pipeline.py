@@ -1868,3 +1868,133 @@ def audio_fingerprint_neardup(spark, sf_dir):
             "hamming",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Video near-dup by shared frames (round 12): the third leg of the
+# perceptual tier. Candidates come from the frame-hash equi-join itself
+# (work scales with TRUE overlap, never videos^2); video-level similarity
+# is exact integer Jaccard permille over really-demuxed frame sets.
+# ---------------------------------------------------------------------------
+
+_VID_VARIANT_SQL = (
+    "CASE CAST({c} % 4 AS INT) WHEN 0 THEN 'orig' WHEN 1 THEN 'extended'"
+    " ELSE 'retitled' END"
+)
+
+
+@register(
+    "video_frameset_neardup",
+    f"""
+WITH vdocs AS (
+  SELECT doc_id AS d, doc_id * 4 + k AS vid, k, text,
+         octet_length(encode(text)) // 64 AS n
+  FROM documents, unnest([0, 1, 2]) AS t(k)
+  WHERE doc_id % 4 = 2
+),
+frames AS (
+  SELECT vid, md5(text || '#frame' || CAST(i AS VARCHAR)) AS h
+  FROM vdocs, unnest(range(0, n)) AS tf(i)
+  WHERE k IN (0, 1) OR i > 0
+  UNION ALL
+  SELECT vid, md5(text || '#frame' || CAST(n AS VARCHAR))
+  FROM vdocs WHERE k = 1
+  UNION ALL
+  SELECT vid, md5(text || '#alt') FROM vdocs WHERE k = 2 AND n > 0
+),
+sizes AS (SELECT vid, CAST(count(*) AS BIGINT) AS nf FROM frames GROUP BY 1),
+shared AS (
+  SELECT a.vid AS ia, b.vid AS ib, CAST(count(*) AS BIGINT) AS shared
+  FROM frames a JOIN frames b ON a.h = b.h AND a.vid < b.vid
+  GROUP BY 1, 2
+)
+SELECT CAST(s.ia // 4 AS BIGINT) AS doc_a,
+       {_VID_VARIANT_SQL.format(c='s.ia')} AS variant_a,
+       CAST(s.ib // 4 AS BIGINT) AS doc_b,
+       {_VID_VARIANT_SQL.format(c='s.ib')} AS variant_b,
+       s.shared,
+       CAST(s.shared * 1000 // (sa.nf + sb.nf - s.shared) AS BIGINT)
+         AS jaccard_permille
+FROM shared s
+JOIN sizes sa ON sa.vid = s.ia
+JOIN sizes sb ON sb.vid = s.ib
+WHERE s.shared * 1000 // (sa.nf + sb.nf - s.shared) >= 500
+""",
+)
+def video_frameset_neardup(spark, sf_dir):
+    """Perceptual near-duplicate VIDEO detection by shared frames: every
+    MP4 doc ships three variants (the fixture video, an EXTENDED cut
+    with one appended frame, a RETITLED cut with frame 0 replaced), each
+    really ISO-BMFF-demuxed (operators/multimodal.sample_frames), and
+    video pairs sharing >= 500 permille exact frame-set Jaccard are
+    reported. Candidate pairs come from the frame-hash equi-join itself
+    — work scales with true frame overlap, never videos^2 (the exact
+    analogue of MinHash banding when the 'shingles' are whole frames) —
+    and the Jaccard is all-BIGINT (shared*1000 // union). The oracle
+    recomputes every frame hash from the fixture law, so the match pins
+    demux -> hash -> join -> verify end-to-end. Completes the perceptual
+    tier's third modality (image dHash, audio energy-delta, video
+    frame-set). sf0.01: 275 pairs, all intra-doc (121 orig-extended at
+    Jaccard 500-888 permille — short videos sit exactly at the n/(n+1)
+    floor — 84 orig-retitled, 70 extended-retitled; zero-frame videos
+    pair with nothing), zero cross-doc noise."""
+    from ..operators.multimodal import attach_video_variants, sample_frames
+
+    def build():
+        vids = (
+            load(spark, sf_dir, "documents")
+            .filter(F.col("doc_id") % 4 == 2)
+            .select(
+                F.explode(
+                    F.array(*[(F.col("doc_id") * 4 + k) for k in range(3)])
+                ).alias("doc_id"),
+                "text",
+            )
+        )
+        return attach_video_variants(vids)
+
+    media = _media_fixture(spark, sf_dir, "video_nd_variants", build)
+    frames = (
+        sample_frames(media, every_n=1)
+        .filter(F.col("frame_error").isNull())
+        .select(
+            F.col("doc_id").alias("vid"),
+            F.lower(
+                F.hex(F.expr("substring(frame_payload, 1, 16)"))
+            ).alias("h"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    sizes = frames.groupBy("vid").agg(
+        F.count(F.lit(1)).cast("long").alias("nf")
+    )
+    a = frames.select(F.col("vid").alias("ia"), "h")
+    b = frames.select(F.col("vid").alias("ib"), "h")
+    shared = (
+        a.join(b, "h")
+        .filter(F.col("ia") < F.col("ib"))
+        .groupBy("ia", "ib")
+        .agg(F.count(F.lit(1)).cast("long").alias("shared"))
+    )
+    sa = sizes.select(F.col("vid").alias("ia"), F.col("nf").alias("na"))
+    sb = sizes.select(F.col("vid").alias("ib"), F.col("nf").alias("nb"))
+    jac = F.expr("shared * 1000 div (na + nb - shared)").cast("long")
+    variant = lambda c: (  # noqa: E731
+        F.when(F.col(c) % 4 == 0, "orig")
+        .when(F.col(c) % 4 == 1, "extended")
+        .otherwise("retitled")
+    )
+    return (
+        shared.join(F.broadcast(sa), "ia")
+        .join(F.broadcast(sb), "ib")
+        .withColumn("jaccard_permille", jac)
+        .filter(F.col("jaccard_permille") >= 500)
+        .select(
+            F.expr("ia div 4").cast("bigint").alias("doc_a"),
+            variant("ia").alias("variant_a"),
+            F.expr("ib div 4").cast("bigint").alias("doc_b"),
+            variant("ib").alias("variant_b"),
+            "shared",
+            "jaccard_permille",
+        )
+    )
