@@ -88,6 +88,7 @@ ANNOTATIONS: dict[str, str] = {
     "multimodal_frame_dedup": "cross-video exact frame dedup over really demuxed samples; shuffle carries (hash, doc_id) only",
     "multimodal_audio_loudest_window": "per-doc peak-energy window over really decoded PCM, deterministic tie-break",
     "multimodal_incremental_frame_dedup": "batch twin of streaming media curation: new x existing frame-key join only, overlap-vs-any-single-doc admission",
+    "tokenize_pack_pipeline": "two-artifact capstone: token budgets from the FROZEN BPE merges packed into 512-token bins (two-level prefix sum)",
     "triangle_count_parts": "degree-oriented triangle counting (Schank/Wagner) on the co-purchase graph; hub-safe wedge join",
     "kcore_peel_trajectory": "iterative 3-core peel, per-round checkpoint, all-integer trajectory vs MATERIALIZED unrolled-CTE oracle",
     "butterfly_supplier_pairs": "bipartite 2x2-biclique counting, wedges pivoted on the low-degree side",

@@ -1798,3 +1798,81 @@ def curation_gopher_ccnet(spark, sf_dir):
         .cast("int")
         .alias("keep"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Tokenize-then-pack capstone (round 12): the two-artifact training-data
+# prep DAG — token budgets from the FROZEN BPE tokenizer, packed into
+# fixed-budget training bins by the scalable two-level prefix sum.
+# ---------------------------------------------------------------------------
+
+_TPP_BUDGET = 512  # BPE tokens per training bin
+
+
+def _tokenize_pack_oracle(n_merges: int, budget: int) -> str:
+    applied = "s"
+    for r in range(1, n_merges + 1):
+        pair = f"(SELECT pair FROM m{r})"
+        applied = (
+            f"replace({applied}, {_BPE_PAT.format(pair=pair)},"
+            f" {_BPE_REP.format(pair=pair)})"
+        )
+    n_after = f"len({_BPE_SYMS.format(s='s2')})"
+    return f"""
+WITH {_bpe_ctes(n_merges)},
+dwords AS (
+  SELECT doc_id, unnest({_TOKS_SQL}) AS w FROM documents
+),
+dsym AS (
+  SELECT doc_id, length(w) AS nb,
+         chr(9) || array_to_string(
+           list_transform(generate_series(1, len(w)), i -> substr(w, i, 1)),
+           chr(10) || chr(9)) || chr(10) AS s
+  FROM dwords
+),
+applied AS (SELECT doc_id, nb, {applied} AS s2 FROM dsym),
+counts AS (
+  SELECT doc_id, CAST(sum({n_after}) AS BIGINT) AS n_tok
+  FROM applied GROUP BY doc_id
+),
+pos AS (
+  SELECT doc_id, n_tok,
+         CAST(COALESCE(SUM(n_tok) OVER (ORDER BY doc_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+              AS BIGINT) AS tok_start
+  FROM counts
+)
+SELECT doc_id, n_tok, tok_start,
+       CAST(tok_start // {budget} AS BIGINT) AS first_bin,
+       CAST(greatest(tok_start // {budget},
+                     (tok_start + n_tok - 1) // {budget})
+            AS BIGINT) AS last_bin,
+       CAST(greatest(tok_start // {budget},
+                     (tok_start + n_tok - 1) // {budget})
+            - tok_start // {budget} + 1 AS BIGINT) AS n_bins
+FROM pos
+"""
+
+
+@register(
+    "tokenize_pack_pipeline",
+    _tokenize_pack_oracle(_BPE_MERGES, _TPP_BUDGET),
+)
+def tokenize_pack_pipeline(spark, sf_dir):
+    """Two-artifact training-data prep capstone: per-doc token budgets
+    come from the FROZEN persisted BPE merge table
+    (_bpe_merges_artifact — the api.build_tokenizer serving contract),
+    then the corpus packs into 512-BPE-token training bins by the
+    two-level prefix sum (operators/packing.pack_spans — no
+    single-partition global window). The oracle RETRAINS the tokenizer
+    and replays the packing with a global-order cumsum, so the hash
+    match proves frozen-artifact serving AND the scalable packing both
+    equal the textbook single-pass layout."""
+    from ..operators.packing import pack_spans
+
+    merges = _bpe_merges_artifact(spark, sf_dir)
+    docs = load_docs(spark, sf_dir)
+    counts = T.bpe_tokenize_counts(docs, merges).select(
+        "doc_id", F.col("n_tokens_after").cast("long").alias("n_tok")
+    )
+    return pack_spans(counts, _TPP_BUDGET).orderBy("doc_id")

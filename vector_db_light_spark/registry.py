@@ -144,6 +144,7 @@ PRIORITY: tuple[str, ...] = (
     "image_dhash_neardup",  # NEWCOMER
     "kn_fluency_from_artifact",  # NEWCOMER
     "knn_hamming_topk",  # NEWCOMER
+    "tokenize_pack_pipeline",  # NEWCOMER
     "video_frameset_neardup",  # NEWCOMER
     "curation_mix_manifest",  # CHANGED this round (last pass r11)
     "sample_stratified_lang",  # last pass r5
@@ -180,7 +181,6 @@ PRIORITY: tuple[str, ...] = (
     "sample_mixture_temperature",  # last pass r7
     "sample_weighted_pps",  # last pass r7
     "shipping_priority",  # last pass r7
-    "table_snapshot_diff",  # last pass r7
 )
 
 _PRIORITY_R10: tuple[str, ...] = (
