@@ -824,3 +824,13 @@ def test_stream_sign_sketch_maintenance_equals_rebuild(spark, tmp_path):
     emb.filter(F.col("chunk_id") < 20).write.mode("append").parquet(str(src))
     drain("c")
     assert snap() == rebuild(emb)
+
+    # in-batch duplicates of NEW ids: the on-disk anti-join can't see
+    # them, so the batch must dedup before appending (ADVICE r12) —
+    # without dropDuplicates these ids would land twice
+    fresh = emb.filter(F.col("chunk_id") < 5).withColumn(
+        "chunk_id", F.col("chunk_id") + F.lit(1000)
+    )
+    fresh.union(fresh).write.mode("append").parquet(str(src))
+    drain("d")
+    assert snap() == rebuild(emb.union(fresh))

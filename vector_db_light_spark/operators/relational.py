@@ -404,11 +404,15 @@ def cusum_per_key(
         F.col("_p")
         - F.least(F.lit(0).cast("long"), F.min("_p").over(w).cast("long"))
     ).cast("long")
+    ord_struct = F.struct(*[F.col(c) for c in order_cols])
     return (
-        scanned.select(F.col(key_col), s.alias("_s"))
+        scanned.select(
+            F.col(key_col), ord_struct.alias("_ord"), s.alias("_s")
+        )
         .groupBy(key_col)
         .agg(
             F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.max_by("_s", F.col("_ord")).cast("long").alias("s_final"),
             F.max("_s").cast("long").alias("s_max"),
         )
     )

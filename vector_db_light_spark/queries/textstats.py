@@ -1365,9 +1365,9 @@ t AS (SELECT doc_id, text, {_TOKS_SQL} AS toks FROM corpus),
 m AS (
   SELECT doc_id,
          CAST(len(toks) AS BIGINT) AS n_words,
-         CAST(coalesce(list_reduce(
-             list_transform(toks, w -> CAST(length(w) AS BIGINT)),
-             (a, b) -> a + b), 0) AS BIGINT) AS tok_chars,
+         CAST(list_reduce(
+             list_prepend(0, list_transform(toks, w -> CAST(length(w) AS BIGINT))),
+             (a, b) -> a + b) AS BIGINT) AS tok_chars,
          CAST(length(text) - length(replace(text, '#', ''))
               + (length(text) - length(replace(text, '...', ''))) // 3
               AS BIGINT) AS n_symbols,
@@ -1565,7 +1565,7 @@ def _bpe_merges_artifact(spark, sf_dir: str) -> list[str]:
 
     key = sf_dir.strip("/").replace("/", "_")
     fp = _docs_fingerprint(sf_dir)
-    dst = f"/tmp/vdl_bpe_merges/v1/{key}-{fp}.json"
+    dst = f"/tmp/vdl_bpe_merges/v1/{key}-{fp}-m{_BPE_MERGES}.json"
     if not os.path.exists(dst):
         docs = load_docs(spark, sf_dir)
         rows = sorted(
@@ -1621,9 +1621,9 @@ gt AS (SELECT doc_id, text, {_TOKS_SQL} AS toks FROM corpus),
 gm AS (
   SELECT doc_id, text, toks,
          CAST(len(toks) AS BIGINT) AS n_words,
-         CAST(coalesce(list_reduce(
-             list_transform(toks, w -> CAST(length(w) AS BIGINT)),
-             (a, b) -> a + b), 0) AS BIGINT) AS tok_chars,
+         CAST(list_reduce(
+             list_prepend(0, list_transform(toks, w -> CAST(length(w) AS BIGINT))),
+             (a, b) -> a + b) AS BIGINT) AS tok_chars,
          CAST(length(text) - length(replace(text, '#', ''))
               + (length(text) - length(replace(text, '...', ''))) // 3
               AS BIGINT) AS n_symbols,

@@ -322,7 +322,10 @@ def stream_sign_sketch_maintenance(
         if batch_df.isEmpty():
             return
         spark = batch_df.sparkSession
-        rows = batch_df.select(
+        # in-batch duplicate ids would append twice (the anti-join only
+        # sees the on-disk table) — CLAUDE.md rule-11 family; dedup
+        # deterministically before either branch touches the table
+        rows = batch_df.dropDuplicates([id_col]).select(
             F.col(id_col),
             *[
                 wx.cast("bigint").alias(f"w{j}")
