@@ -171,7 +171,7 @@ def _ever_driver_checked() -> set[str]:
 # from: the driver lands CORRECTNESS_r{N}.json AFTER the round's last
 # commit, so the derivation (and its pytest invariant) must be pinned to
 # the rounds that existed at derivation time — bump when re-deriving.
-WINDOW_DERIVED_AT = 11
+WINDOW_DERIVED_AT = 12
 
 
 def _last_pass_round(max_round: int | None = None) -> dict[str, int]:
@@ -219,7 +219,7 @@ WINDOW_SIZE = 50
 # (their last-pass round no longer certifies the current code). Update
 # per round; the derivation handles everything else mechanically.
 CHANGED_THIS_ROUND: tuple[str, ...] = (
-    "curation_mix_manifest",  # r12: DSIR weight + domain-sample columns
+    "tokenize_pack_pipeline",  # r13: re-registered on a 64-merge vocabulary
 )
 
 

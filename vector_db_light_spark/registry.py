@@ -133,54 +133,54 @@ def _populate() -> None:
 PRIORITY: tuple[str, ...] = (
     "search_pipeline",  # anchor
     "media_curation_pipeline",  # anchor
-    "ann_hamming_recall",  # NEWCOMER
-    "audio_fingerprint_neardup",  # NEWCOMER
-    "bpe_tokenize_from_artifact",  # NEWCOMER
-    "ccnet_perplexity_buckets",  # NEWCOMER
-    "curation_gopher_ccnet",  # NEWCOMER
-    "cusum_drift_detection",  # NEWCOMER
-    "dedup_clusters_graph_artifact",  # NEWCOMER
-    "gopher_quality_battery",  # NEWCOMER
-    "image_dhash_neardup",  # NEWCOMER
-    "kn_fluency_from_artifact",  # NEWCOMER
-    "knn_hamming_topk",  # NEWCOMER
-    "tokenize_pack_pipeline",  # NEWCOMER
-    "video_frameset_neardup",  # NEWCOMER
-    "curation_mix_manifest",  # CHANGED this round (last pass r11)
-    "sample_stratified_lang",  # last pass r5
-    "segment_status_cube",  # last pass r5
-    "session_window_native",  # last pass r5
-    "split_train_val_test",  # last pass r5
-    "unpivot_lineitem_measures",  # last pass r5
-    "bm25_topk",  # last pass r6
-    "chunk_fixed_stride",  # last pass r6
-    "customers_without_big_orders",  # last pass r6
-    "dedup_embedding_lsh",  # last pass r6
-    "dedup_simhash_hamming",  # last pass r6
-    "event_pairs_5min",  # last pass r6
-    "knn_cosine_topk",  # last pass r6
-    "knn_inner_product_topk",  # last pass r6
-    "knn_l2_topk",  # last pass r6
-    "pack_sequences_bins",  # last pass r6
-    "search_by_text",  # last pass r6
-    "set_ops_labeled",  # last pass r6
-    "top_customers_per_segment",  # last pass r6
-    "citations_pages",  # last pass r7
-    "dedup_containment_pairs",  # last pass r7
-    "dedup_exact",  # last pass r7
-    "dq_constraint_report",  # last pass r7
-    "ewma_per_user",  # last pass r7
-    "forecast_revenue_q6",  # last pass r7
-    "heavy_hitters_cms",  # last pass r7
-    "incremental_agg_state",  # last pass r7
-    "line_dedup_boilerplate",  # last pass r7
-    "multimodal_meta",  # last pass r7
-    "null_safe_join_counts",  # last pass r7
-    "q17_small_quantity_revenue",  # last pass r7
-    "rag_citations_html",  # last pass r7
-    "sample_mixture_temperature",  # last pass r7
-    "sample_weighted_pps",  # last pass r7
-    "shipping_priority",  # last pass r7
+    "tokenize_pack_pipeline",  # CHANGED this round (last pass r12)
+    "table_snapshot_diff",  # last pass r7
+    "text_repetition",  # last pass r7
+    "tumbling_hourly_events",  # last pass r7
+    "union_schema_evolution",  # last pass r7
+    "ann_ivf_recall",  # last pass r8
+    "ann_lsh_multiprobe_recall",  # last pass r8
+    "ann_lsh_recall",  # last pass r8
+    "ann_pq_rerank_recall",  # last pass r8
+    "bpe_train_merges",  # last pass r8
+    "dedup_clusters_star",  # last pass r8
+    "dedup_lsh_quality",  # last pass r8
+    "kmeans_lloyd",  # last pass r8
+    "knn_pq_adc_topk",  # last pass r8
+    "line_dedup_incremental",  # last pass r8
+    "multimodal_audio_features",  # last pass r8
+    "multimodal_audio_loudest_window",  # last pass r8
+    "multimodal_frame_dedup",  # last pass r8
+    "multimodal_incremental_frame_dedup",  # last pass r8
+    "multimodal_resize",  # last pass r8
+    "pagerank_suppliers",  # last pass r8
+    "q20_excess_suppliers",  # last pass r8
+    "q4_priority_count",  # last pass r8
+    "search_mmr_diversify",  # last pass r8
+    "search_rerank",  # last pass r8
+    "trailing_7d_revenue",  # last pass r8
+    "zorder_layout_ranges",  # last pass r8
+    "acctbal_rollup",  # last pass r9
+    "ann_ivf_filtered",  # last pass r9
+    "ann_ivf_pruned",  # last pass r9
+    "ann_ivfpq_recall",  # last pass r9
+    "ann_pq_recall",  # last pass r9
+    "ann_pq_trained_recall",  # last pass r9
+    "asof_event_order",  # last pass r9
+    "bloom_prefilter_decontam",  # last pass r9
+    "bpe_pair_counts",  # last pass r9
+    "bpe_tokenize_counts",  # last pass r9
+    "butterfly_supplier_pairs",  # last pass r9
+    "chunk_overlap_pages",  # last pass r9
+    "cohort_retention_daily",  # last pass r9
+    "collocations_pmi",  # last pass r9
+    "corpus_curation_pipeline",  # last pass r9
+    "decontaminate_ngram",  # last pass r9
+    "dedup_clusters",  # last pass r9
+    "dedup_incremental_lsh",  # last pass r9
+    "dedup_incremental_substring",  # last pass r9
+    "dedup_keep_best",  # last pass r9
+    "dedup_minhash_lsh",  # last pass r9
 )
 
 _PRIORITY_R10: tuple[str, ...] = (
