@@ -136,3 +136,52 @@ def test_api_tokenizer_artifact(spark, tmp_path):
     # new chunks are tokenized under the FROZEN merges
     n_chunks = spark.read.parquet(mgr._table("tk", "embeddings")).count()
     assert mgr.tokenize_counts("tk").count() == n_chunks
+
+
+def test_api_tokenizer_large_vocab_production_path(spark, tmp_path):
+    """r13: past the toy merge counts the api routes through the
+    production shape — single-job sampled trainer (== the engine loop,
+    property-pinned) and rank-based vocabulary-factored serving (== the
+    chained-replace expression) — so the large-vocab artifact serves the
+    same counts the toy path would, end to end through the api."""
+    import json
+
+    import pyspark.sql.functions as F
+
+    from vector_db_light_spark.api import VectorDatabaseManager
+    from vector_db_light_spark.operators.textstats import (
+        bpe_tokenize_counts,
+        bpe_train,
+    )
+
+    src = tmp_path / "docs"
+    src.mkdir()
+    (src / "a.txt").write_text("the cat sat on the mat and the hat " * 40)
+    (src / "b.txt").write_text("the cart art and the chart start " * 40)
+    mgr = VectorDatabaseManager(spark, str(tmp_path / "dbs"))
+    mgr.create_database("tk2", str(src), chunk_size=80, chunk_overlap=20)
+    mgr.build_tokenizer("tk2", n_merges=20)  # > 8: sampled trainer;
+    with open(mgr._table("tk2", "tokenizer.json")) as fh:
+        side = json.load(fh)
+    frozen = [m["pair"] for m in side["merges"]]
+    assert len(frozen) == 20 and side["sample_mod"] is None
+
+    emb = spark.read.parquet(mgr._table("tk2", "embeddings")).select(
+        F.col("chunk_id"), F.col("chunk_text").alias("text")
+    )
+    # sampled trainer == engine loop on the same corpus
+    iterative = [
+        r["pair"]
+        for r in bpe_train(emb.withColumnRenamed("chunk_id", "doc_id"),
+                           n_merges=20).orderBy("merge_round").collect()
+    ]
+    assert frozen == iterative
+    # rank-based scalable serving (>16 merges) == expression apply
+    served = sorted(map(tuple, mgr.tokenize_counts("tk2").collect()))
+    inline = sorted(
+        map(
+            tuple,
+            bpe_tokenize_counts(emb, frozen, id_col="chunk_id").collect(),
+        )
+    )
+    assert served == inline

@@ -173,6 +173,142 @@ def test_bpe_checkpoint_bounds_replace_chain_depth(spark):
     assert sorted(map(tuple, out.collect())) == sorted(map(tuple, ref.collect()))
 
 
+def _seq_apply_local(word, merges):
+    """Reference apply: the chained-replace expression's semantics in
+    pure Python (wrapped representation, left-to-right non-overlapping
+    replace per merge IN TRAINING ORDER) — what bpe_tokenize_counts
+    compiles to, replayed locally for the rank-apply property."""
+    s = "\t" + "\n\t".join(word) + "\n"
+    for p in merges:
+        left, right = p.split(" ")
+        s = s.replace(
+            "\t" + left + "\n\t" + right + "\n", "\t" + left + right + "\n"
+        )
+    return s[1:-1].split("\n\t")
+
+
+def test_bpe_train_sampled_full_equals_iterative(spark):
+    """VERDICT r12 #1 property pin: the production-shape trainer (one
+    vocabulary collect + driver-side Sennrich loop) on the FULL corpus is
+    bit-identical to the one-job-per-merge engine loop — rounds, pairs,
+    and counts."""
+    from vector_db_light_spark.operators.textstats import (
+        bpe_train,
+        bpe_train_sampled,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog"),
+            (2, "pack my box with five dozen liquor jugs"),
+            (3, "the jay pig fox zebra and my wolves quack"),
+        ],
+        "doc_id bigint, text string",
+    )
+    a = sorted(map(tuple, bpe_train(docs, n_merges=8).collect()))
+    b = sorted(map(tuple, bpe_train_sampled(docs, n_merges=8).collect()))
+    assert a == b and len(a) == 8
+
+
+def test_bpe_train_sampled_cut_is_the_md5_residue(spark):
+    """The sample predicate is the portable md5 cut: training on
+    sample_mod=2,keep=1 equals training the engine loop on the manually
+    md5-filtered docs."""
+    import pyspark.sql.functions as F
+
+    from vector_db_light_spark.operators.textstats import (
+        bpe_train,
+        bpe_train_sampled,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, t * 3) for i, t in enumerate(
+            ["cat hat mat ", "dog log fog ", "sun fun run ", "red bed fed "]
+        )],
+        "doc_id bigint, text string",
+    )
+    res = F.expr(
+        "cast(conv(substr(md5(cast(doc_id as string)), 1, 12), 16, 10)"
+        " as bigint)"
+    )
+    manual = docs.filter(res % 2 < 1)
+    assert 0 < manual.count() < docs.count()  # the cut actually samples
+    a = sorted(map(tuple, bpe_train(manual, n_merges=5).collect()))
+    b = sorted(
+        map(
+            tuple,
+            bpe_train_sampled(
+                docs, n_merges=5, sample_mod=2, sample_keep=1
+            ).collect(),
+        )
+    )
+    assert a == b
+
+
+def test_bpe_scalable_apply_equals_expression(spark):
+    """The rank-based vocabulary-factored mapInPandas apply returns the
+    same per-doc counts as the chained-replace expression apply on a
+    trained merge table — including the multi-char suffix boundary
+    corpus (ADVICE r7) where substring semantics would diverge."""
+    from vector_db_light_spark.operators.textstats import (
+        bpe_tokenize_counts,
+        bpe_tokenize_counts_scalable,
+        bpe_train_sampled,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "th th th cat cat cath"),
+            (2, "the theme then therefore thesis there"),
+            (3, "cat cart chart art and a cathode"),
+        ],
+        "doc_id bigint, text string",
+    )
+    merges = [
+        r["pair"]
+        for r in bpe_train_sampled(docs, n_merges=20)
+        .orderBy("merge_round")
+        .collect()
+    ]
+    assert len(merges) >= 15
+    a = sorted(map(tuple, bpe_tokenize_counts(docs, merges).collect()))
+    b = sorted(
+        map(tuple, bpe_tokenize_counts_scalable(docs, merges).collect())
+    )
+    assert a == b
+
+
+def test_bpe_rank_apply_equals_sequential_property():
+    """Pure-local property over random corpora: on a TRAINED merge table
+    the rank-based serving apply (bpe_apply_word) equals applying the
+    merges one at a time in training order (the expression semantics) —
+    the dependency-order argument in the docstring, exercised across
+    many random vocabularies."""
+    import random
+
+    from vector_db_light_spark.operators.textstats import (
+        bpe_apply_word,
+        bpe_train_local,
+    )
+
+    rng = random.Random(13)
+    for trial in range(60):
+        alpha = "abcd"[: rng.randint(2, 4)]
+        vocab = {
+            "".join(rng.choice(alpha) for _ in range(rng.randint(1, 9))):
+                rng.randint(1, 9)
+            for _ in range(rng.randint(2, 12))
+        }
+        merges = [
+            p for _, p, _ in bpe_train_local(vocab, rng.randint(1, 15))
+        ]
+        ranks = {tuple(p.split(" ")): i for i, p in enumerate(merges)}
+        for w in vocab:
+            assert bpe_apply_word(w, ranks) == _seq_apply_local(w, merges), (
+                trial, w, merges
+            )
+
+
 def test_incremental_line_df_merge_is_cumulative(spark):
     """A line under the threshold in each batch alone must still be dropped
     when the MERGED state crosses it — the incrementality contract."""

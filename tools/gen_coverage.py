@@ -36,6 +36,7 @@ ANNOTATIONS: dict[str, str] = {
     "bpe_pair_counts": "BPE inner-loop pair frequencies, top-20 merges",
     "bpe_tokenize_counts": "apply learned merges corpus-wide; per-doc token budget",
     "bpe_train_merges": "N-merge iterative BPE trainer, unrolled-CTE oracle (kmeans_lloyd pattern)",
+    "bpe_sample_train_merges": "production-shape trainer: md5 half-sample + single-job driver-side Sennrich loop, 16 merges; oracle replays sample + 16 materialized rounds",
     "bpe_tokenize_from_artifact": "tokenize from the FROZEN persisted merge table; oracle retrains — frozen serving == train-then-tokenize",
     "corpus_curation_pipeline": "capstone: dedup -> quality -> substring decontam -> sample in one DAG",
     "covisitation_topk": "session co-occurrence top-k per item; bounded pair fan-out, WindowGroupLimit per anchor",
@@ -88,7 +89,7 @@ ANNOTATIONS: dict[str, str] = {
     "multimodal_frame_dedup": "cross-video exact frame dedup over really demuxed samples; shuffle carries (hash, doc_id) only",
     "multimodal_audio_loudest_window": "per-doc peak-energy window over really decoded PCM, deterministic tie-break",
     "multimodal_incremental_frame_dedup": "batch twin of streaming media curation: new x existing frame-key join only, overlap-vs-any-single-doc admission",
-    "tokenize_pack_pipeline": "two-artifact capstone: token budgets from the FROZEN BPE merges packed into 512-token bins (two-level prefix sum)",
+    "tokenize_pack_pipeline": "two-artifact capstone on a 64-MERGE vocabulary (r13): sampled trainer -> frozen merges -> rank-based mapInPandas apply -> 512-token bins; oracle retrains (64 materialized rounds) + vocab-factored apply",
     "triangle_count_parts": "degree-oriented triangle counting (Schank/Wagner) on the co-purchase graph; hub-safe wedge join",
     "kcore_peel_trajectory": "iterative 3-core peel, per-round checkpoint, all-integer trajectory vs MATERIALIZED unrolled-CTE oracle",
     "butterfly_supplier_pairs": "bipartite 2x2-biclique counting, wedges pivoted on the low-degree side",

@@ -1295,33 +1295,60 @@ class VectorDatabaseManager:
         )
 
     # -- tokenizer artifact: train once, apply forever ------------------------
-    def build_tokenizer(self, name: str, n_merges: int = 8) -> None:
+    def build_tokenizer(
+        self,
+        name: str,
+        n_merges: int = 8,
+        sample_mod: int | None = None,
+        sample_keep: int | None = None,
+    ) -> None:
         """Persist the BPE TOKENIZER artifact: the ordered merge table
-        (merge_round, pair, cnt) trained on the chunk corpus
-        (operators/textstats.bpe_train — the fixed-point-exact Sennrich
-        loop), written to a ``tokenizer.json`` sidecar like the PQ
-        codebooks. Deliberately NO incremental maintenance: a tokenizer
-        is pinned once trained — retokenizing a corpus under a drifting
-        merge table silently changes every downstream token budget, so
-        new documents are tokenized with the FROZEN merges (exactly how
-        production pipelines version tokenizers) and retrain = rebuild =
-        a new artifact version."""
-        from .operators.textstats import bpe_train
+        (merge_round, pair, cnt) trained on the chunk corpus, written to
+        a ``tokenizer.json`` sidecar like the PQ codebooks. Deliberately
+        NO incremental maintenance: a tokenizer is pinned once trained —
+        retokenizing a corpus under a drifting merge table silently
+        changes every downstream token budget, so new documents are
+        tokenized with the FROZEN merges (exactly how production
+        pipelines version tokenizers) and retrain = rebuild = a new
+        artifact version.
+
+        Trainer shape (r13): past the toy merge counts — or whenever a
+        sample is requested — training runs the production-shape sampled
+        trainer (operators/textstats.bpe_train_sampled: deterministic md5
+        doc sample, ONE Spark job for the vocabulary word counts, exact
+        driver-side Sennrich loop), which is bit-identical to the
+        one-job-per-merge engine loop on the same input (property-pinned)
+        but costs O(1) jobs instead of O(n_merges). ``sample_mod`` /
+        ``sample_keep`` pick the md5 residue fraction; None trains on the
+        full corpus."""
+        from .operators.textstats import bpe_train, bpe_train_sampled
 
         if self.registry.get(name) is None:
             raise ValueError(f"unknown database {name!r}")
         docs = self.spark.read.parquet(
             self._table(name, "embeddings")
-        ).select(F.col("chunk_text").alias("text"))
-        rows = sorted(
-            (
-                (int(r["merge_round"]), r["pair"], int(r["cnt"]))
-                for r in bpe_train(docs, n_merges=n_merges).collect()
+        ).select(
+            F.col("chunk_id").alias("doc_id"),
+            F.col("chunk_text").alias("text"),
+        )
+        if sample_mod is None and n_merges <= 8:
+            trained = bpe_train(docs, n_merges=n_merges)
+        else:
+            trained = bpe_train_sampled(
+                docs,
+                n_merges=n_merges,
+                sample_mod=sample_mod,
+                sample_keep=sample_keep,
             )
+        rows = sorted(
+            (int(r["merge_round"]), r["pair"], int(r["cnt"]))
+            for r in trained.collect()
         )
         with open(self._table(name, "tokenizer.json"), "w") as fh:
             json.dump(
                 {"n_merges": n_merges,
+                 "sample_mod": sample_mod,
+                 "sample_keep": sample_keep,
                  "merges": [{"round": r, "pair": p, "cnt": c}
                             for r, p, c in rows]},
                 fh,
@@ -1332,8 +1359,15 @@ class VectorDatabaseManager:
         the frozen merge table to every chunk and report symbol counts
         before/after — the corpus token-budget estimate served from the
         artifact, never retraining. Builds the tokenizer on demand if
-        absent."""
-        from .operators.textstats import bpe_tokenize_counts
+        absent. Past 16 merges the apply switches from the
+        chained-replace expression (one plan node PER MERGE) to the
+        rank-based vocabulary-factored mapInPandas apply
+        (operators/textstats.bpe_tokenize_counts_scalable) — identical
+        output, property-pinned, plan size independent of vocabulary."""
+        from .operators.textstats import (
+            bpe_tokenize_counts,
+            bpe_tokenize_counts_scalable,
+        )
 
         path = self._table(name, "tokenizer.json")
         if not os.path.exists(path):
@@ -1343,7 +1377,12 @@ class VectorDatabaseManager:
         docs = self.spark.read.parquet(
             self._table(name, "embeddings")
         ).select(F.col("chunk_id"), F.col("chunk_text").alias("text"))
-        return bpe_tokenize_counts(docs, merges, id_col="chunk_id")
+        apply = (
+            bpe_tokenize_counts_scalable
+            if len(merges) > 16
+            else bpe_tokenize_counts
+        )
+        return apply(docs, merges, id_col="chunk_id")
 
     def search_phrase(self, name: str, phrase: str) -> DataFrame:
         """Exact-phrase search over the chunk table via the positional

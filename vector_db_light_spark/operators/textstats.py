@@ -420,6 +420,180 @@ def bpe_tokenize_counts(
     )
 
 
+def bpe_train_local(word_counts: dict, n_merges: int) -> list:
+    """Driver-side exact Sennrich loop over a (word -> count) frequency
+    table — the inner algorithm of :func:`bpe_train` with ZERO Spark
+    jobs per merge. Bit-identical to the distributed trainer: integer
+    pair counts (all adjacent positions, occurrence-weighted), argmax
+    tie-broken lexicographically on the external "L R" pair string, and
+    each merge applied left-to-right non-overlapping (str.replace order
+    == F.replace order == SQL replace order on the wrapped form).
+    Returns [(merge_round, pair, cnt), ...]; stops early when no pair
+    remains (fully-merged vocabulary)."""
+    sym = {w: tuple(w) for w in word_counts}
+    merges: list[tuple[int, str, int]] = []
+    for r in range(1, n_merges + 1):
+        cnt: dict[tuple[str, str], int] = {}
+        for w, n in word_counts.items():
+            s = sym[w]
+            for i in range(len(s) - 1):
+                p = (s[i], s[i + 1])
+                cnt[p] = cnt.get(p, 0) + n
+        if not cnt:
+            break
+        (left, right), c = min(
+            cnt.items(), key=lambda kv: (-kv[1], kv[0][0] + " " + kv[0][1])
+        )
+        merges.append((r, left + " " + right, c))
+        for w, s in sym.items():
+            if left not in s:
+                continue
+            out: list[str] = []
+            i = 0
+            while i < len(s):
+                if i < len(s) - 1 and s[i] == left and s[i + 1] == right:
+                    out.append(left + right)
+                    i += 2
+                else:
+                    out.append(s[i])
+                    i += 1
+            sym[w] = tuple(out)
+    return merges
+
+
+def bpe_train_sampled(
+    docs: DataFrame,
+    n_merges: int = 64,
+    sample_mod: int | None = None,
+    sample_keep: int | None = None,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Production-shape BPE trainer (VERDICT r12 #1): tokenizers train on
+    a bounded, deterministic SAMPLE of the corpus and then freeze — so
+    the trainer is ONE Spark job (the sample's word-frequency table) plus
+    a driver-side exact Sennrich loop (:func:`bpe_train_local`), instead
+    of :func:`bpe_train`'s one-job-per-merge loop (correct, but a real
+    32k-merge vocabulary would mean 32k sequential jobs).
+
+    The sample predicate is the portable md5 residue (CLAUDE.md hash
+    rules): docs with md5(id) % sample_mod < sample_keep. The collect is
+    bounded BY CONSTRUCTION: it fetches the sample's VOCABULARY (distinct
+    whitespace words with counts), which is dictionary-scale — millions
+    of rows for a multi-GB sample, never corpus-scale — and the sample
+    size itself is capped by the md5 fraction the caller picks.
+
+    With sample_mod=None (full corpus) the result is bit-identical to
+    bpe_train(n_merges) — property-pinned in tests; ties, counts and
+    merge order all match by construction."""
+    spark = docs.sparkSession
+    if sample_mod is not None:
+        if not (sample_keep and 0 < sample_keep <= sample_mod):
+            raise ValueError("sample_keep must be in [1, sample_mod]")
+        res = F.expr(
+            f"cast(conv(substr(md5(cast({id_col} as string)), 1, 12),"
+            " 16, 10) as bigint)"
+        )
+        docs = docs.filter(res % sample_mod < sample_keep)
+    toks = docs.select(F.explode(tokens_expr(text_col)).alias("w"))
+    words = toks.groupBy("w").agg(F.count(F.lit(1)).cast("long").alias("n"))
+    wc = {r["w"]: int(r["n"]) for r in words.collect()}
+    return spark.createDataFrame(
+        bpe_train_local(wc, n_merges), "merge_round int, pair string, cnt bigint"
+    )
+
+
+def bpe_apply_word(word: str, ranks: dict) -> list:
+    """Rank-based BPE serving apply (the GPT-2 tokenizer algorithm):
+    repeatedly merge the LOWEST-RANK adjacent pair present, all
+    occurrences left-to-right non-overlapping, until no ranked pair
+    remains. On a TRAINED merge table this equals applying the merges
+    one at a time in training order: a merge's two parts can only be
+    produced by strictly EARLIER merges, so applying a later merge can
+    never create an instance of an earlier pair — the orders coincide
+    (property-pinned against the chained-replace apply). Cost is
+    O(len(word) * merges_applied), independent of the merge-table SIZE —
+    the reason serving tokenizers use ranks, not 32k sequential
+    replaces."""
+    s: tuple = tuple(word)
+    while len(s) > 1:
+        best = None
+        left = right = None
+        for i in range(len(s) - 1):
+            r = ranks.get((s[i], s[i + 1]))
+            if r is not None and (best is None or r < best):
+                best, left, right = r, s[i], s[i + 1]
+        if best is None:
+            break
+        out: list[str] = []
+        i = 0
+        while i < len(s):
+            if i < len(s) - 1 and s[i] == left and s[i + 1] == right:
+                out.append(left + right)
+                i += 2
+            else:
+                out.append(s[i])
+                i += 1
+        s = tuple(out)
+    return list(s)
+
+
+def bpe_tokenize_counts_scalable(
+    docs: DataFrame,
+    merges: list[str],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Vocabulary-factored tokenizer application for LARGE merge tables
+    (the production shape VERDICT r12 #1 asked for, replacing the
+    chained-replace expression whose PLAN grows one node per merge —
+    fine at 8 merges, fatal at 32k). The BPE loop runs ONCE PER DISTINCT
+    WORD in an Arrow-batched mapInPandas stage (rank-based
+    :func:`bpe_apply_word`, memoized within each batch); per-OCCURRENCE
+    work is a broadcast hash join of the dictionary-scale (w, n_tokens)
+    table back into the corpus, so Python cost is O(vocabulary) and
+    corpus-scale work stays in codegen. Output rows/schema ==
+    :func:`bpe_tokenize_counts` (property-pinned).
+
+    At 100 TB the vocabulary table is millions of rows (tens of MB) —
+    still broadcastable; if a corpus ever exceeded that, the join
+    degrades gracefully to a shuffled equi-join by dropping the
+    broadcast hint."""
+    spark = docs.sparkSession
+    ranks = {tuple(p.split(" ")): i for i, p in enumerate(merges)}
+    toks = docs.select(
+        F.col(id_col), F.explode(tokens_expr(text_col)).alias("w")
+    )
+    bc = spark.sparkContext.broadcast(ranks)
+
+    def apply_part(batches):
+        import pandas as pd
+
+        rk = bc.value
+        memo: dict[str, int] = {}
+        for pdf in batches:
+            na = []
+            for w in pdf["w"]:
+                v = memo.get(w)
+                if v is None:
+                    v = len(bpe_apply_word(w, rk))
+                    memo[w] = v
+                na.append(v)
+            yield pd.DataFrame({"w": pdf["w"], "_na": na})
+
+    counted = toks.select("w").distinct().mapInPandas(
+        apply_part, "w string, _na int"
+    )
+    return (
+        toks.join(F.broadcast(counted), "w")
+        .groupBy(id_col)
+        .agg(
+            F.sum(F.length("w")).cast("long").alias("n_symbols_before"),
+            F.sum("_na").cast("long").alias("n_tokens_after"),
+        )
+    )
+
+
 def bigram_structs(toks: Column) -> Column:
     """Adjacent (w1, w2) struct array from a MATERIALIZED token-array
     column (the kn_bigram_stats construction, factored for reuse)."""

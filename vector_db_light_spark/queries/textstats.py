@@ -468,11 +468,21 @@ _BPE_REP = "(chr(9) || replace({pair}, ' ', '') || chr(10))"
 _BPE_SYMS = "string_split(substr({s}, 2, len({s}) - 2), chr(10) || chr(9))"
 
 
-def _bpe_ctes(n_merges: int) -> str:
+def _bpe_ctes(
+    n_merges: int, materialized: bool = False, docs_src: str = "documents"
+) -> str:
     """Shared WITH-body: word frequencies, initial symbol table, and one
-    (pair-counts, argmax, merged-symbols) CTE triple per round."""
+    (pair-counts, argmax, merged-symbols) CTE triple per round.
+
+    ``materialized`` MUST be True past a handful of rounds: each round
+    references its predecessor twice (p{r} and sym{r} both read
+    sym{prev}), so plain CTEs inline ~2^rounds base scans (the
+    kcore_peel_trajectory lesson, CLAUDE.md iterative-CTE rule). Left
+    False only for the pre-existing 3-merge oracles, which predate the
+    flag. ``docs_src`` lets a sampled trainer replay the sample filter."""
+    mat = " MATERIALIZED" if materialized else ""
     pair_cte = f"""
-p{{r}} AS (
+p{{r}} AS{mat} (
   SELECT pair, CAST(SUM(n) AS BIGINT) AS cnt FROM (
     SELECT n,
            unnest(list_transform(generate_series(1, len(ls) - 1),
@@ -481,19 +491,19 @@ p{{r}} AS (
     WHERE len(ls) >= 2
   ) GROUP BY 1
 ),
-m{{r}} AS (SELECT pair, cnt FROM p{{r}} ORDER BY cnt DESC, pair ASC LIMIT 1),
-sym{{r}} AS (
+m{{r}} AS{mat} (SELECT pair, cnt FROM p{{r}} ORDER BY cnt DESC, pair ASC LIMIT 1),
+sym{{r}} AS{mat} (
   SELECT n, replace(s,
       {_BPE_PAT.format(pair='(SELECT pair FROM m{r})')},
       {_BPE_REP.format(pair='(SELECT pair FROM m{r})')}) AS s
   FROM sym{{prev}}
 )"""
     ctes = [
-        f"""words AS (
+        f"""words AS{mat} (
   SELECT w, CAST(count(*) AS BIGINT) AS n
-  FROM (SELECT unnest({_TOKS_SQL}) AS w FROM documents) GROUP BY 1
+  FROM (SELECT unnest({_TOKS_SQL}) AS w FROM {docs_src}) GROUP BY 1
 ),
-sym0 AS (
+sym0 AS{mat} (
   SELECT n, chr(9) || array_to_string(
       list_transform(generate_series(1, len(w)), i -> substr(w, i, 1)),
       chr(10) || chr(9)) || chr(10)
@@ -524,6 +534,47 @@ def bpe_train_merges(spark, sf_dir):
     (operators/textstats.py:bpe_train)."""
     docs = load_docs(spark, sf_dir)
     return T.bpe_train(docs, n_merges=_BPE_MERGES).orderBy("merge_round")
+
+
+_BPE_SAMPLE_MERGES = 16
+
+
+def _bpe_sample_oracle_sql(n_merges: int) -> str:
+    """Replays the production-shape sampled trainer: the portable md5
+    doc sample, then n materialized unrolled merge rounds over the
+    SAMPLE's word-frequency table."""
+    unions = "\nUNION ALL ".join(
+        f"SELECT {r} AS merge_round, pair, cnt FROM m{r}"
+        for r in range(1, n_merges + 1)
+    )
+    sample = (
+        "sdocs AS MATERIALIZED (SELECT doc_id, text FROM documents"
+        " WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 12))"
+        "::BIGINT % 4 < 2)"
+    )
+    return (
+        f"WITH {sample}, "
+        f"{_bpe_ctes(n_merges, materialized=True, docs_src='sdocs')}"
+        f"\n{unions}\nORDER BY merge_round"
+    )
+
+
+@register("bpe_sample_train_merges", _bpe_sample_oracle_sql(_BPE_SAMPLE_MERGES))
+def bpe_sample_train_merges(spark, sf_dir):
+    """Production-shape BPE training (r13, VERDICT r12 #1): train on a
+    deterministic md5 HALF-SAMPLE of the corpus with the single-job
+    driver-side trainer (operators/textstats.bpe_train_sampled — one
+    vocabulary-sized word-count collect + an exact local Sennrich loop,
+    instead of one Spark job per merge), 16 merges. The oracle replays
+    the identical sample predicate and retrains with 16 materialized
+    unrolled CTE rounds, so the hash match externally pins BOTH the
+    portable sample cut AND the local trainer's bit-parity with the
+    engine loop — how real pipelines train tokenizers (bounded sample,
+    then freeze)."""
+    docs = load_docs(spark, sf_dir)
+    return T.bpe_train_sampled(
+        docs, n_merges=_BPE_SAMPLE_MERGES, sample_mod=4, sample_keep=2
+    ).orderBy("merge_round")
 
 
 def _bpe_tokenize_oracle_sql(n_merges: int) -> str:
@@ -1552,12 +1603,18 @@ def ccnet_perplexity_buckets(spark, sf_dir):
     )
 
 
-def _bpe_merges_artifact(spark, sf_dir: str) -> list[str]:
+def _bpe_merges_artifact(
+    spark, sf_dir: str, n_merges: int = _BPE_MERGES
+) -> list[str]:
     """The trained BPE merge table PERSISTED to a /tmp json artifact
     (fingerprint-keyed, pid-tempfile + atomic rename — the
     _lm_count_artifact pattern) and read back, so the downstream query
     tokenizes from the frozen artifact exactly the way
-    api.tokenize_counts serves from api.build_tokenizer's sidecar."""
+    api.tokenize_counts serves from api.build_tokenizer's sidecar.
+
+    Past the toy merge count the trainer is the production-shape sampled
+    one (full-corpus sample here — bit-identical to bpe_train by the
+    pinned property, one Spark job instead of one per merge)."""
     import json
     import os
 
@@ -1565,12 +1622,13 @@ def _bpe_merges_artifact(spark, sf_dir: str) -> list[str]:
 
     key = sf_dir.strip("/").replace("/", "_")
     fp = _docs_fingerprint(sf_dir)
-    dst = f"/tmp/vdl_bpe_merges/v1/{key}-{fp}-m{_BPE_MERGES}.json"
+    dst = f"/tmp/vdl_bpe_merges/v1/{key}-{fp}-m{n_merges}.json"
     if not os.path.exists(dst):
         docs = load_docs(spark, sf_dir)
+        trainer = T.bpe_train if n_merges <= 8 else T.bpe_train_sampled
         rows = sorted(
             (int(r["merge_round"]), r["pair"])
-            for r in T.bpe_train(docs, n_merges=_BPE_MERGES).collect()
+            for r in trainer(docs, n_merges=n_merges).collect()
         )
         os.makedirs(os.path.dirname(dst), exist_ok=True)
         tmp = f"{dst}.tmp.{os.getpid()}"
@@ -1807,9 +1865,16 @@ def curation_gopher_ccnet(spark, sf_dir):
 # ---------------------------------------------------------------------------
 
 _TPP_BUDGET = 512  # BPE tokens per training bin
+_BPE_MERGES_BIG = 64  # production-leaning vocabulary (r12 #1; fixture caps at 89)
 
 
 def _tokenize_pack_oracle(n_merges: int, budget: int) -> str:
+    """Retrains the tokenizer (materialized unrolled rounds — the
+    iterative-CTE rule), then applies it VOCABULARY-FACTORED: the
+    n-merge-deep replace chain runs once per DISTINCT word, and
+    per-occurrence counts come from a join — mirroring the scalable
+    Spark apply's shape, and keeping the 64-deep expression off the
+    corpus-sized table."""
     applied = "s"
     for r in range(1, n_merges + 1):
         pair = f"(SELECT pair FROM m{r})"
@@ -1819,21 +1884,23 @@ def _tokenize_pack_oracle(n_merges: int, budget: int) -> str:
         )
     n_after = f"len({_BPE_SYMS.format(s='s2')})"
     return f"""
-WITH {_bpe_ctes(n_merges)},
-dwords AS (
+WITH {_bpe_ctes(n_merges, materialized=True)},
+dwords AS MATERIALIZED (
   SELECT doc_id, unnest({_TOKS_SQL}) AS w FROM documents
 ),
-dsym AS (
-  SELECT doc_id, length(w) AS nb,
-         chr(9) || array_to_string(
+vsym AS (
+  SELECT w, chr(9) || array_to_string(
            list_transform(generate_series(1, len(w)), i -> substr(w, i, 1)),
            chr(10) || chr(9)) || chr(10) AS s
-  FROM dwords
+  FROM (SELECT DISTINCT w FROM dwords)
 ),
-applied AS (SELECT doc_id, nb, {applied} AS s2 FROM dsym),
+vapplied AS MATERIALIZED (
+  SELECT w, CAST({n_after} AS BIGINT) AS na
+  FROM (SELECT w, {applied} AS s2 FROM vsym)
+),
 counts AS (
-  SELECT doc_id, CAST(sum({n_after}) AS BIGINT) AS n_tok
-  FROM applied GROUP BY doc_id
+  SELECT doc_id, CAST(sum(v.na) AS BIGINT) AS n_tok
+  FROM dwords d JOIN vapplied v USING (w) GROUP BY doc_id
 ),
 pos AS (
   SELECT doc_id, n_tok,
@@ -1856,23 +1923,30 @@ FROM pos
 
 @register(
     "tokenize_pack_pipeline",
-    _tokenize_pack_oracle(_BPE_MERGES, _TPP_BUDGET),
+    _tokenize_pack_oracle(_BPE_MERGES_BIG, _TPP_BUDGET),
 )
 def tokenize_pack_pipeline(spark, sf_dir):
-    """Two-artifact training-data prep capstone: per-doc token budgets
-    come from the FROZEN persisted BPE merge table
-    (_bpe_merges_artifact — the api.build_tokenizer serving contract),
-    then the corpus packs into 512-BPE-token training bins by the
-    two-level prefix sum (operators/packing.pack_spans — no
-    single-partition global window). The oracle RETRAINS the tokenizer
+    """Two-artifact training-data prep capstone, re-registered (r13) on a
+    64-MERGE vocabulary: per-doc token budgets come from the FROZEN
+    persisted BPE merge table (_bpe_merges_artifact — the
+    api.build_tokenizer serving contract, now trained by the
+    production-shape single-job sampled trainer) applied with the
+    rank-based vocabulary-factored mapInPandas tokenizer
+    (operators/textstats.bpe_tokenize_counts_scalable — the chained
+    64-replace expression stays off the corpus), then the corpus packs
+    into 512-BPE-token training bins by the two-level prefix sum
+    (operators/packing.pack_spans — no single-partition global window).
+    The oracle RETRAINS the tokenizer (64 materialized unrolled rounds)
     and replays the packing with a global-order cumsum, so the hash
-    match proves frozen-artifact serving AND the scalable packing both
-    equal the textbook single-pass layout."""
+    match proves sampled training == iterative training, rank-based
+    serving == chained-replace semantics, frozen-artifact serving, AND
+    the scalable packing — the whole production tokenizer path — equal
+    the textbook single-pass layout."""
     from ..operators.packing import pack_spans
 
-    merges = _bpe_merges_artifact(spark, sf_dir)
+    merges = _bpe_merges_artifact(spark, sf_dir, n_merges=_BPE_MERGES_BIG)
     docs = load_docs(spark, sf_dir)
-    counts = T.bpe_tokenize_counts(docs, merges).select(
+    counts = T.bpe_tokenize_counts_scalable(docs, merges).select(
         "doc_id", F.col("n_tokens_after").cast("long").alias("n_tok")
     )
     return pack_spans(counts, _TPP_BUDGET).orderBy("doc_id")
