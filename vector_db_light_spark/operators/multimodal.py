@@ -551,6 +551,66 @@ def video_variant_payload(vid: int, text: str) -> bytes:
     return encode_mp4(frames, 16 * (1 + d % 3), 16 * (1 + d % 5))
 
 
+def video_dhash_variant_payload(vid: int, text: str) -> bytes:
+    """ISO BMFF payload for the PERCEPTUAL video near-dup variant ``vid =
+    doc_id*4 + k`` (r13, VERDICT r12 #2): frames are real PNG IMAGES
+    (pixel law: frame i row y = md5('{d}:{i}:{y}') bytes, w0 x h0 =
+    8+d%9 x 8+d%7 — the image-dHash fixture law with a frame axis), so
+    the frame payloads themselves are decodable. k=0 the fixture cut,
+    k=1 every frame RE-ENCODED at a 2x nearest upscale (all container
+    bytes differ — exact-hash frame matching finds nothing — but each
+    frame's 9x8 dHash is bit-identical by the nested-floor identity),
+    k=2 frame 0's pixel (0,0) shifted +128 mod 256 (a retitled opening
+    whose perceptual key moves)."""
+    from ..functions.mp4 import encode_mp4
+    from ..functions.png import encode_png
+
+    d, k = divmod(int(vid), 4)
+    w0, h0 = 8 + d % 9, 8 + d % 7
+    n = len(text.encode("utf-8")) // 64
+    frames = []
+    for i in range(n):
+        rows = [
+            bytearray(hashlib.md5(f"{d}:{i}:{y}".encode()).digest()[:w0])
+            for y in range(h0)
+        ]
+        if k == 2 and i == 0:
+            rows[0][0] = (rows[0][0] + 128) % 256
+        if k == 1:
+            up = [
+                bytes(rows[y2 // 2][x2 // 2] for x2 in range(2 * w0))
+                for y2 in range(2 * h0)
+            ]
+            frames.append(encode_png(b"".join(up), 2 * w0, 2 * h0, 1))
+        else:
+            frames.append(
+                encode_png(b"".join(bytes(r) for r in rows), w0, h0, 1)
+            )
+    return encode_mp4(frames, w0, h0)
+
+
+def attach_video_dhash_variants(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Arrow-batched payload synthesis for the perceptual video near-dup
+    corpus (:func:`video_dhash_variant_payload` per synthetic id + text)."""
+
+    @F.pandas_udf(BinaryType())
+    def _udf(ids: pd.Series, texts: pd.Series) -> pd.Series:
+        return pd.Series(
+            [
+                video_dhash_variant_payload(int(i), t)
+                for i, t in zip(ids, texts)
+            ]
+        )
+
+    return docs.select(
+        F.col(id_col),
+        F.lit("video/mp4").alias("media_type"),
+        _udf(F.col(id_col), F.col(text_col)).alias("payload"),
+    )
+
+
 def attach_video_variants(
     docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
 ) -> DataFrame:
