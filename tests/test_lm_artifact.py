@@ -185,3 +185,85 @@ def test_api_tokenizer_large_vocab_production_path(spark, tmp_path):
         )
     )
     assert served == inline
+
+
+def test_stream_lm_maintenance_equals_rebuild(spark, tmp_path):
+    """r13 streaming LM twin: after draining N micro-batches the on-disk
+    count table equals a batch rebuild over the union; a REPLAYED batch
+    merges nothing (doc_ids ledger); in-batch duplicate ids count once;
+    a torn batch (stale _inflight marker) raises instead of
+    double-merging."""
+    import pytest
+
+    from vector_db_light_spark.operators.dedup import tokens_expr
+    from vector_db_light_spark.operators.textstats import kn_bigram_counts
+    from vector_db_light_spark.streaming.serving import stream_lm_maintenance
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the cat sat on the mat"),
+            (2, "the cart art and the chart"),
+            (3, "a cat and a dog and a bird"),
+            (4, "entirely new words arrive here"),
+            (5, ""),  # no bigrams — the ledger, not the counts, must remember it
+        ],
+        "doc_id bigint, text string",
+    ).localCheckpoint(eager=True)
+    src = tmp_path / "stream"
+    src.mkdir()
+    lm = str(tmp_path / "lm")
+
+    def drain(tag):
+        stream = spark.readStream.schema("doc_id bigint, text string").parquet(
+            str(src)
+        )
+        stream_lm_maintenance(
+            stream, lm, str(tmp_path / f"ckpt_{tag}")
+        ).awaitTermination(180)
+
+    def snap():
+        df = spark.read.parquet(f"{lm}/counts_2gram")
+        return sorted(map(tuple, df.select(sorted(df.columns)).collect()))
+
+    def rebuild(frame):
+        toks = frame.select("doc_id", tokens_expr("text").alias("toks"))
+        fresh = kn_bigram_counts(toks)
+        return sorted(
+            map(tuple, fresh.select(sorted(fresh.columns)).collect())
+        )
+
+    first = docs.filter("doc_id <= 2")
+    first.write.mode("append").parquet(str(src))
+    drain("a")
+    assert snap() == rebuild(first)
+
+    # batch 2 contains doc 3 TWICE (in-batch duplicate) plus docs 4, 5
+    rest = docs.filter("doc_id >= 3")
+    rest.union(docs.filter("doc_id = 3")).write.mode("append").parquet(
+        str(src)
+    )
+    drain("b")
+    assert snap() == rebuild(docs)
+
+    # replay under a fresh checkpoint: ledger admits nothing, counts stay
+    first.write.mode("append").parquet(str(src))
+    drain("c")
+    assert snap() == rebuild(docs)
+    # the empty doc is in the ledger even though it produced no counts
+    ledger = {
+        r["doc_id"] for r in spark.read.parquet(f"{lm}/doc_ids").collect()
+    }
+    assert ledger == {1, 2, 3, 4, 5}
+
+    # torn batch: a stale intent marker makes the next delta-bearing
+    # batch raise instead of double-merging
+    with open(f"{lm}/_inflight", "w") as fh:
+        fh.write("99")
+    spark.createDataFrame(
+        [(6, "unseen text entirely")], "doc_id bigint, text string"
+    ).write.mode("append").parquet(str(src))
+    with pytest.raises(Exception, match="torn micro-batch"):
+        try:
+            drain("d")
+        except Exception as ex:  # unwrap StreamingQueryException
+            raise RuntimeError(str(ex)) from ex

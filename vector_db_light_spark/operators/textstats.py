@@ -596,9 +596,12 @@ def bpe_tokenize_counts_scalable(
 
 def bigram_structs(toks: Column) -> Column:
     """Adjacent (w1, w2) struct array from a MATERIALIZED token-array
-    column (the kn_bigram_stats construction, factored for reuse)."""
+    column (the kn_bigram_stats construction, factored for reuse).
+    Empty-safe: arrays shorter than 2 yield an empty struct array —
+    slice() with a negative length is a runtime error (ANSI), hit live
+    by an empty doc in the r13 streaming LM path."""
     return F.transform(
-        F.slice(toks, 1, F.size(toks) - 1),
+        F.slice(toks, 1, F.greatest(F.size(toks) - 1, F.lit(0))),
         lambda t, i: F.struct(
             t.alias("w1"), F.element_at(toks, i + 2).alias("w2")
         ),
@@ -724,9 +727,10 @@ def kn_score_bigrams(
 
 def trigram_structs(toks: Column) -> Column:
     """Adjacent (w1, w2, w3) struct array from a materialized token-array
-    column (the :func:`bigram_structs` construction, one order up)."""
+    column (the :func:`bigram_structs` construction, one order up;
+    empty-safe like it)."""
     return F.transform(
-        F.slice(toks, 1, F.size(toks) - 2),
+        F.slice(toks, 1, F.greatest(F.size(toks) - 2, F.lit(0))),
         lambda t, i: F.struct(
             t.alias("w1"),
             F.element_at(toks, i + 2).alias("w2"),

@@ -349,3 +349,109 @@ def stream_sign_sketch_maintenance(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def stream_lm_maintenance(
+    doc_stream: DataFrame,
+    lm_dir: str,
+    checkpoint_dir: str,
+    order: int = 2,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> StreamingQuery:
+    """Incremental MAINTENANCE of the persisted n-gram LM count table
+    from a document stream (r13, VERDICT r12 #3) — the streaming twin of
+    ``api.build_lm``/``api._merge_lm``: per micro-batch, the NEW docs'
+    n-gram counts fold into the on-disk table by the SUM monoid (union +
+    re-sum, dropping zero counts), so after any prefix of batches the
+    table equals a batch rebuild over the docs ingested so far.
+
+    Replay posture — explicitly the LEDGER/intent-marker recipe, NOT the
+    sign sketch's anti-join: the sketch is a pure per-row FUNCTION, so
+    replaying a row appends a duplicate the table itself reveals; LM
+    counts are a SUM, so a replayed doc silently DOUBLES its n-grams
+    with nothing on disk to betray it. Hence (a) a ``doc_ids`` ledger —
+    not the counts — is the membership test (a doc whose text yields no
+    n-grams must still not re-merge on replay: CLAUDE.md rule 11, the
+    text-index lesson), (b) in-batch duplicate ids are dropped before
+    counting (rule-5/ADVICE-r12 family: the ledger can't see inside the
+    batch), (c) the two mutations (counts overwrite + ledger append) are
+    bracketed by an ``_inflight`` intent marker so a batch torn between
+    them RAISES on replay instead of double-merging. The merged table is
+    localCheckpoint'ed before overwriting the path its plan reads
+    (recache-by-path rule)."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from ..operators.dedup import tokens_expr
+    from ..operators.textstats import kn_bigram_counts, kn_trigram_counts
+
+    if order not in (2, 3):
+        raise ValueError(f"unsupported LM order {order}")
+
+    def apply(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        spark = batch_df.sparkSession
+        docs = batch_df.dropDuplicates([id_col]).select(
+            F.col(id_col), F.col(text_col)
+        )
+        c_path = f"{lm_dir}/counts_{order}gram"
+        d_path = f"{lm_dir}/doc_ids"
+        m_path = f"{lm_dir}/_inflight"
+        first = not os.path.isdir(d_path)
+        if not first:
+            indexed = spark.read.parquet(d_path)
+            # lineage cut BEFORE the batch mutates the paths this plan
+            # reads (recache-by-path, the text-index ordering lesson)
+            docs = docs.join(indexed, id_col, "left_anti").localCheckpoint(
+                eager=True
+            )
+        if docs.isEmpty():
+            return
+        if os.path.exists(m_path):
+            raise RuntimeError(
+                f"torn micro-batch detected ({m_path} exists): a prior "
+                "batch crashed between its counts overwrite and its "
+                "ledger append, so the counts hold a delta the ledger "
+                "does not know about and a replay would double-merge. "
+                "Rebuild the LM from the source docs, then remove the "
+                "marker."
+            )
+        toks = docs.select(
+            F.col(id_col), tokens_expr(text_col).alias("toks")
+        )
+        delta = (
+            kn_bigram_counts(toks, id_col=id_col)
+            if order == 2
+            else kn_trigram_counts(toks, id_col=id_col)
+        )
+        cnt_col = "c_ab" if order == 2 else "c_abc"
+        keys = [c for c in delta.columns if c != cnt_col]
+
+        os.makedirs(lm_dir, exist_ok=True)
+        with open(m_path, "w") as fh:
+            fh.write(str(batch_id))
+        if first:
+            delta.write.parquet(c_path)
+            docs.select(id_col).write.parquet(d_path)
+        else:
+            merged = (
+                spark.read.parquet(c_path)
+                .unionByName(delta)
+                .groupBy(keys)
+                .agg(F.sum(cnt_col).cast("long").alias(cnt_col))
+                .filter(F.col(cnt_col) > 0)
+                .localCheckpoint(eager=True)
+            )
+            merged.write.mode("overwrite").parquet(c_path)
+            docs.select(id_col).write.mode("append").parquet(d_path)
+        os.remove(m_path)
+
+    return (
+        doc_stream.writeStream.foreachBatch(apply)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
