@@ -452,3 +452,62 @@ def test_kn_fluency_separates_planted_corruption(spark):
     flu = {(r["doc_id"], r["variant"]): r["fluency_u6"] for r in per}
     for i in range(1, 9):
         assert flu[(i, "orig")] > flu[(i, "corrupt")], i
+
+
+def test_ccnet_gk_thresholds_agree(spark):
+    """The engine GK sketch variant of the CCNet tercile swap-out
+    (VERDICT r12 #4): thresholds from percentile_approx over the full
+    fluency column (accuracy 10000 — effectively exact at fixture n,
+    the engine's real production estimator) bucket-agree with the exact
+    rank cut on >= 95% of docs. The REGISTERED query uses the
+    sample-exact estimator because GK merge order is not bit-portable
+    across engines; this test pins the GK path itself."""
+    import pyspark.sql.functions as F
+    from pyspark.sql.window import Window
+
+    from vector_db_light_spark.operators.textstats import (
+        kn_fluency_scores,
+        tokens_expr,
+    )
+    from vector_db_light_spark._registry_core import load_docs
+
+    docs = load_docs(spark, "/root/testdata/sf0.001")
+    orig = (
+        docs.select("doc_id", tokens_expr("text").alias("toks"))
+        .filter(F.size("toks") >= 2)
+        .select("doc_id", F.lit("orig").alias("variant"), "toks")
+    )
+    per = kn_fluency_scores(orig).select("doc_id", "fluency_u6")
+    th = per.agg(
+        F.percentile_approx("fluency_u6", F.lit(2.0 / 3.0), F.lit(10000)).alias(
+            "t_head"
+        ),
+        F.percentile_approx("fluency_u6", F.lit(1.0 / 3.0), F.lit(10000)).alias(
+            "t_mid"
+        ),
+    )
+    w = Window.orderBy(F.col("fluency_u6").desc(), F.col("doc_id").asc())
+    cnt = per.agg(F.count(F.lit(1)).cast("long").alias("_n"))
+    ranked = (
+        per.withColumn("rk", F.row_number().over(w))
+        .crossJoin(F.broadcast(cnt))
+        .crossJoin(F.broadcast(th))
+    )
+    b_exact = (
+        F.when(F.col("rk") * 3 <= F.col("_n"), "head")
+        .when(F.col("rk") * 3 <= 2 * F.col("_n"), "middle")
+        .otherwise("tail")
+    )
+    b_gk = (
+        F.when(F.col("fluency_u6") >= F.col("t_head"), "head")
+        .when(F.col("fluency_u6") >= F.col("t_mid"), "middle")
+        .otherwise("tail")
+    )
+    stats = ranked.agg(
+        F.sum((b_exact == b_gk).cast("int")).alias("agree"),
+        F.count(F.lit(1)).alias("n"),
+    ).collect()[0]
+    assert stats["n"] > 0
+    assert stats["agree"] / stats["n"] >= 0.95, (
+        stats["agree"], stats["n"]
+    )

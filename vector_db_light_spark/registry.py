@@ -134,6 +134,7 @@ PRIORITY: tuple[str, ...] = (
     "search_pipeline",  # anchor
     "media_curation_pipeline",  # anchor
     "bpe_sample_train_merges",  # NEWCOMER
+    "ccnet_perplexity_buckets_approx",  # NEWCOMER
     "video_dhash_neardup",  # NEWCOMER
     "tokenize_pack_pipeline",  # CHANGED this round (last pass r12)
     "table_snapshot_diff",  # last pass r7
@@ -180,7 +181,6 @@ PRIORITY: tuple[str, ...] = (
     "decontaminate_ngram",  # last pass r9
     "dedup_clusters",  # last pass r9
     "dedup_incremental_lsh",  # last pass r9
-    "dedup_incremental_substring",  # last pass r9
 )
 
 _PRIORITY_R10: tuple[str, ...] = (
