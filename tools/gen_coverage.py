@@ -73,6 +73,7 @@ ANNOTATIONS: dict[str, str] = {
     "idle_customer_balance": "Q22 shape: scalar AVG + NOT EXISTS anti",
     "audio_fingerprint_neardup": "31-bit energy-delta fingerprint over really-decoded PCM, 11/10/10 band join, Hamming<=2; 375/375 planted pairs, 0 noise",
     "video_dhash_neardup": "perceptual video near-dup: demux -> PNG-decode -> 9x8 dHash per frame -> key-set Jaccard; 121/121 re-encoded cuts at Jaccard 1000, 0 noise",
+    "audio_offset_fingerprint_neardup": "fingerprints at 2 time offsets: 125/125 prepended-intro pairs at Hamming 0 (prefix tier finds none); silence-prefix degeneracy measured",
     "video_frameset_neardup": "video near-dup by really-demuxed shared frames: exact integer Jaccard, candidates from the frame-hash join; 275 planted pairs, 0 noise",
     "image_dhash_neardup": "dHash over really-decoded 9x8 thumbnails, 4x16-bit band join, exact Hamming<=3 verify; 375/375 planted pairs, 0 noise",
     "incremental_agg_state": "two-batch monoid merge hash-matches the single-pass answer",

@@ -497,7 +497,10 @@ def audio_variant_payload(vid: int) -> bytes:
     the same samples with 32 zero samples APPENDED (trailing-content
     change — the leading fingerprint is identical), k=2 sample 0
     replaced by ``abs(s0) % 1000`` (one energy window moves, flipping at
-    most 1 delta bit)."""
+    most 1 delta bit), k=3 (r13) the same samples with 32 zero samples
+    PREPENDED — invisible to the leading-window fingerprint, found only
+    by the offset-banded tier (its offset-16-window fingerprint equals
+    the original's offset-0 one)."""
     from ..functions.wav import encode_wav
 
     d, k = divmod(int(vid), 4)
@@ -510,6 +513,8 @@ def audio_variant_payload(vid: int) -> bytes:
         samples[0] = abs(samples[0]) % 1000
     if k == 1:
         samples = samples + [0] * 32
+    if k == 3:
+        samples = [0] * 32 + samples
     return encode_wav(samples, sample_rate=8000)
 
 

@@ -2185,3 +2185,220 @@ def video_dhash_neardup(spark, sf_dir):
             "jaccard_permille",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Offset-banded audio fingerprint (r13, VERDICT r12 #5): fingerprints at
+# MULTIPLE time offsets so near-dups are found beyond a shared prefix —
+# the leading-window tier (audio_fingerprint_neardup) stays as the cheap
+# pass; this tier catches content-shifted copies (a prepended intro).
+# ---------------------------------------------------------------------------
+
+_AFPO_VARIANT_SQL = (
+    "CASE CAST({c} % 4 AS INT) WHEN 0 THEN 'orig' WHEN 1 THEN 'appended'"
+    " WHEN 2 THEN 'perturb' ELSE 'prepended' END"
+)
+
+
+@register(
+    "audio_offset_fingerprint_neardup",
+    f"""
+WITH adocs AS (
+  SELECT doc_id AS d, doc_id * 4 + k AS vid, k,
+         32 * (2 + doc_id % 4) AS n
+  FROM documents, unnest([0, 1, 2, 3]) AS t(k)
+  WHERE doc_id % 4 = 1
+),
+stream AS (
+  SELECT vid, CASE WHEN k = 3 THEN j + 32 ELSE j END AS pos,
+         CASE WHEN k = 2 AND j = 0 THEN abs(v) % 1000 ELSE v END AS sval
+  FROM (
+    SELECT *,
+           ('0x' || substr(md5(CAST(d AS VARCHAR) || ':' ||
+                               CAST(j AS VARCHAR)), 1, 4))::INT - 32768 AS v
+    FROM adocs, unnest(range(0, 32 * (2 + d % 4))) AS tj(j)
+  )
+  UNION ALL
+  SELECT vid, CASE WHEN k = 1 THEN n + z ELSE z END AS pos, 0
+  FROM adocs, unnest(range(0, 32)) AS tz(z) WHERE k IN (1, 3)
+),
+e AS (
+  SELECT vid, pos // 2 AS i,
+         CAST(sum(CAST(sval AS BIGINT) * CAST(sval AS BIGINT)) AS BIGINT)
+           AS e
+  FROM stream GROUP BY 1, 2
+),
+deltas AS (
+  SELECT a.vid, a.i, CASE WHEN b.e > a.e THEN 1 ELSE 0 END AS bit
+  FROM e a JOIN e b ON b.vid = a.vid AND b.i = a.i + 1
+),
+fp AS (
+  SELECT vid, o,
+         CAST(sum(bit * (CAST(1 AS BIGINT) << CAST(i - o AS INT)))
+              AS BIGINT) AS w,
+         count(*) AS nb
+  FROM deltas, unnest([0, 16]) AS toff(o)
+  WHERE i >= o AND i < o + 31
+  GROUP BY 1, 2
+),
+banded AS (
+  SELECT vid, o, w, w % 2048 AS b0, (w // 2048) % 1024 AS b1,
+         w // 2097152 AS b2
+  FROM fp WHERE nb = 31
+),
+cands AS (
+  SELECT a.vid AS ia, a.o AS oa, b.vid AS ib, b.o AS ob
+  FROM banded a JOIN banded b ON a.b0 = b.b0 AND a.vid < b.vid
+  UNION
+  SELECT a.vid, a.o, b.vid, b.o
+  FROM banded a JOIN banded b ON a.b1 = b.b1 AND a.vid < b.vid
+  UNION
+  SELECT a.vid, a.o, b.vid, b.o
+  FROM banded a JOIN banded b ON a.b2 = b.b2 AND a.vid < b.vid
+)
+SELECT CAST(c.ia // 4 AS BIGINT) AS doc_a,
+       {_AFPO_VARIANT_SQL.format(c='c.ia')} AS variant_a,
+       CAST(c.oa AS BIGINT) AS off_a,
+       CAST(c.ib // 4 AS BIGINT) AS doc_b,
+       {_AFPO_VARIANT_SQL.format(c='c.ib')} AS variant_b,
+       CAST(c.ob AS BIGINT) AS off_b,
+       CAST(bit_count(xor(wa.w, wb.w)) AS BIGINT) AS hamming
+FROM cands c
+JOIN banded wa ON wa.vid = c.ia AND wa.o = c.oa
+JOIN banded wb ON wb.vid = c.ib AND wb.o = c.ob
+WHERE bit_count(xor(wa.w, wb.w)) <= 2
+""",
+)
+def audio_offset_fingerprint_neardup(spark, sf_dir):
+    """OFFSET-BANDED audio near-dup (r13): the energy-delta fingerprint
+    computed at TWO window offsets (0 and 16) per audio, so a copy whose
+    shared content starts mid-stream is still found — the fixture adds a
+    PREPENDED variant (32 zero samples before the original) that the
+    leading-window tier is structurally blind to, and this tier pairs it
+    with its original at Hamming 0 because the prepended cut's
+    offset-16 fingerprint covers exactly the original's offset-0
+    window. Fingerprints that would be partial (fewer than 31 deltas in
+    the offset's range) are dropped, not zero-padded. Banding, exact
+    popcount verify, and the decoded-PCM contract are the leading tier's
+    (11/10/10 bands, lossless for Hamming <= 2 by pigeonhole); the
+    candidate table is (audio, offset)-keyed, so cost scales with
+    K_offsets x corpus — the production trade (Shazam-style fingerprints
+    band EVERY anchor; two offsets are the minimal demonstration and the
+    leading tier stays as the cheap first pass). The oracle recomputes
+    every decoded sample, window energy, and offset fingerprint
+    arithmetically from the fixture law. sf0.01: 1193 rows — all 125
+    orig(0)-prepended(16) planted pairs at Hamming 0 (the tier's reason
+    to exist; the leading tier finds zero of them), the leading tier's
+    own matches reappear at both offsets, and 68 cross-doc
+    prepended(0)-prepended(0) hits are the honest degeneracy of a
+    silence prefix: 16 zero-energy windows pin ~15 delta bits equal
+    across every prepended cut, so the effective fingerprint shrinks —
+    production systems mask all-silent windows for exactly this
+    reason."""
+    from ..operators.multimodal import (
+        attach_audio_variants,
+        extract_audio_features,
+    )
+
+    def build():
+        wavs = load(spark, sf_dir, "documents").filter(
+            F.col("doc_id") % 4 == 1
+        )
+        vids = wavs.select(
+            F.explode(
+                F.array(*[(F.col("doc_id") * 4 + k) for k in range(4)])
+            ).alias("doc_id")
+        )
+        return attach_audio_variants(vids)
+
+    media = _media_fixture(spark, sf_dir, "audio_fpo_variants", build)
+    feats = extract_audio_features(media, window=2).filter(
+        F.col("feature_error").isNull()
+    )
+    a = feats.select(
+        F.col("doc_id").alias("vid"),
+        F.col("window_idx").alias("i"),
+        F.col("energy").alias("e1"),
+    )
+    b = feats.select(
+        F.col("doc_id").alias("vid"),
+        (F.col("window_idx") - 1).alias("i"),
+        F.col("energy").alias("e2"),
+    ).filter(F.col("i") >= 0)
+    fp = (
+        a.join(b, ["vid", "i"])
+        .select(
+            "vid",
+            "i",
+            "e1",
+            "e2",
+            F.explode(F.array(F.lit(0), F.lit(16))).alias("o"),
+        )
+        .filter((F.col("i") >= F.col("o")) & (F.col("i") < F.col("o") + 31))
+        .groupBy("vid", "o")
+        .agg(
+            F.sum(
+                F.when(
+                    F.col("e2") > F.col("e1"),
+                    F.expr("shiftleft(1L, cast(i - o as int))"),
+                ).otherwise(F.lit(0).cast("long"))
+            )
+            .cast("long")
+            .alias("w"),
+            F.count(F.lit(1)).alias("nb"),
+        )
+        .filter(F.col("nb") == 31)
+    )
+    banded = fp.select(
+        "vid",
+        "o",
+        "w",
+        (F.col("w") % 2048).alias("b0"),
+        (F.expr("w div 2048") % 1024).alias("b1"),
+        F.expr("w div 2097152").alias("b2"),
+    ).localCheckpoint(eager=True)
+    cands = None
+    for bk in ("b0", "b1", "b2"):
+        pa = banded.select(
+            F.col("vid").alias("ia"), F.col("o").alias("oa"),
+            F.col(bk).alias("_b"),
+        )
+        pb = banded.select(
+            F.col("vid").alias("ib"), F.col("o").alias("ob"),
+            F.col(bk).alias("_b"),
+        )
+        p = pa.join(pb, "_b").filter(F.col("ia") < F.col("ib")).select(
+            "ia", "oa", "ib", "ob"
+        )
+        cands = p if cands is None else cands.unionByName(p)
+    cands = cands.distinct()
+    wa = banded.select(
+        F.col("vid").alias("ia"), F.col("o").alias("oa"),
+        F.col("w").alias("wa"),
+    )
+    wb = banded.select(
+        F.col("vid").alias("ib"), F.col("o").alias("ob"),
+        F.col("w").alias("wb"),
+    )
+    hd = F.bit_count(F.col("wa").bitwiseXOR(F.col("wb"))).cast("bigint")
+    variant = lambda c: (  # noqa: E731
+        F.when(F.col(c) % 4 == 0, "orig")
+        .when(F.col(c) % 4 == 1, "appended")
+        .when(F.col(c) % 4 == 2, "perturb")
+        .otherwise("prepended")
+    )
+    return (
+        cands.join(wa, ["ia", "oa"])
+        .join(wb, ["ib", "ob"])
+        .withColumn("hamming", hd)
+        .filter(F.col("hamming") <= 2)
+        .select(
+            F.expr("ia div 4").cast("bigint").alias("doc_a"),
+            variant("ia").alias("variant_a"),
+            F.col("oa").cast("bigint").alias("off_a"),
+            F.expr("ib div 4").cast("bigint").alias("doc_b"),
+            variant("ib").alias("variant_b"),
+            F.col("ob").cast("bigint").alias("off_b"),
+            "hamming",
+        )
+    )

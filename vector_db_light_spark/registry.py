@@ -133,6 +133,7 @@ def _populate() -> None:
 PRIORITY: tuple[str, ...] = (
     "search_pipeline",  # anchor
     "media_curation_pipeline",  # anchor
+    "audio_offset_fingerprint_neardup",  # NEWCOMER
     "bpe_sample_train_merges",  # NEWCOMER
     "ccnet_perplexity_buckets_approx",  # NEWCOMER
     "video_dhash_neardup",  # NEWCOMER
@@ -180,7 +181,6 @@ PRIORITY: tuple[str, ...] = (
     "corpus_curation_pipeline",  # last pass r9
     "decontaminate_ngram",  # last pass r9
     "dedup_clusters",  # last pass r9
-    "dedup_incremental_lsh",  # last pass r9
 )
 
 _PRIORITY_R10: tuple[str, ...] = (
