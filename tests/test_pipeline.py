@@ -811,3 +811,55 @@ def test_parse_pdf_filter_chain_a85_hex_lzw():
     assert _pdf_lzw(_lzw_encode_earlychange(longer)) == longer
     body = b"BT (" + long[:40] + b") Tj ET" + long  # operators + bulk
     assert _parse_pdf(pdf(_lzw_encode_earlychange(body))).startswith("[[page1]]")
+
+
+def test_image_dhash_incremental_equals_batch(spark):
+    """r13 incremental perceptual dedup: the band-index semi-join path's
+    admission verdicts equal the QUADRATIC truth (full batch x index
+    cross join, exact Hamming <= 3) — banding is lossless by pigeonhole,
+    so new x existing candidate generation loses nothing."""
+    import pyspark.sql.functions as F
+
+    from vector_db_light_spark.operators.multimodal import (
+        dhash_words_expr,
+        resize_images,
+    )
+    from vector_db_light_spark.queries.pipeline import _dhash_variant_corpus
+    from vector_db_light_spark.registry import QUERIES
+
+    sf = "/root/testdata/sf0.001"
+    got = {
+        (r["doc_id"], r["variant"]): r["admitted"]
+        for r in QUERIES["image_dhash_incremental"](spark, sf).collect()
+    }
+    assert got
+
+    media = _dhash_variant_corpus(spark, sf)
+    idx_set = F.expr("(doc_id div 4) % 8 = 0 AND doc_id % 4 = 0")
+    bat_set = F.expr(
+        "((doc_id div 4) % 8 = 0 AND doc_id % 4 IN (1, 2))"
+        " OR ((doc_id div 4) % 8 = 4 AND doc_id % 4 = 0)"
+    )
+    thumbs = resize_images(
+        media.filter(idx_set | bat_set), 9, 8
+    ).filter(F.col("resize_error").isNull())
+    hx = thumbs.select(
+        F.col("doc_id").alias("img_id"), F.lower(F.hex("payload")).alias("hx")
+    )
+    w0x, w1x = dhash_words_expr("hx", 9, 8)
+    words = hx.select(
+        "img_id", w0x.alias("w0"), w1x.alias("w1")
+    ).localCheckpoint(eager=True)
+    is_idx = F.expr("(img_id div 4) % 8 = 0 AND img_id % 4 = 0")
+    bx = words.filter(is_idx).collect()
+    variant = {0: "orig", 1: "scaled", 2: "perturb"}
+    truth = {}
+    for b in words.filter(~is_idx).collect():
+        dup = any(
+            bin(b["w0"] ^ x["w0"]).count("1")
+            + bin(b["w1"] ^ x["w1"]).count("1")
+            <= 3
+            for x in bx
+        )
+        truth[(b["img_id"] // 4, variant[b["img_id"] % 4])] = int(not dup)
+    assert got == truth

@@ -75,6 +75,7 @@ ANNOTATIONS: dict[str, str] = {
     "video_dhash_neardup": "perceptual video near-dup: demux -> PNG-decode -> 9x8 dHash per frame -> key-set Jaccard; 121/121 re-encoded cuts at Jaccard 1000, 0 noise",
     "audio_offset_fingerprint_neardup": "fingerprints at 2 time offsets: 125/125 prepended-intro pairs at Hamming 0 (prefix tier finds none); silence-prefix degeneracy measured",
     "video_frameset_neardup": "video near-dup by really-demuxed shared frames: exact integer Jaccard, candidates from the frame-hash join; 275 planted pairs, 0 noise",
+    "image_dhash_incremental": "perceptual admission: batch bands semi-join the index (new x existing only), quadratic-truth-pinned; 126 dups rejected, 62 novel admitted, 0 errors",
     "image_dhash_neardup": "dHash over really-decoded 9x8 thumbnails, 4x16-bit band join, exact Hamming<=3 verify; 375/375 planted pairs, 0 noise",
     "incremental_agg_state": "two-batch monoid merge hash-matches the single-pass answer",
     "ingest_parse_documents": "DuckDB rebuilds the materialized ingest dir arithmetically",

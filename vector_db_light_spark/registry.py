@@ -136,6 +136,7 @@ PRIORITY: tuple[str, ...] = (
     "audio_offset_fingerprint_neardup",  # NEWCOMER
     "bpe_sample_train_merges",  # NEWCOMER
     "ccnet_perplexity_buckets_approx",  # NEWCOMER
+    "image_dhash_incremental",  # NEWCOMER
     "video_dhash_neardup",  # NEWCOMER
     "tokenize_pack_pipeline",  # CHANGED this round (last pass r12)
     "table_snapshot_diff",  # last pass r7
@@ -180,7 +181,6 @@ PRIORITY: tuple[str, ...] = (
     "collocations_pmi",  # last pass r9
     "corpus_curation_pipeline",  # last pass r9
     "decontaminate_ngram",  # last pass r9
-    "dedup_clusters",  # last pass r9
 )
 
 _PRIORITY_R10: tuple[str, ...] = (
