@@ -47,7 +47,7 @@ ANNOTATIONS: dict[str, str] = {
     "ccnet_perplexity_buckets_approx": "tercile cut from a 3/4-md5-sample's exact ranks, assignment = broadcast compare; 96.0% bucket agreement vs exact rank cut, agree flag in-row",
     "curation_gopher_ccnet": "Gopher battery then CCNet buckets on survivors, LM trained post-filter; 500 -> 307 -> 169 kept",
     "cohort_retention_daily": "first-active-day cohorts x day offset; integer day buckets, exact-operand retention division",
-    "gopher_quality_battery": "Gopher doc-level rule battery, all-integer permille thresholds, planted violator per rule (kept 307 of 500)",
+    "gopher_quality_battery": "Gopher doc+line rule battery (7 rules incl. r13 bullet/ellipsis line rules), all-integer permille thresholds, planted violator per rule (kept 283 of 500)",
     "cusum_drift_detection": "one-sided CUSUM drift monitor via the prefix-sum closed form, all-BIGINT; planted +200 shift: 22/22 detected, 0/128 FP",
     "customer_order_histogram": "Q13 shape: left join w/ join-side predicate + double aggregation",
     "dedup_clusters_star": "large-star/small-star CC, same recursive-CTE oracle",
@@ -225,6 +225,7 @@ WINDOW_SIZE = 50
 # per round; the derivation handles everything else mechanically.
 CHANGED_THIS_ROUND: tuple[str, ...] = (
     "tokenize_pack_pipeline",  # r13: re-registered on a 64-merge vocabulary
+    "gopher_quality_battery",  # r13: +bullet/ellipsis line rules + violators
 )
 
 

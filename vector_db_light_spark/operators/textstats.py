@@ -878,10 +878,11 @@ def gopher_rules(
     max_symbol_permille: int = 100,
     min_alpha_permille: int = 800,
     min_stopwords: int = 2,
+    max_bullet_permille: int = 900,
+    max_ellipsis_permille: int = 300,
 ) -> DataFrame:
-    """Gopher DOC-level quality battery (Rae et al. 2021, table A1 — the
-    word-level rules; the line-level rules degenerate on the fixture's
-    single-line docs, same caveat as repetition_metrics). EVERY rule is
+    """Gopher DOC-level quality battery (Rae et al. 2021, table A1 —
+    word-level AND line-level rules as of r13). EVERY rule is
     evaluated in exact integer arithmetic — ratio thresholds as
     cross-multiplied permille comparisons (``symbols * 1000 <= max_pm *
     n_words``), never a float division — so the bits are engine-exact by
@@ -895,13 +896,18 @@ def gopher_rules(
       * rule_alpha      — >= min_alpha_permille of words contain an
         alphabetic char;
       * rule_stop       — >= min_stopwords DISTINCT members of the Gopher
-        stop set appear.
+        stop set appear;
+      * rule_bullet     — <= max_bullet_permille of lines start with a
+        bullet glyph ('-' or '*'), Rae A1's 90% line-start rule;
+      * rule_ellipsis   — <= max_ellipsis_permille of lines end with
+        '...', Rae A1's 30% line-end rule.
 
     Returns the integer evidence columns + one bit per rule + ``keep`` +
     ``drop_reason`` (first failing rule in the order above — the
-    precedence is part of the contract). One narrow projection, zero
-    shuffles: the battery composes into any curation pipeline as a
-    map-side stage."""
+    precedence is part of the contract; the two line rules rank LAST so
+    the pre-r13 reason strings are unchanged on the old corpus). One
+    narrow projection, zero shuffles: the battery composes into any
+    curation pipeline as a map-side stage."""
     from .dedup import tokens_expr
 
     stop_arr = F.array(*[F.lit(w) for w in GOPHER_STOPWORDS])
@@ -927,6 +933,16 @@ def gopher_rules(
     n_stop = F.size(
         F.array_intersect(F.array_distinct(F.col("_toks")), stop_arr)
     ).cast("long")
+    lines = F.split(F.col(text_col), "\n")
+    n_lines = F.size(lines).cast("long")
+    n_bullet = F.size(
+        F.filter(
+            lines, lambda x: x.startswith("-") | x.startswith("*")
+        )
+    ).cast("long")
+    n_ellipsis = F.size(
+        F.filter(lines, lambda x: x.endswith("..."))
+    ).cast("long")
     m = t.select(
         F.col(id_col),
         n_words.alias("n_words"),
@@ -934,6 +950,9 @@ def gopher_rules(
         n_symbols.alias("n_symbols"),
         n_alpha.alias("n_alpha_words"),
         n_stop.alias("n_stopwords"),
+        n_lines.alias("n_lines"),
+        n_bullet.alias("n_bullet_lines"),
+        n_ellipsis.alias("n_ellipsis_lines"),
     )
     r_words = (F.col("n_words") >= min_words) & (
         F.col("n_words") <= max_words
@@ -948,6 +967,12 @@ def gopher_rules(
         min_alpha_permille
     ) * F.col("n_words")
     r_stop = F.col("n_stopwords") >= min_stopwords
+    r_bullet = F.col("n_bullet_lines") * 1000 <= F.lit(
+        max_bullet_permille
+    ) * F.col("n_lines")
+    r_ellipsis = F.col("n_ellipsis_lines") * 1000 <= F.lit(
+        max_ellipsis_permille
+    ) * F.col("n_lines")
     out = m.select(
         "*",
         r_words.cast("int").alias("rule_words"),
@@ -955,6 +980,8 @@ def gopher_rules(
         r_sym.cast("int").alias("rule_symbol"),
         r_alpha.cast("int").alias("rule_alpha"),
         r_stop.cast("int").alias("rule_stop"),
+        r_bullet.cast("int").alias("rule_bullet"),
+        r_ellipsis.cast("int").alias("rule_ellipsis"),
     )
     keep = (
         (F.col("rule_words") == 1)
@@ -962,6 +989,8 @@ def gopher_rules(
         & (F.col("rule_symbol") == 1)
         & (F.col("rule_alpha") == 1)
         & (F.col("rule_stop") == 1)
+        & (F.col("rule_bullet") == 1)
+        & (F.col("rule_ellipsis") == 1)
     )
     reason = (
         F.when(F.col("rule_words") == 0, F.lit("words"))
@@ -969,6 +998,8 @@ def gopher_rules(
         .when(F.col("rule_symbol") == 0, F.lit("symbol"))
         .when(F.col("rule_alpha") == 0, F.lit("alpha"))
         .when(F.col("rule_stop") == 0, F.lit("stop"))
+        .when(F.col("rule_bullet") == 0, F.lit("bullet"))
+        .when(F.col("rule_ellipsis") == 0, F.lit("ellipsis"))
         .otherwise(F.lit("kept"))
     )
     return out.select(

@@ -1408,10 +1408,49 @@ corpus AS (
 )"""
 
 
+def _gopher_corpus_ext_sql() -> str:
+    """The battery corpus EXTENDED with the r13 line-rule violators
+    (bullet line-starts % 29, ellipsis line-ends % 31; the line
+    mutations are token-shape-safe: '-item' glues the bullet to an
+    alphabetic token so only rule_bullet trips, and the ellipsis lines
+    carry 16 words per '...' so rule_symbol stays under 100 permille) —
+    used only by gopher_quality_battery; curation_gopher_ccnet keeps the
+    original 4-violator corpus."""
+    return f"""
+corpus AS (
+  SELECT doc_id, text FROM documents
+  WHERE doc_id % 13 != 0 AND doc_id % 17 != 0
+    AND doc_id % 19 != 0 AND doc_id % 23 != 0
+    AND doc_id % 29 != 0 AND doc_id % 31 != 0
+  UNION ALL
+  SELECT doc_id, text || repeat(' x#', 30) FROM documents
+  WHERE doc_id % 13 = 0
+  UNION ALL
+  SELECT doc_id, substr(text, 1, 30) FROM documents
+  WHERE doc_id % 17 = 0 AND doc_id % 13 != 0
+  UNION ALL
+  SELECT doc_id, regexp_replace(text, '[a-z]+', '123', 'g') FROM documents
+  WHERE doc_id % 19 = 0 AND doc_id % 13 != 0 AND doc_id % 17 != 0
+  UNION ALL
+  SELECT doc_id, text || repeat(' {_GOPHER_LONG}', 12) FROM documents
+  WHERE doc_id % 23 = 0 AND doc_id % 13 != 0 AND doc_id % 17 != 0
+    AND doc_id % 19 != 0
+  UNION ALL
+  SELECT doc_id, text || repeat(chr(10) || '-item', 50) FROM documents
+  WHERE doc_id % 29 = 0 AND doc_id % 13 != 0 AND doc_id % 17 != 0
+    AND doc_id % 19 != 0 AND doc_id % 23 != 0
+  UNION ALL
+  SELECT doc_id, text || repeat(chr(10) || repeat('word ', 15) || 'end...', 25)
+  FROM documents
+  WHERE doc_id % 31 = 0 AND doc_id % 13 != 0 AND doc_id % 17 != 0
+    AND doc_id % 19 != 0 AND doc_id % 23 != 0 AND doc_id % 29 != 0
+)"""
+
+
 @register(
     "gopher_quality_battery",
     f"""
-WITH {_gopher_corpus_sql()},
+WITH {_gopher_corpus_ext_sql()},
 t AS (SELECT doc_id, text, {_TOKS_SQL} AS toks FROM corpus),
 m AS (
   SELECT doc_id,
@@ -1426,7 +1465,12 @@ m AS (
               AS BIGINT) AS n_alpha_words,
          CAST(len(list_intersect(list_distinct(toks),
               ['the','be','to','of','and','that','have','with']))
-              AS BIGINT) AS n_stopwords
+              AS BIGINT) AS n_stopwords,
+         CAST(len(string_split(text, chr(10))) AS BIGINT) AS n_lines,
+         CAST(len(list_filter(string_split(text, chr(10)),
+              l -> l LIKE '-%' OR l LIKE '*%')) AS BIGINT) AS n_bullet_lines,
+         CAST(len(list_filter(string_split(text, chr(10)),
+              l -> l LIKE '%...')) AS BIGINT) AS n_ellipsis_lines
   FROM t
 ),
 r AS (
@@ -1436,17 +1480,22 @@ r AS (
       AS rule_mean_len,
     CAST(n_symbols * 1000 <= 100 * n_words AS INT) AS rule_symbol,
     CAST(n_alpha_words * 1000 >= 800 * n_words AS INT) AS rule_alpha,
-    CAST(n_stopwords >= 1 AS INT) AS rule_stop
+    CAST(n_stopwords >= 1 AS INT) AS rule_stop,
+    CAST(n_bullet_lines * 1000 <= 900 * n_lines AS INT) AS rule_bullet,
+    CAST(n_ellipsis_lines * 1000 <= 300 * n_lines AS INT) AS rule_ellipsis
   FROM m
 )
 SELECT *,
        CAST(rule_words = 1 AND rule_mean_len = 1 AND rule_symbol = 1
-            AND rule_alpha = 1 AND rule_stop = 1 AS INT) AS keep,
+            AND rule_alpha = 1 AND rule_stop = 1
+            AND rule_bullet = 1 AND rule_ellipsis = 1 AS INT) AS keep,
        CASE WHEN rule_words = 0 THEN 'words'
             WHEN rule_mean_len = 0 THEN 'mean_len'
             WHEN rule_symbol = 0 THEN 'symbol'
             WHEN rule_alpha = 0 THEN 'alpha'
             WHEN rule_stop = 0 THEN 'stop'
+            WHEN rule_bullet = 0 THEN 'bullet'
+            WHEN rule_ellipsis = 0 THEN 'ellipsis'
             ELSE 'kept' END AS drop_reason
 FROM r
 """,
@@ -1457,16 +1506,22 @@ def gopher_quality_battery(spark, sf_dir):
     rule — symbol (' x#' * 30 appended, doc_id % 13), word-count floor
     (truncation to ~5 words, % 17), alphabetic-word floor (every word
     digitized, % 19), mean-token-length ceiling (12 45-char words
-    appended, % 23) — plus the fixture's NATURAL stop-word split
+    appended, % 23), and the r13 LINE rules: bullet line-starts (50
+    '-item' lines appended, % 29 — the bullet glued to an alphabetic
+    token so ONLY rule_bullet trips) and ellipsis line-ends (25
+    16-word '...'-terminated lines, % 31 — long lines keep rule_symbol
+    under its permille) — plus the fixture's NATURAL stop-word split
     (min_stopwords=1: 382 of 500 docs contain a Gopher stop word). Every
     rule bit is an exact integer comparison on both engines; sf0.01
-    funnel: kept 307, stop 91, symbol 32, words 27, alpha 23,
-    mean_len 20. drop_reason precedence (words > mean_len > symbol >
-    alpha > stop) is part of the contract."""
+    funnel: kept 283, stop 91, symbol 32, words 27, alpha 23,
+    mean_len 20, ellipsis 13, bullet 11. drop_reason precedence (words >
+    mean_len > symbol > alpha > stop > bullet > ellipsis) is part of the
+    contract."""
     # planted mutations as ONE CASE projection over a single scan (a
     # union of filtered branches replays the loader's spread shuffle per
     # branch — 5 exchanges for what is one map; found by plan_audit).
-    # CASE precedence 13 > 17 > 19 > 23 mirrors the oracle's exclusions.
+    # CASE precedence 13 > 17 > 19 > 23 > 29 > 31 mirrors the oracle's
+    # exclusions.
     docs = load_docs(spark, sf_dir)
     mutated = (
         F.when(
@@ -1481,6 +1536,20 @@ def gopher_quality_battery(spark, sf_dir):
         .when(
             F.col("doc_id") % 23 == 0,
             F.concat("text", F.expr(f"repeat(' {_GOPHER_LONG}', 12)")),
+        )
+        .when(
+            F.col("doc_id") % 29 == 0,
+            F.concat("text", F.expr("repeat(concat(char(10), '-item'), 50)")),
+        )
+        .when(
+            F.col("doc_id") % 31 == 0,
+            F.concat(
+                "text",
+                F.expr(
+                    "repeat(concat(char(10), repeat('word ', 15), 'end...'),"
+                    " 25)"
+                ),
+            ),
         )
         .otherwise(F.col("text"))
     )

@@ -139,6 +139,7 @@ PRIORITY: tuple[str, ...] = (
     "image_dhash_incremental",  # NEWCOMER
     "video_dhash_neardup",  # NEWCOMER
     "tokenize_pack_pipeline",  # CHANGED this round (last pass r12)
+    "gopher_quality_battery",  # CHANGED this round (last pass r12)
     "table_snapshot_diff",  # last pass r7
     "text_repetition",  # last pass r7
     "tumbling_hourly_events",  # last pass r7
@@ -180,7 +181,6 @@ PRIORITY: tuple[str, ...] = (
     "cohort_retention_daily",  # last pass r9
     "collocations_pmi",  # last pass r9
     "corpus_curation_pipeline",  # last pass r9
-    "decontaminate_ngram",  # last pass r9
 )
 
 _PRIORITY_R10: tuple[str, ...] = (
