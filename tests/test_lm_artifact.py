@@ -267,3 +267,83 @@ def test_stream_lm_maintenance_equals_rebuild(spark, tmp_path):
             drain("d")
         except Exception as ex:  # unwrap StreamingQueryException
             raise RuntimeError(str(ex)) from ex
+
+
+def test_stream_tokenize_pack_equals_batch(spark, tmp_path):
+    """r13 streaming tokenize-pack: after draining id-ordered batches the
+    spans table equals the batch pack_spans over all docs' frozen-merge
+    token counts; a replayed batch appends nothing; in-batch duplicates
+    count once; zero-token docs get a span row (the table is its own
+    ledger)."""
+    from vector_db_light_spark.operators.packing import pack_spans
+    from vector_db_light_spark.operators.textstats import (
+        bpe_tokenize_counts_scalable,
+        bpe_train_sampled,
+    )
+    from vector_db_light_spark.streaming.serving import stream_tokenize_pack
+
+    import pyspark.sql.functions as F
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the cat sat on the mat " * 8),
+            (2, "the cart art and the chart " * 6),
+            (3, "a dog and a bird and a cow " * 7),
+            (4, ""),  # zero tokens — still gets a span row
+            (5, "entirely new words arrive here today " * 5),
+        ],
+        "doc_id bigint, text string",
+    ).localCheckpoint(eager=True)
+    merges = [
+        r["pair"]
+        for r in bpe_train_sampled(docs, n_merges=6)
+        .orderBy("merge_round")
+        .collect()
+    ]
+    src = tmp_path / "stream"
+    src.mkdir()
+    pk = str(tmp_path / "pack")
+
+    def drain(tag):
+        stream = spark.readStream.schema("doc_id bigint, text string").parquet(
+            str(src)
+        )
+        stream_tokenize_pack(
+            stream, pk, str(tmp_path / f"ckpt_{tag}"), merges, budget=32
+        ).awaitTermination(180)
+
+    def snap():
+        df = spark.read.parquet(f"{pk}/spans")
+        return sorted(map(tuple, df.select(sorted(df.columns)).collect()))
+
+    def batch_truth(frame):
+        counts = frame.select("doc_id").join(
+            bpe_tokenize_counts_scalable(frame, merges).select(
+                "doc_id", F.col("n_tokens_after").cast("long").alias("n_tok")
+            ),
+            "doc_id",
+            "left",
+        ).select(
+            "doc_id",
+            F.coalesce("n_tok", F.lit(0).cast("long")).alias("n_tok"),
+        )
+        out = pack_spans(counts, 32)
+        return sorted(map(tuple, out.select(sorted(out.columns)).collect()))
+
+    first = docs.filter("doc_id <= 2")
+    first.write.mode("append").parquet(str(src))
+    drain("a")
+    assert snap() == batch_truth(first)
+
+    rest = docs.filter("doc_id >= 3")
+    rest.union(docs.filter("doc_id = 3")).write.mode("append").parquet(
+        str(src)
+    )  # in-batch duplicate of doc 3
+    drain("b")
+    assert snap() == batch_truth(docs)
+    ids = {r[0] for r in snap()}
+    assert 4 in ids  # the zero-token doc holds a span row
+
+    first.write.mode("append").parquet(str(src))  # replay, fresh checkpoint
+    drain("c")
+    assert snap() == batch_truth(docs)

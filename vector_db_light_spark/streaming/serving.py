@@ -455,3 +455,105 @@ def stream_lm_maintenance(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def stream_tokenize_pack(
+    doc_stream: DataFrame,
+    pack_dir: str,
+    checkpoint_dir: str,
+    merges: list,
+    budget: int = 512,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> StreamingQuery:
+    """Streaming tokenize-then-pack (r13): arriving documents are
+    tokenized under the FROZEN BPE merge table (the
+    api.build_tokenizer serving contract — the artifact never drifts
+    mid-stream) with the rank-based vocabulary-factored apply, then
+    packed into ``budget``-token training bins CONTINUING the global
+    token stream across micro-batches: the cursor (total tokens laid out
+    so far) is derived from the persisted spans table itself
+    (max(tok_start + n_tok)), so after any prefix of id-ordered batches
+    the table equals the batch tokenize-pack over the union
+    (operators/packing.pack_spans' law, pinned by test).
+
+    Replay posture — the SKETCH recipe, not the ledger one: every
+    arriving doc yields exactly one span row (zero-token docs coalesce
+    to n_tok=0 and still land in a bin, so the spans table is its own
+    complete membership ledger), and the batch performs ONE mutation (a
+    single spans append) whose task-file commit is the atomic point — a
+    torn batch leaves nothing visible, so no intent marker is needed.
+    In-batch duplicate ids are dropped before counting (the anti-join
+    only sees the on-disk table)."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from ..operators.packing import pack_spans
+    from ..operators.textstats import bpe_tokenize_counts_scalable
+
+    def apply(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        spark = batch_df.sparkSession
+        docs = batch_df.dropDuplicates([id_col]).select(
+            F.col(id_col), F.col(text_col)
+        )
+        s_path = f"{pack_dir}/spans"
+        cursor = 0
+        first = not os.path.isdir(s_path)
+        if not first:
+            existing = spark.read.parquet(s_path)
+            docs = docs.join(
+                existing.select(id_col), id_col, "left_anti"
+            ).localCheckpoint(eager=True)
+            if docs.isEmpty():
+                return
+            row = existing.agg(
+                F.coalesce(
+                    F.max(F.col("tok_start") + F.col("n_tok")),
+                    F.lit(0).cast("long"),
+                ).alias("c")
+            ).collect()[0]
+            cursor = int(row["c"])
+        counts = docs.select(id_col).join(
+            bpe_tokenize_counts_scalable(
+                docs, merges, text_col=text_col, id_col=id_col
+            ).select(
+                F.col(id_col),
+                F.col("n_tokens_after").cast("long").alias("n_tok"),
+            ),
+            id_col,
+            "left",
+        ).select(
+            F.col(id_col),
+            F.coalesce("n_tok", F.lit(0).cast("long")).alias("n_tok"),
+        )
+        # batch-local layout, then shift by the stream cursor and re-cut
+        # the bins from the SHIFTED offsets (the bin boundary depends on
+        # the global stream position, not the batch-local one)
+        local = pack_spans(counts, budget, id_col=id_col).select(
+            id_col, "n_tok", (F.col("tok_start") + F.lit(cursor)).alias(
+                "tok_start"
+            )
+        )
+        fb = F.expr(f"tok_start div {budget}")
+        lb = F.greatest(
+            fb, F.expr(f"(tok_start + n_tok - 1) div {budget}")
+        )
+        spans = local.select(
+            id_col,
+            "n_tok",
+            "tok_start",
+            fb.cast("long").alias("first_bin"),
+            lb.cast("long").alias("last_bin"),
+            (lb - fb + 1).cast("long").alias("n_bins"),
+        )
+        spans.write.mode("append").parquet(s_path)
+
+    return (
+        doc_stream.writeStream.foreachBatch(apply)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
