@@ -82,6 +82,13 @@ HEADLINE = [
     # + shortlist rerank) and the all-integer Gopher rule battery
     "knn_hamming_topk",
     "gopher_quality_battery",
+    # round-13 additions: the production tokenizer capstone (sampled
+    # trainer -> frozen 64-merge artifact -> rank-based vocab-factored
+    # apply -> bin packing; artifact builds in the untimed warm-up, like
+    # ann_ivf_pruned's centroids) and the perceptual video tier
+    # (demux -> PNG decode -> per-frame dHash -> key-set Jaccard)
+    "tokenize_pack_pipeline",
+    "video_dhash_neardup",
 ]
 
 

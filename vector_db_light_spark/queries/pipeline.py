@@ -2241,10 +2241,17 @@ fp AS (
   WHERE i >= o AND i < o + 31
   GROUP BY 1, 2
 ),
+nzc AS (
+  SELECT vid, o, CAST(count(*) AS BIGINT) AS nz
+  FROM e, unnest([0, 16]) AS toff(o)
+  WHERE i >= o AND i < o + 32 AND e > 0
+  GROUP BY 1, 2
+),
 banded AS (
-  SELECT vid, o, w, w % 2048 AS b0, (w // 2048) % 1024 AS b1,
+  SELECT fp.vid, fp.o, w, w % 2048 AS b0, (w // 2048) % 1024 AS b1,
          w // 2097152 AS b2
-  FROM fp WHERE nb = 31
+  FROM fp JOIN nzc ON nzc.vid = fp.vid AND nzc.o = fp.o
+  WHERE nb = 31 AND nz >= 24
 ),
 cands AS (
   SELECT a.vid AS ia, a.o AS oa, b.vid AS ib, b.o AS ob
@@ -2286,15 +2293,17 @@ def audio_offset_fingerprint_neardup(spark, sf_dir):
     band EVERY anchor; two offsets are the minimal demonstration and the
     leading tier stays as the cheap first pass). The oracle recomputes
     every decoded sample, window energy, and offset fingerprint
-    arithmetically from the fixture law. sf0.01: 1193 rows — all 125
+    arithmetically from the fixture law — including the silent-window
+    mask. sf0.01: 1125 rows, ZERO cross-doc noise — all 125
     orig(0)-prepended(16) planted pairs at Hamming 0 (the tier's reason
-    to exist; the leading tier finds zero of them), the leading tier's
-    own matches reappear at both offsets, and 68 cross-doc
-    prepended(0)-prepended(0) hits are the honest degeneracy of a
-    silence prefix: 16 zero-energy windows pin ~15 delta bits equal
-    across every prepended cut, so the effective fingerprint shrinks —
-    production systems mask all-silent windows for exactly this
-    reason."""
+    to exist; the leading tier finds zero of them) and the leading
+    tier's own matches reappearing at both offsets. The mask (>= 24 of
+    32 windows nonzero-energy) was forced by measurement, not taste:
+    without it every silence-prefixed cut shares its low band, and
+    scale_check clocked the band join going QUADRATIC in such cuts —
+    3.4 s -> 172 s for 10x rows (50.8x); with the mask, 4.7x. The
+    production rule (refuse anchors in silence) exists for exactly this
+    blow-up."""
     from ..operators.multimodal import (
         attach_audio_variants,
         extract_audio_features,
@@ -2349,6 +2358,28 @@ def audio_offset_fingerprint_neardup(spark, sf_dir):
         )
         .filter(F.col("nb") == 31)
     )
+    # silent-window mask (found by scale_check at sf1: every
+    # silence-prefixed cut shares its low band, so the band join — and
+    # the REPORTED pair set — went quadratic in the number of such cuts,
+    # 3.4 s -> 172 s for 10x rows; the production rule is to refuse
+    # anchors in silence): a fingerprint is valid only if >= 24 of its
+    # 32 windows carry nonzero energy
+    nzc = (
+        a.select(
+            "vid", "i", "e1",
+            F.explode(F.array(F.lit(0), F.lit(16))).alias("o"),
+        )
+        .filter(
+            (F.col("i") >= F.col("o"))
+            & (F.col("i") < F.col("o") + 32)
+            & (F.col("e1") > 0)
+        )
+        .groupBy("vid", "o")
+        .agg(F.count(F.lit(1)).cast("long").alias("nz"))
+        .filter(F.col("nz") >= 24)
+        .select("vid", "o")
+    )
+    fp = fp.join(nzc, ["vid", "o"])
     banded = fp.select(
         "vid",
         "o",
