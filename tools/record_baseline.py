@@ -26,6 +26,14 @@ import sys
 
 HERE = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
+# BUMP THIS on every re-record (ADVICE r12: the written file's provenance
+# must name the version/round that actually recorded it, not a stale one).
+BASELINE_PROVENANCE = (
+    "baseline v7, recorded at round 13 (headline 25 -> 27: "
+    "+ tokenize_pack_pipeline, video_dhash_neardup; gopher_quality_battery "
+    "re-registered with the line rules)"
+)
+
 
 def main() -> int:
     n = int(sys.argv[1]) if len(sys.argv) > 1 else 3
@@ -93,15 +101,13 @@ def main() -> int:
         "metric": (
             f"per-query medians across {n} fresh-process invocations of the "
             f"FULL {len(names)}-query bench (each invocation = warm-up + "
-            "MIN-of-5 in-process, headline order) - baseline v5, recorded "
-            "at round 11 (headline 21 -> 23: + bm25_index_wand_topk, "
-            "curation_mix_manifest). Lineage: v3 made baseline and round "
-            "same-shape (full-set in-process runs; session-state root "
-            "cause in BASELINE.md), v4 switched the per-query statistic "
-            "to min-of-5 (additive noise scattered sub-second medians "
-            "1.2-1.4x on unchanged plans), v5 embeds the v1_anchor drift "
-            "ratio bench.py gates at < 1.5x. v2 kept as "
-            "BENCH_BASELINE_v2.json"
+            f"MIN-of-5 in-process, headline order) - {BASELINE_PROVENANCE}. "
+            "Lineage: v3 made baseline and round same-shape (full-set "
+            "in-process runs; session-state root cause in BASELINE.md), "
+            "v4 switched the per-query statistic to min-of-5 (additive "
+            "noise scattered sub-second medians 1.2-1.4x on unchanged "
+            "plans), v5 embeds the v1_anchor drift ratio bench.py gates "
+            "at < 1.5x. v2 kept as BENCH_BASELINE_v2.json"
         ),
         "value": round(sum(queries.values()), 3),
         "unit": "sec",
