@@ -134,6 +134,13 @@ AUDIT = [
     "image_dhash_neardup",
     "audio_fingerprint_neardup",
     "cusum_drift_detection",
+    # round 13
+    "tokenize_pack_pipeline",
+    "bpe_sample_train_merges",
+    "video_dhash_neardup",
+    "audio_offset_fingerprint_neardup",
+    "image_dhash_incremental",
+    "ccnet_perplexity_buckets_approx",
 ]
 
 

@@ -2607,7 +2607,7 @@ def image_dhash_incremental(spark, sf_dir):
     )
     return (
         bb.select("img_id")
-        .join(hits, F.col("img_id") == F.col("bid"), "left")
+        .join(F.broadcast(hits), F.col("img_id") == F.col("bid"), "left")
         .select(
             F.expr("img_id div 4").cast("bigint").alias("doc_id"),
             variant.alias("variant"),
