@@ -523,3 +523,33 @@ def test_cdc_chunks_boundary_scan_has_no_shuffle_before_window(spark):
     sql_plan = explain_string(cdc_chunks_sql(docs))
     assert "Join" not in sql_plan
     assert sql_plan.count("Arguments: hashpartitioning") == 1
+
+
+def test_scalable_bpe_apply_plan_independent_of_merge_count(spark):
+    """The production-apply claim (r13): the vocabulary-factored
+    mapInPandas tokenizer's PLAN carries zero replace() nodes and does
+    not grow with the merge table — the chained-replace expression adds
+    one node per merge (fine at 8, fatal at 32k)."""
+    from vector_db_light_spark.operators.textstats import (
+        bpe_tokenize_counts,
+        bpe_tokenize_counts_scalable,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "the cat sat on the mat")], "doc_id bigint, text string"
+    )
+    merges_small = ["t h", "c a"]
+    merges_big = merges_small + [f"x{i} y{i}" for i in range(300)]
+
+    def plan(df):
+        return df._jdf.queryExecution().optimizedPlan().toString()
+
+    p_small = plan(bpe_tokenize_counts_scalable(docs, merges_small))
+    p_big = plan(bpe_tokenize_counts_scalable(docs, merges_big))
+    assert "replace(" not in p_big
+    # merge table lives in a broadcast variable, not the plan: same size
+    assert abs(len(p_big) - len(p_small)) < 50
+    # the expression apply DOES grow per merge — the contrast the claim
+    # rests on
+    p_expr = plan(bpe_tokenize_counts(docs, merges_small))
+    assert p_expr.count("replace(") >= len(merges_small)

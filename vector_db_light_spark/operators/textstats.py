@@ -1005,3 +1005,113 @@ def gopher_rules(
     return out.select(
         "*", keep.cast("int").alias("keep"), reason.alias("drop_reason")
     )
+
+
+def c4_line_rules(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_line_words: int = 5,
+    min_sentences: int = 3,
+) -> DataFrame:
+    """C4's cleaning battery (Raffel et al. 2020 §2.2), the line-level
+    complement to :func:`gopher_rules`' doc-level one:
+
+      * a LINE is kept iff it ends in terminal punctuation ('.', '!',
+        '?', '"'), has >= min_line_words whitespace words, and does not
+        contain the word 'javascript';
+      * a PAGE is dropped iff it contains 'lorem ipsum' (lowercased),
+        contains a curly brace '{', or retains fewer than
+        ``min_sentences`` kept lines (C4's sentence proxy).
+
+    All counts are exact integers over the same split-on-whitespace /
+    split-on-newline primitives both engines share; returns per-doc
+    evidence (n_lines, n_kept_lines, has_lorem, has_brace), ``keep`` and
+    ``drop_reason`` (brace > lorem > few_sentences — precedence is part
+    of the contract). One narrow projection, zero shuffles."""
+    lines = F.split(F.col(text_col), "\n")
+    lw = F.lower(F.col(text_col))
+
+    def _kept(x):
+        words = F.size(
+            F.filter(F.split(F.trim(F.lower(x)), r"\s+"), lambda t: t != "")
+        )
+        term = (
+            x.endswith(".")
+            | x.endswith("!")
+            | x.endswith("?")
+            | x.endswith('"')
+        )
+        return term & (words >= min_line_words) & (
+            ~F.lower(x).contains("javascript")
+        )
+
+    m = docs.select(
+        F.col(id_col),
+        F.size(lines).cast("long").alias("n_lines"),
+        F.size(F.filter(lines, _kept)).cast("long").alias("n_kept_lines"),
+        lw.contains("lorem ipsum").cast("int").alias("has_lorem"),
+        F.col(text_col).contains("{").cast("int").alias("has_brace"),
+    )
+    keep = (
+        (F.col("has_brace") == 0)
+        & (F.col("has_lorem") == 0)
+        & (F.col("n_kept_lines") >= min_sentences)
+    )
+    reason = (
+        F.when(F.col("has_brace") == 1, F.lit("brace"))
+        .when(F.col("has_lorem") == 1, F.lit("lorem"))
+        .when(F.col("n_kept_lines") < min_sentences, F.lit("few_sentences"))
+        .otherwise(F.lit("kept"))
+    )
+    return m.select(
+        "*", keep.cast("int").alias("keep"), reason.alias("drop_reason")
+    )
+
+
+# PII patterns (r13): syntax restricted to what Java regex and RE2 agree
+# on — explicit classes, no \d/\b shorthand, no bounded {m,} quantifiers.
+PII_EMAIL_RE = r"[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z][a-z]+"
+PII_PHONE_RE = r"[0-9][0-9][0-9]-[0-9][0-9][0-9]-[0-9][0-9][0-9][0-9]"
+PII_IPV4_RE = (
+    r"[0-9][0-9]?[0-9]?\.[0-9][0-9]?[0-9]?\."
+    r"[0-9][0-9]?[0-9]?\.[0-9][0-9]?[0-9]?"
+)
+
+
+def pii_scrub(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """PII detection + redaction — the scrub stage every training-data
+    pipeline runs before anything else sees the text. Three detector
+    classes (emails, NNN-NNN-NNNN phone numbers, dotted-quad IPv4
+    candidates) counted with non-overlapping regex scans, then redacted
+    in a FIXED order (email -> phone -> ip, each to its class tag) so
+    the scrubbed text is deterministic; the scrubbed output is
+    hex-projected (md5 prefix) per the binary/derived-text parity rule
+    rather than shipped raw. All engine work is two regexp passes per
+    class in one narrow projection — no Python, no shuffle. Returns
+    (id, n_emails, n_phones, n_ips, n_pii, has_pii, scrubbed_md5)."""
+    lt = F.lower(F.col(text_col))
+    n_em = F.size(F.regexp_extract_all(lt, F.lit(PII_EMAIL_RE), F.lit(0)))
+    n_ph = F.size(F.regexp_extract_all(lt, F.lit(PII_PHONE_RE), F.lit(0)))
+    n_ip = F.size(F.regexp_extract_all(lt, F.lit(PII_IPV4_RE), F.lit(0)))
+    scrubbed = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(lt, PII_EMAIL_RE, "[EMAIL]"),
+            PII_PHONE_RE,
+            "[PHONE]",
+        ),
+        PII_IPV4_RE,
+        "[IP]",
+    )
+    n_pii = (n_em + n_ph + n_ip).cast("long")
+    return docs.select(
+        F.col(id_col),
+        n_em.cast("long").alias("n_emails"),
+        n_ph.cast("long").alias("n_phones"),
+        n_ip.cast("long").alias("n_ips"),
+        n_pii.alias("n_pii"),
+        (n_pii > 0).cast("int").alias("has_pii"),
+        F.substring(F.md5(scrubbed), 1, 16).alias("scrubbed_md5"),
+    )

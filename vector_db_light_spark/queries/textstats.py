@@ -2179,3 +2179,220 @@ def tokenize_pack_pipeline(spark, sf_dir):
         "doc_id", F.col("n_tokens_after").cast("long").alias("n_tok")
     )
     return pack_spans(counts, _TPP_BUDGET).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# C4 cleaning battery (r13): the line-level curation complement to the
+# Gopher doc-level battery — Raffel et al. 2020 §2.2's rules with one
+# planted violator class per rule.
+# ---------------------------------------------------------------------------
+
+_C4_LINE_KEPT_SQL = (
+    "(l LIKE '%.' OR l LIKE '%!' OR l LIKE '%?' OR l LIKE '%\"')"
+    r" AND len(list_filter(regexp_split_to_array(trim(lower(l)), '\s+'),"
+    " t -> t != '')) >= 5"
+    " AND lower(l) NOT LIKE '%javascript%'"
+)
+
+
+@register(
+    "c4_line_filter_battery",
+    f"""
+WITH toks AS (SELECT doc_id, {_TOKS_SQL} AS t FROM documents),
+base AS (
+  SELECT doc_id, l,
+         l || chr(10) || l || chr(10) || l || chr(10) || l AS base4
+  FROM (SELECT doc_id, array_to_string(t[1:6], ' ') || '.' AS l FROM toks)
+),
+corpus AS (
+  SELECT doc_id, CASE
+    WHEN doc_id % 13 = 0
+      THEN base4 || chr(10) || 'function() {{ var x = 1; }}'
+    WHEN doc_id % 17 = 0
+      THEN base4 || chr(10) || 'please enable javascript to continue viewing.'
+    WHEN doc_id % 19 = 0
+      THEN base4 || chr(10) || 'lorem ipsum dolor sit amet consectetur.'
+    WHEN doc_id % 23 = 0 THEN l || chr(10) || l
+    WHEN doc_id % 29 = 0 THEN base4 || chr(10) || 'too short.'
+    WHEN doc_id % 31 = 0
+      THEN base4 || chr(10) || 'this line just trails off with no end'
+    ELSE base4 END AS text
+  FROM base
+),
+m AS (
+  SELECT doc_id,
+         CAST(len(string_split(text, chr(10))) AS BIGINT) AS n_lines,
+         CAST(len(list_filter(string_split(text, chr(10)),
+              l -> {_C4_LINE_KEPT_SQL})) AS BIGINT) AS n_kept_lines,
+         CAST(lower(text) LIKE '%lorem ipsum%' AS INT) AS has_lorem,
+         CAST(text LIKE '%{{%' AS INT) AS has_brace
+  FROM corpus
+)
+SELECT *,
+       CAST(has_brace = 0 AND has_lorem = 0 AND n_kept_lines >= 3 AS INT)
+         AS keep,
+       CASE WHEN has_brace = 1 THEN 'brace'
+            WHEN has_lorem = 1 THEN 'lorem'
+            WHEN n_kept_lines < 3 THEN 'few_sentences'
+            ELSE 'kept' END AS drop_reason
+FROM m
+""",
+)
+def c4_line_filter_battery(spark, sf_dir):
+    """C4's cleaning battery (Raffel et al. 2020 §2.2,
+    operators/textstats.c4_line_rules) — the LINE-level curation pass the
+    Gopher battery's doc-level rules compose with. The corpus is each
+    doc's first-6-token sentence repeated on 4 lines, plus one planted
+    violator class per rule: a curly-brace code line (% 13 — page
+    dropped), a 'javascript' line (% 17 — line dropped, page kept), a
+    'lorem ipsum' line (% 19 — page dropped), a 2-line page (% 23 —
+    fewer than 3 kept sentences, dropped), a 2-word line (% 29 — line
+    dropped by the >= 5-word floor) and an unterminated line (% 31 —
+    line dropped by the terminal-punctuation rule). All counts are
+    exact integers over the shared split primitives; drop_reason
+    precedence (brace > lorem > few_sentences) is part of the
+    contract."""
+    docs = load_docs(spark, sf_dir)
+    toks = T.tokens_expr("text")
+    line = F.concat(F.array_join(F.slice(toks, 1, 6), " "), F.lit("."))
+    base = docs.select("doc_id", line.alias("l"))
+    nl = F.lit("\n")
+    base4 = F.concat(
+        F.col("l"), nl, F.col("l"), nl, F.col("l"), nl, F.col("l")
+    )
+    mutated = (
+        F.when(
+            F.col("doc_id") % 13 == 0,
+            F.concat(base4, nl, F.lit("function() { var x = 1; }")),
+        )
+        .when(
+            F.col("doc_id") % 17 == 0,
+            F.concat(
+                base4, nl,
+                F.lit("please enable javascript to continue viewing."),
+            ),
+        )
+        .when(
+            F.col("doc_id") % 19 == 0,
+            F.concat(
+                base4, nl, F.lit("lorem ipsum dolor sit amet consectetur.")
+            ),
+        )
+        .when(F.col("doc_id") % 23 == 0, F.concat(F.col("l"), nl, F.col("l")))
+        .when(
+            F.col("doc_id") % 29 == 0,
+            F.concat(base4, nl, F.lit("too short.")),
+        )
+        .when(
+            F.col("doc_id") % 31 == 0,
+            F.concat(
+                base4, nl,
+                F.lit("this line just trails off with no end"),
+            ),
+        )
+        .otherwise(base4)
+    )
+    corpus = base.select("doc_id", mutated.alias("text"))
+    return T.c4_line_rules(corpus)
+
+
+# ---------------------------------------------------------------------------
+# PII detection + scrub battery (r13): the redaction stage a
+# training-data pipeline runs first; planted PII classes per residue,
+# scrubbed output hash-pinned on both engines.
+# ---------------------------------------------------------------------------
+
+_PII_EMAIL_SQL = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z][a-z]+"
+_PII_PHONE_SQL = "[0-9][0-9][0-9]-[0-9][0-9][0-9]-[0-9][0-9][0-9][0-9]"
+_PII_IP_SQL = (
+    "[0-9][0-9]?[0-9]?\\.[0-9][0-9]?[0-9]?\\."
+    "[0-9][0-9]?[0-9]?\\.[0-9][0-9]?[0-9]?"
+)
+
+
+@register(
+    "pii_scrub_battery",
+    f"""
+WITH corpus AS (
+  SELECT doc_id, CASE
+    WHEN doc_id % 13 = 0 THEN text ||
+      ' contact me at john.doe@example.com or jane_k+spam@test-mail.org now'
+    WHEN doc_id % 17 = 0 THEN text || ' call 555-123-4567 today'
+    WHEN doc_id % 19 = 0 THEN text || ' hosts 10.0.0.7 and 172.16.254.1 up'
+    WHEN doc_id % 23 = 0 THEN text ||
+      ' mail bob@corp.io from 203.0.113.9 or dial 800-555-0100'
+    ELSE text END AS text
+  FROM documents
+),
+m AS (
+  SELECT doc_id,
+    CAST(len(regexp_extract_all(lower(text), '{_PII_EMAIL_SQL}'))
+         AS BIGINT) AS n_emails,
+    CAST(len(regexp_extract_all(lower(text), '{_PII_PHONE_SQL}'))
+         AS BIGINT) AS n_phones,
+    CAST(len(regexp_extract_all(lower(text), '{_PII_IP_SQL}'))
+         AS BIGINT) AS n_ips,
+    substr(md5(
+      regexp_replace(
+        regexp_replace(
+          regexp_replace(lower(text), '{_PII_EMAIL_SQL}', '[EMAIL]', 'g'),
+          '{_PII_PHONE_SQL}', '[PHONE]', 'g'),
+        '{_PII_IP_SQL}', '[IP]', 'g')), 1, 16) AS scrubbed_md5
+  FROM corpus
+)
+SELECT doc_id, n_emails, n_phones, n_ips,
+       n_emails + n_phones + n_ips AS n_pii,
+       CAST(n_emails + n_phones + n_ips > 0 AS INT) AS has_pii,
+       scrubbed_md5
+FROM m
+""",
+)
+def pii_scrub_battery(spark, sf_dir):
+    """PII detection + redaction battery
+    (operators/textstats.pii_scrub): planted PII classes per residue —
+    two emails (% 13, incl. a plus-tag and a hyphenated domain), a
+    NNN-NNN-NNNN phone (% 17), two dotted-quad IPs (% 19), and a MIXED
+    doc carrying all three classes (% 23) — over the otherwise-clean
+    corpus (0 false positives on unmutated docs, pinned by the counts).
+    Patterns are restricted to Java-regex/RE2-shared syntax (explicit
+    classes, no shorthand escapes); the scrubbed text is redacted in a
+    fixed class order and hash-pinned via md5 prefix on BOTH engines, so
+    the driver match proves detection counts AND the exact redacted
+    bytes. Map-side single projection; at 100 TB this is a narrow
+    codegen scan, the cheapest stage in the pipeline."""
+    docs = load_docs(spark, sf_dir)
+    mutated = (
+        F.when(
+            F.col("doc_id") % 13 == 0,
+            F.concat(
+                "text",
+                F.lit(
+                    " contact me at john.doe@example.com or"
+                    " jane_k+spam@test-mail.org now"
+                ),
+            ),
+        )
+        .when(
+            F.col("doc_id") % 17 == 0,
+            F.concat("text", F.lit(" call 555-123-4567 today")),
+        )
+        .when(
+            F.col("doc_id") % 19 == 0,
+            F.concat(
+                "text", F.lit(" hosts 10.0.0.7 and 172.16.254.1 up")
+            ),
+        )
+        .when(
+            F.col("doc_id") % 23 == 0,
+            F.concat(
+                "text",
+                F.lit(
+                    " mail bob@corp.io from 203.0.113.9 or dial"
+                    " 800-555-0100"
+                ),
+            ),
+        )
+        .otherwise(F.col("text"))
+    )
+    corpus = docs.select("doc_id", mutated.alias("text"))
+    return T.pii_scrub(corpus)

@@ -135,8 +135,10 @@ PRIORITY: tuple[str, ...] = (
     "media_curation_pipeline",  # anchor
     "audio_offset_fingerprint_neardup",  # NEWCOMER
     "bpe_sample_train_merges",  # NEWCOMER
+    "c4_line_filter_battery",  # NEWCOMER
     "ccnet_perplexity_buckets_approx",  # NEWCOMER
     "image_dhash_incremental",  # NEWCOMER
+    "pii_scrub_battery",  # NEWCOMER
     "video_dhash_neardup",  # NEWCOMER
     "tokenize_pack_pipeline",  # CHANGED this round (last pass r12)
     "gopher_quality_battery",  # CHANGED this round (last pass r12)
@@ -179,8 +181,6 @@ PRIORITY: tuple[str, ...] = (
     "butterfly_supplier_pairs",  # last pass r9
     "chunk_overlap_pages",  # last pass r9
     "cohort_retention_daily",  # last pass r9
-    "collocations_pmi",  # last pass r9
-    "corpus_curation_pipeline",  # last pass r9
 )
 
 _PRIORITY_R10: tuple[str, ...] = (
