@@ -46,6 +46,7 @@ ANNOTATIONS: dict[str, str] = {
     "ccnet_perplexity_buckets": "CCNet LM bucketing: KN-fluency rank terciles head/middle/tail + per-bucket md5 sampling (166/75/23 kept of 500)",
     "c4_line_filter_battery": "C4 line-level cleaning (terminal punct, >=5-word lines, javascript/lorem/brace) with a planted violator per rule",
     "pii_scrub_battery": "PII detect + redact (emails/phones/IPv4), scrubbed bytes md5-pinned on both engines; 0 false positives on clean docs",
+    "scrub_filter_pipeline": "PII scrub THEN C4 line filter on the redacted text — the production order, composition hash-pinned (a redacted [email] counts as a word downstream)",
     "ccnet_perplexity_buckets_approx": "tercile cut from a 3/4-md5-sample's exact ranks, assignment = broadcast compare; 96.0% bucket agreement vs exact rank cut, agree flag in-row",
     "curation_gopher_ccnet": "Gopher battery then CCNet buckets on survivors, LM trained post-filter; 500 -> 307 -> 169 kept",
     "cohort_retention_daily": "first-active-day cohorts x day offset; integer day buckets, exact-operand retention division",

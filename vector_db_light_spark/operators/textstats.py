@@ -1079,6 +1079,25 @@ PII_IPV4_RE = (
 )
 
 
+def pii_scrubbed_text(text_col: str) -> Column:
+    """The scrubbed-text expression pii_scrub hashes: lowercased input
+    with emails -> [EMAIL], phones -> [PHONE], IPv4s -> [IP], redacted in
+    that fixed order. Exposed separately so composite pipelines can feed
+    the redacted text into downstream stages (scrub FIRST is the
+    production order — nothing after the scrub may see raw PII)."""
+    return F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(
+                F.lower(F.col(text_col)), PII_EMAIL_RE, "[EMAIL]"
+            ),
+            PII_PHONE_RE,
+            "[PHONE]",
+        ),
+        PII_IPV4_RE,
+        "[IP]",
+    )
+
+
 def pii_scrub(
     docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
 ) -> DataFrame:
@@ -1096,15 +1115,7 @@ def pii_scrub(
     n_em = F.size(F.regexp_extract_all(lt, F.lit(PII_EMAIL_RE), F.lit(0)))
     n_ph = F.size(F.regexp_extract_all(lt, F.lit(PII_PHONE_RE), F.lit(0)))
     n_ip = F.size(F.regexp_extract_all(lt, F.lit(PII_IPV4_RE), F.lit(0)))
-    scrubbed = F.regexp_replace(
-        F.regexp_replace(
-            F.regexp_replace(lt, PII_EMAIL_RE, "[EMAIL]"),
-            PII_PHONE_RE,
-            "[PHONE]",
-        ),
-        PII_IPV4_RE,
-        "[IP]",
-    )
+    scrubbed = pii_scrubbed_text(text_col)
     n_pii = (n_em + n_ph + n_ip).cast("long")
     return docs.select(
         F.col(id_col),

@@ -2396,3 +2396,133 @@ def pii_scrub_battery(spark, sf_dir):
     )
     corpus = docs.select("doc_id", mutated.alias("text"))
     return T.pii_scrub(corpus)
+
+
+@register(
+    "scrub_filter_pipeline",
+    f"""
+WITH toks AS (SELECT doc_id, {_TOKS_SQL} AS t FROM documents),
+base AS (
+  SELECT doc_id, l,
+         l || chr(10) || l || chr(10) || l || chr(10) || l AS base4
+  FROM (SELECT doc_id, array_to_string(t[1:6], ' ') || '.' AS l FROM toks)
+),
+raw AS (
+  SELECT doc_id, CASE
+    WHEN doc_id % 13 = 0 THEN base4 || chr(10) ||
+      'please write to john.doe@example.com for the full data dump.'
+    WHEN doc_id % 17 = 0 THEN base4 || chr(10) ||
+      'please enable javascript to call 555-123-4567 now.'
+    WHEN doc_id % 19 = 0 THEN base4 || chr(10) ||
+      'lorem ipsum dolor sit amet from 10.0.0.7 today.'
+    WHEN doc_id % 23 = 0 THEN l || chr(10) || l
+    ELSE base4 END AS text
+  FROM base
+),
+scrubbed AS (
+  SELECT doc_id,
+    CAST(len(regexp_extract_all(lower(text), '{_PII_EMAIL_SQL}'))
+         + len(regexp_extract_all(lower(text), '{_PII_PHONE_SQL}'))
+         + len(regexp_extract_all(lower(text), '{_PII_IP_SQL}'))
+         AS BIGINT) AS n_pii,
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(lower(text), '{_PII_EMAIL_SQL}', '[EMAIL]', 'g'),
+        '{_PII_PHONE_SQL}', '[PHONE]', 'g'),
+      '{_PII_IP_SQL}', '[IP]', 'g') AS text
+  FROM raw
+),
+m AS (
+  SELECT doc_id, n_pii,
+         CAST(len(string_split(text, chr(10))) AS BIGINT) AS n_lines,
+         CAST(len(list_filter(string_split(text, chr(10)),
+              l -> {_C4_LINE_KEPT_SQL})) AS BIGINT) AS n_kept_lines,
+         CAST(lower(text) LIKE '%lorem ipsum%' AS INT) AS has_lorem,
+         CAST(text LIKE '%{{%' AS INT) AS has_brace
+  FROM scrubbed
+)
+SELECT doc_id, n_pii, n_lines, n_kept_lines,
+       CAST(has_brace = 0 AND has_lorem = 0 AND n_kept_lines >= 3 AS INT)
+         AS keep,
+       CASE WHEN has_brace = 1 THEN 'brace'
+            WHEN has_lorem = 1 THEN 'lorem'
+            WHEN n_kept_lines < 3 THEN 'few_sentences'
+            ELSE 'kept' END AS drop_reason
+FROM m
+""",
+)
+def scrub_filter_pipeline(spark, sf_dir):
+    """Scrub-then-filter composite (r13): PII redaction runs FIRST —
+    nothing downstream may see raw PII — and the C4 line battery then
+    evaluates the REDACTED text, which changes its verdicts: the planted
+    email line (% 13) keeps its >= 5 words with '[email]' counted as a
+    word and survives; the javascript+phone line (% 17) is dropped by
+    the line rule regardless of the '[phone]' tag; the lorem+IP page
+    (% 19) is page-dropped after its IP is redacted; the 2-line page
+    (% 23) still fails the sentence floor. Both stages reuse the shipped
+    operators (pii_scrubbed_text -> c4_line_rules) and the oracle
+    replays the exact two-stage composition, so the hash pins the
+    ORDER as well as the rules. One narrow two-regexp-stage projection,
+    zero shuffles."""
+    docs = load_docs(spark, sf_dir)
+    toks = T.tokens_expr("text")
+    line = F.concat(F.array_join(F.slice(toks, 1, 6), " "), F.lit("."))
+    base = docs.select("doc_id", line.alias("l"))
+    nl = F.lit("\n")
+    base4 = F.concat(
+        F.col("l"), nl, F.col("l"), nl, F.col("l"), nl, F.col("l")
+    )
+    mutated = (
+        F.when(
+            F.col("doc_id") % 13 == 0,
+            F.concat(
+                base4, nl,
+                F.lit(
+                    "please write to john.doe@example.com for the full"
+                    " data dump."
+                ),
+            ),
+        )
+        .when(
+            F.col("doc_id") % 17 == 0,
+            F.concat(
+                base4, nl,
+                F.lit("please enable javascript to call 555-123-4567 now."),
+            ),
+        )
+        .when(
+            F.col("doc_id") % 19 == 0,
+            F.concat(
+                base4, nl,
+                F.lit("lorem ipsum dolor sit amet from 10.0.0.7 today."),
+            ),
+        )
+        .when(F.col("doc_id") % 23 == 0, F.concat(F.col("l"), nl, F.col("l")))
+        .otherwise(base4)
+    )
+    raw = base.select("doc_id", mutated.alias("text"))
+    from ..operators.textstats import (
+        PII_EMAIL_RE,
+        PII_IPV4_RE,
+        PII_PHONE_RE,
+        pii_scrubbed_text,
+    )
+
+    lt = F.lower(F.col("text"))
+    n_pii = (
+        F.size(F.regexp_extract_all(lt, F.lit(PII_EMAIL_RE), F.lit(0)))
+        + F.size(F.regexp_extract_all(lt, F.lit(PII_PHONE_RE), F.lit(0)))
+        + F.size(F.regexp_extract_all(lt, F.lit(PII_IPV4_RE), F.lit(0)))
+    ).cast("long")
+    scrubbed = raw.select(
+        "doc_id",
+        n_pii.alias("n_pii"),
+        pii_scrubbed_text("text").alias("text"),
+    )
+    out = T.c4_line_rules(scrubbed)
+    return scrubbed.select("doc_id", "n_pii").join(
+        out.select(
+            "doc_id", "n_lines", "n_kept_lines", "keep", "drop_reason"
+        ),
+        "doc_id",
+    )

@@ -139,6 +139,7 @@ PRIORITY: tuple[str, ...] = (
     "ccnet_perplexity_buckets_approx",  # NEWCOMER
     "image_dhash_incremental",  # NEWCOMER
     "pii_scrub_battery",  # NEWCOMER
+    "scrub_filter_pipeline",  # NEWCOMER
     "video_dhash_neardup",  # NEWCOMER
     "tokenize_pack_pipeline",  # CHANGED this round (last pass r12)
     "gopher_quality_battery",  # CHANGED this round (last pass r12)
@@ -180,7 +181,6 @@ PRIORITY: tuple[str, ...] = (
     "bpe_tokenize_counts",  # last pass r9
     "butterfly_supplier_pairs",  # last pass r9
     "chunk_overlap_pages",  # last pass r9
-    "cohort_retention_daily",  # last pass r9
 )
 
 _PRIORITY_R10: tuple[str, ...] = (
