@@ -511,3 +511,65 @@ def test_ccnet_gk_thresholds_agree(spark):
     assert stats["agree"] / stats["n"] >= 0.95, (
         stats["agree"], stats["n"]
     )
+
+
+def test_pii_scrub_edges(spark):
+    """Clean text is untouched (0 counts, md5 of the lowercased input);
+    scrubbing is idempotent (the redaction tags match no pattern); counts
+    see multiple occurrences and mixed classes."""
+    import hashlib
+
+    from vector_db_light_spark.operators.textstats import pii_scrub
+
+    docs = spark.createDataFrame(
+        [
+            (1, "Just A Clean Sentence"),
+            (2, "a@b.io or c.d+x@e-f.org and a@b.io"),
+            (3, "call 555-123-4567 from 10.0.0.7"),
+        ],
+        "doc_id bigint, text string",
+    )
+    out = {r["doc_id"]: r for r in pii_scrub(docs).collect()}
+    assert (out[1]["n_pii"], out[1]["has_pii"]) == (0, 0)
+    assert out[1]["scrubbed_md5"] == hashlib.md5(
+        b"just a clean sentence"
+    ).hexdigest()[:16]
+    assert out[2]["n_emails"] == 3  # every occurrence, not distinct
+    assert (out[3]["n_phones"], out[3]["n_ips"]) == (1, 1)
+    # idempotence: scrub of the scrubbed text is a fixed point
+    scrubbed2 = spark.createDataFrame(
+        [(3, "call [PHONE] from [IP]")], "doc_id bigint, text string"
+    )
+    r2 = pii_scrub(scrubbed2).collect()[0]
+    assert r2["n_pii"] == 0
+    assert r2["scrubbed_md5"] == hashlib.md5(
+        b"call [phone] from [ip]"
+    ).hexdigest()[:16]
+
+
+def test_c4_line_rules_edges(spark):
+    """Line keep-law edges: quote-terminated lines keep; 4-word lines
+    drop; 'JavaScript' is case-insensitive; a brace anywhere drops the
+    page regardless of good lines; empty text is one (dropped) line."""
+    from vector_db_light_spark.operators.textstats import c4_line_rules
+
+    good = "this line has five good words."
+    docs = spark.createDataFrame(
+        [
+            (1, "\n".join([good, good, 'he said "five words right here."'])),
+            (2, "\n".join([good, good, "only four words here."])),
+            (3, "\n".join([good, good, good, "the JavaScript line is long enough."])),
+            (4, "\n".join([good, good, good, "code { x }"])),
+            (5, ""),
+        ],
+        "doc_id bigint, text string",
+    )
+    out = {r["doc_id"]: r for r in c4_line_rules(docs).collect()}
+    assert (out[1]["n_kept_lines"], out[1]["keep"]) == (3, 1)
+    assert (out[2]["n_kept_lines"], out[2]["drop_reason"]) == (
+        2, "few_sentences",
+    )
+    assert out[3]["n_kept_lines"] == 3  # javascript line dropped, page kept
+    assert out[3]["keep"] == 1
+    assert out[4]["drop_reason"] == "brace"
+    assert (out[5]["n_lines"], out[5]["drop_reason"]) == (1, "few_sentences")
