@@ -573,3 +573,49 @@ def test_c4_line_rules_edges(spark):
     assert out[3]["keep"] == 1
     assert out[4]["drop_reason"] == "brace"
     assert (out[5]["n_lines"], out[5]["drop_reason"]) == (1, "few_sentences")
+
+
+def test_bpe_train_local_incremental_equals_naive_property():
+    """The r13 incremental trainer (pair-delta maintenance + lazy heap
+    argmax) is bit-identical to the naive recount-per-round loop across
+    random vocabularies — rounds, pairs, counts, AND re-merge cases
+    where a later merge recreates a previously merged pair."""
+    import random
+
+    from vector_db_light_spark.operators.textstats import (
+        _merge_word,
+        bpe_train_local,
+    )
+
+    def naive(word_counts, n_merges):
+        sym = {w: tuple(w) for w in word_counts}
+        merges = []
+        for r in range(1, n_merges + 1):
+            cnt = {}
+            for w, n in word_counts.items():
+                s = sym[w]
+                for i in range(len(s) - 1):
+                    p = (s[i], s[i + 1])
+                    cnt[p] = cnt.get(p, 0) + n
+            if not cnt:
+                break
+            (L, R), c = min(
+                cnt.items(), key=lambda kv: (-kv[1], kv[0][0] + " " + kv[0][1])
+            )
+            merges.append((r, L + " " + R, c))
+            for w in sym:
+                sym[w] = _merge_word(sym[w], L, R)
+        return merges
+
+    rng = random.Random(131)
+    for trial in range(80):
+        alpha = "ab" if trial % 3 == 0 else "abc"  # tiny alphabets force ties
+        vocab = {
+            "".join(rng.choice(alpha) for _ in range(rng.randint(1, 10))):
+                rng.randint(1, 9)
+            for _ in range(rng.randint(1, 15))
+        }
+        k = rng.randint(1, 40)
+        assert bpe_train_local(dict(vocab), k) == naive(dict(vocab), k), (
+            trial, vocab, k
+        )

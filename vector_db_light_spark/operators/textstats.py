@@ -420,44 +420,85 @@ def bpe_tokenize_counts(
     )
 
 
+def _merge_word(s: tuple, left: str, right: str) -> tuple:
+    """Apply one merge to one word, left-to-right non-overlapping —
+    str.replace order == F.replace order == SQL replace order on the
+    wrapped form."""
+    out: list[str] = []
+    i = 0
+    while i < len(s):
+        if i < len(s) - 1 and s[i] == left and s[i + 1] == right:
+            out.append(left + right)
+            i += 2
+        else:
+            out.append(s[i])
+            i += 1
+    return tuple(out)
+
+
 def bpe_train_local(word_counts: dict, n_merges: int) -> list:
     """Driver-side exact Sennrich loop over a (word -> count) frequency
     table — the inner algorithm of :func:`bpe_train` with ZERO Spark
-    jobs per merge. Bit-identical to the distributed trainer: integer
-    pair counts (all adjacent positions, occurrence-weighted), argmax
-    tie-broken lexicographically on the external "L R" pair string, and
-    each merge applied left-to-right non-overlapping (str.replace order
-    == F.replace order == SQL replace order on the wrapped form).
-    Returns [(merge_round, pair, cnt), ...]; stops early when no pair
-    remains (fully-merged vocabulary)."""
+    jobs per merge, in the PRODUCTION shape (r13): pair counts are
+    maintained INCREMENTALLY (only words containing the merged pair are
+    touched, their old pairs decremented and new pairs incremented) and
+    the per-round argmax is a lazy-deletion heap — so a round costs
+    O(pair churn x log P), not O(vocabulary x word length), and a real
+    32k-merge run is driver-feasible on a multi-million-word sample
+    vocabulary. Bit-identical to the naive recount loop AND the
+    distributed trainer (property-pinned): integer pair counts (all
+    adjacent positions, occurrence-weighted), argmax tie-broken
+    lexicographically on the external "L R" pair string — the heap
+    comparator is exactly (-cnt, "L R"). Returns
+    [(merge_round, pair, cnt), ...]; stops early when no pair remains
+    (fully-merged vocabulary)."""
+    import heapq
+
     sym = {w: tuple(w) for w in word_counts}
+    counts: dict[tuple[str, str], int] = {}
+    where: dict[tuple[str, str], set] = {}
+    heap: list[tuple[int, str, tuple[str, str]]] = []
+
+    def _bump(p: tuple, delta: int, w=None) -> None:
+        c = counts.get(p, 0) + delta
+        if c <= 0:
+            counts.pop(p, None)
+        else:
+            counts[p] = c
+            heapq.heappush(heap, (-c, p[0] + " " + p[1], p))
+        if w is not None and delta > 0:
+            where.setdefault(p, set()).add(w)
+
+    for w, n in word_counts.items():
+        s = sym[w]
+        for i in range(len(s) - 1):
+            _bump((s[i], s[i + 1]), n, w)
+
     merges: list[tuple[int, str, int]] = []
     for r in range(1, n_merges + 1):
-        cnt: dict[tuple[str, str], int] = {}
-        for w, n in word_counts.items():
-            s = sym[w]
-            for i in range(len(s) - 1):
-                p = (s[i], s[i + 1])
-                cnt[p] = cnt.get(p, 0) + n
-        if not cnt:
+        best = None
+        while heap:
+            negc, _, p = heap[0]
+            if counts.get(p) == -negc:  # live entry
+                best = (p, -negc)
+                break
+            heapq.heappop(heap)  # stale (count changed since push)
+        if best is None:
             break
-        (left, right), c = min(
-            cnt.items(), key=lambda kv: (-kv[1], kv[0][0] + " " + kv[0][1])
-        )
+        (left, right), c = best
         merges.append((r, left + " " + right, c))
-        for w, s in sym.items():
-            if left not in s:
+        for w in list(where.get((left, right), ())):
+            old = sym[w]
+            new = _merge_word(old, left, right)
+            if new == old:  # stale membership (pair left this word)
                 continue
-            out: list[str] = []
-            i = 0
-            while i < len(s):
-                if i < len(s) - 1 and s[i] == left and s[i + 1] == right:
-                    out.append(left + right)
-                    i += 2
-                else:
-                    out.append(s[i])
-                    i += 1
-            sym[w] = tuple(out)
+            n = word_counts[w]
+            sym[w] = new
+            for i in range(len(old) - 1):
+                _bump((old[i], old[i + 1]), -n)
+            for i in range(len(new) - 1):
+                _bump((new[i], new[i + 1]), n, w)
+        where.pop((left, right), None)
     return merges
 
 
