@@ -130,3 +130,57 @@ def test_stream_media_star_shape_cluster_canonical(spark, tmp_path):
     q = stream_media_curate(stream, corpus, frames, ckpt)
     q.awaitTermination(180)
     assert {r["doc_id"] for r in spark.read.parquet(corpus).collect()} == {0}
+
+
+def test_stream_image_admission_equals_incremental(spark, tmp_path):
+    """r13 streaming perceptual admission: draining batches of real PNG
+    variants leaves the band index holding exactly the originals plus the
+    novel uploads — every re-encoded/perturbed variant of an indexed
+    image is rejected by the band semi-join + exact Hamming verify; a
+    replayed batch appends nothing; in-batch duplicate ids append
+    once."""
+    import pyspark.sql.functions as F
+
+    from vector_db_light_spark.queries.pipeline import _dhash_variant_corpus
+    from vector_db_light_spark.streaming.media import stream_image_admission
+
+    sf = "/root/testdata/sf0.001"
+    media = _dhash_variant_corpus(spark, sf).localCheckpoint(eager=True)
+    origs = media.filter(F.col("doc_id") % 4 == 0)
+    variants = media.filter(F.col("doc_id") % 4 != 0)
+
+    src = tmp_path / "stream"
+    src.mkdir()
+    idx = str(tmp_path / "band_index")
+
+    def drain(tag):
+        stream = spark.readStream.schema(
+            "doc_id bigint, media_type string, payload binary"
+        ).parquet(str(src))
+        stream_image_admission(
+            stream, idx, str(tmp_path / f"ckpt_{tag}")
+        ).awaitTermination(300)
+
+    def members():
+        return {
+            r["img_id"] for r in spark.read.parquet(idx).select("img_id").collect()
+        }
+
+    # batch 1: all originals (one duplicated in-batch) -> all admitted once
+    origs.union(origs.limit(1)).write.mode("append").parquet(str(src))
+    drain("a")
+    truth_origs = {r["doc_id"] for r in origs.collect()}
+    assert members() == truth_origs
+    n_rows = spark.read.parquet(idx).count()
+    assert n_rows == len(truth_origs)  # in-batch duplicate appended once
+
+    # batch 2: the scaled/perturbed variants -> every one is a perceptual
+    # dup of its indexed original and is rejected
+    variants.write.mode("append").parquet(str(src))
+    drain("b")
+    assert members() == truth_origs
+
+    # replay batch 1 under a fresh checkpoint -> no growth
+    origs.write.mode("append").parquet(str(src))
+    drain("c")
+    assert members() == truth_origs and spark.read.parquet(idx).count() == n_rows
