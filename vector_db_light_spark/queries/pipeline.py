@@ -2134,7 +2134,10 @@ def video_dhash_neardup(spark, sf_dir):
             F.col("frame_error").isNull() & F.col("frame_payload").isNotNull()
         )
         .select(
-            (F.col("doc_id") * 16 + F.col("frame_idx")).alias("doc_id"),
+            # synthetic per-frame image id; 4096 leaves headroom for any
+            # plausible fixture frame count (n = text_bytes // 64 <= ~10
+            # today) while vid*4096 stays far inside BIGINT
+            (F.col("doc_id") * 4096 + F.col("frame_idx")).alias("doc_id"),
             F.lit("image/png").alias("media_type"),
             F.col("frame_payload").alias("payload"),
         )
@@ -2143,7 +2146,7 @@ def video_dhash_neardup(spark, sf_dir):
         F.col("resize_error").isNull()
     )
     hx = thumbs.select(
-        F.expr("doc_id div 16").alias("vid"),
+        F.expr("doc_id div 4096").alias("vid"),
         F.lower(F.hex("payload")).alias("hx"),
     )
     k0x, k1x = dhash_words_expr("hx", 9, 8)

@@ -473,8 +473,10 @@ def stream_tokenize_pack(
     packed into ``budget``-token training bins CONTINUING the global
     token stream across micro-batches: the cursor (total tokens laid out
     so far) is derived from the persisted spans table itself
-    (max(tok_start + n_tok)), so after any prefix of id-ordered batches
-    the table equals the batch tokenize-pack over the union
+    (max(tok_start + n_tok)). ARRIVAL order defines the stream layout —
+    that is the production contract (a packing job lays out data in the
+    order it lands); when batches happen to arrive in id order the table
+    additionally equals the batch tokenize-pack over the union
     (operators/packing.pack_spans' law, pinned by test).
 
     Replay posture — the SKETCH recipe, not the ledger one: every
