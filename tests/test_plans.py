@@ -553,3 +553,28 @@ def test_scalable_bpe_apply_plan_independent_of_merge_count(spark):
     # rests on
     p_expr = plan(bpe_tokenize_counts(docs, merges_small))
     assert p_expr.count("replace(") >= len(merges_small)
+
+
+def test_curation_batteries_are_zero_shuffle(spark):
+    """The r13 battery docstrings claim map-side single projections —
+    pin it: no Exchange anywhere in the optimized physical plan of the
+    Gopher, C4, PII, and scrub->filter queries (the scrub_filter join is
+    on the same narrow lineage and collapses)."""
+    from vector_db_light_spark.registry import QUERIES
+
+    for name in (
+        "gopher_quality_battery",
+        "c4_line_filter_battery",
+        "pii_scrub_battery",
+    ):
+        df = QUERIES[name](spark, "/root/testdata/sf0.001")
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        # the loader's deliberate small-file spread (REPARTITION_BY_NUM)
+        # is infrastructure, not battery work — every other Exchange
+        # (aggregation/join hashpartitioning) is a broken claim
+        battery_exchanges = [
+            ln
+            for ln in plan.splitlines()
+            if "Exchange" in ln and "REPARTITION_BY_NUM" not in ln
+        ]
+        assert not battery_exchanges, (name, battery_exchanges)

@@ -619,3 +619,55 @@ def test_bpe_train_local_incremental_equals_naive_property():
         assert bpe_train_local(dict(vocab), k) == naive(dict(vocab), k), (
             trial, vocab, k
         )
+
+
+def test_pii_regex_cross_engine_parity_fuzz(spark):
+    """The PII patterns are restricted to Java-regex/RE2-shared syntax —
+    fuzz that claim: random ASCII texts salted with PII-shaped and
+    ALMOST-PII-shaped fragments must yield identical per-class counts
+    and identical scrubbed bytes on Spark and DuckDB."""
+    import random
+
+    import duckdb
+
+    from vector_db_light_spark.operators.textstats import pii_scrub
+    from vector_db_light_spark.queries.textstats import (
+        _PII_EMAIL_SQL,
+        _PII_IP_SQL,
+        _PII_PHONE_SQL,
+    )
+
+    rng = random.Random(13)
+    frags = [
+        "a@b.io", "x.y+z@host-name.org", "no@tld", "@lonely", "a@@b.com",
+        "555-123-4567", "55-123-4567", "555-123-456", "5551234567",
+        "10.0.0.7", "1.2.3", "999.999.999.999", "1.2.3.4.5", "v1.2.3.4",
+        "{", "}", '"', "..", "a.b", "-", "+", "%", "_",
+    ]
+    words = ["the", "quick", "Fox", "JUMPS", "over", "lazy", "dogs"]
+    rows = []
+    for i in range(120):
+        n = rng.randint(0, 14)
+        toks = [rng.choice(words + frags) for _ in range(n)]
+        rows.append((i, " ".join(toks)))
+    docs = spark.createDataFrame(rows, "doc_id bigint, text string")
+    got = {
+        r["doc_id"]: (
+            r["n_emails"], r["n_phones"], r["n_ips"], r["scrubbed_md5"]
+        )
+        for r in pii_scrub(docs).collect()
+    }
+    con = duckdb.connect()
+    for i, text in rows:
+        e, p, q, h = con.execute(
+            f"""SELECT
+              len(regexp_extract_all(lower($1), '{_PII_EMAIL_SQL}')),
+              len(regexp_extract_all(lower($1), '{_PII_PHONE_SQL}')),
+              len(regexp_extract_all(lower($1), '{_PII_IP_SQL}')),
+              substr(md5(regexp_replace(regexp_replace(regexp_replace(
+                lower($1), '{_PII_EMAIL_SQL}', '[EMAIL]', 'g'),
+                '{_PII_PHONE_SQL}', '[PHONE]', 'g'),
+                '{_PII_IP_SQL}', '[IP]', 'g')), 1, 16)""",
+            [text],
+        ).fetchone()
+        assert got[i] == (e, p, q, h), (i, text, got[i], (e, p, q, h))
