@@ -1359,15 +1359,15 @@ class VectorDatabaseManager:
         the frozen merge table to every chunk and report symbol counts
         before/after — the corpus token-budget estimate served from the
         artifact, never retraining. Builds the tokenizer on demand if
-        absent. Past 16 merges the apply switches from the
-        chained-replace expression (one plan node PER MERGE) to the
-        rank-based vocabulary-factored mapInPandas apply
-        (operators/textstats.bpe_tokenize_counts_scalable) — identical
-        output, property-pinned, plan size independent of vocabulary."""
-        from .operators.textstats import (
-            bpe_tokenize_counts,
-            bpe_tokenize_counts_scalable,
-        )
+        absent. The apply is ALWAYS the rank-based vocabulary-factored
+        mapInPandas one (operators/textstats.bpe_tokenize_counts_scalable)
+        — identical output to the chained-replace expression
+        (property-pinned), plan size independent of the merge count, and
+        measured FASTER at every merge count on the fixture (SCALE.md
+        crossover table: the Python loop runs once per DISTINCT word,
+        the expression once per token occurrence — vocab << corpus
+        always)."""
+        from .operators.textstats import bpe_tokenize_counts_scalable
 
         path = self._table(name, "tokenizer.json")
         if not os.path.exists(path):
@@ -1377,12 +1377,7 @@ class VectorDatabaseManager:
         docs = self.spark.read.parquet(
             self._table(name, "embeddings")
         ).select(F.col("chunk_id"), F.col("chunk_text").alias("text"))
-        apply = (
-            bpe_tokenize_counts_scalable
-            if len(merges) > 16
-            else bpe_tokenize_counts
-        )
-        return apply(docs, merges, id_col="chunk_id")
+        return bpe_tokenize_counts_scalable(docs, merges, id_col="chunk_id")
 
     def search_phrase(self, name: str, phrase: str) -> DataFrame:
         """Exact-phrase search over the chunk table via the positional
