@@ -251,13 +251,13 @@ def test_stream_lm_maintenance_equals_rebuild(spark, tmp_path):
     assert snap() == rebuild(docs)
     # the empty doc is in the ledger even though it produced no counts
     ledger = {
-        r["doc_id"] for r in spark.read.parquet(f"{lm}/doc_ids").collect()
+        r["doc_id"] for r in spark.read.parquet(f"{lm}/doc_ids_2gram").collect()
     }
     assert ledger == {1, 2, 3, 4, 5}
 
     # torn batch: a stale intent marker makes the next delta-bearing
     # batch raise instead of double-merging
-    with open(f"{lm}/_inflight", "w") as fh:
+    with open(f"{lm}/_inflight_2gram", "w") as fh:
         fh.write("99")
     spark.createDataFrame(
         [(6, "unseen text entirely")], "doc_id bigint, text string"

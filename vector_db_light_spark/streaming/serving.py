@@ -397,9 +397,12 @@ def stream_lm_maintenance(
         docs = batch_df.dropDuplicates([id_col]).select(
             F.col(id_col), F.col(text_col)
         )
+        # every path is ORDER-scoped: a shared ledger would let a
+        # 2-gram stream's admissions starve a 3-gram stream pointed at
+        # the same directory (each order is its own maintenance unit)
         c_path = f"{lm_dir}/counts_{order}gram"
-        d_path = f"{lm_dir}/doc_ids"
-        m_path = f"{lm_dir}/_inflight"
+        d_path = f"{lm_dir}/doc_ids_{order}gram"
+        m_path = f"{lm_dir}/_inflight_{order}gram"
         first = not os.path.isdir(d_path)
         if not first:
             indexed = spark.read.parquet(d_path)
