@@ -558,14 +558,16 @@ def test_scalable_bpe_apply_plan_independent_of_merge_count(spark):
 def test_curation_batteries_are_zero_shuffle(spark):
     """The r13 battery docstrings claim map-side single projections —
     pin it: no Exchange anywhere in the optimized physical plan of the
-    Gopher, C4, PII, and scrub->filter queries (the scrub_filter join is
-    on the same narrow lineage and collapses)."""
+    Gopher, C4, PII, and scrub->filter queries (scrub_filter carries
+    n_pii through c4_line_rules' projection — no rejoin; ADVICE r13
+    #2)."""
     from vector_db_light_spark.registry import QUERIES
 
     for name in (
         "gopher_quality_battery",
         "c4_line_filter_battery",
         "pii_scrub_battery",
+        "scrub_filter_pipeline",
     ):
         df = QUERIES[name](spark, "/root/testdata/sf0.001")
         plan = df._jdf.queryExecution().executedPlan().toString()

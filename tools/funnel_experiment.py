@@ -85,7 +85,6 @@ def main() -> int:
         """cand: (query_id, vec_id, query_vec, embedding) candidate rows
         to exact-rerank. Returns (recall, avg_dots)."""
         n_dots = cand.count()
-        reranked = S.batch_knn_over(cand, dim=DIM, k=K) if False else None
         # exact rerank inline: dot + rank
         dot = F.expr(
             " + ".join(

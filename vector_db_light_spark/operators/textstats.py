@@ -1054,6 +1054,7 @@ def c4_line_rules(
     text_col: str = "text",
     min_line_words: int = 5,
     min_sentences: int = 3,
+    carry: tuple = (),
 ) -> DataFrame:
     """C4's cleaning battery (Raffel et al. 2020 §2.2), the line-level
     complement to :func:`gopher_rules`' doc-level one:
@@ -1069,7 +1070,11 @@ def c4_line_rules(
     split-on-newline primitives both engines share; returns per-doc
     evidence (n_lines, n_kept_lines, has_lorem, has_brace), ``keep`` and
     ``drop_reason`` (brace > lorem > few_sentences — precedence is part
-    of the contract). One narrow projection, zero shuffles."""
+    of the contract). One narrow projection, zero shuffles. ``carry``
+    names input columns to pass through the projection unchanged, so a
+    composite upstream stage (e.g. pii_scrub's n_pii count) rides the
+    same map-side stage instead of re-joining on doc_id (ADVICE r13
+    #2: the join re-executed the regexp passes on both sides)."""
     lines = F.split(F.col(text_col), "\n")
     lw = F.lower(F.col(text_col))
 
@@ -1089,6 +1094,7 @@ def c4_line_rules(
 
     m = docs.select(
         F.col(id_col),
+        *[F.col(c) for c in carry],
         F.size(lines).cast("long").alias("n_lines"),
         F.size(F.filter(lines, _kept)).cast("long").alias("n_kept_lines"),
         lw.contains("lorem ipsum").cast("int").alias("has_lorem"),

@@ -2028,7 +2028,17 @@ def curation_gopher_ccnet(spark, sf_dir):
         .otherwise(F.col("text"))
     )
     corpus = docs.select("doc_id", mutated.alias("text"))
-    g = T.gopher_rules(corpus, min_stopwords=1).select(
+    # Line rules neutralized (1000 permille is always true since
+    # n_bullet/n_ellipsis <= n_lines): this composite's oracle pins only
+    # the 5 original word-level rules, and a natural '...'-ending or
+    # bullet-starting single-line doc would otherwise flip keep on the
+    # Spark side alone (ADVICE r13 #1).
+    g = T.gopher_rules(
+        corpus,
+        min_stopwords=1,
+        max_bullet_permille=1000,
+        max_ellipsis_permille=1000,
+    ).select(
         "doc_id", "drop_reason"
     ).withColumnRenamed("drop_reason", "g_reason")
     surv = (
@@ -2519,10 +2529,7 @@ def scrub_filter_pipeline(spark, sf_dir):
         n_pii.alias("n_pii"),
         pii_scrubbed_text("text").alias("text"),
     )
-    out = T.c4_line_rules(scrubbed)
-    return scrubbed.select("doc_id", "n_pii").join(
-        out.select(
-            "doc_id", "n_lines", "n_kept_lines", "keep", "drop_reason"
-        ),
-        "doc_id",
+    out = T.c4_line_rules(scrubbed, carry=("n_pii",))
+    return out.select(
+        "doc_id", "n_pii", "n_lines", "n_kept_lines", "keep", "drop_reason"
     )

@@ -391,6 +391,22 @@ def stream_lm_maintenance(
         raise ValueError(f"unsupported LM order {order}")
 
     def apply(batch_df: DataFrame, batch_id: int) -> None:
+        # torn-state check FIRST — before the ledger read and the
+        # isEmpty early returns (ADVICE r13 #3: a replayed batch whose
+        # docs are all already ledgered would otherwise return success
+        # while torn counts persist undetected)
+        c_path = f"{lm_dir}/counts_{order}gram"
+        d_path = f"{lm_dir}/doc_ids_{order}gram"
+        m_path = f"{lm_dir}/_inflight_{order}gram"
+        if os.path.exists(m_path):
+            raise RuntimeError(
+                f"torn micro-batch detected ({m_path} exists): a prior "
+                "batch crashed between its counts overwrite and its "
+                "ledger append, so the counts hold a delta the ledger "
+                "does not know about and a replay would double-merge. "
+                "Rebuild the LM from the source docs, then remove the "
+                "marker."
+            )
         if batch_df.isEmpty():
             return
         spark = batch_df.sparkSession
@@ -400,9 +416,6 @@ def stream_lm_maintenance(
         # every path is ORDER-scoped: a shared ledger would let a
         # 2-gram stream's admissions starve a 3-gram stream pointed at
         # the same directory (each order is its own maintenance unit)
-        c_path = f"{lm_dir}/counts_{order}gram"
-        d_path = f"{lm_dir}/doc_ids_{order}gram"
-        m_path = f"{lm_dir}/_inflight_{order}gram"
         first = not os.path.isdir(d_path)
         if not first:
             indexed = spark.read.parquet(d_path)
@@ -413,15 +426,6 @@ def stream_lm_maintenance(
             )
         if docs.isEmpty():
             return
-        if os.path.exists(m_path):
-            raise RuntimeError(
-                f"torn micro-batch detected ({m_path} exists): a prior "
-                "batch crashed between its counts overwrite and its "
-                "ledger append, so the counts hold a delta the ledger "
-                "does not know about and a replay would double-merge. "
-                "Rebuild the LM from the source docs, then remove the "
-                "marker."
-            )
         toks = docs.select(
             F.col(id_col), tokens_expr(text_col).alias("toks")
         )
