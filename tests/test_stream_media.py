@@ -132,6 +132,47 @@ def test_stream_media_star_shape_cluster_canonical(spark, tmp_path):
     assert {r["doc_id"] for r in spark.read.parquet(corpus).collect()} == {0}
 
 
+def test_stopword_frame_mask(spark, tmp_path):
+    """VERDICT r13 watch #1 / rule 13 on the frame tier: a frame shared
+    by more than MAX_FRAME_DF docs (an intro card) is stopword evidence —
+    it must neither doom the docs that share it (in-batch OR vs-corpus)
+    nor stop a genuine duplicate (unique-frame overlap) from dooming."""
+    from vector_db_light_spark.streaming.media import (
+        MAX_FRAME_DF,
+        _curate_media_batch,
+    )
+
+    corpus = str(tmp_path / "curated")
+    frames = str(tmp_path / "frame_index")
+    n = MAX_FRAME_DF + 2  # intro df above the cap
+    rows = [
+        (i, "video/mp4", _clip("intro", f"u{i}a", f"u{i}b")) for i in range(n)
+    ]
+    # doc n: a re-upload of doc 0's content (intro masked, but its two
+    # UNIQUE frames fully contain doc 0's -> doomed in-batch)
+    rows.append((n, "video/mp4", _clip("intro", "u0a", "u0b")))
+    batch = spark.createDataFrame(
+        rows, "doc_id bigint, media_type string, payload binary"
+    )
+    _curate_media_batch(batch, corpus, frames, 0.5)
+    ids = {r["doc_id"] for r in spark.read.parquet(corpus).collect()}
+    assert ids == set(range(n))  # intro alone doomed nobody; dup doomed
+
+    # vs-corpus: the union-df mask sees the indexed intros even though the
+    # new batch alone is below the cap; only true unique-frame overlap
+    # (doc n+2 vs indexed doc 3) dooms
+    batch2 = spark.createDataFrame(
+        [
+            (n + 1, "video/mp4", _clip("intro", "f1", "f2", "f3")),
+            (n + 2, "video/mp4", _clip("intro", "u3a", "u3b", "x9")),
+        ],
+        "doc_id bigint, media_type string, payload binary",
+    )
+    _curate_media_batch(batch2, corpus, frames, 0.5)
+    ids2 = {r["doc_id"] for r in spark.read.parquet(corpus).collect()}
+    assert ids2 == set(range(n)) | {n + 1}
+
+
 def test_stream_image_admission_equals_incremental(spark, tmp_path):
     """r13 streaming perceptual admission: draining batches of real PNG
     variants leaves the band index holding exactly the originals plus the

@@ -566,7 +566,10 @@ def video_dhash_variant_payload(vid: int, text: str) -> bytes:
     bytes differ — exact-hash frame matching finds nothing — but each
     frame's 9x8 dHash is bit-identical by the nested-floor identity),
     k=2 frame 0's pixel (0,0) shifted +128 mod 256 (a retitled opening
-    whose perceptual key moves)."""
+    whose perceptual key moves), k=3 a TITLECARD cut: every frame a
+    solid mid-gray — its dHash is (0,0) for EVERY doc, the planted
+    ubiquitous-key class that forces the frame tier's stopword mask
+    (CLAUDE.md rule 13 applied to frames, VERDICT r13 watch #1)."""
     from ..functions.mp4 import encode_mp4
     from ..functions.png import encode_png
 
@@ -575,6 +578,9 @@ def video_dhash_variant_payload(vid: int, text: str) -> bytes:
     n = len(text.encode("utf-8")) // 64
     frames = []
     for i in range(n):
+        if k == 3:
+            frames.append(encode_png(b"\x80" * (w0 * h0), w0, h0, 1))
+            continue
         rows = [
             bytearray(hashlib.md5(f"{d}:{i}:{y}".encode()).digest()[:w0])
             for y in range(h0)

@@ -32,7 +32,11 @@ signal is frame-set overlap, not document hashes. Per micro-batch:
 
 Zero-frame docs (empty or unparseable videos) have no overlap evidence
 and are admitted; parse failures never poison the batch (the demuxer's
-per-row error contract).
+per-row error contract). Frame keys carried by more than MAX_FRAME_DF
+distinct docs (black frames, title cards) are STOPWORD frames: masked
+from every candidate join and overlap denominator (rule 13 — uncapped,
+a ubiquitous frame makes the join quadratic in its doc class), while the
+persisted index keeps full key sets so the mask re-derives per batch.
 
 At 100 TB the frame index is bucketed by frame_key so step 3 joins
 shuffle-free on the big side; batch-derived sides broadcast.
@@ -52,6 +56,37 @@ from ..operators.multimodal import sample_frames
 
 def _has_parquet(d: str) -> bool:
     return os.path.isdir(d) and any(f.endswith(".parquet") for f in os.listdir(d))
+
+
+# Stopword-frame document-frequency cap (VERDICT r13 watch #1 — CLAUDE.md
+# rule 13 applied to the frame tier): a frame key carried by more than
+# MAX_FRAME_DF distinct docs (black frames, title cards, intro logos) has
+# no discriminative signal — exactly a stopword — and, uncapped, makes
+# every frame-key candidate join AND the per-(new, existing) group
+# quadratic in that doc class. Hot keys are dropped from candidate
+# generation and from the overlap DENOMINATORS (evidence = discriminative
+# frames only; a doc whose frames are ALL stopwords has no overlap
+# evidence and is admitted, the zero-frame-doc policy). The persisted
+# frame index keeps FULL key sets — the mask recomputes per batch over
+# index+batch, so a key crossing the threshold later is masked then.
+MAX_FRAME_DF = 8
+
+
+def hot_frame_keys(
+    frames: DataFrame, max_df: int = MAX_FRAME_DF, key_col: str = "frame_key"
+) -> DataFrame:
+    """Keys of ``frames`` (doc_id, key) carried by more than ``max_df``
+    distinct docs. Hot-key count is bounded by distinct-pairs/max_df, so
+    the set broadcasts; at extreme corpus scale drop the hint and let the
+    anti-join shuffle."""
+    return (
+        frames.select("doc_id", key_col)
+        .distinct()
+        .groupBy(key_col)
+        .agg(F.count(F.lit(1)).alias("_df"))
+        .filter(F.col("_df") > max_df)
+        .select(key_col)
+    )
 
 
 def batch_frame_keys(media: DataFrame) -> DataFrame:
@@ -75,23 +110,37 @@ def overlap_doomed(
     new_frames: DataFrame,
     existing_frames: DataFrame,
     threshold: float,
+    max_df: int = MAX_FRAME_DF,
 ) -> DataFrame:
-    """doc_ids from ``new_frames`` whose frame overlap with ANY single
-    existing doc reaches ``threshold`` of the new doc's frame count.
-    One equi-join on frame_key + one (new, existing) group — never a
-    cross product."""
-    n_new = new_frames.groupBy("doc_id").agg(
+    """doc_ids from ``new_frames`` whose DISCRIMINATIVE frame overlap
+    with ANY single existing doc reaches ``threshold`` of the new doc's
+    discriminative frame count. One equi-join on frame_key + one
+    (new, existing) group — never a cross product. Keys carried by more
+    than ``max_df`` distinct docs across index+batch are stopword frames
+    (rule 13): they are dropped from BOTH join sides and from the
+    denominator, so a ubiquitous black frame neither explodes the join
+    nor dilutes a doc's threshold; a doc of ONLY stopword frames has no
+    evidence and is admitted. ``max_df=None`` disables the mask
+    (measurement harness only)."""
+    ex = existing_frames.select(
+        # distinct: a crash-replayed batch leaves duplicate index rows
+        # (frames-first write ordering); they must not inflate overlap
+        F.col("doc_id").alias("_existing_id"),
+        "frame_key",
+    ).distinct()
+    newf = new_frames
+    if max_df is not None:
+        uni = newf.select("doc_id", "frame_key").unionByName(
+            ex.select(F.col("_existing_id").alias("doc_id"), "frame_key")
+        )
+        hot = hot_frame_keys(uni, max_df)
+        newf = newf.join(F.broadcast(hot), "frame_key", "left_anti")
+        ex = ex.join(F.broadcast(hot), "frame_key", "left_anti")
+    n_new = newf.groupBy("doc_id").agg(
         F.count(F.lit(1)).alias("_n_frames")
     )
     shared = (
-        new_frames.join(
-            # distinct: a crash-replayed batch leaves duplicate index rows
-            # (frames-first write ordering); they must not inflate overlap
-            existing_frames.select(
-                F.col("doc_id").alias("_existing_id"), "frame_key"
-            ).distinct(),
-            "frame_key",
-        )
+        newf.join(ex, "frame_key")
         .filter(F.col("doc_id") != F.col("_existing_id"))
         .groupBy("doc_id", "_existing_id")
         .agg(F.count(F.lit(1)).alias("_shared"))
@@ -132,10 +181,14 @@ def _curate_media_batch(
 
     # in-batch near-dup: containment against the SMALLER frame set makes a
     # clip and its re-encode-with-extra-outro mutual duplicates; min-id
-    # canonical per connected component
-    n_by_doc = frames.groupBy("doc_id").agg(F.count(F.lit(1)).alias("_n"))
-    a = frames.select(F.col("doc_id").alias("id_a"), "frame_key")
-    b = frames.select(F.col("doc_id").alias("id_b"), "frame_key")
+    # canonical per connected component. Stopword frames (df > cap within
+    # the batch) are masked from the pair join AND the denominators —
+    # rule 13; the INDEX still receives survivors' full frame sets below.
+    in_hot = hot_frame_keys(frames)
+    masked = frames.join(F.broadcast(in_hot), "frame_key", "left_anti")
+    n_by_doc = masked.groupBy("doc_id").agg(F.count(F.lit(1)).alias("_n"))
+    a = masked.select(F.col("doc_id").alias("id_a"), "frame_key")
+    b = masked.select(F.col("doc_id").alias("id_b"), "frame_key")
     pair_shared = (
         a.join(b, "frame_key")
         .filter(F.col("id_a") < F.col("id_b"))
