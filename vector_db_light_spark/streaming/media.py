@@ -282,6 +282,104 @@ def image_band_rows(media: DataFrame, id_col: str = "doc_id") -> DataFrame:
     )
 
 
+def stream_audio_admission(
+    media_stream: DataFrame,
+    index_dir: str,
+    checkpoint_dir: str,
+    id_col: str = "doc_id",
+    max_hamming: int = 2,
+) -> StreamingQuery:
+    """Streaming OFFSET-FINGERPRINT audio admission (r14, VERDICT r13
+    #2): the image-admission recipe over the offset-banded,
+    silence-masked fingerprint table. Per micro-batch, arriving audios
+    fingerprint at offsets 0 and 16 (operators/multimodal.
+    audio_offset_fingerprints — decode once, silence mask inside), their
+    bands join the persisted (audio, offset) band index (new x existing
+    only), candidates verify with the exact popcount, and only audios
+    with NO index neighbor within ``max_hamming`` at ANY offset pair are
+    ADMITTED (their band rows appended). A prepended-intro copy is
+    caught by its offset-16 fingerprint matching the original's offset-0
+    row — the tier's reason to exist.
+
+    Replay posture — the sign-sketch recipe, with one refinement: an
+    admitted audio's band rows are its own membership ledger (anti-joined
+    before evaluation), the batch performs ONE mutation (a single atomic
+    append), and a rejected audio replays to the same rejection because
+    the index only grows. An audio whose fingerprints are ALL masked
+    (fully silent) appends ZERO rows — it is not ledgered, but its
+    replay re-evaluates to the same zero-row admission, so the mutation
+    is still idempotent (rule 11's exception: no state, no marker
+    needed). In-batch duplicate ids are dropped; in-batch near-dups both
+    admit by design (vs-corpus stage dedups against the INDEX)."""
+    import os
+
+    from ..operators.multimodal import audio_offset_fingerprints
+
+    def apply(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        spark = batch_df.sparkSession
+        rows = audio_offset_fingerprints(
+            batch_df.dropDuplicates([id_col]).withColumnRenamed(
+                id_col, "doc_id"
+            ),
+            id_col="aud_id",
+        )
+        if not os.path.isdir(index_dir):
+            rows.write.parquet(index_dir)
+            return
+        idx = spark.read.parquet(index_dir)
+        rows = rows.join(
+            idx.select("aud_id").distinct(), "aud_id", "left_anti"
+        ).localCheckpoint(eager=True)
+        if rows.isEmpty():
+            return
+        cands = None
+        for bk in ("b0", "b1", "b2"):
+            pb = rows.select(
+                F.col("aud_id").alias("bid"), F.col("o").alias("bo"),
+                F.col(bk).alias("_b"),
+            )
+            px = idx.select(
+                F.col("aud_id").alias("xid"), F.col("o").alias("xo"),
+                F.col(bk).alias("_b"),
+            )
+            p = pb.join(px, "_b").select("bid", "bo", "xid", "xo")
+            cands = p if cands is None else cands.unionByName(p)
+        wb = rows.select(
+            F.col("aud_id").alias("bid"), F.col("o").alias("bo"),
+            F.col("w").alias("bw"),
+        )
+        wx = idx.select(
+            F.col("aud_id").alias("xid"), F.col("o").alias("xo"),
+            F.col("w").alias("xw"),
+        )
+        doomed = (
+            cands.distinct()
+            .join(wb, ["bid", "bo"])
+            .join(wx, ["xid", "xo"])
+            .filter(
+                F.bit_count(F.col("bw").bitwiseXOR(F.col("xw")))
+                <= max_hamming
+            )
+            .select(F.col("bid").alias("aud_id"))
+            .distinct()
+        )
+        admitted = rows.join(doomed, "aud_id", "left_anti").localCheckpoint(
+            eager=True
+        )
+        if admitted.isEmpty():
+            return
+        admitted.write.mode("append").parquet(index_dir)
+
+    return (
+        media_stream.writeStream.foreachBatch(apply)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
 def stream_image_admission(
     media_stream: DataFrame,
     index_dir: str,
