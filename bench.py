@@ -89,6 +89,12 @@ HEADLINE = [
     # (demux -> PNG decode -> per-frame dHash -> key-set Jaccard)
     "tokenize_pack_pipeline",
     "video_dhash_neardup",
+    # round-14 addition: the ten-stage LLM corpus megapipeline capstone
+    # (PII scrub -> C4 -> Gopher -> exact+near dedup -> decontam ->
+    # CCNet-approx buckets -> temperature mixing -> frozen-BPE tokenize
+    # -> bin packing); the BPE merge artifact builds in the untimed
+    # warm-up like tokenize_pack_pipeline's
+    "llm_corpus_pipeline",
 ]
 
 

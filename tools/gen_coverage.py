@@ -76,7 +76,9 @@ ANNOTATIONS: dict[str, str] = {
     "idle_customer_balance": "Q22 shape: scalar AVG + NOT EXISTS anti",
     "audio_fingerprint_neardup": "31-bit energy-delta fingerprint over really-decoded PCM, 11/10/10 band join, Hamming<=2; 375/375 planted pairs, 0 noise",
     "video_dhash_neardup": "perceptual video near-dup: demux -> PNG-decode -> 9x8 dHash per frame -> key-set Jaccard; 121/121 re-encoded cuts at Jaccard 1000, 0 noise",
-    "audio_offset_fingerprint_neardup": "fingerprints at 2 time offsets: 125/125 prepended-intro pairs at Hamming 0 (prefix tier finds none); silence-prefix degeneracy measured",
+    "audio_offset_fingerprint_neardup": "fingerprints at 2 time offsets: 125/125 prepended-intro pairs at Hamming 0 (prefix tier finds none); silence-prefix degeneracy measured; r14 decode-once lead() rewrite halved both scales",
+    "audio_offset_incremental": "batch twin of streaming audio admission: (audio, offset) band index, new x existing only; 63x3 variants rejected (prepended only via offset-16), 62 novels admitted",
+    "llm_corpus_pipeline": "r14 capstone: PII scrub -> C4 -> Gopher -> exact+near dedup -> decontam -> CCNet-approx buckets -> temperature mixing -> frozen-BPE tokenize -> 512-token bins; 622 rows -> 78 kept / 9 bins, every stage drops a planted class; oracle replays all ten stages",
     "video_frameset_neardup": "video near-dup by really-demuxed shared frames: exact integer Jaccard, candidates from the frame-hash join; 275 planted pairs, 0 noise",
     "image_dhash_incremental": "perceptual admission: batch bands semi-join the index (new x existing only), quadratic-truth-pinned; 126 dups rejected, 62 novel admitted, 0 errors",
     "image_dhash_neardup": "dHash over really-decoded 9x8 thumbnails, 4x16-bit band join, exact Hamming<=3 verify; 375/375 planted pairs, 0 noise",
@@ -179,7 +181,7 @@ def _ever_driver_checked() -> set[str]:
 # from: the driver lands CORRECTNESS_r{N}.json AFTER the round's last
 # commit, so the derivation (and its pytest invariant) must be pinned to
 # the rounds that existed at derivation time — bump when re-deriving.
-WINDOW_DERIVED_AT = 12
+WINDOW_DERIVED_AT = 13
 
 
 def _last_pass_round(max_round: int | None = None) -> dict[str, int]:
@@ -227,8 +229,15 @@ WINDOW_SIZE = 50
 # (their last-pass round no longer certifies the current code). Update
 # per round; the derivation handles everything else mechanically.
 CHANGED_THIS_ROUND: tuple[str, ...] = (
-    "tokenize_pack_pipeline",  # r13: re-registered on a 64-merge vocabulary
-    "gopher_quality_battery",  # r13: +bullet/ellipsis line rules + violators
+    # r14: stopword-frame mask (rule 13 on the frame tier) + planted
+    # degenerate classes changed these queries' semantics/fixtures
+    "multimodal_frame_dedup",
+    "multimodal_incremental_frame_dedup",
+    "video_dhash_neardup",
+    # r14: decode-once lead() rewrite (same output, new code path)
+    "audio_offset_fingerprint_neardup",
+    # r14: gopher line rules neutralized at the call site (ADVICE r13 #1)
+    "curation_gopher_ccnet",
 )
 
 

@@ -29,9 +29,10 @@ HERE = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 # BUMP THIS on every re-record (ADVICE r12: the written file's provenance
 # must name the version/round that actually recorded it, not a stale one).
 BASELINE_PROVENANCE = (
-    "baseline v7, recorded at round 13 (headline 25 -> 27: "
-    "+ tokenize_pack_pipeline, video_dhash_neardup; gopher_quality_battery "
-    "re-registered with the line rules)"
+    "baseline v8, recorded at round 14 (headline 27 -> 28: "
+    "+ llm_corpus_pipeline capstone; video_dhash_neardup re-registered "
+    "with the titlecard cut + stopword-key mask; "
+    "audio_offset_fingerprint_neardup rewritten decode-once)"
 )
 
 

@@ -1207,11 +1207,16 @@ def multimodal_incremental_frame_dedup(spark, sf_dir):
     )
     # bf feeds overlap_doomed (twice: the n_new aggregate + the shared
     # join) AND nn below — checkpoint the encode+demux Arrow chain once
-    # (CLAUDE.md rule 4; the streaming twin checkpoints the same subtree)
+    # (CLAUDE.md rule 4; the streaming twin checkpoints the same subtree).
+    # xf is consumed three times since the r14 mask (union-df + the
+    # masked join side): checkpoint it too — in the streaming twin the
+    # index side is a cheap parquet re-scan, but here it is a demux chain
     bf = batch_frame_keys(attach_payload(batch_docs)).localCheckpoint(
         eager=True
     )
-    xf = batch_frame_keys(attach_payload(idx_docs))
+    xf = batch_frame_keys(attach_payload(idx_docs)).localCheckpoint(
+        eager=True
+    )
     doomed = overlap_doomed(bf, xf, 0.5).withColumn("_doomed", F.lit(1))
     nn = bf.groupBy("doc_id").agg(F.count(F.lit(1)).cast("long").alias("n_frames"))
     return (

@@ -2226,6 +2226,8 @@ corpus AS (
     WHEN doc_id % 29 = 0 THEN base4 || chr(10) || 'too short.'
     WHEN doc_id % 31 = 0
       THEN base4 || chr(10) || 'this line just trails off with no end'
+    WHEN doc_id % 37 = 0
+      THEN base4 || chr(10) || 'buy cheap viagra pills shipped here now.'
     ELSE base4 END AS text
   FROM base
 ),
@@ -2235,14 +2237,18 @@ m AS (
          CAST(len(list_filter(string_split(text, chr(10)),
               l -> {_C4_LINE_KEPT_SQL})) AS BIGINT) AS n_kept_lines,
          CAST(lower(text) LIKE '%lorem ipsum%' AS INT) AS has_lorem,
-         CAST(text LIKE '%{{%' AS INT) AS has_brace
+         CAST(text LIKE '%{{%' AS INT) AS has_brace,
+         CAST(len(list_intersect({_TOKS_SQL},
+              ['viagra', 'nsfw', 'xxx'])) > 0 AS INT) AS has_bad_words
   FROM corpus
 )
 SELECT *,
-       CAST(has_brace = 0 AND has_lorem = 0 AND n_kept_lines >= 3 AS INT)
+       CAST(has_brace = 0 AND has_lorem = 0 AND has_bad_words = 0
+            AND n_kept_lines >= 3 AS INT)
          AS keep,
        CASE WHEN has_brace = 1 THEN 'brace'
             WHEN has_lorem = 1 THEN 'lorem'
+            WHEN has_bad_words = 1 THEN 'bad_words'
             WHEN n_kept_lines < 3 THEN 'few_sentences'
             ELSE 'kept' END AS drop_reason
 FROM m
@@ -2257,10 +2263,12 @@ def c4_line_filter_battery(spark, sf_dir):
     dropped), a 'javascript' line (% 17 — line dropped, page kept), a
     'lorem ipsum' line (% 19 — page dropped), a 2-line page (% 23 —
     fewer than 3 kept sentences, dropped), a 2-word line (% 29 — line
-    dropped by the >= 5-word floor) and an unterminated line (% 31 —
-    line dropped by the terminal-punctuation rule). All counts are
-    exact integers over the shared split primitives; drop_reason
-    precedence (brace > lorem > few_sentences) is part of the
+    dropped by the >= 5-word floor), an unterminated line (% 31 —
+    line dropped by the terminal-punctuation rule), and r14's
+    BAD-WORDS page (% 37 — C4's dirty-word-list page rule, opt-in
+    token-membership check, page dropped). All counts are exact
+    integers over the shared split primitives; drop_reason precedence
+    (brace > lorem > bad_words > few_sentences) is part of the
     contract."""
     docs = load_docs(spark, sf_dir)
     toks = T.tokens_expr("text")
@@ -2300,10 +2308,17 @@ def c4_line_filter_battery(spark, sf_dir):
                 F.lit("this line just trails off with no end"),
             ),
         )
+        .when(
+            F.col("doc_id") % 37 == 0,
+            F.concat(
+                base4, nl,
+                F.lit("buy cheap viagra pills shipped here now."),
+            ),
+        )
         .otherwise(base4)
     )
     corpus = base.select("doc_id", mutated.alias("text"))
-    return T.c4_line_rules(corpus)
+    return T.c4_line_rules(corpus, bad_words=("viagra", "nsfw", "xxx"))
 
 
 # ---------------------------------------------------------------------------
@@ -2311,6 +2326,14 @@ def c4_line_filter_battery(spark, sf_dir):
 # training-data pipeline runs first; planted PII classes per residue,
 # scrubbed output hash-pinned on both engines.
 # ---------------------------------------------------------------------------
+
+# Luhn-validated credit-card redaction (r14, VERDICT r13 #8): the
+# candidate regex + unrolled integer checksum proven in cc_luhn_detection,
+# now feeding the REDACTION battery (valid cards -> [CC]; the broken-check
+# candidate is the planted false-positive guard and must survive).
+from .safety import _CC_INVALID as _PIIB_CC_INVALID  # noqa: E402
+from .safety import _CC_VALID as _PIIB_CC_VALID  # noqa: E402
+from .safety import _LUHN_SQL as _PIIB_LUHN_SQL  # noqa: E402
 
 _PII_EMAIL_SQL = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z][a-z]+"
 _PII_PHONE_SQL = "[0-9][0-9][0-9]-[0-9][0-9][0-9]-[0-9][0-9][0-9][0-9]"
@@ -2331,10 +2354,12 @@ WITH corpus AS (
     WHEN doc_id % 19 = 0 THEN text || ' hosts 10.0.0.7 and 172.16.254.1 up'
     WHEN doc_id % 23 = 0 THEN text ||
       ' mail bob@corp.io from 203.0.113.9 or dial 800-555-0100'
+    WHEN doc_id % 29 = 0 THEN text ||
+      ' pay with {_PIIB_CC_VALID} never {_PIIB_CC_INVALID} thanks'
     ELSE text END AS text
   FROM documents
 ),
-m AS (
+s3 AS (
   SELECT doc_id,
     CAST(len(regexp_extract_all(lower(text), '{_PII_EMAIL_SQL}'))
          AS BIGINT) AS n_emails,
@@ -2342,28 +2367,46 @@ m AS (
          AS BIGINT) AS n_phones,
     CAST(len(regexp_extract_all(lower(text), '{_PII_IP_SQL}'))
          AS BIGINT) AS n_ips,
-    substr(md5(
+    regexp_replace(
       regexp_replace(
-        regexp_replace(
-          regexp_replace(lower(text), '{_PII_EMAIL_SQL}', '[EMAIL]', 'g'),
-          '{_PII_PHONE_SQL}', '[PHONE]', 'g'),
-        '{_PII_IP_SQL}', '[IP]', 'g')), 1, 16) AS scrubbed_md5
+        regexp_replace(lower(text), '{_PII_EMAIL_SQL}', '[EMAIL]', 'g'),
+        '{_PII_PHONE_SQL}', '[PHONE]', 'g'),
+      '{_PII_IP_SQL}', '[IP]', 'g') AS scrub3
   FROM corpus
+),
+m AS (
+  SELECT doc_id, n_emails, n_phones, n_ips,
+    CAST(len(cands) AS BIGINT) AS n_cc_candidates,
+    CAST(len(list_filter(cands, {{_luhn}})) AS BIGINT) AS n_cc_valid,
+    substr(md5(list_reduce(
+      list_prepend(scrub3, list_filter(cands, {{_luhn}})),
+      (a, b) -> replace(a, b, '[CC]'))), 1, 16) AS scrubbed_md5
+  FROM (
+    SELECT *,
+           regexp_extract_all(scrub3,
+             '\\b\\d{{4}}-\\d{{4}}-\\d{{4}}-\\d{{4}}\\b') AS cands
+    FROM s3
+  )
 )
-SELECT doc_id, n_emails, n_phones, n_ips,
-       n_emails + n_phones + n_ips AS n_pii,
-       CAST(n_emails + n_phones + n_ips > 0 AS INT) AS has_pii,
+SELECT doc_id, n_emails, n_phones, n_ips, n_cc_candidates, n_cc_valid,
+       n_emails + n_phones + n_ips + n_cc_valid AS n_pii,
+       CAST(n_emails + n_phones + n_ips + n_cc_valid > 0 AS INT)
+         AS has_pii,
        scrubbed_md5
 FROM m
-""",
+""".replace("{_luhn}", _PIIB_LUHN_SQL),
 )
 def pii_scrub_battery(spark, sf_dir):
     """PII detection + redaction battery
     (operators/textstats.pii_scrub): planted PII classes per residue —
     two emails (% 13, incl. a plus-tag and a hyphenated domain), a
-    NNN-NNN-NNNN phone (% 17), two dotted-quad IPs (% 19), and a MIXED
-    doc carrying all three classes (% 23) — over the otherwise-clean
-    corpus (0 false positives on unmutated docs, pinned by the counts).
+    NNN-NNN-NNNN phone (% 17), two dotted-quad IPs (% 19), a MIXED
+    doc carrying all three classes (% 23), and r14's CREDIT-CARD pair
+    (% 29): one Luhn-VALID card that must be redacted to [CC] and one
+    broken-check candidate that must SURVIVE redaction (the
+    false-positive guard a bare regex scrub fails) — over the
+    otherwise-clean corpus (0 false positives on unmutated docs, pinned
+    by the counts AND the scrubbed-bytes hash).
     Patterns are restricted to Java-regex/RE2-shared syntax (explicit
     classes, no shorthand escapes); the scrubbed text is redacted in a
     fixed class order and hash-pinned via md5 prefix on BOTH engines, so
@@ -2399,6 +2442,16 @@ def pii_scrub_battery(spark, sf_dir):
                 F.lit(
                     " mail bob@corp.io from 203.0.113.9 or dial"
                     " 800-555-0100"
+                ),
+            ),
+        )
+        .when(
+            F.col("doc_id") % 29 == 0,
+            F.concat(
+                "text",
+                F.lit(
+                    f" pay with {_PIIB_CC_VALID} never"
+                    f" {_PIIB_CC_INVALID} thanks"
                 ),
             ),
         )
@@ -2532,4 +2585,607 @@ def scrub_filter_pipeline(spark, sf_dir):
     out = T.c4_line_rules(scrubbed, carry=("n_pii",))
     return out.select(
         "doc_id", "n_pii", "n_lines", "n_kept_lines", "keep", "drop_reason"
+    )
+
+
+# ---------------------------------------------------------------------------
+# LLM corpus megapipeline (round 14, VERDICT r13 #3): the full
+# Lee/Rae/Raffel data-prep recipe as ONE registered lazy DAG, every stage
+# a shipped operator, composed in the production order:
+#   PII scrub -> C4 line filter -> Gopher battery -> exact dedup ->
+#   near dedup (sampled-gram containment) -> substring decontamination ->
+#   CCNet-approx fluency buckets -> temperature source mixing ->
+#   tokenize (frozen 64-merge BPE artifact) -> pack into 512-token bins.
+# The oracle replays all ten stages (including retraining the tokenizer's
+# 64 materialized rounds), so the hash pins the COMPOSITION — order,
+# precedence, and every stage's arithmetic — not just the stages.
+# ---------------------------------------------------------------------------
+
+_LCP_BUDGET = 512
+
+
+def _llm_corpus_oracle() -> str:
+    # vocabulary-factored BPE apply over the KEPT docs (same fragment as
+    # _tokenize_pack_oracle, fed by the pipeline's survivors)
+    applied = "s"
+    for r in range(1, _BPE_MERGES_BIG + 1):
+        pair = f"(SELECT pair FROM m{r})"
+        applied = (
+            f"replace({applied}, {_BPE_PAT.format(pair=pair)},"
+            f" {_BPE_REP.format(pair=pair)})"
+        )
+    n_after = f"len({_BPE_SYMS.format(s='s2')})"
+    from ..operators.sampling import temperature_mixture_sql
+
+    mix_sql = temperature_mixture_sql("mixin", "source", "d.doc_id", 0.5)
+    return f"""
+WITH {_bpe_ctes(_BPE_MERGES_BIG, materialized=True)},
+toksrc AS (SELECT doc_id, source, {_TOKS_SQL} AS t FROM documents),
+pg AS (
+  SELECT doc_id, source, l, l0,
+         l || chr(10) || l || chr(10) || l || chr(10) || l AS base4,
+         l0 || chr(10) || l0 || chr(10) || l0 || chr(10) || l0 AS base0
+  FROM (SELECT doc_id, source,
+               'the ' || array_to_string(t[1:6], ' ') || '.' AS l,
+               array_to_string(t[1:6], ' ') || '.' AS l0
+        FROM toksrc)
+),
+pages AS (
+  SELECT doc_id, source, CASE
+    WHEN doc_id % 13 = 0 THEN base4 || chr(10) ||
+      'contact me at john.doe@example.com or call 800-555-0100 right away.'
+    WHEN doc_id % 17 = 0 THEN base4 || chr(10) ||
+      'please enable javascript to continue viewing.'
+    WHEN doc_id % 19 = 0 THEN l || chr(10) || l
+    WHEN doc_id % 23 = 0 THEN base4 || chr(10) ||
+      'lorem ipsum dolor sit amet consectetur.'
+    WHEN doc_id % 29 = 0 THEN base4 || chr(10) ||
+      rtrim(repeat('### ', 24)) || '.'
+    WHEN doc_id % 31 = 0 THEN regexp_replace(base4, '[a-z]+', '123', 'g')
+    WHEN doc_id % 37 = 0 THEN base0
+    ELSE base4 END AS text
+  FROM pg
+),
+corpus AS (
+  SELECT doc_id, source, text FROM pages
+  UNION ALL
+  SELECT doc_id + 200000 AS doc_id, source, text FROM pages
+  WHERE doc_id % 7 = 0
+  UNION ALL
+  SELECT doc_id + 100000 AS doc_id, source,
+         substr(text, strpos(text, chr(10)) + 1) AS text
+  FROM pages WHERE doc_id % 10 = 0
+),
+scrubbed AS MATERIALIZED (
+  SELECT doc_id, source,
+    CAST(len(regexp_extract_all(lower(text), '{_PII_EMAIL_SQL}'))
+         + len(regexp_extract_all(lower(text), '{_PII_PHONE_SQL}'))
+         + len(regexp_extract_all(lower(text), '{_PII_IP_SQL}'))
+         AS BIGINT) AS n_pii,
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(lower(text), '{_PII_EMAIL_SQL}', '[EMAIL]', 'g'),
+        '{_PII_PHONE_SQL}', '[PHONE]', 'g'),
+      '{_PII_IP_SQL}', '[IP]', 'g') AS text
+  FROM corpus
+),
+c4 AS MATERIALIZED (
+  SELECT doc_id,
+         CASE WHEN has_brace = 1 THEN 'brace'
+              WHEN has_lorem = 1 THEN 'lorem'
+              WHEN n_kept_lines < 3 THEN 'few_sentences'
+              ELSE 'kept' END AS c4_reason
+  FROM (
+    SELECT doc_id,
+           CAST(len(list_filter(string_split(text, chr(10)),
+                l -> {_C4_LINE_KEPT_SQL})) AS BIGINT) AS n_kept_lines,
+           CAST(lower(text) LIKE '%lorem ipsum%' AS INT) AS has_lorem,
+           CAST(text LIKE '%{{%' AS INT) AS has_brace
+    FROM scrubbed
+  )
+),
+gt AS (
+  SELECT s.doc_id, s.text, {_TOKS_SQL.replace("text", "s.text")} AS toks
+  FROM scrubbed s JOIN c4 USING (doc_id) WHERE c4.c4_reason = 'kept'
+),
+gm AS (
+  SELECT doc_id, text, toks,
+         CAST(len(toks) AS BIGINT) AS n_words,
+         CAST(list_reduce(
+             list_prepend(0, list_transform(toks, w -> CAST(length(w) AS BIGINT))),
+             (a, b) -> a + b) AS BIGINT) AS tok_chars,
+         CAST(length(text) - length(replace(text, '#', ''))
+              + (length(text) - length(replace(text, '...', ''))) // 3
+              AS BIGINT) AS n_symbols,
+         CAST(len(list_filter(toks, w -> regexp_matches(w, '[a-z]')))
+              AS BIGINT) AS n_alpha_words,
+         CAST(len(list_intersect(list_distinct(toks),
+              ['the','be','to','of','and','that','have','with']))
+              AS BIGINT) AS n_stopwords
+  FROM gt
+),
+gr AS MATERIALIZED (
+  SELECT doc_id,
+    CASE WHEN NOT (n_words >= 10 AND n_words <= 100000) THEN 'words'
+         WHEN NOT (tok_chars >= 3 * n_words AND tok_chars <= 10 * n_words)
+           THEN 'mean_len'
+         WHEN NOT (n_symbols * 1000 <= 100 * n_words) THEN 'symbol'
+         WHEN NOT (n_alpha_words * 1000 >= 800 * n_words) THEN 'alpha'
+         WHEN NOT (n_stopwords >= 1) THEN 'stop'
+         ELSE 'kept' END AS g_reason
+  FROM gm
+),
+gsurv AS (
+  SELECT s.doc_id, s.source, s.text
+  FROM scrubbed s JOIN gr ON gr.doc_id = s.doc_id
+  WHERE gr.g_reason = 'kept'
+),
+kept_exact AS (SELECT min(doc_id) AS doc_id FROM gsurv GROUP BY sha256(text)),
+dd AS (SELECT g.* FROM gsurv g JOIN kept_exact USING (doc_id)),
+gr40 AS MATERIALIZED (
+  SELECT DISTINCT doc_id, g FROM (
+    SELECT doc_id, md5(substr(text, p, 40)) AS g
+    FROM (SELECT doc_id, text, unnest(range(1, len(text) - 38)) AS p
+          FROM dd WHERE len(text) >= 40)
+  ) WHERE ('0x' || substr(g, 1, 8))::BIGINT % 10 = 0
+),
+gn AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS ng FROM gr40 GROUP BY 1),
+near AS (
+  SELECT DISTINCT s.doc_id FROM (
+    SELECT b.doc_id, a.doc_id AS aid, CAST(count(*) AS BIGINT) AS shared
+    FROM gr40 b JOIN gr40 a ON a.g = b.g AND a.doc_id < b.doc_id
+    GROUP BY 1, 2
+  ) s JOIN gn ON gn.doc_id = s.doc_id
+  WHERE s.shared * 1000 >= 800 * gn.ng
+),
+nd AS (
+  SELECT * FROM dd WHERE doc_id NOT IN (SELECT doc_id FROM near)
+),
+egr AS (
+  SELECT DISTINCT g FROM (
+    SELECT md5(substr(text, p, 40)) AS g
+    FROM (SELECT text, unnest(range(1, len(text) - 38)) AS p
+          FROM scrubbed
+          WHERE doc_id < 100000 AND substr(md5(text), 1, 1) = '0'
+            AND len(text) >= 40)
+  ) WHERE ('0x' || substr(g, 1, 8))::BIGINT % 10 = 0
+),
+contaminated AS (
+  SELECT DISTINCT doc_id FROM gr40
+  WHERE g IN (SELECT g FROM egr)
+    AND doc_id IN (SELECT doc_id FROM nd)
+),
+cl AS MATERIALIZED (
+  SELECT * FROM nd WHERE doc_id NOT IN (SELECT doc_id FROM contaminated)
+),
+ct AS (SELECT doc_id, {_TOKS_SQL} AS t FROM cl),
+seq AS (
+  SELECT doc_id, unnest(t) AS w, generate_subscripts(t, 1) AS pos
+  FROM ct WHERE len(t) >= 2
+),
+bg AS MATERIALIZED (
+  SELECT a.doc_id, a.w AS w1, b.w AS w2
+  FROM seq a JOIN seq b ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
+),
+c AS MATERIALIZED (
+  SELECT w1, w2, CAST(count(*) AS BIGINT) AS c_ab FROM bg GROUP BY 1, 2
+),
+w1s AS (
+  SELECT w1, CAST(sum(c_ab) AS BIGINT) AS c_w1,
+         CAST(count(*) AS BIGINT) AS n_fanout
+  FROM c GROUP BY 1
+),
+w2s AS (SELECT w2, CAST(count(*) AS BIGINT) AS n_cont FROM c GROUP BY 1),
+nt AS (SELECT CAST(count(*) AS BIGINT) AS n_types FROM c),
+scored AS (
+  SELECT b.doc_id, ({_KN_FLU_P_SQL}) AS p_u6
+  FROM bg b
+  LEFT JOIN c   ON c.w1 = b.w1 AND c.w2 = b.w2
+  LEFT JOIN w1s s1 ON s1.w1 = b.w1
+  LEFT JOIN w2s s2 ON s2.w2 = b.w2
+  CROSS JOIN nt
+),
+per AS MATERIALIZED (
+  SELECT doc_id, CAST(sum(p_u6) AS BIGINT) // count(*) AS fluency_u6
+  FROM scored GROUP BY 1
+),
+samp AS MATERIALIZED (
+  SELECT doc_id, fluency_u6 FROM per
+  WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 5, 4))::BIGINT % 4 < 3
+),
+sn AS (SELECT CAST(count(*) AS BIGINT) AS ns FROM samp),
+sranked AS MATERIALIZED (
+  SELECT fluency_u6,
+         row_number() OVER (ORDER BY fluency_u6 DESC, doc_id ASC) AS srk
+  FROM samp
+),
+th AS (
+  SELECT
+    (SELECT fluency_u6 FROM sranked, sn
+     WHERE srk = greatest(ns // 3, 1)) AS t_head,
+    (SELECT fluency_u6 FROM sranked, sn
+     WHERE srk = greatest((2 * ns) // 3, 1)) AS t_mid
+),
+cc AS MATERIALIZED (
+  SELECT p.doc_id, p.fluency_u6,
+         CASE WHEN p.fluency_u6 >= th.t_head THEN 'head'
+              WHEN p.fluency_u6 >= th.t_mid THEN 'middle'
+              ELSE 'tail' END AS bucket,
+         CASE WHEN p.fluency_u6 >= th.t_head THEN 1
+              WHEN p.fluency_u6 >= th.t_mid THEN
+                CAST(('0x' || substr(md5(CAST(p.doc_id AS VARCHAR)), 1, 4))::BIGINT % 2 = 0 AS INT)
+              ELSE
+                CAST(('0x' || substr(md5(CAST(p.doc_id AS VARCHAR)), 1, 4))::BIGINT % 8 = 0 AS INT)
+              END AS cc_keep
+  FROM per p CROSS JOIN th
+),
+mixin AS MATERIALIZED (
+  SELECT cl.doc_id, cl.source
+  FROM cl JOIN cc ON cc.doc_id = cl.doc_id WHERE cc.cc_keep = 1
+),
+mix AS MATERIALIZED ({mix_sql}),
+dwords AS MATERIALIZED (
+  SELECT doc_id, unnest({_TOKS_SQL}) AS w
+  FROM (SELECT m.doc_id, s.text
+        FROM mix m JOIN scrubbed s ON s.doc_id = m.doc_id)
+),
+vsym AS (
+  SELECT w, chr(9) || array_to_string(
+           list_transform(generate_series(1, len(w)), i -> substr(w, i, 1)),
+           chr(10) || chr(9)) || chr(10) AS s
+  FROM (SELECT DISTINCT w FROM dwords)
+),
+vapplied AS MATERIALIZED (
+  SELECT w, CAST({n_after} AS BIGINT) AS na
+  FROM (SELECT w, {applied} AS s2 FROM vsym)
+),
+counts AS (
+  SELECT doc_id, CAST(sum(v.na) AS BIGINT) AS n_tok
+  FROM dwords d JOIN vapplied v USING (w) GROUP BY doc_id
+),
+bins AS (
+  SELECT doc_id, n_tok,
+         CAST(tok_start // {_LCP_BUDGET} AS BIGINT) AS first_bin,
+         CAST(greatest(tok_start // {_LCP_BUDGET},
+                       (tok_start + n_tok - 1) // {_LCP_BUDGET})
+              - tok_start // {_LCP_BUDGET} + 1 AS BIGINT) AS n_bins
+  FROM (
+    SELECT doc_id, n_tok,
+           CAST(COALESCE(SUM(n_tok) OVER (ORDER BY doc_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                AS BIGINT) AS tok_start
+    FROM counts
+  )
+)
+SELECT s.doc_id, s.n_pii,
+       CASE WHEN c4.c4_reason != 'kept' THEN 'c4:' || c4.c4_reason
+            WHEN gr.g_reason != 'kept' THEN 'gopher:' || gr.g_reason
+            WHEN ke.doc_id IS NULL THEN 'exact_dup'
+            WHEN nr.doc_id IS NOT NULL THEN 'near_dup'
+            WHEN co.doc_id IS NOT NULL THEN 'contaminated'
+            WHEN cc.doc_id IS NULL THEN 'short'
+            WHEN cc.cc_keep = 0 THEN 'ppl_sample'
+            WHEN mx.doc_id IS NULL THEN 'mix_sample'
+            ELSE 'kept' END AS drop_reason,
+       COALESCE(cc.fluency_u6, CAST(-1 AS BIGINT)) AS fluency_u6,
+       COALESCE(cc.bucket, 'dropped') AS bucket,
+       COALESCE(b.n_tok, CAST(-1 AS BIGINT)) AS n_tok,
+       COALESCE(b.first_bin, CAST(-1 AS BIGINT)) AS first_bin,
+       COALESCE(b.n_bins, CAST(0 AS BIGINT)) AS n_bins,
+       CAST(b.doc_id IS NOT NULL AS INT) AS keep
+FROM scrubbed s
+LEFT JOIN c4 ON c4.doc_id = s.doc_id
+LEFT JOIN gr ON gr.doc_id = s.doc_id
+LEFT JOIN kept_exact ke ON ke.doc_id = s.doc_id
+LEFT JOIN near nr ON nr.doc_id = s.doc_id
+LEFT JOIN contaminated co ON co.doc_id = s.doc_id
+LEFT JOIN cc ON cc.doc_id = s.doc_id
+LEFT JOIN mix mx ON mx.doc_id = s.doc_id
+LEFT JOIN bins b ON b.doc_id = s.doc_id
+"""
+
+
+@register("llm_corpus_pipeline", _llm_corpus_oracle())
+def llm_corpus_pipeline(spark, sf_dir):
+    """The LLM training-corpus megapipeline (r14 capstone, VERDICT r13
+    #3): ten shipped stages in the production order, one lazy DAG, one
+    per-document manifest whose drop_reason column IS the stage funnel.
+
+    Corpus: every doc rendered as a 4-line page of its leading sentence,
+    one planted violator class per stage (PII line %13 — scrubbed and
+    KEPT, its redacted [email]/[phone] count as words downstream;
+    javascript line %17 — line-dropped, page kept; 2-line page %19;
+    lorem %23; '###' symbol spam %29; digits-only %31), plus +200000
+    exact re-uploads (%7) and +100000 first-line-stripped near-copies
+    (%10). Stages: pii_scrub -> c4_line_rules -> gopher_rules (5
+    word-level rules, line rules neutralized as in curation_gopher_ccnet)
+    -> exact dedup (sha256 min-id) -> near dedup (40-char sampled-gram
+    containment >= 800 permille vs any smaller-id survivor) -> substring
+    decontam vs the md5-sliced eval set (content-keyed 1/16 of original
+    pages; an eval page in the corpus contaminates itself — the
+    benchmark-copy story) -> CCNet fluency terciles with the APPROX
+    sampled-threshold cut (the 100 TB swap-out: two broadcast scalars,
+    no corpus-wide rank) + head/middle/tail md5 sampling -> alpha=1/2
+    temperature source mixing (operators/sampling.temperature_mixture)
+    -> tokenize under the FROZEN 64-merge BPE artifact (rank-based
+    vocabulary-factored apply) -> pack into 512-token bins (two-level
+    prefix sum). The oracle replays all ten stages including the 64
+    materialized tokenizer rounds — the hash pins composition order and
+    precedence, not just each stage. sf0.01 funnel (622 corpus rows):
+    c4 drops 51 (few_sentences 28 / lorem 23), gopher drops 49 (alpha 18
+    / symbol 18 / stop 13), exact_dup 72, near_dup 43, contaminated 88,
+    ppl_sample 159, mix_sample 82 -> 78 kept docs, 4540 BPE tokens
+    packed into 9 bins. Nothing vacuous — every stage drops a planted
+    class. Scale shape: the scrubbed corpus is checkpointed once
+    (the natural materialization point — at 100 TB this is the hive
+    table between ingest and curation); everything downstream is
+    id-equi joins, banded gram joins, one bigram LM over survivors, a
+    broadcast threshold/ratio pair, and the packing prefix sum."""
+    from ..operators.dedup import sampled_grams
+    from ..operators.packing import pack_spans
+    from ..operators.sampling import temperature_mixture
+    from ..plans.spread import spread
+    from pyspark.sql.window import Window
+
+    docs = load_docs(spark, sf_dir)
+    toks = T.tokens_expr("text")
+    line0 = F.concat(F.array_join(F.slice(toks, 1, 6), " "), F.lit("."))
+    line = F.concat(F.lit("the "), line0)
+    nl = F.lit("\n")
+    base = docs.select(
+        "doc_id", "source", line.alias("l"), line0.alias("l0")
+    )
+    base4 = F.concat(
+        F.col("l"), nl, F.col("l"), nl, F.col("l"), nl, F.col("l")
+    )
+    base0 = F.concat(
+        F.col("l0"), nl, F.col("l0"), nl, F.col("l0"), nl, F.col("l0")
+    )
+    page = (
+        F.when(
+            F.col("doc_id") % 13 == 0,
+            F.concat(
+                base4, nl,
+                F.lit(
+                    "contact me at john.doe@example.com or call"
+                    " 800-555-0100 right away."
+                ),
+            ),
+        )
+        .when(
+            F.col("doc_id") % 17 == 0,
+            F.concat(
+                base4, nl,
+                F.lit("please enable javascript to continue viewing."),
+            ),
+        )
+        .when(F.col("doc_id") % 19 == 0, F.concat(F.col("l"), nl, F.col("l")))
+        .when(
+            F.col("doc_id") % 23 == 0,
+            F.concat(
+                base4, nl, F.lit("lorem ipsum dolor sit amet consectetur.")
+            ),
+        )
+        .when(
+            F.col("doc_id") % 29 == 0,
+            F.concat(base4, nl, F.expr("rtrim(repeat('### ', 24))"), F.lit(".")),
+        )
+        .when(
+            F.col("doc_id") % 31 == 0,
+            F.regexp_replace(base4, "[a-z]+", "123"),
+        )
+        .when(F.col("doc_id") % 37 == 0, base0)
+        .otherwise(base4)
+    )
+    pages = base.select("doc_id", "source", page.alias("text"))
+    corpus = (
+        pages.unionByName(
+            pages.filter(F.col("doc_id") % 7 == 0).select(
+                (F.col("doc_id") + 200000).alias("doc_id"), "source", "text"
+            )
+        )
+        .unionByName(
+            pages.filter(F.col("doc_id") % 10 == 0).select(
+                (F.col("doc_id") + 100000).alias("doc_id"),
+                "source",
+                F.expr("substring(text, instr(text, '\n') + 1)").alias(
+                    "text"
+                ),
+            )
+        )
+    )
+    from ..operators.textstats import (
+        PII_EMAIL_RE,
+        PII_IPV4_RE,
+        PII_PHONE_RE,
+        pii_scrubbed_text,
+    )
+
+    lt = F.lower(F.col("text"))
+    n_pii = (
+        F.size(F.regexp_extract_all(lt, F.lit(PII_EMAIL_RE), F.lit(0)))
+        + F.size(F.regexp_extract_all(lt, F.lit(PII_PHONE_RE), F.lit(0)))
+        + F.size(F.regexp_extract_all(lt, F.lit(PII_IPV4_RE), F.lit(0)))
+    ).cast("long")
+    # the scrubbed corpus is consumed by EVERY downstream stage — the one
+    # deliberate materialization (rule 4; at 100 TB this is the persisted
+    # post-scrub table)
+    scrubbed = (
+        spread(corpus, "doc_id")
+        .select(
+            "doc_id",
+            "source",
+            n_pii.alias("n_pii"),
+            pii_scrubbed_text("text").alias("text"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    c4 = T.c4_line_rules(scrubbed).select(
+        "doc_id", F.col("drop_reason").alias("c4_reason")
+    )
+    g = T.gopher_rules(
+        scrubbed.join(
+            c4.filter(F.col("c4_reason") == "kept").select("doc_id"),
+            "doc_id",
+            "left_semi",
+        ),
+        min_stopwords=1,
+        max_bullet_permille=1000,
+        max_ellipsis_permille=1000,
+    ).select("doc_id", F.col("drop_reason").alias("g_reason"))
+    gsurv = scrubbed.join(
+        g.filter(F.col("g_reason") == "kept").select("doc_id"),
+        "doc_id",
+        "left_semi",
+    )
+    kept_exact = gsurv.groupBy(F.sha2("text", 256).alias("_h")).agg(
+        F.min("doc_id").alias("doc_id")
+    ).select("doc_id")
+    dd = gsurv.join(kept_exact, "doc_id", "left_semi")
+    grams = (
+        sampled_grams(dd)
+        .select("doc_id", "g")
+        .distinct()
+        .localCheckpoint(eager=True)  # consumed by gn + both pair sides + decontam
+    )
+    gn = grams.groupBy("doc_id").agg(F.count(F.lit(1)).cast("long").alias("ng"))
+    ga = grams.select(F.col("doc_id").alias("aid"), "g")
+    pair = (
+        grams.join(ga, "g")
+        .filter(F.col("aid") < F.col("doc_id"))
+        .groupBy("doc_id", "aid")
+        .agg(F.count(F.lit(1)).cast("long").alias("shared"))
+    )
+    near = (
+        pair.join(gn, "doc_id")
+        .filter(F.col("shared") * 1000 >= 800 * F.col("ng"))
+        .select("doc_id")
+        .distinct()
+    )
+    nd = dd.join(near, "doc_id", "left_anti")
+    eval_docs = scrubbed.filter(
+        (F.col("doc_id") < 100000)
+        & (F.substring(F.md5("text"), 1, 1) == "0")
+    ).select("doc_id", "text")
+    egr = sampled_grams(eval_docs).select("g").distinct()
+    contaminated = (
+        grams.join(nd.select("doc_id"), "doc_id", "left_semi")
+        .join(egr, "g", "left_semi")
+        .select("doc_id")
+        .distinct()
+    )
+    cl = nd.join(contaminated, "doc_id", "left_anti").localCheckpoint(
+        eager=True
+    )  # LM + mixing + manifest reuse the survivor set
+    surv = (
+        cl.select("doc_id", T.tokens_expr("text").alias("toks"))
+        .filter(F.size("toks") >= 2)
+        .select("doc_id", F.lit("orig").alias("variant"), "toks")
+    )
+    per = (
+        T.kn_fluency_scores(surv)
+        .select("doc_id", "fluency_u6")
+        .localCheckpoint(eager=True)  # thresholds + assignment reuse scores
+    )
+    w = Window.orderBy(F.col("fluency_u6").desc(), F.col("doc_id").asc())
+    qres = F.expr(
+        "cast(conv(substr(md5(cast(doc_id as string)), 5, 4), 16, 10)"
+        " as bigint)"
+    )
+    samp = per.filter(qres % 4 < 3)
+    sn = samp.agg(F.count(F.lit(1)).cast("long").alias("ns"))
+    sranked = samp.withColumn("srk", F.row_number().over(w)).crossJoin(
+        F.broadcast(sn)
+    )
+    th = sranked.select(
+        F.when(
+            F.col("srk")
+            == F.greatest(F.expr("ns div 3"), F.lit(1).cast("long")),
+            F.col("fluency_u6"),
+        ).alias("_th"),
+        F.when(
+            F.col("srk")
+            == F.greatest(F.expr("(2 * ns) div 3"), F.lit(1).cast("long")),
+            F.col("fluency_u6"),
+        ).alias("_tm"),
+    ).agg(F.max("_th").alias("t_head"), F.max("_tm").alias("t_mid"))
+    res = F.expr(
+        "cast(conv(substr(md5(cast(doc_id as string)), 1, 4), 16, 10)"
+        " as bigint)"
+    )
+    cc = per.crossJoin(F.broadcast(th)).select(
+        "doc_id",
+        "fluency_u6",
+        F.when(F.col("fluency_u6") >= F.col("t_head"), F.lit("head"))
+        .when(F.col("fluency_u6") >= F.col("t_mid"), F.lit("middle"))
+        .otherwise(F.lit("tail"))
+        .alias("bucket"),
+        F.when(F.col("fluency_u6") >= F.col("t_head"), F.lit(1))
+        .when(
+            F.col("fluency_u6") >= F.col("t_mid"),
+            (res % 2 == 0).cast("int"),
+        )
+        .otherwise((res % 8 == 0).cast("int"))
+        .alias("cc_keep"),
+    )
+    mixin = cl.select("doc_id", "source").join(
+        cc.filter(F.col("cc_keep") == 1).select("doc_id"),
+        "doc_id",
+        "left_semi",
+    )
+    mixed = temperature_mixture(mixin, "source", "doc_id", 0.5).select(
+        "doc_id"
+    )
+    kept_docs = scrubbed.join(mixed, "doc_id", "left_semi").select(
+        "doc_id", "text"
+    )
+    merges = _bpe_merges_artifact(spark, sf_dir, n_merges=_BPE_MERGES_BIG)
+    counts = T.bpe_tokenize_counts_scalable(kept_docs, merges).select(
+        "doc_id", F.col("n_tokens_after").cast("long").alias("n_tok")
+    )
+    bins = pack_spans(counts, _LCP_BUDGET).select(
+        "doc_id", "n_tok", "first_bin", "n_bins"
+    )
+    ke_flag = kept_exact.withColumn("_ke", F.lit(1))
+    nr_flag = near.withColumn("_nr", F.lit(1))
+    co_flag = contaminated.withColumn("_co", F.lit(1))
+    mx_flag = mixed.withColumn("_mx", F.lit(1))
+    man = (
+        scrubbed.select("doc_id", "n_pii")
+        .join(c4, "doc_id", "left")
+        .join(g, "doc_id", "left")
+        .join(ke_flag, "doc_id", "left")
+        .join(nr_flag, "doc_id", "left")
+        .join(co_flag, "doc_id", "left")
+        .join(cc, "doc_id", "left")
+        .join(mx_flag, "doc_id", "left")
+        .join(bins, "doc_id", "left")
+    )
+    reason = (
+        F.when(
+            F.col("c4_reason") != "kept",
+            F.concat(F.lit("c4:"), F.col("c4_reason")),
+        )
+        .when(
+            F.col("g_reason") != "kept",
+            F.concat(F.lit("gopher:"), F.col("g_reason")),
+        )
+        .when(F.col("_ke").isNull(), F.lit("exact_dup"))
+        .when(F.col("_nr").isNotNull(), F.lit("near_dup"))
+        .when(F.col("_co").isNotNull(), F.lit("contaminated"))
+        .when(F.col("cc_keep").isNull(), F.lit("short"))
+        .when(F.col("cc_keep") == 0, F.lit("ppl_sample"))
+        .when(F.col("_mx").isNull(), F.lit("mix_sample"))
+        .otherwise(F.lit("kept"))
+    )
+    return man.select(
+        "doc_id",
+        "n_pii",
+        reason.alias("drop_reason"),
+        F.coalesce("fluency_u6", F.lit(-1).cast("long")).alias("fluency_u6"),
+        F.coalesce("bucket", F.lit("dropped")).alias("bucket"),
+        F.coalesce("n_tok", F.lit(-1).cast("long")).alias("n_tok"),
+        F.coalesce("first_bin", F.lit(-1).cast("long")).alias("first_bin"),
+        F.coalesce("n_bins", F.lit(0).cast("long")).alias("n_bins"),
+        F.col("n_tok").isNotNull().cast("int").alias("keep"),
     )

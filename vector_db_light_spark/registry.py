@@ -122,65 +122,66 @@ def _populate() -> None:
 # alphabetically-first round-5 families — so rotation now re-validates
 # the oldest greens instead of only chasing first passes. Everything
 # rotated out stays registered and driver_sim-checked.
-# Round-12 rotation (VERDICT r11 #10): external coverage is COMPLETE
-# (208/208 across r1-r11), so the window is now derived MECHANICALLY by
-# `python tools/gen_coverage.py --window`: two longitudinal anchors, then
-# newcomers (this round's artifact-serving queries), then queries whose
-# output changed this round (curation_mix_manifest grew DSIR columns),
-# then the longest-unrefreshed families ascending by last external pass
-# (r5/r6/r7/r8 greens). This block is that tool's verbatim output — edit
+# Round-14 rotation: external coverage is COMPLETE (229/229 across
+# r1-r13), so the window is derived MECHANICALLY by
+# `python tools/gen_coverage.py --window`: two longitudinal anchors, the
+# round's newcomers (audio_offset_incremental, llm_corpus_pipeline), the
+# queries whose semantics/fixtures changed this round (frame-mask family,
+# audio decode-once rewrite, curation_gopher_ccnet line-rule
+# neutralization), then the longest-unrefreshed families ascending by
+# last external pass. This block is that tool's verbatim output — edit
 # gen_coverage.WINDOW_ANCHORS / CHANGED_THIS_ROUND, not this list.
 PRIORITY: tuple[str, ...] = (
     "search_pipeline",  # anchor
     "media_curation_pipeline",  # anchor
-    "audio_offset_fingerprint_neardup",  # NEWCOMER
-    "bpe_sample_train_merges",  # NEWCOMER
-    "c4_line_filter_battery",  # NEWCOMER
-    "ccnet_perplexity_buckets_approx",  # NEWCOMER
-    "image_dhash_incremental",  # NEWCOMER
-    "pii_scrub_battery",  # NEWCOMER
-    "scrub_filter_pipeline",  # NEWCOMER
-    "video_dhash_neardup",  # NEWCOMER
-    "tokenize_pack_pipeline",  # CHANGED this round (last pass r12)
-    "gopher_quality_battery",  # CHANGED this round (last pass r12)
-    "table_snapshot_diff",  # last pass r7
-    "text_repetition",  # last pass r7
-    "tumbling_hourly_events",  # last pass r7
-    "union_schema_evolution",  # last pass r7
-    "ann_ivf_recall",  # last pass r8
-    "ann_lsh_multiprobe_recall",  # last pass r8
-    "ann_lsh_recall",  # last pass r8
-    "ann_pq_rerank_recall",  # last pass r8
-    "bpe_train_merges",  # last pass r8
-    "dedup_clusters_star",  # last pass r8
-    "dedup_lsh_quality",  # last pass r8
-    "kmeans_lloyd",  # last pass r8
-    "knn_pq_adc_topk",  # last pass r8
-    "line_dedup_incremental",  # last pass r8
-    "multimodal_audio_features",  # last pass r8
-    "multimodal_audio_loudest_window",  # last pass r8
-    "multimodal_frame_dedup",  # last pass r8
-    "multimodal_incremental_frame_dedup",  # last pass r8
-    "multimodal_resize",  # last pass r8
-    "pagerank_suppliers",  # last pass r8
-    "q20_excess_suppliers",  # last pass r8
-    "q4_priority_count",  # last pass r8
-    "search_mmr_diversify",  # last pass r8
-    "search_rerank",  # last pass r8
-    "trailing_7d_revenue",  # last pass r8
-    "zorder_layout_ranges",  # last pass r8
-    "acctbal_rollup",  # last pass r9
-    "ann_ivf_filtered",  # last pass r9
-    "ann_ivf_pruned",  # last pass r9
-    "ann_ivfpq_recall",  # last pass r9
-    "ann_pq_recall",  # last pass r9
-    "ann_pq_trained_recall",  # last pass r9
-    "asof_event_order",  # last pass r9
-    "bloom_prefilter_decontam",  # last pass r9
-    "bpe_pair_counts",  # last pass r9
-    "bpe_tokenize_counts",  # last pass r9
-    "butterfly_supplier_pairs",  # last pass r9
-    "chunk_overlap_pages",  # last pass r9
+    "audio_offset_incremental",  # NEWCOMER
+    "llm_corpus_pipeline",  # NEWCOMER
+    "multimodal_frame_dedup",  # CHANGED this round (last pass r13)
+    "multimodal_incremental_frame_dedup",  # CHANGED this round (last pass r13)
+    "video_dhash_neardup",  # CHANGED this round (last pass r13)
+    "audio_offset_fingerprint_neardup",  # CHANGED this round (last pass r13)
+    "curation_gopher_ccnet",  # CHANGED this round (last pass r12)
+    "cohort_retention_daily",  # last pass r9
+    "collocations_pmi",  # last pass r9
+    "corpus_curation_pipeline",  # last pass r9
+    "decontaminate_ngram",  # last pass r9
+    "dedup_clusters",  # last pass r9
+    "dedup_incremental_lsh",  # last pass r9
+    "dedup_incremental_substring",  # last pass r9
+    "dedup_keep_best",  # last pass r9
+    "dedup_minhash_lsh",  # last pass r9
+    "dedup_semantic_prune",  # last pass r9
+    "dedup_substring_spans",  # last pass r9
+    "doc_profile",  # last pass r9
+    "embed_hashed_features",  # last pass r9
+    "embed_random_projection",  # last pass r9
+    "event_transition_matrix",  # last pass r9
+    "fuzzy_incremental_pairs",  # last pass r9
+    "fuzzy_join_titles",  # last pass r9
+    "graph_cohesion_summary",  # last pass r9
+    "hybrid_rrf_search",  # last pass r9
+    "index_build_pipeline",  # last pass r9
+    "ingest_parse_documents",  # last pass r9
+    "kcore_peel_trajectory",  # last pass r9
+    "kn_bigram_stats",  # last pass r9
+    "knn_batch_topk",  # last pass r9
+    "knn_ivfpq_residual_topk",  # last pass r9
+    "multimodal_frame_sample",  # last pass r9
+    "null_semantics_agg",  # last pass r9
+    "pagerank_directed_dangling",  # last pass r9
+    "price_quantiles_per_segment",  # last pass r9
+    "quota_per_source",  # last pass r9
+    "rag_prompt_assembly",  # last pass r9
+    "salted_hot_key_agg",  # last pass r9
+    "search_prf_expansion",  # last pass r9
+    "sessionize_events",  # last pass r9
+    "triangle_count_parts",  # last pass r9
+    "triangle_delta_incremental",  # last pass r9
+    "ann_ivf_kmeans_recall",  # last pass r10
+    "ann_lsh_ndcg",  # last pass r10
+    "approx_distinct_users",  # last pass r10
+    "approx_price_quantiles",  # last pass r10
+    "bigram_coverage_score",  # last pass r10
 )
 
 _PRIORITY_R10: tuple[str, ...] = (
