@@ -814,10 +814,14 @@ def test_parse_pdf_filter_chain_a85_hex_lzw():
 
 
 def test_image_dhash_incremental_equals_batch(spark):
-    """r13 incremental perceptual dedup: the band-index semi-join path's
-    admission verdicts equal the QUADRATIC truth (full batch x index
-    cross join, exact Hamming <= 3) — banding is lossless by pigeonhole,
-    so new x existing candidate generation loses nothing."""
+    """r13 incremental perceptual dedup (r14 mask-aware): the band-index
+    semi-join path's admission verdicts equal the QUADRATIC truth under
+    the stopword-band policy — a batch image is a dup iff some index
+    image is within Hamming 3 AND the pair shares at least one band
+    whose batch-side value is carried by <= 8 images (rule 13: a
+    corpus-hot band — the planted solid class's (0,0) — is featureless
+    evidence and dooms nobody). For contentful images banding stays
+    lossless by pigeonhole."""
     import pyspark.sql.functions as F
 
     from vector_db_light_spark.operators.multimodal import (
@@ -835,9 +839,12 @@ def test_image_dhash_incremental_equals_batch(spark):
     assert got
 
     media = _dhash_variant_corpus(spark, sf)
-    idx_set = F.expr("(doc_id div 4) % 8 = 0 AND doc_id % 4 = 0")
+    idx_set = F.expr(
+        "((doc_id div 4) % 8 = 0 AND doc_id % 4 = 0)"
+        " OR ((doc_id div 4) % 8 = 4 AND doc_id % 4 = 3)"
+    )
     bat_set = F.expr(
-        "((doc_id div 4) % 8 = 0 AND doc_id % 4 IN (1, 2))"
+        "((doc_id div 4) % 8 = 0 AND doc_id % 4 IN (1, 2, 3))"
         " OR ((doc_id div 4) % 8 = 4 AND doc_id % 4 = 0)"
     )
     thumbs = resize_images(
@@ -850,16 +857,44 @@ def test_image_dhash_incremental_equals_batch(spark):
     words = hx.select(
         "img_id", w0x.alias("w0"), w1x.alias("w1")
     ).localCheckpoint(eager=True)
-    is_idx = F.expr("(img_id div 4) % 8 = 0 AND img_id % 4 = 0")
-    bx = words.filter(is_idx).collect()
-    variant = {0: "orig", 1: "scaled", 2: "perturb"}
+
+    def bands(r):
+        return (
+            r["w0"] % 65536,
+            r["w0"] // 65536,
+            r["w1"] % 65536,
+            r["w1"] // 65536,
+        )
+
+    allrows = words.collect()
+    from collections import Counter
+
+    df = [Counter(bands(r)[k] for r in allrows) for k in range(4)]
+    idx_ids = {
+        r["img_id"]
+        for r in allrows
+        if (r["img_id"] // 4) % 8 == 0 and r["img_id"] % 4 == 0
+        or (r["img_id"] // 4) % 8 == 4 and r["img_id"] % 4 == 3
+    }
+    bx = [r for r in allrows if r["img_id"] in idx_ids]
+    variant = {0: "orig", 1: "scaled", 2: "perturb", 3: "solid"}
     truth = {}
-    for b in words.filter(~is_idx).collect():
+    for b in allrows:
+        if b["img_id"] in idx_ids:
+            continue
+        bb = bands(b)
         dup = any(
             bin(b["w0"] ^ x["w0"]).count("1")
             + bin(b["w1"] ^ x["w1"]).count("1")
             <= 3
+            and any(
+                bb[k] == bands(x)[k] and df[k][bb[k]] <= 8
+                for k in range(4)
+            )
             for x in bx
         )
         truth[(b["img_id"] // 4, variant[b["img_id"] % 4])] = int(not dup)
     assert got == truth
+    # the planted solid class is present and admitted by policy
+    solids = [v for (d, var), v in got.items() if var == "solid"]
+    assert solids and all(v == 1 for v in solids)

@@ -671,3 +671,68 @@ def test_pii_regex_cross_engine_parity_fuzz(spark):
             [text],
         ).fetchone()
         assert got[i] == (e, p, q, h), (i, text, got[i], (e, p, q, h))
+
+
+def test_pii_scrub_luhn_cc(spark):
+    """r14 credit-card path: a Luhn-VALID 16-digit card redacts to [CC]
+    (and counts toward n_pii), a broken-check candidate is counted as a
+    candidate but SURVIVES redaction — the false-positive guard a bare
+    regex scrub fails."""
+    import hashlib
+
+    from vector_db_light_spark.operators.textstats import pii_scrub
+
+    valid, invalid = "4532-0151-1283-0366", "4532-0151-1283-0367"
+    docs = spark.createDataFrame(
+        [(1, f"pay {valid} not {invalid} ok")],
+        "doc_id bigint, text string",
+    )
+    r = pii_scrub(docs).collect()[0]
+    assert (r["n_cc_candidates"], r["n_cc_valid"]) == (2, 1)
+    assert (r["n_pii"], r["has_pii"]) == (1, 1)
+    assert r["scrubbed_md5"] == hashlib.md5(
+        f"pay [CC] not {invalid} ok".encode()
+    ).hexdigest()[:16]
+
+
+def test_llm_corpus_pipeline_funnel_invariants(spark):
+    """Fast (sf0.001) structural pins on the r14 capstone beyond the
+    driver's sf0.01 hash: the funnel is populated, stage precedence
+    rules hold row-wise, and the packing layout is a valid contiguous
+    bin assignment over exactly the kept docs."""
+    from collections import Counter
+
+    from vector_db_light_spark.registry import QUERIES
+
+    rows = QUERIES["llm_corpus_pipeline"](
+        spark, "/root/testdata/sf0.001"
+    ).collect()
+    assert rows
+    reasons = Counter(r["drop_reason"] for r in rows)
+    assert reasons["kept"] > 0 and reasons["exact_dup"] > 0
+    kept = sorted(
+        (r for r in rows if r["drop_reason"] == "kept"),
+        key=lambda r: r["doc_id"],
+    )
+    # keep bit == kept reason; dropped rows carry the sentinels
+    for r in rows:
+        if r["drop_reason"] == "kept":
+            assert r["keep"] == 1 and r["n_tok"] >= 0 and r["n_bins"] >= 1
+        else:
+            assert (r["keep"], r["n_tok"], r["n_bins"]) == (0, -1, 0)
+            if r["drop_reason"] not in ("ppl_sample", "mix_sample"):
+                # docs dropped before CCNet carry the bucket sentinel
+                assert r["bucket"] == "dropped" and r["fluency_u6"] == -1
+    # PII stage is scrub-not-drop: planted %13 docs carry n_pii >= 2 and
+    # never a pii drop reason
+    pii_docs = [r for r in rows if r["doc_id"] % 13 == 0 and r["doc_id"] < 100000]
+    assert pii_docs and all(r["n_pii"] >= 2 for r in pii_docs)
+    assert not any(str(r["drop_reason"]).startswith("pii") for r in rows)
+    # packing: first_bin nondecreasing in doc_id order; a doc spanning
+    # n_bins covers exactly the bins its token span implies
+    tok_start = 0
+    for r in kept:
+        assert r["first_bin"] == tok_start // 512
+        last = max(tok_start // 512, (tok_start + r["n_tok"] - 1) // 512)
+        assert r["n_bins"] == last - r["first_bin"] + 1
+        tok_start += r["n_tok"]

@@ -75,13 +75,13 @@ ANNOTATIONS: dict[str, str] = {
     "heavy_hitters_cms": "count-min estimates vs exact, bound pinned TRUE",
     "idle_customer_balance": "Q22 shape: scalar AVG + NOT EXISTS anti",
     "audio_fingerprint_neardup": "31-bit energy-delta fingerprint over really-decoded PCM, 11/10/10 band join, Hamming<=2; 375/375 planted pairs, 0 noise",
-    "video_dhash_neardup": "perceptual video near-dup: demux -> PNG-decode -> 9x8 dHash per frame -> key-set Jaccard; 121/121 re-encoded cuts at Jaccard 1000, 0 noise",
+    "video_dhash_neardup": "perceptual video near-dup: demux -> PNG-decode -> 9x8 dHash per frame -> key-set Jaccard; 121/121 re-encoded cuts at Jaccard 1000, 0 noise; r14 titlecard cut + stopword-key mask (9.9x sf1 blowup absorbed)",
     "audio_offset_fingerprint_neardup": "fingerprints at 2 time offsets: 125/125 prepended-intro pairs at Hamming 0 (prefix tier finds none); silence-prefix degeneracy measured; r14 decode-once lead() rewrite halved both scales",
     "audio_offset_incremental": "batch twin of streaming audio admission: (audio, offset) band index, new x existing only; 63x3 variants rejected (prepended only via offset-16), 62 novels admitted",
     "llm_corpus_pipeline": "r14 capstone: PII scrub -> C4 -> Gopher -> exact+near dedup -> decontam -> CCNet-approx buckets -> temperature mixing -> frozen-BPE tokenize -> 512-token bins; 622 rows -> 78 kept / 9 bins, every stage drops a planted class; oracle replays all ten stages",
     "video_frameset_neardup": "video near-dup by really-demuxed shared frames: exact integer Jaccard, candidates from the frame-hash join; 275 planted pairs, 0 noise",
-    "image_dhash_incremental": "perceptual admission: batch bands semi-join the index (new x existing only), quadratic-truth-pinned; 126 dups rejected, 62 novel admitted, 0 errors",
-    "image_dhash_neardup": "dHash over really-decoded 9x8 thumbnails, 4x16-bit band join, exact Hamming<=3 verify; 375/375 planted pairs, 0 noise",
+    "image_dhash_incremental": "perceptual admission: batch bands semi-join the index (new x existing only), mask-aware-quadratic-truth-pinned; 126 dups rejected, 62 novels + 63 featureless solids admitted (r14 stopword-band policy)",
+    "image_dhash_neardup": "dHash over really-decoded 9x8 thumbnails, 4x16-bit band join, exact Hamming<=3 verify; 375/375 planted pairs, 0 noise; r14 solid class + per-band df cap (78.3M -> 101k sf1 candidates)",
     "incremental_agg_state": "two-batch monoid merge hash-matches the single-pass answer",
     "ingest_parse_documents": "DuckDB rebuilds the materialized ingest dir arithmetically",
     "kmeans_lloyd": "2-round Lloyd's, fixed-point centroids, exact inertia",
@@ -238,6 +238,12 @@ CHANGED_THIS_ROUND: tuple[str, ...] = (
     "audio_offset_fingerprint_neardup",
     # r14: gopher line rules neutralized at the call site (ADVICE r13 #1)
     "curation_gopher_ccnet",
+    # r14: solid class + stopword-band mask (rule 13 on the image tier)
+    "image_dhash_neardup",
+    "image_dhash_incremental",
+    # r14: +%29 Luhn credit-card redaction class / +%37 bad-words class
+    "pii_scrub_battery",
+    "c4_line_filter_battery",
 )
 
 

@@ -526,11 +526,15 @@ def dhash_variant_payload(vid: int) -> bytes:
     nearest-upscaled RE-ENCODE of the same pixels (identical 9x8
     thumbnail by the nested-floor identity — the exact perceptual twin),
     k=2 the fixture pixels with px(0,0) shifted +128 mod 256 (flips <= 3
-    dHash bits after resampling)."""
+    dHash bits after resampling), k=3 (r14) a SOLID mid-gray image —
+    dHash (0,0) for EVERY doc, the planted featureless class that forces
+    the image tier's stopword-band mask (rule 13)."""
     from ..functions.png import encode_png
 
     d, k = divmod(int(vid), 4)
     w0, h0 = 8 + d % 9, 8 + d % 7
+    if k == 3:
+        return encode_png(b"\x80" * (w0 * h0), w0, h0, 1)
     rows = [
         bytearray(hashlib.md5(f"{d}:{y}".encode()).digest()[:w0])
         for y in range(h0)

@@ -1571,8 +1571,10 @@ def _dhash_variant_corpus(spark, sf_dir: str):
     """(img_id = doc_id*4 + k, payload) for every PNG doc: k=0 the
     fixture image, k=1 a 2x nearest-upscaled re-encode (identical 9x8
     thumbnail by floor((x*2w)//9)//2 == floor(x*w//9)), k=2 the fixture
-    pixels with px(0,0) shifted by +128 mod 256. Cached like the other
-    media fixtures (encode cost is per-process, not per-query)."""
+    pixels with px(0,0) shifted by +128 mod 256, k=3 (r14) a solid
+    mid-gray image — the planted featureless dHash-(0,0) class for the
+    stopword-band mask. Cached like the other media fixtures (encode
+    cost is per-process, not per-query)."""
     from ..operators.multimodal import attach_dhash_variants
 
     def build():
@@ -1581,17 +1583,17 @@ def _dhash_variant_corpus(spark, sf_dir: str):
         )
         vids = pngs.select(
             F.explode(
-                F.array(*[(F.col("doc_id") * 4 + k) for k in range(3)])
+                F.array(*[(F.col("doc_id") * 4 + k) for k in range(4)])
             ).alias("doc_id")
         )
         return attach_dhash_variants(vids)
 
-    return _media_fixture(spark, sf_dir, "dhash_variants", build)
+    return _media_fixture(spark, sf_dir, "dhash_variants_s", build)
 
 
 _DHASH_VARIANT_SQL = (
     "CASE CAST({c} % 4 AS INT) WHEN 0 THEN 'orig' WHEN 1 THEN 'scaled'"
-    " ELSE 'perturb' END"
+    " WHEN 2 THEN 'perturb' ELSE 'solid' END"
 )
 
 
@@ -1601,7 +1603,7 @@ _DHASH_VARIANT_SQL = (
 WITH imgs AS (
   SELECT doc_id * 4 + k AS img_id, doc_id AS d, k,
          8 + doc_id % 9 AS w0, 8 + doc_id % 7 AS h0
-  FROM documents, unnest([0, 1, 2]) AS t(k)
+  FROM documents, unnest([0, 1, 2, 3]) AS t(k)
   WHERE doc_id % 4 = 0
 ),
 thumb AS (
@@ -1614,7 +1616,8 @@ thumb AS (
 ),
 pix AS (
   SELECT img_id, x, y,
-         CASE WHEN k = 2 AND sx = 0 AND sy = 0 THEN (v + 128) % 256
+         CASE WHEN k = 3 THEN 128
+              WHEN k = 2 AND sx = 0 AND sy = 0 THEN (v + 128) % 256
               ELSE v END AS p
   FROM (
     SELECT *,
@@ -1640,24 +1643,32 @@ words AS (
                        ELSE 0 END) AS BIGINT) AS w1
   FROM bits GROUP BY 1
 ),
-banded AS (
+banded AS MATERIALIZED (
   SELECT img_id, w0, w1,
          w0 % 65536 AS b0, w0 // 65536 AS b1,
          w1 % 65536 AS b2, w1 // 65536 AS b3
   FROM words
 ),
+h0x AS (SELECT b0 AS v FROM banded GROUP BY 1 HAVING count(*) > 8),
+h1x AS (SELECT b1 AS v FROM banded GROUP BY 1 HAVING count(*) > 8),
+h2x AS (SELECT b2 AS v FROM banded GROUP BY 1 HAVING count(*) > 8),
+h3x AS (SELECT b3 AS v FROM banded GROUP BY 1 HAVING count(*) > 8),
 cands AS (
   SELECT a.img_id AS ia, b.img_id AS ib
   FROM banded a JOIN banded b ON a.b0 = b.b0 AND a.img_id < b.img_id
+  WHERE a.b0 NOT IN (SELECT v FROM h0x)
   UNION
   SELECT a.img_id, b.img_id
   FROM banded a JOIN banded b ON a.b1 = b.b1 AND a.img_id < b.img_id
+  WHERE a.b1 NOT IN (SELECT v FROM h1x)
   UNION
   SELECT a.img_id, b.img_id
   FROM banded a JOIN banded b ON a.b2 = b.b2 AND a.img_id < b.img_id
+  WHERE a.b2 NOT IN (SELECT v FROM h2x)
   UNION
   SELECT a.img_id, b.img_id
   FROM banded a JOIN banded b ON a.b3 = b.b3 AND a.img_id < b.img_id
+  WHERE a.b3 NOT IN (SELECT v FROM h3x)
 )
 SELECT CAST(c.ia // 4 AS BIGINT) AS doc_a,
        {_DHASH_VARIANT_SQL.format(c='c.ia')} AS variant_a,
@@ -1688,7 +1699,15 @@ def image_dhash_neardup(spark, sf_dir):
     end-to-end. The scaled twin pairs with its original at Hamming 0
     (scale invariance, measured not assumed); at 100 TB the words/bands
     are a persisted 16-byte sketch column and each band join is
-    shuffle-partitioned by band value (the MinHash-LSH shape)."""
+    shuffle-partitioned by band value (the MinHash-LSH shape). r14:
+    every doc also ships a SOLID mid-gray cut (dHash (0,0) corpus-wide)
+    and band values carried by > 8 images are STOPWORD bands (rule 13)
+    masked from candidate generation — uncapped, the featureless class
+    alone emits |class|^2/2 junk pairs at Hamming 0; masked, it emits
+    nothing and every contentful pair is unchanged (the pigeonhole
+    recall guarantee now reads: lossless for pairs sharing >= 1
+    sub-cap band — a pair ALL of whose shared bands are corpus-hot is
+    excluded by policy, not by accident)."""
     from ..operators.multimodal import dhash_words_expr, resize_images
 
     media = _dhash_variant_corpus(spark, sf_dir)
@@ -1715,10 +1734,20 @@ def image_dhash_neardup(spark, sf_dir):
     ).localCheckpoint(eager=True)
     cands = None
     for bk in ("b0", "b1", "b2", "b3"):
-        a = banded.select(
+        # stopword-band mask (rule 13 on the image tier): values carried
+        # by > 8 images join nothing — the solid class's (0,0) bands are
+        # corpus-hot and must not generate |class|^2 candidates
+        hot = (
+            banded.groupBy(bk)
+            .agg(F.count(F.lit(1)).alias("_df"))
+            .filter(F.col("_df") > 8)
+            .select(bk)
+        )
+        masked = banded.join(F.broadcast(hot), bk, "left_anti")
+        a = masked.select(
             F.col("img_id").alias("ia"), F.col(bk).alias("_b")
         )
-        b = banded.select(
+        b = masked.select(
             F.col("img_id").alias("ib"), F.col(bk).alias("_b")
         )
         pairs = a.join(b, "_b").filter(F.col("ia") < F.col("ib")).select(
@@ -1743,7 +1772,8 @@ def image_dhash_neardup(spark, sf_dir):
     variant = lambda c: (  # noqa: E731
         F.when(F.col(c) % 4 == 0, "orig")
         .when(F.col(c) % 4 == 1, "scaled")
-        .otherwise("perturb")
+        .when(F.col(c) % 4 == 2, "perturb")
+        .otherwise("solid")
     )
     return (
         cands.join(wa, "ia")
@@ -2677,11 +2707,12 @@ def audio_offset_incremental(spark, sf_dir):
 WITH imgs AS (
   SELECT doc_id * 4 + k AS img_id, doc_id AS d, k,
          8 + doc_id % 9 AS w0, 8 + doc_id % 7 AS h0,
-         CASE WHEN doc_id % 8 = 0 AND k = 0 THEN 'index' ELSE 'batch' END
-           AS side
-  FROM documents, unnest([0, 1, 2]) AS t(k)
-  WHERE (doc_id % 8 = 0 AND k IN (0, 1, 2))
-     OR (doc_id % 8 = 4 AND k = 0)
+         CASE WHEN (doc_id % 8 = 0 AND k = 0)
+                OR (doc_id % 8 = 4 AND k = 3) THEN 'index'
+              ELSE 'batch' END AS side
+  FROM documents, unnest([0, 1, 2, 3]) AS t(k)
+  WHERE (doc_id % 8 = 0 AND k IN (0, 1, 2, 3))
+     OR (doc_id % 8 = 4 AND k IN (0, 3))
 ),
 thumb AS (
   SELECT img_id, d, k, side, x, y,
@@ -2693,7 +2724,8 @@ thumb AS (
 ),
 pix AS (
   SELECT img_id, side, x, y,
-         CASE WHEN k = 2 AND sx = 0 AND sy = 0 THEN (v + 128) % 256
+         CASE WHEN k = 3 THEN 128
+              WHEN k = 2 AND sx = 0 AND sy = 0 THEN (v + 128) % 256
               ELSE v END AS p
   FROM (
     SELECT *,
@@ -2719,7 +2751,7 @@ words AS (
                        ELSE 0 END) AS BIGINT) AS w1
   FROM bits GROUP BY 1, 2
 ),
-banded AS (
+banded AS MATERIALIZED (
   SELECT img_id, side, w0, w1,
          w0 % 65536 AS b0, w0 // 65536 AS b1,
          w1 % 65536 AS b2, w1 // 65536 AS b3
@@ -2727,12 +2759,20 @@ banded AS (
 ),
 bx AS (SELECT * FROM banded WHERE side = 'index'),
 bb AS (SELECT * FROM banded WHERE side = 'batch'),
+h0x AS (SELECT b0 AS v FROM banded GROUP BY 1 HAVING count(*) > 8),
+h1x AS (SELECT b1 AS v FROM banded GROUP BY 1 HAVING count(*) > 8),
+h2x AS (SELECT b2 AS v FROM banded GROUP BY 1 HAVING count(*) > 8),
+h3x AS (SELECT b3 AS v FROM banded GROUP BY 1 HAVING count(*) > 8),
 cands AS (
   SELECT b.img_id AS bid, x.img_id AS xid
   FROM bb b JOIN bx x ON b.b0 = x.b0
+  WHERE b.b0 NOT IN (SELECT v FROM h0x)
   UNION SELECT b.img_id, x.img_id FROM bb b JOIN bx x ON b.b1 = x.b1
+  WHERE b.b1 NOT IN (SELECT v FROM h1x)
   UNION SELECT b.img_id, x.img_id FROM bb b JOIN bx x ON b.b2 = x.b2
+  WHERE b.b2 NOT IN (SELECT v FROM h2x)
   UNION SELECT b.img_id, x.img_id FROM bb b JOIN bx x ON b.b3 = x.b3
+  WHERE b.b3 NOT IN (SELECT v FROM h3x)
 ),
 hits AS (
   SELECT c.bid, CAST(count(*) AS BIGINT) AS n_matches
@@ -2771,9 +2811,12 @@ def image_dhash_incremental(spark, sf_dir):
     from ..operators.multimodal import dhash_words_expr, resize_images
 
     media = _dhash_variant_corpus(spark, sf_dir)
-    idx_set = F.expr("(doc_id div 4) % 8 = 0 AND doc_id % 4 = 0")
+    idx_set = F.expr(
+        "((doc_id div 4) % 8 = 0 AND doc_id % 4 = 0)"
+        " OR ((doc_id div 4) % 8 = 4 AND doc_id % 4 = 3)"
+    )
     bat_set = F.expr(
-        "((doc_id div 4) % 8 = 0 AND doc_id % 4 IN (1, 2))"
+        "((doc_id div 4) % 8 = 0 AND doc_id % 4 IN (1, 2, 3))"
         " OR ((doc_id div 4) % 8 = 4 AND doc_id % 4 = 0)"
     )
     thumbs = resize_images(
@@ -2797,12 +2840,26 @@ def image_dhash_incremental(spark, sf_dir):
         (F.col("w1") % 65536).alias("b2"),
         F.expr("w1 div 65536").alias("b3"),
     ).localCheckpoint(eager=True)
-    is_idx = F.expr("(img_id div 4) % 8 = 0 AND img_id % 4 = 0")
+    is_idx = F.expr(
+        "((img_id div 4) % 8 = 0 AND img_id % 4 = 0)"
+        " OR ((img_id div 4) % 8 = 4 AND img_id % 4 = 3)"
+    )
     bx = banded.filter(is_idx)
     bb = banded.filter(~is_idx)
     cands = None
     for bk in ("b0", "b1", "b2", "b3"):
-        pb = bb.select(F.col("img_id").alias("bid"), F.col(bk).alias("_b"))
+        # stopword-band mask over batch+index (rule 13): the solid class
+        # is hot on every band and must generate no batch x index pairs
+        hot = (
+            banded.groupBy(bk)
+            .agg(F.count(F.lit(1)).alias("_df"))
+            .filter(F.col("_df") > 8)
+            .select(bk)
+        )
+        pb = (
+            bb.join(F.broadcast(hot), bk, "left_anti")
+            .select(F.col("img_id").alias("bid"), F.col(bk).alias("_b"))
+        )
         px = bx.select(F.col("img_id").alias("xid"), F.col(bk).alias("_b"))
         p = pb.join(px, "_b").select("bid", "xid")
         cands = p if cands is None else cands.unionByName(p)
@@ -2831,7 +2888,8 @@ def image_dhash_incremental(spark, sf_dir):
     variant = (
         F.when(F.col("img_id") % 4 == 0, "orig")
         .when(F.col("img_id") % 4 == 1, "scaled")
-        .otherwise("perturb")
+        .when(F.col("img_id") % 4 == 2, "perturb")
+        .otherwise("solid")
     )
     return (
         bb.select("img_id")

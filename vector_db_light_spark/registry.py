@@ -141,6 +141,10 @@ PRIORITY: tuple[str, ...] = (
     "video_dhash_neardup",  # CHANGED this round (last pass r13)
     "audio_offset_fingerprint_neardup",  # CHANGED this round (last pass r13)
     "curation_gopher_ccnet",  # CHANGED this round (last pass r12)
+    "image_dhash_neardup",  # CHANGED this round (last pass r12)
+    "image_dhash_incremental",  # CHANGED this round (last pass r13)
+    "pii_scrub_battery",  # CHANGED this round (last pass r13)
+    "c4_line_filter_battery",  # CHANGED this round (last pass r13)
     "cohort_retention_daily",  # last pass r9
     "collocations_pmi",  # last pass r9
     "corpus_curation_pipeline",  # last pass r9
@@ -178,10 +182,6 @@ PRIORITY: tuple[str, ...] = (
     "triangle_count_parts",  # last pass r9
     "triangle_delta_incremental",  # last pass r9
     "ann_ivf_kmeans_recall",  # last pass r10
-    "ann_lsh_ndcg",  # last pass r10
-    "approx_distinct_users",  # last pass r10
-    "approx_price_quantiles",  # last pass r10
-    "bigram_coverage_score",  # last pass r10
 )
 
 _PRIORITY_R10: tuple[str, ...] = (

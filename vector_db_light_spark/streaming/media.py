@@ -406,7 +406,11 @@ def stream_image_admission(
     in-batch NEAR-dups (two novel near-identical images in one batch)
     both admit by design — the vs-corpus stage dedups against the
     INDEX, and the batch-internal pass is the separate
-    dedup-within-batch operator, same split as streaming/curation."""
+    dedup-within-batch operator, same split as streaming/curation.
+    r14: band values carried by > MAX_FRAME_DF images across batch+index
+    are stopword bands (rule 13) — masked from candidate generation, so
+    featureless (solid-color) images admit with their rows indexed but
+    never explode the band join."""
     import os
 
     def apply(batch_df: DataFrame, batch_id: int) -> None:
@@ -427,7 +431,19 @@ def stream_image_admission(
             return
         cands = None
         for bk in ("b0", "b1", "b2", "b3"):
-            pb = rows.select(
+            # stopword-band mask over batch+index (rule 13): a band value
+            # carried by > MAX_FRAME_DF images (the solid-color class) is
+            # featureless evidence — masked from candidate generation, so
+            # a featureless image ADMITS (no evidence) instead of the
+            # batch x index quadratic
+            uni = rows.select(bk).unionAll(idx.select(bk))
+            hot = (
+                uni.groupBy(bk)
+                .agg(F.count(F.lit(1)).alias("_df"))
+                .filter(F.col("_df") > MAX_FRAME_DF)
+                .select(bk)
+            )
+            pb = rows.join(F.broadcast(hot), bk, "left_anti").select(
                 F.col("img_id").alias("bid"), F.col(bk).alias("_b")
             )
             px = idx.select(
