@@ -74,12 +74,12 @@ ANNOTATIONS: dict[str, str] = {
     "fuzzy_join_titles": "edit-distance<=2 entity resolution; exact one-sided prefix filter (10x at sf0.1) vs a blocking-free O(n^2) truth oracle",
     "heavy_hitters_cms": "count-min estimates vs exact, bound pinned TRUE",
     "idle_customer_balance": "Q22 shape: scalar AVG + NOT EXISTS anti",
-    "audio_fingerprint_neardup": "31-bit energy-delta fingerprint over really-decoded PCM, 11/10/10 band join, Hamming<=2; 375/375 planted pairs, 0 noise",
+    "audio_fingerprint_neardup": "31-bit energy-delta fingerprint over really-decoded PCM, 11/10/10 band join + r14 per-band df cap, Hamming<=2; 375/375 planted pairs, 0 noise; decode-once lead() pass",
     "video_dhash_neardup": "perceptual video near-dup: demux -> PNG-decode -> 9x8 dHash per frame -> key-set Jaccard; 121/121 re-encoded cuts at Jaccard 1000, 0 noise; r14 titlecard cut + stopword-key mask (9.9x sf1 blowup absorbed)",
     "audio_offset_fingerprint_neardup": "fingerprints at 2 time offsets: 125/125 prepended-intro pairs at Hamming 0 (prefix tier finds none); silence-prefix degeneracy measured; r14 decode-once lead() rewrite halved both scales",
     "audio_offset_incremental": "batch twin of streaming audio admission: (audio, offset) band index, new x existing only; 63x3 variants rejected (prepended only via offset-16), 62 novels admitted",
     "llm_corpus_pipeline": "r14 capstone: PII scrub -> C4 -> Gopher -> exact+near dedup -> decontam -> CCNet-approx buckets -> temperature mixing -> frozen-BPE tokenize -> 512-token bins; 622 rows -> 78 kept / 9 bins, every stage drops a planted class; oracle replays all ten stages",
-    "video_frameset_neardup": "video near-dup by really-demuxed shared frames: exact integer Jaccard, candidates from the frame-hash join; 275 planted pairs, 0 noise",
+    "video_frameset_neardup": "video near-dup by really-demuxed shared frames: exact integer Jaccard, candidates from the frame-hash join; 275 planted pairs, 0 noise; r14 constant titlecard cut masked by the stopword-frame cap",
     "image_dhash_incremental": "perceptual admission: batch bands semi-join the index (new x existing only), mask-aware-quadratic-truth-pinned; 126 dups rejected, 62 novels + 63 featureless solids admitted (r14 stopword-band policy)",
     "image_dhash_neardup": "dHash over really-decoded 9x8 thumbnails, 4x16-bit band join, exact Hamming<=3 verify; 375/375 planted pairs, 0 noise; r14 solid class + per-band df cap (78.3M -> 101k sf1 candidates)",
     "incremental_agg_state": "two-batch monoid merge hash-matches the single-pass answer",
@@ -244,6 +244,10 @@ CHANGED_THIS_ROUND: tuple[str, ...] = (
     # r14: +%29 Luhn credit-card redaction class / +%37 bad-words class
     "pii_scrub_battery",
     "c4_line_filter_battery",
+    # r14: titlecard cut + stopword-key cap on the exact-frame tier;
+    # per-band cap + decode-once lead() on the leading audio tier
+    "video_frameset_neardup",
+    "audio_fingerprint_neardup",
 )
 
 

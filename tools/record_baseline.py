@@ -29,10 +29,10 @@ HERE = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 # BUMP THIS on every re-record (ADVICE r12: the written file's provenance
 # must name the version/round that actually recorded it, not a stale one).
 BASELINE_PROVENANCE = (
-    "baseline v8, recorded at round 14 (headline 27 -> 28: "
-    "+ llm_corpus_pipeline capstone; video_dhash_neardup re-registered "
-    "with the titlecard cut + stopword-key mask; "
-    "audio_offset_fingerprint_neardup rewritten decode-once)"
+    "baseline v9, recorded at round 14 (v8 + the same-round rule-13 "
+    "closure touched a headline query again: media_curation_pipeline's "
+    "inline frame dedup gained the stopword-frame cap; re-recorded per "
+    "CLAUDE.md rule 6 — baseline and round must be same-shape runs)"
 )
 
 

@@ -612,13 +612,21 @@ def video_variant_payload(vid: int, text: str) -> bytes:
     k``: k=0 the fixture video (mp4_fixture_payload's frame law), k=1
     the same frames plus ONE appended frame (digest of '#frame<n>' — a
     re-edit with extra footage), k=2 frame 0 replaced by the '#alt'
-    digest (a retitled opening). Frame payloads stay the md5 x4 fixture
-    form, so the oracle recomputes every frame hash arithmetically."""
+    digest (a retitled opening), k=3 (r14) a TITLECARD cut: one frame
+    whose payload is the CONSTANT '#titlecard' digest — identical across
+    every doc, the planted ubiquitous frame key the stopword mask must
+    absorb (rule 13). Frame payloads stay the md5 x4 fixture form, so
+    the oracle recomputes every frame hash arithmetically."""
     from ..functions.mp4 import encode_mp4
 
     d, k = divmod(int(vid), 4)
     tb = text.encode("utf-8")
     n = len(tb) // 64
+    if k == 3:
+        frames = (
+            [hashlib.md5(b"#titlecard").digest() * 4] if n > 0 else []
+        )
+        return encode_mp4(frames, 16 * (1 + d % 3), 16 * (1 + d % 5))
     frames = [
         hashlib.md5(tb + f"#frame{i}".encode()).digest() * 4
         for i in range(n)

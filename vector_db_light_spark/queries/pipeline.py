@@ -1361,9 +1361,24 @@ def media_curation_pipeline(spark, sf_dir):
         .distinct()
         .localCheckpoint(eager=True)  # self-joined below
     )
+    # stopword-frame mask (rule 13, r14): a frame key carried by more
+    # than MAX_FRAME_DF videos is featureless evidence — masked from the
+    # pair join so a corpus-wide title card cannot make it quadratic. No
+    # fixture key is hot, so the oracle's same-text dedup model is
+    # unchanged; the mask only removes pair classes the text model never
+    # admits (cross-text ubiquitous frames).
+    from ..streaming.media import MAX_FRAME_DF
+
+    hotk = (
+        keys.groupBy("k")
+        .agg(F.count(F.lit(1)).alias("_df"))
+        .filter(F.col("_df") > MAX_FRAME_DF)
+        .select("k")
+    )
+    masked = keys.join(F.broadcast(hotk), "k", "left_anti")
     doomed = (
-        keys.alias("a")
-        .join(keys.alias("b"), F.col("a.k") == F.col("b.k"))
+        masked.alias("a")
+        .join(masked.alias("b"), F.col("a.k") == F.col("b.k"))
         .filter(F.col("a.doc_id") < F.col("b.doc_id"))
         .select(F.col("b.doc_id").alias("doc_id"))
         .distinct()
@@ -1839,20 +1854,26 @@ words AS (
            AS w
   FROM bits GROUP BY 1
 ),
-banded AS (
+banded AS MATERIALIZED (
   SELECT vid, w, w % 2048 AS b0, (w // 2048) % 1024 AS b1,
          w // 2097152 AS b2
   FROM words
 ),
+h0x AS (SELECT b0 AS v FROM banded GROUP BY 1 HAVING count(*) > 8),
+h1x AS (SELECT b1 AS v FROM banded GROUP BY 1 HAVING count(*) > 8),
+h2x AS (SELECT b2 AS v FROM banded GROUP BY 1 HAVING count(*) > 8),
 cands AS (
   SELECT a.vid AS ia, b.vid AS ib
   FROM banded a JOIN banded b ON a.b0 = b.b0 AND a.vid < b.vid
+  WHERE a.b0 NOT IN (SELECT v FROM h0x)
   UNION
   SELECT a.vid, b.vid
   FROM banded a JOIN banded b ON a.b1 = b.b1 AND a.vid < b.vid
+  WHERE a.b1 NOT IN (SELECT v FROM h1x)
   UNION
   SELECT a.vid, b.vid
   FROM banded a JOIN banded b ON a.b2 = b.b2 AND a.vid < b.vid
+  WHERE a.b2 NOT IN (SELECT v FROM h2x)
 )
 SELECT CAST(c.ia // 4 AS BIGINT) AS doc_a,
        {_AFP_VARIANT_SQL.format(c='c.ia')} AS variant_a,
@@ -1899,22 +1920,26 @@ def audio_fingerprint_neardup(spark, sf_dir):
         return attach_audio_variants(vids)
 
     media = _media_fixture(spark, sf_dir, "audio_fp_variants", build)
-    feats = extract_audio_features(media, window=2).filter(
-        F.col("feature_error").isNull()
+    # decode once: lead() supplies the next window in the same pass (the
+    # r14 offset-tier rewrite applied here too — the old (vid, i)
+    # self-join re-ran the Arrow decode per side)
+    from pyspark.sql.window import Window as W
+
+    ev = (
+        extract_audio_features(media, window=2)
+        .filter(F.col("feature_error").isNull())
+        .select(
+            F.col("doc_id").alias("vid"),
+            F.col("window_idx").alias("i"),
+            F.col("energy").alias("e1"),
+        )
+        .withColumn(
+            "e2", F.lead("e1").over(W.partitionBy("vid").orderBy("i"))
+        )
+        .filter(F.col("i") < 31)
     )
-    a = feats.select(
-        F.col("doc_id").alias("vid"),
-        F.col("window_idx").alias("i"),
-        F.col("energy").alias("e1"),
-    ).filter(F.col("i") < 31)
-    b = feats.select(
-        F.col("doc_id").alias("vid"),
-        (F.col("window_idx") - 1).alias("i"),
-        F.col("energy").alias("e2"),
-    ).filter((F.col("i") >= 0) & (F.col("i") < 31))
     words = (
-        a.join(b, ["vid", "i"])
-        .groupBy("vid")
+        ev.groupBy("vid")
         .agg(
             F.sum(
                 F.when(
@@ -1923,8 +1948,13 @@ def audio_fingerprint_neardup(spark, sf_dir):
                 ).otherwise(F.lit(0).cast("long"))
             )
             .cast("long")
-            .alias("w")
+            .alias("w"),
+            # delta count: a vid appears iff it has >= 2 windows, exactly
+            # the old self-join's membership (lead() alone would admit a
+            # single-window audio as w = 0 with no oracle counterpart)
+            F.sum(F.col("e2").isNotNull().cast("int")).alias("_nb"),
         )
+        .filter(F.col("_nb") >= 1)
     )
     banded = words.select(
         "vid",
@@ -1935,7 +1965,18 @@ def audio_fingerprint_neardup(spark, sf_dir):
     ).localCheckpoint(eager=True)
     cands = None
     for bk in ("b0", "b1", "b2"):
-        pa = banded.select(F.col("vid").alias("ia"), F.col(bk).alias("_b"))
+        # stopword-band cap (rule 13): values carried by > 8 fingerprints
+        # (a silent or constant audio class) join nothing
+        hot = (
+            banded.groupBy(bk)
+            .agg(F.count(F.lit(1)).alias("_df"))
+            .filter(F.col("_df") > 8)
+            .select(bk)
+        )
+        banded_m = banded.join(F.broadcast(hot), bk, "left_anti")
+        pa = banded_m.select(
+            F.col("vid").alias("ia"), F.col(bk).alias("_b")
+        )
         pb = banded.select(F.col("vid").alias("ib"), F.col(bk).alias("_b"))
         p = pa.join(pb, "_b").filter(F.col("ia") < F.col("ib")).select(
             "ia", "ib"
@@ -1974,7 +2015,7 @@ def audio_fingerprint_neardup(spark, sf_dir):
 
 _VID_VARIANT_SQL = (
     "CASE CAST({c} % 4 AS INT) WHEN 0 THEN 'orig' WHEN 1 THEN 'extended'"
-    " ELSE 'retitled' END"
+    " WHEN 2 THEN 'retitled' ELSE 'titlecard' END"
 )
 
 
@@ -1984,18 +2025,24 @@ _VID_VARIANT_SQL = (
 WITH vdocs AS (
   SELECT doc_id AS d, doc_id * 4 + k AS vid, k, text,
          octet_length(encode(text)) // 64 AS n
-  FROM documents, unnest([0, 1, 2]) AS t(k)
+  FROM documents, unnest([0, 1, 2, 3]) AS t(k)
   WHERE doc_id % 4 = 2
 ),
-frames AS (
+rawframes AS (
   SELECT vid, md5(text || '#frame' || CAST(i AS VARCHAR)) AS h
   FROM vdocs, unnest(range(0, n)) AS tf(i)
-  WHERE k IN (0, 1) OR i > 0
+  WHERE k IN (0, 1) OR (k = 2 AND i > 0)
   UNION ALL
   SELECT vid, md5(text || '#frame' || CAST(n AS VARCHAR))
   FROM vdocs WHERE k = 1
   UNION ALL
   SELECT vid, md5(text || '#alt') FROM vdocs WHERE k = 2 AND n > 0
+  UNION ALL
+  SELECT vid, md5('#titlecard') FROM vdocs WHERE k = 3 AND n > 0
+),
+hot AS (SELECT h FROM rawframes GROUP BY 1 HAVING count(*) > 8),
+frames AS (
+  SELECT * FROM rawframes WHERE h NOT IN (SELECT h FROM hot)
 ),
 sizes AS (SELECT vid, CAST(count(*) AS BIGINT) AS nf FROM frames GROUP BY 1),
 shared AS (
@@ -2032,7 +2079,12 @@ def video_frameset_neardup(spark, sf_dir):
     frame-set). sf0.01: 275 pairs, all intra-doc (121 orig-extended at
     Jaccard 500-888 permille — short videos sit exactly at the n/(n+1)
     floor — 84 orig-retitled, 70 extended-retitled; zero-frame videos
-    pair with nothing), zero cross-doc noise."""
+    pair with nothing), zero cross-doc noise. r14: every doc also ships
+    a TITLECARD cut whose single frame is the same constant payload
+    corpus-wide; frame keys carried by > 8 cuts are stopword frames
+    (rule 13) masked before sizes and the pair join — uncapped, the
+    titlecards alone would emit |class|^2/2 junk pairs at Jaccard
+    1000."""
     from ..operators.multimodal import attach_video_variants, sample_frames
 
     def build():
@@ -2041,14 +2093,14 @@ def video_frameset_neardup(spark, sf_dir):
             .filter(F.col("doc_id") % 4 == 2)
             .select(
                 F.explode(
-                    F.array(*[(F.col("doc_id") * 4 + k) for k in range(3)])
+                    F.array(*[(F.col("doc_id") * 4 + k) for k in range(4)])
                 ).alias("doc_id"),
                 "text",
             )
         )
         return attach_video_variants(vids)
 
-    media = _media_fixture(spark, sf_dir, "video_nd_variants", build)
+    media = _media_fixture(spark, sf_dir, "video_nd_variants_tc", build)
     frames = (
         sample_frames(media, every_n=1)
         .filter(F.col("frame_error").isNull())
@@ -2060,6 +2112,15 @@ def video_frameset_neardup(spark, sf_dir):
         )
         .localCheckpoint(eager=True)
     )
+    # stopword-frame mask (rule 13): the titlecard key is corpus-hot and
+    # must not reach sizes or the pair join
+    hot = (
+        frames.groupBy("h")
+        .agg(F.count(F.lit(1)).alias("_df"))
+        .filter(F.col("_df") > 8)
+        .select("h")
+    )
+    frames = frames.join(F.broadcast(hot), "h", "left_anti")
     sizes = frames.groupBy("vid").agg(
         F.count(F.lit(1)).cast("long").alias("nf")
     )
@@ -2077,7 +2138,8 @@ def video_frameset_neardup(spark, sf_dir):
     variant = lambda c: (  # noqa: E731
         F.when(F.col(c) % 4 == 0, "orig")
         .when(F.col(c) % 4 == 1, "extended")
-        .otherwise("retitled")
+        .when(F.col(c) % 4 == 2, "retitled")
+        .otherwise("titlecard")
     )
     return (
         shared.join(F.broadcast(sa), "ia")

@@ -145,6 +145,8 @@ PRIORITY: tuple[str, ...] = (
     "image_dhash_incremental",  # CHANGED this round (last pass r13)
     "pii_scrub_battery",  # CHANGED this round (last pass r13)
     "c4_line_filter_battery",  # CHANGED this round (last pass r13)
+    "video_frameset_neardup",  # CHANGED this round (last pass r12)
+    "audio_fingerprint_neardup",  # CHANGED this round (last pass r12)
     "cohort_retention_daily",  # last pass r9
     "collocations_pmi",  # last pass r9
     "corpus_curation_pipeline",  # last pass r9
@@ -180,8 +182,6 @@ PRIORITY: tuple[str, ...] = (
     "search_prf_expansion",  # last pass r9
     "sessionize_events",  # last pass r9
     "triangle_count_parts",  # last pass r9
-    "triangle_delta_incremental",  # last pass r9
-    "ann_ivf_kmeans_recall",  # last pass r10
 )
 
 _PRIORITY_R10: tuple[str, ...] = (
