@@ -2459,21 +2459,27 @@ nzc AS (
   WHERE i >= o AND i < o + 32 AND e > 0
   GROUP BY 1, 2
 ),
-banded AS (
+banded AS MATERIALIZED (
   SELECT fp.vid, fp.o, w, w % 2048 AS b0, (w // 2048) % 1024 AS b1,
          w // 2097152 AS b2
   FROM fp JOIN nzc ON nzc.vid = fp.vid AND nzc.o = fp.o
   WHERE nb = 31 AND nz >= 24
 ),
+h0x AS (SELECT b0 AS v FROM banded GROUP BY 1 HAVING count(*) > 8),
+h1x AS (SELECT b1 AS v FROM banded GROUP BY 1 HAVING count(*) > 8),
+h2x AS (SELECT b2 AS v FROM banded GROUP BY 1 HAVING count(*) > 8),
 cands AS (
   SELECT a.vid AS ia, a.o AS oa, b.vid AS ib, b.o AS ob
   FROM banded a JOIN banded b ON a.b0 = b.b0 AND a.vid < b.vid
+  WHERE a.b0 NOT IN (SELECT v FROM h0x)
   UNION
   SELECT a.vid, a.o, b.vid, b.o
   FROM banded a JOIN banded b ON a.b1 = b.b1 AND a.vid < b.vid
+  WHERE a.b1 NOT IN (SELECT v FROM h1x)
   UNION
   SELECT a.vid, a.o, b.vid, b.o
   FROM banded a JOIN banded b ON a.b2 = b.b2 AND a.vid < b.vid
+  WHERE a.b2 NOT IN (SELECT v FROM h2x)
 )
 SELECT CAST(c.ia // 4 AS BIGINT) AS doc_a,
        {_AFPO_VARIANT_SQL.format(c='c.ia')} AS variant_a,
@@ -2529,11 +2535,22 @@ def audio_offset_fingerprint_neardup(spark, sf_dir):
     )
     cands = None
     for bk in ("b0", "b1", "b2"):
-        pa = banded.select(
+        # per-band df cap (rule 13): the silence MASK alone misses a
+        # constant-tone class — nonzero energy everywhere but zero
+        # deltas, so w = 0 passes nz >= 24 and hot-bands the join; the
+        # cap absorbs any such degenerate value
+        hot = (
+            banded.groupBy(bk)
+            .agg(F.count(F.lit(1)).alias("_df"))
+            .filter(F.col("_df") > 8)
+            .select(bk)
+        )
+        banded_m = banded.join(F.broadcast(hot), bk, "left_anti")
+        pa = banded_m.select(
             F.col("vid").alias("ia"), F.col("o").alias("oa"),
             F.col(bk).alias("_b"),
         )
-        pb = banded.select(
+        pb = banded_m.select(
             F.col("vid").alias("ib"), F.col("o").alias("ob"),
             F.col(bk).alias("_b"),
         )
@@ -2621,7 +2638,7 @@ nzc AS (
   WHERE i >= o AND i < o + 32 AND e > 0
   GROUP BY 1, 2
 ),
-banded AS (
+banded AS MATERIALIZED (
   SELECT fp.vid, fp.o, w, w % 2048 AS b0, (w // 2048) % 1024 AS b1,
          w // 2097152 AS b2
   FROM fp JOIN nzc ON nzc.vid = fp.vid AND nzc.o = fp.o
@@ -2632,13 +2649,19 @@ bb AS (
   SELECT * FROM banded
   WHERE NOT ((vid // 4) % 8 = 1 AND vid % 4 = 0)
 ),
+h0x AS (SELECT b0 AS v FROM banded GROUP BY 1 HAVING count(*) > 8),
+h1x AS (SELECT b1 AS v FROM banded GROUP BY 1 HAVING count(*) > 8),
+h2x AS (SELECT b2 AS v FROM banded GROUP BY 1 HAVING count(*) > 8),
 cands AS (
   SELECT b.vid AS bid, b.o AS bo, x.vid AS xid, x.o AS xo
   FROM bb b JOIN bx x ON b.b0 = x.b0
+  WHERE b.b0 NOT IN (SELECT v FROM h0x)
   UNION
   SELECT b.vid, b.o, x.vid, x.o FROM bb b JOIN bx x ON b.b1 = x.b1
+  WHERE b.b1 NOT IN (SELECT v FROM h1x)
   UNION
   SELECT b.vid, b.o, x.vid, x.o FROM bb b JOIN bx x ON b.b2 = x.b2
+  WHERE b.b2 NOT IN (SELECT v FROM h2x)
 ),
 hits AS (
   SELECT c.bid, CAST(count(*) AS BIGINT) AS n_matches
@@ -2692,7 +2715,15 @@ def audio_offset_incremental(spark, sf_dir):
     bb = banded.filter(~is_idx)
     cands = None
     for bk in ("b0", "b1", "b2"):
-        pb = bb.select(
+        # per-band df cap over batch+index (rule 13): absorbs degenerate
+        # values the silence mask cannot see (constant-tone w = 0)
+        hot = (
+            banded.groupBy(bk)
+            .agg(F.count(F.lit(1)).alias("_df"))
+            .filter(F.col("_df") > 8)
+            .select(bk)
+        )
+        pb = bb.join(F.broadcast(hot), bk, "left_anti").select(
             F.col("vid").alias("bid"), F.col("o").alias("bo"),
             F.col(bk).alias("_b"),
         )

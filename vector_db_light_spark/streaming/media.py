@@ -336,7 +336,17 @@ def stream_audio_admission(
             return
         cands = None
         for bk in ("b0", "b1", "b2"):
-            pb = rows.select(
+            # per-band df cap over batch+index (rule 13): the silence
+            # mask inside the fingerprint operator cannot see a
+            # constant-tone class (nonzero energy, zero deltas, w = 0)
+            uni = rows.select(bk).unionAll(idx.select(bk))
+            hot = (
+                uni.groupBy(bk)
+                .agg(F.count(F.lit(1)).alias("_df"))
+                .filter(F.col("_df") > MAX_FRAME_DF)
+                .select(bk)
+            )
+            pb = rows.join(F.broadcast(hot), bk, "left_anti").select(
                 F.col("aud_id").alias("bid"), F.col("o").alias("bo"),
                 F.col(bk).alias("_b"),
             )
