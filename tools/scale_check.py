@@ -136,6 +136,19 @@ def _synth_sf1(spark) -> None:
     def h(s: str) -> int:
         return int(hashlib.md5(s.encode()).hexdigest()[:12], 16)
 
+    # Planted shared-boilerplate class (VERDICT r14 #1): ~11% of docs open
+    # with the SAME 5-word disclaimer followed by a per-doc reference
+    # number (a legal footer/header template — realistic boilerplate).
+    # The capstone's page text is the doc's first 6 tokens, so every class
+    # doc shares a 62-char prefix whose 40-char windows include FOUR
+    # content-sampled grams (verified offline against the mod-10 rule)
+    # while the unique number defeats exact dedup — the adversarial shape
+    # for an uncapped gram-equality candidate join: pair rows ~ 4 x df^2.
+    _boiler = [
+        "unauthorized", "reproduction", "distribution",
+        "worldwide", "document",
+    ]
+
     def make_doc(i: int) -> tuple:
         n = 10 + h(f"len:{i}") % 91
         toks = []
@@ -149,6 +162,8 @@ def _synth_sf1(spark) -> None:
                 else:
                     lo = mid + 1
             toks.append(words[lo])
+        if i % 9 == 5:
+            toks[:6] = _boiler + [str(700000 + i)]
         text = " ".join(toks)
         return (
             i,

@@ -694,6 +694,23 @@ def duplicate_spans(
     return _span_coverage(dup, docs, width, id_col, text_col)
 
 
+# Gram-frequency stopword cap (CLAUDE.md rule 13, the text-tier analog of
+# streaming.media.MAX_FRAME_DF): a sampled substring gram carried by more
+# documents than this is BOILERPLATE (a shared disclaimer, a templated
+# footer — the same argument line_dedup_boilerplate makes at line level),
+# not duplication evidence. A gram-equality candidate join is quadratic in
+# gram document-frequency, so hot grams must leave candidate joins AND
+# containment denominators AND decontamination matching (a boilerplate
+# gram shared with an eval doc is a false contamination positive). Real
+# duplicate clusters in the fixtures sit at df 2-6. Consumers opt in
+# per-query with a mirrored oracle cap (rule 14): llm_corpus_pipeline's
+# near-dedup stage applies it; duplicate_spans deliberately does NOT (its
+# corpus-wide multiplicity IS the signal — spans of boilerplate are
+# exactly what substring dedup reports), matching the MinHash-band
+# exemption in SCALE.md.
+MAX_GRAM_DF = 8
+
+
 def sampled_grams(
     docs: DataFrame,
     width: int = 40,
@@ -703,7 +720,8 @@ def sampled_grams(
 ) -> DataFrame:
     """(id, p, g): the content-defined sample of ``width``-char window
     hashes — the persistent artifact of substring dedup (keep this table
-    partitioned/bucketed by ``g``; incremental batches join against it)."""
+    partitioned/bucketed by ``g``; incremental batches join against it).
+    Pair-candidate consumers cap gram df at :data:`MAX_GRAM_DF` first."""
     n = F.length(F.col(text_col))
     pos_seq = F.when(n >= width, F.sequence(F.lit(1), n - width + 1)).otherwise(
         F.array().cast("array<int>")
@@ -854,7 +872,14 @@ def containment_pairs(
     containment ~1 in the quote's direction; dedup policies drop the
     contained side (Broder's containment, the complement of resemblance).
     Same inverted-index + candidate shape as :func:`jaccard_pairs`; at
-    scale restrict with LSH candidates exactly as there."""
+    scale restrict with LSH candidates exactly as there. The shingle
+    equality join here is DELIBERATELY uncapped (rule-13 exemption,
+    documented per ADVICE r14): this operator's contract is the exact
+    containment score over the given docs, and its registered oracle
+    mirrors that exactly — the scale path is the stated LSH candidate
+    restriction, not a df cap. Pipelines that feed it raw corpora at
+    scale must pre-cap hot shingles (``MAX_GRAM_DF`` pattern) or run
+    line-level boilerplate removal first, as llm_corpus_pipeline does."""
     if rows is None:
         rows = shingle_rows(docs, n=n, id_col=id_col, text_col=text_col)
     sizes = rows.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_shingles"))

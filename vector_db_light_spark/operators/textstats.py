@@ -1061,6 +1061,20 @@ def gopher_rules(
     )
 
 
+# The corpus-admission gate's FROZEN Gopher thresholds — the exact
+# parameters llm_corpus_pipeline's stage 3 runs (word-level rules with the
+# stop rule relaxed to 1 distinct stopword and both line rules neutralized
+# via always-true permilles, as in curation_gopher_ccnet). ONE definition
+# shared by the batch capstone, the corpus_admission_batch twin, and
+# streaming.curation.stream_corpus_admission (VERDICT r14 #4), so the
+# three admission paths cannot silently drift.
+CORPUS_GATE_GOPHER: dict = {
+    "min_stopwords": 1,
+    "max_bullet_permille": 1000,
+    "max_ellipsis_permille": 1000,
+}
+
+
 def c4_line_rules(
     docs: DataFrame,
     id_col: str = "doc_id",

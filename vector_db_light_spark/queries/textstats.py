@@ -2615,6 +2615,7 @@ def _llm_corpus_oracle() -> str:
             f" {_BPE_REP.format(pair=pair)})"
         )
     n_after = f"len({_BPE_SYMS.format(s='s2')})"
+    from ..operators.dedup import MAX_GRAM_DF as _MAX_GRAM_DF
     from ..operators.sampling import temperature_mixture_sql
 
     mix_sql = temperature_mixture_sql("mixin", "source", "d.doc_id", 0.5)
@@ -2722,12 +2723,17 @@ gsurv AS (
 ),
 kept_exact AS (SELECT min(doc_id) AS doc_id FROM gsurv GROUP BY sha256(text)),
 dd AS (SELECT g.* FROM gsurv g JOIN kept_exact USING (doc_id)),
-gr40 AS MATERIALIZED (
+gr40a AS MATERIALIZED (
   SELECT DISTINCT doc_id, g FROM (
     SELECT doc_id, md5(substr(text, p, 40)) AS g
     FROM (SELECT doc_id, text, unnest(range(1, len(text) - 38)) AS p
           FROM dd WHERE len(text) >= 40)
   ) WHERE ('0x' || substr(g, 1, 8))::BIGINT % 10 = 0
+),
+gr40 AS MATERIALIZED (
+  SELECT * FROM gr40a WHERE g NOT IN (
+    SELECT g FROM gr40a GROUP BY g HAVING count(*) > {_MAX_GRAM_DF}
+  )
 ),
 gn AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS ng FROM gr40 GROUP BY 1),
 near AS (
@@ -2900,7 +2906,12 @@ def llm_corpus_pipeline(spark, sf_dir):
     (%10). Stages: pii_scrub -> c4_line_rules -> gopher_rules (5
     word-level rules, line rules neutralized as in curation_gopher_ccnet)
     -> exact dedup (sha256 min-id) -> near dedup (40-char sampled-gram
-    containment >= 800 permille vs any smaller-id survivor) -> substring
+    containment >= 800 permille vs any smaller-id survivor; grams with
+    df > MAX_GRAM_DF are boilerplate stopwords — rule 13 — and leave the
+    pair join, the ng denominator, AND decontam matching, where a shared
+    footer gram is a false contamination positive: at sf0.01 the cap
+    removes exactly the %13 PII-line and %17 javascript-line grams,
+    df 42/29) -> substring
     decontam vs the md5-sliced eval set (content-keyed 1/16 of original
     pages; an eval page in the corpus contaminates itself — the
     benchmark-copy story) -> CCNet fluency terciles with the APPROX
@@ -2913,15 +2924,16 @@ def llm_corpus_pipeline(spark, sf_dir):
     materialized tokenizer rounds — the hash pins composition order and
     precedence, not just each stage. sf0.01 funnel (622 corpus rows):
     c4 drops 51 (few_sentences 28 / lorem 23), gopher drops 49 (alpha 18
-    / symbol 18 / stop 13), exact_dup 72, near_dup 43, contaminated 88,
-    ppl_sample 159, mix_sample 82 -> 78 kept docs, 4540 BPE tokens
-    packed into 9 bins. Nothing vacuous — every stage drops a planted
-    class. Scale shape: the scrubbed corpus is checkpointed once
+    / symbol 18 / stop 13), exact_dup 72, near_dup 43, contaminated 33
+    (88 before the gram-df cap — the 55 removed were boilerplate-gram
+    false positives), ppl_sample 182, mix_sample 90 -> 102 kept docs,
+    7057 BPE tokens packed into 14 bins. Nothing vacuous — every stage
+    drops a planted class. Scale shape: the scrubbed corpus is checkpointed once
     (the natural materialization point — at 100 TB this is the hive
     table between ingest and curation); everything downstream is
     id-equi joins, banded gram joins, one bigram LM over survivors, a
     broadcast threshold/ratio pair, and the packing prefix sum."""
-    from ..operators.dedup import sampled_grams
+    from ..operators.dedup import MAX_GRAM_DF, sampled_grams
     from ..operators.packing import pack_spans
     from ..operators.sampling import temperature_mixture
     from ..plans.spread import spread
@@ -3029,9 +3041,7 @@ def llm_corpus_pipeline(spark, sf_dir):
             "doc_id",
             "left_semi",
         ),
-        min_stopwords=1,
-        max_bullet_permille=1000,
-        max_ellipsis_permille=1000,
+        **T.CORPUS_GATE_GOPHER,
     ).select("doc_id", F.col("drop_reason").alias("g_reason"))
     gsurv = scrubbed.join(
         g.filter(F.col("g_reason") == "kept").select("doc_id"),
@@ -3042,10 +3052,21 @@ def llm_corpus_pipeline(spark, sf_dir):
         F.min("doc_id").alias("doc_id")
     ).select("doc_id")
     dd = gsurv.join(kept_exact, "doc_id", "left_semi")
+    grams_all = sampled_grams(dd).select("doc_id", "g").distinct()
+    # rule 13: grams carried by > MAX_GRAM_DF docs are boilerplate (shared
+    # disclaimers/footers) — they leave the pair join, the containment
+    # denominator, AND decontam matching; the oracle's gr40 CTE mirrors
+    # the cap. Without it the gram self-join is quadratic in boilerplate
+    # class size (planted class in tools/scale_check.py, table in
+    # SCALE.md).
+    hot_g = (
+        grams_all.groupBy("g")
+        .agg(F.count(F.lit(1)).alias("_df"))
+        .filter(F.col("_df") > MAX_GRAM_DF)
+        .select("g")
+    )
     grams = (
-        sampled_grams(dd)
-        .select("doc_id", "g")
-        .distinct()
+        grams_all.join(F.broadcast(hot_g), "g", "left_anti")
         .localCheckpoint(eager=True)  # consumed by gn + both pair sides + decontam
     )
     gn = grams.groupBy("doc_id").agg(F.count(F.lit(1)).cast("long").alias("ng"))
