@@ -13,6 +13,7 @@ from pyspark.sql import functions as F
 from ..functions.embedding import embed_documents
 from ..operators.multimodal import attach_payload, extract_media_meta
 from .._registry_core import load, load_docs, register
+from ..streaming.media import MAX_FRAME_DF
 
 _TOKS_SQL = r"list_filter(regexp_split_to_array(trim(lower(text)), '\s+'), t -> t != '')"
 
@@ -1060,7 +1061,6 @@ def multimodal_frame_dedup(spark, sf_dir):
     bytes stay on their executors — and the same keyed layout feeds
     near-dup (perceptual-hash) variants."""
     from ..operators.multimodal import attach_payload, sample_frames
-    from ..streaming.media import MAX_FRAME_DF
 
     docs = load(spark, sf_dir, "documents")
     vids = docs.filter(F.col("doc_id") % 4 == 2).select("doc_id", "text")
@@ -1106,7 +1106,7 @@ def multimodal_frame_dedup(spark, sf_dir):
     # batch / +300000 index) whose shared frames exceed the df cap. A
     # batch doc is dropped when its DISCRIMINATIVE frame overlap with ANY
     # single index doc reaches half its discriminative frame count; keys
-    # carried by > 8 distinct docs across index+batch are stopword frames
+    # carried by > MAX_FRAME_DF distinct docs across index+batch are stopword frames
     # (rule 13) excluded from the join and the denominator — so every
     # intro-card doc is ADMITTED (no evidence) instead of the
     # batch x index quadratic the uncapped join would run. The engines
@@ -1145,7 +1145,7 @@ xf AS (
 ),
 uni AS (SELECT doc_id, k FROM bf UNION SELECT doc_id, k FROM xf),
 hot AS (
-  SELECT k FROM (SELECT k, count(*) AS c FROM uni GROUP BY 1) WHERE c > 8
+  SELECT k FROM (SELECT k, count(*) AS c FROM uni GROUP BY 1) WHERE c > {MAX_FRAME_DF}
 ),
 bfm AS (SELECT * FROM bf WHERE k NOT IN (SELECT k FROM hot)),
 xfm AS (SELECT * FROM xf WHERE k NOT IN (SELECT k FROM hot)),
@@ -1244,7 +1244,7 @@ def multimodal_incremental_frame_dedup(spark, sf_dir):
     # cliques and pairwise dooming equals cluster-canonical) -> per-type
     # survivor stats in type-native content units. Every stage reuses a
     # shipped operator; the oracle rebuilds all four arithmetically.
-    """
+    f"""
 WITH base AS (
   SELECT doc_id, text FROM documents
   UNION ALL
@@ -1273,11 +1273,16 @@ floored AS (
      OR (media_type = 'audio/wav' AND n_samples >= 64)
      OR (media_type = 'video/mp4' AND n_frames >= 2)
 ),
+vidn AS (
+  SELECT text, count(*) AS c FROM floored
+  WHERE media_type = 'video/mp4' GROUP BY 1
+),
 doomed AS (
   SELECT DISTINCT b.doc_id
   FROM floored a JOIN floored b
     ON a.media_type = 'video/mp4' AND b.media_type = 'video/mp4'
    AND a.text = b.text AND a.doc_id < b.doc_id
+  WHERE a.text IN (SELECT text FROM vidn WHERE c <= {MAX_FRAME_DF})
 ),
 survivors AS (
   SELECT * FROM floored
@@ -1363,11 +1368,13 @@ def media_curation_pipeline(spark, sf_dir):
     )
     # stopword-frame mask (rule 13, r14): a frame key carried by more
     # than MAX_FRAME_DF videos is featureless evidence — masked from the
-    # pair join so a corpus-wide title card cannot make it quadratic. No
-    # fixture key is hot, so the oracle's same-text dedup model is
-    # unchanged; the mask only removes pair classes the text model never
-    # admits (cross-text ubiquitous frames).
-    from ..streaming.media import MAX_FRAME_DF
+    # pair join so a corpus-wide title card cannot make it quadratic.
+    # The oracle MODELS the cap (ADVICE r14 #1): frame keys derive
+    # injectively from text, so a key's df equals its text's floored
+    # video count, and the oracle's vidn CTE excludes texts with
+    # > MAX_FRAME_DF videos from the same-text doom join — a future
+    # fixture rotation that makes some text hot flips BOTH engines
+    # together instead of Spark alone.
 
     hotk = (
         keys.groupBy("k")
@@ -1664,10 +1671,10 @@ banded AS MATERIALIZED (
          w1 % 65536 AS b2, w1 // 65536 AS b3
   FROM words
 ),
-h0x AS (SELECT b0 AS v FROM banded GROUP BY 1 HAVING count(*) > 8),
-h1x AS (SELECT b1 AS v FROM banded GROUP BY 1 HAVING count(*) > 8),
-h2x AS (SELECT b2 AS v FROM banded GROUP BY 1 HAVING count(*) > 8),
-h3x AS (SELECT b3 AS v FROM banded GROUP BY 1 HAVING count(*) > 8),
+h0x AS (SELECT b0 AS v FROM banded GROUP BY 1 HAVING count(*) > {MAX_FRAME_DF}),
+h1x AS (SELECT b1 AS v FROM banded GROUP BY 1 HAVING count(*) > {MAX_FRAME_DF}),
+h2x AS (SELECT b2 AS v FROM banded GROUP BY 1 HAVING count(*) > {MAX_FRAME_DF}),
+h3x AS (SELECT b3 AS v FROM banded GROUP BY 1 HAVING count(*) > {MAX_FRAME_DF}),
 cands AS (
   SELECT a.img_id AS ia, b.img_id AS ib
   FROM banded a JOIN banded b ON a.b0 = b.b0 AND a.img_id < b.img_id
@@ -1716,7 +1723,7 @@ def image_dhash_neardup(spark, sf_dir):
     are a persisted 16-byte sketch column and each band join is
     shuffle-partitioned by band value (the MinHash-LSH shape). r14:
     every doc also ships a SOLID mid-gray cut (dHash (0,0) corpus-wide)
-    and band values carried by > 8 images are STOPWORD bands (rule 13)
+    and band values carried by > MAX_FRAME_DF images are STOPWORD bands (rule 13)
     masked from candidate generation — uncapped, the featureless class
     alone emits |class|^2/2 junk pairs at Hamming 0; masked, it emits
     nothing and every contentful pair is unchanged (the pigeonhole
@@ -1750,12 +1757,12 @@ def image_dhash_neardup(spark, sf_dir):
     cands = None
     for bk in ("b0", "b1", "b2", "b3"):
         # stopword-band mask (rule 13 on the image tier): values carried
-        # by > 8 images join nothing — the solid class's (0,0) bands are
+        # by > MAX_FRAME_DF images join nothing — the solid class's (0,0) bands are
         # corpus-hot and must not generate |class|^2 candidates
         hot = (
             banded.groupBy(bk)
             .agg(F.count(F.lit(1)).alias("_df"))
-            .filter(F.col("_df") > 8)
+            .filter(F.col("_df") > MAX_FRAME_DF)
             .select(bk)
         )
         masked = banded.join(F.broadcast(hot), bk, "left_anti")
@@ -1859,9 +1866,9 @@ banded AS MATERIALIZED (
          w // 2097152 AS b2
   FROM words
 ),
-h0x AS (SELECT b0 AS v FROM banded GROUP BY 1 HAVING count(*) > 8),
-h1x AS (SELECT b1 AS v FROM banded GROUP BY 1 HAVING count(*) > 8),
-h2x AS (SELECT b2 AS v FROM banded GROUP BY 1 HAVING count(*) > 8),
+h0x AS (SELECT b0 AS v FROM banded GROUP BY 1 HAVING count(*) > {MAX_FRAME_DF}),
+h1x AS (SELECT b1 AS v FROM banded GROUP BY 1 HAVING count(*) > {MAX_FRAME_DF}),
+h2x AS (SELECT b2 AS v FROM banded GROUP BY 1 HAVING count(*) > {MAX_FRAME_DF}),
 cands AS (
   SELECT a.vid AS ia, b.vid AS ib
   FROM banded a JOIN banded b ON a.b0 = b.b0 AND a.vid < b.vid
@@ -1965,12 +1972,12 @@ def audio_fingerprint_neardup(spark, sf_dir):
     ).localCheckpoint(eager=True)
     cands = None
     for bk in ("b0", "b1", "b2"):
-        # stopword-band cap (rule 13): values carried by > 8 fingerprints
+        # stopword-band cap (rule 13): values carried by > MAX_FRAME_DF fingerprints
         # (a silent or constant audio class) join nothing
         hot = (
             banded.groupBy(bk)
             .agg(F.count(F.lit(1)).alias("_df"))
-            .filter(F.col("_df") > 8)
+            .filter(F.col("_df") > MAX_FRAME_DF)
             .select(bk)
         )
         banded_m = banded.join(F.broadcast(hot), bk, "left_anti")
@@ -2040,7 +2047,7 @@ rawframes AS (
   UNION ALL
   SELECT vid, md5('#titlecard') FROM vdocs WHERE k = 3 AND n > 0
 ),
-hot AS (SELECT h FROM rawframes GROUP BY 1 HAVING count(*) > 8),
+hot AS (SELECT h FROM rawframes GROUP BY 1 HAVING count(*) > {MAX_FRAME_DF}),
 frames AS (
   SELECT * FROM rawframes WHERE h NOT IN (SELECT h FROM hot)
 ),
@@ -2081,7 +2088,7 @@ def video_frameset_neardup(spark, sf_dir):
     floor — 84 orig-retitled, 70 extended-retitled; zero-frame videos
     pair with nothing), zero cross-doc noise. r14: every doc also ships
     a TITLECARD cut whose single frame is the same constant payload
-    corpus-wide; frame keys carried by > 8 cuts are stopword frames
+    corpus-wide; frame keys carried by > MAX_FRAME_DF cuts are stopword frames
     (rule 13) masked before sizes and the pair join — uncapped, the
     titlecards alone would emit |class|^2/2 junk pairs at Jaccard
     1000."""
@@ -2117,7 +2124,7 @@ def video_frameset_neardup(spark, sf_dir):
     hot = (
         frames.groupBy("h")
         .agg(F.count(F.lit(1)).alias("_df"))
-        .filter(F.col("_df") > 8)
+        .filter(F.col("_df") > MAX_FRAME_DF)
         .select("h")
     )
     frames = frames.join(F.broadcast(hot), "h", "left_anti")
@@ -2224,7 +2231,7 @@ pkeys AS (SELECT DISTINCT vid, k0, k1 FROM words),
 hot AS (
   SELECT k0, k1
   FROM (SELECT k0, k1, count(*) AS c FROM pkeys GROUP BY 1, 2)
-  WHERE c > 8
+  WHERE c > {MAX_FRAME_DF}
 ),
 pk AS (
   SELECT p.vid, p.k0, p.k1 FROM pkeys p
@@ -2287,7 +2294,6 @@ def video_dhash_neardup(spark, sf_dir):
         resize_images,
         sample_frames,
     )
-    from ..streaming.media import MAX_FRAME_DF
 
     def build():
         vids = (
@@ -2465,9 +2471,9 @@ banded AS MATERIALIZED (
   FROM fp JOIN nzc ON nzc.vid = fp.vid AND nzc.o = fp.o
   WHERE nb = 31 AND nz >= 24
 ),
-h0x AS (SELECT b0 AS v FROM banded GROUP BY 1 HAVING count(*) > 8),
-h1x AS (SELECT b1 AS v FROM banded GROUP BY 1 HAVING count(*) > 8),
-h2x AS (SELECT b2 AS v FROM banded GROUP BY 1 HAVING count(*) > 8),
+h0x AS (SELECT b0 AS v FROM banded GROUP BY 1 HAVING count(*) > {MAX_FRAME_DF}),
+h1x AS (SELECT b1 AS v FROM banded GROUP BY 1 HAVING count(*) > {MAX_FRAME_DF}),
+h2x AS (SELECT b2 AS v FROM banded GROUP BY 1 HAVING count(*) > {MAX_FRAME_DF}),
 cands AS (
   SELECT a.vid AS ia, a.o AS oa, b.vid AS ib, b.o AS ob
   FROM banded a JOIN banded b ON a.b0 = b.b0 AND a.vid < b.vid
@@ -2542,7 +2548,7 @@ def audio_offset_fingerprint_neardup(spark, sf_dir):
         hot = (
             banded.groupBy(bk)
             .agg(F.count(F.lit(1)).alias("_df"))
-            .filter(F.col("_df") > 8)
+            .filter(F.col("_df") > MAX_FRAME_DF)
             .select(bk)
         )
         banded_m = banded.join(F.broadcast(hot), bk, "left_anti")
@@ -2649,9 +2655,9 @@ bb AS (
   SELECT * FROM banded
   WHERE NOT ((vid // 4) % 8 = 1 AND vid % 4 = 0)
 ),
-h0x AS (SELECT b0 AS v FROM banded GROUP BY 1 HAVING count(*) > 8),
-h1x AS (SELECT b1 AS v FROM banded GROUP BY 1 HAVING count(*) > 8),
-h2x AS (SELECT b2 AS v FROM banded GROUP BY 1 HAVING count(*) > 8),
+h0x AS (SELECT b0 AS v FROM banded GROUP BY 1 HAVING count(*) > {MAX_FRAME_DF}),
+h1x AS (SELECT b1 AS v FROM banded GROUP BY 1 HAVING count(*) > {MAX_FRAME_DF}),
+h2x AS (SELECT b2 AS v FROM banded GROUP BY 1 HAVING count(*) > {MAX_FRAME_DF}),
 cands AS (
   SELECT b.vid AS bid, b.o AS bo, x.vid AS xid, x.o AS xo
   FROM bb b JOIN bx x ON b.b0 = x.b0
@@ -2720,7 +2726,7 @@ def audio_offset_incremental(spark, sf_dir):
         hot = (
             banded.groupBy(bk)
             .agg(F.count(F.lit(1)).alias("_df"))
-            .filter(F.col("_df") > 8)
+            .filter(F.col("_df") > MAX_FRAME_DF)
             .select(bk)
         )
         pb = bb.join(F.broadcast(hot), bk, "left_anti").select(
@@ -2852,10 +2858,10 @@ banded AS MATERIALIZED (
 ),
 bx AS (SELECT * FROM banded WHERE side = 'index'),
 bb AS (SELECT * FROM banded WHERE side = 'batch'),
-h0x AS (SELECT b0 AS v FROM banded GROUP BY 1 HAVING count(*) > 8),
-h1x AS (SELECT b1 AS v FROM banded GROUP BY 1 HAVING count(*) > 8),
-h2x AS (SELECT b2 AS v FROM banded GROUP BY 1 HAVING count(*) > 8),
-h3x AS (SELECT b3 AS v FROM banded GROUP BY 1 HAVING count(*) > 8),
+h0x AS (SELECT b0 AS v FROM banded GROUP BY 1 HAVING count(*) > {MAX_FRAME_DF}),
+h1x AS (SELECT b1 AS v FROM banded GROUP BY 1 HAVING count(*) > {MAX_FRAME_DF}),
+h2x AS (SELECT b2 AS v FROM banded GROUP BY 1 HAVING count(*) > {MAX_FRAME_DF}),
+h3x AS (SELECT b3 AS v FROM banded GROUP BY 1 HAVING count(*) > {MAX_FRAME_DF}),
 cands AS (
   SELECT b.img_id AS bid, x.img_id AS xid
   FROM bb b JOIN bx x ON b.b0 = x.b0
@@ -2946,7 +2952,7 @@ def image_dhash_incremental(spark, sf_dir):
         hot = (
             banded.groupBy(bk)
             .agg(F.count(F.lit(1)).alias("_df"))
-            .filter(F.col("_df") > 8)
+            .filter(F.col("_df") > MAX_FRAME_DF)
             .select(bk)
         )
         pb = (
