@@ -325,8 +325,13 @@ def stream_audio_admission(
             ),
             id_col="aud_id",
         )
-        if not os.path.isdir(index_dir):
-            rows.write.parquet(index_dir)
+        if not _has_parquet(index_dir):
+            # mode=overwrite + committed-file gate (ADVICE r14 #2): a
+            # first micro-batch that crashed mid-write leaves a directory
+            # with no committed parquet — isdir would then fail schema
+            # inference on read (or errorifexists on rewrite) forever;
+            # this way the torn bootstrap self-heals on replay.
+            rows.write.mode("overwrite").parquet(index_dir)
             return
         idx = spark.read.parquet(index_dir)
         rows = rows.join(
@@ -430,8 +435,9 @@ def stream_image_admission(
         rows = image_band_rows(
             batch_df.dropDuplicates([id_col]), id_col=id_col
         )
-        if not os.path.isdir(index_dir):
-            rows.write.parquet(index_dir)
+        if not _has_parquet(index_dir):
+            # self-healing bootstrap (ADVICE r14 #2) — see the audio twin
+            rows.write.mode("overwrite").parquet(index_dir)
             return
         idx = spark.read.parquet(index_dir)
         rows = rows.join(
