@@ -32,6 +32,17 @@ when it is BOTH >2x its load-normalized baseline AND >0.5s over it
 (absolute slack + one retry filter out timing noise on sub-second queries).
 Regressions are listed on stderr and flip the exit code to 1 — the JSON
 line on stdout is printed either way.
+
+Isolated-probe mode (VERDICT r14 #3): ``python bench.py --only <query>``
+runs ONE query in this fresh process — the standard warm-ups, an untimed
+per-query warm-up run, then min-of-5 — and prints a one-line JSON with the
+canary-normalized ratio vs the recorded baseline. Use it to adjudicate
+full-set excursions: heavy queries' JVM session state (codegen caches, GC
+pressure, shuffle files) inflates small queries sharing the process by
+~15-20% and the canary cannot see it (it tracks machine load, not session
+history), so a sub-second query reading 1.5-1.9x in a full-set run
+routinely probes at or under baseline alone — see BASELINE.md "Session
+state and isolated probes".
 """
 
 from __future__ import annotations
@@ -99,9 +110,16 @@ HEADLINE = [
 
 
 def main() -> int:
+    only: str | None = None
+    if len(sys.argv) >= 3 and sys.argv[1] == "--only":
+        only = sys.argv[2]
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     from vector_db_light_spark.registry import QUERIES
     from vector_db_light_spark.session import get_spark
+
+    if only is not None and only not in QUERIES:
+        print(f"unknown query: {only}", file=sys.stderr)
+        return 2
 
     spark = get_spark(app_name="vdl-bench")
     spark.sparkContext.setLogLevel("ERROR")
@@ -158,6 +176,35 @@ def main() -> int:
         run_once(name)  # untimed warm-up (discarded)
         return min(run_once(name) for _ in range(n_runs))
 
+    sf = float(os.path.basename(sf_dir.rstrip("/")).removeprefix("sf") or "0.1")
+
+    if only is not None:
+        # Isolated probe: one query, fresh process, no session history.
+        canary_samples = [_canary_once(spark, sf_dir) for _ in range(2)]
+        t = run_min(only)
+        canary_samples += [_canary_once(spark, sf_dir) for _ in range(2)]
+        canary = round(sorted(canary_samples)[len(canary_samples) // 2], 3)
+        baseline, base_canary = _load_baseline(sf)
+        out = {
+            "query": only,
+            "sec": t,
+            "canary_sec": canary,
+            "sf": sf,
+            "mode": f"isolated probe, min of {n_runs} after untimed warm-up",
+        }
+        base_t = baseline.get(only)
+        if base_t and base_canary:
+            norm = max(1.0, canary / base_canary)
+            out["baseline_sec"] = base_t
+            out["baseline_canary_sec"] = base_canary
+            out["load_norm"] = round(norm, 3)
+            out["normalized_ratio"] = round(t / (norm * base_t), 3)
+        else:
+            out["baseline_sec"] = None  # not a baseline query — raw time only
+        print(json.dumps(out))
+        spark.stop()
+        return 0
+
     canary_samples = [_canary_once(spark, sf_dir) for _ in range(2)]
     timings: dict[str, float] = {}
     errors: dict[str, str] = {}
@@ -171,8 +218,6 @@ def main() -> int:
             canary_samples.append(_canary_once(spark, sf_dir))
     canary_samples += [_canary_once(spark, sf_dir) for _ in range(2)]
     canary = round(sorted(canary_samples)[len(canary_samples) // 2], 3)
-
-    sf = float(os.path.basename(sf_dir.rstrip("/")).removeprefix("sf") or "0.1")
 
     # Per-query regression guard vs the recorded baseline at the same sf,
     # load-normalized by the canary (see module docstring).
