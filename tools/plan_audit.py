@@ -141,6 +141,22 @@ AUDIT = [
     "audio_offset_fingerprint_neardup",
     "image_dhash_incremental",
     "ccnet_perplexity_buckets_approx",
+    # round 15 (VERDICT r14 #2): every r14-window query gets a row — the
+    # r14 headline work plus older window members that predated the tool
+    "llm_corpus_pipeline",
+    "audio_offset_incremental",
+    "video_frameset_neardup",
+    "pii_scrub_battery",
+    "c4_line_filter_battery",
+    "scrub_filter_pipeline",
+    "decontaminate_ngram",
+    "doc_profile",
+    "hybrid_rrf_search",
+    "ingest_parse_documents",
+    "null_semantics_agg",
+    "price_quantiles_per_segment",
+    "quota_per_source",
+    "salted_hot_key_agg",
 ]
 
 
