@@ -261,3 +261,184 @@ def test_stream_curate_line_df_state_is_replay_idempotent(spark, tmp_path):
     assert state2 == state1  # no double count: the monoid saw it once
     assert dict(state1)  # and the header really is counted (df == 2)
     assert 2 in {df for _h, df in state1}
+
+
+# ---------------------------------------------------------------------------
+# stream_corpus_admission (VERDICT r14 #4): the batch capstone's pre-dedup
+# gate (PII scrub -> C4 -> Gopher, FROZEN thresholds) in front of the
+# standard dedup stages — streamed admission must equal the batch gate's
+# keep-set, per-stage funnel counts must match, and the ledger must be
+# replay-idempotent.
+# ---------------------------------------------------------------------------
+
+# Gate-passing page: 4 identical lines of a DISTINCT long sentence per
+# doc (multi-line for the C4 sentence rule; distinct bodies so unrelated
+# docs share almost no shingles; one-word edits give high-Jaccard
+# near-dup pairs the deterministic md5 LSH bands reliably catch).
+def _page(sent: str) -> str:
+    line = sent + "."  # C4 keeps only terminally-punctuated lines
+    return "\n".join([line, line, line, line])
+
+
+_S0 = (
+    "the mountain alpha ridge holds deep snow during early winter months "
+    "while hardy climbers trace narrow paths between granite towers above"
+)
+_S1 = (
+    "the river beta valley carries clear water toward southern farmland "
+    "plains where patient herons stalk silver fish along reed banks"
+)
+_S2 = (
+    "the forest gamma creek shelters quiet deer among tall green pines "
+    "whose heavy branches filter pale morning light onto soft moss"
+)
+_S10 = (
+    "the desert zeta plain stretches dry golden sand beneath pale orange "
+    "skies while distant caravans follow ancient routes between lone wells"
+)
+_S12 = (
+    "the harbor delta port loads heavy steel cargo onto waiting vessels "
+    "while tired crews secure thick ropes against rising evening tides"
+)
+_S20 = (
+    "the glacier eta summit reflects bright cold light across frozen blue "
+    "fields where roped teams cross deep crevasses before sudden storms"
+)
+
+_ADMISSION_BATCHES = [
+    [  # batch 0
+        (0, _page(_S0)),
+        (1, _page(_S1)),
+        (2, "reach me at jane.roe@example.org with the offer today folks\n"
+            + _page(_S2)),                    # PII: scrubbed and KEPT
+        (3, "the lorem ipsum dolor sit amet text\n" + _page(_S0.replace(
+            "mountain", "plateau"))),         # C4 lorem drop
+        (4, _page(_S1.replace("river", "brook")) + "\n" + "### " * 30),
+        # ^ Gopher symbol drop
+        (5, _page(_S0)),                      # in-batch exact dup of 0
+    ],
+    [  # batch 1
+        (10, _page(_S10)),
+        (11, _page(_S1)),                     # exact dup vs corpus (of 1)
+        (12, _page(_S12)),                    # fresh, admitted
+        (13, "single line with plenty of the words but only one line"),
+        # ^ C4 few_sentences drop
+    ],
+    [  # batch 2
+        (20, _page(_S20)),
+        # NEAR dup of 10: one word of the last line edited
+        (21, "\n".join([_S10 + ".", _S10 + ".", _S10 + ".",
+                        _S10.replace("orange", "copper") + "."])),
+    ],
+]
+
+
+def _drain_admission(spark, src, corpus, bands, ckpt, funnel):
+    from vector_db_light_spark.streaming.curation import stream_corpus_admission
+
+    stream = spark.readStream.schema(
+        spark.read.parquet(src).schema
+    ).parquet(src)
+    q = stream_corpus_admission(
+        stream, corpus, bands, ckpt, jaccard_threshold=0.5, funnel_dir=funnel
+    )
+    q.awaitTermination(180)
+
+
+def test_stream_corpus_admission_equals_batch_gate(spark, tmp_path):
+    """Streamed (3 micro-batches + an idle restart) == the batch path run
+    as ONE batch over the same input: same corpus keep-set, and the
+    summed funnel equals the batch gate's per-stage counts computed
+    directly with the shared operators."""
+    from pyspark.sql import functions as F
+
+    from vector_db_light_spark.operators.textstats import (
+        CORPUS_GATE_GOPHER,
+        c4_line_rules,
+        gopher_rules,
+        pii_scrubbed_text,
+    )
+    from vector_db_light_spark.streaming.curation import (
+        _admission_gate,
+        _curate_batch,
+    )
+
+    src = str(tmp_path / "incoming")
+    corpus = str(tmp_path / "curated")
+    bands = str(tmp_path / "bands")
+    ckpt = str(tmp_path / "ckpt")
+    funnel = str(tmp_path / "funnel")
+
+    all_rows = []
+    for rows in _ADMISSION_BATCHES:
+        all_rows += rows
+        spark.createDataFrame(rows, "doc_id bigint, text string").write.mode(
+            "append"
+        ).parquet(src)
+        _drain_admission(spark, src, corpus, bands, ckpt, funnel)
+    # idle restart: nothing new to drain, nothing may change
+    before = sorted(r["doc_id"] for r in spark.read.parquet(corpus).collect())
+    _drain_admission(spark, src, corpus, bands, ckpt, funnel)
+    after = sorted(r["doc_id"] for r in spark.read.parquet(corpus).collect())
+    assert before == after
+
+    # batch reference: the same gate + dedup engine over the WHOLE input
+    # as one batch (arrival order == id order, near-dup classes are
+    # pairs/cliques, so first-arrival == min-id cluster-canonical)
+    full = spark.createDataFrame(all_rows, "doc_id bigint, text string")
+    ref_corpus = str(tmp_path / "ref_curated")
+    ref_bands = str(tmp_path / "ref_bands")
+    gated, _, _ = _admission_gate(full)
+    _curate_batch(gated, ref_corpus, ref_bands, 0.5)
+    ref_ids = sorted(
+        r["doc_id"] for r in spark.read.parquet(ref_corpus).collect()
+    )
+    assert after == ref_ids
+    # the planted classes actually exercised every stage
+    assert 2 in after          # PII doc admitted (scrubbed)
+    assert 3 not in after and 13 not in after   # C4 drops
+    assert 4 not in after      # Gopher drop
+    assert 5 not in after and 11 not in after   # exact dups
+    assert 21 not in after     # near dup vs corpus
+    # corpus text is the SCRUBBED text — no raw PII downstream of the gate
+    t2 = spark.read.parquet(corpus).filter(F.col("doc_id") == 2).collect()[0][
+        "text"
+    ]
+    assert "[EMAIL]" in t2 and "jane.roe" not in t2
+
+    # per-stage funnel: summed streamed ledger == batch-operator counts
+    fun = spark.read.parquet(funnel)
+    sums = fun.agg(
+        *[
+            F.sum(c).alias(c)
+            for c in (
+                "n_input",
+                "n_c4_dropped",
+                "n_gopher_dropped",
+                "n_gate_survivors",
+                "n_admitted",
+            )
+        ]
+    ).collect()[0]
+    scrub_full = full.select(
+        "doc_id", pii_scrubbed_text("text").alias("text")
+    )
+    c4_kept = c4_line_rules(scrub_full).filter(
+        F.col("drop_reason") == "kept"
+    )
+    g_kept = gopher_rules(
+        scrub_full.join(c4_kept.select("doc_id"), "doc_id", "left_semi"),
+        **CORPUS_GATE_GOPHER,
+    ).filter(F.col("drop_reason") == "kept")
+    n_full = full.count()
+    n_c4_kept = c4_kept.count()
+    n_g_kept = g_kept.count()
+    assert sums["n_input"] == n_full
+    assert sums["n_c4_dropped"] == n_full - n_c4_kept
+    assert sums["n_gopher_dropped"] == n_c4_kept - n_g_kept
+    assert sums["n_gate_survivors"] == n_g_kept
+    assert sums["n_admitted"] == len(ref_ids)
+    # replay idempotence of the ledger: one row per batch_id, idle restart
+    # appended nothing
+    ids = [r["batch_id"] for r in fun.select("batch_id").collect()]
+    assert len(ids) == len(set(ids)) == len(_ADMISSION_BATCHES)

@@ -1559,3 +1559,503 @@ def dedup_clusters_graph_artifact(spark, sf_dir):
     facing twin of this serving path."""
     graph = _graph_artifact(spark, sf_dir)
     return _kg_cluster_labels(_kg_corpus(spark, sf_dir), graph)
+
+
+# ---------------------------------------------------------------------------
+# corpus_admission_batch (round 15, VERDICT r14 #4): the batch twin of
+# streaming.curation.stream_corpus_admission — the capstone's PRE-DEDUP
+# GATE (PII scrub -> C4 line rules -> Gopher word rules, FROZEN
+# CORPUS_GATE_GOPHER thresholds) in front of the curation engine's dedup
+# stages (in-batch exact min-id, exact vs index, in-batch cluster-canonical
+# LSH near-dedup, LSH near-dedup vs index), run as TWO phases: phase 0
+# admits the index corpus from empty, phase 1 admits a batch against it —
+# exactly one micro-batch step of the streaming path, per-doc manifest out.
+# ---------------------------------------------------------------------------
+
+
+def _adm_mh_ctes(src: str, p: str) -> str:
+    """tokens/shingles/sigs/bands CTE chain over table ``src`` with
+    prefix ``p`` — the dedup_minhash_lsh oracle machinery, parametrized
+    so the three shingle universes (phase 0, phase 1 batch, index) get
+    their own instances."""
+    bands = "\n  UNION ALL\n".join(
+        f"  SELECT doc_id, {b} AS band_idx, "
+        f"md5(sig_{3 * b}::VARCHAR || '|' || sig_{3 * b + 1}::VARCHAR || '|' "
+        f"|| sig_{3 * b + 2}::VARCHAR) AS band_key FROM {p}sig"
+        for b in range(D.NUM_BANDS)
+    )
+    return f"""{p}tok AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'),
+                     t -> t != '') AS toks
+  FROM {src}
+),
+{p}sh AS (
+  SELECT doc_id, unnest(list_distinct(
+           CASE WHEN len(toks) >= 3
+                THEN list_transform(range(1, len(toks) - 1),
+                                    i -> array_to_string(toks[i:i+2], ' '))
+                ELSE []::VARCHAR[] END)) AS shingle
+  FROM {p}tok
+),
+{p}sig AS (
+  SELECT doc_id,
+         {_SIG_COLS_SQL}
+  FROM {p}sh GROUP BY doc_id
+),
+{p}bands AS (
+{bands}
+)"""
+
+
+def _adm_selfdedup_ctes(p: str) -> str:
+    """In-batch near-dedup over the ``p``-prefixed shingle universe:
+    LSH band candidates -> exact-Jaccard >= 0.5 verify -> transitive
+    closure (recursive walk, as dedup_clusters' oracle) -> every doc
+    that is not its component's min id is doomed."""
+    return f"""{p}size AS (SELECT doc_id, count(*) AS n_shingles FROM {p}sh GROUP BY doc_id),
+{p}cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM {p}bands a
+  JOIN {p}bands b ON a.band_idx = b.band_idx AND a.band_key = b.band_key
+  WHERE a.doc_id < b.doc_id
+),
+{p}pairs AS (
+  SELECT i.id_a, i.id_b
+  FROM (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_inter
+        FROM {p}sh a JOIN {p}sh b ON a.shingle = b.shingle
+        WHERE a.doc_id < b.doc_id GROUP BY 1, 2) i
+  JOIN {p}cand c ON c.id_a = i.id_a AND c.id_b = i.id_b
+  JOIN {p}size sa ON sa.doc_id = i.id_a
+  JOIN {p}size sb ON sb.doc_id = i.id_b
+  WHERE i.n_inter / (sa.n_shingles + sb.n_shingles - i.n_inter) >= 0.5
+),
+{p}edges AS (
+  SELECT id_a AS src, id_b AS dst FROM {p}pairs
+  UNION
+  SELECT id_b AS src, id_a AS dst FROM {p}pairs
+),
+{p}walk(id, label) AS (
+  SELECT DISTINCT src AS id, src AS label FROM {p}edges
+  UNION
+  SELECT e.dst AS id, w.label FROM {p}walk w JOIN {p}edges e ON e.src = w.id
+),
+{p}doomed AS (
+  SELECT id AS doc_id FROM (SELECT id, min(label) AS lbl FROM {p}walk GROUP BY id)
+  WHERE id != lbl
+)"""
+
+
+def _corpus_admission_oracle() -> str:
+    from .textstats import (
+        _C4_LINE_KEPT_SQL,
+        _PII_EMAIL_SQL,
+        _PII_IP_SQL,
+        _PII_PHONE_SQL,
+    )
+
+    return f"""
+WITH RECURSIVE tsrc AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'),
+                     t -> t != '') AS t
+  FROM documents
+),
+pg AS (
+  SELECT doc_id,
+         'the ' || array_to_string(t[1:8], ' ') || '.' AS l,
+         'the ' || array_to_string(t[1:7], ' ') || ' indeed.' AS lv
+  FROM tsrc
+),
+pages AS (
+  SELECT doc_id, CASE
+    WHEN doc_id % 13 = 0 THEN base4 || chr(10) ||
+      'reach staff at amy.pope@example.net or call 800-555-0142 for the details today.'
+    WHEN doc_id % 23 = 0 THEN base4 || chr(10) ||
+      'the lorem ipsum dolor sit amet line.'
+    WHEN doc_id % 19 = 0 THEN l
+    WHEN doc_id % 29 = 0 THEN base4 || chr(10) || rtrim(repeat('### ', 24)) || '.'
+    ELSE base4 END AS text
+  FROM (SELECT doc_id, l,
+               l || chr(10) || l || chr(10) || l || chr(10) || l AS base4
+        FROM pg)
+),
+vpages AS (
+  SELECT doc_id, l || chr(10) || l || chr(10) || l || chr(10) || lv AS text
+  FROM pg
+),
+rendered AS (
+  SELECT doc_id, 0 AS phase, text FROM pages WHERE doc_id % 2 = 0
+  UNION ALL
+  SELECT doc_id, 1 AS phase, text FROM pages WHERE doc_id % 2 = 1
+  UNION ALL
+  SELECT doc_id + 200000 AS doc_id, 1 AS phase, text FROM pages
+  WHERE doc_id % 20 = 0
+  UNION ALL
+  SELECT doc_id + 100000 AS doc_id, 1 AS phase, text FROM vpages
+  WHERE doc_id % 20 = 10
+  UNION ALL
+  SELECT doc_id + 300000 AS doc_id, 1 AS phase, text FROM pages
+  WHERE doc_id % 18 = 1
+  UNION ALL
+  SELECT doc_id + 400000 AS doc_id, 1 AS phase, text FROM vpages
+  WHERE doc_id % 22 = 3
+),
+scrub AS MATERIALIZED (
+  SELECT doc_id, phase,
+    CAST(len(regexp_extract_all(lower(text), '{_PII_EMAIL_SQL}'))
+         + len(regexp_extract_all(lower(text), '{_PII_PHONE_SQL}'))
+         + len(regexp_extract_all(lower(text), '{_PII_IP_SQL}'))
+         AS BIGINT) AS n_pii,
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(lower(text), '{_PII_EMAIL_SQL}', '[EMAIL]', 'g'),
+        '{_PII_PHONE_SQL}', '[PHONE]', 'g'),
+      '{_PII_IP_SQL}', '[IP]', 'g') AS text
+  FROM rendered
+),
+c4 AS MATERIALIZED (
+  SELECT doc_id,
+         CASE WHEN has_brace = 1 THEN 'brace'
+              WHEN has_lorem = 1 THEN 'lorem'
+              WHEN n_kept_lines < 3 THEN 'few_sentences'
+              ELSE 'kept' END AS c4_reason
+  FROM (
+    SELECT doc_id,
+           CAST(len(list_filter(string_split(text, chr(10)),
+                l -> {_C4_LINE_KEPT_SQL})) AS BIGINT) AS n_kept_lines,
+           CAST(lower(text) LIKE '%lorem ipsum%' AS INT) AS has_lorem,
+           CAST(text LIKE '%{{%' AS INT) AS has_brace
+    FROM scrub
+  )
+),
+gm AS (
+  SELECT s.doc_id, toks,
+         CAST(len(toks) AS BIGINT) AS n_words,
+         CAST(list_reduce(
+             list_prepend(0, list_transform(toks, w -> CAST(length(w) AS BIGINT))),
+             (a, b) -> a + b) AS BIGINT) AS tok_chars,
+         CAST(length(s.text) - length(replace(s.text, '#', ''))
+              + (length(s.text) - length(replace(s.text, '...', ''))) // 3
+              AS BIGINT) AS n_symbols,
+         CAST(len(list_filter(toks, w -> regexp_matches(w, '[a-z]')))
+              AS BIGINT) AS n_alpha_words,
+         CAST(len(list_intersect(list_distinct(toks),
+              ['the','be','to','of','and','that','have','with']))
+              AS BIGINT) AS n_stopwords
+  FROM (SELECT s.doc_id, s.text,
+               list_filter(regexp_split_to_array(trim(lower(s.text)), '\\s+'),
+                           t -> t != '') AS toks
+        FROM scrub s JOIN c4 USING (doc_id)
+        WHERE c4.c4_reason = 'kept') s
+),
+gr AS MATERIALIZED (
+  SELECT doc_id,
+    CASE WHEN NOT (n_words >= 10 AND n_words <= 100000) THEN 'words'
+         WHEN NOT (tok_chars >= 3 * n_words AND tok_chars <= 10 * n_words)
+           THEN 'mean_len'
+         WHEN NOT (n_symbols * 1000 <= 100 * n_words) THEN 'symbol'
+         WHEN NOT (n_alpha_words * 1000 >= 800 * n_words) THEN 'alpha'
+         WHEN NOT (n_stopwords >= 1) THEN 'stop'
+         ELSE 'kept' END AS g_reason
+  FROM gm
+),
+gated AS MATERIALIZED (
+  SELECT s.doc_id, s.phase, s.text
+  FROM scrub s JOIN gr ON gr.doc_id = s.doc_id
+  WHERE gr.g_reason = 'kept'
+),
+g0 AS (SELECT doc_id, text FROM gated WHERE phase = 0),
+ke0 AS (SELECT min(doc_id) AS doc_id FROM g0 GROUP BY sha256(text)),
+dd0 AS MATERIALIZED (SELECT g0.* FROM g0 JOIN ke0 USING (doc_id)),
+{_adm_mh_ctes('dd0', 'p0')},
+{_adm_selfdedup_ctes('p0')},
+idx AS MATERIALIZED (
+  SELECT * FROM dd0 WHERE doc_id NOT IN (SELECT doc_id FROM p0doomed)
+),
+g1 AS (SELECT doc_id, text FROM gated WHERE phase = 1),
+ke1 AS (SELECT min(doc_id) AS doc_id FROM g1 GROUP BY sha256(text)),
+dd1 AS (SELECT g1.* FROM g1 JOIN ke1 USING (doc_id)),
+exv AS MATERIALIZED (
+  SELECT doc_id FROM dd1
+  WHERE sha256(text) IN (SELECT sha256(text) FROM idx)
+),
+dd1b AS MATERIALIZED (
+  SELECT * FROM dd1 WHERE doc_id NOT IN (SELECT doc_id FROM exv)
+),
+{_adm_mh_ctes('dd1b', 'p1')},
+{_adm_selfdedup_ctes('p1')},
+{_adm_mh_ctes('idx', 'ix')},
+ixsize AS (SELECT doc_id, count(*) AS n_shingles FROM ixsh GROUP BY doc_id),
+xdoomed AS MATERIALIZED (
+  SELECT DISTINCT i.new_id AS doc_id
+  FROM (SELECT n.doc_id AS new_id, x.doc_id AS existing_id,
+               count(*) AS n_inter
+        FROM p1sh n JOIN ixsh x ON n.shingle = x.shingle
+        GROUP BY 1, 2) i
+  JOIN (SELECT DISTINCT n.doc_id AS new_id, x.doc_id AS existing_id
+        FROM p1bands n
+        JOIN ixbands x ON n.band_idx = x.band_idx
+                      AND n.band_key = x.band_key) c
+    ON c.new_id = i.new_id AND c.existing_id = i.existing_id
+  JOIN p1size sa ON sa.doc_id = i.new_id
+  JOIN ixsize sb ON sb.doc_id = i.existing_id
+  WHERE i.n_inter / (sa.n_shingles + sb.n_shingles - i.n_inter) >= 0.5
+),
+keall AS (SELECT doc_id FROM ke0 UNION ALL SELECT doc_id FROM ke1),
+doomedin AS (SELECT doc_id FROM p0doomed UNION ALL SELECT doc_id FROM p1doomed)
+SELECT doc_id, phase, n_pii, drop_reason,
+       CAST(drop_reason = 'admitted' AS INT) AS admitted
+FROM (
+  SELECT s.doc_id, s.phase, s.n_pii,
+         CASE WHEN c4.c4_reason != 'kept' THEN 'c4:' || c4.c4_reason
+              WHEN gr.g_reason != 'kept' THEN 'gopher:' || gr.g_reason
+              WHEN ka.doc_id IS NULL THEN 'exact_dup'
+              WHEN ex.doc_id IS NOT NULL THEN 'exact_vs_index'
+              WHEN di.doc_id IS NOT NULL THEN 'near_dup'
+              WHEN xd.doc_id IS NOT NULL THEN 'near_dup_index'
+              ELSE 'admitted' END AS drop_reason
+  FROM scrub s
+  LEFT JOIN c4 ON c4.doc_id = s.doc_id
+  LEFT JOIN gr ON gr.doc_id = s.doc_id
+  LEFT JOIN keall ka ON ka.doc_id = s.doc_id
+  LEFT JOIN exv ex ON ex.doc_id = s.doc_id
+  LEFT JOIN doomedin di ON di.doc_id = s.doc_id
+  LEFT JOIN xdoomed xd ON xd.doc_id = s.doc_id
+)
+"""
+
+
+@register("corpus_admission_batch", _corpus_admission_oracle())
+def corpus_admission_batch(spark, sf_dir):
+    """Batch twin of ``streaming.curation.stream_corpus_admission``
+    (VERDICT r14 #4): one micro-batch step of the streaming admission
+    path, as a pure two-phase query with a per-doc manifest. Phase 0
+    admits the INDEX corpus from empty (gate -> in-batch exact min-id ->
+    in-batch cluster-canonical LSH near-dedup); phase 1 admits a batch
+    against it (gate -> in-batch exact -> exact vs index -> in-batch
+    near-dedup -> LSH near-dedup vs index) — the exact stage order of
+    ``_curate_batch``, with the capstone's FROZEN pre-dedup gate
+    (PII scrub -> C4 line rules -> Gopher word rules under
+    CORPUS_GATE_GOPHER — the ONE shared definition) in front.
+    Pages render each doc's leading tokens as 4 terminally-punctuated
+    lines; planted classes: PII line %13 (scrubbed and KEPT, n_pii
+    pinned), lorem %23, single-line %19, symbol spam %29, exact
+    re-uploads of index docs (+200000), one-word-edited near-variants of
+    index docs (+100000), in-batch exact copies (+300000) and in-batch
+    near-variants (+400000). The oracle replays every stage including
+    the transitive closure (recursive walk CTE, as dedup_clusters).
+    tests/test_stream_curation.py pins streamed == batch over the same
+    engine; this query pins the engine itself against DuckDB.
+    Scale shape: the gate is one narrow map stage; every dedup join is
+    banded (LSH) or hash-equi (sha); index-side tables are the persisted
+    artifacts at 100 TB (bucketed by band_key/sha), batch sides
+    broadcast."""
+    from ..operators.textstats import (
+        CORPUS_GATE_GOPHER,
+        PII_EMAIL_RE,
+        PII_IPV4_RE,
+        PII_PHONE_RE,
+        c4_line_rules,
+        gopher_rules,
+        pii_scrubbed_text,
+    )
+    from ..plans.spread import spread
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    toks = D.tokens_expr("text")
+    line = F.concat(
+        F.lit("the "), F.array_join(F.slice(toks, 1, 8), " "), F.lit(".")
+    )
+    linev = F.concat(
+        F.lit("the "), F.array_join(F.slice(toks, 1, 7), " "), F.lit(" indeed.")
+    )
+    b = docs.select("doc_id", line.alias("l"), linev.alias("lv"))
+    nl = F.lit("\n")
+    base4 = F.concat(
+        F.col("l"), nl, F.col("l"), nl, F.col("l"), nl, F.col("l")
+    )
+    page = (
+        F.when(
+            F.col("doc_id") % 13 == 0,
+            F.concat(
+                base4, nl,
+                F.lit(
+                    "reach staff at amy.pope@example.net or call"
+                    " 800-555-0142 for the details today."
+                ),
+            ),
+        )
+        .when(
+            F.col("doc_id") % 23 == 0,
+            F.concat(base4, nl, F.lit("the lorem ipsum dolor sit amet line.")),
+        )
+        .when(F.col("doc_id") % 19 == 0, F.col("l"))
+        .when(
+            F.col("doc_id") % 29 == 0,
+            F.concat(base4, nl, F.expr("rtrim(repeat('### ', 24))"), F.lit(".")),
+        )
+        .otherwise(base4)
+    )
+    vpage = F.concat(
+        F.col("l"), nl, F.col("l"), nl, F.col("l"), nl, F.col("lv")
+    )
+    pages = b.select("doc_id", page.alias("text"))
+    vpages = b.select("doc_id", vpage.alias("text"))
+
+    def _ph(df, off: int, p: int):
+        return df.select(
+            (F.col("doc_id") + off).alias("doc_id"),
+            F.lit(p).alias("phase"),
+            "text",
+        )
+
+    rendered = (
+        _ph(pages.filter(F.col("doc_id") % 2 == 0), 0, 0)
+        .unionByName(_ph(pages.filter(F.col("doc_id") % 2 == 1), 0, 1))
+        .unionByName(_ph(pages.filter(F.col("doc_id") % 20 == 0), 200000, 1))
+        .unionByName(_ph(vpages.filter(F.col("doc_id") % 20 == 10), 100000, 1))
+        .unionByName(_ph(pages.filter(F.col("doc_id") % 18 == 1), 300000, 1))
+        .unionByName(_ph(vpages.filter(F.col("doc_id") % 22 == 3), 400000, 1))
+    )
+    lt = F.lower(F.col("text"))
+    n_pii = (
+        F.size(F.regexp_extract_all(lt, F.lit(PII_EMAIL_RE), F.lit(0)))
+        + F.size(F.regexp_extract_all(lt, F.lit(PII_PHONE_RE), F.lit(0)))
+        + F.size(F.regexp_extract_all(lt, F.lit(PII_IPV4_RE), F.lit(0)))
+    ).cast("long")
+    # the scrubbed table feeds the gate, both phases' sha/shingle stages,
+    # and the manifest — the one deliberate materialization (the
+    # post-scrub hive table at 100 TB, as in llm_corpus_pipeline)
+    scrub = (
+        spread(rendered, "doc_id")
+        .select(
+            "doc_id",
+            "phase",
+            n_pii.alias("n_pii"),
+            pii_scrubbed_text("text").alias("text"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    c4 = c4_line_rules(scrub).select(
+        "doc_id", F.col("drop_reason").alias("c4_reason")
+    )
+    g = gopher_rules(
+        scrub.join(
+            F.broadcast(
+                c4.filter(F.col("c4_reason") == "kept").select("doc_id")
+            ),
+            "doc_id",
+            "left_semi",
+        ),
+        **CORPUS_GATE_GOPHER,
+    ).select("doc_id", F.col("drop_reason").alias("g_reason"))
+    gated = scrub.join(
+        F.broadcast(
+            g.filter(F.col("g_reason") == "kept").select("doc_id")
+        ),
+        "doc_id",
+        "left_semi",
+    ).select("doc_id", "phase", "text")
+
+    def _exact_keep(gp):
+        return (
+            gp.groupBy(F.sha2("text", 256).alias("_h"))
+            .agg(F.min("doc_id").alias("doc_id"))
+            .select("doc_id")
+        )
+
+    def _self_doomed(dd, rows):
+        sigs = D.minhash_signatures(dd, rows=rows)
+        bands = D.minhash_band_keys(sigs)
+        cands = D.lsh_candidate_pairs(bands)
+        pairs = D.jaccard_pairs(dd, candidates=cands, rows=rows).filter(
+            F.col("jaccard") >= 0.5
+        )
+        return (
+            D.connected_components(pairs.select("id_a", "id_b"))
+            .filter(F.col("id") != F.col("label"))
+            .select(F.col("id").alias("doc_id")),
+            bands,
+        )
+
+    # phase 0: the index admits itself from empty
+    g0 = gated.filter(F.col("phase") == 0).select("doc_id", "text")
+    ke0 = _exact_keep(g0)
+    dd0 = g0.join(F.broadcast(ke0), "doc_id", "left_semi")
+    rows0 = D.shingle_rows(dd0).localCheckpoint(eager=True)
+    doomed0, _ = _self_doomed(dd0, rows0)
+    doomed0 = doomed0.localCheckpoint(eager=True)  # manifest + idx anti
+    idx = dd0.join(F.broadcast(doomed0), "doc_id", "left_anti")
+
+    # phase 1: the batch admits against the index
+    g1 = gated.filter(F.col("phase") == 1).select("doc_id", "text")
+    ke1 = _exact_keep(g1)
+    dd1 = g1.join(F.broadcast(ke1), "doc_id", "left_semi")
+    idx_sha = idx.select(F.sha2("text", 256).alias("_h")).distinct()
+    exv = (
+        dd1.select("doc_id", F.sha2("text", 256).alias("_h"))
+        .join(F.broadcast(idx_sha), "_h", "left_semi")
+        .select("doc_id")
+    )
+    dd1b = dd1.join(F.broadcast(exv), "doc_id", "left_anti")
+    rows1 = D.shingle_rows(dd1b).localCheckpoint(eager=True)
+    doomed1, bands1 = _self_doomed(dd1b, rows1)
+    rows_i = D.shingle_rows(idx).localCheckpoint(eager=True)
+    bands_i = D.minhash_band_keys(D.minhash_signatures(idx, rows=rows_i))
+    cands_x = (
+        D.incremental_lsh_candidates(bands_i, bands1)
+        .filter(F.col("new_id") != F.col("existing_id"))
+        .select(
+            F.col("new_id").alias("id_a"), F.col("existing_id").alias("id_b")
+        )
+    )
+    doomed_x = (
+        D.jaccard_pairs(
+            dd1b.unionByName(idx),
+            candidates=cands_x,
+            rows=rows1.unionByName(rows_i),
+        )
+        .filter(F.col("jaccard") >= 0.5)
+        .select(F.col("id_a").alias("doc_id"))
+        .distinct()
+    )
+
+    def _mark(df, name):
+        return df.select("doc_id").distinct().withColumn(name, F.lit(1))
+
+    m = (
+        scrub.select("doc_id", "phase", "n_pii")
+        .join(F.broadcast(c4), "doc_id", "left")
+        .join(F.broadcast(g), "doc_id", "left")
+        .join(F.broadcast(_mark(ke0.unionByName(ke1), "_ka")), "doc_id", "left")
+        .join(F.broadcast(_mark(exv, "_ex")), "doc_id", "left")
+        .join(
+            F.broadcast(_mark(doomed0.unionByName(doomed1), "_di")),
+            "doc_id",
+            "left",
+        )
+        .join(F.broadcast(_mark(doomed_x, "_xd")), "doc_id", "left")
+    )
+    reason = (
+        F.when(
+            F.col("c4_reason") != "kept",
+            F.concat(F.lit("c4:"), F.col("c4_reason")),
+        )
+        .when(
+            F.col("g_reason") != "kept",
+            F.concat(F.lit("gopher:"), F.col("g_reason")),
+        )
+        .when(F.col("_ka").isNull(), F.lit("exact_dup"))
+        .when(F.col("_ex").isNotNull(), F.lit("exact_vs_index"))
+        .when(F.col("_di").isNotNull(), F.lit("near_dup"))
+        .when(F.col("_xd").isNotNull(), F.lit("near_dup_index"))
+        .otherwise(F.lit("admitted"))
+    )
+    return m.select(
+        "doc_id",
+        "phase",
+        "n_pii",
+        reason.alias("drop_reason"),
+        (reason == F.lit("admitted")).cast("int").alias("admitted"),
+    )

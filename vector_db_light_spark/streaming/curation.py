@@ -222,6 +222,126 @@ def _curate_batch(
         new_state.write.mode("overwrite").parquet(line_df_dir)
 
 
+def _admission_gate(batch_df: DataFrame) -> tuple[DataFrame, int, int]:
+    """The batch capstone's PRE-DEDUP gate over one micro-batch
+    (VERDICT r14 #4): PII scrub -> C4 line rules -> Gopher word rules
+    under the FROZEN capstone thresholds
+    (operators.textstats.CORPUS_GATE_GOPHER — one shared definition, so
+    the streaming path admits exactly what llm_corpus_pipeline's gate
+    keeps). Returns (survivors with ``text`` REPLACED by the scrubbed
+    text — the capstone's stage order: nothing downstream of the scrub
+    may see raw PII), n_c4_dropped, n_gopher_dropped. The scrubbed frame
+    is localCheckpointed: it is consumed by the C4 pass, the Gopher
+    pass, and the survivor join (rule 4)."""
+    from ..operators.textstats import (
+        CORPUS_GATE_GOPHER,
+        c4_line_rules,
+        gopher_rules,
+        pii_scrubbed_text,
+    )
+
+    keep = [c for c in batch_df.columns if c != "text"]
+    scrubbed = batch_df.select(
+        *keep, pii_scrubbed_text("text").alias("text")
+    ).localCheckpoint(eager=True)
+    n_in = scrubbed.count()
+    c4_kept = (
+        c4_line_rules(scrubbed)
+        .filter(F.col("drop_reason") == "kept")
+        .select("doc_id")
+    )
+    after_c4 = scrubbed.join(F.broadcast(c4_kept), "doc_id", "left_semi")
+    n_c4 = after_c4.count()
+    g_kept = (
+        gopher_rules(after_c4, **CORPUS_GATE_GOPHER)
+        .filter(F.col("drop_reason") == "kept")
+        .select("doc_id")
+    )
+    gated = after_c4.join(F.broadcast(g_kept), "doc_id", "left_semi")
+    n_g = gated.count()
+    return gated, n_in - n_c4, n_c4 - n_g
+
+
+_FUNNEL_SCHEMA = (
+    "batch_id bigint, n_input bigint, n_c4_dropped bigint, "
+    "n_gopher_dropped bigint, n_gate_survivors bigint, n_admitted bigint"
+)
+
+
+def stream_corpus_admission(
+    doc_stream: DataFrame,
+    corpus_dir: str,
+    bands_dir: str,
+    checkpoint_dir: str,
+    jaccard_threshold: float = 0.5,
+    funnel_dir: str | None = None,
+) -> StreamingQuery:
+    """Streaming twin of the batch capstone's ADMISSION POLICY (VERDICT
+    r14 #4): per micro-batch, run llm_corpus_pipeline's pre-dedup gate —
+    PII scrub -> C4 line rules -> Gopher word rules with the FROZEN
+    capstone thresholds — then the standard exact + cluster-canonical
+    LSH dedup stages against the persistent corpus (the same
+    ``_curate_batch`` engine as :func:`stream_curate`). The corpus only
+    ever contains gate-passing, scrubbed, deduplicated documents — what
+    the batch pipeline keeps, incrementally.
+
+    Pass ``funnel_dir`` to persist one ledger row per micro-batch
+    (batch_id, n_input, n_c4_dropped, n_gopher_dropped,
+    n_gate_survivors, n_admitted). Replay-idempotent BY LEDGER (rule
+    11): a replayed batch_id appends no second row, and ``n_admitted``
+    is computed as "this batch's gate survivors present in the corpus
+    AFTER the dedup stage" — truthful even when a crash landed between
+    the corpus append and the ledger write, because the replayed docs
+    are found in the corpus rather than re-admitted."""
+
+    def run(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        spark = batch_df.sparkSession
+        replayed = False
+        if funnel_dir is not None and _has_parquet(funnel_dir):
+            replayed = not (
+                spark.read.parquet(funnel_dir)
+                .filter(F.col("batch_id") == batch_id)
+                .limit(1)
+                .isEmpty()
+            )
+        n_input = batch_df.count()
+        gated, n_c4_dropped, n_gopher_dropped = _admission_gate(batch_df)
+        n_survivors = n_input - n_c4_dropped - n_gopher_dropped
+        if n_survivors:
+            _curate_batch(gated, corpus_dir, bands_dir, jaccard_threshold)
+        if funnel_dir is None or replayed:
+            return
+        n_admitted = 0
+        if n_survivors and _has_parquet(corpus_dir):
+            n_admitted = (
+                spark.read.parquet(corpus_dir)
+                .join(F.broadcast(gated.select("doc_id")), "doc_id", "left_semi")
+                .count()
+            )
+        spark.createDataFrame(
+            [
+                (
+                    batch_id,
+                    n_input,
+                    n_c4_dropped,
+                    n_gopher_dropped,
+                    n_survivors,
+                    n_admitted,
+                )
+            ],
+            _FUNNEL_SCHEMA,
+        ).write.mode("append").parquet(funnel_dir)
+
+    return (
+        doc_stream.writeStream.foreachBatch(run)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
 def stream_curate(
     doc_stream: DataFrame,
     corpus_dir: str,
