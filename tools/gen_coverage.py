@@ -181,7 +181,7 @@ def _ever_driver_checked() -> set[str]:
 # from: the driver lands CORRECTNESS_r{N}.json AFTER the round's last
 # commit, so the derivation (and its pytest invariant) must be pinned to
 # the rounds that existed at derivation time — bump when re-deriving.
-WINDOW_DERIVED_AT = 13
+WINDOW_DERIVED_AT = 14
 
 
 def _last_pass_round(max_round: int | None = None) -> dict[str, int]:
@@ -229,25 +229,14 @@ WINDOW_SIZE = 50
 # (their last-pass round no longer certifies the current code). Update
 # per round; the derivation handles everything else mechanically.
 CHANGED_THIS_ROUND: tuple[str, ...] = (
-    # r14: stopword-frame mask (rule 13 on the frame tier) + planted
-    # degenerate classes changed these queries' semantics/fixtures
-    "multimodal_frame_dedup",
-    "multimodal_incremental_frame_dedup",
-    "video_dhash_neardup",
-    # r14: decode-once lead() rewrite (same output, new code path)
-    "audio_offset_fingerprint_neardup",
-    # r14: gopher line rules neutralized at the call site (ADVICE r13 #1)
-    "curation_gopher_ccnet",
-    # r14: solid class + stopword-band mask (rule 13 on the image tier)
-    "image_dhash_neardup",
-    "image_dhash_incremental",
-    # r14: +%29 Luhn credit-card redaction class / +%37 bad-words class
-    "pii_scrub_battery",
-    "c4_line_filter_battery",
-    # r14: titlecard cut + stopword-key cap on the exact-frame tier;
-    # per-band cap + decode-once lead() on the leading audio tier
-    "video_frameset_neardup",
-    "audio_fingerprint_neardup",
+    # r15: gram-df cap on the near-dedup + decontam stages (rule 13,
+    # VERDICT r14 watch #1) — funnel output changed (contaminated 88->33,
+    # kept 78->102)
+    "llm_corpus_pipeline",
+    # r15: oracle now MODELS the frame-df cap (ADVICE r14 #1 — hash
+    # unchanged on this fixture, but the certified semantics moved);
+    # media_curation_pipeline is an anchor, listed here for the ledger
+    "media_curation_pipeline",
 )
 
 

@@ -122,66 +122,64 @@ def _populate() -> None:
 # alphabetically-first round-5 families — so rotation now re-validates
 # the oldest greens instead of only chasing first passes. Everything
 # rotated out stays registered and driver_sim-checked.
-# Round-14 rotation: external coverage is COMPLETE (229/229 across
-# r1-r13), so the window is derived MECHANICALLY by
+# Round-15 rotation: external coverage stays COMPLETE (231/231 across
+# r1-r14), window derived MECHANICALLY by
 # `python tools/gen_coverage.py --window`: two longitudinal anchors, the
-# round's newcomers (audio_offset_incremental, llm_corpus_pipeline), the
-# queries whose semantics/fixtures changed this round (frame-mask family,
-# audio decode-once rewrite, curation_gopher_ccnet line-rule
-# neutralization), then the longest-unrefreshed families ascending by
-# last external pass. This block is that tool's verbatim output — edit
+# round's newcomer (corpus_admission_batch), the queries whose output
+# changed this round (llm_corpus_pipeline — gram-df cap), then the
+# longest-unrefreshed families ascending by last external pass. This block is that tool's verbatim output — edit
 # gen_coverage.WINDOW_ANCHORS / CHANGED_THIS_ROUND, not this list.
 PRIORITY: tuple[str, ...] = (
     "search_pipeline",  # anchor
     "media_curation_pipeline",  # anchor
-    "audio_offset_incremental",  # NEWCOMER
-    "llm_corpus_pipeline",  # NEWCOMER
-    "multimodal_frame_dedup",  # CHANGED this round (last pass r13)
-    "multimodal_incremental_frame_dedup",  # CHANGED this round (last pass r13)
-    "video_dhash_neardup",  # CHANGED this round (last pass r13)
-    "audio_offset_fingerprint_neardup",  # CHANGED this round (last pass r13)
-    "curation_gopher_ccnet",  # CHANGED this round (last pass r12)
-    "image_dhash_neardup",  # CHANGED this round (last pass r12)
-    "image_dhash_incremental",  # CHANGED this round (last pass r13)
-    "pii_scrub_battery",  # CHANGED this round (last pass r13)
-    "c4_line_filter_battery",  # CHANGED this round (last pass r13)
-    "video_frameset_neardup",  # CHANGED this round (last pass r12)
-    "audio_fingerprint_neardup",  # CHANGED this round (last pass r12)
-    "cohort_retention_daily",  # last pass r9
-    "collocations_pmi",  # last pass r9
-    "corpus_curation_pipeline",  # last pass r9
-    "decontaminate_ngram",  # last pass r9
-    "dedup_clusters",  # last pass r9
-    "dedup_incremental_lsh",  # last pass r9
-    "dedup_incremental_substring",  # last pass r9
-    "dedup_keep_best",  # last pass r9
-    "dedup_minhash_lsh",  # last pass r9
-    "dedup_semantic_prune",  # last pass r9
-    "dedup_substring_spans",  # last pass r9
-    "doc_profile",  # last pass r9
-    "embed_hashed_features",  # last pass r9
-    "embed_random_projection",  # last pass r9
-    "event_transition_matrix",  # last pass r9
-    "fuzzy_incremental_pairs",  # last pass r9
-    "fuzzy_join_titles",  # last pass r9
-    "graph_cohesion_summary",  # last pass r9
-    "hybrid_rrf_search",  # last pass r9
-    "index_build_pipeline",  # last pass r9
-    "ingest_parse_documents",  # last pass r9
-    "kcore_peel_trajectory",  # last pass r9
-    "kn_bigram_stats",  # last pass r9
-    "knn_batch_topk",  # last pass r9
-    "knn_ivfpq_residual_topk",  # last pass r9
-    "multimodal_frame_sample",  # last pass r9
-    "null_semantics_agg",  # last pass r9
-    "pagerank_directed_dangling",  # last pass r9
-    "price_quantiles_per_segment",  # last pass r9
-    "quota_per_source",  # last pass r9
-    "rag_prompt_assembly",  # last pass r9
-    "salted_hot_key_agg",  # last pass r9
-    "search_prf_expansion",  # last pass r9
-    "sessionize_events",  # last pass r9
-    "triangle_count_parts",  # last pass r9
+    "corpus_admission_batch",  # NEWCOMER
+    "llm_corpus_pipeline",  # CHANGED this round (last pass r14)
+    "triangle_delta_incremental",  # last pass r9
+    "ann_ivf_kmeans_recall",  # last pass r10
+    "ann_lsh_ndcg",  # last pass r10
+    "approx_distinct_users",  # last pass r10
+    "approx_price_quantiles",  # last pass r10
+    "bigram_coverage_score",  # last pass r10
+    "bm25_wand_topk",  # last pass r10
+    "butterfly_sampled_quality",  # last pass r10
+    "cc_luhn_detection",  # last pass r10
+    "citations_agg",  # last pass r10
+    "classifier_curation_pipeline",  # last pass r10
+    "covisitation_topk",  # last pass r10
+    "cross_nation_volume",  # last pass r10
+    "customer_order_histogram",  # last pass r10
+    "disjunctive_revenue",  # last pass r10
+    "events_resample_hourly",  # last pass r10
+    "events_robust_outliers",  # last pass r10
+    "fuzzy_source_pairs",  # last pass r10
+    "idle_customer_balance",  # last pass r10
+    "kn_fluency_score",  # last pass r10
+    "knn_pq_filtered_topk",  # last pass r10
+    "large_volume_orders",  # last pass r10
+    "lonely_late_suppliers",  # last pass r10
+    "lpa_communities",  # last pass r10
+    "nation_market_share",  # last pass r10
+    "order_value_deciles",  # last pass r10
+    "pack_training_sequences",  # last pass r10
+    "pagerank_weighted_suppliers",  # last pass r10
+    "perceptron_quality_train",  # last pass r10
+    "phrase_search_positions",  # last pass r10
+    "price_histogram",  # last pass r10
+    "priority_top_orders_csv",  # last pass r10
+    "promo_revenue_share",  # last pass r10
+    "proximity_search_near",  # last pass r10
+    "rag_chunk_banners",  # last pass r10
+    "rank_functions_per_segment",  # last pass r10
+    "returned_item_customers",  # last pass r10
+    "revenue_by_nation",  # last pass r10
+    "revenue_by_supplier_nation_year",  # last pass r10
+    "scd2_customer_history",  # last pass r10
+    "set_ops_all_labeled",  # last pass r10
+    "sliding_hourly_events",  # last pass r10
+    "small_quantity_orders",  # last pass r10
+    "supplier_degree_histogram",  # last pass r10
+    "table_profile_orders",  # last pass r10
+    "top_supplier_revenue",  # last pass r10
 )
 
 _PRIORITY_R10: tuple[str, ...] = (
