@@ -415,6 +415,51 @@ def extract_audio_features(media: DataFrame, window: int = 32) -> DataFrame:
     )
 
 
+def audio_energy_prefix(media: DataFrame, n: int, window: int = 2) -> DataFrame:
+    """Fused decode -> window-energy stage emitting ONE row per audio:
+    the true window count plus the FIRST ``n`` window energies as an
+    array (exact integers, as everywhere in the audio tier). The
+    offset-fingerprint tier only reads windows [0, max_offset + 32), so
+    producing them fused in the decode's Arrow stage removes both the
+    per-window explode and the (doc, window) shuffle the lead() pass
+    needed (VERDICT r14 #7 — probe table in SCALE.md). The array is an
+    INTERNAL operator layout, never a query output column (driver
+    canonicalizer rule); malformed files land in ``feature_error``."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, mt, payload in zip(
+                pdf["doc_id"], pdf["media_type"], pdf["payload"]
+            ):
+                if mt != "audio/wav":
+                    continue
+                try:
+                    _sr, _ch, _bits, samples = decode_wav(bytes(payload))
+                    feats = window_energy(samples, window)
+                    rows.append(
+                        (
+                            int(doc_id),
+                            len(feats),
+                            [int(e) for e in feats[:n]],
+                            None,
+                        )
+                    )
+                except Exception as ex:  # noqa: BLE001 — row-level contract
+                    rows.append(
+                        (int(doc_id), 0, None, f"{type(ex).__name__}: {ex}")
+                    )
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "nw", "earr", "feature_error"]
+            )
+
+    return media.filter(F.col("media_type") == "audio/wav").mapInPandas(
+        run,
+        schema="doc_id bigint, nw bigint, earr array<bigint>,"
+        " feature_error string",
+    )
+
+
 def audio_offset_fingerprints(
     media: DataFrame,
     id_col: str = "doc_id",
@@ -428,52 +473,49 @@ def audio_offset_fingerprints(
     sum-of-squares energy per 2-sample window -> for each offset ``o``, a
     31-bit word whose bit j is set iff window o+j+1's energy exceeds
     window o+j's -> three bands (11/10/10 bits — lossless for
-    Hamming <= 2 by pigeonhole). One decode, one window shuffle
-    (``lead(energy)`` supplies the next window in the same pass), one
-    fused aggregate — no self-join (the r14 decode-once shape, measured
-    2x at both sf0.1 and sf1). Fingerprints with fewer than 31 deltas are
-    dropped, not zero-padded; fingerprints with fewer than
-    ``min_nonzero`` of 32 nonzero-energy windows are dropped (the
-    silence mask rule 13 forced by measurement — silence-prefixed cuts
-    otherwise share their low band and the band join goes quadratic).
+    Hamming <= 2 by pigeonhole). r15 shape (VERDICT r14 #7): the decode
+    stage emits the needed energy PREFIX as an array per doc
+    (:func:`audio_energy_prefix`), and each offset word is ONE unrolled
+    codegen expression over array elements — ZERO shuffles end-to-end
+    where the r14 lead() form still paid one (doc, window) exchange +
+    sort + partial/final aggregate. Drop rules unchanged: fewer than 31
+    deltas (true window count < o + 32) drops the fingerprint, and fewer
+    than ``min_nonzero`` of its 32 windows nonzero drops it (the silence
+    mask rule 13 forced by measurement — silence-prefixed cuts otherwise
+    share their low band and the band join goes quadratic).
     Returns (id_col, o, w, b0, b1, b2)."""
-    from pyspark.sql.window import Window as W
-
-    ev = (
-        extract_audio_features(media, window=2)
-        .filter(F.col("feature_error").isNull())
-        .select(
-            F.col("doc_id").alias(id_col),
-            F.col("window_idx").alias("i"),
-            F.col("energy").alias("e1"),
-        )
-        .withColumn(
-            "e2", F.lead("e1").over(W.partitionBy(id_col).orderBy("i"))
-        )
+    need = max(offsets) + 32
+    ev = audio_energy_prefix(media, n=need, window=2).filter(
+        F.col("feature_error").isNull()
     )
-    is_delta = F.col("i") < F.col("o") + 31
+    # one generic unrolled expression, offset as a column: bit j compares
+    # elements o+j+1 / o+j+2 (1-indexed). The filter on the true window
+    # count runs BEFORE the projection, so ANSI element_at never sees an
+    # out-of-bounds index.
+    w_terms = " + ".join(
+        f"(CASE WHEN element_at(earr, o + {j + 2}) >"
+        f" element_at(earr, o + {j + 1}) THEN {1 << j}L ELSE 0L END)"
+        for j in range(31)
+    )
+    nz_terms = " + ".join(
+        f"(CASE WHEN element_at(earr, o + {j + 1}) > 0 THEN 1 ELSE 0 END)"
+        for j in range(32)
+    )
     return (
         ev.select(
-            id_col, "i", "e1", "e2",
+            F.col("doc_id").alias(id_col),
+            "nw",
+            "earr",
             F.explode(F.array(*[F.lit(o) for o in offsets])).alias("o"),
         )
-        .filter((F.col("i") >= F.col("o")) & (F.col("i") < F.col("o") + 32))
-        .groupBy(id_col, "o")
-        .agg(
-            F.sum(
-                F.when(
-                    is_delta & (F.col("e2") > F.col("e1")),
-                    F.expr("shiftleft(1L, cast(i - o as int))"),
-                ).otherwise(F.lit(0).cast("long"))
-            )
-            .cast("long")
-            .alias("w"),
-            F.sum((is_delta & F.col("e2").isNotNull()).cast("int")).alias(
-                "nb"
-            ),
-            F.sum((F.col("e1") > 0).cast("int")).alias("nz"),
+        .filter(F.col("nw") >= F.col("o") + 32)
+        .select(
+            id_col,
+            "o",
+            F.expr(f"cast({w_terms} as bigint)").alias("w"),
+            F.expr(f"({nz_terms})").alias("nz"),
         )
-        .filter((F.col("nb") == 31) & (F.col("nz") >= min_nonzero))
+        .filter(F.col("nz") >= min_nonzero)
         .select(
             id_col,
             "o",
