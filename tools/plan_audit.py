@@ -157,6 +157,7 @@ AUDIT = [
     "price_quantiles_per_segment",
     "quota_per_source",
     "salted_hot_key_agg",
+    "corpus_admission_batch",
 ]
 
 
