@@ -29,9 +29,9 @@ HERE = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 # BUMP THIS on every re-record (ADVICE r12: the written file's provenance
 # must name the version/round that actually recorded it, not a stale one).
 BASELINE_PROVENANCE = (
-    "baseline v9, recorded at round 14 (v8 + the same-round rule-13 "
-    "closure touched a headline query again: media_curation_pipeline's "
-    "inline frame dedup gained the stopword-frame cap; re-recorded per "
+    "baseline v10, recorded at round 15 (llm_corpus_pipeline gained the "
+    "gram-df cap — rule 13 on the containment near-dedup stage — which "
+    "changes its kept funnel 78->102 docs and its plan; re-recorded per "
     "CLAUDE.md rule 6 — baseline and round must be same-shape runs)"
 )
 
