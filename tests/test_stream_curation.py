@@ -388,8 +388,10 @@ def test_stream_corpus_admission_equals_batch_gate(spark, tmp_path):
     full = spark.createDataFrame(all_rows, "doc_id bigint, text string")
     ref_corpus = str(tmp_path / "ref_curated")
     ref_bands = str(tmp_path / "ref_bands")
+    from vector_db_light_spark.operators.dedup import MAX_BAND_DF
+
     gated, _, _ = _admission_gate(full)
-    _curate_batch(gated, ref_corpus, ref_bands, 0.5)
+    _curate_batch(gated, ref_corpus, ref_bands, 0.5, max_band_df=MAX_BAND_DF)
     ref_ids = sorted(
         r["doc_id"] for r in spark.read.parquet(ref_corpus).collect()
     )

@@ -165,9 +165,52 @@ def minhash_band_keys(
     )
 
 
-def lsh_candidate_pairs(band_keys: DataFrame, id_col: str = "doc_id") -> DataFrame:
+# Band-value document-frequency cap for ADMISSION paths (rule 13, found
+# live by the r15 planted disclaimer class): the MinHash exemption —
+# "band equality IS the similarity estimate, a hot band is a TRUE
+# near-dup cluster" — assumes shingle mass is spread across the doc. A
+# shared boilerplate RUN of k shingles (a disclaimer prefix, a templated
+# header) can win an entire band's min-hashes across a whole doc class
+# and create a FALSE-hot band: measured at sf1, 4 shared shingles put
+# 1279 of 2777 planted docs on one band value — 818k of 868k candidate
+# pairs, 2367 true (J of the class pairs ~0.1). Candidate generators take
+# an opt-in ``max_band_df`` (default OFF, rule 14: every caller's oracle
+# must model what it opts into); the admission paths
+# (corpus_admission_batch, stream_corpus_admission) pass MAX_BAND_DF,
+# while the score-exact dedup queries (dedup_minhash_lsh family,
+# stream_curate) keep the uncapped contract — their hot-band answer is
+# cluster-canonical aggregation (dedup_clusters_star), documented in
+# SCALE.md. Recall trade, stated: a true near-dup cluster larger than
+# the cap sharing a band loses THAT band; its pairs still candidate via
+# any non-hot band, but a cluster hot on EVERY band is under-deduped —
+# exact dedup (which runs first) removes identical members, and
+# cluster-scale near-dup is the aggregation regime, not admission's.
+MAX_BAND_DF = 8
+
+
+def _mask_hot_bands(band_keys: DataFrame, max_band_df: int) -> DataFrame:
+    hot = (
+        band_keys.groupBy("band_idx", "band_key")
+        .agg(F.count(F.lit(1)).alias("_df"))
+        .filter(F.col("_df") > max_band_df)
+        .select("band_idx", "band_key")
+    )
+    return band_keys.join(
+        F.broadcast(hot), ["band_idx", "band_key"], "left_anti"
+    )
+
+
+def lsh_candidate_pairs(
+    band_keys: DataFrame,
+    id_col: str = "doc_id",
+    max_band_df: int | None = None,
+) -> DataFrame:
     """Distinct (id_a < id_b) pairs sharing at least one band — an equi-join
-    on (band_idx, band_key), never a cross join."""
+    on (band_idx, band_key), never a cross join. ``max_band_df`` (opt-in)
+    masks band values carried by more docs than the cap before the
+    self-join — see :data:`MAX_BAND_DF`."""
+    if max_band_df is not None:
+        band_keys = _mask_hot_bands(band_keys, max_band_df)
     a = band_keys.select(
         F.col(id_col).alias("id_a"), "band_idx", "band_key"
     )
@@ -186,6 +229,7 @@ def incremental_lsh_candidates(
     existing_bands: DataFrame,
     new_bands: DataFrame,
     id_col: str = "doc_id",
+    max_band_df: int | None = None,
 ) -> DataFrame:
     """Candidate (new_id, existing_id) pairs for INCREMENTAL dedup: a new
     batch checked against an already-indexed corpus. The band equi-join runs
@@ -197,7 +241,24 @@ def incremental_lsh_candidates(
     big side (the batch side broadcasts when small enough).
 
     Self-duplicates WITHIN the new batch are deliberately out of scope —
-    run :func:`lsh_candidate_pairs` on ``new_bands`` for that half."""
+    run :func:`lsh_candidate_pairs` on ``new_bands`` for that half.
+    ``max_band_df`` (opt-in) masks band values carried by more than the
+    cap across batch+index COMBINED (the media-tier pattern: a key
+    crossing the threshold later is masked then) — see
+    :data:`MAX_BAND_DF`."""
+    if max_band_df is not None:
+        uni = new_bands.select(id_col, "band_idx", "band_key").unionByName(
+            existing_bands.select(id_col, "band_idx", "band_key")
+        )
+        hot = (
+            uni.groupBy("band_idx", "band_key")
+            .agg(F.count(F.lit(1)).alias("_df"))
+            .filter(F.col("_df") > max_band_df)
+            .select("band_idx", "band_key")
+        )
+        new_bands = new_bands.join(
+            F.broadcast(hot), ["band_idx", "band_key"], "left_anti"
+        )
     existing = existing_bands.select(
         F.col(id_col).alias("existing_id"), "band_idx", "band_key"
     )

@@ -1614,10 +1614,20 @@ def _adm_selfdedup_ctes(p: str) -> str:
     closure (recursive walk, as dedup_clusters' oracle) -> every doc
     that is not its component's min id is doomed."""
     return f"""{p}size AS (SELECT doc_id, count(*) AS n_shingles FROM {p}sh GROUP BY doc_id),
+{p}hotb AS (
+  SELECT band_idx, band_key FROM {p}bands
+  GROUP BY 1, 2 HAVING count(*) > {D.MAX_BAND_DF}
+),
+{p}bandsm AS (
+  SELECT b.* FROM {p}bands b
+  LEFT JOIN {p}hotb h
+    ON h.band_idx = b.band_idx AND h.band_key = b.band_key
+  WHERE h.band_idx IS NULL
+),
 {p}cand AS (
   SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-  FROM {p}bands a
-  JOIN {p}bands b ON a.band_idx = b.band_idx AND a.band_key = b.band_key
+  FROM {p}bandsm a
+  JOIN {p}bandsm b ON a.band_idx = b.band_idx AND a.band_key = b.band_key
   WHERE a.doc_id < b.doc_id
 ),
 {p}pairs AS (
@@ -1647,6 +1657,7 @@ def _adm_selfdedup_ctes(p: str) -> str:
 
 
 def _corpus_admission_oracle() -> str:
+    _MAX_BAND_DF = D.MAX_BAND_DF
     from .textstats import (
         _C4_LINE_KEPT_SQL,
         _PII_EMAIL_SQL,
@@ -1787,6 +1798,13 @@ dd1b AS MATERIALIZED (
 {_adm_selfdedup_ctes('p1')},
 {_adm_mh_ctes('idx', 'ix')},
 ixsize AS (SELECT doc_id, count(*) AS n_shingles FROM ixsh GROUP BY doc_id),
+xhotb AS (
+  SELECT band_idx, band_key FROM (
+    SELECT doc_id, band_idx, band_key FROM p1bands
+    UNION ALL
+    SELECT doc_id, band_idx, band_key FROM ixbands
+  ) GROUP BY 1, 2 HAVING count(*) > {_MAX_BAND_DF}
+),
 xdoomed AS MATERIALIZED (
   SELECT DISTINCT i.new_id AS doc_id
   FROM (SELECT n.doc_id AS new_id, x.doc_id AS existing_id,
@@ -1794,7 +1812,10 @@ xdoomed AS MATERIALIZED (
         FROM p1sh n JOIN ixsh x ON n.shingle = x.shingle
         GROUP BY 1, 2) i
   JOIN (SELECT DISTINCT n.doc_id AS new_id, x.doc_id AS existing_id
-        FROM p1bands n
+        FROM (SELECT nb.* FROM p1bands nb
+              LEFT JOIN xhotb xh
+                ON xh.band_idx = nb.band_idx AND xh.band_key = nb.band_key
+              WHERE xh.band_idx IS NULL) n
         JOIN ixbands x ON n.band_idx = x.band_idx
                       AND n.band_key = x.band_key) c
     ON c.new_id = i.new_id AND c.existing_id = i.existing_id
@@ -1967,8 +1988,11 @@ def corpus_admission_batch(spark, sf_dir):
 
     def _self_doomed(dd, rows):
         sigs = D.minhash_signatures(dd, rows=rows)
-        bands = D.minhash_band_keys(sigs)
-        cands = D.lsh_candidate_pairs(bands)
+        # the band table is consumed by the hot-band mask, the anti side,
+        # the self-join, and (phase 1) the vs-index mask + join — rule 4:
+        # checkpoint once, or every consumer re-runs the 12-hash aggregate
+        bands = D.minhash_band_keys(sigs).localCheckpoint(eager=True)
+        cands = D.lsh_candidate_pairs(bands, max_band_df=D.MAX_BAND_DF)
         pairs = D.jaccard_pairs(dd, candidates=cands, rows=rows).filter(
             F.col("jaccard") >= 0.5
         )
@@ -2002,9 +2026,13 @@ def corpus_admission_batch(spark, sf_dir):
     rows1 = D.shingle_rows(dd1b).localCheckpoint(eager=True)
     doomed1, bands1 = _self_doomed(dd1b, rows1)
     rows_i = D.shingle_rows(idx).localCheckpoint(eager=True)
-    bands_i = D.minhash_band_keys(D.minhash_signatures(idx, rows=rows_i))
+    bands_i = D.minhash_band_keys(
+        D.minhash_signatures(idx, rows=rows_i)
+    ).localCheckpoint(eager=True)  # union-mask + join sides
     cands_x = (
-        D.incremental_lsh_candidates(bands_i, bands1)
+        D.incremental_lsh_candidates(
+            bands_i, bands1, max_band_df=D.MAX_BAND_DF
+        )
         .filter(F.col("new_id") != F.col("existing_id"))
         .select(
             F.col("new_id").alias("id_a"), F.col("existing_id").alias("id_b")

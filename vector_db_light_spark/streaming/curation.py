@@ -51,6 +51,7 @@ from pyspark.sql.streaming import StreamingQuery
 from pyspark.sql.window import Window
 
 from ..operators.dedup import (
+    MAX_BAND_DF,
     connected_components,
     incremental_lsh_candidates,
     jaccard_pairs,
@@ -74,6 +75,7 @@ def _curate_batch(
     jaccard_threshold: float,
     line_df_dir: str | None = None,
     max_line_doc_freq: int = 5,
+    max_band_df: int | None = None,
 ) -> None:
     spark = batch_df.sparkSession
     if line_df_dir is not None:
@@ -142,7 +144,7 @@ def _curate_batch(
     # dedup_clusters keeps just a of {a,b,c}.) In-batch duplicate clusters
     # are near-cliques, so the min-label loop closes in 2-3 rounds over
     # batch-sized pair lists.
-    in_cands = lsh_candidate_pairs(new_bands)
+    in_cands = lsh_candidate_pairs(new_bands, max_band_df=max_band_df)
     in_pairs = jaccard_pairs(
         new.select("doc_id", "text"), candidates=in_cands
     ).filter(F.col("jaccard") >= jaccard_threshold)
@@ -159,7 +161,9 @@ def _curate_batch(
         # are already indexed, the doc itself is not yet in the corpus).
         existing_bands = spark.read.parquet(bands_dir)
         cands = (
-            incremental_lsh_candidates(existing_bands, new_bands)
+            incremental_lsh_candidates(
+                existing_bands, new_bands, max_band_df=max_band_df
+            )
             .filter(F.col("new_id") != F.col("existing_id"))
             .select(
                 F.col("new_id").alias("id_a"), F.col("existing_id").alias("id_b")
@@ -283,7 +287,10 @@ def stream_corpus_admission(
     LSH dedup stages against the persistent corpus (the same
     ``_curate_batch`` engine as :func:`stream_curate`). The corpus only
     ever contains gate-passing, scrubbed, deduplicated documents — what
-    the batch pipeline keeps, incrementally.
+    the batch pipeline keeps, incrementally. The candidate joins run
+    under the band-df cap (``MAX_BAND_DF`` — rule 13; the r15 planted
+    disclaimer class measured a false-hot band at 94% of all candidate
+    pairs), matching ``corpus_admission_batch``'s oracle-modeled cap.
 
     Pass ``funnel_dir`` to persist one ledger row per micro-batch
     (batch_id, n_input, n_c4_dropped, n_gopher_dropped,
@@ -310,7 +317,13 @@ def stream_corpus_admission(
         gated, n_c4_dropped, n_gopher_dropped = _admission_gate(batch_df)
         n_survivors = n_input - n_c4_dropped - n_gopher_dropped
         if n_survivors:
-            _curate_batch(gated, corpus_dir, bands_dir, jaccard_threshold)
+            _curate_batch(
+                gated,
+                corpus_dir,
+                bands_dir,
+                jaccard_threshold,
+                max_band_df=MAX_BAND_DF,
+            )
         if funnel_dir is None or replayed:
             return
         n_admitted = 0
