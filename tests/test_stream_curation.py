@@ -444,3 +444,148 @@ def test_stream_corpus_admission_equals_batch_gate(spark, tmp_path):
     # appended nothing
     ids = [r["batch_id"] for r in fun.select("batch_id").collect()]
     assert len(ids) == len(set(ids)) == len(_ADMISSION_BATCHES)
+
+
+# ---------------------------------------------------------------------------
+# Decontamination gate (r15): stream_corpus_admission with a frozen
+# eval-set Bloom+dictionary artifact. Pins: (a) streamed == the same gate
+# composition in batch form, (b) the POLICY — decontam runs BEFORE dedup,
+# so a contaminated doc cannot shadow its clean near-duplicate out of the
+# corpus via the min-id cluster-canonical choice, (c) the ledger counts,
+# (d) a torn artifact (words/ absent) refuses to screen.
+# ---------------------------------------------------------------------------
+
+_E_EVAL = (
+    "the canyon theta benchmark answers show seven hidden golden keys "
+    "beneath ancient stone arches guarded by silent watchful owls"
+)
+_B_BENIGN = (
+    "the meadow iota pasture feeds calm brown cattle beside low wooden "
+    "fences where busy swallows loop through warm evening air"
+)
+_CORE6 = [_S0, _S1, _S2, _S10, _S12, _S20]
+
+
+def _multi(lines):
+    return "\n".join(s + "." for s in lines)
+
+
+# 41 = six-sentence core + ONE eval line: 5 of its ~77 distinct 8-grams
+# are eval grams (frac ~0.065 >= 0.05 -> contaminated). 42 = the SAME
+# core + a benign tail line: J(41,42) ~ 0.74 >= 0.5 (an in-batch LSH
+# near-dup pair with 41 as the min id), eval overlap 0.
+_DECONTAM_BATCHES = [
+    [
+        (40, _page(_S0)),
+        (41, _multi(_CORE6 + [_E_EVAL])),
+        (42, _multi(_CORE6 + [_B_BENIGN])),
+    ],
+    [
+        (50, _page(_S12)),
+    ],
+]
+
+
+def _drain_admission_decontam(spark, src, corpus, bands, ckpt, funnel, eval_dir):
+    from vector_db_light_spark.streaming.curation import stream_corpus_admission
+
+    stream = spark.readStream.schema(
+        spark.read.parquet(src).schema
+    ).parquet(src)
+    q = stream_corpus_admission(
+        stream,
+        corpus,
+        bands,
+        ckpt,
+        jaccard_threshold=0.5,
+        funnel_dir=funnel,
+        eval_dir=eval_dir,
+    )
+    q.awaitTermination(180)
+
+
+def test_stream_admission_decontam_gate(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from vector_db_light_spark.operators.dedup import MAX_BAND_DF
+    from vector_db_light_spark.streaming.curation import (
+        _admission_gate,
+        _curate_batch,
+        _decontam_gate,
+        build_decontam_artifact,
+    )
+
+    src = str(tmp_path / "incoming")
+    corpus = str(tmp_path / "curated")
+    bands = str(tmp_path / "bands")
+    ckpt = str(tmp_path / "ckpt")
+    funnel = str(tmp_path / "funnel")
+    eval_dir = str(tmp_path / "eval_artifact")
+
+    eval_docs = spark.createDataFrame(
+        [(1000, _page(_E_EVAL))], "doc_id bigint, text string"
+    )
+    build_decontam_artifact(eval_docs, eval_dir)
+
+    all_rows = []
+    for rows in _DECONTAM_BATCHES:
+        all_rows += rows
+        spark.createDataFrame(rows, "doc_id bigint, text string").write.mode(
+            "append"
+        ).parquet(src)
+        _drain_admission_decontam(spark, src, corpus, bands, ckpt, funnel, eval_dir)
+    # idle restart: nothing new, nothing changes
+    before = sorted(r["doc_id"] for r in spark.read.parquet(corpus).collect())
+    _drain_admission_decontam(spark, src, corpus, bands, ckpt, funnel, eval_dir)
+    after = sorted(r["doc_id"] for r in spark.read.parquet(corpus).collect())
+    assert before == after
+
+    # the contaminated doc is out; its CLEAN near-dup is IN (the policy
+    # pin: with decontam after dedup, 41 would doom 42 first and then be
+    # rejected itself — neither would be admitted)
+    assert 41 not in after
+    assert 42 in after
+    assert 40 in after and 50 in after
+
+    # streamed == the same composition in batch form over the whole input
+    full = spark.createDataFrame(all_rows, "doc_id bigint, text string")
+    gated, _, _ = _admission_gate(full)
+    gated = gated.localCheckpoint(eager=True)
+    gated, n_bad = _decontam_gate(gated, eval_dir, 0.05)
+    assert n_bad == 1
+    ref_corpus = str(tmp_path / "ref_curated")
+    ref_bands = str(tmp_path / "ref_bands")
+    _curate_batch(gated, ref_corpus, ref_bands, 0.5, max_band_df=MAX_BAND_DF)
+    ref_ids = sorted(
+        r["doc_id"] for r in spark.read.parquet(ref_corpus).collect()
+    )
+    assert after == ref_ids
+
+    # ledger: the contamination count is visible and idempotent
+    fun = spark.read.parquet(funnel)
+    sums = fun.agg(
+        F.sum("n_input").alias("n_input"),
+        F.sum("n_contaminated").alias("n_contaminated"),
+        F.sum("n_gate_survivors").alias("n_gate_survivors"),
+        F.sum("n_admitted").alias("n_admitted"),
+    ).collect()[0]
+    assert sums["n_input"] == len(all_rows)
+    assert sums["n_contaminated"] == 1
+    assert sums["n_gate_survivors"] == len(all_rows) - 1  # nothing else drops
+    assert sums["n_admitted"] == len(ref_ids)
+    ids = [r["batch_id"] for r in fun.select("batch_id").collect()]
+    assert len(ids) == len(set(ids)) == len(_DECONTAM_BATCHES)
+
+
+def test_decontam_gate_refuses_torn_artifact(spark, tmp_path):
+    import os
+
+    import pytest
+
+    from vector_db_light_spark.streaming.curation import _decontam_gate
+
+    torn = str(tmp_path / "torn_artifact")
+    os.makedirs(os.path.join(torn, "grams"))  # grams written, words absent
+    docs = spark.createDataFrame([(1, "some text")], "doc_id bigint, text string")
+    with pytest.raises(FileNotFoundError):
+        _decontam_gate(docs, torn, 0.05)

@@ -268,8 +268,75 @@ def _admission_gate(batch_df: DataFrame) -> tuple[DataFrame, int, int]:
 
 _FUNNEL_SCHEMA = (
     "batch_id bigint, n_input bigint, n_c4_dropped bigint, "
-    "n_gopher_dropped bigint, n_gate_survivors bigint, n_admitted bigint"
+    "n_gopher_dropped bigint, n_contaminated bigint, "
+    "n_gate_survivors bigint, n_admitted bigint"
 )
+
+# Decontamination-gate artifact geometry (frozen at build time; the
+# probe side must use the SAME n/bits/k the artifact was built with).
+DECONTAM_NGRAM, DECONTAM_BITS, DECONTAM_K = 8, 65536, 4
+
+
+def build_decontam_artifact(
+    eval_docs: DataFrame,
+    artifact_dir: str,
+    n: int = DECONTAM_NGRAM,
+    n_bits: int = DECONTAM_BITS,
+    k: int = DECONTAM_K,
+) -> None:
+    """Freeze an evaluation set into the admission decontamination
+    artifact: ``grams/`` (the exact distinct word-n-gram dictionary) and
+    ``words/`` (its Bloom bitset, sketches.bloom_word_table — kilobytes).
+    ``words/`` is written LAST as the completeness marker, the same
+    torn-write discipline as the LM maintenance artifacts: a crash
+    between the writes leaves ``words/`` absent and the gate refuses to
+    run rather than screening against a half-built dictionary."""
+    from ..operators.decontam import eval_gram_dictionary
+    from ..operators.sketches import bloom_word_table
+
+    grams = eval_gram_dictionary(eval_docs, n).localCheckpoint(eager=True)
+    grams.write.mode("overwrite").parquet(os.path.join(artifact_dir, "grams"))
+    bloom_word_table(grams, "gram", n_bits, k).write.mode("overwrite").parquet(
+        os.path.join(artifact_dir, "words")
+    )
+
+
+def _decontam_gate(
+    gated: DataFrame, eval_dir: str, threshold: float
+) -> tuple[DataFrame, int]:
+    """Reject benchmark-contaminated docs from one gated micro-batch:
+    distinct 8-gram overlap against the FROZEN eval artifact >= threshold
+    (operators.decontam.bloom_screened_overlap — the Bloom bitset screens
+    every gram; the exact dictionary join sees only maybe-hits). Returns
+    (survivors, n_rejected)."""
+    from ..operators.decontam import bloom_screened_overlap
+
+    spark = gated.sparkSession
+    words_dir = os.path.join(eval_dir, "words")
+    if not _has_parquet(words_dir):
+        raise FileNotFoundError(
+            f"decontam artifact incomplete: no parquet under {words_dir} "
+            "(words/ is written last — rebuild with build_decontam_artifact)"
+        )
+    words = spark.read.parquet(words_dir)
+    dictionary = spark.read.parquet(os.path.join(eval_dir, "grams"))
+    bad = (
+        bloom_screened_overlap(
+            gated,
+            words,
+            dictionary,
+            n=DECONTAM_NGRAM,
+            threshold=threshold,
+            n_bits=DECONTAM_BITS,
+            k=DECONTAM_K,
+        )
+        .filter(F.col("contaminated") == 1)
+        .select("doc_id")
+    )
+    n_bad = bad.count()
+    if n_bad:
+        gated = gated.join(F.broadcast(bad), "doc_id", "left_anti")
+    return gated, n_bad
 
 
 def stream_corpus_admission(
@@ -279,6 +346,8 @@ def stream_corpus_admission(
     checkpoint_dir: str,
     jaccard_threshold: float = 0.5,
     funnel_dir: str | None = None,
+    eval_dir: str | None = None,
+    decontam_threshold: float = 0.05,
 ) -> StreamingQuery:
     """Streaming twin of the batch capstone's ADMISSION POLICY (VERDICT
     r14 #4): per micro-batch, run llm_corpus_pipeline's pre-dedup gate —
@@ -292,9 +361,22 @@ def stream_corpus_admission(
     disclaimer class measured a false-hot band at 94% of all candidate
     pairs), matching ``corpus_admission_batch``'s oracle-modeled cap.
 
+    Pass ``eval_dir`` (a :func:`build_decontam_artifact` directory) to
+    also reject benchmark-contaminated docs: distinct-8-gram overlap
+    against the frozen eval dictionary >= ``decontam_threshold``, with
+    the Bloom bitset screening every gram so the exact join sees only
+    maybe-hits. The rejection runs AT THE GATE, before dedup — a
+    deliberate divergence from the batch capstone's stage order
+    (decontam after near-dedup): a contaminated document must never
+    shadow a clean near-duplicate out of the corpus by winning the
+    min-id cluster-canonical choice and then being rejected itself.
+    Tested by a planted pair (contaminated doc + its clean lower-overlap
+    near-dup: the clean one is admitted).
+
     Pass ``funnel_dir`` to persist one ledger row per micro-batch
-    (batch_id, n_input, n_c4_dropped, n_gopher_dropped,
-    n_gate_survivors, n_admitted). Replay-idempotent BY LEDGER (rule
+    (batch_id, n_input, n_c4_dropped, n_gopher_dropped, n_contaminated,
+    n_gate_survivors, n_admitted — n_contaminated is 0 when no
+    ``eval_dir`` is configured). Replay-idempotent BY LEDGER (rule
     11): a replayed batch_id appends no second row, and ``n_admitted``
     is computed as "this batch's gate survivors present in the corpus
     AFTER the dedup stage" — truthful even when a crash landed between
@@ -316,6 +398,15 @@ def stream_corpus_admission(
         n_input = batch_df.count()
         gated, n_c4_dropped, n_gopher_dropped = _admission_gate(batch_df)
         n_survivors = n_input - n_c4_dropped - n_gopher_dropped
+        n_contaminated = 0
+        if eval_dir is not None and n_survivors:
+            # the gated frame now feeds the overlap probe, the anti-join,
+            # the dedup engine, and the funnel's n_admitted join (rule 4)
+            gated = gated.localCheckpoint(eager=True)
+            gated, n_contaminated = _decontam_gate(
+                gated, eval_dir, decontam_threshold
+            )
+            n_survivors -= n_contaminated
         if n_survivors:
             _curate_batch(
                 gated,
@@ -340,6 +431,7 @@ def stream_corpus_admission(
                     n_input,
                     n_c4_dropped,
                     n_gopher_dropped,
+                    n_contaminated,
                     n_survivors,
                     n_admitted,
                 )
