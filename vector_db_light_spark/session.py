@@ -36,10 +36,16 @@ def get_spark(
         # heap is 1g — fine at sf0.1, but the round-10 sf1 scale check hit
         # UNABLE_TO_ACQUIRE_MEMORY in a 32-thread hash aggregation at 10x
         # data. Size the single JVM like the sum of executors it stands in
-        # for (the machine has 128 GiB). Applies only when THIS process
-        # creates the JVM; a pre-existing session keeps its heap.
+        # for (the machine has 128 GiB): the r10 8g setting survived sf1
+        # but left 32 threads churning one small heap — measured r15 as
+        # the capstone variance source (llm_corpus_pipeline run-to-run
+        # 22-60 s at 8g vs 11-15 s at 48g, same probe; the +50-80%
+        # "episodic JVM effects" in SCALE.md's envelope were GC pressure).
+        # 48g leaves headroom for 32 Python/Arrow workers + OS page cache.
+        # Applies only when THIS process creates the JVM; a pre-existing
+        # session keeps its heap.
         .config(
-            "spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g")
+            "spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g")
         )
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.adaptive.enabled", "true")
