@@ -934,6 +934,7 @@ def gopher_rules(
     min_stopwords: int = 2,
     max_bullet_permille: int = 900,
     max_ellipsis_permille: int = 300,
+    carry: tuple = (),
 ) -> DataFrame:
     """Gopher DOC-level quality battery (Rae et al. 2021, table A1 —
     word-level AND line-level rules as of r13). EVERY rule is
@@ -961,13 +962,20 @@ def gopher_rules(
     precedence is part of the contract; the two line rules rank LAST so
     the pre-r13 reason strings are unchanged on the old corpus). One
     narrow projection, zero shuffles: the battery composes into any
-    curation pipeline as a map-side stage."""
+    curation pipeline as a map-side stage. ``carry`` names input columns
+    passed through the projection unchanged (the :func:`c4_line_rules`
+    pattern), so a composite pipeline can evaluate the battery in the
+    same map stage as its neighbors instead of re-joining on ``id_col``;
+    the default () leaves every existing caller's output untouched."""
     from .dedup import tokens_expr
 
     stop_arr = F.array(*[F.lit(w) for w in GOPHER_STOPWORDS])
     # token array materialized once (CLAUDE.md rule 4: HOFs defeat CSE)
     t = docs.select(
-        F.col(id_col), F.col(text_col), tokens_expr(text_col).alias("_toks")
+        F.col(id_col),
+        *[F.col(c) for c in carry],
+        F.col(text_col),
+        tokens_expr(text_col).alias("_toks"),
     )
     n_words = F.size("_toks").cast("long")
     tok_chars = F.aggregate(
@@ -999,6 +1007,7 @@ def gopher_rules(
     ).cast("long")
     m = t.select(
         F.col(id_col),
+        *[F.col(c) for c in carry],
         n_words.alias("n_words"),
         tok_chars.alias("tok_chars"),
         n_symbols.alias("n_symbols"),
