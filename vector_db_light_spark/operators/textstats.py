@@ -710,15 +710,18 @@ def kn_fluency_scores(
     by several branches -> eager localCheckpoint (multi-consumer rule); at
     cluster scale the count tables persist to storage as the trained LM
     artifact instead."""
-    bg = (
-        variants.select(
-            F.col(id_col),
-            "variant",
-            F.explode(bigram_structs(F.col("toks"))).alias("b"),
-        )
-        .select(id_col, "variant", "b.w1", "b.w2")
-        .localCheckpoint(eager=True)
-    )
+    # r15: only the trained count table is checkpointed (4 dictionary-
+    # scale consumers). The bigram stream stays LAZY — it is consumed
+    # twice (count build + scoring join), but each consumption is a
+    # map-side explode riding its stage, while checkpointing it
+    # materialized a table BIGGER than the corpus to local disk and read
+    # it back twice (one extra synchronous job per caller, measured in
+    # OPTIMIZATION_r15.md).
+    bg = variants.select(
+        F.col(id_col),
+        "variant",
+        F.explode(bigram_structs(F.col("toks"))).alias("b"),
+    ).select(id_col, "variant", "b.w1", "b.w2")
     c = (
         bg.filter(F.col("variant") == train_variant)
         .groupBy("w1", "w2")

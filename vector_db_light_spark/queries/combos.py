@@ -516,7 +516,9 @@ def curation_mix_manifest(spark, sf_dir):
         eager=True
     )
     ratios = SM.dsir_bucket_ratios(sfeat, tfeat, n_buckets=_DSIR_NB)
-    weighted = SM.dsir_doc_weights(sfeat, ratios)
+    # consumed by the PPS sampler AND the output join — checkpoint so the
+    # ratio join + per-doc aggregation run once per pass (r15)
+    weighted = SM.dsir_doc_weights(sfeat, ratios).localCheckpoint(eager=True)
     smp = SM.pps_systematic_sample(
         weighted, "weight_u6", _CMX_DSIR_K, "doc_id"
     ).select("doc_id", F.lit(1).alias("_s"))
