@@ -29,7 +29,16 @@ _TOKS_SQL = r"list_filter(regexp_split_to_array(trim(lower(text)), '\s+'), t -> 
 # pipeline reads stored media bytes, it does not synthesize them.
 # ---------------------------------------------------------------------------
 
-_MEDIA_CACHE_VERSION = 1  # bump when any *_fixture_payload format changes
+_MEDIA_CACHE_VERSION = 2  # bump when any *_fixture_payload format changes
+# v2 (r15, guide §6 file layout): fixtures are written hash-partitioned
+# on doc_id into defaultParallelism files. v1 wrote 1-5 files (the synth
+# corpus collapses to few splits), and parquet only splits by file at
+# maxPartitionBytes — so every per-payload Arrow decode stage above the
+# fixture scan (media meta, frame demux+PNG decode, audio windows) ran on
+# 1-5 of the 32 cores. Measured: video_dhash_neardup's decode checkpoint
+# 3.3 s -> sub-second once the scan has 32 splits. At cluster scale this
+# is ordinary output-file sizing for the reader (the fixture is the
+# corpus table); the decode stages themselves are unchanged.
 
 
 def _docs_fingerprint(sf_dir: str) -> str:
@@ -69,7 +78,8 @@ def _media_fixture(spark, sf_dir: str, variant: str, build):
     dst = f"/tmp/vdl_media_fixture/v{_MEDIA_CACHE_VERSION}/{key}-{fp}/{variant}"
     if not os.path.exists(os.path.join(dst, "_SUCCESS")):
         tmp = f"{dst}.tmp.{os.getpid()}"
-        build().write.mode("overwrite").parquet(tmp)
+        n = spark.sparkContext.defaultParallelism
+        build().repartition(n, "doc_id").write.mode("overwrite").parquet(tmp)
         if os.path.isdir(dst) and not os.path.exists(
             os.path.join(dst, "_SUCCESS")
         ):
