@@ -1097,7 +1097,11 @@ def perceptron_quality_train(spark, sf_dir):
         )
         .otherwise(-1)
         .cast("long"),
-    )
+    ).localCheckpoint(eager=True)
+    # ^ r15: every training round scans the feature table — without the
+    # checkpoint each of the 7 rounds re-ran tokenize + the per-token HOF
+    # counts from the parquet scan (the standard materialize-features-
+    # before-iterating shape).
     curve = perceptron_train(labeled, _PCT_FEATS, "y", iters=_PCT_ITERS)
     return curve.select(
         F.col("round").cast("int").alias("round"),
@@ -1228,7 +1232,10 @@ def classifier_curation_pipeline(spark, sf_dir):
         )
         .otherwise(-1)
         .cast("long"),
-    )
+    ).localCheckpoint(eager=True)
+    # ^ r15: consumed by all 7 training rounds AND the final scoring scan
+    # (8 consumers) — each previously re-ran tokenize + HOF counts from
+    # the parquet scan.
     curve = perceptron_train(labeled, _PCT_FEATS, "y", iters=_PCT_ITERS)
     final = curve.filter(F.col("round") == _PCT_ITERS).collect()[0]  # 1 row
     scored = linear_score(
