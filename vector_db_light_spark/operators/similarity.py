@@ -569,7 +569,18 @@ def pq_encode(
     ``least(...)`` + the argmin CASE chain reference each distance twice,
     and Catalyst does not CSE through higher-order-function folds (same
     trap as operators/dedup.py shingles).
-    """
+
+    r15: every distance/argmin expression is ONE F.expr SQL string, not a
+    per-term Column/HOF construction — the old zip_with+aggregate shape
+    built M*K fold trees through thousands of Py4J round-trips (~5 s of
+    pure driver time per call, CLAUDE.md rule 4) and then evaluated the
+    lambdas INTERPRETED per element at runtime (rule 9). The unrolled
+    ``(x1-c1)*(x1-c1) + ...`` sum is the identical left-to-right IEEE
+    double order as the fold (the seed ``0.0 + t1`` == ``t1`` bitwise:
+    every term is a square, so never -0.0) and whole-stage-codegens.
+    Codeword literals go through CAST('<repr>' AS DOUBLE) — exact
+    round-trip, never a bare SQL decimal literal (ANSI parses those as
+    DECIMAL)."""
     m = len(codebooks)
     subdim = len(codebooks[0][0])
     keep = keep_cols or []
@@ -582,11 +593,20 @@ def pq_encode(
             for s in range(m)
         ],
     )
+
+    def _dist_sql(s: int, cw: list[float]) -> str:
+        terms = [
+            f"((_sub_{s}[{i}] - CAST('{x!r}' AS DOUBLE))"
+            f" * (_sub_{s}[{i}] - CAST('{x!r}' AS DOUBLE)))"
+            for i, x in enumerate(cw)
+        ]
+        return " + ".join(terms)
+
     with_dists = with_subs.select(
         F.col(id_col),
         *[F.col(c) for c in keep],
         *[
-            _subspace_sumsq(F.col(f"_sub_{s}"), cw).alias(f"_d_{s}_{c}")
+            F.expr(_dist_sql(s, cw)).alias(f"_d_{s}_{c}")
             for s in range(m)
             for c, cw in enumerate(codebooks[s])
         ],
@@ -594,12 +614,15 @@ def pq_encode(
     code_cols = []
     for s in range(m):
         ksub = len(codebooks[s])
-        dmin = F.least(*[F.col(f"_d_{s}_{c}") for c in range(ksub)])
-        expr = F.when(F.col(f"_d_{s}_0") == dmin, 0)
-        for c in range(1, ksub - 1):
-            expr = expr.when(F.col(f"_d_{s}_{c}") == dmin, c)
-        code = expr.otherwise(ksub - 1)
-        code_cols.append(code.cast("int").alias(f"code_{s}"))
+        dmin = "least(" + ", ".join(f"_d_{s}_{c}" for c in range(ksub)) + ")"
+        whens = " ".join(
+            f"WHEN _d_{s}_{c} = {dmin} THEN {c}" for c in range(ksub - 1)
+        )
+        code_cols.append(
+            F.expr(f"CASE {whens} ELSE {ksub - 1} END").cast("int").alias(
+                f"code_{s}"
+            )
+        )
     return with_dists.select(
         F.col(id_col), *[F.col(c) for c in keep], *code_cols
     )
