@@ -417,13 +417,20 @@ def connected_components(
             return df.checkpoint(eager=True)
         return df.localCheckpoint(eager=True)
 
-    edges = (
+    # r15: TRUNCATE the edge list's lineage, don't persist() it. The old
+    # lazy persist kept the caller's full pair-generation plan (e.g. the
+    # knn-graph blocked self-join with its unrolled 64-dim dots) inside
+    # every round's logical plan: execution hit the cache, but Catalyst
+    # re-ANALYZED the giant subtree for every join/count of every round —
+    # measured 20-138 s of pure driver time on a 550-node sf0.01 graph.
+    # The checkpoint cuts each round's plan to an RDD scan (rule 4:
+    # multiply-consumed subtrees get eager checkpoints, not persist).
+    edges = _truncate(
         pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
         .unionByName(
             pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst"))
         )
         .distinct()
-        .persist()
     )
     try:
         labels = _truncate(
@@ -450,10 +457,8 @@ def connected_components(
             if changed == 0:
                 break
     finally:
-        # a mid-round failure must not leak the persisted edge set or leave
-        # the context-global checkpoint dir pointing at the caller's
-        # (possibly later-deleted) directory
-        edges.unpersist()
+        # a mid-round failure must not leave the context-global checkpoint
+        # dir pointing at the caller's (possibly later-deleted) directory
         if checkpoint_dir is not None and prev_ckpt_dir is not None:
             sc.setCheckpointDir(prev_ckpt_dir)
     return labels
@@ -497,11 +502,14 @@ def connected_components_star(
         return df.localCheckpoint(eager=True)
 
     raw = pairs.select(F.col(id_a).alias("a"), F.col(id_b).alias("b"))
-    nodes = (
+    # r15: truncated, not persist()ed — the node list rides inside the
+    # RETURNED labels plan, so a lazy persist kept the caller's full
+    # pair-generation subtree in every downstream consumer's analysis
+    # (same driver-time trap as connected_components' edge persist)
+    nodes = _truncate(
         raw.select(F.col("a").alias("id"))
         .unionByName(raw.select(F.col("b").alias("id")))
         .distinct()
-        .persist()
     )
     try:
         edges = _truncate(
@@ -562,7 +570,6 @@ def connected_components_star(
         )
         labels = labels.select("id", "label")
     finally:
-        nodes.unpersist()
         if checkpoint_dir is not None and prev_ckpt_dir is not None:
             sc.setCheckpointDir(prev_ckpt_dir)
     return labels

@@ -84,10 +84,14 @@ def random_hyperplanes(num: int, dim: int, seed: int = 11) -> list[list[float]]:
 
 
 def lsh_bucket_expr(vec_col: str | Column, planes: list[list[float]]) -> Column:
-    """Sign-bit bucket key: one char per hyperplane ('1' if dot > 0)."""
-    v = F.col(vec_col) if isinstance(vec_col, str) else vec_col
+    """Sign-bit bucket key: one char per hyperplane ('1' if dot > 0).
+
+    r15: the column NAME passes through to V.dot untouched — dot's
+    name+literal form emits one unrolled F.expr string per plane, while
+    wrapping the name in F.col() first forced its per-term Column loop
+    (~4 ms x dim x planes of Py4J per call, CLAUDE.md rule 4)."""
     bits = [
-        F.when(V.dot(v, list(pl)) > 0, "1").otherwise("0")
+        F.when(V.dot(vec_col, list(pl)) > 0, "1").otherwise("0")
         for pl in planes
     ]
     return F.concat(*bits)
@@ -1127,17 +1131,24 @@ def ivf_pq_residual_topk(
     qr = F.zip_with(
         V.vector_lit(query_vector), F.col("centroid"), lambda x, y: x - y
     )
+
+    # r15: LUT entries as one F.expr string each (pq_encode's rationale —
+    # the per-codeword HOF folds were ~1 s of Py4J construction per call;
+    # the unrolled sum keeps the fold's left-to-right IEEE order, squares
+    # never produce -0.0 so the 0.0 seed is a bitwise no-op)
+    def _lut_sql(s: int, cw: list[float]) -> str:
+        return " + ".join(
+            f"((_qr[{s * subdim + i}] - CAST('{x!r}' AS DOUBLE))"
+            f" * (_qr[{s * subdim + i}] - CAST('{x!r}' AS DOUBLE)))"
+            for i, x in enumerate(cw)
+        )
+
     luts = probed.withColumn("_qr", qr).select(
         F.col(cluster_col),
         *[
-            F.array(
-                *[
-                    _subspace_sumsq(
-                        F.slice(F.col("_qr"), s * subdim + 1, subdim), cw
-                    )
-                    for cw in codebooks[s]
-                ]
-            ).alias(f"_lut_{s}")
+            F.array(*[F.expr(_lut_sql(s, cw)) for cw in codebooks[s]]).alias(
+                f"_lut_{s}"
+            )
             for s in range(m)
         ],
     )
@@ -1297,6 +1308,7 @@ def _blocked_topk(
     bucketed: DataFrame,
     k: int,
     max_block: int | None,
+    dim: int | None = None,
 ) -> DataFrame:
     """Shared blocked-pair/top-k core of :func:`knn_graph` and
     :func:`knn_graph_by` (extracted round 12, VERDICT r11 watch #2 — the
@@ -1330,8 +1342,15 @@ def _blocked_topk(
         a = _salted(a, "src")
         b = _salted(b, "dst")
         join_keys = ["_bucket", "_sub"]
-    dist = F.lit(1.0) - V.dot(
-        F.col("_emb_a"), F.col("_emb_b").cast("array<double>")
+    # r15: with a known dim the distance is the unrolled name+name+dim
+    # codegen form (identical IEEE order AND mismatch semantics per
+    # V.dot's contract); the Column+Column HOF fold stays the dim-unknown
+    # fallback — it evaluates interpreted per element on every candidate
+    # pair, the most executed expression of the blocked join
+    dist = F.lit(1.0) - (
+        V.dot("_emb_a", "_emb_b", dim=dim)
+        if dim
+        else V.dot(F.col("_emb_a"), F.col("_emb_b").cast("array<double>"))
     )
     pairs = (
         a.join(b, join_keys)
@@ -1354,6 +1373,7 @@ def knn_graph(
     vector_col: str = "embedding",
     probe_hamming: int = 0,
     max_block: int | None = None,
+    dim: int | None = None,
 ) -> DataFrame:
     """Blocked k-NN GRAPH construction (round 11, VERDICT r10 #6): per
     node, its k nearest neighbors among nodes sharing its LSH sign bucket
@@ -1431,7 +1451,7 @@ def knn_graph(
         F.col(vector_col).alias("_emb_b"),
         "_bucket",
     )
-    return _blocked_topk(a, b, bucketed, k, max_block)
+    return _blocked_topk(a, b, bucketed, k, max_block, dim=dim)
 
 
 def adaptive_planes(
@@ -1466,6 +1486,7 @@ def knn_graph_by(
     id_col: str = "vec_id",
     vector_col: str = "embedding",
     max_block: int | None = None,
+    dim: int | None = None,
 ) -> DataFrame:
     """:func:`knn_graph` with a PRECOMPUTED block column instead of LSH
     sign buckets — the k-means-blocked variant: centroid assignment CAN
@@ -1493,4 +1514,4 @@ def knn_graph_by(
         F.col(vector_col).alias("_emb_b"),
         "_bucket",
     )
-    return _blocked_topk(a, b, bucketed, k, max_block)
+    return _blocked_topk(a, b, bucketed, k, max_block, dim=dim)

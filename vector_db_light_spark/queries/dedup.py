@@ -1431,6 +1431,9 @@ FROM labeled l JOIN csize s USING (cluster_id)
 """
 
 
+_KG_EMB_DIM = 64  # embeddings fixture width (queries/similarity.DIM)
+
+
 @register("dedup_clusters_knn_graph", _KG_CLUSTERS_ORACLE)
 def dedup_clusters_knn_graph(spark, sf_dir):
     """Embedding dedup clusters built FROM the k-NN graph
@@ -1453,7 +1456,7 @@ def dedup_clusters_knn_graph(spark, sf_dir):
     # adaptive plane count == the oracle's 6 PLANES at sf0.01 (550 rows);
     # grows with the corpus so the blocked self-join stays linear
     graph = knn_graph(corpus, adaptive_planes(corpus.count()),
-                      k=_KG_DEDUP_K,
+                      k=_KG_DEDUP_K, dim=_KG_EMB_DIM,
                       max_block=192)  # skew cap, inactive at sf0.01
     return _kg_cluster_labels(corpus, graph)
 
@@ -1520,7 +1523,7 @@ def _graph_artifact(spark, sf_dir: str):
         corpus = _kg_corpus(spark, sf_dir)
         g = knn_graph(
             corpus, adaptive_planes(corpus.count()), k=_KG_DEDUP_K,
-            max_block=192,
+            max_block=192, dim=_KG_EMB_DIM,
         ).withColumn("src_bucket", F.pmod(F.col("src"), F.lit(64)))
         g.write.partitionBy("src_bucket").mode("overwrite").parquet(tmp)
         open(os.path.join(tmp, "_SUCCESS"), "w").close()

@@ -1977,7 +1977,8 @@ def knn_graph_blocked(spark, sf_dir):
     # At the oracle's sf0.01 the policy yields exactly the 6 PLANES the
     # SQL twin hardcodes; the driver only compares at sf0.01.
     return S.knn_graph(
-        emb, S.adaptive_planes(emb.count()), k=_KG_K, max_block=_KG_MAX_BLOCK
+        emb, S.adaptive_planes(emb.count()), k=_KG_K, max_block=_KG_MAX_BLOCK,
+        dim=DIM,
     )
 
 
@@ -2071,14 +2072,14 @@ def knn_graph_recall(spark, sf_dir):
     emb = load(spark, sf_dir, "embeddings")
     planes = S.adaptive_planes(emb.count())  # == PLANES at sf0.01
     approx = (
-        S.knn_graph(emb, planes, k=_KG_K, max_block=_KG_MAX_BLOCK)
+        S.knn_graph(emb, planes, k=_KG_K, max_block=_KG_MAX_BLOCK, dim=DIM)
         .filter(F.col("src") < _KG_RECALL_N)
         .select("src", "dst")
         .localCheckpoint(eager=True)
     )
     probed = (
         S.knn_graph(emb, planes, k=_KG_K, probe_hamming=1,
-                    max_block=_KG_MAX_BLOCK)
+                    max_block=_KG_MAX_BLOCK, dim=DIM)
         .filter(F.col("src") < _KG_RECALL_N)
         .select("src", "dst")
         .localCheckpoint(eager=True)
@@ -2288,7 +2289,7 @@ def knn_graph_kmeans_recall(spark, sf_dir):
     ).select("vec_id", "embedding", "cluster_id")
     approx = (
         S.knn_graph_by(
-            labeled, "cluster_id", k=_KG_K, max_block=_KG_MAX_BLOCK
+            labeled, "cluster_id", k=_KG_K, max_block=_KG_MAX_BLOCK, dim=DIM
         )
         .filter(F.col("src") < _KG_RECALL_N)
         .select("src", "dst")
