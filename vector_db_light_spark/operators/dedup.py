@@ -425,14 +425,17 @@ def connected_components(
     # measured 20-138 s of pure driver time on a 550-node sf0.01 graph.
     # The checkpoint cuts each round's plan to an RDD scan (rule 4:
     # multiply-consumed subtrees get eager checkpoints, not persist).
-    edges = _truncate(
-        pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
-        .unionByName(
-            pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst"))
-        )
-        .distinct()
-    )
     try:
+        # inside the try: the eager materialization can itself fail (e.g.
+        # an ANSI cast on malformed ids) and the finally must still
+        # restore the context-global checkpoint dir
+        edges = _truncate(
+            pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+            .unionByName(
+                pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst"))
+            )
+            .distinct()
+        )
         labels = _truncate(
             edges.select(F.col("src").alias("id"))
             .distinct()
@@ -502,16 +505,18 @@ def connected_components_star(
         return df.localCheckpoint(eager=True)
 
     raw = pairs.select(F.col(id_a).alias("a"), F.col(id_b).alias("b"))
-    # r15: truncated, not persist()ed — the node list rides inside the
-    # RETURNED labels plan, so a lazy persist kept the caller's full
-    # pair-generation subtree in every downstream consumer's analysis
-    # (same driver-time trap as connected_components' edge persist)
-    nodes = _truncate(
-        raw.select(F.col("a").alias("id"))
-        .unionByName(raw.select(F.col("b").alias("id")))
-        .distinct()
-    )
     try:
+        # r15: truncated, not persist()ed — the node list rides inside the
+        # RETURNED labels plan, so a lazy persist kept the caller's full
+        # pair-generation subtree in every downstream consumer's analysis
+        # (same driver-time trap as connected_components' edge persist).
+        # Inside the try: the eager materialization can itself fail and
+        # the finally must still restore the checkpoint dir.
+        nodes = _truncate(
+            raw.select(F.col("a").alias("id"))
+            .unionByName(raw.select(F.col("b").alias("id")))
+            .distinct()
+        )
         edges = _truncate(
             raw.filter(F.col("a") != F.col("b"))
             .select(

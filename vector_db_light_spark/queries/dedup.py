@@ -486,7 +486,13 @@ ORDER BY id_a, id_b
 """,
 )
 def dedup_simhash_hamming(spark, sf_dir):
-    sigs = D.simhash64_bands(_corpus(spark, sf_dir))
+    # r15: the banded signature table is consumed THREE times inside
+    # simhash_hamming_pairs (band explode + both verify sides) — without
+    # the checkpoint the per-token 64-bit signed-sum signature computation
+    # ran three times per pass
+    sigs = D.simhash64_bands(_corpus(spark, sf_dir)).localCheckpoint(
+        eager=True
+    )
     return D.simhash_hamming_pairs(sigs, threshold=3).orderBy("id_a", "id_b")
 
 
