@@ -1956,36 +1956,46 @@ def corpus_admission_batch(spark, sf_dir):
     ).cast("long")
     # the scrubbed table feeds the gate, both phases' sha/shingle stages,
     # and the manifest — the one deliberate materialization (the
-    # post-scrub hive table at 100 TB, as in llm_corpus_pipeline)
-    scrub = (
-        spread(rendered, "doc_id")
-        .select(
+    # post-scrub hive table at 100 TB, as in llm_corpus_pipeline). r15:
+    # both gate batteries are per-row projections, so they ride the scrub
+    # map stage and land IN the checkpoint as reason columns (the
+    # llm_corpus_pipeline restructure) — before, the c4->gopher chain
+    # re-executed in every consumer of `gated` and both manifest flag
+    # joins. Gopher on ALL rows is per-row identical (doc-level rules);
+    # the reason CASE checks c4 first, so precedence is unchanged.
+    c4f = c4_line_rules(
+        spread(rendered, "doc_id").select(
             "doc_id",
             "phase",
             n_pii.alias("n_pii"),
             pii_scrubbed_text("text").alias("text"),
+        ),
+        carry=("phase", "n_pii", "text"),
+    ).select(
+        "doc_id",
+        "phase",
+        "n_pii",
+        "text",
+        F.col("drop_reason").alias("c4_reason"),
+    )
+    scrub = (
+        gopher_rules(
+            c4f,
+            carry=("phase", "n_pii", "text", "c4_reason"),
+            **CORPUS_GATE_GOPHER,
+        )
+        .select(
+            "doc_id",
+            "phase",
+            "n_pii",
+            "text",
+            "c4_reason",
+            F.col("drop_reason").alias("g_reason"),
         )
         .localCheckpoint(eager=True)
     )
-    c4 = c4_line_rules(scrub).select(
-        "doc_id", F.col("drop_reason").alias("c4_reason")
-    )
-    g = gopher_rules(
-        scrub.join(
-            F.broadcast(
-                c4.filter(F.col("c4_reason") == "kept").select("doc_id")
-            ),
-            "doc_id",
-            "left_semi",
-        ),
-        **CORPUS_GATE_GOPHER,
-    ).select("doc_id", F.col("drop_reason").alias("g_reason"))
-    gated = scrub.join(
-        F.broadcast(
-            g.filter(F.col("g_reason") == "kept").select("doc_id")
-        ),
-        "doc_id",
-        "left_semi",
+    gated = scrub.filter(
+        (F.col("c4_reason") == "kept") & (F.col("g_reason") == "kept")
     ).select("doc_id", "phase", "text")
 
     def _exact_keep(gp):
@@ -2019,7 +2029,12 @@ def corpus_admission_batch(spark, sf_dir):
     rows0 = D.shingle_rows(dd0).localCheckpoint(eager=True)
     doomed0, _ = _self_doomed(dd0, rows0)
     doomed0 = doomed0.localCheckpoint(eager=True)  # manifest + idx anti
-    idx = dd0.join(F.broadcast(doomed0), "doc_id", "left_anti")
+    # r15: the admitted index corpus is read by the exact-vs-index probe,
+    # the index shingle/band builds AND the cross-phase verify union —
+    # checkpoint it once (at 100 TB this IS the persisted index table)
+    idx = dd0.join(F.broadcast(doomed0), "doc_id", "left_anti").localCheckpoint(
+        eager=True
+    )
 
     # phase 1: the batch admits against the index
     g1 = gated.filter(F.col("phase") == 1).select("doc_id", "text")
@@ -2031,7 +2046,11 @@ def corpus_admission_batch(spark, sf_dir):
         .join(F.broadcast(idx_sha), "_h", "left_semi")
         .select("doc_id")
     )
-    dd1b = dd1.join(F.broadcast(exv), "doc_id", "left_anti")
+    # consumed by the shingle build, the in-batch near-dedup and the
+    # cross-phase verify union — checkpoint so ke1/exv don't re-derive
+    dd1b = dd1.join(F.broadcast(exv), "doc_id", "left_anti").localCheckpoint(
+        eager=True
+    )
     rows1 = D.shingle_rows(dd1b).localCheckpoint(eager=True)
     doomed1, bands1 = _self_doomed(dd1b, rows1)
     rows_i = D.shingle_rows(idx).localCheckpoint(eager=True)
@@ -2062,9 +2081,7 @@ def corpus_admission_batch(spark, sf_dir):
         return df.select("doc_id").distinct().withColumn(name, F.lit(1))
 
     m = (
-        scrub.select("doc_id", "phase", "n_pii")
-        .join(F.broadcast(c4), "doc_id", "left")
-        .join(F.broadcast(g), "doc_id", "left")
+        scrub.select("doc_id", "phase", "n_pii", "c4_reason", "g_reason")
         .join(F.broadcast(_mark(ke0.unionByName(ke1), "_ka")), "doc_id", "left")
         .join(F.broadcast(_mark(exv, "_ex")), "doc_id", "left")
         .join(
