@@ -683,6 +683,7 @@ def kn_fluency_scores(
     variants: DataFrame,
     train_variant: str = "orig",
     id_col: str = "doc_id",
+    materialize_bigrams: bool = True,
 ) -> DataFrame:
     """Per-(doc, variant) Kneser-Ney fluency: the integer mean of
     per-bigram interpolated-KN probabilities in micro-units.
@@ -710,18 +711,25 @@ def kn_fluency_scores(
     by several branches -> eager localCheckpoint (multi-consumer rule); at
     cluster scale the count tables persist to storage as the trained LM
     artifact instead."""
-    # r15: only the trained count table is checkpointed (4 dictionary-
-    # scale consumers). The bigram stream stays LAZY — it is consumed
-    # twice (count build + scoring join), but each consumption is a
-    # map-side explode riding its stage, while checkpointing it
-    # materialized a table BIGGER than the corpus to local disk and read
-    # it back twice (one extra synchronous job per caller, measured in
+    # r15: the trained count table keeps its checkpoint unconditionally
+    # (4 dictionary-scale consumers). ``materialize_bigrams`` decides the
+    # bigram STREAM: with the default True it is checkpointed (one
+    # corpus-sized write, both consumers read it back — right when the
+    # caller's ``variants`` is itself an expensive un-checkpointed
+    # pipeline, e.g. curation_gopher_ccnet's gated corpus, which would
+    # otherwise re-derive twice); pass False when ``variants`` is a cheap
+    # scan of an upstream checkpoint (llm_corpus_pipeline,
+    # curation_mix_manifest, kn_fluency_score) — there the two map-side
+    # explode re-runs cost less than the extra synchronous job and the
+    # bigger-than-corpus materialization (measured both directions in
     # OPTIMIZATION_r15.md).
     bg = variants.select(
         F.col(id_col),
         "variant",
         F.explode(bigram_structs(F.col("toks"))).alias("b"),
     ).select(id_col, "variant", "b.w1", "b.w2")
+    if materialize_bigrams:
+        bg = bg.localCheckpoint(eager=True)
     c = (
         bg.filter(F.col("variant") == train_variant)
         .groupBy("w1", "w2")

@@ -464,7 +464,7 @@ def curation_mix_manifest(spark, sf_dir):
         tokens_expr("text").alias("toks"),
     ).filter(F.size("toks") >= 2)
     flu = (
-        T.kn_fluency_scores(variants)
+        T.kn_fluency_scores(variants, materialize_bigrams=False)
         .select("doc_id", "fluency_u6")
     )
     lang = T.lang_id(canon).select("doc_id", "predicted_lang")

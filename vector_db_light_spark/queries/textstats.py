@@ -899,7 +899,7 @@ def kn_fluency_score(spark, sf_dir):
     ).unionByName(
         docs.select("doc_id", F.lit("corrupt").alias("variant"), corrupt.alias("toks"))
     )
-    per = T.kn_fluency_scores(variants)
+    per = T.kn_fluency_scores(variants, materialize_bigrams=False)
     return _kn_variant_pivot(per)
 
 
@@ -3154,7 +3154,7 @@ def llm_corpus_pipeline(spark, sf_dir):
         .select("doc_id", F.lit("orig").alias("variant"), "toks")
     )
     per = (
-        T.kn_fluency_scores(surv)
+        T.kn_fluency_scores(surv, materialize_bigrams=False)
         .select("doc_id", "fluency_u6")
         .localCheckpoint(eager=True)  # thresholds + assignment reuse scores
     )
