@@ -29,11 +29,11 @@ HERE = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 # BUMP THIS on every re-record (ADVICE r12: the written file's provenance
 # must name the version/round that actually recorded it, not a stale one).
 BASELINE_PROVENANCE = (
-    "baseline v11, recorded at round 15 (session default driver heap "
-    "8g -> 48g: the 32-thread local JVM churning one small heap was the "
-    "measured capstone variance source — llm_corpus_pipeline 22-60 s "
-    "run-to-run at 8g vs 11-15 s at 48g; re-recorded per CLAUDE.md rule 6 "
-    "— baseline and round must be same-shape runs)"
+    "baseline v12, recorded at round 15 after the optimization pass "
+    "(compute-each-stage-once restructures of the corpus capstones, "
+    "hash-partitioned media fixtures, codegen PQ/LSH expressions — "
+    "OPTIMIZATION_r15.md; several headline plans changed, so CLAUDE.md "
+    "rule 6 requires a same-round re-record)"
 )
 
 
