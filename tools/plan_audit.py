@@ -183,6 +183,8 @@ def audit_one(name: str, plan: str) -> dict[str, object]:
 
 def main() -> int:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
+    from pyspark.sql import DataFrame
+
     from vector_db_light_spark.plans.explain import explain_string
     from vector_db_light_spark.registry import QUERIES
     from vector_db_light_spark.session import get_spark
@@ -195,19 +197,57 @@ def main() -> int:
     # before runtime refinement — the right thing to diff.
     spark.conf.set("spark.sql.adaptive.enabled", "false")
 
+    # Checkpoint BUILD-job accounting (VERDICT r15 #7): queries that
+    # localCheckpoint a shared subtree at construction execute that
+    # subtree's shuffles in a build job the final plan never shows, so a
+    # query that GAINS a checkpoint used to look cheaper in this report
+    # and one that drops a checkpoint looked worse (the kn_fluency 3->5
+    # artifact). Intercept localCheckpoint/checkpoint during construction
+    # and audit each materialized subplan into per-query build columns.
+    build: dict[str, int] = {"ckpts": 0, "shuffles": 0, "broadcasts": 0, "smj": 0}
+    orig_local, orig_reliable = DataFrame.localCheckpoint, DataFrame.checkpoint
+
+    def _account(df) -> None:
+        sub = audit_one("_build", explain_string(df, mode="simple"))
+        build["ckpts"] += 1
+        build["shuffles"] += sub["shuffles"]
+        build["broadcasts"] += sub["broadcasts"]
+        build["smj"] += sub["smj"]
+
+    def _patched_local(self, eager=True):
+        _account(self)
+        return orig_local(self, eager)
+
+    def _patched_reliable(self, eager=True):
+        _account(self)
+        return orig_reliable(self, eager)
+
+    DataFrame.localCheckpoint = _patched_local
+    DataFrame.checkpoint = _patched_reliable
+
     rows = []
-    for name in AUDIT:
-        df = QUERIES[name](spark, sf_dir)
-        row = audit_one(name, explain_string(df, mode="simple"))
-        # codegen-mode explain compiles the plan and reports the subtree
-        # count directly ("Found N WholeStageCodegen subtrees") — the
-        # simple/adaptive plan string hides the marks until execution.
-        m = re.search(
-            r"Found (\d+) WholeStageCodegen subtrees",
-            explain_string(df, mode="codegen"),
-        )
-        row["wscg"] = int(m.group(1)) if m else 0
-        rows.append(row)
+    try:
+        for name in AUDIT:
+            build.update(ckpts=0, shuffles=0, broadcasts=0, smj=0)
+            df = QUERIES[name](spark, sf_dir)
+            row = audit_one(name, explain_string(df, mode="simple"))
+            row["build"] = (
+                "{ckpts}ck/{shuffles}sh/{broadcasts}bc/{smj}smj".format(**build)
+                if build["ckpts"]
+                else "-"
+            )
+            # codegen-mode explain compiles the plan and reports the subtree
+            # count directly ("Found N WholeStageCodegen subtrees") — the
+            # simple/adaptive plan string hides the marks until execution.
+            m = re.search(
+                r"Found (\d+) WholeStageCodegen subtrees",
+                explain_string(df, mode="codegen"),
+            )
+            row["wscg"] = int(m.group(1)) if m else 0
+            rows.append(row)
+    finally:
+        DataFrame.localCheckpoint = orig_local
+        DataFrame.checkpoint = orig_reliable
 
     here = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     out = os.path.join(here, "PLANS.md")
@@ -220,18 +260,20 @@ def main() -> int:
             "TakeOrderedAndProject (top-k short-circuit), WindowGroupLimit "
             "nodes. SortMergeJoin on a retrieval path or a shuffle count "
             "that grows with a refactor is a regression — diff this file.\n"
-            "Caveat: queries that localCheckpoint a shared subtree at "
-            "construction (dedup_minhash_lsh family, bpe_*, "
-            "corpus_curation_pipeline, triangle_count_parts) show only the "
-            "post-checkpoint plan here; the materialization's own shuffles "
-            "run once at build time and are documented in SCALE.md.\n\n"
-            "| query | shuffles | broadcasts | BHJ | SMJ | WSCG | python | top-k | WGL |\n"
-            "|---|---|---|---|---|---|---|---|---|\n"
+            "Queries that localCheckpoint a shared subtree at construction "
+            "show only the post-checkpoint plan in the main columns; the "
+            "`build` column (r16, VERDICT r15 #7) audits the checkpoint "
+            "BUILD jobs separately as "
+            "checkpoints/shuffles/broadcasts/SortMergeJoins, so totals "
+            "stay comparable when a refactor moves work across a "
+            "checkpoint boundary.\n\n"
+            "| query | shuffles | broadcasts | BHJ | SMJ | WSCG | python | top-k | WGL | build |\n"
+            "|---|---|---|---|---|---|---|---|---|---|\n"
         )
         for r in rows:
             f.write(
                 "| {query} | {shuffles} | {broadcasts} | {bhj} | {smj} "
-                "| {wscg} | {python} | {topk} | {wgl} |\n".format(**r)
+                "| {wscg} | {python} | {topk} | {wgl} | {build} |\n".format(**r)
             )
     print(f"wrote {out} ({len(rows)} queries)")
     spark.stop()

@@ -132,7 +132,14 @@ def _curate_batch(
         new = new.join(
             F.broadcast(corpus.select("content_sha")), "content_sha", "left_anti"
         )
-    fresh_p = new = new.persist()  # shared by steps 3-4 + the final anti
+    # shared by steps 3-4 + the final anti-join. r16: eager checkpoint,
+    # not persist() — the in-batch verify job reads `new` TWICE (band-key
+    # side and text side of jaccard_pairs), and a lazy cache populates
+    # racily when both consumers run in one job (CLAUDE.md rule 4); the
+    # checkpoint also cuts the gate/corpus-anti lineage so every later
+    # consumer scans batch-sized materialized rows instead of re-deriving
+    # the upstream plan per job.
+    new = new.localCheckpoint(eager=True)
     # 3a. band keys of the batch — used for in-batch AND vs-corpus pairs
     new_bands = minhash_band_keys(minhash_signatures(new))
     # 3b/4a. near-dups WITHIN the batch: verify the self-join candidates,
@@ -194,7 +201,6 @@ def _curate_batch(
     # the plan from both paths; within one foreachBatch the reduced fault
     # tolerance is fine (the checkpointed offsets replay the batch).
     survivors = new.localCheckpoint(eager=True)
-    fresh_p.unpersist()
     if survivors.isEmpty():
         return
     # 5. bands FIRST, then corpus (see module docstring: a crash between
@@ -234,9 +240,19 @@ def _admission_gate(batch_df: DataFrame) -> tuple[DataFrame, int, int]:
     the streaming path admits exactly what llm_corpus_pipeline's gate
     keeps). Returns (survivors with ``text`` REPLACED by the scrubbed
     text — the capstone's stage order: nothing downstream of the scrub
-    may see raw PII), n_c4_dropped, n_gopher_dropped. The scrubbed frame
-    is localCheckpointed: it is consumed by the C4 pass, the Gopher
-    pass, and the survivor join (rule 4)."""
+    may see raw PII), n_c4_dropped, n_gopher_dropped.
+
+    r16 (VERDICT r15 #5, guide §2.4/§5): both rule batteries are pure
+    per-doc projections, so they are evaluated in ONE map-side pass over
+    the scrubbed checkpoint (``carry`` threads the C4 bit through the
+    Gopher projection) into a 3-column flag table, checkpointed once.
+    The old shape ran the C4 battery 3x and Gopher 2x per batch: each
+    stage count was its own job, and every downstream consumer of
+    ``gated`` (decontam probe, dedup engine, funnel join) re-derived the
+    semi-join chain including both batteries. All per-stage counts now
+    come from one aggregate over the flag table; Gopher bits computed
+    for C4-dropped docs are ignored by the counts and the filter, so
+    admitted rows and funnel numbers are bit-identical (test-pinned)."""
     from ..operators.textstats import (
         CORPUS_GATE_GOPHER,
         c4_line_rules,
@@ -248,22 +264,29 @@ def _admission_gate(batch_df: DataFrame) -> tuple[DataFrame, int, int]:
     scrubbed = batch_df.select(
         *keep, pii_scrubbed_text("text").alias("text")
     ).localCheckpoint(eager=True)
-    n_in = scrubbed.count()
-    c4_kept = (
-        c4_line_rules(scrubbed)
-        .filter(F.col("drop_reason") == "kept")
-        .select("doc_id")
+    c4 = c4_line_rules(scrubbed, carry=("text",)).select(
+        "doc_id", "text", F.col("keep").alias("_c4")
     )
-    after_c4 = scrubbed.join(F.broadcast(c4_kept), "doc_id", "left_semi")
-    n_c4 = after_c4.count()
-    g_kept = (
-        gopher_rules(after_c4, **CORPUS_GATE_GOPHER)
-        .filter(F.col("drop_reason") == "kept")
-        .select("doc_id")
+    flags = (
+        gopher_rules(c4, carry=("_c4",), **CORPUS_GATE_GOPHER)
+        .select("doc_id", "_c4", F.col("keep").alias("_g"))
+        .localCheckpoint(eager=True)
     )
-    gated = after_c4.join(F.broadcast(g_kept), "doc_id", "left_semi")
-    n_g = gated.count()
-    return gated, n_in - n_c4, n_c4 - n_g
+    n_in, n_c4, n_g = flags.agg(
+        F.count(F.lit(1)),
+        F.coalesce(F.sum("_c4"), F.lit(0)),
+        F.coalesce(F.sum(F.col("_c4") * F.col("_g")), F.lit(0)),
+    ).first()
+    gated = scrubbed.join(
+        F.broadcast(
+            flags.filter((F.col("_c4") == 1) & (F.col("_g") == 1)).select(
+                "doc_id"
+            )
+        ),
+        "doc_id",
+        "left_semi",
+    )
+    return gated, int(n_in - n_c4), int(n_c4 - n_g)
 
 
 _FUNNEL_SCHEMA = (
