@@ -49,9 +49,26 @@ def pagerank_exact(
     (node, rank_u6) with rank in exact micro-units (average 1e6 per node
     up to integer-division rounding). One lazy plan — ``iters`` is small
     by construction (like kmeans_train); loop externally with checkpoints
-    for long runs."""
-    deg = edges.groupBy(src).agg(F.count("*").alias("_out_deg"))
-    nodes = edges.select(F.col(src).alias("node")).distinct()
+    for long runs.
+
+    r16 (VERDICT r15 #4, guide §5): the edge list and the iteration-
+    invariant dimension tables (out-degrees, node set) are truncated ONCE
+    at entry — every round's contribution join and the final update
+    consume them, and with a lazy caller subtree (e.g. the
+    orders x lineitem distinct pair build of pagerank_suppliers) each of
+    those consumers re-executed the whole build per round, the
+    connected_components trap in per-round form."""
+    edges = edges.select(src, dst).localCheckpoint(eager=True)
+    deg = (
+        edges.groupBy(src)
+        .agg(F.count("*").alias("_out_deg"))
+        .localCheckpoint(eager=True)
+    )
+    nodes = (
+        edges.select(F.col(src).alias("node"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
     ranks = nodes.withColumn("rank_u6", F.lit(1_000_000).cast("long"))
     for _ in range(iters):
         # per-round lineage cut: without it round t's static plan nests
@@ -104,14 +121,26 @@ def pagerank_directed(
     aggregate broadcast into the update — per round that adds one
     anti-join-shaped scan of the rank table to the canonical two-shuffle
     Pregel pair; N is a driver-side scalar computed once (iteration-
-    invariant node set)."""
-    deg = edges.groupBy(src).agg(F.count("*").alias("_out_deg"))
+    invariant node set).
+
+    r16 (VERDICT r15 #4, guide §5): edges/deg/nodes truncated once at
+    entry (see pagerank_exact — here the un-truncated shape was worse
+    still: the dangling anti-join AND the contribution join both
+    re-derived ``deg`` from the caller's lazy edge subtree every
+    round)."""
+    edges = edges.select(src, dst).localCheckpoint(eager=True)
+    deg = (
+        edges.groupBy(src)
+        .agg(F.count("*").alias("_out_deg"))
+        .localCheckpoint(eager=True)
+    )
     nodes = (
         edges.select(F.col(src).alias("node"))
         .union(edges.select(F.col(dst).alias("node")))
         .distinct()
+        .localCheckpoint(eager=True)
     )
-    n_nodes = nodes.count()  # iteration-invariant scalar
+    n_nodes = nodes.count()  # iteration-invariant scalar (checkpoint scan)
     ranks = nodes.withColumn("rank_u6", F.lit(1_000_000).cast("long"))
     for _ in range(iters):
         # each round consumes `ranks` TWICE (dangling agg + contribution
@@ -385,7 +414,12 @@ def label_propagation(
     whole components with one label. Per round: one join shuffle keyed on
     src + one (dst, label) count + one per-dst argmax window — the Pregel
     pair plus a group-limit; per-round ``localCheckpoint`` cuts lineage
-    (house rule for iterative algorithms)."""
+    (house rule for iterative algorithms).
+
+    r16: the edge list is truncated once at entry (pagerank_exact's
+    rationale — every round's join re-executed the caller's lazy edge
+    subtree)."""
+    edges = edges.select(src, dst).localCheckpoint(eager=True)
     nodes = edges.select(F.col(src).alias("node")).distinct()
     labels = nodes.withColumn("label", F.col("node"))
     from pyspark.sql.window import Window
@@ -424,9 +458,21 @@ def pagerank_weighted(
     shuffle pair; W_out is one extra iteration-invariant aggregate).
     Assumes a symmetrized edge list like pagerank_exact (every node has
     out-weight >= 1); compose the dangling step from pagerank_directed
-    for genuinely directed inputs."""
-    wtot = edges.groupBy(src).agg(F.sum(weight).cast("long").alias("_w_out"))
-    nodes = edges.select(F.col(src).alias("node")).distinct()
+    for genuinely directed inputs.
+
+    r16: edges/out-weights/nodes truncated once at entry (pagerank_exact's
+    rationale — iteration-invariant tables consumed every round)."""
+    edges = edges.select(src, dst, weight).localCheckpoint(eager=True)
+    wtot = (
+        edges.groupBy(src)
+        .agg(F.sum(weight).cast("long").alias("_w_out"))
+        .localCheckpoint(eager=True)
+    )
+    nodes = (
+        edges.select(F.col(src).alias("node"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
     ranks = nodes.withColumn("rank_u6", F.lit(1_000_000).cast("long"))
     for _ in range(iters):
         ranks = ranks.localCheckpoint(eager=True)  # per-round lineage cut
