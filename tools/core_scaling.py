@@ -39,6 +39,7 @@ sys.path.insert(0, HERE)
 sys.path.insert(0, os.path.join(HERE, "tools"))
 
 SF1 = "/tmp/vdl_sf1"
+SF10 = "/tmp/vdl_sf10"
 
 # The 12 slowest headline-bench queries per PERF_r15 (covers "top-10").
 DEFAULT_QUERIES = [
@@ -56,14 +57,122 @@ DEFAULT_QUERIES = [
     "kn_fluency_score",
 ]
 
+# sf10 follow-up set (document/event-bound queries whose sf1 ratio was
+# flat): does core scaling emerge once exec dominates job latency?
+SF10_QUERIES = [
+    "dedup_minhash_lsh",
+    "kn_fluency_score",
+    "covisitation_topk",
+    "index_build_pipeline",
+    "bm25_wand_topk",
+    "tokenize_pack_pipeline",
+    "llm_corpus_pipeline",
+]
+
 N_RUNS = max(1, int(os.environ.get("SPARK_GRAFT_SCALE_RUNS", "3")))
+
+
+def _synth_sf10(spark) -> None:
+    """100x-sf0.1 documents (500k, Spark-synthesized with sf0.1's own
+    vocabulary marginals — the scale_check recipe minus the planted
+    boilerplate class, which exists to prove df-cap behavior and would
+    make the UNCAPPED score-exact dedup queries quadratic by design) and
+    100x events (10x replicas of sf1's with fresh key offsets). All
+    other tables reuse sf1's files — sf10 probes the document/event-bound
+    paths only."""
+    import shutil
+
+    import duckdb
+    from pyspark.sql import functions as F
+
+    os.makedirs(SF10, exist_ok=True)
+    for t in ("orders", "lineitem", "customer", "supplier", "part",
+              "nation", "region", "embeddings"):
+        dst = f"{SF10}/{t}.parquet"
+        if not os.path.exists(dst):
+            shutil.copytree(f"{SF1}/{t}.parquet", dst)
+    if not os.path.exists(f"{SF10}/events.parquet"):
+        ev = spark.read.parquet(f"{SF1}/events.parquet")
+        parts = []
+        for r in range(10):
+            parts.append(
+                ev.withColumn("event_id", F.col("event_id") + r * 10_000_000)
+                .withColumn("user_id", F.col("user_id") + r * 100_000)
+            )
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        out.write.mode("overwrite").parquet(f"{SF10}/events.parquet")
+    if os.path.exists(f"{SF10}/documents.parquet"):
+        return
+    print("core_scaling: synthesizing sf10 documents (500k rows) ...",
+          flush=True)
+    con = duckdb.connect()
+    src01 = "/root/testdata/sf0.1/documents.parquet"
+    vocab = con.execute(
+        "SELECT w, count(*) AS c FROM (SELECT unnest(string_split(lower(text), ' ')) AS w "
+        f"FROM '{src01}') GROUP BY 1 ORDER BY 1"
+    ).fetchall()
+    langs = [r[0] for r in con.execute(
+        f"SELECT DISTINCT lang FROM '{src01}' ORDER BY 1").fetchall()]
+    sources = [r[0] for r in con.execute(
+        f"SELECT DISTINCT source FROM '{src01}' ORDER BY 1").fetchall()]
+    words = [w for w, _ in vocab]
+    cum, acc = [], 0
+    for _, c in vocab:
+        acc += c
+        cum.append(acc)
+    total = acc
+
+    words_sql = "array(" + ", ".join(f"'{w}'" for w in words) + ")"
+    cums_sql = "array(" + ", ".join(str(c) for c in cum) + ")"
+    langs_sql = "array(" + ", ".join(f"'{l}'" for l in langs) + ")"
+    srcs_sql = "array(" + ", ".join(f"'{s}'" for s in sources) + ")"
+
+    def h(s: str) -> str:
+        return f"CAST(conv(substring(md5({s}), 1, 12), 16, 10) AS BIGINT)"
+
+    h_w = h("concat('w:', CAST(id AS STRING), ':', CAST(j AS STRING))")
+    word_expr = (
+        f"element_at({words_sql}, CAST(size(filter({cums_sql}, "
+        f"c -> c <= pmod({h_w}, {total}))) AS INT) + 1)"
+    )
+    df = (
+        spark.range(500_000)
+        .select(
+            F.col("id").alias("doc_id"),
+            F.expr(
+                "concat_ws(' ', transform(sequence(0, CAST(9 + pmod("
+                + h("concat('len:', CAST(id AS STRING))")
+                + ", 91) AS INT)), j -> " + word_expr + "))"
+            ).alias("text"),
+            F.expr(
+                f"element_at({langs_sql}, CAST(pmod("
+                + h("concat('l:', CAST(id AS STRING))")
+                + f", {len(langs)}) AS INT) + 1)"
+            ).alias("lang"),
+            F.expr(
+                f"element_at({srcs_sql}, CAST(pmod("
+                + h("concat('s:', CAST(id AS STRING))")
+                + f", {len(sources)}) AS INT) + 1)"
+            ).alias("source"),
+        )
+        .withColumn("n_chars", F.length("text").cast("long"))
+    )
+    df.repartition(32).write.mode("overwrite").parquet(
+        f"{SF10}/documents.parquet"
+    )
+
+
+def _scale_dir() -> str:
+    return os.environ.get("VDL_SCALE_DIR", SF1)
 
 
 def _canary_once(spark) -> float:
     from pyspark.sql import functions as F
 
     t0 = time.time()
-    spark.read.parquet(f"{SF1}/lineitem.parquet").agg(
+    spark.read.parquet(f"{_scale_dir()}/lineitem.parquet").agg(
         F.sum("l_quantity"), F.avg("l_extendedprice")
     ).collect()
     return time.time() - t0
@@ -73,6 +182,7 @@ def child(names: list[str]) -> int:
     from vector_db_light_spark.registry import QUERIES
     from vector_db_light_spark.session import get_spark
 
+    SF1 = _scale_dir()  # noqa: N806 — keep the body below unchanged
     spark = get_spark(app_name="vdl-core-scaling")
     spark.sparkContext.setLogLevel("ERROR")
     cpus = spark.sparkContext.master
@@ -127,7 +237,11 @@ def main() -> int:
     if len(sys.argv) >= 2 and sys.argv[1] == "--child":
         return child(sys.argv[2:])
 
-    names = sys.argv[1:] or list(DEFAULT_QUERIES)
+    args = sys.argv[1:]
+    sf10 = bool(args) and args[0] == "--sf10"
+    if sf10:
+        args = args[1:]
+    names = args or list(SF10_QUERIES if sf10 else DEFAULT_QUERIES)
 
     # Synthesize sf1 once (idempotent; scale_check owns the recipe).
     import scale_check as SC
@@ -141,11 +255,17 @@ def main() -> int:
         SC._replicate(spark, t)
     for t in ("nation", "region"):
         SC._copy(spark, t)
+    if sf10:
+        _synth_sf10(spark)
     spark.stop()
 
     results: dict[str, dict] = {}
     for cpus in ("32", "8"):
-        env = dict(os.environ, SPARK_GRAFT_CPUS=cpus)
+        env = dict(
+            os.environ,
+            SPARK_GRAFT_CPUS=cpus,
+            VDL_SCALE_DIR=SF10 if sf10 else SF1,
+        )
         print(f"== local[{cpus}] ==", flush=True)
         proc = subprocess.run(
             [sys.executable, os.path.abspath(__file__), "--child", *names],
@@ -171,10 +291,11 @@ def main() -> int:
             continue
         table[name] = round(t8 / t32, 2)
         print(f"{name:34s} {t32:8.3f} {t8:8.3f} {t8 / t32:6.2f}x")
-    with open("/tmp/vdl_core_scaling.json", "w") as f:
+    out = "/tmp/vdl_core_scaling_sf10.json" if sf10 else "/tmp/vdl_core_scaling.json"
+    with open(out, "w") as f:
         json.dump({"local32": hi, "local8": lo, "ratio_t8_over_t32": table}, f,
                   indent=1)
-    print("\nraw JSON: /tmp/vdl_core_scaling.json")
+    print(f"\nraw JSON: {out}")
     return 0
 
 

@@ -62,6 +62,22 @@ def _arr_sql(name: str) -> str:
     return f"CAST({_col_sql(name)} AS ARRAY<DOUBLE>)"
 
 
+def _get_d_sql(name: str, i: int) -> str:
+    """Element i of a numeric array column, as DOUBLE, via an ELEMENT cast:
+    ``CAST(get(col, i) AS DOUBLE)``. Bit-identical to
+    ``get(CAST(col AS ARRAY<DOUBLE>), i)`` (float->double widening is exact
+    and commutes with indexing; get is NULL on out-of-bounds either way)
+    but generates ~3 lines of whole-stage code instead of a full 64-element
+    array-conversion LOOP per term: the array-cast form re-materialized the
+    cast at EVERY term reference inside conditional branches (CASE/WHEN
+    disables subexpression elimination), which (a) did O(dim) conversion
+    work per term — O(dim^2) per dot — and (b) blew janino's 64 KB method
+    limit at 6 plane dots + 1 distance dot in one stage, tripping the
+    whole-stage-codegen fallback on ann_lsh_bucketed /
+    knn_ivfpq_residual_topk (VERDICT r15 #2; fixed r16)."""
+    return f"CAST(get({_col_sql(name)}, {i}) AS DOUBLE)"
+
+
 def dot(
     vec_col: Column | str,
     query: Column | str | list[float],
@@ -111,23 +127,22 @@ def dot(
             return F.lit(0.0)
         n = len(query)
         if isinstance(vec_col, str):
-            vd = _arr_sql(vec_col)
             terms = " + ".join(
-                f"(get({vd}, {i}) * {_dlit_sql(x)})" for i, x in enumerate(query)
+                f"({_get_d_sql(vec_col, i)} * {_dlit_sql(x)})"
+                for i, x in enumerate(query)
             )
             return F.expr(
                 f"(CASE WHEN size({_col_sql(vec_col)}) = {n} THEN 0.0D END)"
                 f" + {terms}"
             )
-        vd = vec_col.cast("array<double>")
         acc = F.when(F.size(vec_col) == n, F.lit(0.0))
         for i, q in enumerate(query):
-            acc = acc + F.get(vd, i) * F.lit(float(q))
+            acc = acc + F.get(vec_col, i).cast("double") * F.lit(float(q))
         return acc
     if dim is not None and isinstance(vec_col, str) and isinstance(query, str):
-        vd, qd = _arr_sql(vec_col), _arr_sql(query)
         terms = " + ".join(
-            f"(get({vd}, {i}) * get({qd}, {i}))" for i in range(dim)
+            f"({_get_d_sql(vec_col, i)} * {_get_d_sql(query, i)})"
+            for i in range(dim)
         )
         return F.expr(
             f"(CASE WHEN size({_col_sql(vec_col)}) = {dim}"
@@ -137,11 +152,9 @@ def dot(
     v = F.col(vec_col) if isinstance(vec_col, str) else vec_col
     q = F.col(query) if isinstance(query, str) else query
     if dim is not None:
-        vd = v.cast("array<double>")
-        qd = q.cast("array<double>")
         acc = F.when((F.size(v) == dim) & (F.size(q) == dim), F.lit(0.0))
         for i in range(dim):
-            acc = acc + F.get(vd, i) * F.get(qd, i)
+            acc = acc + F.get(v, i).cast("double") * F.get(q, i).cast("double")
         return acc
     prods = F.zip_with(v.cast("array<double>"), q, lambda x, y: x * y)
     return F.aggregate(prods, F.lit(0.0), lambda acc, x: acc + x)
@@ -159,11 +172,11 @@ def sum_of_squares_distance(
     dim: int | None = None,
 ) -> Column:
     if dim is not None and isinstance(vec_col, str) and isinstance(query, str):
-        # name+name+dim: single-parse unrolled chain, size-guarded (dot())
-        vd, qd = _arr_sql(vec_col), _arr_sql(query)
+        # name+name+dim: single-parse unrolled chain, size-guarded (dot());
+        # element casts, not array casts (_get_d_sql)
         terms = " + ".join(
-            f"((get({vd}, {i}) - get({qd}, {i})) *"
-            f" (get({vd}, {i}) - get({qd}, {i})))"
+            f"(({_get_d_sql(vec_col, i)} - {_get_d_sql(query, i)}) *"
+            f" ({_get_d_sql(vec_col, i)} - {_get_d_sql(query, i)}))"
             for i in range(dim)
         )
         return F.expr(
@@ -177,20 +190,18 @@ def sum_of_squares_distance(
         if not query:
             return F.lit(0.0)
         if isinstance(vec_col, str):
-            vd = _arr_sql(vec_col)
             terms = " + ".join(
-                f"((get({vd}, {i}) - {_dlit_sql(x)}) *"
-                f" (get({vd}, {i}) - {_dlit_sql(x)}))"
+                f"(({_get_d_sql(vec_col, i)} - {_dlit_sql(x)}) *"
+                f" ({_get_d_sql(vec_col, i)} - {_dlit_sql(x)}))"
                 for i, x in enumerate(query)
             )
             return F.expr(
                 f"(CASE WHEN size({_col_sql(vec_col)}) = {len(query)} "
                 f"THEN 0.0D END) + {terms}"
             )
-        vd = vec_col.cast("array<double>")
         acc = F.when(F.size(vec_col) == len(query), F.lit(0.0))
         for i, q in enumerate(query):
-            diff = F.get(vd, i) - F.lit(float(q))
+            diff = F.get(vec_col, i).cast("double") - F.lit(float(q))
             acc = acc + diff * diff
         return acc
     v = F.col(vec_col) if isinstance(vec_col, str) else vec_col

@@ -1115,50 +1115,61 @@ def ivf_pq_residual_topk(
     """Serve a residual-PQ index: probe the ``nprobe`` nearest centroids,
     build ONE ADC LUT per probed cluster from the query's residual
     q - centroid (asymmetric distance in residual space equals
-    ||v - q||^2 up to quantization), broadcast the (cluster, LUT) rows,
-    and rank probed-cluster codes by table lookups only. The corpus scan
-    reads M small ints per row and never the vectors; the probe side is
-    centroid-table-sized. ADC sums the M lookups left-to-right (same
-    order as pq_adc_topk)."""
+    ||v - q||^2 up to quantization), and rank probed-cluster codes by
+    table lookups only. The corpus scan reads M small ints per row and
+    never the vectors. ADC sums the M lookups left-to-right (same order
+    as pq_adc_topk).
+
+    r16 (VERDICT r15 #2): the probe + LUT side is nprobe x M x K DRIVER
+    arithmetic over the bounded centroid artifact — the same design as
+    :func:`pq_adc_lut` (the LUT is a literal in the plan). The old
+    in-plan form built the M LUT arrays as one 1024-term projection over
+    a 2-row frame: janino's 64 KB method limit tripped, the stage fell
+    back to interpreted execution (harmless over 2 rows but the compile
+    attempt re-ran per construction), and the broadcast build was an
+    extra subjob. Every double here follows the exact op order of the
+    old Catalyst expressions (left-to-right folds, no 0.0 seed on the
+    square sums) and of the DuckDB oracle, so results are bit-identical;
+    the codes-side filter ``cluster IN (probed)`` keeps exactly the rows
+    the old broadcast inner join kept."""
     m = len(codebooks)
     subdim = len(codebooks[0][0])
-    cd = (F.lit(1.0) - V.dot("centroid", list(query_vector))).alias("_cd")
-    probed = (
-        centroids.select(F.col(cluster_col), F.col("centroid"), cd)
-        .orderBy(F.col("_cd").asc(), F.col(cluster_col).asc())
-        .limit(nprobe)
-    )
-    qr = F.zip_with(
-        V.vector_lit(query_vector), F.col("centroid"), lambda x, y: x - y
-    )
-
-    # r15: LUT entries as one F.expr string each (pq_encode's rationale —
-    # the per-codeword HOF folds were ~1 s of Py4J construction per call;
-    # the unrolled sum keeps the fold's left-to-right IEEE order, squares
-    # never produce -0.0 so the 0.0 seed is a bitwise no-op)
-    def _lut_sql(s: int, cw: list[float]) -> str:
-        return " + ".join(
-            f"((_qr[{s * subdim + i}] - CAST('{x!r}' AS DOUBLE))"
-            f" * (_qr[{s * subdim + i}] - CAST('{x!r}' AS DOUBLE)))"
-            for i, x in enumerate(cw)
-        )
-
-    luts = probed.withColumn("_qr", qr).select(
-        F.col(cluster_col),
-        *[
-            F.array(*[F.expr(_lut_sql(s, cw)) for cw in codebooks[s]]).alias(
-                f"_lut_{s}"
+    q = [float(x) for x in query_vector]
+    scored = []
+    for r in centroids.select(cluster_col, "centroid").collect():
+        c = [float(v) for v in r["centroid"]]
+        acc = 0.0  # V.dot's unrolled order: 0.0 + t0 + t1 + ...
+        for x, y in zip(c, q):
+            acc = acc + x * y
+        scored.append((1.0 - acc, r[cluster_col], c))
+    scored.sort(key=lambda t: (t[0], t[1]))
+    adc_expr: Column | None = None
+    labels = []
+    for _cd, label, c in scored[:nprobe]:
+        labels.append(label)
+        qr = [a - b for a, b in zip(q, c)]
+        adc: Column | None = None
+        for s in range(m):
+            lut = []
+            for cw in codebooks[s]:
+                acc2 = None  # the " + ".join form: t0 + t1 + ... (no seed)
+                for i, x in enumerate(cw):
+                    d = qr[s * subdim + i] - x
+                    acc2 = d * d if acc2 is None else acc2 + d * d
+                lut.append(acc2)
+            term = F.element_at(
+                F.array(*[F.lit(float(v)) for v in lut]),
+                F.col(f"code_{s}") + 1,
             )
-            for s in range(m)
-        ],
-    )
-    adc: Column | None = None
-    for s in range(m):
-        term = F.element_at(F.col(f"_lut_{s}"), F.col(f"code_{s}") + 1)
-        adc = term if adc is None else adc + term
+            adc = term if adc is None else adc + term
+        adc_expr = (
+            F.when(F.col(cluster_col) == label, adc)
+            if adc_expr is None
+            else adc_expr.when(F.col(cluster_col) == label, adc)
+        )
     return (
-        codes.join(F.broadcast(luts), cluster_col)
-        .select(F.col(id_col), adc.alias("adc"))
+        codes.filter(F.col(cluster_col).isin(labels))
+        .select(F.col(id_col), adc_expr.alias("adc"))
         .orderBy(F.col("adc").asc(), F.col(id_col).asc())
         .limit(k)
     )
