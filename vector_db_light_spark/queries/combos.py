@@ -451,23 +451,48 @@ def curation_mix_manifest(spark, sf_dir):
             (F.col("doc_id") + 200000).alias("doc_id"), "text"
         )
     )
-    ranked = corpus.withColumn(
-        "dup_rn",
-        F.row_number().over(
-            Window.partitionBy(F.sha2("text", 256)).orderBy("doc_id")
-        ),
-    ).localCheckpoint(eager=True)  # consumed by canon + manifest join
-    canon = ranked.filter(F.col("dup_rn") == 1).select("doc_id", "text")
+    # r16 (VERDICT r15 #3): the token array is materialized INTO the
+    # ranked checkpoint (computed post-shuffle in the checkpoint job, so
+    # the sha256 exchange still carries only doc_id+text) — the old shape
+    # re-tokenized the corpus in each of the checkpoint's three consumers
+    # (fluency variants, lang-ID, manifest n_tokens).
+    ranked = (
+        corpus.withColumn(
+            "dup_rn",
+            F.row_number().over(
+                Window.partitionBy(F.sha2("text", 256)).orderBy("doc_id")
+            ),
+        )
+        .select("doc_id", "text", tokens_expr("text").alias("_toks"), "dup_rn")
+        .localCheckpoint(eager=True)  # consumed by canon + manifest join
+    )
+    canon = ranked.filter(F.col("dup_rn") == 1)
     variants = canon.select(
         "doc_id",
         F.lit("orig").alias("variant"),
-        tokens_expr("text").alias("toks"),
+        F.col("_toks").alias("toks"),
     ).filter(F.size("toks") >= 2)
     flu = (
         T.kn_fluency_scores(variants, materialize_bigrams=False)
         .select("doc_id", "fluency_u6")
     )
-    lang = T.lang_id(canon).select("doc_id", "predicted_lang")
+    # lang-ID over the stored token array (same scores/pred CASE as
+    # T.lang_id, minus its re-tokenize — the doc_profile pattern; scores
+    # materialize as columns first so each HOF filter evaluates once).
+    # NOT folded into the ranked checkpoint: re-probed per VERDICT r15 #3
+    # at matched canary with the re-tokenize already gone — the HOF
+    # hit-count pass over ALL corpus rows inside the checkpoint job
+    # (4.36 s) still loses to this join shape (3.81 s); second rejection,
+    # recorded in OPTIMIZATION_r16.md.
+    _scores = T.lang_hit_counts(F.col("_toks"))
+    _scored = canon.select(
+        "doc_id", *[_scores[l].alias(f"score_{l}") for l in T.LANG_ORDER]
+    )
+    _best = F.greatest(*[F.col(f"score_{l}") for l in T.LANG_ORDER])
+    _pred = F.when(_best == 0, "unknown")
+    for _l in T.LANG_ORDER:
+        _pred = _pred.when(F.col(f"score_{_l}") == _best, _l)
+    lang = _scored.select("doc_id", _pred.alias("predicted_lang"))
     flu_v = F.coalesce(F.col("fluency_u6"), F.lit(-1).cast("long"))
     lang_v = F.coalesce(F.col("predicted_lang"), F.lit("none"))
     reason = (
@@ -482,7 +507,7 @@ def curation_mix_manifest(spark, sf_dir):
         .select(
             "doc_id",
             "text",
-            F.size(tokens_expr("text")).cast("long").alias("n_tokens"),
+            F.size("_toks").cast("long").alias("n_tokens"),
             flu_v.alias("fluency_u6"),
             lang_v.alias("predicted_lang"),
             reason.alias("drop_reason"),
