@@ -91,11 +91,11 @@ def probe_media(spark) -> list[float]:
 
     src, corpus, frames, ckpt = _fresh("m_src", "m_corpus", "m_frames", "m_ckpt")
     shutil.rmtree(ckpt, ignore_errors=True)
-    media = media_corpus(spark, SF_DIR).filter(F.col("media_type") == "video")
+    media = media_corpus(spark, SF_DIR).filter(F.col("media_type") == "video/mp4")
     walls = []
     for b in range(N_BATCHES):
         batch = media.filter(
-            (F.col("doc_id") % (N_BATCHES * 7)) // 7 == b
+            F.floor((F.col("doc_id") % (N_BATCHES * 7)) / 7) == b
         ).limit(N_MEDIA)
         batch.write.mode("append").parquet(src)
 
@@ -118,11 +118,11 @@ def probe_image(spark) -> list[float]:
 
     src, idx, ckpt = _fresh("i_src", "i_idx", "i_ckpt")
     shutil.rmtree(ckpt, ignore_errors=True)
-    media = media_corpus(spark, SF_DIR).filter(F.col("media_type") == "image")
+    media = media_corpus(spark, SF_DIR).filter(F.col("media_type") == "image/png")
     walls = []
     for b in range(N_BATCHES):
         batch = media.filter(
-            (F.col("doc_id") % (N_BATCHES * 7)) // 7 == b
+            F.floor((F.col("doc_id") % (N_BATCHES * 7)) / 7) == b
         ).limit(N_MEDIA)
         batch.write.mode("append").parquet(src)
 
@@ -145,11 +145,11 @@ def probe_audio(spark) -> list[float]:
 
     src, idx, ckpt = _fresh("a_src", "a_idx", "a_ckpt")
     shutil.rmtree(ckpt, ignore_errors=True)
-    media = media_corpus(spark, SF_DIR).filter(F.col("media_type") == "audio")
+    media = media_corpus(spark, SF_DIR).filter(F.col("media_type") == "audio/wav")
     walls = []
     for b in range(N_BATCHES):
         batch = media.filter(
-            (F.col("doc_id") % (N_BATCHES * 7)) // 7 == b
+            F.floor((F.col("doc_id") % (N_BATCHES * 7)) / 7) == b
         ).limit(N_MEDIA)
         batch.write.mode("append").parquet(src)
 

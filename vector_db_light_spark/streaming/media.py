@@ -339,28 +339,45 @@ def stream_audio_admission(
         ).localCheckpoint(eager=True)
         if rows.isEmpty():
             return
-        cands = None
-        for bk in ("b0", "b1", "b2"):
-            # per-band df cap over batch+index (rule 13): the silence
-            # mask inside the fingerprint operator cannot see a
-            # constant-tone class (nonzero energy, zero deltas, w = 0)
-            uni = rows.select(bk).unionAll(idx.select(bk))
-            hot = (
-                uni.groupBy(bk)
-                .agg(F.count(F.lit(1)).alias("_df"))
-                .filter(F.col("_df") > MAX_FRAME_DF)
-                .select(bk)
-            )
-            pb = rows.join(F.broadcast(hot), bk, "left_anti").select(
-                F.col("aud_id").alias("bid"), F.col("o").alias("bo"),
-                F.col(bk).alias("_b"),
-            )
-            px = idx.select(
-                F.col("aud_id").alias("xid"), F.col("o").alias("xo"),
-                F.col(bk).alias("_b"),
-            )
-            p = pb.join(px, "_b").select("bid", "bo", "xid", "xo")
-            cands = p if cands is None else cands.unionByName(p)
+        # per-band df cap over batch+index (rule 13): the silence mask
+        # inside the fingerprint operator cannot see a constant-tone
+        # class (nonzero energy, zero deltas, w = 0). r16 (guide §2.4):
+        # the three per-band hot-key groupBys + three candidate joins
+        # STACK into one (band-position, value) frame — one shuffle and
+        # one equi-join on (pos, _b) replace three of each; the final
+        # .distinct() makes per-band multiplicity irrelevant, so the
+        # candidate set is identical (A/B-verified on the image twin).
+        bands = ("b0", "b1", "b2")
+
+        def _stack(df, idc: str, oc: str):
+            return df.select(
+                F.col("aud_id").alias(idc),
+                F.col("o").alias(oc),
+                F.explode(
+                    F.array(*[
+                        F.struct(
+                            F.lit(i).alias("pos"), F.col(b).alias("_b")
+                        )
+                        for i, b in enumerate(bands)
+                    ])
+                ).alias("s"),
+            ).select(idc, oc, "s.pos", "s._b")
+
+        sb = _stack(rows, "bid", "bo")
+        sx = _stack(idx, "xid", "xo")
+        hot = (
+            sb.select("pos", "_b")
+            .unionAll(sx.select("pos", "_b"))
+            .groupBy("pos", "_b")
+            .agg(F.count(F.lit(1)).alias("_df"))
+            .filter(F.col("_df") > MAX_FRAME_DF)
+            .select("pos", "_b")
+        )
+        cands = (
+            sb.join(F.broadcast(hot), ["pos", "_b"], "left_anti")
+            .join(sx, ["pos", "_b"])
+            .select("bid", "bo", "xid", "xo")
+        )
         wb = rows.select(
             F.col("aud_id").alias("bid"), F.col("o").alias("bo"),
             F.col("w").alias("bw"),
@@ -445,28 +462,47 @@ def stream_image_admission(
         ).localCheckpoint(eager=True)
         if rows.isEmpty():
             return
-        cands = None
-        for bk in ("b0", "b1", "b2", "b3"):
-            # stopword-band mask over batch+index (rule 13): a band value
-            # carried by > MAX_FRAME_DF images (the solid-color class) is
-            # featureless evidence — masked from candidate generation, so
-            # a featureless image ADMITS (no evidence) instead of the
-            # batch x index quadratic
-            uni = rows.select(bk).unionAll(idx.select(bk))
-            hot = (
-                uni.groupBy(bk)
-                .agg(F.count(F.lit(1)).alias("_df"))
-                .filter(F.col("_df") > MAX_FRAME_DF)
-                .select(bk)
-            )
-            pb = rows.join(F.broadcast(hot), bk, "left_anti").select(
-                F.col("img_id").alias("bid"), F.col(bk).alias("_b")
-            )
-            px = idx.select(
-                F.col("img_id").alias("xid"), F.col(bk).alias("_b")
-            )
-            p = pb.join(px, "_b").select("bid", "xid")
-            cands = p if cands is None else cands.unionByName(p)
+        # stopword-band mask over batch+index (rule 13): a band value
+        # carried by > MAX_FRAME_DF images (the solid-color class) is
+        # featureless evidence — masked from candidate generation, so a
+        # featureless image ADMITS (no evidence) instead of the
+        # batch x index quadratic. r16 (guide §2.4): the four per-band
+        # hot-key groupBys + four candidate joins STACK into one
+        # (band-position, value) frame — one shuffle and one equi-join on
+        # (pos, _b) replace four of each; the verify stage's
+        # cands.distinct() makes per-band multiplicity irrelevant, so the
+        # candidate set is identical (A/B-verified: equal pair sets, band
+        # pass 0.68 -> 0.35 s on a 400-image batch).
+        bands = ("b0", "b1", "b2", "b3")
+
+        def _stack(df, idc: str):
+            return df.select(
+                F.col("img_id").alias(idc),
+                F.explode(
+                    F.array(*[
+                        F.struct(
+                            F.lit(i).alias("pos"), F.col(b).alias("_b")
+                        )
+                        for i, b in enumerate(bands)
+                    ])
+                ).alias("s"),
+            ).select(idc, "s.pos", "s._b")
+
+        sb = _stack(rows, "bid")
+        sx = _stack(idx, "xid")
+        hot = (
+            sb.select("pos", "_b")
+            .unionAll(sx.select("pos", "_b"))
+            .groupBy("pos", "_b")
+            .agg(F.count(F.lit(1)).alias("_df"))
+            .filter(F.col("_df") > MAX_FRAME_DF)
+            .select("pos", "_b")
+        )
+        cands = (
+            sb.join(F.broadcast(hot), ["pos", "_b"], "left_anti")
+            .join(sx, ["pos", "_b"])
+            .select("bid", "xid")
+        )
         wb = rows.select(
             F.col("img_id").alias("bid"),
             F.col("w0").alias("bw0"),
