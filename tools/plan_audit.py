@@ -183,7 +183,9 @@ def audit_one(name: str, plan: str) -> dict[str, object]:
 
 def main() -> int:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
-    from pyspark.sql import DataFrame
+    # Spark 4: patch the CONCRETE class — method lookup lands there, not
+    # on the pyspark.sql.DataFrame ABC (the ckpt_probe lesson)
+    from pyspark.sql.classic.dataframe import DataFrame
 
     from vector_db_light_spark.plans.explain import explain_string
     from vector_db_light_spark.registry import QUERIES
