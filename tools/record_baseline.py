@@ -29,11 +29,11 @@ HERE = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 # BUMP THIS on every re-record (ADVICE r12: the written file's provenance
 # must name the version/round that actually recorded it, not a stale one).
 BASELINE_PROVENANCE = (
-    "baseline v12, recorded at round 15 after the optimization pass "
-    "(compute-each-stage-once restructures of the corpus capstones, "
-    "hash-partitioned media fixtures, codegen PQ/LSH expressions — "
-    "OPTIMIZATION_r15.md; several headline plans changed, so CLAUDE.md "
-    "rule 6 requires a same-round re-record)"
+    "baseline v13, recorded at round 16 after the second optimization pass "
+    "(element-cast codegen dots cleared both 64 KB fallbacks, "
+    "curation_mix_manifest tokenize-once checkpoint, iterative graph tier "
+    "entry truncation — OPTIMIZATION_r16.md; headline plans changed, so "
+    "CLAUDE.md rule 6 requires a same-round re-record)"
 )
 
 
