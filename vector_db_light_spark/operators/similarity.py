@@ -599,9 +599,13 @@ def pq_encode(
     )
 
     def _dist_sql(s: int, cw: list[float]) -> str:
+        # get(): NULL on out-of-bounds (ADVICE r15 — `arr[i]` is an ANSI
+        # runtime error, so one short embedding would kill the whole
+        # encode job; NULL distances instead flow to the argmin CASE's
+        # ELSE branch, the old zip_with NULL-pad behavior)
         terms = [
-            f"((_sub_{s}[{i}] - CAST('{x!r}' AS DOUBLE))"
-            f" * (_sub_{s}[{i}] - CAST('{x!r}' AS DOUBLE)))"
+            f"((get(_sub_{s}, {i}) - CAST('{x!r}' AS DOUBLE))"
+            f" * (get(_sub_{s}, {i}) - CAST('{x!r}' AS DOUBLE)))"
             for i, x in enumerate(cw)
         ]
         return " + ".join(terms)
@@ -1360,7 +1364,7 @@ def _blocked_topk(
     # pair, the most executed expression of the blocked join
     dist = F.lit(1.0) - (
         V.dot("_emb_a", "_emb_b", dim=dim)
-        if dim
+        if dim is not None  # ADVICE r15: truthiness silently fell back on 0
         else V.dot(F.col("_emb_a"), F.col("_emb_b").cast("array<double>"))
     )
     pairs = (
